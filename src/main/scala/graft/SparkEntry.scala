@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps each implemented SURVEY §2 operator to a query over the
+  * driver's parquet tables; `oracleSql` holds the DuckDB twin with matching
+  * column aliases (driver sorts columns by name, then hash-compares values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.j1MultiJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (Relational.q1Agg _),
+    "j1_multi_join" -> (Relational.j1MultiJoin _),
+    "j3_full_outer" -> (Relational.j3FullOuter _),
+    "j4_left_join" -> (Relational.j4LeftJoin _),
+    "j5_anti_join" -> (Relational.j5AntiJoin _),
+    "j6_semi_join" -> (Relational.j6SemiJoin _),
+    "j9_update_join" -> (Relational.j9UpdateJoin _),
+    "w1_first_value" -> (Relational.w1FirstValue _),
+    "w2_keep_one" -> (Relational.w2KeepOne _),
+    "a3_pivot" -> (Relational.a3Pivot _),
+    "a4_dup_detect" -> (Relational.a4DupDetect _),
+    "a5_null_consistency" -> (Relational.a5NullConsistency _),
+    "u1_set_ops" -> (Relational.u1SetOps _),
+    "p2_melt" -> (Relational.p2Melt _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.relational
 }

@@ -1,0 +1,134 @@
+package graft.queries
+
+/** DuckDB oracle SQL — one entry per query key in SparkEntry.queries.
+  *
+  * Conventions (driver hash-compares values after sorting columns by name):
+  *  - aliases match the Spark side exactly, all lowercase
+  *  - every double passes through round(_, n) with the same n as Spark
+  *  - integer-typed SUMs are CAST(.. AS BIGINT): DuckDB widens int sums to
+  *    HUGEINT, which pandas/pyarrow may render differently than Spark's long
+  *  - identical numeric-gating regexes where string->double casting matters
+  */
+object Oracles {
+
+  val relational: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "j1_multi_join" ->
+      """SELECT n_name, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "j3_full_outer" ->
+      """SELECT coalesce(u1, u2) AS user_id,
+        |  coalesce(purchase_total, 0.0) AS purchase_total,
+        |  CAST(coalesce(error_count, 0) AS BIGINT) AS error_count
+        |FROM
+        |  (SELECT user_id AS u1, round(sum(value), 2) AS purchase_total
+        |   FROM events WHERE event_type = 'purchase' GROUP BY 1) buys
+        |FULL OUTER JOIN
+        |  (SELECT user_id AS u2, count(*) AS error_count
+        |   FROM events WHERE event_type = 'error' GROUP BY 1) errs
+        |ON u1 = u2""".stripMargin,
+
+    "j4_left_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  coalesce(order_total, 0.0) AS order_total,
+        |  CAST(coalesce(order_count, 0) AS BIGINT) AS order_count
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS order_total,
+        |             count(*) AS order_count
+        |           FROM orders GROUP BY 1) o
+        |ON c_custkey = o_custkey""".stripMargin,
+
+    "j5_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS customers_without_orders
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "j6_semi_join" ->
+      """SELECT c_nationkey, count(*) AS customers_with_urgent_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
+    "j9_update_join" ->
+      """SELECT c_custkey, round(coalesce(c_acctbal, 0.0), 2) AS acctbal, last_order_date
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, max(o_orderdate) AS last_order_date
+        |           FROM orders GROUP BY 1) o
+        |ON c_custkey = o_custkey""".stripMargin,
+
+    "w1_first_value" ->
+      """SELECT c_nationkey, first_customer_in_nation, count(*) AS n_customers
+        |FROM (SELECT c_nationkey,
+        |        first_value(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_name)
+        |          AS first_customer_in_nation
+        |      FROM customer) x
+        |GROUP BY 1, 2""".stripMargin,
+
+    "w2_keep_one" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS first_price
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey) AS rn
+        |      FROM lineitem) x
+        |WHERE rn = 1""".stripMargin,
+
+    "a3_pivot" ->
+      """SELECT user_id,
+        |  round(max(CASE WHEN event_type = 'purchase' THEN value END), 2) AS max_purchase,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_total,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "a4_dup_detect" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS dup_count
+        |FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    "a5_null_consistency" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_rows,
+        |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS non_urgent_rows,
+        |  round(max(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS max_urgent_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "u1_set_ops" ->
+      """SELECT direction, count(*) AS n_customers FROM (
+        |  SELECT o_custkey, '1994_only' AS direction FROM (
+        |    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |    EXCEPT
+        |    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |  UNION ALL
+        |  SELECT o_custkey, '1995_only' AS direction FROM (
+        |    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |    EXCEPT
+        |    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994)
+        |) GROUP BY 1""".stripMargin,
+
+    "p2_melt" ->
+      """SELECT metric, round(sum(value), 2) AS metric_sum,
+        |  round(avg(value), 4) AS metric_avg, count(*) AS n_values
+        |FROM (
+        |  SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+        |GROUP BY 1""".stripMargin,
+  )
+}
