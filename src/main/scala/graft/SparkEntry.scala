@@ -31,9 +31,19 @@ object SparkEntry {
     "a5_null_consistency" -> (Relational.a5NullConsistency _),
     "u1_set_ops" -> (Relational.u1SetOps _),
     "p2_melt" -> (Relational.p2Melt _),
+    "p1_eav_explode" -> (TreeAndEav.p1EavExplode _),
+    "a1_type_inference" -> (TreeAndEav.a1TypeInference _),
+    "eav_observation_fact" -> (TreeAndEav.eavObservationFact _),
+    "p7_fill_in_tree" -> (TreeAndEav.p7FillInTree _),
+    "a8_concept_counts" -> (TreeAndEav.a8ConceptCounts _),
+    "a9_children_counts" -> (TreeAndEav.a9ChildrenCounts _),
+    "fn_path_scalars" -> (TreeAndEav.fnPathScalars _),
+    "f1_fix_column" -> (TreeAndEav.f1FixColumn _),
+    "f2_value_cleanup" -> (TreeAndEav.f2ValueCleanup _),
+    "f6_usubjid" -> (TreeAndEav.f6Usubjid _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.relational
+  def oracleSql: Map[String, String] = Oracles.relational ++ Oracles.treeAndEav
 }

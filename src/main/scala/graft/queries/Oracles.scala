@@ -11,6 +11,117 @@ package graft.queries
   */
 object Oracles {
 
+  /** Shared numeric-gate regex — must equal CleansingFunctions.NumericRegex. */
+  private val NumRx = "^[+-]?((\\d+(\\.\\d*)?)|(\\.\\d+))([eE][+-]?\\d+)?$"
+
+  private val EavCte =
+    """WITH eav AS (
+      |  SELECT c_custkey, attribute, value FROM (
+      |    SELECT c_custkey, 'c_name' AS attribute, c_name AS value FROM customer
+      |    UNION ALL SELECT c_custkey, 'c_mktsegment', c_mktsegment FROM customer
+      |    UNION ALL SELECT c_custkey, 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+      |    UNION ALL SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer)
+      |  WHERE length(coalesce(value, '')) > 0)
+      |""".stripMargin
+
+  private val GeoJoin =
+    "FROM region JOIN nation ON r_regionkey = n_regionkey JOIN customer ON n_nationkey = c_nationkey"
+
+  val treeAndEav: Map[String, String] = Map(
+    "p1_eav_explode" -> (EavCte + "SELECT * FROM eav"),
+
+    "a1_type_inference" -> (EavCte +
+      s"""SELECT attribute,
+         |  CAST(sum(CASE WHEN regexp_matches(value, '$NumRx') THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS non_numeric_count,
+         |  count(*) AS n_values,
+         |  CASE WHEN sum(CASE WHEN regexp_matches(value, '$NumRx') THEN 0 ELSE 1 END) = 0
+         |       THEN 'N' ELSE 'T' END AS inferred_type
+         |FROM eav GROUP BY 1""".stripMargin),
+
+    "eav_observation_fact" -> (EavCte +
+      s""", types AS (
+         |  SELECT attribute,
+         |    CASE WHEN sum(CASE WHEN regexp_matches(value, '$NumRx') THEN 0 ELSE 1 END) = 0
+         |         THEN 'N' ELSE 'T' END AS inferred_type
+         |  FROM eav GROUP BY 1)
+         |SELECT c_custkey, attribute, inferred_type AS valtype_cd,
+         |  CASE WHEN inferred_type = 'T' THEN value ELSE 'E' END AS tval_char,
+         |  round(CASE WHEN inferred_type = 'N' THEN CAST(value AS DOUBLE) END, 2) AS nval_num
+         |FROM eav JOIN types USING (attribute)""".stripMargin),
+
+    "p7_fill_in_tree" ->
+      s"""SELECT c_fullname, CAST(c_hlevel AS BIGINT) AS c_hlevel, c_name FROM (
+         |  SELECT DISTINCT '\\' || r_name || '\\' AS c_fullname, 1 AS c_hlevel, r_name AS c_name $GeoJoin
+         |  UNION
+         |  SELECT DISTINCT '\\' || r_name || '\\' || n_name || '\\', 2, n_name $GeoJoin
+         |  UNION
+         |  SELECT DISTINCT '\\' || r_name || '\\' || n_name || '\\' || c_name || '\\', 3, c_name $GeoJoin)""".stripMargin,
+
+    "a8_concept_counts" ->
+      s"""SELECT c_fullname, count(DISTINCT c_custkey) AS patient_count FROM (
+         |  SELECT '\\' || r_name || '\\' AS c_fullname, c_custkey $GeoJoin
+         |  UNION ALL
+         |  SELECT '\\' || r_name || '\\' || n_name || '\\', c_custkey $GeoJoin
+         |  UNION ALL
+         |  SELECT '\\' || r_name || '\\' || n_name || '\\' || c_name || '\\', c_custkey $GeoJoin)
+         |GROUP BY 1""".stripMargin,
+
+    "a9_children_counts" ->
+      s"""SELECT parent_path, count(*) AS n_children FROM (
+         |  SELECT DISTINCT '\\' || r_name || '\\' AS parent_path,
+         |    '\\' || r_name || '\\' || n_name || '\\' AS child $GeoJoin
+         |  UNION ALL
+         |  SELECT DISTINCT '\\' || r_name || '\\' || n_name || '\\',
+         |    '\\' || r_name || '\\' || n_name || '\\' || c_name || '\\' $GeoJoin)
+         |GROUP BY 1""".stripMargin,
+
+    "fn_path_scalars" ->
+      s"""SELECT '\\' || r_name || '\\' || n_name || '\\' || c_name || '\\' AS path,
+         |  n_name AS nth2, c_name AS last_component, CAST(3 AS BIGINT) AS hlevel,
+         |  CAST(length('\\' || r_name || '\\' || n_name || '\\' || c_name || '\\')
+         |       - length(c_name) - 1 AS BIGINT) AS instr_2nd_from_end
+         |$GeoJoin""".stripMargin,
+
+    "f1_fix_column" ->
+      """WITH d AS (SELECT p_partkey, '  "' || p_name || ' *100% \ & done"  ' AS dirty FROM part),
+        |s1 AS (SELECT p_partkey, dirty, trim(dirty) AS t FROM d),
+        |s2 AS (SELECT p_partkey, dirty,
+        |         CASE WHEN t LIKE '"%"' AND length(t) >= 2
+        |              THEN trim(substring(t, 2, length(t) - 2)) ELSE t END AS t FROM s1)
+        |SELECT p_partkey, dirty,
+        |  regexp_replace(
+        |    replace(replace(replace(replace(t, '\', ''), '%', 'PCT'), '*', ''), '&', ' and '),
+        |    '[^\x00-\x7F]', '', 'g') AS clean
+        |FROM s2""".stripMargin,
+
+    "f2_value_cleanup" ->
+      """WITH d AS (SELECT p_partkey,
+        |    '|' || replace(p_type, ' ', '_') || '+50%_done,,|' AS dirty FROM part)
+        |SELECT p_partkey, dirty,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      replace(
+        |        regexp_replace(
+        |          replace(
+        |            replace(
+        |              regexp_replace(regexp_replace(dirty, '^\|+', '', 'g'), '\|+$', '', 'g'),
+        |            '|', '-'),
+        |          '%', ' Pct'),
+        |        '[&+]', ' and ', 'g'),
+        |      '_', ' '),
+        |    ' {2,}', ' ', 'g'),
+        |  ',+$', '', 'g')) AS clean
+        |FROM d""".stripMargin,
+
+    "f6_usubjid" ->
+      """SELECT c_custkey,
+        |  regexp_replace(concat_ws(':', 'TRIAL1',
+        |    CASE WHEN c_nationkey % 2 = 0 THEN '' ELSE CAST(c_nationkey AS VARCHAR) END,
+        |    c_name), ':{2,}', ':', 'g') AS usubjid
+        |FROM customer""".stripMargin,
+  )
+
   val relational: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
