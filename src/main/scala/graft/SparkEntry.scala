@@ -41,9 +41,18 @@ object SparkEntry {
     "f1_fix_column" -> (TreeAndEav.f1FixColumn _),
     "f2_value_cleanup" -> (TreeAndEav.f2ValueCleanup _),
     "f6_usubjid" -> (TreeAndEav.f6Usubjid _),
+    "a7_zscore" -> (StatsAndTime.a7Zscore _),
+    "a10_summary_stats" -> (StatsAndTime.a10SummaryStats _),
+    "a2_group_guard" -> (StatsAndTime.a2GroupGuard _),
+    "a12_existence_guards" -> (StatsAndTime.a12ExistenceGuards _),
+    "j10_regex_join" -> (StatsAndTime.j10RegexJoin _),
+    "fn_timepoint" -> (StatsAndTime.fnTimepoint _),
+    "fn_json_extract" -> (StatsAndTime.fnJsonExtract _),
+    "w3_sessionize" -> (StatsAndTime.w3Sessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.relational ++ Oracles.treeAndEav
+  def oracleSql: Map[String, String] =
+    Oracles.relational ++ Oracles.treeAndEav ++ Oracles.statsAndTime
 }

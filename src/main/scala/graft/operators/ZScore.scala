@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The shared omics z-score pipeline — the reference implements this six
+  * times (mrna/rnaseq/protein/metabolomics/mirna/rbm; e.g.
+  * I2B2_PROCESS_MRNA_DATA.sql:236-331, I2B2_RBM_ZSCORE_CALC_NEW.sql:218-246):
+  *
+  *  1. raw_intensity = value (dataType R) | logBase^value (L, 0 if base -1)
+  *  2. log_intensity = value (dataType L) | ln(value)/ln(logBase)
+  *  3. per-group avg / exact median / sample stddev of log_intensity
+  *  4. zscore = 0 when stddev = 0, else clamp((log - median)/stddev, ±2.5)
+  *
+  * Spark shape: one narrow projection, one groupBy on the probe key, one
+  * join back. The stats side is tiny relative to the fact side (one row
+  * per probe), so AQE broadcast-joins it — the facts are never shuffled
+  * twice. The reference's mid-pipeline index creation dissolves into the
+  * shuffle partitioning.
+  */
+object ZScore {
+
+  /** dataType: "R" (raw) or "L" (already log-transformed) — the
+    * file-name-encoded `_Data_[RLTZ]` convention. */
+  def pipeline(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               dataType: String = "R", logBase: Double = 2.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val raw = if (dataType == "R") v
+      else if (logBase == -1.0) lit(0.0)
+      else pow(lit(logBase), v)
+    val logI = if (dataType == "L") v else log(v) / log(lit(logBase))
+
+    val withLogs = df
+      .withColumn("raw_intensity", raw)
+      .withColumn("log_intensity", logI)
+
+    val stats = withLogs
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        avg(col("log_intensity")).as("mean_intensity"),
+        percentile(col("log_intensity"), lit(0.5)).as("median_intensity"),
+        stddev_samp(col("log_intensity")).as("stddev_intensity"))
+
+    withLogs.join(stats, groupCols)
+      .withColumn("zscore", zscoreClamped(
+        col("log_intensity"), col("median_intensity"), col("stddev_intensity")))
+  }
+
+  /** 0 when stddev is 0/NULL, else (v - median)/stddev clamped to ±2.5. */
+  def zscoreClamped(logI: Column, median: Column, stddev: Column): Column =
+    when(stddev.isNull || stddev === 0, lit(0.0))
+      .otherwise(least(greatest((logI - median) / stddev, lit(-2.5)), lit(2.5)))
+}

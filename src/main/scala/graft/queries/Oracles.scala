@@ -122,6 +122,101 @@ object Oracles {
         |FROM customer""".stripMargin,
   )
 
+  val statsAndTime: Map[String, String] = Map(
+    "a7_zscore" ->
+      """WITH logs AS (
+        |  SELECT l_partkey, l_orderkey, l_linenumber,
+        |    l_extendedprice AS raw_intensity,
+        |    ln(l_extendedprice) / ln(2.0) AS log_intensity
+        |  FROM lineitem),
+        |calcs AS (
+        |  SELECT l_partkey, median(log_intensity) AS med,
+        |    stddev_samp(log_intensity) AS sd
+        |  FROM logs GROUP BY 1)
+        |SELECT l_partkey, l_orderkey, l_linenumber,
+        |  round(raw_intensity, 2) AS raw_intensity,
+        |  round(log_intensity, 6) AS log_intensity,
+        |  round(CASE WHEN sd IS NULL OR sd = 0 THEN 0
+        |        ELSE least(greatest((log_intensity - med) / sd, -2.5), 2.5) END, 4) AS zscore
+        |FROM logs JOIN calcs USING (l_partkey)""".stripMargin,
+
+    "a10_summary_stats" ->
+      """WITH rk AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_values,
+        |  round(avg(value), 4) AS mean,
+        |  round(stddev_samp(value), 4) AS stddev,
+        |  round(min(value), 2) AS min,
+        |  round(max(value), 2) AS max,
+        |  round(median(value), 2) AS median,
+        |  round(median(CASE WHEN rn <= (n + 1) // 2 THEN value END), 2) AS lower_hinge,
+        |  round(median(CASE WHEN rn >= n - (n + 1) // 2 + 1 THEN value END), 2) AS upper_hinge,
+        |  round(median(CASE WHEN rn >= n - (n + 1) // 2 + 1 THEN value END)
+        |      - median(CASE WHEN rn <= (n + 1) // 2 THEN value END), 2) AS iqr
+        |FROM rk GROUP BY 1""".stripMargin,
+
+    "a2_group_guard" ->
+      "SELECT source, count(*) AS n_docs FROM documents GROUP BY 1",
+
+    "a12_existence_guards" ->
+      """SELECT count(*) AS violations FROM (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1 HAVING count(DISTINCT p_brand) > 1)""".stripMargin,
+
+    "j10_regex_join" ->
+      """SELECT pattern, count(*) AS n_matches
+        |FROM (SELECT '\' || r_name || '\' || n_name || '\' || c_name || '\' AS path
+        |      FROM region JOIN nation ON r_regionkey = n_regionkey
+        |      JOIN customer ON n_nationkey = c_nationkey) paths,
+        |     (SELECT '^\\' || r_name || '\\.*' AS pattern FROM region) patterns
+        |WHERE regexp_matches(path, pattern)
+        |GROUP BY 1""".stripMargin,
+
+    "fn_timepoint" ->
+      """WITH base AS (SELECT user_id, min(epoch_ns(ts)) AS b FROM events GROUP BY 1),
+        |d AS (SELECT event_id, (epoch_ns(ts) - b) // 1000000000 AS secs
+        |      FROM events JOIN base USING (user_id)),
+        |c AS (SELECT event_id, secs,
+        |        secs // 86400 AS dd, (secs % 86400) // 3600 AS hh,
+        |        (secs % 3600) // 60 AS mm, secs % 60 AS ss
+        |      FROM d)
+        |SELECT event_id, trim(
+        |  CASE WHEN secs = 0 THEN 'Baseline' ELSE '' END ||
+        |  CASE WHEN dd <> 0 THEN dd::VARCHAR || ' day' ||
+        |    CASE WHEN dd > 1 THEN 's ' ELSE ' ' END ELSE '' END ||
+        |  CASE WHEN hh <> 0 THEN hh::VARCHAR || ' hour' ||
+        |    CASE WHEN hh > 1 THEN 's ' ELSE ' ' END ELSE '' END ||
+        |  CASE WHEN mm <> 0 THEN mm::VARCHAR || ' minute' ||
+        |    CASE WHEN mm > 1 THEN 's ' ELSE ' ' END ELSE '' END ||
+        |  CASE WHEN ss <> 0 THEN ss::VARCHAR || ' second' ||
+        |    CASE WHEN ss > 1 THEN 's ' ELSE ' ' END ELSE '' END) AS timepoint
+        |FROM c""".stripMargin,
+
+    "fn_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(json_extract_string(props, '$.k')) AS k_count
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "w3_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |         OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM g)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1""".stripMargin,
+  )
+
   val relational: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
