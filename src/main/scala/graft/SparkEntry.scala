@@ -49,10 +49,20 @@ object SparkEntry {
     "fn_timepoint" -> (StatsAndTime.fnTimepoint _),
     "fn_json_extract" -> (StatsAndTime.fnJsonExtract _),
     "w3_sessionize" -> (StatsAndTime.w3Sessionize _),
+    "dedup_exact" -> (TrainingData.dedupExact _),
+    "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (TrainingData.dedupMinhashLsh _),
+    "dedup_simhash" -> (TrainingData.dedupSimhash _),
+    "text_lang_id" -> (TrainingData.textLangId _),
+    "text_quality" -> (TrainingData.textQuality _),
+    "ann_cosine_topk" -> (TrainingData.annCosineTopk _),
+    "ann_lsh_buckets" -> (TrainingData.annLshBuckets _),
+    "dedup_embedding" -> (TrainingData.dedupEmbedding _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Oracles.relational ++ Oracles.treeAndEav ++ Oracles.statsAndTime
+    Oracles.relational ++ Oracles.treeAndEav ++ Oracles.statsAndTime ++
+      Oracles.trainingData
 }

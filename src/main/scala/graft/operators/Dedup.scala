@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Scale design (the whole point of these): exact dedup is one hash
+  * aggregate; near-dup never compares all pairs — candidates come from
+  * equi-joinable keys (shared shingle, shared MinHash band, shared SimHash
+  * quarter), so the shuffle is on those keys and the quadratic blow-up is
+  * confined to per-bucket candidate sets. All hashing is md5-based and
+  * engine-portable (no JVM hashCode), so results are reproducible across
+  * engines and runs — required for the DuckDB oracle and good hygiene for
+  * a multi-engine lakehouse.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical normalized text.
+    * One groupBy on the fingerprint — map-side partial agg does the bulk. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingle) long table, distinct per doc. */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup: candidate pairs share >=1 shingle;
+    * J(a,b) = |A n B| / (|A| + |B| - |A n B|) >= threshold.
+    * The self-join is on the shingle key — skew guard: very frequent
+    * shingles (stop-shingles) can be dropped via maxDocFreq, the standard
+    * trick to keep bucket sizes bounded at scale. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double,
+                   maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n)
+    val filtered = maxDocFreq match {
+      case Some(maxDf) =>
+        val df_ = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("shingle"))
+        sh.join(df_, "shingle")
+      case None => sh
+    }
+    val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = filtered.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = filtered.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Engine-portable MinHash: for seed j, h_j(doc) = lexicographic min of
+    * md5(j || '|' || shingle). Signatures band into groups of `rowsPerBand`;
+    * docs sharing a band value are candidates (classic MinHash-LSH banding).
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val seeds = (0 until numHashes).map(j => lit(j))
+    sh.select(col("doc_id"), explode(array(seeds: _*)).as("j"), col("shingle"))
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit("|"), col("shingle"))).as("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("h")).as("minhash"))
+  }
+
+  /** LSH band keys: (doc_id, band, band_key). */
+  def lshBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
+    sig
+      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(array_sort(collect_list(struct(col("j"), col("minhash"))))
+        .getField("minhash"), "|")).as("band_key"))
+
+  /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    * bucket-join candidates -> exact-Jaccard verify. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int, numHashes: Int, rowsPerBand: Int,
+                 threshold: Double): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n)
+    val bands = lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, "shingle")
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Engine-portable SimHash (64-bit, hex string): md5(token) first 16 hex
+    * chars give 64 bits; each token votes +1/-1 per bit weighted by its
+    * count; bit = 1 when the vote sum is positive. */
+  def simhashHex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("h16", substring(md5(col("token")), 1, 16))
+    // nibble value per hex char position (1..16), bits per nibble (0..3)
+    val hexChars = array("0123456789abcdef".map(ch => lit(ch.toString)): _*)
+    val bits = toks
+      .select(col("doc_id"), col("w"),
+        // Spark's split keeps a trailing empty element on this pattern
+        posexplode(filter(split(col("h16"), "(?!^)"), c => length(c) > 0))
+          .as(Seq("pos", "ch")))
+      .withColumn("nib", expr("instr('0123456789abcdef', ch) - 1"))
+      .select(col("doc_id"), col("w"), col("pos"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"), shiftright(col("nib"), 3 - b).bitwiseAND(lit(1)).as("bit"))): _*)).as("x"))
+      .select(col("doc_id"), col("w"),
+        (col("pos") * 4 + col("x.b")).as("bitpos"),
+        col("x.bit").as("bit"))
+    val votes = bits
+      .groupBy(col("doc_id"), col("bitpos"))
+      .agg(sum(when(col("bit") === 1, col("w")).otherwise(-col("w"))).as("vote"))
+      .withColumn("outbit", when(col("vote") > 0, 1).otherwise(0))
+    // reassemble 64 bits -> 16 hex chars (bit weight 8/4/2/1 within nibble)
+    val nibWeight = when(col("nibbit") === 0, 8).when(col("nibbit") === 1, 4)
+      .when(col("nibbit") === 2, 2).otherwise(1)
+    votes
+      .withColumn("nibpos", (col("bitpos") / 4).cast("int"))
+      .withColumn("nibbit", col("bitpos") % 4)
+      .groupBy(col("doc_id"), col("nibpos"))
+      .agg(sum(col("outbit") * nibWeight).as("nibval"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("nibpos"), col("nibval")))),
+        x => element_at(hexChars, x.getField("nibval").cast("int") + 1)), "")
+        .as("simhash"))
+  }
+}

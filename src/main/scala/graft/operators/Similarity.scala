@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * - Brute-force cosine top-k: the correctness baseline. Queries are tiny
+  *   and broadcast; candidates stream — one pass over the big side, no
+  *   shuffle of the vectors themselves.
+  * - Random-hyperplane LSH bucketing: the scale path. Buckets come from
+  *   deterministic md5-derived hyperplanes, so candidate generation is an
+  *   equi-join on the bucket key; at 100 TB only same-bucket vectors are
+  *   compared (multi-probe = repeat with several plane sets).
+  *
+  * All math in double precision via sequential folds (aggregate over
+  * zip_with) — deterministic, engine-portable, codegen-friendly; no UDF.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two array columns (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k. `queries`/`vectors` both carry (idCol,
+    * vecCol); ranks are assigned on the ROUNDED cosine with id tiebreak so
+    * results are reproducible across engines and runs. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, col("q_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic +/-1 hyperplanes: sign(j, d) = +1 iff the first hex
+    * nibble of md5("j_d") < 8. Reproducible in any engine with md5. */
+  def hyperplaneSigns(numPlanes: Int, dim: Int): IndexedSeq[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { j =>
+      Array.tabulate(dim) { d =>
+        val h = digest.digest(s"${j}_$d".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** LSH bucket id: bit j set iff dot(vec, plane_j) > 0. */
+  def lshBucket(vecCol: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vecCol, planeCol) > 0, shiftleft(lit(1), j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: top-k within the query's bucket only (scale path —
+    * recall depends on bucket granularity; callers widen with multi-probe). */
+  def lshTopK(vectors: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplaneSigns(numPlanes, dim)
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), planes).as("bucket")))
+    val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding near-dup: same-block pairs above a cosine threshold.
+    * Blocking key bounds the pair blow-up (label here; LSH bucket at scale). */
+  def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+                       blockCol: String, threshold: Double): DataFrame = {
+    val a = vectors.select(col(blockCol).as("block"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = vectors.select(col(blockCol).as("block"), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    a.join(b, Seq("block"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine_raw", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cosine_raw") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine_raw"), 6).as("cosine"))
+  }
+}

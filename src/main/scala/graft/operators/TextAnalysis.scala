@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * language ID (stopword n-gram heuristic), quality scoring, document
+  * fingerprinting. All pure Column expressions — codegen'd, shuffle-free,
+  * linear scans at 100 TB.
+  *
+  * Determinism matters more than linguistic accuracy here: every scoring
+  * rule is an explicit arithmetic formula mirrored 1:1 in the DuckDB
+  * oracle SQL.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish length estimate: ~4 chars/token (public rule of thumb). */
+  def estBpeTokens(nChars: Column): Column = ceil(nChars.cast("double") / 4.0).cast("long")
+
+  /** Stopword tables per language for the lang-ID heuristic. */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "zu", "den"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "los", "que", "un", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language ID: argmax of per-language stopword hits, ties broken by
+    * language code ascending (the order of StopwordsByLang). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = StopwordsByLang.map { case (lang, words) =>
+      lang -> stopwordHits(toks, words)
+    }
+    // lang with strictly-greater score than all EARLIER langs and >= all later
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, score)) =>
+      val beats = scores.map { case (l2, s2) =>
+        if (l2 < lang) score > s2 // later lang must strictly beat earlier ones
+        else if (l2 > lang) score >= s2
+        else lit(true)
+      }.reduce(_ && _)
+      when(acc.isNull && beats, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: length component + stopword-density component
+    * - punctuation-noise component, clamped. */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val nToks = tokenCount(text).cast("double")
+    val enHits = stopwordHits(tokens(text), StopwordsByLang.toMap.apply("en")).cast("double")
+    val punct = (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double")
+    val lengthComp = least(nToks / 100.0, lit(1.0)) * 0.5
+    val stopComp = least(enHits / greatest(nToks, lit(1.0)) * 4.0, lit(1.0)) * 0.5
+    val punctPenalty = least(punct / greatest(nChars.cast("double"), lit(1.0)) * 2.0, lit(0.5))
+    greatest(lengthComp + stopComp - punctPenalty, lit(0.0))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercased text
+    * (content-defined fingerprinting; 16-hex prefix as a compact key). */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  def fingerprintPrefix(text: Column): Column = substring(fingerprint(text), 1, 16)
+
+  /** Word n-gram shingles (space-joined), for Jaccard/MinHash dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -122,6 +122,165 @@ object Oracles {
         |FROM customer""".stripMargin,
   )
 
+  /** Tokenize + 3-gram-shingle CTE shared by the dedup oracles. */
+  private val ShingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      |  FROM toks WHERE len(t) >= 3)
+      |""".stripMargin
+
+  private val JaccardTail =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+      |SELECT doc_a, doc_b, round(c::DOUBLE / (sa.n + sb.n - c)::DOUBLE, 6) AS jaccard
+      |FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.5""".stripMargin
+
+  private val EmbCosine =
+    """list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+
+  val trainingData: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" -> (ShingleCte +
+      """, common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |""".stripMargin + JaccardTail),
+
+    "dedup_minhash_lsh" -> (ShingleCte +
+      """, mh AS (
+        |  SELECT doc_id, j, min(md5(j::VARCHAR || '|' || shingle)) AS minhash
+        |  FROM sh, unnest(range(0, 8)) s(j) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    md5(string_agg(minhash, '|' ORDER BY j)) AS band_key
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.da AND b.doc_id = cand.db
+        |  GROUP BY 1, 2),
+        |""".stripMargin + JaccardTail),
+
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |tw AS (SELECT doc_id, token, count(*) AS w FROM toks GROUP BY 1, 2),
+        |th AS (SELECT doc_id, w, substring(md5(token), 1, 16) AS h16 FROM tw),
+        |nibs0 AS (
+        |  SELECT doc_id, w, i AS pos,
+        |    strpos('0123456789abcdef', substring(h16, i, 1)) - 1 AS nib
+        |  FROM th, unnest(range(1, 17)) p(i)),
+        |bits AS (
+        |  SELECT doc_id, w, (pos - 1) * 4 + b AS bitpos,
+        |    CASE b WHEN 0 THEN (nib // 8) % 2 WHEN 1 THEN (nib // 4) % 2
+        |           WHEN 2 THEN (nib // 2) % 2 ELSE nib % 2 END AS bit
+        |  FROM nibs0, unnest(range(0, 4)) u(b)),
+        |votes AS (
+        |  SELECT doc_id, bitpos, sum(CASE WHEN bit = 1 THEN w ELSE -w END) AS vote
+        |  FROM bits GROUP BY 1, 2),
+        |nibs AS (
+        |  SELECT doc_id, bitpos // 4 AS nibpos,
+        |    sum((CASE WHEN vote > 0 THEN 1 ELSE 0 END) *
+        |        (CASE bitpos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS nibval
+        |  FROM votes GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  string_agg(substring('0123456789abcdef', (nibval + 1)::INT, 1), '' ORDER BY nibpos)
+        |    AS simhash
+        |FROM nibs GROUP BY 1""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','ein','eine','zu','den'))) AS s_de,
+        |    len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+        |    len(list_filter(t, x -> x IN ('el','la','de','y','los','que','un','una'))) AS s_es,
+        |    len(list_filter(t, x -> x IN ('le','la','de','et','les','des','un','une'))) AS s_fr,
+        |    len(list_filter(t, x -> x IN ('的','是','在','了','和'))) AS s_zh
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |        FROM documents))
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en > s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es > s_de AND s_es > s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr > s_de AND s_fr > s_en AND s_fr > s_es AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |FROM sc""".stripMargin,
+
+    "text_quality" ->
+      """WITH x AS (
+        |  SELECT doc_id, text, n_chars,
+        |    list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(ceil(n_chars::DOUBLE / 4.0) AS BIGINT) AS est_bpe_tokens,
+        |  round(greatest(
+        |    least(len(t)::DOUBLE / 100.0, 1.0) * 0.5 +
+        |    least(len(list_filter(t, s -> s IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+        |          / greatest(len(t)::DOUBLE, 1.0) * 4.0, 1.0) * 0.5 -
+        |    least((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+        |          / greatest(n_chars::DOUBLE, 1.0) * 2.0, 0.5),
+        |  0.0), 4) AS quality,
+        |  substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fp16
+        |FROM x""".stripMargin,
+
+    "ann_cosine_topk" -> (
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+        |    round(""".stripMargin + EmbCosine +
+      """, 6) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 20),
+        |rk AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM pairs)
+        |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin),
+
+    "ann_lsh_buckets" ->
+      """WITH signs AS (
+        |  SELECT j, i,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |           substring(md5(j::VARCHAR || '_' || (i - 1)::VARCHAR), 1, 1)) - 1 < 8
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM unnest(range(0, 8)) p(j), unnest(range(1, 65)) d(i)),
+        |dots AS (
+        |  SELECT vec_id, j, sum(embedding[i]::DOUBLE * s) AS dp
+        |  FROM embeddings, signs GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dp > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1)
+        |SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY 1""".stripMargin,
+
+    "dedup_embedding" -> (
+      """WITH p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    """.stripMargin + EmbCosine +
+      """ AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.4""".stripMargin),
+  )
+
   val statsAndTime: Map[String, String] = Map(
     "a7_zscore" ->
       """WITH logs AS (

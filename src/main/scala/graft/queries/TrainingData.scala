@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
+  * (brute-force + LSH buckets), text analysis (lang-ID, quality, tokens,
+  * fingerprint). All md5-based hashing — engine-portable, oracle-checkable.
+  */
+object TrainingData {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashHex(t(s, dir, "documents"), "doc_id", "text")
+
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("predicted_lang"))
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.estBpeTokens(col("n_chars")).as("est_bpe_tokens"),
+      round(TextAnalysis.qualityScore(col("text"), col("n_chars")), 4).as("quality"),
+      TextAnalysis.fingerprintPrefix(col("text")).as("fp16"))
+
+  def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10)
+  }
+
+  def annLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val planes = Similarity.hyperplaneSigns(numPlanes = 8, dim = 64)
+    t(s, dir, "embeddings")
+      .select(Similarity.lshBucket(col("embedding"), planes).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDup(t(s, dir, "embeddings"),
+      "vec_id", "embedding", blockCol = "label", threshold = 0.4)
+}
