@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one JVM, forked by sbt). */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import org.apache.spark.sql.DataFrame
+
+  /** Collect a single string column to a sorted list. */
+  def strings(df: DataFrame, col: String): Seq[String] =
+    df.select(col).collect().map(r => Option(r.get(0)).map(_.toString).orNull).toSeq
+}

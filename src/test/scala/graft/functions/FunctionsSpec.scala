@@ -1,0 +1,130 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PathFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import PathFunctions._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): Any =
+    Seq(input).toDF("p").select(c.as("r")).collect()(0).get(0)
+
+  test("normalizePath collapses, leads and terminates") {
+    assert(one(normalizePath($"p"), "A\\\\B\\") == "\\A\\B\\")
+    assert(one(normalizePath($"p"), "\\A\\B") == "\\A\\B\\")
+    assert(one(normalizePath($"p"), "A") == "\\A\\")
+  }
+
+  test("components / hlevel / last / nth") {
+    assert(one(hlevel($"p"), "\\A\\B\\C\\") == 3)
+    assert(one(lastPathComponent($"p"), "\\A\\B\\C\\") == "C")
+    assert(one(parseNthValue($"p", 2), "\\A\\B\\C\\") == "B")
+    assert(one(parseNthValue($"p", 9), "\\A\\B\\C\\") == null)
+  }
+
+  test("ancestorPaths shortest-first, self included") {
+    assert(one(ancestorPaths($"p"), "\\A\\B\\C\\")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq ==
+      Seq("\\A\\", "\\A\\B\\", "\\A\\B\\C\\"))
+    assert(one(properAncestorPaths($"p"), "\\A\\B\\C\\")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("\\A\\", "\\A\\B\\"))
+  }
+
+  test("replaceLastPathComponent") {
+    assert(one(replaceLastPathComponent($"p", lit("X")), "\\A\\B\\C\\") == "\\A\\B\\X\\")
+    assert(one(replaceLastPathComponent($"p", lit("X")), "\\A\\") == "\\X\\")
+  }
+
+  test("instrFromEnd matches Oracle instr(s, sub, -1, k)") {
+    // '\A\B\C\' : backslashes at 1,3,5,7
+    assert(one(instrFromEnd($"p", "\\", 1), "\\A\\B\\C\\") == 7)
+    assert(one(instrFromEnd($"p", "\\", 2), "\\A\\B\\C\\") == 5)
+    assert(one(instrFromEnd($"p", "\\", 4), "\\A\\B\\C\\") == 1)
+    assert(one(instrFromEnd($"p", "\\", 5), "\\A\\B\\C\\") == 0)
+    assert(one(instrFromEnd($"p", "x", 1), "abc") == 0)
+  }
+}
+
+class CleansingSpec extends SparkSpec {
+  import spark.implicits._
+  import CleansingFunctions._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): Any =
+    Seq(input).toDF("v").select(c.as("r")).collect()(0).get(0)
+
+  test("fixColumn chain (ClinicalDataProcessor.groovy:335-347 semantics)") {
+    assert(one(fixColumn($"v"), "  \"a%b\\c*d&e\"  ") == "aPCTbcd and e")
+    assert(one(fixColumn($"v"), "plain") == "plain")
+    assert(one(fixColumn($"v"), "café") == "caf") // non-ASCII stripped
+  }
+
+  test("cleanseValue ordered sweep (I2B2_LOAD_CLINICAL_DATA.sql:236-474)") {
+    assert(one(cleanseValue($"v"), "|a|b|") == "a-b")
+    assert(one(cleanseValue($"v"), "50%_done,,") == "50 Pct done")
+    assert(one(cleanseValue($"v"), "a+b&c") == "a and b and c")
+    assert(one(cleanseValue($"v"), "x  y") == "x y")
+  }
+
+  test("usubjid collapse") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq(("T", "", "S1"), ("T", "2", "S2")).toDF("t", "s", "u")
+    val got = df.select(usubjid($"t", $"s", $"u").as("r")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("T:S1", "T:2:S2"))
+  }
+
+  test("isNumericInverted: 0 for numeric, 1 otherwise") {
+    val got = Seq("1.5", "-2e3", ".7", "abc", "1.2.3", "")
+      .toDF("v").select(isNumericInverted($"v").as("r")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 0, 0, 1, 1, 1))
+  }
+}
+
+class TimeFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import TimeFunctions._
+
+  private def label(secs: Long): String =
+    Seq(secs).toDF("s").select(timepointLabel($"s").as("r")).collect()(0).getString(0)
+
+  test("timepointLabel reference semantics (TIMESTAMP_TO_TIMEPOINT.sql)") {
+    assert(label(0) == "Baseline")
+    assert(label(60) == "1 minute")
+    assert(label(120) == "2 minutes")
+    assert(label(86400 + 3600 + 60 + 1) == "1 day 1 hour 1 minute 1 second")
+    assert(label(2 * 86400 + 2 * 3600) == "2 days 2 hours")
+    assert(label(-3600) == "-1 hour")
+    assert(label(45) == "45 seconds")
+  }
+
+  test("timestampToTimepoint parses 'yyyy-MM-dd HH:mm:ss'") {
+    val df = Seq(("2024-01-03 10:30:00", "2024-01-01 10:30:00")).toDF("ts", "base")
+    assert(df.select(timestampToTimepoint($"ts", $"base")).collect()(0).getString(0) == "2 days")
+  }
+}
+
+class StatAggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactMedian: avg of middle two (median.sql semantics)") {
+    val odd = Seq(5.0, 1.0, 3.0).toDF("v")
+      .agg(StatAggregators.exactMedian($"v")).collect()(0).getDouble(0)
+    assert(odd == 3.0)
+    val even = Seq(4.0, 1.0, 3.0, 2.0).toDF("v")
+      .agg(StatAggregators.exactMedian($"v")).collect()(0).getDouble(0)
+    assert(even == 2.5)
+  }
+
+  test("tukeyHinges: halves include middle when n odd") {
+    // 1..9: lower half 1..5 -> 3; upper half 5..9 -> 7
+    val r = (1 to 9).map(_.toDouble).toDF("v")
+      .agg(StatAggregators.tukeyHinges($"v").as("h"))
+      .select("h.lower_hinge", "h.median", "h.upper_hinge").collect()(0)
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2)) == (3.0, 5.0, 7.0))
+    // 1..8: halves of 4 -> hinges 2.5 / 6.5
+    val r2 = (1 to 8).map(_.toDouble).toDF("v")
+      .agg(StatAggregators.tukeyHinges($"v").as("h"))
+      .select("h.lower_hinge", "h.median", "h.upper_hinge").collect()(0)
+    assert((r2.getDouble(0), r2.getDouble(1), r2.getDouble(2)) == (2.5, 4.5, 6.5))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TreeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val leaves = Seq(
+    ("\\S\\Vitals\\HR\\", 1L),
+    ("\\S\\Vitals\\BP\\", 1L),
+    ("\\S\\Vitals\\HR\\", 2L),
+    ("\\S\\Labs\\Glucose\\", 3L)).toDF("path", "patient")
+
+  test("fillInTree materializes every ancestor once") {
+    val nodes = TreeOps.fillInTree(leaves, "path")
+    assert(nodes.count() == 6) // \S\, \S\Vitals\, \S\Labs\, + 3 leaves
+    val root = nodes.filter($"c_fullname" === "\\S\\").collect()(0)
+    assert(root.getAs[Int]("c_hlevel") == 1 && root.getAs[String]("c_name") == "S")
+  }
+
+  test("conceptCounts rolls distinct patients up the tree") {
+    val counts = TreeOps.conceptCounts(leaves, "path", "patient")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("\\S\\") == 3)
+    assert(counts("\\S\\Vitals\\") == 2)
+    assert(counts("\\S\\Vitals\\HR\\") == 2)
+    assert(counts("\\S\\Labs\\Glucose\\") == 1)
+  }
+
+  test("childrenCounts + visualAttrs: folders vs leaves") {
+    val nodes = TreeOps.fillInTree(leaves, "path")
+    val kids = TreeOps.childrenCounts(nodes, "c_fullname")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kids("\\S\\") == 2 && kids("\\S\\Vitals\\") == 2 && kids("\\S\\Labs\\") == 1)
+    val attrs = TreeOps.visualAttrs(nodes, "c_fullname")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(attrs("\\S\\Vitals\\") == "FA" && attrs("\\S\\Vitals\\HR\\") == "LA")
+  }
+}
+
+class EavSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wide = Seq(
+    ("P1", "45", "Male"),
+    ("P2", "50", "Female"),
+    ("P3", "", "Female")).toDF("subj", "age", "sex")
+
+  test("explodeToEav drops empty values") {
+    val eav = Eav.explodeToEav(wide, Seq("subj"), Seq("age", "sex"))
+    assert(eav.count() == 5) // P3 age empty -> dropped
+  }
+
+  test("inferTypes: group is numeric only if every value casts") {
+    val types = Eav.inferTypes(Eav.explodeToEav(wide, Seq("subj"), Seq("age", "sex")),
+      Seq("attribute")).collect().map(r =>
+      r.getAs[String]("attribute") -> r.getAs[String]("inferred_type")).toMap
+    assert(types == Map("age" -> "N", "sex" -> "T"))
+  }
+
+  test("toObservationFact: tval 'E' for numeric, nval null for text") {
+    val fact = Eav.toObservationFact(
+      Eav.explodeToEav(wide, Seq("subj"), Seq("age", "sex")), Seq("attribute"))
+    val age = fact.filter($"subj" === "P1" && $"attribute" === "age").collect()(0)
+    assert(age.getAs[String]("tval_char") == "E" && age.getAs[Double]("nval_num") == 45.0)
+    val sex = fact.filter($"subj" === "P1" && $"attribute" === "sex").collect()(0)
+    assert(sex.getAs[String]("tval_char") == "Male" && sex.isNullAt(sex.fieldIndex("nval_num")))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different words entirely here now ok")).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() == 3)
+    val dup = d.filter($"n_copies" === 2).collect()(0)
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngramJaccard finds exact and near duplicates") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.head._3 == 1.0) // identical docs
+  }
+
+  test("minhashLsh candidates recover the exact dup pair") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L))) // identical signatures share every band
+  }
+
+  test("simhash: identical docs identical hashes, 16 hex chars") {
+    val h = Dedup.simhashHex(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(h.values.forall(v => v.length == 16 && v.matches("[0-9a-f]{16}")))
+    assert(h(1L) != h(4L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f)),
+    (2L, Array(1.0f, 1.0f)),
+    (3L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("cosine fold math") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.vec_id" === 0 && $"b.vec_id" === 3)
+      .select(Similarity.cosine($"a.embedding", $"b.embedding")).collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(top == Seq(3L, 2L, 1L)) // colinear first, diagonal, orthogonal
+  }
+
+  test("hyperplane signs are deterministic and lshBucket groups colinear vectors") {
+    val p1 = Similarity.hyperplaneSigns(4, 8)
+    val p2 = Similarity.hyperplaneSigns(4, 8)
+    assert(p1.map(_.toSeq) == p2.map(_.toSeq))
+    val planes = Similarity.hyperplaneSigns(4, 2)
+    val buckets = vecs.select($"vec_id",
+      Similarity.lshBucket($"embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(buckets(0L) == buckets(3L)) // colinear vectors, same signs
+  }
+}
+
+class ZScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscore clamps at +/-2.5 and zeroes flat groups") {
+    val df = Seq(("g1", 2.0), ("g1", 4.0), ("g1", 1024.0),
+      ("g2", 8.0), ("g2", 8.0)).toDF("g", "v")
+    val z = ZScore.pipeline(df, Seq("g"), "v", dataType = "R", logBase = 2.0)
+      .select($"g", $"v", $"zscore").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(z(("g1", 1024.0)) == 2.5 * 0 + z(("g1", 1024.0))) // sanity
+    assert(z(("g1", 1024.0)) <= 2.5 && z(("g1", 1024.0)) > 0)
+    assert(z(("g2", 8.0)) == 0.0) // stddev 0 -> 0
+  }
+
+  test("log/raw intensity derivation for dataType L") {
+    val df = Seq(("g", 3.0)).toDF("g", "v")
+    val r = ZScore.pipeline(df, Seq("g"), "v", dataType = "L", logBase = 2.0).collect()(0)
+    assert(r.getAs[Double]("log_intensity") == 3.0)
+    assert(r.getAs[Double]("raw_intensity") == 8.0)
+  }
+}
