@@ -1,0 +1,238 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.{ClinicalMapping, TsvReader}
+import graft.sources.ClinicalMapping.{Entry, Mapping}
+import graft.functions.CleansingFunctions._
+import graft.functions.PathFunctions._
+import graft.operators.{Eav, TreeOps}
+
+/** The clinical-data load pipeline — the Spark rebuild of
+  * I2B2_LOAD_CLINICAL_DATA.sql's sequential set-based steps (SURVEY §3.1.6)
+  * fed by the Groovy-side explode (ClinicalDataProcessor.groovy:83-158).
+  *
+  * One linear DataFrame flow per study:
+  *   read -> per-entry EAV explode (tags substituted, placeholders resolved)
+  *   -> ordered cleansing sweeps -> usubjid -> group-scoped type inference
+  *   -> leaf-path synthesis (N vs T shapes) -> deterministic keep-one dedup
+  *   -> dimensions (patients / concepts, stable surrogate ids) ->
+  *   fill-in-tree -> observation_fact -> concept_counts + visualattrs.
+  *
+  * Scale notes: the explode multiplies rows by #mapped columns (bounded,
+  * mapping-driven); every subsequent step is a narrow projection, one
+  * groupBy, or a broadcastable dimension join. Surrogate ids are
+  * row_number over a sorted window — deterministic across runs, which the
+  * reference's sequences are not.
+  */
+object ClinicalPipeline {
+
+  /** The output star schema (fixed destination schemas, SURVEY §1.3). */
+  final case class StudyTables(
+      observationFact: DataFrame,
+      patientDimension: DataFrame,
+      conceptDimension: DataFrame,
+      i2b2: DataFrame,
+      conceptCounts: DataFrame)
+
+  /** Run the full pipeline for one study directory's worth of files.
+    * `dataFiles` maps filename -> already-read DataFrame (TsvReader.read).
+    */
+  def run(spark: SparkSession, studyId: String, topNode: String,
+          mapping: Mapping, dataFiles: Map[String, DataFrame],
+          alwaysSetVisitName: Boolean = false): StudyTables = {
+
+    val eav = dataFiles.toSeq.map { case (fname, df) =>
+      explodeFile(studyId, mapping.forFile(fname), df)
+    }.reduce(_ unionByName _)
+
+    val cleansed = cleanse(eav)
+    val typed = inferAndShapePaths(cleansed, topNode, alwaysSetVisitName)
+    val deduped = keepOne(typed)
+    build(spark, studyId, topNode, deduped)
+  }
+
+  // ---------------------------------------------------------------- explode
+
+  private val TagRx = "\\$\\$\\{?([A-Za-z0-9_]+)\\}?".r
+
+  /** P1: one output row per (input row x mapping entry). Placeholders:
+    * DATALABEL / DATAVALUE / VISITNAME resolved later (path shaping);
+    * `$$TAG` resolved here against sibling columns (TagReplacer.groovy:
+    * 57-112); rows whose tag value is empty are dropped. */
+  def explodeFile(studyId: String, entries: Seq[Entry], df: DataFrame): DataFrame = {
+    val cols = df.columns
+    def byIndex(i: Int): Column = col(cols(i - 1)) // mapping is 1-based
+    val labelByName: Map[String, Int] =
+      entries.map(e => e.dataLabel.toUpperCase -> e.colNbr).toMap
+
+    val subjCol = entries.find(_.dataLabel.equalsIgnoreCase("SUBJ_ID"))
+      .map(e => byIndex(e.colNbr)).getOrElse(col(cols(1)))
+    val siteCol = entries.find(_.dataLabel.equalsIgnoreCase("SITE_ID"))
+      .map(e => byIndex(e.colNbr)).getOrElse(lit(""))
+    val visitCol = entries.find(_.dataLabel.equalsIgnoreCase("VISIT_NAME"))
+      .map(e => byIndex(e.colNbr)).getOrElse(lit(null).cast("string"))
+
+    val valueEntries = entries.filterNot(e =>
+      Seq("STUDY_ID", "SUBJ_ID", "SITE_ID", "VISIT_NAME").contains(e.dataLabel.toUpperCase))
+
+    val structs = valueEntries.map { e =>
+      // resolve $$TAG against the tag column's row value
+      val catParts: Seq[Column] = splitByTags(e.categoryCd).map {
+        case Left(text) => lit(text)
+        case Right(tag) => labelByName.get(tag.toUpperCase) match {
+          case Some(i) => coalesce(byIndex(i), lit(""))
+          case None => lit("")
+        }
+      }
+      val tagEmpty: Column = splitByTags(e.categoryCd).collect {
+        case Right(tag) => labelByName.get(tag.toUpperCase)
+          .map(i => length(coalesce(byIndex(i), lit(""))) === 0)
+          .getOrElse(lit(true))
+      }.foldLeft(lit(false))(_ || _)
+
+      struct(
+        concat(catParts: _*).as("category_cd"),
+        lit(e.dataLabel).as("data_label"),
+        fixColumn(byIndex(e.colNbr)).as("data_value"),
+        tagEmpty.as("drop_row"))
+    }
+
+    df.select(
+        lit(studyId).as("study_id"),
+        fixColumn(subjCol).as("subj_id"),
+        fixColumn(siteCol).as("site_id"),
+        fixColumn(visitCol).as("visit_name"),
+        explode(array(structs: _*)).as("e"))
+      .select(col("study_id"), col("subj_id"), col("site_id"), col("visit_name"),
+        col("e.category_cd"), col("e.data_label"), col("e.data_value"), col("e.drop_row"))
+      .filter(!col("drop_row")).drop("drop_row")
+  }
+
+  /** Split a category_cd into literal text / `$$TAG` reference pieces. */
+  private[pipeline] def splitByTags(cat: String): Seq[Either[String, String]] = {
+    val ms = TagRx.findAllMatchIn(cat).toSeq
+    if (ms.isEmpty) Seq(Left(cat))
+    else {
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[Either[String, String]]
+      var pos = 0
+      ms.foreach { m =>
+        if (m.start > pos) pieces += Left(cat.substring(pos, m.start))
+        pieces += Right(m.group(1))
+        pos = m.end
+      }
+      if (pos < cat.length) pieces += Left(cat.substring(pos))
+      pieces.toSeq
+    }
+  }
+
+  // ---------------------------------------------------------------- cleanse
+
+  /** F2 sweep in reference order + F6 usubjid (SQL:230-231,236-474). */
+  def cleanse(eav: DataFrame): DataFrame =
+    eav
+      .filter(nonEmpty(col("data_value")))
+      .withColumn("data_value", cleanseValue(col("data_value")))
+      .filter(nonEmpty(col("data_value")))
+      .withColumn("usubjid", usubjid(col("study_id"), col("site_id"), col("subj_id")))
+
+  // ------------------------------------------------- type inference + paths
+
+  /** A1 + leaf-path shaping (SQL:546-632,732-747): numeric concept groups
+    * get value-less leaf paths (values live in nval_num); text groups get
+    * the value as the leaf component, unless the category ends with the
+    * `+$` terminator. VISITNAME/DATALABEL/DATAVALUE placeholders resolved
+    * here; `_`->space and `+`->`\` path normalization (F4). */
+  def inferAndShapePaths(eav: DataFrame, topNode: String,
+                         alwaysSetVisitName: Boolean): DataFrame = {
+    // null-tolerant group key, the reference's coalesce(x,'@') trick (J1)
+    val keyed = eav.withColumn("vkey", coalesce(col("visit_name"), lit("@")))
+    val groups = keyed.groupBy(col("category_cd"), col("data_label"), col("vkey"))
+      .agg(sum(isNumericInverted(col("data_value"))).as("nonnum"))
+      .withColumn("valtype_cd", when(col("nonnum") === 0, lit("N")).otherwise(lit("T")))
+      .drop("nonnum")
+
+    val withType = keyed.join(groups,
+      Seq("category_cd", "data_label", "vkey")) // small dim, AQE broadcasts
+      .drop("vkey")
+
+    val hasTerminator = col("category_cd").endsWith("+$")
+    val catClean = regexp_replace(regexp_replace(
+      regexp_replace(col("category_cd"), "\\+\\$$", ""), "_", " "), "\\+", "\\\\")
+
+    val resolved = withType
+      .withColumn("had_label_ph", col("category_cd").contains("DATALABEL"))
+      .withColumn("had_value_ph", col("category_cd").contains("DATAVALUE"))
+      .withColumn("cat_path", catClean)
+      .withColumn("cat_path", replace(col("cat_path"), lit("DATALABEL"), col("data_label")))
+      .withColumn("cat_path", replace(col("cat_path"), lit("VISITNAME"),
+        coalesce(col("visit_name"), lit(""))))
+      .withColumn("cat_path", replace(col("cat_path"), lit("DATAVALUE"), col("data_value")))
+
+    // label appended unless the mapping placed it via DATALABEL
+    val withLeafBase = resolved.withColumn("leaf_base",
+      when(col("had_label_ph") || hasTerminator, col("cat_path"))
+        .otherwise(concat_ws("\\", col("cat_path"), col("data_label"))))
+
+    // text concepts carry the value as the leaf component (N vs T shapes)
+    val fullLeaf =
+      when(col("valtype_cd") === "T" && !hasTerminator && !col("had_value_ph"),
+        concat(col("leaf_base"), lit("\\"), col("data_value")))
+        .otherwise(col("leaf_base"))
+
+    withLeafBase
+      .withColumn("leaf_node", normalizePath(concat(lit(topNode + "\\"), fullLeaf)))
+      .drop("cat_path", "leaf_base", "had_label_ph", "had_value_ph")
+  }
+
+  // ----------------------------------------------------------------- dedup
+
+  /** A4 keep-one with a documented deterministic tiebreak (the reference's
+    * DISTINCT ON keeps an arbitrary row; we keep min data_value). */
+  def keepOne(typed: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("usubjid"), col("leaf_node"), col("data_label"),
+        coalesce(col("visit_name"), lit("@")))
+      .orderBy(col("data_value"))
+    typed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ----------------------------------------------------------------- build
+
+  /** Dimensions + facts + tree. Surrogate ids: row_number over sorted
+    * natural keys (deterministic; SURVEY §7.3 sequence replacement). */
+  def build(spark: SparkSession, studyId: String, topNode: String,
+            facts: DataFrame): StudyTables = {
+    val patients = facts.select(col("usubjid"), col("subj_id")).distinct()
+      .withColumn("patient_num",
+        row_number().over(Window.orderBy(col("usubjid"))).cast("long"))
+
+    val concepts = facts.select(col("leaf_node")).distinct()
+      .withColumn("concept_cd",
+        concat(lit(s"$studyId:"), row_number()
+          .over(Window.orderBy(col("leaf_node"))).cast("string")))
+
+    val i2b2 = TreeOps.fillInTree(
+      facts.select(col("leaf_node")).distinct(), "leaf_node")
+    val visuals = TreeOps.visualAttrs(i2b2, "c_fullname")
+      .withColumnRenamed("c_fullname", "v_path")
+    val i2b2WithAttrs = i2b2.join(visuals, i2b2("c_fullname") === visuals("v_path"), "left")
+      .drop("v_path")
+
+    val fact = facts
+      .join(patients.select(col("usubjid"), col("patient_num")), "usubjid")
+      .join(concepts, "leaf_node")
+      .select(
+        col("patient_num"), col("concept_cd"), col("leaf_node"),
+        col("usubjid"), col("data_label"), col("visit_name"), col("valtype_cd"),
+        when(col("valtype_cd") === "T", col("data_value")).otherwise(lit("E")).as("tval_char"),
+        when(col("valtype_cd") === "N", tryCastDouble(col("data_value"))).as("nval_num"),
+        lit(studyId).as("sourcesystem_cd"))
+
+    val counts = TreeOps.conceptCounts(
+      fact.select(col("leaf_node"), col("patient_num")), "leaf_node", "patient_num")
+
+    StudyTables(fact, patients, concepts, i2b2WithAttrs, counts)
+  }
+}

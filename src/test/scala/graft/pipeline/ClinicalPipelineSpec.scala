@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.sources.{ClinicalMapping, TsvReader}
+import graft.operators.MergeModes
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+/** End-to-end replay of a synthesized fixture study (shaped like the
+  * reference's `Test Studies` corpus — our own data, not copied) and the
+  * §7.2 milestone assertion: per-node patient counts over the built tree.
+  */
+class ClinicalPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixture(): Path = {
+    val dir = Files.createTempDirectory("graft-study")
+    Files.writeString(dir.resolve("DEMO.txt"),
+      """STUDY_ID	SUBJ_ID	Age In Years	Sex	Heart Rate
+        |GS1	P01	61	Male	72
+        |GS1	P02	54	Female	69
+        |GS1	P03	48	Female	75
+        |GS1	P04	invalid	Male	81
+        |""".stripMargin)
+    Files.writeString(dir.resolve("Mapping_File.txt"),
+      """# MERGE_MODE: REPLACE
+        |filename	category_cd	col_nbr	data_label	data_label_source	variable_type	validation_rules
+        |DEMO.txt		1	STUDY_ID
+        |DEMO.txt		2	SUBJ_ID
+        |DEMO.txt	Subjects+Demographics	3	Age In Years			required; >=18
+        |DEMO.txt	Subjects+Demographics	4	Sex
+        |DEMO.txt	Vital_Signs	5	Heart Rate
+        |""".stripMargin)
+    dir
+  }
+
+  test("fixture study end-to-end: tree, counts, N-vs-T shapes") {
+    val dir = writeFixture()
+    val mapping = ClinicalMapping.load(spark, dir.resolve("Mapping_File.txt").toString)
+    assert(mapping.mergeMode == ClinicalMapping.MergeMode.Replace)
+    assert(mapping.entries.size == 5)
+
+    val data = TsvReader.read(spark, dir.resolve("DEMO.txt").toString)
+    val t = ClinicalPipeline.run(spark, "GS1", "\\Public Studies\\GS1",
+      mapping, Map("DEMO.txt" -> data))
+
+    // 4 patients
+    assert(t.patientDimension.count() == 4)
+
+    // 'Age In Years' group contains 'invalid' -> T (group-scoped inference);
+    // Heart Rate all numeric -> N (leaf path has no value component)
+    val hrFacts = t.observationFact.filter($"data_label" === "Heart Rate")
+    assert(hrFacts.count() == 4)
+    assert(hrFacts.select("valtype_cd").distinct().collect()(0).getString(0) == "N")
+    val hrLeaf = hrFacts.select("leaf_node").distinct().collect().map(_.getString(0))
+    assert(hrLeaf.toSeq == Seq("\\Public Studies\\GS1\\Vital Signs\\Heart Rate\\"))
+
+    val ageFacts = t.observationFact.filter($"data_label" === "Age In Years")
+    assert(ageFacts.select("valtype_cd").distinct().collect()(0).getString(0) == "T")
+    // text concepts: value is the leaf component
+    assert(ageFacts.filter($"leaf_node" ===
+      "\\Public Studies\\GS1\\Subjects\\Demographics\\Age In Years\\61\\").count() == 1)
+
+    // the §7.2-style assertion: hasNode(...).withPatientCount(n)
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("\\Public Studies\\GS1\\") == 4)
+    assert(counts("\\Public Studies\\GS1\\Vital Signs\\Heart Rate\\") == 4)
+    assert(counts("\\Public Studies\\GS1\\Subjects\\Demographics\\Sex\\Female\\") == 2)
+    assert(counts("\\Public Studies\\GS1\\Subjects\\Demographics\\Sex\\Male\\") == 2)
+
+    // folder vs leaf visual attributes
+    val attrs = t.i2b2.collect()
+      .map(r => r.getAs[String]("c_fullname") -> r.getAs[String]("c_visualattributes")).toMap
+    assert(attrs("\\Public Studies\\GS1\\Subjects\\") == "FA")
+    assert(attrs("\\Public Studies\\GS1\\Vital Signs\\Heart Rate\\") == "LA")
+  }
+
+  test("validation rules flag out-of-range and missing values") {
+    val rules = graft.sources.ValidationRules.parse("required; >=18")
+    assert(rules.size == 2)
+    val df = Seq(("P01", "61"), ("P04", "12"), ("P05", "")).toDF("subj", "v")
+    val viol = rules.map(r => graft.sources.ValidationRules.violates(r, $"v", _ => lit("")))
+      .reduce(_ || _)
+    val bad = df.filter(viol).select("subj").collect().map(_.getString(0)).toSeq
+    assert(bad == Seq("P04", "P05"))
+  }
+
+  test("merge modes: replace / update keep the right facts") {
+    val oldF = Seq(
+      ("GS1:P01", "\\T\\A\\", "A", "N", "GS1"),
+      ("GS1:P02", "\\T\\A\\", "A", "N", "GS1"),
+      ("OTHER:X", "\\O\\B\\", "B", "T", "OTHER"))
+      .toDF("usubjid", "leaf_node", "data_label", "valtype_cd", "sourcesystem_cd")
+    val newF = Seq(("GS1:P01", "\\T\\A\\", "A", "N", "GS1"))
+      .toDF("usubjid", "leaf_node", "data_label", "valtype_cd", "sourcesystem_cd")
+
+    // REPLACE drops all old GS1 facts
+    val rep = MergeModes.replace(oldF, newF, "GS1")
+    assert(rep.count() == 2)
+    assert(rep.filter($"usubjid" === "GS1:P02").count() == 0)
+
+    // UPDATE drops only re-uploaded patients' old facts
+    val upd = MergeModes.update(oldF, newF, "GS1")
+    assert(upd.count() == 3)
+    assert(upd.filter($"usubjid" === "GS1:P02").count() == 1)
+  }
+
+  test("study move rewrites the path prefix and renumbers levels") {
+    val nodes = Seq(("\\Old\\S\\A\\", 3)).toDF("c_fullname", "c_hlevel")
+    val moved = MergeModes.moveStudy(nodes, "c_fullname", "\\Old\\S\\", "\\New\\Deeper\\S\\")
+      .collect()(0)
+    assert(moved.getString(0) == "\\New\\Deeper\\S\\A\\")
+    assert(moved.getInt(1) == 4)
+  }
+
+  test("TsvReader: comment skip, dup-header mangling, row repair") {
+    val dir = Files.createTempDirectory("graft-tsv")
+    val f = dir.resolve("t.txt")
+    Files.writeString(f,
+      """# STUDY_ID: GS1
+        |# comment line
+        |A	B	A
+        |1	2	3
+        |4	5
+        |6	7	8
+        |""".stripMargin)
+    assert(TsvReader.metaHeader(spark, f.toString) == Map("STUDY_ID" -> "GS1"))
+    assert(TsvReader.header(spark, f.toString) == Seq("A@1", "B", "A@3"))
+    val df = TsvReader.read(spark, f.toString)
+    assert(df.columns.toSeq == Seq("A@1", "B", "A@3"))
+    assert(df.count() == 3) // short row padded, trailing-empty row accepted
+    assert(df.filter($"B" === "5").collect()(0).isNullAt(2))
+  }
+}
