@@ -58,11 +58,15 @@ object SparkEntry {
     "ann_cosine_topk" -> (TrainingData.annCosineTopk _),
     "ann_lsh_buckets" -> (TrainingData.annLshBuckets _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
+    "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),
+    "f5_visit_suppress" -> (Remaining.f5VisitSuppress _),
+    "a6_probe_avg" -> (Remaining.a6ProbeAvg _),
+    "a11_min_record" -> (Remaining.a11MinRecord _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.treeAndEav ++ Oracles.statsAndTime ++
-      Oracles.trainingData
+      Oracles.trainingData ++ Oracles.remaining
 }

@@ -145,6 +145,39 @@ object Oracles {
       |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
       |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
 
+  val remaining: Map[String, String] = Map(
+    "f3_tag_substitution" ->
+      """SELECT p_partkey, p_brand,
+        |  CASE WHEN length(coalesce(p_brand, '')) > 0
+        |       THEN replace('Parts+$$BRAND+Sized', '$$BRAND', p_brand) END AS category_cd,
+        |  replace(CASE WHEN length(coalesce(p_brand, '')) > 0
+        |       THEN replace('Parts+$$BRAND+Sized', '$$BRAND', p_brand) END,
+        |    '+', '\') AS category_path
+        |FROM part WHERE length(coalesce(p_brand, '')) > 0""".stripMargin,
+
+    "f5_visit_suppress" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN n_visits = 1 THEN NULL
+        |       WHEN visit_name = event_type THEN NULL
+        |       ELSE visit_name END AS visit_name_out
+        |FROM (SELECT event_id, event_type,
+        |        json_extract_string(props, '$.k') AS visit_name,
+        |        count(DISTINCT json_extract_string(props, '$.k'))
+        |          OVER (PARTITION BY event_type) AS n_visits
+        |      FROM events)""".stripMargin,
+
+    "a6_probe_avg" ->
+      """SELECT p_partkey, s_suppkey,
+        |  round(avg(l_extendedprice), 4) AS avg_intensity, count(*) AS n_probes
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "a11_min_record" ->
+      "SELECT l_partkey, min(l_orderkey) AS min_record_id FROM lineitem GROUP BY 1",
+  )
+
   val trainingData: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Remaining SURVEY §2 inventory items as oracle-checked queries:
+  * F3 (tag substitution), F5 (visit-name suppression), A6/J2 (probe
+  * averaging over an inner-join chain), A11 (min-record dedup). */
+object Remaining {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** F3: `$$TAG` placeholder substitution in category codes
+    * (TagReplacer.groovy:57-112): the tag resolves to another column's row
+    * value; rows with an empty tag value are dropped. Demonstrated with a
+    * literal template over part rows. */
+  def f3TagSubstitution(s: SparkSession, dir: String): DataFrame = {
+    val template = "Parts+$$BRAND+Sized"
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        when(length(coalesce(col("p_brand"), lit(""))) > 0,
+          replace(lit(template), lit("$$BRAND"), col("p_brand")))
+          .as("category_cd"))
+      .filter(col("category_cd").isNotNull)
+      .withColumn("category_path",
+        regexp_replace(col("category_cd"), "\\+", "\\\\"))
+  }
+
+  /** F5: visit-name suppression — null the visit when a category has only
+    * one distinct visit (group-having shape, SQL:342-369) or the visit
+    * equals the data label (SQL:381-406). Events stand in: event_type =
+    * category, props-k = visit. */
+  def f5VisitSuppress(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").as("visit_name"))
+    val w = Window.partitionBy(col("event_type"))
+    e.withColumn("n_visits", size(collect_set(col("visit_name")).over(w)))
+      .withColumn("visit_name_out",
+        when(col("n_visits") === 1, lit(null).cast("string"))
+          .when(col("visit_name") === col("event_type"), lit(null).cast("string"))
+          .otherwise(col("visit_name")))
+      .select(col("event_id"), col("event_type"), col("visit_name_out"))
+  }
+
+  /** A6 + J2: duplicate-probe intensity averaging over the inner-join
+    * chain (expression rows x sample map x probe registry,
+    * I2B2_PROCESS_MRNA_DATA.sql:136-161). lineitem x part x supplier. */
+  def a6ProbeAvg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = broadcast(t(s, dir, "part"))
+    val sup = broadcast(t(s, dir, "supplier"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("s_suppkey"))
+      .agg(round(avg(col("l_extendedprice")), 4).as("avg_intensity"),
+        count(lit(1)).as("n_probes"))
+  }
+
+  /** A11: min-record dedup (`SELECT path, MIN(record_id) GROUP BY path`,
+    * I2B2_CREATE_FULL_TREE.sql:21-28). */
+  def a11MinRecord(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_orderkey")).as("min_record_id"))
+}
