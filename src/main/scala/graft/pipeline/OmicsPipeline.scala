@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.PathFunctions._
+import graft.operators.ZScore
+
+/** The omics (expression-family) load — the Spark rebuild of
+  * I2B2_LOAD_SAMPLES + I2B2_PROCESS_MRNA_DATA (§3.2), shared by the six
+  * datatype variants the reference implements as near-identical procedures
+  * (mrna/rnaseq/protein/metabolomics/mirna/rbm).
+  *
+  * Inputs: the subject-sample mapping file (STUDY_ID SITE_ID SUBJECT_ID
+  * SAMPLE_ID PLATFORM TISSUETYPE ATTR1 ATTR2 CATEGORY_CD), the melted
+  * probe matrix, and the platform annotation registry.
+  *
+  * Flow: category-node synthesis with PLATFORM/TISSUETYPE/ATTR1/ATTR2
+  * substitution (I2B2_LOAD_SAMPLES.sql:319-450) -> assay/sample dimension
+  * with stable ids -> probe-level join + duplicate-probe averaging (A6/J2,
+  * I2B2_PROCESS_MRNA_DATA.sql:136-161) -> z-score (ZScore.pipeline).
+  *
+  * Scale: sample mapping and annotations are dimensions (broadcast);
+  * the melted matrix is the fact stream, shuffled once on the probe key
+  * for averaging and reusing that partitioning for the stats join. The
+  * reference's partition-per-dataset DDL becomes write-side
+  * `partitionBy(trial, source)`.
+  */
+object OmicsPipeline {
+
+  final case class OmicsTables(
+      sampleMapping: DataFrame,
+      sampleFacts: DataFrame,
+      data: DataFrame)
+
+  /** PLATFORM/TISSUETYPE/ATTR1/ATTR2 substitution into the category path
+    * (+ -> \, _ -> space), reference I2B2_LOAD_SAMPLES.sql:365-450. */
+  def sampleNodePath(topNode: String): org.apache.spark.sql.Column = {
+    val cat = regexp_replace(regexp_replace(coalesce(col("category_cd"),
+      lit("Biomarker Data+PLATFORM+TISSUETYPE")), "_", " "), "\\+", "\\\\")
+    val sub = Seq("PLATFORM" -> "platform_name", "TISSUETYPE" -> "tissuetype",
+      "ATTR1" -> "attr1", "ATTR2" -> "attr2")
+      .foldLeft(cat) { case (c, (ph, colName)) =>
+        replace(c, lit(ph), coalesce(col(colName), lit("")))
+      }
+    normalizePath(concat(lit(topNode + "\\"), sub))
+  }
+
+  def run(spark: SparkSession, studyId: String, topNode: String,
+          sampleMap: DataFrame, meltedMatrix: DataFrame,
+          platform: DataFrame, dataType: String = "R",
+          logBase: Double = 2.0): OmicsTables = {
+
+    // --- sample mapping dimension with synthesized leaf nodes + assay ids
+    val mapping = sampleMap
+      .withColumn("usubjid",
+        graft.functions.CleansingFunctions.usubjid(
+          col("study_id"), coalesce(col("site_id"), lit("")), col("subject_id")))
+      .withColumn("leaf_node", sampleNodePath(topNode))
+      .withColumn("assay_id",
+        row_number().over(Window.orderBy(col("sample_id"))).cast("long"))
+
+    // --- per-sample category facts (one row per sample at its node)
+    val sampleFacts = mapping.select(
+      col("usubjid"), col("sample_id"), col("assay_id"),
+      col("leaf_node"), lit(studyId).as("sourcesystem_cd"))
+
+    // --- probe data: tag with assay, join annotations, average dup probes
+    val tagged = meltedMatrix
+      .join(broadcast(mapping.select(col("sample_id"), col("assay_id"), col("usubjid"))),
+        meltedMatrix("sample_id") === mapping("sample_id"))
+      .drop(mapping("sample_id"))
+      .join(broadcast(platform.select(col("probeset_id"), col("gene_symbol"), col("gene_id"))),
+        Seq("probeset_id"), "left")
+
+    val averaged = tagged
+      .groupBy(col("probeset_id"), col("assay_id"))
+      .agg(avg(col("intensity_value")).as("intensity_value"),
+        first(col("usubjid"), ignoreNulls = true).as("usubjid"),
+        first(col("gene_symbol"), ignoreNulls = true).as("gene_symbol"),
+        first(col("gene_id"), ignoreNulls = true).as("gene_id"))
+
+    // --- z-score over the probe partitioning we already have
+    val data = ZScore.pipeline(averaged, Seq("probeset_id"), "intensity_value",
+      dataType = dataType, logBase = logBase)
+      .withColumn("trial_name", lit(studyId))
+
+    OmicsTables(mapping, sampleFacts, data)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-native VCF source (files/VcfFile.groovy:1-220 semantics):
+  *
+  *  - `##`-meta lines parsed driver-side; `##INFO=<ID=..,Number=..,Type=..>`
+  *    declarations typed Integer/Float/Flag/Character/String
+  *    (VcfFile.groovy:34-47,204-213)
+  *  - `#CHROM POS ID REF ALT QUAL FILTER INFO FORMAT s1 s2 ...` header:
+  *    fixed columns + per-sample genotype columns
+  *  - per-sample GT split `a/b` or `a|b` (VcfFile.groovy:122-141),
+  *    `.` = missing; multi-alt `,`-split; multi-rsId `;`-split (:58-64)
+  *
+  * The data path is `spark.read.text` + codegen'd split expressions: the
+  * scan parallelizes by file split, nothing is parsed on the driver except
+  * the bounded meta header.
+  */
+object VcfReader {
+
+  final case class InfoField(id: String, number: String, tpe: String)
+
+  private val InfoRx =
+    """##INFO=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*>""".r.unanchored
+
+  /** Parse the `##INFO` declarations (driver-side, bounded head scan). */
+  def infoFields(spark: SparkSession, path: String): Seq[InfoField] = {
+    import spark.implicits._
+    spark.read.textFile(path).filter(l => l.startsWith("##")).take(5000)
+      .toSeq.collect { case InfoRx(id, num, tpe) => InfoField(id, num, tpe) }
+  }
+
+  /** Sample ids from the `#CHROM` header line (columns after FORMAT). */
+  def samples(spark: SparkSession, path: String): Seq[String] = {
+    import spark.implicits._
+    val header = spark.read.textFile(path)
+      .filter(l => l.startsWith("#") && !l.startsWith("##")).first()
+    header.split("\t").drop(9).toSeq
+  }
+
+  /** Variants: one row per VCF data line with fixed columns + a
+    * `sample_values` array aligned with [[samples]]. */
+  def variants(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.textFile(path).filter(l => !l.startsWith("#"))
+    rows.select(split(col("value"), "\t").as("c"))
+      .select(
+        col("c").getItem(0).as("chrom"),
+        col("c").getItem(1).cast("long").as("pos"),
+        col("c").getItem(2).as("rs_id"),
+        col("c").getItem(3).as("ref"),
+        col("c").getItem(4).as("alt"),
+        col("c").getItem(5).as("qual"),
+        col("c").getItem(6).as("filter"),
+        col("c").getItem(7).as("info"),
+        col("c").getItem(8).as("format"),
+        slice(col("c"), lit(10), greatest(size(col("c")) - 9, lit(0))).as("sample_values"))
+  }
+
+  /** P4: per-sample explode — genotype alleles split on `/` or `|`
+    * preserving the separator; allele indices resolved R(ef)/V(ariant);
+    * `.` missing; SNV vs DIV classification; rs_id `;`-explode. */
+  def explodeSamples(variants: DataFrame, sampleIds: Seq[String]): DataFrame = {
+    val withSample = variants
+      .select(col("*"),
+        posexplode(col("sample_values")).as(Seq("sample_idx", "sample_value")))
+      .withColumn("sample_id",
+        element_at(array(sampleIds.map(lit): _*), col("sample_idx") + 1))
+      // GT is the first :-separated field by convention; locate via FORMAT
+      .withColumn("gt_idx",
+        array_position(split(col("format"), ":"), "GT").cast("int"))
+      .withColumn("gt", when(col("gt_idx") > 0,
+        element_at(split(col("sample_value"), ":"), col("gt_idx"))))
+      .withColumn("allele1", regexp_extract(col("gt"), "^([^/|]+)", 1))
+      .withColumn("allele_sep", regexp_extract(col("gt"), "^[^/|]+([/|])", 1))
+      .withColumn("allele2", regexp_extract(col("gt"), "^[^/|]+[/|](.+)$", 1))
+    val alleles = array(concat(lit(""), col("ref")), col("alt")) // idx 0 = REF
+    withSample
+      .withColumn("alts", split(col("alt"), ","))
+      .withColumn("variant1", alleleValue(col("allele1"), col("ref"), col("alts")))
+      .withColumn("variant2", alleleValue(col("allele2"), col("ref"), col("alts")))
+      .withColumn("variant_type",
+        when(length(col("ref")) === 1 &&
+          forall(col("alts"), a => length(a) === 1), lit("SNV")).otherwise(lit("DIV")))
+      .drop("sample_values", "gt_idx", "alts")
+  }
+
+  /** Allele index -> sequence: 0 = REF, n = nth ALT, "." = null. */
+  private def alleleValue(idx: Column, ref: Column, alts: Column): Column =
+    when(idx === "." || length(coalesce(idx, lit(""))) === 0, lit(null).cast("string"))
+      .when(idx === "0", ref)
+      .otherwise(try_element_at(alts, idx.cast("int")))
+
+  /** rs_id `;`-explode (one row per probeset id, VcfFile.groovy:58-64). */
+  def explodeRsIds(df: DataFrame): DataFrame =
+    df.withColumn("probeset_id", explode(split(col("rs_id"), ";")))
+
+  /** P5: INFO explode — declared fields x value index -> typed rows
+    * (VCFDataProcessor.groovy:168-199). Flags get value "1"; numeric
+    * fields land in int_value/float_value per declaration. */
+  def explodeInfo(df: DataFrame, fields: Seq[InfoField]): DataFrame = {
+    val infoMap = expr("str_to_map(info, ';', '=')")
+    val perField = fields.map { f =>
+      struct(lit(f.id).as("info_id"), lit(f.tpe).as("info_type"),
+        (if (f.tpe == "Flag")
+          when(infoMap.getItem(f.id).isNotNull || col("info").rlike(s"(^|;)${f.id}(;|$$)"), lit("1"))
+        else infoMap.getItem(f.id)).as("raw"))
+    }
+    df.select(col("chrom"), col("pos"), col("rs_id"),
+        explode(array(perField: _*)).as("f"))
+      .select(col("chrom"), col("pos"), col("rs_id"),
+        col("f.info_id"), col("f.info_type"), col("f.raw"))
+      .filter(col("raw").isNotNull)
+      .select(col("*"), posexplode(split(col("raw"), ",")).as(Seq("value_idx", "value")))
+      .withColumn("int_value",
+        when(col("info_type") === "Integer", col("value").cast("long")))
+      .withColumn("float_value",
+        when(col("info_type") === "Float", col("value").cast("double")))
+      .drop("raw")
+  }
+}

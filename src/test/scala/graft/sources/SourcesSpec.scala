@@ -1,0 +1,142 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.pipeline.OmicsPipeline
+import graft.functions.MetadataXml
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class VcfReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vcfPath = {
+    val dir = Files.createTempDirectory("graft-vcf")
+    val f = dir.resolve("test.vcf")
+    Files.writeString(f,
+      """##fileformat=VCFv4.1
+        |##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+        |##INFO=<ID=AF,Number=A,Type=Float,Description="Frequency">
+        |##INFO=<ID=DB,Number=0,Type=Flag,Description="dbSNP">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	S1	S2
+        |1	100	rs1;rs2	A	G	50	PASS	DP=12;AF=0.5;DB	GT:DP	0/1:10	1|1:12
+        |2	200	rs3	AT	A,ATT	99	PASS	DP=7;AF=0.25,0.75	GT	./.	0/2
+        |""".stripMargin)
+    f.toString
+  }
+
+  test("INFO declarations typed per meta header") {
+    val fields = VcfReader.infoFields(spark, vcfPath)
+    assert(fields.map(f => f.id -> f.tpe).toMap ==
+      Map("DP" -> "Integer", "AF" -> "Float", "DB" -> "Flag"))
+  }
+
+  test("samples and fixed columns") {
+    assert(VcfReader.samples(spark, vcfPath) == Seq("S1", "S2"))
+    val v = VcfReader.variants(spark, vcfPath).orderBy("pos").collect()
+    assert(v.length == 2)
+    assert(v(0).getAs[String]("chrom") == "1" && v(0).getAs[Long]("pos") == 100L)
+    assert(v(0).getAs[scala.collection.Seq[String]]("sample_values").toSeq ==
+      Seq("0/1:10", "1|1:12"))
+  }
+
+  test("P4 per-sample explode: alleles, separators, SNV/DIV, missing") {
+    val df = VcfReader.explodeSamples(
+      VcfReader.variants(spark, vcfPath), Seq("S1", "S2"))
+    val r1 = df.filter($"pos" === 100 && $"sample_id" === "S1").collect()(0)
+    assert(r1.getAs[String]("allele1") == "0" && r1.getAs[String]("allele2") == "1")
+    assert(r1.getAs[String]("allele_sep") == "/")
+    assert(r1.getAs[String]("variant1") == "A" && r1.getAs[String]("variant2") == "G")
+    assert(r1.getAs[String]("variant_type") == "SNV")
+    val r2 = df.filter($"pos" === 200 && $"sample_id" === "S1").collect()(0)
+    assert(r2.getAs[String]("variant1") == null) // './.' missing
+    assert(r2.getAs[String]("variant_type") == "DIV")
+    val r3 = df.filter($"pos" === 200 && $"sample_id" === "S2").collect()(0)
+    assert(r3.getAs[String]("variant2") == "ATT") // allele index 2 -> 2nd ALT
+  }
+
+  test("P5 INFO explode: typed values, flags, multi-value posexplode") {
+    val fields = VcfReader.infoFields(spark, vcfPath)
+    val info = VcfReader.explodeInfo(VcfReader.variants(spark, vcfPath), fields)
+    val dp = info.filter($"pos" === 100 && $"info_id" === "DP").collect()(0)
+    assert(dp.getAs[Long]("int_value") == 12L)
+    val af = info.filter($"pos" === 200 && $"info_id" === "AF")
+      .orderBy("value_idx").collect()
+    assert(af.map(_.getAs[Double]("float_value")).toSeq == Seq(0.25, 0.75))
+    assert(info.filter($"pos" === 100 && $"info_id" === "DB").count() == 1)
+    assert(info.filter($"pos" === 200 && $"info_id" === "DB").count() == 0)
+  }
+
+  test("rs_id explode") {
+    val df = VcfReader.explodeRsIds(VcfReader.variants(spark, vcfPath))
+    assert(df.filter($"pos" === 100).select("probeset_id")
+      .collect().map(_.getString(0)).toSeq == Seq("rs1", "rs2"))
+  }
+}
+
+class OmicsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matrix melt skips empties and types intensities") {
+    val m = Seq(("p1", "1.5", "2.0"), ("p2", "", "3.25")).toDF("ID_REF", "GSM1", "GSM2")
+    val melted = OmicsSources.meltMatrix(m)
+    assert(melted.count() == 3)
+    assert(melted.filter($"probeset_id" === "p2" && $"sample_id" === "GSM2")
+      .collect()(0).getAs[Double]("intensity_value") == 3.25)
+    assert(OmicsSources.dataTypeFromFileName("Study_Gene_Expression_Data_L.txt") == "L")
+  }
+
+  test("omics pipeline: node synthesis, probe averaging, zscore") {
+    val sampleMap = Seq(
+      ("GS1", "", "P01", "GSM1", "GPL570", "Liver", null: String, null: String,
+        "Biomarker_Data+PLATFORM+TISSUETYPE"),
+      ("GS1", "", "P02", "GSM2", "GPL570", "Liver", null: String, null: String,
+        "Biomarker_Data+PLATFORM+TISSUETYPE"))
+      .toDF("study_id", "site_id", "subject_id", "sample_id", "platform_name",
+        "tissuetype", "attr1", "attr2", "category_cd")
+    val matrix = Seq(("p1", "2.0", "4.0"), ("p2", "8.0", "16.0"))
+      .toDF("ID_REF", "GSM1", "GSM2")
+    val platform = Seq(("p1", "EGFR", 1956L, "Homo sapiens"))
+      .toDF("probeset_id", "gene_symbol", "gene_id", "species")
+
+    val t = OmicsPipeline.run(spark, "GS1", "\\Studies\\GS1",
+      sampleMap, OmicsSources.meltMatrix(matrix), platform)
+    assert(t.sampleMapping.count() == 2)
+    val node = t.sampleMapping.select("leaf_node").distinct().collect()(0).getString(0)
+    assert(node == "\\Studies\\GS1\\Biomarker Data\\GPL570\\Liver\\")
+    assert(t.data.count() == 4)
+    val p1 = t.data.filter($"probeset_id" === "p1" && $"assay_id" === 1).collect()(0)
+    assert(p1.getAs[Double]("log_intensity") == 1.0) // log2(2)
+    assert(p1.getAs[String]("gene_symbol") == "EGFR")
+    assert(math.abs(math.abs(p1.getAs[Double]("zscore")) -
+      math.abs(t.data.filter($"probeset_id" === "p1" && $"assay_id" === 2)
+        .collect()(0).getAs[Double]("zscore"))) < 1e-12) // symmetric around median
+  }
+
+  test("metadata XML: timepoint minute conversion + numeric template") {
+    assert(MetadataXml.timepointMinutes("Baseline").contains(0.0))
+    assert(MetadataXml.timepointMinutes("Week -3").contains(-30240.0))
+    assert(MetadataXml.timepointMinutes("2 days 4 hours").contains(3120.0))
+    assert(MetadataXml.timepointMinutes("garbage") == None)
+    val xml = MetadataXml.buildMetadataXml("Week 1", "T", "TIMEPOINT").get
+    assert(xml.contains("<SeriesMeta><Value>10080</Value><Unit>minutes</Unit>"))
+    assert(MetadataXml.buildMetadataXml("Age", "N", "").get.endsWith("</ValueMetadata>"))
+    assert(MetadataXml.buildMetadataXml("Sex", "T", "") == None)
+  }
+
+  test("platform reader fuzzy column detection") {
+    val dir = Files.createTempDirectory("graft-gpl")
+    val f = dir.resolve("GPL570.txt")
+    Files.writeString(f,
+      """# PLATFORM_ID: GPL570
+        |# PLATFORM_SPECIES: Homo sapiens
+        |ID_REF	Gene Symbol	ENTREZ_GENE_ID
+        |p1	EGFR	1956
+        |""".stripMargin)
+    val (meta, df) = OmicsSources.readPlatform(spark, f.toString)
+    assert(meta("PLATFORM_ID") == "GPL570")
+    val r = df.collect()(0)
+    assert(r.getAs[String]("probeset_id") == "p1")
+    assert(r.getAs[String]("gene_symbol") == "EGFR")
+    assert(r.getAs[Long]("gene_id") == 1956L)
+  }
+}
