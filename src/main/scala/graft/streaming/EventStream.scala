@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (beyond reference parity — SURVEY §2.11:
+  * the reference is strictly batch; this is the streaming surface a
+  * Spark-native engine adds for the `events` table shape).
+  *
+  * Two canonical flows:
+  *  - watermarked tumbling-window aggregation (counts/sums per event_type)
+  *  - stateful sessionization via GroupState (gap-timeout sessions), the
+  *    streaming twin of the batch w3_sessionize query so both sides of the
+  *    lambda-free architecture agree on session semantics.
+  *
+  * Both run on any streaming source; tests drive them with MemoryStream.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+
+  /** Tumbling-window aggregate with a 10-minute watermark: the standard
+    * late-data-tolerant rollup. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  final case class SessionState(start: Long, lastTs: Long, nEvents: Int)
+  final case class SessionOut(user_id: Long, session_start: Long,
+                              session_end: Long, n_events: Int)
+
+  /** Gap-based sessionization with mapGroupsWithState: a session closes
+    * when a later event arrives more than `gapMinutes` after its last
+    * event (the batch twin is w3_sessionize, so both agree on session
+    * semantics). Production deployments add EventTimeTimeout + watermark
+    * to also close sessions on silence; kept timeout-free here so the
+    * semantics stay purely event-driven and deterministic. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val gapMs = gapMinutes * 60 * 1000L
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          // fold the batch into the running state; emit the last closed one
+          var cur = state.getOption
+          var lastClosed: Option[SessionOut] = None
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMs =>
+                cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                lastClosed = Some(SessionOut(userId, s.start, s.lastTs, s.nEvents))
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          lastClosed.getOrElse(SessionOut(userId, -1L, -1L, 0))
+      }
+      .filter(_.n_events > 0)
+  }
+
+  /** Batch-mode smoke: run the windowed aggregation over the parquet
+    * events table read as a one-shot stream (Trigger.AvailableNow). */
+  def runBatchOverParquet(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir")
+    val q = windowedCounts(
+      stream.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long"))))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

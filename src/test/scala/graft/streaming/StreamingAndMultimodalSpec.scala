@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.windowedCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData(
+      EventStream.Event(1, ts(10, 5), 1, "click", 1.0),
+      EventStream.Event(2, ts(10, 40), 1, "click", 2.0),
+      EventStream.Event(3, ts(11, 10), 2, "view", 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+    assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L)))
+    q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // two bursts 2h apart -> first session closes when second burst arrives
+    mem.addData(
+      EventStream.Event(1, ts(10, 0), 7, "click", 1.0),
+      EventStream.Event(2, ts(10, 10), 7, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(EventStream.Event(3, ts(12, 30), 7, "click", 1.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[EventStream.SessionOut].collect()
+    assert(closed.exists(s => s.user_id == 7 && s.n_events == 2))
+    q.stop()
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    Multimodal.MediaRow(1, "image", "image/png", 640, 480, 0, Array[Byte](1, 2, 3, 0x11, 0x22)),
+    Multimodal.MediaRow(2, "video", "video/mp4", 1920, 1080, 3500, Array[Byte](5, 6)),
+    Multimodal.MediaRow(3, "audio", "audio/wav", 0, 0, 2000, Array.emptyByteArray)).toDS()
+
+  test("feature extraction via mapPartitions batches (stubbed decode)") {
+    val f = Multimodal.extractFeatures(media).collect().map(r => r.media_id -> r).toMap
+    assert(f(1).feature.length == 16 && f(1).ok)
+    assert(math.abs(f(1).feature.sum - 1.0f) < 1e-6) // normalized histogram
+    assert(f(2).n_frames == 3)
+    assert(!f(3).ok) // empty payload -> decode failed, row preserved
+    // determinism across runs
+    val again = Multimodal.extractFeatures(media).collect().map(r => r.media_id -> r.feature.toSeq).toMap
+    assert(again(1) == f(1).feature.toSeq)
+  }
+
+  test("frame sampling schedule at 2 fps") {
+    val sched = Multimodal.frameSampleSchedule(media.toDF(), fps = 2.0)
+      .orderBy("frame_idx").collect()
+    assert(sched.length == 7) // 3.5s * 2fps -> frames 0..6
+    assert(sched.last.getAs[Long]("frame_ts_ms") == 3000L)
+  }
+
+  test("resize plan preserves aspect via shortest side") {
+    val p = Multimodal.resizePlan(media.toDF(), shortestSide = 240).collect()(0)
+    assert(p.getAs[Int]("target_height") == 240)
+    assert(p.getAs[Int]("target_width") == 320)
+  }
+
+  test("byte-budget repartitioning") {
+    val df = Multimodal.repartitionByBytes(media.toDF(), targetBytesPerPartition = 4)
+    assert(df.rdd.getNumPartitions >= 1)
+  }
+}
