@@ -65,25 +65,28 @@ object Dedup {
   }
 
   /** Engine-portable MinHash: for seed j, h_j(doc) = lexicographic min of
-    * md5(j || '|' || shingle). Signatures band into groups of `rowsPerBand`;
-    * docs sharing a band value are candidates (classic MinHash-LSH banding).
-    */
+    * md5(j || '|' || shingle). All signatures computed as columns in a
+    * SINGLE groupBy pass — map-side partial aggregation collapses each
+    * partition to one row per doc before the shuffle (vs exploding
+    * doc x seed, which shuffles numHashes x the data). */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val seeds = (0 until numHashes).map(j => lit(j))
-    sh.select(col("doc_id"), explode(array(seeds: _*)).as("j"), col("shingle"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit("|"), col("shingle"))).as("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("h")).as("minhash"))
+    val mins = (0 until numHashes).map { j =>
+      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"h$j")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH band keys: (doc_id, band, band_key). */
-  def lshBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
-    sig
-      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(array_sort(collect_list(struct(col("j"), col("minhash"))))
-        .getField("minhash"), "|")).as("band_key"))
+  /** LSH band keys from the wide signature: (doc_id, band, band_key);
+    * band_key = md5 of the '|'-joined signature slice (seed order). */
+  def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+  }
 
   /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
     * bucket-join candidates -> exact-Jaccard verify. */
@@ -91,16 +94,22 @@ object Dedup {
                  n: Int, numHashes: Int, rowsPerBand: Int,
                  threshold: Double): DataFrame = {
     val sh = docShingles(docs, idCol, textCol, n)
-    val bands = lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
+    val bands = lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    // shrink the verify join to candidate docs BEFORE the shingle self-join
+    // (the LSH point: the quadratic step only ever sees bucket survivors)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val a = shCand.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shCand.select(col("doc_id").as("doc_b"), col("shingle"))
     val common = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))

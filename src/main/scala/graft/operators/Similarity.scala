@@ -35,12 +35,17 @@ object Similarity {
     * results are reproducible across engines and runs. */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    // norms precomputed per side: higher-order folds are interpreted (not
+    // whole-stage-codegen'd), so do 1 fold per pair instead of 3
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm")))
+    val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     q.join(c, col("q_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("cosine",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -88,11 +93,14 @@ object Similarity {
     * Blocking key bounds the pair blow-up (label here; LSH bucket at scale). */
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, threshold: Double): DataFrame = {
-    val a = vectors.select(col(blockCol).as("block"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = vectors.select(col(blockCol).as("block"), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    val a = vectors.select(col(blockCol).as("block"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), l2Norm(col(vecCol)).as("a_norm"))
+    val b = vectors.select(col(blockCol).as("block"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), l2Norm(col(vecCol)).as("b_norm"))
     a.join(b, Seq("block"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine_raw", cosine(col("a_vec"), col("b_vec")))
+      .withColumn("cosine_raw",
+        dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
       .filter(col("cosine_raw") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine_raw"), 6).as("cosine"))
   }

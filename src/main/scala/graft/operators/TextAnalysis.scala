@@ -55,11 +55,21 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: length component + stopword-density component
     * - punctuation-noise component, clamped. */
-  def qualityScore(text: Column, nChars: Column): Column = {
-    val nToks = tokenCount(text).cast("double")
-    val enHits = stopwordHits(tokens(text), StopwordsByLang.toMap.apply("en")).cast("double")
+  def qualityScore(text: Column, nChars: Column): Column =
+    qualityScoreFromTokens(tokens(text), text, nChars)
+
+  /** Same, with the token array precomputed once by the caller (the
+    * array-lambda ops are interpreted, so share them across features). */
+  def qualityScoreFromTokens(toks: Column, text: Column, nChars: Column): Column = {
+    val nToks = size(toks).cast("double")
+    val enHits = stopwordHits(toks, StopwordsByLang.toMap.apply("en")).cast("double")
     val punct = (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double")
     val lengthComp = least(nToks / 100.0, lit(1.0)) * 0.5
+    qualityFormula(lengthComp, enHits, nToks, punct, nChars)
+  }
+
+  private def qualityFormula(lengthComp: Column, enHits: Column, nToks: Column,
+                             punct: Column, nChars: Column): Column = {
     val stopComp = least(enHits / greatest(nToks, lit(1.0)) * 4.0, lit(1.0)) * 0.5
     val punctPenalty = least(punct / greatest(nChars.cast("double"), lit(1.0)) * 2.0, lit(0.5))
     greatest(lengthComp + stopComp - punctPenalty, lit(0.0))

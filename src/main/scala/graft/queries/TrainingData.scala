@@ -35,12 +35,15 @@ object TrainingData {
       TextAnalysis.langId(col("text")).as("predicted_lang"))
 
   def textQuality(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-      TextAnalysis.estBpeTokens(col("n_chars")).as("est_bpe_tokens"),
-      round(TextAnalysis.qualityScore(col("text"), col("n_chars")), 4).as("quality"),
-      TextAnalysis.fingerprintPrefix(col("text")).as("fp16"))
+    t(s, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text"))) // computed once
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        TextAnalysis.estBpeTokens(col("n_chars")).as("est_bpe_tokens"),
+        round(TextAnalysis.qualityScoreFromTokens(col("toks"), col("text"),
+          col("n_chars")), 4).as("quality"),
+        TextAnalysis.fingerprintPrefix(col("text")).as("fp16"))
 
   def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
