@@ -164,3 +164,41 @@ class ZScoreSpec extends SparkSpec {
     assert(r.getAs[Double]("raw_intensity") == 8.0)
   }
 }
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  private val pairs = Seq(
+    (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, 0.6f))).toDF("a", "b")
+
+  test("native dot/l2norm match the interpreted fold bit-for-bit") {
+    val r = pairs.select(
+      Similarity.dot($"a", $"b").as("nat"),
+      Similarity.dotFold($"a", $"b").as("fold"),
+      Similarity.l2Norm($"a").as("nnat"),
+      Similarity.l2NormFold($"a").as("nfold")).collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1)) // exact equality
+      assert(row.getDouble(2) == row.getDouble(3))
+    }
+    assert(r(0).getDouble(0) == 32.0)
+  }
+
+  test("native expressions stay inside WholeStageCodegen") {
+    // a LocalRelation gets constant-folded before codegen; use a file scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-vec").toString
+    pairs.write.mode("overwrite").parquet(dir)
+    val fromFile = spark.read.parquet(dir)
+    val plan = fromFile.select(Similarity.dot(col("a"), col("b"))).queryExecution
+      .executedPlan.toString
+    // codegen'd operators print with the '*(stageId)' prefix
+    assert(plan.contains("*(1) Project [dotproduct"))
+  }
+
+  test("null propagation") {
+    val withNull = Seq((Array(1.0f), null: Array[Float])).toDF("a", "b")
+    assert(withNull.select(Similarity.dot($"a", $"b")).collect()(0).isNullAt(0))
+  }
+}
