@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Security / metadata maintenance as functional rewrites (SURVEY §2.10):
+  * i2b2_secure rebuild (I2B2_LOAD_SECURITY_DATA.sql:120-135),
+  * bio_experiment / bio_data_uid upsert (I2B2_LOAD_STUDY_METADATA.sql:
+  * 103-260), and the replace-study `EXP:` token transplant
+  * (PostStudyProcessor.groovy:43-65, COPY_SECURITY_FROM_OTHER_STUDY.sql).
+  */
+object SecurityOps {
+
+  /** i2b2_secure = the study's i2b2 rows re-tokened: `EXP:<studyId>` when
+    * the study is secure, `EXP:PUBLIC` otherwise. */
+  def rebuildI2b2Secure(i2b2: DataFrame, studyId: String, secure: Boolean): DataFrame =
+    i2b2.withColumn("secure_obj_token",
+      if (secure) lit(s"EXP:$studyId") else lit("EXP:PUBLIC"))
+
+  /** Upsert rows into a keyed table: new rows win, old non-conflicting rows
+    * survive (set-based MERGE without Delta — recompute + publish). */
+  def upsertByKey(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(incoming)
+
+  /** bio_experiment upsert keyed on accession (= study id). */
+  def upsertBioExperiment(bioExperiment: DataFrame, studyId: String,
+                          title: String): DataFrame = {
+    val incoming = bioExperiment.sparkSession
+      .createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(studyId, title)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("accession",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("title",
+            org.apache.spark.sql.types.StringType))))
+    upsertByKey(bioExperiment, incoming, Seq("accession"))
+  }
+
+  /** Replace-study token transplant: every security row carrying the old
+    * study's token is rewritten to the new study's token (biomart /
+    * searchapp sweep). */
+  def swapSecurityTokens(table: DataFrame, tokenCol: String,
+                         oldStudyId: String, newStudyId: String): DataFrame =
+    table.withColumn(tokenCol,
+      when(col(tokenCol) === s"EXP:$oldStudyId", lit(s"EXP:$newStudyId"))
+        .otherwise(col(tokenCol)))
+}

@@ -100,3 +100,31 @@ object OmicsSources {
       if (badSex > 0) Some(s"$badSex rows with sex not in {0,1,2}") else None).flatten
   }
 }
+
+/** P3: aCGH 7-metrics-per-sample column-group melt
+  * (ACGHDataProcessor.groovy:134-162): header
+  * `region_id, S1.chip, S1.segmented, S1.flag, S1.probloss, S1.probnorm,
+  * S1.probgain, S1.probamp, S2.chip, ...` -> one row per (region, sample)
+  * carrying the 7 metrics. Generated stack of per-sample structs —
+  * codegen'd, shuffle-free. */
+object AcghMelt {
+  import org.apache.spark.sql.{DataFrame}
+  import org.apache.spark.sql.functions._
+
+  val Metrics: Seq[String] =
+    Seq("chip", "segmented", "flag", "probloss", "probnorm", "probgain", "probamp")
+
+  def samplesOf(columns: Seq[String]): Seq[String] =
+    columns.filter(_.endsWith(".chip")).map(_.stripSuffix(".chip"))
+
+  def melt(df: DataFrame, idCol: String = "region_id"): DataFrame = {
+    require(df.columns.headOption.contains(idCol), s"first column must be $idCol")
+    val samples = samplesOf(df.columns.toSeq)
+    val groups = samples.map { s =>
+      struct(lit(s).as("sample_id") +:
+        Metrics.map(m => col(s"`$s.$m`").cast("string").as(m)): _*)
+    }
+    df.select(col(idCol), explode(array(groups: _*)).as("g"))
+      .select(col(idCol) +: ("sample_id" +: Metrics).map(f => col(s"g.$f")): _*)
+  }
+}
