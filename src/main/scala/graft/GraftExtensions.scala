@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VectorExpressions.{DotProduct, L2Norm}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions for SQL use, so `spark.sql("SELECT graft_dot(a, b) ...")`
+  * works next to the Column API. Enable with:
+  *
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * This is the (c)-tier extension surface of the build brief — the same
+  * hook a custom Rule/Strategy would use; expressions are all the engine
+  * needs today (SURVEY §4: no custom physical operators required).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
+      (children: Seq[Expression]) => L2Norm(children.head)))
+  }
+}

@@ -62,6 +62,7 @@ object SparkEntry {
     "f5_visit_suppress" -> (Remaining.f5VisitSuppress _),
     "a6_probe_avg" -> (Remaining.a6ProbeAvg _),
     "a11_min_record" -> (Remaining.a11MinRecord _),
+    "seq_surrogate_ids" -> (Remaining.seqSurrogateIds _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -56,8 +56,10 @@ object MergeModes {
     val matches = paths.crossJoin(broadcast(patterns))
       .filter(expr("leaf_node rlike pattern"))
     val counts = matches.groupBy(col("pattern")).agg(count(lit(1)).as("n"))
-    val bad = counts.filter(col("n") =!= 1).count()
-    require(bad == 0, s"$bad UPDATE_VARIABLES patterns match != 1 existing path")
+    val multi = counts.filter(col("n") =!= 1).count()
+    val unmatched = patterns.distinct().count() - counts.count()
+    require(multi == 0 && unmatched == 0,
+      s"UPDATE_VARIABLES: $multi patterns match >1 path, $unmatched match none")
     val victims = matches.select(col("leaf_node")).distinct()
     oldFacts.join(broadcast(victims), Seq("leaf_node"), "left_anti")
       .unionByName(newFacts)

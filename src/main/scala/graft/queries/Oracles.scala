@@ -176,6 +176,11 @@ object Oracles {
 
     "a11_min_record" ->
       "SELECT l_partkey, min(l_orderkey) AS min_record_id FROM lineitem GROUP BY 1",
+
+    "seq_surrogate_ids" ->
+      """SELECT c_custkey, c_name,
+        |  row_number() OVER (ORDER BY c_name, c_custkey) AS patient_num
+        |FROM customer""".stripMargin,
   )
 
   val trainingData: Map[String, String] = Map(

@@ -66,4 +66,13 @@ object Remaining {
     t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(min(col("l_orderkey")).as("min_record_id"))
+
+  /** §2.9 sequences: deterministic surrogate ids — row_number over a
+    * sorted total order replaces nextval() (stable across runs, which the
+    * reference's sequences are not; SURVEY §7.3). */
+  def seqSurrogateIds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("patient_num",
+        row_number().over(Window.orderBy(col("c_name"), col("c_custkey"))).cast("long"))
 }

@@ -133,3 +133,42 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(df.filter($"B" === "5").collect()(0).isNullAt(2))
   }
 }
+
+class MergeModesMoreSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.MergeModes
+
+  test("UPDATE_VARIABLES replaces exactly-one-match subtrees, errors otherwise") {
+    val oldF = Seq(
+      ("P1", "\\T\\Vitals\\HR\\", "HR", "N", "GS1"),
+      ("P1", "\\T\\Labs\\Glu\\", "Glu", "N", "GS1"))
+      .toDF("usubjid", "leaf_node", "data_label", "valtype_cd", "sourcesystem_cd")
+    val newF = Seq(("P1", "\\T\\Vitals\\HR2\\", "HR2", "N", "GS1"))
+      .toDF("usubjid", "leaf_node", "data_label", "valtype_cd", "sourcesystem_cd")
+
+    val ok = MergeModes.updateVariables(oldF, newF,
+      Seq("^\\\\T\\\\Vitals\\\\.*").toDF("pattern"))
+    val leaves = ok.select("leaf_node").collect().map(_.getString(0)).toSet
+    assert(leaves == Set("\\T\\Labs\\Glu\\", "\\T\\Vitals\\HR2\\"))
+
+    intercept[IllegalArgumentException] {
+      MergeModes.updateVariables(oldF, newF, Seq("^\\\\T\\\\.*").toDF("pattern"))
+    } // matches 2 paths -> error
+
+    intercept[IllegalArgumentException] {
+      MergeModes.updateVariables(oldF, newF, Seq("^\\\\Nope\\\\.*").toDF("pattern"))
+    } // matches 0 paths -> error
+  }
+
+  test("APPEND refreshes numeric facts at re-used nodes only") {
+    val oldF = Seq(
+      ("P1", "\\T\\A\\", "A", "N", "GS1"),
+      ("P1", "\\T\\B\\", "B", "T", "GS1"))
+      .toDF("usubjid", "leaf_node", "data_label", "valtype_cd", "sourcesystem_cd")
+    val newF = Seq(("P1", "\\T\\A\\", "A", "N", "GS1"))
+      .toDF("usubjid", "leaf_node", "data_label", "valtype_cd", "sourcesystem_cd")
+    val out = MergeModes.append(oldF, newF, "GS1")
+    assert(out.count() == 2) // old numeric A replaced, text B kept, new A added
+    assert(out.filter($"leaf_node" === "\\T\\B\\").count() == 1)
+  }
+}
