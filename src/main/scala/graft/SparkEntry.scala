@@ -11,9 +11,10 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full clinical ETL pipeline end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.j1MultiJoin(spark, "/root/testdata/sf0.001")
+    Remaining.pipelineClinicalE2e(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -63,6 +64,7 @@ object SparkEntry {
     "a6_probe_avg" -> (Remaining.a6ProbeAvg _),
     "a11_min_record" -> (Remaining.a11MinRecord _),
     "seq_surrogate_ids" -> (Remaining.seqSurrogateIds _),
+    "pipeline_clinical_e2e" -> (Remaining.pipelineClinicalE2e _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -181,6 +181,28 @@ object Oracles {
       """SELECT c_custkey, c_name,
         |  row_number() OVER (ORDER BY c_name, c_custkey) AS patient_num
         |FROM customer""".stripMargin,
+
+    "pipeline_clinical_e2e" ->
+      """WITH segf AS (
+        |  SELECT c_name, c_mktsegment AS seg FROM customer
+        |  WHERE length(coalesce(c_mktsegment, '')) > 0),
+        |balf AS (
+        |  SELECT c_name FROM customer
+        |  WHERE length(coalesce(CAST(c_acctbal AS VARCHAR), '')) > 0),
+        |nodes AS (
+        |  SELECT '\Public Studies\' AS p, c_name FROM segf
+        |  UNION ALL SELECT '\Public Studies\TPCH\', c_name FROM segf
+        |  UNION ALL SELECT '\Public Studies\TPCH\Customers\', c_name FROM segf
+        |  UNION ALL SELECT '\Public Studies\TPCH\Customers\Demographics\', c_name FROM segf
+        |  UNION ALL SELECT '\Public Studies\TPCH\Customers\Demographics\Market Segment\', c_name FROM segf
+        |  UNION ALL SELECT '\Public Studies\TPCH\Customers\Demographics\Market Segment\' || seg || '\', c_name FROM segf
+        |  UNION ALL SELECT '\Public Studies\', c_name FROM balf
+        |  UNION ALL SELECT '\Public Studies\TPCH\', c_name FROM balf
+        |  UNION ALL SELECT '\Public Studies\TPCH\Customers\', c_name FROM balf
+        |  UNION ALL SELECT '\Public Studies\TPCH\Customers\Demographics\', c_name FROM balf
+        |  UNION ALL SELECT '\Public Studies\TPCH\Customers\Demographics\Account Balance\', c_name FROM balf)
+        |SELECT p AS c_fullname, count(DISTINCT c_name) AS patient_count
+        |FROM nodes GROUP BY 1""".stripMargin,
   )
 
   val trainingData: Map[String, String] = Map(

@@ -67,6 +67,28 @@ object Remaining {
       .groupBy(col("l_partkey"))
       .agg(min(col("l_orderkey")).as("min_record_id"))
 
+  /** Flagship: the full clinical ETL pipeline (§3.1) end-to-end — the
+    * customer table plays a clinical wide file (SUBJ_ID = c_name, a text
+    * variable and a numeric variable), through explode -> cleanse ->
+    * group-scoped type inference -> N/T leaf shaping -> dedup -> tree ->
+    * per-node distinct patient counts. The DuckDB oracle recomputes the
+    * expected tree counts independently, so the whole pipeline is under
+    * the hash gate, not just its pieces. */
+  def pipelineClinicalE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ClinicalMapping._
+    val customer = t(s, dir, "customer")
+    // customer columns: 1 c_custkey, 2 c_name, 3 c_nationkey, 4 c_acctbal,
+    // 5 c_mktsegment
+    val entries = Seq(
+      Entry("customer", "", 1, "STUDY_ID", None, None, Nil),
+      Entry("customer", "", 2, "SUBJ_ID", None, None, Nil),
+      Entry("customer", "Customers+Demographics", 5, "Market Segment", None, None, Nil),
+      Entry("customer", "Customers+Demographics", 4, "Account Balance", None, None, Nil))
+    graft.pipeline.ClinicalPipeline.run(s, "TPCH", "\\Public Studies\\TPCH",
+      Mapping(entries, MergeMode.Replace), Map("customer" -> customer))
+      .conceptCounts
+  }
+
   /** §2.9 sequences: deterministic surrogate ids — row_number over a
     * sorted total order replaces nextval() (stable across runs, which the
     * reference's sequences are not; SURVEY §7.3). */
