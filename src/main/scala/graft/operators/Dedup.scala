@@ -37,7 +37,9 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n)
+    // consumed three times (sizes + both sides of the pair join): cache
+    // the exploded shingles instead of re-tokenizing the corpus
+    val sh = docShingles(docs, idCol, textCol, n).cache()
     val filtered = maxDocFreq match {
       case Some(maxDf) =>
         val df_ = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -93,7 +95,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, numHashes: Int, rowsPerBand: Int,
                  threshold: Double): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n)
+    val sh = docShingles(docs, idCol, textCol, n).cache()
     val bands = lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&

@@ -49,7 +49,10 @@ object ClinicalPipeline {
 
     val cleansed = cleanse(eav)
     val typed = inferAndShapePaths(cleansed, topNode, alwaysSetVisitName)
-    val deduped = keepOne(typed)
+    // the deduped facts feed five downstream consumers (patients, concepts,
+    // tree, fact join, counts) — cache once, the way the reference's wt_*
+    // work tables materialize the staged rows (SURVEY §4 UNLOGGED note)
+    val deduped = keepOne(typed).cache()
     build(spark, studyId, topNode, deduped)
   }
 
@@ -214,7 +217,7 @@ object ClinicalPipeline {
           .over(Window.orderBy(col("leaf_node"))).cast("string")))
 
     val i2b2 = TreeOps.fillInTree(
-      facts.select(col("leaf_node")).distinct(), "leaf_node")
+      facts.select(col("leaf_node")).distinct(), "leaf_node").cache()
     val visuals = TreeOps.visualAttrs(i2b2, "c_fullname")
       .withColumnRenamed("c_fullname", "v_path")
     val i2b2WithAttrs = i2b2.join(visuals, i2b2("c_fullname") === visuals("v_path"), "left")
