@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the pure semantic carriers (SURVEY §5: the reference
+  * has none; these pin the invariants the golden tests can't enumerate).
+  * ScalaCheck generators sampled with a fixed seed (no scalatestplus
+  * bridge in the offline cache). */
+object Gens {
+  def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+}
+
+class PathPropertySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val compGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(8))
+  private val pathGen = Gen.nonEmptyListOf(compGen).map(_.take(6))
+
+  test("normalizePath is idempotent and ancestors count equals hlevel") {
+    val paths = Gens.samples(pathGen, 60).map(_.mkString("\\", "\\", "\\"))
+    val rows = paths.toDF("p")
+      .select(
+        PathFunctions.normalizePath($"p").as("n1"),
+        PathFunctions.normalizePath(PathFunctions.normalizePath($"p")).as("n2"),
+        size(PathFunctions.ancestorPaths($"p")).as("na"),
+        PathFunctions.hlevel($"p").as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1)) // idempotent
+      assert(r.getInt(2) == r.getInt(3)) // |ancestors| == depth
+    }
+  }
+
+  test("instrFromEnd agrees with a naive scan") {
+    def naive(s: String, sub: String, k: Int): Int = {
+      val hits = Iterator.iterate(s.indexOf(sub))(i => s.indexOf(sub, i + 1))
+        .takeWhile(_ >= 0).toSeq
+      if (hits.size < k) 0 else hits(hits.size - k) + 1
+    }
+    val strGen = Gen.listOfN(6, Gen.oneOf("a", "b", "\\")).map(_.mkString)
+    val cases = Gens.samples(Gen.zip(strGen, Gen.choose(1, 4)), 80)
+    val df = cases.toDF("s", "k")
+    (1 to 4).foreach { k =>
+      val got = cases.filter(_._2 == k).map(_._1).toDF("s")
+        .select($"s", PathFunctions.instrFromEnd($"s", "\\", k)).collect()
+      got.foreach(r => assert(r.getInt(1) == naive(r.getString(0), "\\", k),
+        s"s=${r.getString(0)} k=$k"))
+    }
+  }
+}
+
+class TimepointPropertySpec extends AnyFunSuite {
+
+  test("timepointMinutes: unit-first form scales linearly per unit") {
+    val units = Seq("minute" -> 1.0, "hour" -> 60.0, "day" -> 1440.0,
+      "week" -> 10080.0, "month" -> 43200.0, "year" -> 518400.0)
+    val cases = Gens.samples(Gen.zip(Gen.choose(-50, 50), Gen.oneOf(units)), 100)
+    cases.foreach { case (n, (name, factor)) =>
+      val got = MetadataXml.timepointMinutes(s"${name.capitalize} $n")
+      assert(got.contains(n * factor), s"$name $n")
+    }
+  }
+
+  test("interval form equals the sum of its parts") {
+    val cases = Gens.samples(
+      Gen.zip(Gen.choose(0, 30), Gen.choose(0, 23), Gen.choose(0, 59)), 100)
+    cases.filter { case (d, h, m) => d + h + m > 0 }.foreach { case (d, h, m) =>
+      val got = MetadataXml.timepointMinutes(s"$d days $h hours $m minutes")
+      assert(got.contains(d * 1440.0 + h * 60.0 + m * 1.0), s"$d $h $m")
+    }
+  }
+}
