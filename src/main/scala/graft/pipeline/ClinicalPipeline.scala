@@ -207,14 +207,15 @@ object ClinicalPipeline {
     * natural keys (deterministic; SURVEY §7.3 sequence replacement). */
   def build(spark: SparkSession, studyId: String, topNode: String,
             facts: DataFrame): StudyTables = {
-    val patients = facts.select(col("usubjid"), col("subj_id")).distinct()
-      .withColumn("patient_num",
-        row_number().over(Window.orderBy(col("usubjid"))).cast("long"))
+    // distributed deterministic ids (no single-task global window)
+    val patients = graft.core.Ids.denseIds(
+      facts.select(col("usubjid"), col("subj_id")).distinct(),
+      Seq("usubjid"), "patient_num")
 
-    val concepts = facts.select(col("leaf_node")).distinct()
-      .withColumn("concept_cd",
-        concat(lit(s"$studyId:"), row_number()
-          .over(Window.orderBy(col("leaf_node"))).cast("string")))
+    val concepts = graft.core.Ids.denseIds(
+        facts.select(col("leaf_node")).distinct(), Seq("leaf_node"), "concept_id")
+      .withColumn("concept_cd", concat(lit(s"$studyId:"), col("concept_id").cast("string")))
+      .drop("concept_id")
 
     val i2b2 = TreeOps.fillInTree(
       facts.select(col("leaf_node")).distinct(), "leaf_node").cache()

@@ -52,13 +52,13 @@ object OmicsPipeline {
           logBase: Double = 2.0): OmicsTables = {
 
     // --- sample mapping dimension with synthesized leaf nodes + assay ids
-    val mapping = sampleMap
-      .withColumn("usubjid",
-        graft.functions.CleansingFunctions.usubjid(
-          col("study_id"), coalesce(col("site_id"), lit("")), col("subject_id")))
-      .withColumn("leaf_node", sampleNodePath(topNode))
-      .withColumn("assay_id",
-        row_number().over(Window.orderBy(col("sample_id"))).cast("long"))
+    val mapping = graft.core.Ids.denseIds(
+      sampleMap
+        .withColumn("usubjid",
+          graft.functions.CleansingFunctions.usubjid(
+            col("study_id"), coalesce(col("site_id"), lit("")), col("subject_id")))
+        .withColumn("leaf_node", sampleNodePath(topNode)),
+      Seq("sample_id"), "assay_id")
 
     // --- per-sample category facts (one row per sample at its node)
     val sampleFacts = mapping.select(

@@ -42,3 +42,44 @@ class AuditSpec extends SparkSpec {
     assert(audit.toDF(spark).count() == 2)
   }
 }
+
+class IdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("denseIds equals windowIds and is deterministic across runs") {
+    val df = Seq("c", "a", "b", "d").toDF("k")
+    val dense = Ids.denseIds(df, Seq("k"), "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val windowed = Ids.windowIds(df, Seq("k"), "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dense == windowed)
+    assert(dense == Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+    val again = Ids.denseIds(df.repartition(3), Seq("k"), "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == dense)
+  }
+}
+
+class SnpAndSerialSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.pipeline.SnpAndSerial
+
+  test("SNP full-outer merge coalesces keys") {
+    val calls = Seq(("g1", "rs1", "AA"), ("g1", "rs2", "AB")).toDF("gsm_num", "snp_name", "call")
+    val cn = Seq(("g1", "rs2", 1.5), ("g1", "rs3", 0.5)).toDF("gsm_num", "snp_name", "cn")
+    val m = SnpAndSerial.mergeSnp(calls, cn)
+    assert(m.count() == 3)
+    val rs2 = m.filter($"snp_name" === "rs2").collect()(0)
+    assert(rs2.getAs[String]("call") == "AB" && rs2.getAs[Double]("cn") == 1.5)
+    assert(m.filter($"snp_name" === "rs3").collect()(0).getAs[String]("call") == null)
+  }
+
+  test("series metadata stamping + unparseable detection") {
+    val nodes = Seq("Baseline", "Week 2", "not a timepoint").toDF("c_name")
+    val stamped = SnpAndSerial.stampSeriesMetadata(nodes, "c_name")
+    assert(SnpAndSerial.unparseable(stamped).collect()
+      .map(_.getString(0)).toSeq == Seq("not a timepoint"))
+    val wk2 = stamped.filter($"c_name" === "Week 2").collect()(0).getAs[String]("c_metadataxml")
+    assert(wk2.contains("<Value>20160</Value>"))
+  }
+}
