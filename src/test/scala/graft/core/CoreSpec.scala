@@ -83,3 +83,23 @@ class SnpAndSerialSpec extends SparkSpec {
     assert(wk2.contains("<Value>20160</Value>"))
   }
 }
+
+class TableWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("same-bucketed tables join without any Exchange") {
+    val facts = (1 to 1000).map(i => (i.toLong % 50, s"v$i")).toDF("patient_num", "v")
+    val dims = (0L until 50L).map(i => (i, s"p$i")).toDF("patient_num", "name")
+    TableWriter.writeBucketed(facts, "graft_facts_b", "patient_num", 8)
+    TableWriter.writeBucketed(dims, "graft_dims_b", "patient_num", 8)
+    // disable broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = TableWriter.readTable(spark, "graft_facts_b")
+        .join(TableWriter.readTable(spark, "graft_dims_b"), "patient_num")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
