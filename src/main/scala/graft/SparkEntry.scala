@@ -65,6 +65,7 @@ object SparkEntry {
     "a11_min_record" -> (Remaining.a11MinRecord _),
     "seq_surrogate_ids" -> (Remaining.seqSurrogateIds _),
     "pipeline_clinical_e2e" -> (Remaining.pipelineClinicalE2e _),
+    "pipeline_omics_e2e" -> (Remaining.pipelineOmicsE2e _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

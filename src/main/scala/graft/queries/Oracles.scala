@@ -203,6 +203,31 @@ object Oracles {
         |  UNION ALL SELECT '\Public Studies\TPCH\Customers\Demographics\Account Balance\', c_name FROM balf)
         |SELECT p AS c_fullname, count(DISTINCT c_name) AS patient_count
         |FROM nodes GROUP BY 1""".stripMargin,
+
+    "pipeline_omics_e2e" ->
+      """WITH assays AS (
+        |  SELECT s_name AS sample_id, s_suppkey,
+        |    row_number() OVER (ORDER BY s_name) AS assay_id
+        |  FROM supplier),
+        |avgd AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS probeset_id, assay_id,
+        |    avg(l_extendedprice) AS iv
+        |  FROM lineitem JOIN assays ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |logs AS (
+        |  SELECT probeset_id, assay_id, iv AS raw_intensity,
+        |    ln(iv) / ln(2.0) AS log_intensity
+        |  FROM avgd),
+        |calcs AS (
+        |  SELECT probeset_id, median(log_intensity) AS med,
+        |    stddev_samp(log_intensity) AS sd
+        |  FROM logs GROUP BY 1)
+        |SELECT l.probeset_id, CAST(l.assay_id AS BIGINT) AS assay_id,
+        |  round(raw_intensity, 4) AS raw_intensity,
+        |  round(log_intensity, 6) AS log_intensity,
+        |  round(CASE WHEN sd IS NULL OR sd = 0 THEN 0
+        |    ELSE least(greatest((log_intensity - med) / sd, -2.5), 2.5) END, 4) AS zscore
+        |FROM logs l JOIN calcs c ON l.probeset_id = c.probeset_id""".stripMargin,
   )
 
   val trainingData: Map[String, String] = Map(

@@ -89,6 +89,43 @@ object Remaining {
       .conceptCounts
   }
 
+  /** Flagship #2: the omics pipeline (§3.2) end-to-end — suppliers play
+    * samples, parts play probes, lineitem prices play intensities. Sample
+    * mapping -> assay ids -> duplicate-probe averaging -> per-probe
+    * median/stddev -> clamped z-score, all recomputed independently by
+    * the DuckDB oracle. */
+  def pipelineOmicsE2e(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val sampleMap = sup.select(
+      lit("TPCH").as("study_id"), lit("").as("site_id"),
+      col("s_name").as("subject_id"), col("s_name").as("sample_id"),
+      lit("GPL1").as("platform_name"), lit("Tissue").as("tissuetype"),
+      lit(null).cast("string").as("attr1"), lit(null).cast("string").as("attr2"),
+      lit("Biomarker_Data+PLATFORM+TISSUETYPE").as("category_cd"))
+    val melted = t(s, dir, "lineitem")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").cast("string").as("probeset_id"),
+        col("s_name").as("sample_id"),
+        col("l_extendedprice").as("intensity_value"))
+    val platform = s.emptyDataFrame
+      .sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("probeset_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("gene_symbol",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("gene_id",
+            org.apache.spark.sql.types.LongType))))
+    graft.pipeline.OmicsPipeline.run(s, "TPCH", "\\Studies\\TPCH",
+      sampleMap, melted, platform, dataType = "R", logBase = 2.0)
+      .data
+      .select(col("probeset_id"), col("assay_id"),
+        round(col("raw_intensity"), 4).as("raw_intensity"),
+        round(col("log_intensity"), 6).as("log_intensity"),
+        round(col("zscore"), 4).as("zscore"))
+  }
+
   /** §2.9 sequences: deterministic surrogate ids — row_number over a
     * sorted total order replaces nextval() (stable across runs, which the
     * reference's sequences are not; SURVEY §7.3). */
