@@ -73,9 +73,13 @@ object OmicsPipeline {
       .join(broadcast(platform.select(col("probeset_id"), col("gene_symbol"), col("gene_id"))),
         Seq("probeset_id"), "left")
 
+    // The average is rounded to 6 dp before the log/median/stddev stage:
+    // partial-aggregation sum order is nondeterministic across engines and
+    // partitionings, and an ulp of drift here would otherwise flip rounding
+    // boundaries after the log transform.
     val averaged = tagged
       .groupBy(col("probeset_id"), col("assay_id"))
-      .agg(avg(col("intensity_value")).as("intensity_value"),
+      .agg(round(avg(col("intensity_value")), 6).as("intensity_value"),
         first(col("usubjid"), ignoreNulls = true).as("usubjid"),
         first(col("gene_symbol"), ignoreNulls = true).as("gene_symbol"),
         first(col("gene_id"), ignoreNulls = true).as("gene_id"))

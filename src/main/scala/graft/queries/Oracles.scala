@@ -211,7 +211,7 @@ object Oracles {
         |  FROM supplier),
         |avgd AS (
         |  SELECT CAST(l_partkey AS VARCHAR) AS probeset_id, assay_id,
-        |    avg(l_extendedprice) AS iv
+        |    round(avg(l_extendedprice), 6) AS iv
         |  FROM lineitem JOIN assays ON l_suppkey = s_suppkey
         |  GROUP BY 1, 2),
         |logs AS (
@@ -223,10 +223,10 @@ object Oracles {
         |    stddev_samp(log_intensity) AS sd
         |  FROM logs GROUP BY 1)
         |SELECT l.probeset_id, CAST(l.assay_id AS BIGINT) AS assay_id,
-        |  round(raw_intensity, 4) AS raw_intensity,
-        |  round(log_intensity, 6) AS log_intensity,
+        |  round(raw_intensity, 4) + 0.0 AS raw_intensity,
+        |  round(log_intensity, 6) + 0.0 AS log_intensity,
         |  round(CASE WHEN sd IS NULL OR sd = 0 THEN 0
-        |    ELSE least(greatest((log_intensity - med) / sd, -2.5), 2.5) END, 4) AS zscore
+        |    ELSE least(greatest((log_intensity - med) / sd, -2.5), 2.5) END, 4) + 0.0 AS zscore
         |FROM logs l JOIN calcs c ON l.probeset_id = c.probeset_id""".stripMargin,
   )
 

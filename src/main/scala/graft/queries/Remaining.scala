@@ -120,18 +120,21 @@ object Remaining {
     graft.pipeline.OmicsPipeline.run(s, "TPCH", "\\Studies\\TPCH",
       sampleMap, melted, platform, dataType = "R", logBase = 2.0)
       .data
+      // `+ 0.0` collapses IEEE -0.0 (a rounded tiny-negative zscore) to 0.0
+      // so the value hashes identically on any engine.
       .select(col("probeset_id"), col("assay_id"),
-        round(col("raw_intensity"), 4).as("raw_intensity"),
-        round(col("log_intensity"), 6).as("log_intensity"),
-        round(col("zscore"), 4).as("zscore"))
+        (round(col("raw_intensity"), 4) + lit(0.0)).as("raw_intensity"),
+        (round(col("log_intensity"), 6) + lit(0.0)).as("log_intensity"),
+        (round(col("zscore"), 4) + lit(0.0)).as("zscore"))
   }
 
-  /** §2.9 sequences: deterministic surrogate ids — row_number over a
-    * sorted total order replaces nextval() (stable across runs, which the
-    * reference's sequences are not; SURVEY §7.3). */
+  /** §2.9 sequences: deterministic surrogate ids — distributed dense rank
+    * over a total order replaces nextval() (stable across runs, which the
+    * reference's sequences are not; SURVEY §7.3). Uses [[graft.core.Ids
+    * .denseIds]]: range-partitioned sort + per-partition offsets, no
+    * single-partition global window. */
   def seqSurrogateIds(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
-      .select(col("c_custkey"), col("c_name"))
-      .withColumn("patient_num",
-        row_number().over(Window.orderBy(col("c_name"), col("c_custkey"))).cast("long"))
+    graft.core.Ids.denseIds(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+      Seq("c_name", "c_custkey"), "patient_num")
 }
