@@ -128,9 +128,22 @@ object Dedup {
   }
 
   /** Engine-portable SimHash (64-bit, hex string): md5(token) first 16 hex
-    * chars give 64 bits; each token votes +1/-1 per bit weighted by its
-    * count; bit = 1 when the vote sum is positive. */
-  def simhashHex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * chars give 64 bits; each token occurrence votes +1/-1 per bit; bit = 1
+    * when the vote sum is positive.
+    *
+    * A document's simhash is a pure function of its text, so this is one
+    * codegen'd scalar expression per row ([[graft.functions.TextHash]]) —
+    * a linear scan with NO explode and NO shuffle. The relational form
+    * below ([[simhashHexRelational]]) shuffles 64x the token volume twice;
+    * it is kept only as the independent cross-check of the expression. */
+  def simhashHex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.TextHash.simhash64(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The explode/groupBy form of [[simhashHex]] — bit-identical output,
+    * used by the spec as an in-engine oracle for the native expression. */
+  def simhashHexRelational(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))

@@ -35,14 +35,17 @@ object TextAnalysis {
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
-  /** Language ID: argmax of per-language stopword hits, ties broken by
-    * language code ascending (the order of StopwordsByLang). */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = StopwordsByLang.map { case (lang, words) =>
-      lang -> stopwordHits(toks, words)
-    }
-    // lang with strictly-greater score than all EARLIER langs and >= all later
+  /** Per-language stopword hit counts — one filter pass per language over a
+    * token array the CALLER has already projected into its own column.
+    * Materialize these as columns (see [[withLangId]]) before the argmax:
+    * the array-filter lambdas are interpreted, so each must run exactly
+    * once per row, not once per argmax comparison. */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    StopwordsByLang.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+
+  /** Argmax over already-materialized per-language score columns, ties
+    * broken by language code ascending (the order of StopwordsByLang). */
+  def argmaxLang(scores: Seq[(String, Column)]): Column =
     scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, score)) =>
       val beats = scores.map { case (l2, s2) =>
         if (l2 < lang) score > s2 // later lang must strictly beat earlier ones
@@ -51,6 +54,30 @@ object TextAnalysis {
       }.reduce(_ && _)
       when(acc.isNull && beats, lit(lang)).otherwise(acc)
     }
+
+  /** Language ID over a whole frame: tokens -> 5 hit counts -> argmax, in
+    * three projection layers so every interpreted lambda runs once per row.
+    * (CollapseProject keeps the layers apart: the aliases are non-cheap and
+    * multiply referenced.) */
+  def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val passthrough = df.columns.map(col).toSeq
+    val scored = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(passthrough ++ langScores(col("__toks")).map {
+        case (l, c) => c.as(s"__s_$l")
+      }: _*)
+    scored
+      .withColumn(outCol, argmaxLang(
+        StopwordsByLang.map { case (l, _) => l -> col(s"__s_$l") }))
+      .select(passthrough :+ col(outCol): _*)
+  }
+
+  /** Single-Column form of the lang-ID heuristic — convenient for ad-hoc
+    * expressions, but it re-derives the scores inside every comparison;
+    * anything per-row-hot should use [[withLangId]]. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    argmaxLang(langScores(toks))
   }
 
   /** Quality score in [0,1]: length component + stopword-density component

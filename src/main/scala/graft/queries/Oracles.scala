@@ -236,12 +236,15 @@ object Oracles {
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // shf mirrors the Spark query's maxDocFreq=250 stop-shingle cap
     "dedup_ngram_jaccard" -> (ShingleCte +
-      """, common AS (
+      """, keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 250),
+        |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+        |common AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |""".stripMargin + JaccardTail),
+        |""".stripMargin + JaccardTail.replace("FROM sh ", "FROM shf ")),
 
     "dedup_minhash_lsh" -> (ShingleCte +
       """, mh AS (

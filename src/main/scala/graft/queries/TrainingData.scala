@@ -18,9 +18,13 @@ object TrainingData {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
 
+  /** maxDocFreq caps stop-shingles (shared boilerplate lines): a shingle in
+    * more than 250 docs is dropped before the candidate self-join, keeping
+    * every bucket bounded — without it one hot shingle goes quadratic at
+    * scale. The oracle applies the identical cap. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
-      n = 3, threshold = 0.5)
+      n = 3, threshold = 0.5, maxDocFreq = Some(250L))
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
@@ -30,9 +34,10 @@ object TrainingData {
     Dedup.simhashHex(t(s, dir, "documents"), "doc_id", "text")
 
   def textLangId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"), col("lang"),
-      TextAnalysis.langId(col("text")).as("predicted_lang"))
+    TextAnalysis.withLangId(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+      "text", "predicted_lang")
+      .select(col("doc_id"), col("lang"), col("predicted_lang"))
 
   def textQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

@@ -106,6 +106,23 @@ class DedupSpec extends SparkSpec {
     assert(h.values.forall(v => v.length == 16 && v.matches("[0-9a-f]{16}")))
     assert(h(1L) != h(4L))
   }
+
+  test("simhash native expression matches the relational form bit-for-bit") {
+    val extra = Seq(
+      (5L, "  leading and \t trailing whitespace  "),
+      (6L, "unicode tokens 你好 世界 mixed in"),
+      (7L, "repeated repeated repeated words words tilt the votes")
+    ).toDF("doc_id", "text")
+    val all = docs.union(extra)
+    val native = Dedup.simhashHex(all, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val relational = Dedup.simhashHexRelational(all, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native == relational)
+    // token-less text yields no row in either form
+    val empty = Seq((8L, "   ")).toDF("doc_id", "text")
+    assert(Dedup.simhashHex(empty, "doc_id", "text").count() == 0)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
