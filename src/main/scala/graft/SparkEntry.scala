@@ -66,11 +66,15 @@ object SparkEntry {
     "seq_surrogate_ids" -> (Remaining.seqSurrogateIds _),
     "pipeline_clinical_e2e" -> (Remaining.pipelineClinicalE2e _),
     "pipeline_omics_e2e" -> (Remaining.pipelineOmicsE2e _),
+    "merge_replace" -> (MergeQueries.mergeReplace _),
+    "merge_update" -> (MergeQueries.mergeUpdate _),
+    "merge_append" -> (MergeQueries.mergeAppend _),
+    "merge_update_variables" -> (MergeQueries.mergeUpdateVariables _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.treeAndEav ++ Oracles.statsAndTime ++
-      Oracles.trainingData ++ Oracles.remaining
+      Oracles.trainingData ++ Oracles.remaining ++ Oracles.merges
 }

@@ -230,6 +230,58 @@ object Oracles {
         |FROM logs l JOIN calcs c ON l.probeset_id = c.probeset_id""".stripMargin,
   )
 
+  /** Old/new fact frames for the §2.10 merge-verb oracles — must mirror
+    * MergeQueries.oldFacts/newFacts exactly. */
+  private val MergeCtes =
+    """WITH old AS (
+      |  SELECT CAST(o_custkey AS VARCHAR) AS usubjid,
+      |    'S/' || o_orderpriority AS leaf_node,
+      |    o_orderstatus AS data_label,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'N' ELSE 'T' END AS valtype_cd,
+      |    CASE WHEN o_custkey % 10 < 8 THEN 'STUDY_A' ELSE 'STUDY_B' END AS sourcesystem_cd,
+      |    CAST(o_orderkey % 100 AS BIGINT) AS nval
+      |  FROM orders),
+      |new AS (
+      |  SELECT CAST(o_custkey AS VARCHAR) AS usubjid,
+      |    'S/' || o_orderpriority AS leaf_node,
+      |    o_orderstatus AS data_label,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'N' ELSE 'T' END AS valtype_cd,
+      |    'STUDY_A' AS sourcesystem_cd,
+      |    CAST(o_orderkey % 100 + 1000 AS BIGINT) AS nval
+      |  FROM orders WHERE o_orderkey % 7 = 0 AND o_custkey % 10 < 8)
+      |""".stripMargin
+
+  val merges: Map[String, String] = Map(
+    "merge_replace" -> (MergeCtes +
+      """SELECT * FROM old WHERE sourcesystem_cd <> 'STUDY_A'
+        |UNION ALL SELECT * FROM new""".stripMargin),
+
+    "merge_update" -> (MergeCtes +
+      """SELECT * FROM old WHERE sourcesystem_cd <> 'STUDY_A'
+        |UNION ALL
+        |SELECT * FROM old WHERE sourcesystem_cd = 'STUDY_A'
+        |  AND usubjid NOT IN (SELECT DISTINCT usubjid FROM new)
+        |UNION ALL SELECT * FROM new""".stripMargin),
+
+    "merge_append" -> (MergeCtes +
+      """SELECT * FROM old WHERE sourcesystem_cd <> 'STUDY_A'
+        |UNION ALL
+        |SELECT o.* FROM old o WHERE o.sourcesystem_cd = 'STUDY_A'
+        |  AND NOT EXISTS (SELECT 1 FROM new n WHERE n.valtype_cd = 'N'
+        |    AND n.usubjid = o.usubjid AND n.leaf_node = o.leaf_node)
+        |UNION ALL SELECT * FROM new""".stripMargin),
+
+    "merge_update_variables" -> (MergeCtes +
+      """, victims AS (
+        |  SELECT DISTINCT leaf_node FROM old
+        |  WHERE regexp_matches(leaf_node, '^S/1-URGENT$')
+        |     OR regexp_matches(leaf_node, '^S/5-LOW$'))
+        |SELECT * FROM old
+        |WHERE leaf_node NOT IN (SELECT leaf_node FROM victims)
+        |UNION ALL
+        |SELECT * FROM new WHERE leaf_node IN ('S/1-URGENT', 'S/5-LOW')""".stripMargin),
+  )
+
   val trainingData: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
