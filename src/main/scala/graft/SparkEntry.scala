@@ -70,6 +70,7 @@ object SparkEntry {
     "merge_update" -> (MergeQueries.mergeUpdate _),
     "merge_append" -> (MergeQueries.mergeAppend _),
     "merge_update_variables" -> (MergeQueries.mergeUpdateVariables _),
+    "annotation_registry" -> (OmicsQueries.annotationRegistry _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.pipeline.AnnotationRegistry
+
+/** Deep-omics operators under the oracle gate: the platform-annotation
+  * registry load (I2B2_LOAD_ANNOTATION_DEAPP) and the load-samples build
+  * (I2B2_LOAD_SAMPLES). Inputs are synthesized deterministically from the
+  * TPC-H tables so DuckDB can recompute the whole flow independently. */
+object OmicsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Staged annotation file: parts play probes. Nulls are seeded into
+    * gene_symbol (every 5th), gene_id (every 3rd) and organism (every 4th)
+    * to exercise the default-organism and backfill paths. */
+  private def stagedAnnotations(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      lit("GPL1").as("gpl_id"),
+      concat(lit("P"), col("p_partkey").cast("string")).as("probe_id"),
+      when(col("p_partkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("G"), (col("p_partkey") % 50).cast("string")))
+        .as("gene_symbol"),
+      when(col("p_partkey") % 3 === 0, lit(null).cast("string"))
+        .otherwise((col("p_partkey") % 200).cast("string")).as("gene_id"),
+      when(col("p_partkey") % 4 === 0, lit(null).cast("string"))
+        .when(col("p_partkey") % 4 === 1, lit("Homo sapiens"))
+        .otherwise(lit("Mus musculus")).as("organism"))
+
+  /** Pre-existing probeset registry: the even parts, default organism. */
+  private def existingProbesets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") % 2 === 0).select(
+      col("p_partkey").cast("long").as("probeset_id"),
+      concat(lit("P"), col("p_partkey").cast("string")).as("probeset"),
+      lit("GPL1").as("platform"),
+      lit("Homo sapiens").as("organism"))
+
+  /** biomart.bio_marker gene registry: suppliers play markers; mixed-case
+    * organism / type values exercise the upper() matching. */
+  private def bioMarkers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").select(
+      concat(lit("G"), (col("s_suppkey") % 50).cast("string")).as("bio_marker_name"),
+      when(col("s_suppkey") % 2 === 0, lit("HOMO SAPIENS"))
+        .otherwise(lit("Mus musculus")).as("organism"),
+      (col("s_suppkey") % 200).cast("string").as("primary_external_id"),
+      when(col("s_suppkey") % 10 === 0, lit("PROTEIN"))
+        .otherwise(lit("gene")).as("bio_marker_type"))
+
+  /** The de_mrna_annotation table produced by the registry load. */
+  def annotationRegistry(s: SparkSession, dir: String): DataFrame =
+    AnnotationRegistry.load(s,
+      stagedAnnotations(s, dir), existingProbesets(s, dir), bioMarkers(s, dir))
+      .mrnaAnnotation
+}

@@ -252,6 +252,76 @@ object Oracles {
       |""".stripMargin
 
   val merges: Map[String, String] = Map(
+    // Mirrors AnnotationRegistry.load over the synthesized frames of
+    // OmicsQueries: organism refresh -> NOT-EXISTS probeset insert with
+    // deterministic ids -> registry join -> gene_id/gene_symbol backfills.
+    "annotation_registry" ->
+      """WITH staged AS (
+        |  SELECT DISTINCT 'GPL1' AS gpl_id, 'P' || p_partkey AS probe_id,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE 'G' || (p_partkey % 50) END AS gene_symbol,
+        |    CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE CAST(p_partkey % 200 AS VARCHAR) END AS gene_id,
+        |    CASE WHEN p_partkey % 4 = 0 THEN NULL
+        |         WHEN p_partkey % 4 = 1 THEN 'Homo sapiens'
+        |         ELSE 'Mus musculus' END AS organism
+        |  FROM part),
+        |existing AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS probeset_id, 'P' || p_partkey AS probeset,
+        |    'GPL1' AS platform, 'Homo sapiens' AS organism
+        |  FROM part WHERE p_partkey % 2 = 0),
+        |refreshed AS (
+        |  SELECT e.probeset_id, e.probeset, e.platform,
+        |    CASE WHEN s.gpl_id IS NOT NULL THEN s.organism ELSE e.organism END AS organism
+        |  FROM existing e LEFT JOIN
+        |    (SELECT DISTINCT gpl_id, probe_id, organism FROM staged) s
+        |    ON e.platform = s.gpl_id AND e.probeset = s.probe_id),
+        |cand AS (
+        |  SELECT DISTINCT probe_id AS probeset,
+        |    coalesce(organism, 'Homo sapiens') AS organism, gpl_id AS platform
+        |  FROM staged),
+        |fresh AS (
+        |  SELECT c.* FROM cand c WHERE NOT EXISTS (
+        |    SELECT 1 FROM refreshed r
+        |    WHERE r.platform = c.platform AND r.probeset = c.probeset
+        |      AND coalesce(r.organism, 'Homo sapiens') = c.organism)),
+        |registry AS (
+        |  SELECT probeset_id, probeset, platform, organism FROM refreshed
+        |  UNION ALL
+        |  SELECT (SELECT coalesce(max(probeset_id), 0) FROM refreshed)
+        |      + row_number() OVER (ORDER BY platform, probeset, organism),
+        |    probeset, platform, organism
+        |  FROM fresh),
+        |annotated AS (
+        |  SELECT DISTINCT s.gpl_id, s.probe_id, s.gene_symbol,
+        |    CAST(s.gene_id AS BIGINT) AS gene_id, r.probeset_id,
+        |    coalesce(s.organism, 'Homo sapiens') AS organism
+        |  FROM staged s JOIN registry r
+        |    ON s.probe_id = r.probeset AND s.gpl_id = r.platform
+        |   AND coalesce(s.organism, 'Homo sapiens') = coalesce(r.organism, 'Homo sapiens')),
+        |genes AS (
+        |  SELECT 'G' || (s_suppkey % 50) AS bio_marker_name,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN 'HOMO SAPIENS' ELSE 'Mus musculus' END AS organism,
+        |    CAST(s_suppkey % 200 AS VARCHAR) AS primary_external_id,
+        |    CASE WHEN s_suppkey % 10 = 0 THEN 'PROTEIN' ELSE 'gene' END AS bio_marker_type
+        |  FROM supplier),
+        |gonly AS (SELECT * FROM genes WHERE upper(bio_marker_type) = 'GENE'),
+        |idbysym AS (
+        |  SELECT bio_marker_name AS sym, upper(organism) AS org,
+        |    min(CAST(primary_external_id AS BIGINT)) AS gid
+        |  FROM gonly GROUP BY 1, 2),
+        |symbyid AS (
+        |  SELECT CAST(primary_external_id AS BIGINT) AS gid, upper(organism) AS org,
+        |    min(bio_marker_name) AS sym
+        |  FROM gonly GROUP BY 1, 2)
+        |SELECT a.gpl_id, a.probe_id,
+        |  coalesce(a.gene_symbol, s2.sym) AS gene_symbol,
+        |  coalesce(a.gene_id, i.gid) AS gene_id,
+        |  a.probeset_id, a.organism
+        |FROM annotated a
+        |LEFT JOIN idbysym i ON a.gene_id IS NULL AND a.gene_symbol IS NOT NULL
+        |  AND a.gene_symbol = i.sym AND upper(a.organism) = i.org
+        |LEFT JOIN symbyid s2 ON a.gene_symbol IS NULL AND a.gene_id IS NOT NULL
+        |  AND a.gene_id = s2.gid AND upper(a.organism) = s2.org""".stripMargin,
+
     "merge_replace" -> (MergeCtes +
       """SELECT * FROM old WHERE sourcesystem_cd <> 'STUDY_A'
         |UNION ALL SELECT * FROM new""".stripMargin),
