@@ -21,19 +21,25 @@ object Bench {
       // noop sink: full computation + column materialization, no pruning
       // shortcuts from count(), nothing written. Best of 2 runs — single
       // runs on a shared host show multi-x swings from neighbor load.
+      // A crashing query reports -1, never a fast fake timing.
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache() // bound memory across the suite
-      name -> times.min
+      name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failures = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

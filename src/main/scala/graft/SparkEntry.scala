@@ -71,6 +71,8 @@ object SparkEntry {
     "merge_append" -> (MergeQueries.mergeAppend _),
     "merge_update_variables" -> (MergeQueries.mergeUpdateVariables _),
     "annotation_registry" -> (OmicsQueries.annotationRegistry _),
+    "load_samples_mapping" -> (OmicsQueries.loadSamplesMapping _),
+    "load_samples_facts" -> (OmicsQueries.loadSamplesFacts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

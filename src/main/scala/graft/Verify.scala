@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries cache intermediate frames (dedup shingles, pipeline facts);
+      // 50+ queries in one session would otherwise accumulate executor
+      // memory for cached work tables nothing will read again
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,0 +1,212 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The full I2B2_LOAD_SAMPLES build (reference
+  * sql/postgres/procedures/I2B2_LOAD_SAMPLES.sql) — the deep part of the
+  * omics load that OmicsPipeline.sampleNodePath only sketched:
+  *
+  *  1. node values: DISTINCT sample-map attribute tuples, platform/tissue
+  *     defaulted, LEFT-joined to the de_gpl_info registry for the platform
+  *     *title* (:319-338) — the title, not the platform name, lands in the
+  *     ontology path.
+  *  2. ontology nodes: the LEAF node substitutes every placeholder of
+  *     category_cd (:355-375); one extra node per placeholder type
+  *     (PLATFORM :393-421, TISSUETYPE, ATTR1 :443-470, ATTR2) is built from
+  *     the category prefix up to and including that placeholder, keeping
+  *     only the attributes whose placeholder occurs in the prefix at
+  *     position > 1 (the reference's instr() guards — reproduced exactly,
+  *     including the position-1 exclusion).
+  *  3. de_subject_sample_mapping: sample map INNER patient_dimension (on
+  *     the collapsed TRIAL:SITE:SUBJECT sourcesystem_cd) INNER LEAF node
+  *     LEFT the four typed nodes for their concept codes (:596-856); the
+  *     reference's raw-vs-coalesced join asymmetry on platform/tissue_type
+  *     (a.platform = ln.platform, null never matches) is kept.
+  *  4. per-sample category facts: one DISTINCT (patient, leaf concept,
+  *     trial, 'T','E') observation per mapped sample (:841-870).
+  *
+  * Concept codes: the reference draws them from a DB sequence at node
+  * insert; we derive them deterministically as md5(path) prefixes so runs
+  * (and engines) agree.
+  *
+  * Scale: node frames are DISTINCT attribute combinations — tiny — so all
+  * five node joins broadcast; the only large frames are the sample map and
+  * patient dimension, joined once on usubjid.
+  */
+object LoadSamples {
+
+  final case class LoadSamplesTables(
+      nodes: DataFrame, sampleMapping: DataFrame, sampleFacts: DataFrame)
+
+  /** topNode || substituted(categoryPrefix) || '\' with backslash runs
+    * collapsed (reference :365-367). Substitution order is the
+    * reference's: PLATFORM -> title, ATTR1, ATTR2, TISSUETYPE, then
+    * '+' -> '\' and '_' -> ' '. */
+  private def nodePath(topNode: String, catPrefix: Column): Column = {
+    val substituted =
+      regexp_replace(regexp_replace(
+        replace(replace(replace(replace(
+          catPrefix,
+          lit("PLATFORM"), coalesce(col("title"), lit(""))),
+          lit("ATTR1"), coalesce(col("attribute_1"), lit(""))),
+          lit("ATTR2"), coalesce(col("attribute_2"), lit(""))),
+          lit("TISSUETYPE"), coalesce(col("tissue_type"), lit(""))),
+        "\\+", "\\\\"), "_", " ")
+    concat(lit(topNode),
+      regexp_replace(concat(substituted, lit("\\")), "(\\\\){2,}", "\\\\"))
+  }
+
+  /** substr(cat, 1, instr(cat, ph) + len(ph)) — the prefix through the
+    * placeholder INCLUDING one following separator char, the reference's
+    * `instr(...)+8` idiom (:394). */
+  private def catPrefix(ph: String, cat: Column): Column =
+    cat.substr(lit(1), instr(cat, ph) + lit(ph.length))
+
+  /** The reference's attribute guard: keep the attribute only when its
+    * placeholder occurs in the prefix at position > 1 (:399-401). */
+  private def guarded(prefix: Column, ph: String, attr: Column): Column =
+    when(instr(prefix, ph) > 1, attr).otherwise(lit(""))
+
+  /** One typed intermediate node per distinct attribute tuple whose
+    * category mentions `ph`. */
+  private def typedNodes(topNode: String, nodeValues: DataFrame,
+                         nodeType: String, ph: String,
+                         extraFilter: Column): DataFrame = {
+    val prefix = catPrefix(ph, col("category_cd"))
+    nodeValues
+      .filter(col("category_cd").contains(ph) && extraFilter)
+      .select(
+        nodePath(topNode, prefix).as("leaf_node"),
+        prefix.as("category_cd"),
+        (if (ph == "PLATFORM") col("platform")
+         else guarded(prefix, "PLATFORM", col("platform"))).as("platform"),
+        (if (ph == "TISSUETYPE") col("tissue_type")
+         else guarded(prefix, "TISSUETYPE", col("tissue_type"))).as("tissue_type"),
+        (if (ph == "ATTR1") col("attribute_1")
+         else guarded(prefix, "ATTR1", col("attribute_1"))).as("attribute_1"),
+        (if (ph == "ATTR2") col("attribute_2")
+         else guarded(prefix, "ATTR2", col("attribute_2"))).as("attribute_2"),
+        lit(nodeType).as("node_type"))
+      // no title column: wt_mrna_nodes drops it, so path-identical nodes
+      // from different platforms collapse here exactly like the reference
+      .distinct()
+  }
+
+  /** @param sampleMap lt_src_mrna_subj_samp_map: (site_id, subject_id,
+    *                  sample_cd, platform, tissue_type, attribute_1,
+    *                  attribute_2, category_cd)
+    * @param gplInfo   de_gpl_info: (platform, title, marker_type)
+    * @param patients  patient_dimension: (patient_num: long,
+    *                  sourcesystem_cd)
+    * @param markerType upper-cased marker type filter (:335) */
+  def run(spark: SparkSession, trialId: String, topNode: String,
+          sampleMap: DataFrame, gplInfo: DataFrame, patients: DataFrame,
+          markerType: String = "GENE EXPRESSION"): LoadSamplesTables = {
+
+    // 1. node values (:319-338): attribute tuples + platform title
+    val nodeValues = sampleMap
+      .select(col("category_cd"),
+        coalesce(col("platform"), lit("GPL570")).as("platform"),
+        coalesce(col("tissue_type"), lit("Unspecified Tissue Type")).as("tissue_type"),
+        col("attribute_1"), col("attribute_2"))
+      .distinct()
+      .join(broadcast(gplInfo
+          .filter(upper(col("marker_type")) === markerType)
+          .select(col("platform"), col("title"))),
+        Seq("platform"), "left")
+
+    // 2. ontology nodes: LEAF + one node per placeholder type
+    val leaf = nodeValues.select(
+      nodePath(topNode, col("category_cd")).as("leaf_node"),
+      col("category_cd"), col("platform"), col("tissue_type"),
+      col("attribute_1"), col("attribute_2"),
+      lit("LEAF").as("node_type")).distinct()
+    val nodes = Seq(
+        leaf,
+        typedNodes(topNode, nodeValues, "PLATFORM", "PLATFORM", lit(true)),
+        typedNodes(topNode, nodeValues, "TISSUETYPE", "TISSUETYPE", lit(true)),
+        typedNodes(topNode, nodeValues, "ATTR1", "ATTR1", col("attribute_1").isNotNull),
+        typedNodes(topNode, nodeValues, "ATTR2", "ATTR2", col("attribute_2").isNotNull))
+      .reduce(_ unionByName _)
+      .withColumn("concept_cd", substring(md5(col("leaf_node")), 1, 16))
+
+    val byType = (t: String) => broadcast(
+      nodes.filter(col("node_type") === t)
+        .select(col("leaf_node"), col("category_cd"), col("platform"),
+          col("tissue_type"), col("attribute_1"), col("attribute_2"),
+          col("concept_cd")))
+
+    // 3. the mapping join chain (:596-856)
+    val a = sampleMap.alias("a")
+      .withColumn("usubjid", graft.functions.CleansingFunctions.usubjid(
+        lit(trialId), coalesce(col("site_id"), lit("")), col("subject_id")))
+    val pd = patients.select(col("patient_num"), col("sourcesystem_cd"))
+
+    val ln = byType("LEAF").alias("ln")
+    val joined = a
+      .join(pd, a("usubjid") === pd("sourcesystem_cd"))
+      .join(ln,
+        a("platform") === col("ln.platform") &&
+          a("tissue_type") === col("ln.tissue_type") &&
+          coalesce(a("attribute_1"), lit("")) === coalesce(col("ln.attribute_1"), lit("")) &&
+          coalesce(a("attribute_2"), lit("")) === coalesce(col("ln.attribute_2"), lit("")))
+
+    def typedJoin(df: DataFrame, alias: String, t: String, ph: String,
+                  selfAttr: String): DataFrame = {
+      val n = byType(t).alias(alias)
+      val prefix = catPrefix(ph, a("category_cd"))
+      def g(otherPh: String, attr: Column): Column =
+        when(instr(prefix, otherPh) > 1, attr).otherwise(lit(""))
+      val selfCond = selfAttr match {
+        case "platform"    => a("platform") === col(s"$alias.platform")
+        case "tissue_type" => a("tissue_type") === col(s"$alias.tissue_type")
+        case "attribute_1" => a("attribute_1") === col(s"$alias.attribute_1")
+        case "attribute_2" => a("attribute_2") === col(s"$alias.attribute_2")
+      }
+      val conds = Seq(
+        "PLATFORM" -> "platform", "TISSUETYPE" -> "tissue_type",
+        "ATTR1" -> "attribute_1", "ATTR2" -> "attribute_2")
+        .filter(_._1 != ph)
+        .map { case (otherPh, c) =>
+          g(otherPh, a(c)) === coalesce(col(s"$alias.$c"), lit(""))
+        }
+      df.join(n, conds.foldLeft(selfCond)(_ && _), "left")
+    }
+
+    val full = Seq(
+      ("pn", "PLATFORM", "PLATFORM", "platform"),
+      ("ttp", "TISSUETYPE", "TISSUETYPE", "tissue_type"),
+      ("a1", "ATTR1", "ATTR1", "attribute_1"),
+      ("a2", "ATTR2", "ATTR2", "attribute_2"))
+      .foldLeft(joined) { case (df, (al, t, ph, self)) => typedJoin(df, al, t, ph, self) }
+
+    val mapping = full.select(
+      col("patient_num").as("patient_id"),
+      a("site_id"), a("subject_id"), a("sample_cd"),
+      col("ln.concept_cd").as("concept_code"),
+      a("attribute_1").as("sample_type"),
+      col("a1.concept_cd").as("sample_type_cd"),
+      lit(trialId).as("trial_name"),
+      a("attribute_2").as("timepoint"),
+      col("a2.concept_cd").as("timepoint_cd"),
+      col("ln.tissue_type").as("tissue_type"),
+      col("ttp.concept_cd").as("tissue_type_cd"),
+      col("pn.concept_cd").as("platform_cd"),
+      concat(col("ln.concept_cd"), lit("-"), col("patient_num").cast("string"))
+        .as("data_uid"),
+      a("platform").as("gpl_id"),
+      a("category_cd"))
+
+    // 4. per-sample category facts (:841-870)
+    val facts = mapping.select(
+      col("patient_id").as("patient_num"),
+      col("concept_code").as("concept_cd"),
+      lit(trialId).as("modifier_cd"),
+      lit("T").as("valtype_cd"),
+      lit("E").as("tval_char"),
+      lit(trialId).as("sourcesystem_cd")).distinct()
+
+    LoadSamplesTables(nodes, mapping, facts)
+  }
+}

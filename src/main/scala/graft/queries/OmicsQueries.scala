@@ -54,4 +54,54 @@ object OmicsQueries {
     AnnotationRegistry.load(s,
       stagedAnnotations(s, dir), existingProbesets(s, dir), bioMarkers(s, dir))
       .mrnaAnnotation
+
+  // ---- I2B2_LOAD_SAMPLES inputs: suppliers play samples, regions play
+  // ---- platforms. Two category shapes exercise the placeholder-prefix
+  // ---- logic; nulls in attribute_1 and a marker-type mismatch (GPL2)
+  // ---- exercise the guards and the title default.
+
+  private def siteId = when(col("s_suppkey") % 3 === 0, lit(""))
+    .otherwise(concat(lit("SITE"), (col("s_suppkey") % 3).cast("string")))
+
+  private def sampleMapInput(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").select(
+      siteId.as("site_id"),
+      col("s_name").as("subject_id"),
+      concat(lit("SMP"), col("s_suppkey").cast("string")).as("sample_cd"),
+      concat(lit("GPL"), (col("s_suppkey") % 4).cast("string")).as("platform"),
+      when(col("s_suppkey") % 2 === 0, lit("Liver")).otherwise(lit("Blood"))
+        .as("tissue_type"),
+      when(col("s_suppkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("FFPE_"), (col("s_suppkey") % 2).cast("string")))
+        .as("attribute_1"),
+      lit(null).cast("string").as("attribute_2"),
+      when(col("s_suppkey") % 2 === 0,
+        lit("Biomarker_Data+PLATFORM+TISSUETYPE+ATTR1"))
+        .otherwise(lit("Biomarker_Data+TISSUETYPE+PLATFORM")).as("category_cd"))
+
+  private def gplInfoInput(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").select(
+      concat(lit("GPL"), col("r_regionkey").cast("string")).as("platform"),
+      concat(lit("Chip "), col("r_name")).as("title"),
+      when(col("r_regionkey") === 2, lit("SNP")).otherwise(lit("Gene Expression"))
+        .as("marker_type"))
+
+  private def patientsInput(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .filter(col("s_suppkey") % 17 =!= 0) // some samples have no patient row
+      .select(col("s_suppkey").cast("long").as("patient_num"),
+        graft.functions.CleansingFunctions.usubjid(
+          lit("TPCH"), siteId, col("s_name")).as("sourcesystem_cd"))
+
+  private def loadSamples(s: SparkSession, dir: String) =
+    graft.pipeline.LoadSamples.run(s, "TPCH", "\\Studies\\TPCH\\",
+      sampleMapInput(s, dir), gplInfoInput(s, dir), patientsInput(s, dir))
+
+  /** The de_subject_sample_mapping build: 1-inner + 4-left node join chain. */
+  def loadSamplesMapping(s: SparkSession, dir: String): DataFrame =
+    loadSamples(s, dir).sampleMapping
+
+  /** Per-sample category facts (observation_fact rows). */
+  def loadSamplesFacts(s: SparkSession, dir: String): DataFrame =
+    loadSamples(s, dir).sampleFacts
 }

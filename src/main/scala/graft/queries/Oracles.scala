@@ -251,7 +251,118 @@ object Oracles {
       |  FROM orders WHERE o_orderkey % 7 = 0 AND o_custkey % 10 < 8)
       |""".stripMargin
 
+  // ---- I2B2_LOAD_SAMPLES oracle: mirrors pipeline.LoadSamples over the
+  // ---- synthesized frames of OmicsQueries (suppliers=samples,
+  // ---- regions=platforms). Generated with helpers so the five node CTEs
+  // ---- and the guarded join conditions stay consistent.
+
+  /** Substituted ontology path for a category prefix expression. */
+  private def lsPath(prefix: String): String =
+    s"""'\\Studies\\TPCH\\' || regexp_replace(replace(replace(replace(replace(replace(replace(
+       |      $prefix,
+       |      'PLATFORM', coalesce(title,'')), 'ATTR1', coalesce(attribute_1,'')),
+       |      'ATTR2', coalesce(attribute_2,'')), 'TISSUETYPE', coalesce(tissue_type,'')),
+       |      '+', '\\'), '_', ' ') || '\\', '(\\\\){2,}', '\\\\', 'g')""".stripMargin
+
+  private val LsAttrCols = Seq("PLATFORM" -> "platform", "TISSUETYPE" -> "tissue_type",
+    "ATTR1" -> "attribute_1", "ATTR2" -> "attribute_2")
+
+  /** One typed-node CTE body (PLATFORM/TISSUETYPE/ATTR1/ATTR2). */
+  private def lsTypedNode(ph: String, extra: String): String = {
+    val pre = s"substr(category_cd, 1, instr(category_cd, '$ph') + ${ph.length})"
+    val cols = LsAttrCols.map { case (oph, c) =>
+      if (oph == ph) c
+      else s"CASE WHEN instr($pre, '$oph') > 1 THEN $c ELSE '' END AS $c"
+    }.mkString(",\n      ")
+    s"""SELECT DISTINCT ${lsPath(pre)} AS leaf_node,
+       |      $pre AS category_cd,
+       |      $cols,
+       |      '$ph' AS node_type
+       |    FROM nvt WHERE category_cd LIKE '%$ph%'$extra""".stripMargin
+  }
+
+  /** Guarded attribute conditions of one typed LEFT JOIN in the mapping. */
+  private def lsJoinGuards(ph: String, alias: String): String = {
+    val pre = s"substr(a.category_cd, 1, instr(a.category_cd, '$ph') + ${ph.length})"
+    LsAttrCols.filter(_._1 != ph).map { case (oph, c) =>
+      s"    AND (CASE WHEN instr($pre, '$oph') > 1 THEN a.$c ELSE '' END) = coalesce($alias.$c, '')"
+    }.mkString("\n")
+  }
+
+  private val LsCtes =
+    s"""WITH smap AS (
+       |  SELECT CASE WHEN s_suppkey % 3 = 0 THEN '' ELSE 'SITE' || (s_suppkey % 3) END AS site_id,
+       |    s_name AS subject_id,
+       |    'SMP' || s_suppkey AS sample_cd,
+       |    'GPL' || (s_suppkey % 4) AS platform,
+       |    CASE WHEN s_suppkey % 2 = 0 THEN 'Liver' ELSE 'Blood' END AS tissue_type,
+       |    CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE 'FFPE_' || (s_suppkey % 2) END AS attribute_1,
+       |    CAST(NULL AS VARCHAR) AS attribute_2,
+       |    CASE WHEN s_suppkey % 2 = 0 THEN 'Biomarker_Data+PLATFORM+TISSUETYPE+ATTR1'
+       |         ELSE 'Biomarker_Data+TISSUETYPE+PLATFORM' END AS category_cd
+       |  FROM supplier),
+       |pats AS (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS patient_num,
+       |    regexp_replace('TPCH' || ':' ||
+       |      (CASE WHEN s_suppkey % 3 = 0 THEN '' ELSE 'SITE' || (s_suppkey % 3) END)
+       |      || ':' || s_name, ':{2,}', ':', 'g') AS sourcesystem_cd
+       |  FROM supplier WHERE s_suppkey % 17 <> 0),
+       |nv AS (
+       |  SELECT DISTINCT category_cd, coalesce(platform, 'GPL570') AS platform,
+       |    coalesce(tissue_type, 'Unspecified Tissue Type') AS tissue_type,
+       |    attribute_1, attribute_2
+       |  FROM smap),
+       |nvt AS (
+       |  SELECT nv.*, g.title FROM nv LEFT JOIN
+       |    (SELECT 'GPL' || r_regionkey AS platform, 'Chip ' || r_name AS title
+       |     FROM region WHERE upper(CASE WHEN r_regionkey = 2 THEN 'SNP' ELSE 'Gene Expression' END) = 'GENE EXPRESSION') g
+       |    USING (platform)),
+       |nodes AS (
+       |  SELECT n.*, substring(md5(leaf_node), 1, 16) AS concept_cd FROM (
+       |    SELECT DISTINCT ${lsPath("category_cd")} AS leaf_node,
+       |      category_cd, platform, tissue_type, attribute_1, attribute_2,
+       |      'LEAF' AS node_type
+       |    FROM nvt
+       |    UNION ALL ${lsTypedNode("PLATFORM", "")}
+       |    UNION ALL ${lsTypedNode("TISSUETYPE", "")}
+       |    UNION ALL ${lsTypedNode("ATTR1", " AND attribute_1 IS NOT NULL")}
+       |    UNION ALL ${lsTypedNode("ATTR2", " AND attribute_2 IS NOT NULL")}) n),
+       |m AS (
+       |  SELECT p.patient_num AS patient_id, a.site_id, a.subject_id, a.sample_cd,
+       |    ln.concept_cd AS concept_code,
+       |    a.attribute_1 AS sample_type, a1.concept_cd AS sample_type_cd,
+       |    'TPCH' AS trial_name,
+       |    a.attribute_2 AS timepoint, a2.concept_cd AS timepoint_cd,
+       |    ln.tissue_type AS tissue_type, ttp.concept_cd AS tissue_type_cd,
+       |    pn.concept_cd AS platform_cd,
+       |    ln.concept_cd || '-' || CAST(p.patient_num AS VARCHAR) AS data_uid,
+       |    a.platform AS gpl_id, a.category_cd
+       |  FROM smap a
+       |  JOIN pats p ON regexp_replace('TPCH' || ':' || coalesce(a.site_id, '')
+       |    || ':' || a.subject_id, ':{2,}', ':', 'g') = p.sourcesystem_cd
+       |  JOIN nodes ln ON ln.node_type = 'LEAF'
+       |    AND a.platform = ln.platform AND a.tissue_type = ln.tissue_type
+       |    AND coalesce(a.attribute_1, '') = coalesce(ln.attribute_1, '')
+       |    AND coalesce(a.attribute_2, '') = coalesce(ln.attribute_2, '')
+       |  LEFT JOIN nodes pn ON pn.node_type = 'PLATFORM' AND a.platform = pn.platform
+       |${lsJoinGuards("PLATFORM", "pn")}
+       |  LEFT JOIN nodes ttp ON ttp.node_type = 'TISSUETYPE' AND a.tissue_type = ttp.tissue_type
+       |${lsJoinGuards("TISSUETYPE", "ttp")}
+       |  LEFT JOIN nodes a1 ON a1.node_type = 'ATTR1' AND a.attribute_1 = a1.attribute_1
+       |${lsJoinGuards("ATTR1", "a1")}
+       |  LEFT JOIN nodes a2 ON a2.node_type = 'ATTR2' AND a.attribute_2 = a2.attribute_2
+       |${lsJoinGuards("ATTR2", "a2")})
+       |""".stripMargin
+
   val merges: Map[String, String] = Map(
+    "load_samples_mapping" -> (LsCtes + "SELECT * FROM m"),
+
+    "load_samples_facts" -> (LsCtes +
+      """SELECT DISTINCT patient_id AS patient_num, concept_code AS concept_cd,
+        |  trial_name AS modifier_cd, 'T' AS valtype_cd, 'E' AS tval_char,
+        |  trial_name AS sourcesystem_cd
+        |FROM m""".stripMargin),
+
     // Mirrors AnnotationRegistry.load over the synthesized frames of
     // OmicsQueries: organism refresh -> NOT-EXISTS probeset insert with
     // deterministic ids -> registry join -> gene_id/gene_symbol backfills.

@@ -51,19 +51,38 @@ object TsvReader {
     }.toSeq
   }
 
+  private def mangle(raw: Array[String]): Seq[String] = {
+    val counts = raw.groupBy(identity).view.mapValues(_.length).toMap
+    raw.zipWithIndex.map { case (name, i) =>
+      if (counts(name) > 1) s"$name@${i + 1}" else name
+    }.toSeq
+  }
+
   /** Read the file into a DataFrame of strings with repaired rows.
     * `strict=false` drops irreparable rows (extra non-empty cells);
     * `strict=true` fails the load on them, like the reference's
-    * IllegalStateException. */
+    * IllegalStateException.
+    *
+    * Only the FIRST non-comment line is the header: a legitimate data row
+    * that happens to equal the header line survives (the reference skips
+    * by position, not by content — CsvLikeFile.groovy:121-133). The header
+    * row is identified by the minimum `monotonically_increasing_id` (file
+    * order: partition index is split order, ids ascend within a split),
+    * costing one head scan + one min-aggregate — two driver jobs total. */
   def read(spark: SparkSession, path: String, strict: Boolean = false): DataFrame = {
     import spark.implicits._
-    val cols = header(spark, path)
+    val lines = spark.read.textFile(path)
+      .filter(l => !l.startsWith("#") && l.trim.nonEmpty)
+    val headerLine = lines.first()
+    val cols = mangle(headerLine.split("\t", -1).map(_.trim))
     val n = cols.size
-    val headerLine = spark.read.textFile(path)
-      .filter(l => !l.startsWith("#") && l.trim.nonEmpty).first()
 
-    val parsed: Dataset[Option[Seq[String]]] = spark.read.textFile(path)
-      .filter(l => !l.startsWith("#") && l.trim.nonEmpty && l != headerLine)
+    val withId = lines.withColumn("__mid", monotonically_increasing_id())
+    val headerId = withId.agg(min(col("__mid"))).first().getLong(0)
+
+    val parsed: Dataset[Option[Seq[String]]] = withId
+      .filter(col("__mid") =!= headerId)
+      .select(col("value")).as[String]
       .map { line =>
         val cells = line.split("\t", -1).map(_.trim).toSeq
         if (cells.size == n) Some(cells)

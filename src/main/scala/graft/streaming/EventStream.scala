@@ -36,46 +36,50 @@ object EventStream {
   final case class SessionOut(user_id: Long, session_start: Long,
                               session_end: Long, n_events: Int)
 
-  /** Gap-based sessionization with mapGroupsWithState: a session closes
-    * when a later event arrives more than `gapMinutes` after its last
-    * event (the batch twin is w3_sessionize, so both agree on session
-    * semantics). Production deployments add EventTimeTimeout + watermark
-    * to also close sessions on silence; kept timeout-free here so the
-    * semantics stay purely event-driven and deterministic. */
+  /** Gap-based sessionization with flatMapGroupsWithState: a session
+    * closes when a later event arrives more than `gapMinutes` after its
+    * last event (the batch twin is w3_sessionize, so both agree on session
+    * semantics). EVERY session closed within a micro-batch is emitted — a
+    * batch spanning three sessions emits two closed ones (mapGroups' one-
+    * row-per-group contract would silently drop all but the last).
+    * Production deployments add EventTimeTimeout + watermark to also close
+    * sessions on silence; kept timeout-free here so the semantics stay
+    * purely event-driven and deterministic. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
           val gapMs = gapMinutes * 60 * 1000L
           val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          // fold the batch into the running state; emit the last closed one
+          // fold the batch into the running state; emit every closed session
           var cur = state.getOption
-          var lastClosed: Option[SessionOut] = None
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           sorted.foreach { e =>
             val t = e.ts.getTime
             cur match {
               case Some(s) if t - s.lastTs <= gapMs =>
                 cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
               case Some(s) =>
-                lastClosed = Some(SessionOut(userId, s.start, s.lastTs, s.nEvents))
+                closed += SessionOut(userId, s.start, s.lastTs, s.nEvents)
                 cur = Some(SessionState(t, t, 1))
               case None =>
                 cur = Some(SessionState(t, t, 1))
             }
           }
           cur.foreach(state.update)
-          lastClosed.getOrElse(SessionOut(userId, -1L, -1L, 0))
+          closed.iterator
       }
-      .filter(_.n_events > 0)
   }
 
   /** Batch-mode smoke: run the windowed aggregation over the parquet
     * events table read as a one-shot stream (Trigger.AvailableNow). */
   def runBatchOverParquet(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir")
+    // stream ONLY the events table — the sf dir holds every table's parquet
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
     val q = windowedCounts(
       stream.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long"))))
       .writeStream

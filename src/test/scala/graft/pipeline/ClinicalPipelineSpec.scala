@@ -132,6 +132,22 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(df.count() == 3) // short row padded, trailing-empty row accepted
     assert(df.filter($"B" === "5").collect()(0).isNullAt(2))
   }
+
+  test("TsvReader keeps a data row that equals the header line") {
+    val dir = Files.createTempDirectory("graft-tsv2")
+    val f = dir.resolve("t.txt")
+    // row 2 is byte-identical to the header: only the FIRST occurrence is
+    // the header (the reference skips by position, not content)
+    Files.writeString(f,
+      """COL_A	COL_B
+        |1	2
+        |COL_A	COL_B
+        |3	4
+        |""".stripMargin)
+    val df = TsvReader.read(spark, f.toString)
+    assert(df.count() == 3)
+    assert(df.filter($"COL_A" === "COL_A").count() == 1)
+  }
 }
 
 class MergeModesMoreSpec extends SparkSpec {

@@ -33,7 +33,7 @@ class EventStreamSpec extends SparkSpec {
     val mem = MemoryStream[EventStream.Event]
     val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions")
-      .outputMode("update").start()
+      .outputMode("append").start()
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     // two bursts 2h apart -> first session closes when second burst arrives
     mem.addData(
@@ -44,6 +44,27 @@ class EventStreamSpec extends SparkSpec {
     q.processAllAvailable()
     val closed = spark.table("sessions").as[EventStream.SessionOut].collect()
     assert(closed.exists(s => s.user_id == 7 && s.n_events == 2))
+    q.stop()
+  }
+
+  test("one micro-batch spanning three sessions emits every closed one") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_multi")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // three bursts, 2h apart, all in ONE batch -> TWO closed sessions
+    mem.addData(
+      EventStream.Event(1, ts(8, 0), 7, "click", 1.0),
+      EventStream.Event(2, ts(8, 5), 7, "click", 1.0),
+      EventStream.Event(3, ts(10, 0), 7, "click", 1.0),
+      EventStream.Event(4, ts(12, 0), 7, "click", 1.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions_multi").as[EventStream.SessionOut]
+      .collect().sortBy(_.session_start)
+    assert(closed.length == 2)
+    assert(closed(0).n_events == 2 && closed(1).n_events == 1)
     q.stop()
   }
 }
