@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PathFunctions._
+
+/** Study-level maintenance operations over the whole warehouse star:
+  * the deep versions of MergeModes.moveStudy / deleteStudy.
+  *
+  *  - [[moveStudyByPath]]: the validation matrix, root-node management,
+  *    keep-security transplant and prefix rewrite of
+  *    I2B2_MOVE_STUDY_BY_PATH.sql:75-380.
+  *  - [[deleteStudy]]: the ~15-table cascade of
+  *    I2B2_DELETE_ALL_DATA.sql:100-346, including the VCF dataset
+  *    resolution (sample mapping x variant summary) that the reference
+  *    runs as a cursor loop — here one semi-join per variant table.
+  *
+  * All rewrites are functional: (Star, args) -> Star; the writer publishes
+  * the recomputed tables atomically. Every per-table step is a prefix
+  * filter or a broadcast anti/semi join — nothing here shuffles the fact
+  * table.
+  */
+object StudyOps {
+
+  /** The slice of the warehouse star touched by move/delete. Omics fact
+    * families (de_subject_*_data, trial_name-keyed) and variant tables
+    * (dataset_id-keyed) are generic maps so every reference table has a
+    * slot without 15 near-identical fields. */
+  final case class Star(
+      tableAccess: DataFrame,        // c_fullname
+      i2b2: DataFrame,               // c_fullname, c_hlevel, c_name, c_dimcode, c_tooltip, sourcesystem_cd
+      i2b2Secure: DataFrame,         // c_fullname, secure_obj_token
+      i2b2Tags: DataFrame,           // path, tag
+      conceptDimension: DataFrame,   // concept_path, concept_cd, sourcesystem_cd
+      conceptCounts: DataFrame,      // concept_path, parent_concept_path, patient_count
+      observationFact: DataFrame,    // patient_num, concept_cd, sourcesystem_cd
+      patientDimension: DataFrame,   // patient_num, sourcesystem_cd
+      patientTrial: DataFrame,       // patient_num, trial
+      sampleMapping: DataFrame,      // trial_name, assay_id, concept_code, source_cd
+      omicsData: Map[String, DataFrame],   // trial_name-keyed fact tables
+      variantDatasets: DataFrame,    // dataset_id
+      variantTables: Map[String, DataFrame], // dataset_id-keyed
+      bioExperiment: DataFrame,      // accession, title
+      bioDataUid: DataFrame,         // unique_id
+      searchSecureObject: DataFrame) // bio_data_unique_id
+
+  /** '\'||p||'\' with backslash runs collapsed — the reference's path
+    * normalization (I2B2_MOVE_STUDY_BY_PATH.sql:94-95). */
+  def normalizeInputPath(p: String): String =
+    ("\\" + p + "\\").replaceAll("\\\\{2,}", "\\\\")
+
+  /** First '\'-component as '\x\' (REGEXP '(\\[^\\]*\\).*'). */
+  def rootNode(path: String): String = {
+    val parts = path.split("\\\\").filter(_.nonEmpty)
+    if (parts.isEmpty) path else "\\" + parts.head + "\\"
+  }
+
+  private def lastComponent(path: String): String = {
+    val parts = path.split("\\\\").filter(_.nonEmpty)
+    if (parts.isEmpty) "" else parts.last
+  }
+
+  /** Validation matrix of I2B2_MOVE_STUDY_BY_PATH.sql:75-262. Returns the
+    * error message the reference would audit, or None when the move is
+    * legal. `i2b2Paths` = c_fullname set, `oldStudyPath` = min path of the
+    * moved study's trial (computed by the caller from the star). */
+  def validateMove(oldPathIn: String, newPathIn: String,
+                   pathExists: String => Boolean,
+                   oldStudyPath: Option[String]): Option[String] = {
+    if (oldPathIn == null || newPathIn == null ||
+        oldPathIn.trim.isEmpty || newPathIn.trim.isEmpty)
+      return Some("New or old path is empty. Please check input parameters")
+    val oldPath = normalizeInputPath(oldPathIn.trim)
+    val newPath = normalizeInputPath(newPathIn.trim)
+    if (oldPath == newPath)
+      return Some("Please select different old and new paths")
+    if (!pathExists(oldPath))
+      return Some("Please select exists study path to move")
+    if (rootNode(newPath) == newPath)
+      return Some("Please select new study target path: it can not be root node")
+    val isSubNode = oldStudyPath.exists(_ != oldPath)
+    if (isSubNode && oldStudyPath.exists(sp => !newPath.contains(sp) || sp == newPath))
+      return Some("Invalid target path: new subfolder path should be inside of study root")
+    // target-exists check: legal only when new path is a prefix of old
+    // (renaming a node upward), reference :219-236. In the full move this
+    // check runs AFTER the keep-security delete of the occupying study.
+    if (pathExists(newPath) && !oldPath.contains(newPath))
+      return Some("Study target path is already exists")
+    None
+  }
+
+  /** The pre-security validations only (reference :83-155): everything in
+    * [[validateMove]] except the target-exists check, which the reference
+    * evaluates after the keep-security transplant has deleted the
+    * occupying study (:219-236). */
+  private def validateMovePreSecurity(oldPathIn: String, newPathIn: String,
+                                      pathExists: String => Boolean,
+                                      oldStudyPath: Option[String]): Option[String] =
+    validateMove(oldPathIn, newPathIn,
+      p => pathExists(p) && p != normalizeInputPath(newPathIn.trim),
+      oldStudyPath)
+
+  final case class MoveResult(star: Star, error: Option[String])
+
+  /** The full move: validations -> optional keep-security transplant (incl.
+    * deleting the occupying study) -> root-node management -> prefix
+    * rewrite + c_name/level renumber. */
+  def moveStudyByPath(spark: SparkSession, star: Star,
+                      oldPathIn: String, newPathIn: String,
+                      saveSecurity: Boolean = false): MoveResult = {
+    val paths = star.i2b2.select(col("c_fullname")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val oldPath = normalizeInputPath(oldPathIn.trim)
+    val newPath = normalizeInputPath(newPathIn.trim)
+
+    val trialId = star.conceptDimension
+      .filter(col("concept_path") === oldPath)
+      .select(col("sourcesystem_cd")).collect().headOption.map(_.getString(0))
+    val oldStudyPath = trialId.flatMap { t =>
+      val r = star.i2b2.filter(col("sourcesystem_cd") === t)
+        .agg(min(col("c_fullname"))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+
+    validateMovePreSecurity(oldPathIn, newPathIn, paths.contains, oldStudyPath) match {
+      case Some(err) => return MoveResult(star, Some(err))
+      case None =>
+    }
+
+    // keep-security: when a study occupies the target path, transplant its
+    // EXP: accession onto the moved study's token and delete its data
+    // (reference :157-215)
+    val afterSecurity =
+      if (!saveSecurity) star
+      else {
+        val occupying = star.conceptDimension
+          .filter(col("concept_path") === newPath)
+          .select(col("sourcesystem_cd")).collect().headOption.map(_.getString(0))
+        occupying match {
+          case None => star // "No study found with path ... Ignoring"
+          case Some(_) =>
+            def token(p: String): Option[String] = star.i2b2Secure
+              .filter(col("c_fullname") === p)
+              .select(col("secure_obj_token")).collect().headOption
+              .map(_.getString(0).stripPrefix("EXP:"))
+            val accOld = token(oldPath)
+            val accNew = token(newPath)
+            val transplanted = (accOld, accNew) match {
+              case (Some(o), Some(n)) =>
+                star.copy(
+                  bioExperiment = star.bioExperiment
+                    .filter(col("accession") =!= o)
+                    .withColumn("accession",
+                      when(col("accession") === n, o).otherwise(col("accession"))),
+                  bioDataUid = star.bioDataUid
+                    .filter(col("unique_id") =!= s"EXP:$o")
+                    .withColumn("unique_id",
+                      when(col("unique_id") === s"EXP:$n", s"EXP:$o")
+                        .otherwise(col("unique_id"))),
+                  searchSecureObject = star.searchSecureObject
+                    .filter(col("bio_data_unique_id") =!= s"EXP:$o")
+                    .withColumn("bio_data_unique_id",
+                      when(col("bio_data_unique_id") === s"EXP:$n", s"EXP:$o")
+                        .otherwise(col("bio_data_unique_id"))))
+              case _ => star
+            }
+            deleteStudy(spark, transplanted, pathIn = Some(newPath), trialIdIn = None)
+        }
+      }
+
+    // target-exists check AFTER the keep-security delete (reference
+    // :219-236): legal only when the target no longer exists or is a
+    // prefix of the old path
+    val pathsAfter =
+      if (afterSecurity eq star) paths
+      else afterSecurity.i2b2.select(col("c_fullname")).distinct()
+        .collect().map(_.getString(0)).toSet
+    if (pathsAfter.contains(newPath) && !oldPath.contains(newPath))
+      return MoveResult(star, Some("Study target path is already exists"))
+
+    // root-node management (reference :238-308): create the new root when
+    // absent; drop the old root when the moved subtree was its only child
+    val oldRoot = rootNode(oldPath)
+    val newRoot = rootNode(newPath)
+    val withNewRoot =
+      if (pathsAfter.contains(newRoot)) afterSecurity
+      else {
+        import spark.implicits._
+        val rootRow = Seq((newRoot, lastComponent(newRoot)))
+          .toDF("c_fullname", "c_name")
+        afterSecurity.copy(
+          i2b2 = afterSecurity.i2b2.unionByName(
+            rootRow
+              .withColumn("c_hlevel", hlevel(col("c_fullname")))
+              .withColumn("c_dimcode", col("c_fullname"))
+              .withColumn("c_tooltip", col("c_fullname"))
+              .withColumn("sourcesystem_cd", lit(null).cast("string")),
+            allowMissingColumns = true),
+          tableAccess = afterSecurity.tableAccess.unionByName(
+            rootRow.select(col("c_fullname")), allowMissingColumns = true))
+      }
+
+    val otherChildren = pathsAfter.count(p =>
+      p.startsWith(oldRoot) && !p.startsWith(oldPath))
+    val afterRootGc =
+      if (oldRoot != newRoot && otherChildren == 1) // only the root itself
+        withNewRoot.copy(
+          i2b2 = withNewRoot.i2b2.filter(col("c_fullname") =!= oldRoot),
+          i2b2Secure = withNewRoot.i2b2Secure.filter(col("c_fullname") =!= oldRoot),
+          tableAccess = withNewRoot.tableAccess.filter(col("c_fullname") =!= oldRoot),
+          conceptDimension = withNewRoot.conceptDimension
+            .filter(col("concept_path") =!= oldRoot))
+      else withNewRoot
+
+    // prefix rewrite + c_name + level renumber (reference :310-380+)
+    def rewrite(c: org.apache.spark.sql.Column) =
+      when(c.startsWith(oldPath),
+        concat(lit(newPath), c.substr(lit(oldPath.length + 1), length(c))))
+        .otherwise(c)
+    val moved = afterRootGc.copy(
+      i2b2 = afterRootGc.i2b2
+        .withColumn("c_fullname", rewrite(col("c_fullname")))
+        .withColumn("c_dimcode", rewrite(col("c_dimcode")))
+        .withColumn("c_tooltip", rewrite(col("c_tooltip")))
+        .withColumn("c_name",
+          when(col("c_fullname") === newPath, lastComponent(newPath))
+            .otherwise(col("c_name")))
+        .withColumn("c_hlevel", hlevel(col("c_fullname"))),
+      i2b2Secure = afterRootGc.i2b2Secure
+        .withColumn("c_fullname", rewrite(col("c_fullname"))),
+      conceptDimension = afterRootGc.conceptDimension
+        .withColumn("concept_path", rewrite(col("concept_path"))),
+      conceptCounts = afterRootGc.conceptCounts
+        .withColumn("concept_path", rewrite(col("concept_path")))
+        .withColumn("parent_concept_path", rewrite(col("parent_concept_path"))),
+      i2b2Tags = afterRootGc.i2b2Tags
+        .withColumn("path", rewrite(col("path"))))
+    MoveResult(moved, None)
+  }
+
+  /** The delete cascade (I2B2_DELETE_ALL_DATA.sql:100-346). Give a path,
+    * a trial id, or both; a missing path is resolved as the trial's
+    * first concept path (the W1 first_value shape, :52-57). */
+  def deleteStudy(spark: SparkSession, star: Star,
+                  pathIn: Option[String], trialIdIn: Option[String]): Star = {
+    require(pathIn.isDefined || trialIdIn.isDefined,
+      "Path string and study id are null")
+    val path = pathIn.map(p => normalizeInputPath(p.trim)).orElse {
+      trialIdIn.flatMap { t =>
+        val r = star.conceptDimension.filter(col("sourcesystem_cd") === t)
+          .agg(min(col("concept_path"))).collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getString(0))
+      }
+    }
+    val trialId = trialIdIn.orElse {
+      path.flatMap { p =>
+        star.conceptDimension.filter(col("concept_path") === p)
+          .select(col("sourcesystem_cd")).collect().headOption.map(_.getString(0))
+      }
+    }.getOrElse("")
+
+    val subtree = (c: org.apache.spark.sql.Column) =>
+      path.map(p => c.startsWith(p)).getOrElse(lit(false))
+
+    // concepts under the path; facts at those concepts go
+    val victims = broadcast(star.conceptDimension
+      .filter(subtree(col("concept_path")))
+      .select(col("concept_cd")).distinct())
+
+    // VCF datasets = sample mapping x variant summary (the cursor, :14-19)
+    val vcfSummary = star.variantTables.getOrElse("de_variant_subject_summary",
+      star.variantDatasets.limit(0))
+    val vcfDatasets = broadcast(star.sampleMapping
+      .filter(col("trial_name") === trialId)
+      .select(col("assay_id"))
+      .join(vcfSummary.select(col("assay_id"), col("dataset_id")), Seq("assay_id"))
+      .select(col("dataset_id")).distinct())
+
+    val trialPatients = broadcast(star.patientDimension
+      .filter(col("sourcesystem_cd").startsWith(trialId + ":"))
+      .select(col("patient_num")).distinct())
+
+    Star(
+      tableAccess = star.tableAccess.filter(!subtree(col("c_fullname"))),
+      i2b2 = star.i2b2.filter(!subtree(col("c_fullname"))),
+      i2b2Secure = star.i2b2Secure.filter(!subtree(col("c_fullname"))),
+      i2b2Tags = star.i2b2Tags.filter(!subtree(col("path"))),
+      conceptDimension = star.conceptDimension.filter(!subtree(col("concept_path"))),
+      conceptCounts = star.conceptCounts.filter(!subtree(col("concept_path"))),
+      // facts at deleted concepts (the i2b2_delete_all_nodes cascade) plus
+      // the trial patients' SECURITY facts (:187-192) — NOT all their
+      // facts; the reference leaves cross-study facts of shared patients
+      observationFact = star.observationFact
+        .join(victims, Seq("concept_cd"), "left_anti")
+        .withColumn("__sec", col("concept_cd") === "SECURITY")
+        .join(trialPatients.withColumn("__trialpat", lit(true)),
+          Seq("patient_num"), "left")
+        .filter(!(col("__sec") && coalesce(col("__trialpat"), lit(false))))
+        .drop("__sec", "__trialpat"),
+      patientDimension = star.patientDimension
+        .filter(!col("sourcesystem_cd").startsWith(trialId + ":")),
+      patientTrial = star.patientTrial.filter(col("trial") =!= trialId),
+      sampleMapping = star.sampleMapping.filter(col("trial_name") =!= trialId),
+      omicsData = star.omicsData.view.mapValues(
+        _.filter(col("trial_name") =!= trialId)).toMap,
+      variantDatasets = star.variantDatasets
+        .join(vcfDatasets, Seq("dataset_id"), "left_anti"),
+      variantTables = star.variantTables.view.mapValues(
+        _.join(vcfDatasets, Seq("dataset_id"), "left_anti")).toMap,
+      bioExperiment = star.bioExperiment.filter(col("accession") =!= trialId),
+      bioDataUid = star.bioDataUid.filter(col("unique_id") =!= s"EXP:$trialId"),
+      searchSecureObject = star.searchSecureObject
+        .filter(col("bio_data_unique_id") =!= s"EXP:$trialId"))
+  }
+}

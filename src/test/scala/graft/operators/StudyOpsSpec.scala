@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class StudyOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A two-study warehouse: GS1 under \Public Studies\, GS2 under \Other\. */
+  private def star: StudyOps.Star = {
+    val i2b2 = Seq(
+      ("\\Public Studies\\", 1, "Public Studies", null),
+      ("\\Public Studies\\GS1\\", 2, "GS1", "GS1"),
+      ("\\Public Studies\\GS1\\Vitals\\", 3, "Vitals", "GS1"),
+      ("\\Other\\", 1, "Other", null),
+      ("\\Other\\GS2\\", 2, "GS2", "GS2"))
+      .toDF("c_fullname", "c_hlevel", "c_name", "sourcesystem_cd")
+      .withColumn("c_dimcode", col("c_fullname"))
+      .withColumn("c_tooltip", col("c_fullname"))
+    val cd = Seq(
+      ("\\Public Studies\\GS1\\", "C1", "GS1"),
+      ("\\Public Studies\\GS1\\Vitals\\", "C2", "GS1"),
+      ("\\Other\\GS2\\", "C3", "GS2"))
+      .toDF("concept_path", "concept_cd", "sourcesystem_cd")
+    StudyOps.Star(
+      tableAccess = i2b2.select(col("c_fullname")),
+      i2b2 = i2b2,
+      i2b2Secure = i2b2.select(col("c_fullname"))
+        .withColumn("secure_obj_token",
+          when(col("c_fullname").startsWith("\\Other\\GS2"), "EXP:GS2")
+            .when(col("c_fullname").startsWith("\\Public Studies\\GS1"), "EXP:GS1")
+            .otherwise("EXP:PUBLIC")),
+      i2b2Tags = Seq(("\\Public Studies\\GS1\\", "t1")).toDF("path", "tag"),
+      conceptDimension = cd,
+      conceptCounts = cd.select(col("concept_path"))
+        .withColumn("parent_concept_path", lit("\\Public Studies\\"))
+        .withColumn("patient_count", lit(1L)),
+      observationFact = Seq(
+        (101L, "C1", "GS1"), (101L, "SECURITY", "GS1"),
+        (102L, "C2", "GS1"), (201L, "C3", "GS2"), (201L, "SECURITY", "GS2"))
+        .toDF("patient_num", "concept_cd", "sourcesystem_cd"),
+      patientDimension = Seq(
+        (101L, "GS1:S1"), (102L, "GS1:S2"), (201L, "GS2:S1"))
+        .toDF("patient_num", "sourcesystem_cd"),
+      patientTrial = Seq((101L, "GS1"), (102L, "GS1"), (201L, "GS2"))
+        .toDF("patient_num", "trial"),
+      sampleMapping = Seq(("GS1", 11L, "C1", "STD"), ("GS2", 21L, "C3", "STD"))
+        .toDF("trial_name", "assay_id", "concept_code", "source_cd"),
+      omicsData = Map("de_subject_microarray_data" ->
+        Seq(("GS1", 11L, 1.0), ("GS2", 21L, 2.0))
+          .toDF("trial_name", "assay_id", "v")),
+      variantDatasets = Seq(("DS1"), ("DS2")).toDF("dataset_id"),
+      variantTables = Map(
+        "de_variant_subject_summary" ->
+          Seq(("DS1", 11L), ("DS2", 21L)).toDF("dataset_id", "assay_id"),
+        "de_variant_population_data" ->
+          Seq(("DS1", 1), ("DS2", 2)).toDF("dataset_id", "x")),
+      bioExperiment = Seq(("GS1", "Study 1"), ("GS2", "Study 2"))
+        .toDF("accession", "title"),
+      bioDataUid = Seq(("EXP:GS1"), ("EXP:GS2")).toDF("unique_id"),
+      searchSecureObject = Seq(("EXP:GS1"), ("EXP:GS2")).toDF("bio_data_unique_id"))
+  }
+
+  test("move validation matrix rejects the reference's error cases") {
+    val exists = Set("\\Public Studies\\GS1\\", "\\Public Studies\\GS1\\Vitals\\",
+      "\\Other\\GS2\\", "\\Public Studies\\", "\\Other\\")
+    def v(o: String, n: String, osp: Option[String] = Some("\\Public Studies\\GS1\\")) =
+      StudyOps.validateMove(o, n, exists.contains, osp)
+    assert(v("", "\\X\\Y\\").exists(_.contains("empty")))
+    assert(v("\\Public Studies\\GS1\\", "\\Public Studies\\GS1\\")
+      .exists(_.contains("different old and new")))
+    assert(v("\\Missing\\Path\\", "\\X\\Y\\", None)
+      .exists(_.contains("exists study path")))
+    assert(v("\\Public Studies\\GS1\\", "\\NewRoot\\")
+      .exists(_.contains("can not be root node")))
+    // sub-node moved outside its study root
+    assert(v("\\Public Studies\\GS1\\Vitals\\", "\\Other\\Vitals\\")
+      .exists(_.contains("inside of study root")))
+    // target occupied by another study
+    assert(v("\\Public Studies\\GS1\\", "\\Other\\GS2\\")
+      .exists(_.contains("already exists")))
+    // legal whole-study move
+    assert(v("\\Public Studies\\GS1\\", "\\Other\\GS1 Renamed\\").isEmpty)
+    // legal sub-node move within the study
+    assert(v("\\Public Studies\\GS1\\Vitals\\",
+      "\\Public Studies\\GS1\\Measurements\\").isEmpty)
+  }
+
+  test("whole-study move: prefix rewrite, levels, c_name, root management") {
+    val r = StudyOps.moveStudyByPath(spark, star,
+      "\\Public Studies\\GS1\\", "\\Archive\\GS1X\\")
+    assert(r.error.isEmpty)
+    val paths = r.star.i2b2.select("c_fullname").collect().map(_.getString(0)).toSet
+    assert(paths.contains("\\Archive\\GS1X\\"))
+    assert(paths.contains("\\Archive\\GS1X\\Vitals\\"))
+    assert(paths.contains("\\Archive\\")) // new root created
+    assert(!paths.contains("\\Public Studies\\")) // old root GC'd (no other child)
+    assert(paths.contains("\\Other\\GS2\\")) // other study untouched
+    val moved = r.star.i2b2.filter(col("c_fullname") === "\\Archive\\GS1X\\").collect()(0)
+    assert(moved.getAs[String]("c_name") == "GS1X")
+    val lvl = r.star.i2b2.filter(col("c_fullname") === "\\Archive\\GS1X\\Vitals\\")
+      .select("c_hlevel").collect()(0).getInt(0)
+    assert(lvl == star.i2b2.filter(col("c_fullname") === "\\Public Studies\\GS1\\Vitals\\")
+      .select("c_hlevel").collect()(0).getInt(0)) // same depth here
+    // concept_dimension moved too
+    val cps = r.star.conceptDimension.select("concept_path")
+      .collect().map(_.getString(0)).toSet
+    assert(cps.contains("\\Archive\\GS1X\\Vitals\\") && !cps.exists(_.startsWith("\\Public Studies\\GS1")))
+  }
+
+  test("keep-security transplant deletes the occupying study and keeps the old accession") {
+    // legal target-exists move requires saveSecurity; GS2 occupies the target
+    val r = StudyOps.moveStudyByPath(spark, star,
+      "\\Public Studies\\GS1\\", "\\Other\\GS2\\", saveSecurity = true)
+    // the occupying study's data is gone
+    assert(r.error.isEmpty)
+    assert(r.star.patientTrial.filter(col("trial") === "GS2").count() == 0)
+    assert(r.star.sampleMapping.filter(col("trial_name") === "GS2").count() == 0)
+    // GS1's accession survives, transplanted over GS2's slot
+    val acc = r.star.bioExperiment.select("accession").collect().map(_.getString(0)).toSet
+    assert(acc == Set("GS1"))
+    val uids = r.star.bioDataUid.select("unique_id").collect().map(_.getString(0)).toSet
+    assert(uids == Set("EXP:GS1"))
+    // and the moved paths landed at the target
+    val paths = r.star.i2b2.select("c_fullname").collect().map(_.getString(0)).toSet
+    assert(paths.contains("\\Other\\GS2\\Vitals\\"))
+  }
+
+  test("delete cascade removes the study from every table, resolves path from trial id") {
+    val d = StudyOps.deleteStudy(spark, star, pathIn = None, trialIdIn = Some("GS1"))
+    assert(d.i2b2.filter(col("c_fullname").startsWith("\\Public Studies\\GS1")).count() == 0)
+    assert(d.conceptDimension.filter(col("sourcesystem_cd") === "GS1").count() == 0)
+    // facts at GS1 concepts and GS1 patients' SECURITY facts are gone;
+    // GS2 facts survive
+    val facts = d.observationFact.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(facts == Set((201L, "C3"), (201L, "SECURITY")))
+    assert(d.patientDimension.count() == 1)
+    assert(d.patientTrial.filter(col("trial") === "GS1").count() == 0)
+    assert(d.sampleMapping.filter(col("trial_name") === "GS1").count() == 0)
+    assert(d.omicsData("de_subject_microarray_data")
+      .filter(col("trial_name") === "GS1").count() == 0)
+    // VCF cascade: GS1's assay 11 -> dataset DS1 gone from every variant table
+    assert(d.variantDatasets.collect().map(_.getString(0)).toSet == Set("DS2"))
+    assert(d.variantTables("de_variant_population_data")
+      .collect().map(_.getString(0)).toSet == Set("DS2"))
+    // security rows
+    assert(d.bioExperiment.collect().map(_.getString(0)).toSet == Set("GS2"))
+    assert(d.searchSecureObject.collect().map(_.getString(0)).toSet == Set("EXP:GS2"))
+  }
+}
