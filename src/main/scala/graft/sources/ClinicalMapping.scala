@@ -144,7 +144,9 @@ object ValidationRules {
   final case class Range(min: Option[Double], minInclusive: Boolean,
                          max: Option[Double], maxInclusive: Boolean) extends Check
 
-  final case class Rule(check: Check, condition: Condition)
+  /** `source` keeps the rule's original DSL text — the report emitter
+    * prints it verbatim (the reference's rule `description`). */
+  final case class Rule(check: Check, condition: Condition, source: String = "")
 
   private val WhenRx = """(?i)\s*,\s*when\s+"([^"]+)"\s+is\s+(.*)$""".r.unanchored
   private val EqRx = """(?i)equal\s+to\s+"([^"]+)"""".r
@@ -181,7 +183,7 @@ object ValidationRules {
       case DashRx(a, b) => Some(Range(Some(a.toDouble), true, Some(b.toDouble), true))
       case _ => None
     }
-    check.map(Rule(_, cond))
+    check.map(Rule(_, cond, s))
   }
 
   /** Compile a rule to a boolean violation Column over (value, peers). */

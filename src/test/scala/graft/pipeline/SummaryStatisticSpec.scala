@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.sources.ClinicalMapping.VariableType
+import graft.sources.ValidationRules
+
+/** Golden test of the SummaryStatistic.txt emitter — the same semantics
+  * the reference asserts line-by-line against ExpectedSummaryStatistic.txt
+  * (StatisticCollector.groovy:46-85): exact numeric stats incl. Tukey IQR,
+  * factor counts, required/missing QC, per-rule violation id lists. */
+class SummaryStatisticSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val demo = Seq(
+    ("S1", "10", "Male", "Ann"),
+    ("S2", "20", "Female", "Bob"),
+    ("S3", "30", "Female", "Cid"),
+    ("S4", "40", "", "Dee"),
+    ("S5", "", "Male", "Eve"))
+    .toDF("SUBJ_ID", "Age", "Sex", "Name")
+
+  private val vars = Seq(
+    SummaryStatistic.VariableSpec("Age", VariableType.Numerical,
+      ValidationRules.parse(
+        "required; >15; 10-35; >25, when \"Sex\" is equal to \"Male\"")),
+    SummaryStatistic.VariableSpec("Sex", VariableType.Categorical,
+      ValidationRules.parse("required")),
+    SummaryStatistic.VariableSpec("Name", VariableType.Text, Seq.empty))
+
+  test("golden report rows: stats, factor counts, QC columns") {
+    val rows = SummaryStatistic.forFile("DEMO.txt", demo, "SUBJ_ID", vars)
+      .map(_.toSeq.map(v => if (v == null) "" else v.toString))
+
+    assert(rows(0) == Seq("DEMO.txt", "Age", "Numerical", "4", "1",
+      "25.0", "25.0", "20.0", "10.0", "40.0", "12.909944", "",
+      "Yes", ">15; 10-35; >25, when \"Sex\" is equal to \"Male\"",
+      "1 missing ('S5')",
+      "Range checks failed: >15 ('S1'); 10-35 ('S4'); " +
+        ">25, when \"Sex\" is equal to \"Male\" ('S1')"))
+
+    assert(rows(1) == Seq("DEMO.txt", "Sex", "Categorical", "4", "1",
+      "", "", "", "", "", "", "Female: 2, Male: 2",
+      "Yes", "", "1 missing ('S4')", ""))
+
+    assert(rows(2) == Seq("DEMO.txt", "Name", "Text", "5", "0",
+      "", "", "", "", "", "", "", "", "", "", ""))
+  }
+
+  test("edge cases: all-empty numeric column, no required rule") {
+    val df = Seq(("S1", ""), ("S2", "")).toDF("SUBJ_ID", "V")
+    val specs = Seq(SummaryStatistic.VariableSpec("V",
+      VariableType.Numerical, ValidationRules.parse(">0")))
+    val r = SummaryStatistic.forFile("F.txt", df, "SUBJ_ID", specs)(0)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 2L)
+    assert(r.getString(14) == "") // not required -> no QC missing
+    assert(r.getString(15) == "All values are empty")
+  }
+
+  test("report frame writes the reference's 16 tab-separated columns") {
+    val df = SummaryStatistic.report(spark,
+      Seq(("DEMO.txt", demo, "SUBJ_ID", vars)))
+    assert(df.columns.toSeq == SummaryStatistic.ReportColumns)
+    assert(df.count() == 3)
+    val out = java.nio.file.Files.createTempDirectory("graft-sumstat").toString
+    SummaryStatistic.write(spark, out, Seq(("DEMO.txt", demo, "SUBJ_ID", vars)))
+    val lines = spark.read.textFile(out).collect()
+    assert(lines.exists(_.startsWith("File\tVariable\tVariable Type")))
+    assert(lines.exists(_.contains("12.909944")))
+  }
+}
