@@ -32,4 +32,25 @@ object TableWriter {
       .saveAsTable(table)
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** S7: the JDBC batch sink — the declared staging path of the reference
+    * (DataLoader batches of 100/500/1000, ClinicalDataProcessor.groovy:
+    * 238-251; SNP threads each with their own connection,
+    * SNPDataProcessor.groovy:86-115). `df.write.jdbc` gives one connection
+    * per partition writing `batchsize`-row batches — the reference's
+    * thread pool dissolves into task parallelism. `numPartitions` caps the
+    * connection count so a 1000-executor cluster doesn't open 1000
+    * connections against one staging database. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "append", batchSize: Int = 1000,
+                numPartitions: Option[Int] = None,
+                properties: java.util.Properties = new java.util.Properties()): Unit = {
+    val bounded = numPartitions.map(df.coalesce).getOrElse(df)
+    properties.setProperty("batchsize", batchSize.toString)
+    bounded.write.mode(mode).jdbc(url, table, properties)
+  }
+
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               properties: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, properties)
 }

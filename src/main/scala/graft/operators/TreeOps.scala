@@ -69,4 +69,74 @@ object TreeOps {
       .select(col(pathCol),
         when(col("n_children").isNotNull, lit("FA")).otherwise(lit("LA")).as("c_visualattributes"))
   }
+
+  final case class NodeTables(conceptDimension: DataFrame, i2b2: DataFrame,
+                              observationFact: DataFrame)
+
+  /** Explicit node add (I2B2_ADD_NODES.sql:41-96): replace each listed
+    * path — facts at the replaced nodes' basecodes are dropped, the
+    * concept_dimension / i2b2 rows are rebuilt with folder ('FA')
+    * attributes. Concept codes are md5(path) prefixes (the reference draws
+    * nextval(concept_id); deterministic ids keep runs reproducible). */
+  def addNodes(spark: org.apache.spark.sql.SparkSession, t: NodeTables,
+               newPaths: Seq[String], trialId: Option[String]): NodeTables = {
+    if (newPaths.isEmpty) return t
+    import spark.implicits._
+    val pathsDf = broadcast(newPaths.toDF("c_fullname"))
+    val replacedCodes = broadcast(t.i2b2
+      .join(pathsDf, Seq("c_fullname"), "left_semi")
+      .select(col("c_basecode").as("concept_cd")).distinct())
+    val fresh = newPaths.toDF("concept_path")
+      .withColumn("concept_cd", substring(md5(col("concept_path")), 1, 16))
+      .withColumn("name_char", lastPathComponent(col("concept_path")))
+      .withColumn("sourcesystem_cd",
+        trialId.map(lit(_)).getOrElse(lit(null).cast("string")))
+    NodeTables(
+      conceptDimension = t.conceptDimension
+        .join(broadcast(pathsDf.withColumnRenamed("c_fullname", "concept_path")),
+          Seq("concept_path"), "left_anti")
+        .unionByName(fresh, allowMissingColumns = true),
+      i2b2 = t.i2b2.join(pathsDf, Seq("c_fullname"), "left_anti")
+        .unionByName(fresh.select(
+          col("concept_path").as("c_fullname"),
+          hlevel(col("concept_path")).as("c_hlevel"),
+          col("name_char").as("c_name"),
+          lit("FA").as("c_visualattributes"),
+          col("concept_cd").as("c_basecode"),
+          col("sourcesystem_cd")), allowMissingColumns = true),
+      observationFact = t.observationFact
+        .join(replacedCodes, Seq("concept_cd"), "left_anti"))
+  }
+
+  /** Hidden-node cleanup (I2B2_LOAD_CLINICAL_DATA.sql:1513-1524 +
+    * I2B2_DELETE_1_NODE.sql): the reference loops i2b2_delete_1_node over
+    * every node under topNode whose second visualattr char is 'H'; here
+    * one set-based pass removes the hidden nodes' facts (via basecode),
+    * concepts and metadata rows. */
+  def deleteHiddenNodes(t: NodeTables, topNode: String): NodeTables = {
+    val hidden = broadcast(t.i2b2
+      .filter(col("c_fullname").startsWith(topNode) &&
+        substring(col("c_visualattributes"), 2, 1) === "H")
+      .select(col("c_fullname"), col("c_basecode")))
+    deleteNodeSet(t, hidden)
+  }
+
+  /** Single-node delete (I2B2_DELETE_1_NODE.sql:59-131) — exact path. */
+  def deleteNode(t: NodeTables, path: String): NodeTables = {
+    if (path == null || path.isEmpty || path == "%") return t
+    deleteNodeSet(t, broadcast(
+      t.i2b2.filter(col("c_fullname") === path)
+        .select(col("c_fullname"), col("c_basecode"))))
+  }
+
+  private def deleteNodeSet(t: NodeTables, victims: DataFrame): NodeTables =
+    NodeTables(
+      conceptDimension = t.conceptDimension.join(
+        victims.select(col("c_fullname").as("concept_path")),
+        Seq("concept_path"), "left_anti"),
+      i2b2 = t.i2b2.join(victims.select(col("c_fullname")),
+        Seq("c_fullname"), "left_anti"),
+      observationFact = t.observationFact.join(
+        victims.select(col("c_basecode").as("concept_cd")).distinct(),
+        Seq("concept_cd"), "left_anti"))
 }

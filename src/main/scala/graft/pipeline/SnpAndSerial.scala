@@ -1,18 +1,49 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.MetadataXml
+import graft.sources.TsvReader
 
 /** The two small datatype loads not covered by the shared omics pipeline. */
 object SnpAndSerial {
 
+  /** SNP calls file family -> lt_snp_calls_by_gsm
+    * (SNPDataProcessor.groovy:117-120): TSV with header GSM_NUM SNP_NAME
+    * SNP_CALLS, CsvLikeFile semantics (comment skip, row repair). The
+    * reference loads each file on a 4-thread pool with JDBC batches; here
+    * every file is one distributed scan and the union is task-parallel. */
+  def readSnpCalls(spark: SparkSession, paths: Seq[String]): DataFrame =
+    paths.map { p =>
+      TsvReader.read(spark, p).select(
+        col("GSM_NUM").as("gsm_num"),
+        col("SNP_NAME").as("snp_name"),
+        col("SNP_CALLS").as("snp_calls"))
+    }.reduce(_ unionByName _)
+
+  /** SNP copy-number file family -> lt_snp_copy_number
+    * (SNPDataProcessor.groovy:122-128): GSM_NUM SNP_NAME CHROM CHROM_POS
+    * COPY_NUMBER with the reference's long/double casts. */
+  def readSnpCopyNumber(spark: SparkSession, paths: Seq[String]): DataFrame =
+    paths.map { p =>
+      TsvReader.read(spark, p).select(
+        col("GSM_NUM").as("gsm_num"),
+        col("SNP_NAME").as("snp_name"),
+        col("CHROM").as("chrom"),
+        col("CHROM_POS").cast("long").as("chrom_pos"),
+        col("COPY_NUMBER").cast("double").as("copy_number"))
+    }.reduce(_ unionByName _)
+
   /** SNP: calls FULL OUTER copy-number on (gsm, snp_name), keys coalesced
-    * (I2B2_PROCESS_SNP_DATA.sql:108-117). The reference loads the two file
-    * families on a 4-thread pool; here both sides are DataFrames and the
-    * parallelism is task-level. */
+    * (I2B2_PROCESS_SNP_DATA.sql:108-117). */
   def mergeSnp(calls: DataFrame, copyNumber: DataFrame): DataFrame =
     calls.join(copyNumber, Seq("gsm_num", "snp_name"), "full_outer")
+
+  /** End-to-end SNP file load: read both families and merge. */
+  def loadSnp(spark: SparkSession, callsFiles: Seq[String],
+              copyNumberFiles: Seq[String]): DataFrame =
+    mergeSnp(readSnpCalls(spark, callsFiles),
+      readSnpCopyNumber(spark, copyNumberFiles))
 
   /** Serial-HDD (time-series) concepts: stamp each TIMEPOINT node with its
     * ValueMetadata XML — the UPDATE..FROM at I2B2_PROCESS_SERIAL_HDD_DATA

@@ -56,17 +56,105 @@ object OmicsSources {
     (meta, out)
   }
 
-  /** S9: study metadata file — header-name -> attribute fuzzy mapping with
-    * multi-line value continuation (MetaDataProcessor.groovy:35-220).
-    * Returns attribute -> value. */
-  def readStudyMetadata(spark: SparkSession, path: String): Map[String, String] = {
-    val df = TsvReader.read(spark, path)
-    val cols = df.columns.map(_.toUpperCase.replaceAll("[^A-Z0-9]+", "_"))
-    df.collect().headOption.map { row =>
-      cols.zipWithIndex.collect {
-        case (name, i) if !row.isNullAt(i) => name -> row.getString(i)
-      }.toMap
-    }.getOrElse(Map.empty)
+  /** The reference's fuzzy header-name -> attribute regexes, in its
+    * if-else-chain priority order; each header column takes the FIRST
+    * matching pattern, a later duplicate header overrides the slot
+    * (MetaDataProcessor.groovy:150-192). Full case-insensitive match. */
+  val MetadataAttrPatterns: Seq[(String, String)] = Seq(
+    "study_id" -> """Accession \(Internal study_id\)""",
+    "title" -> "Title",
+    "description" -> "Description",
+    "study_design" -> "Study design",
+    "completion_date" -> "Completion date",
+    "pi" -> "PI",
+    "institution" -> "Institution",
+    "biomarker_type" -> "Biomarker Type",
+    "access_type" -> "Access Type",
+    "study_owner" -> "Study Owner",
+    "study_phase" -> "Study Phase",
+    "blinding_procedure" -> "Blinding Procedure",
+    "study_type" -> "Study Type",
+    "duration_of_study" -> "Duration of Study",
+    "number_of_patients" -> "Number of Patients",
+    "number_of_sites" -> "Number of Sites",
+    "route_of_administration" -> "Route of Administration",
+    "dosing_regimen" -> "Dosing Regimen",
+    "group_assignment" -> "Group Assignment",
+    "type_of_control" -> "Type of Control",
+    "primary_endpoints" -> "Primary Endpoints",
+    "secondary_endpoints" -> "Secondary Endpoints",
+    "inclusion_criteria" -> "Inclusion Criteria",
+    "exclusion_criteria" -> "Exclusion Criteria",
+    "subjects" -> "Subjects",
+    "gender_restriction" -> "Gender Restriction",
+    "min_age" -> "Min.* Age",
+    "max_age" -> "Max.* Age",
+    "secondary_ids" -> "Secondary IDs",
+    "development_partner" -> "Development Partner",
+    "geo_platform" -> "GEO Platform",
+    "main_findings" -> "Main Findings",
+    "area" -> "Area",
+    "drug_name" -> "Drug name",
+    "condition" -> "Condition",
+    "species" -> "(Species|Organism)")
+
+  /** trim + strip ONE pair of surrounding quotes, DOTALL for multi-line
+    * values (MetaDataProcessor.groovy:288-295). */
+  private def fixMetaColumn(s: String): String = {
+    if (s == null) return ""
+    val t = s.trim
+    "(?s)^\"(.+)\"$".r.replaceFirstIn(t, "$1")
+  }
+
+  /** S9: study metadata file — the ~36-attribute fuzzy header map plus
+    * multi-line value continuation (a quoted cell may span lines; the
+    * continuation joins with \n into the previous row's last cell until a
+    * line whose first cell closes the quote —
+    * MetaDataProcessor.groovy:195-224). One row per study; species
+    * defaults to 'Homo Sapiens'. Parsed driver-side like the reference —
+    * metadata files are one-row-per-study small. */
+  def readStudyMetadata(spark: SparkSession, path: String): Seq[Map[String, String]] = {
+    import spark.implicits._
+    parseStudyMetadata(spark.read.textFile(path).collect().toSeq)
+  }
+
+  def parseStudyMetadata(lines: Seq[String]): Seq[Map[String, String]] = {
+    if (lines.isEmpty) return Seq.empty
+    val header = lines.head.split("\t", -1).map(fixMetaColumn)
+    val mapping = scala.collection.mutable.LinkedHashMap[String, Int]()
+    header.zipWithIndex.foreach { case (h, i) =>
+      MetadataAttrPatterns.find { case (_, rx) => ("(?i)" + rx).r.matches(h) }
+        .foreach { case (attr, _) => mapping(attr) = i }
+    }
+    require(mapping.contains("study_id"), "Study ID column is not defined")
+
+    val out = Seq.newBuilder[Map[String, String]]
+    var prev = scala.collection.mutable.Buffer.empty[String]
+    lines.tail.zipWithIndex.foreach { case (line, idx) =>
+      var cols = line.split("\t", -1).toBuffer
+      if (prev.nonEmpty) {
+        val firstCol = cols.headOption.getOrElse("")
+        prev(prev.size - 1) = prev.last + "\n" + firstCol
+        if (cols.size > 1) prev ++= cols.drop(1)
+        cols = prev.clone()
+        if (firstCol.matches("[^\"]*\"")) prev = scala.collection.mutable.Buffer.empty
+        else { prev = cols.clone(); cols = scala.collection.mutable.Buffer.empty }
+      }
+      if (cols.nonEmpty) {
+        if (cols.last.matches("\"[^\"]+") || cols.size < 2) {
+          prev = cols.clone() // beginning of a multi-line value
+        } else if (cols.head.nonEmpty) {
+          val row = mapping.collect {
+            case (attr, i) if i < cols.size && fixMetaColumn(cols(i)).nonEmpty =>
+              attr -> fixMetaColumn(cols(i))
+          }.toMap
+          require(row.contains("study_id") && row.contains("title"),
+            s"Study ID or Title are not defined at line ${idx + 2}")
+          out += (row + ("species" -> row.getOrElse("species", "Homo Sapiens")))
+        }
+      }
+    }
+    out.result()
   }
 
   /** S5: GWAS-PLINK binary fileset — `.bed/.bim/.fam` via the binaryFile

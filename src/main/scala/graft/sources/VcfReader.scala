@@ -96,6 +96,52 @@ object VcfReader {
   def explodeRsIds(df: DataFrame): DataFrame =
     df.withColumn("probeset_id", explode(split(col("rs_id"), ";")))
 
+  /** de_variant_subject_summary rows with the reference's R/V encoding
+    * (VCFDataProcessor.groovy:201-254):
+    *
+    *  - per allele: '0' contributes (REF sequence, 'R'); a positive index
+    *    contributes (ALT[i-1], 'V'); '.' contributes nothing
+    *  - diploid genotypes join the two contributions with the original
+    *    separator ('/' or '|') in BOTH variant and variantFormat, so
+    *    './.' yields variant "/" and format "/"
+    *  - haploid: single contribution, no separator
+    *  - reference flag: every present allele is 0 ('.' counts as absent;
+    *    a haploid '.' is NOT reference)
+    *  - one row per sample per probeset id (rs_id `;`-explode)
+    */
+  def subjectSummary(variants: DataFrame, sampleIds: Seq[String],
+                     trialId: String): DataFrame = {
+    val e = explodeRsIds(explodeSamples(variants, sampleIds))
+    val alts = split(col("alt"), ",")
+    def isNum(a: Column) = a.rlike("^[0-9]+$")
+    def vPart(a: Column): Column =
+      when(a === "0", col("ref"))
+        .when(isNum(a), coalesce(try_element_at(alts, a.cast("int")), lit("")))
+        .otherwise(lit(""))
+    def fPart(a: Column): Column =
+      when(a === "0", lit("R")).when(isNum(a), lit("V")).otherwise(lit(""))
+    def refOrMissing(a: Column): Column = !isNum(a) || a === "0"
+    val a1 = coalesce(col("allele1"), lit(""))
+    val a2 = coalesce(col("allele2"), lit(""))
+    val haploid = coalesce(col("allele_sep"), lit("")) === ""
+    e.withColumn("variant",
+        when(haploid, vPart(a1))
+          .otherwise(concat(vPart(a1), col("allele_sep"), vPart(a2))))
+      .withColumn("variant_format",
+        when(haploid, fPart(a1))
+          .otherwise(concat(fPart(a1), col("allele_sep"), fPart(a2))))
+      .withColumn("reference",
+        when(haploid, a1 === "0")
+          .otherwise(refOrMissing(a1) && refOrMissing(a2)))
+      .withColumn("allele1_num", when(isNum(a1), a1.cast("int")))
+      .withColumn("allele2_num", when(isNum(a2), a2.cast("int")))
+      .select(
+        lit(trialId).as("trial_name"), col("sample_id"), col("probeset_id"),
+        col("chrom"), col("pos"), col("variant"), col("variant_format"),
+        col("variant_type"), col("reference"),
+        col("allele1_num").as("allele1"), col("allele2_num").as("allele2"))
+  }
+
   /** P5: INFO explode — declared fields x value index -> typed rows
     * (VCFDataProcessor.groovy:168-199). Flags get value "1"; numeric
     * fields land in int_value/float_value per declaration. */

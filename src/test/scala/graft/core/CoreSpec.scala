@@ -74,6 +74,25 @@ class SnpAndSerialSpec extends SparkSpec {
     assert(m.filter($"snp_name" === "rs3").collect()(0).getAs[String]("call") == null)
   }
 
+  test("SNP per-sample file readers: calls + copy-number formats, typed casts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snp")
+    java.nio.file.Files.writeString(dir.resolve("c1.txt"),
+      "GSM_NUM\tSNP_NAME\tSNP_CALLS\ng1\trs1\tAA\ng1\trs2\tAB\n")
+    java.nio.file.Files.writeString(dir.resolve("c2.txt"),
+      "GSM_NUM\tSNP_NAME\tSNP_CALLS\ng2\trs1\tBB\n")
+    java.nio.file.Files.writeString(dir.resolve("cn1.txt"),
+      "GSM_NUM\tSNP_NAME\tCHROM\tCHROM_POS\tCOPY_NUMBER\ng1\trs2\t1\t1250\t1.5\n")
+    val merged = SnpAndSerial.loadSnp(spark,
+      Seq(dir.resolve("c1.txt").toString, dir.resolve("c2.txt").toString),
+      Seq(dir.resolve("cn1.txt").toString))
+    assert(merged.count() == 3)
+    val rs2 = merged.filter($"snp_name" === "rs2").collect()(0)
+    assert(rs2.getAs[String]("snp_calls") == "AB")
+    assert(rs2.getAs[Long]("chrom_pos") == 1250L)
+    assert(rs2.getAs[Double]("copy_number") == 1.5)
+    assert(merged.schema("chrom_pos").dataType.typeName == "long")
+  }
+
   test("series metadata stamping + unparseable detection") {
     val nodes = Seq("Baseline", "Week 2", "not a timepoint").toDF("c_name")
     val stamped = SnpAndSerial.stampSeriesMetadata(nodes, "c_name")
@@ -101,5 +120,17 @@ class TableWriterSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
       assert(joined.count() == 1000)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("JDBC sink round-trip (embedded derby): append mode, bounded connections") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby")
+    val url = s"jdbc:derby:$dbDir/stage;create=true"
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    TableWriter.writeJdbc(df, url, "lt_stage", mode = "overwrite",
+      batchSize = 25, numPartitions = Some(2))
+    TableWriter.writeJdbc(df.limit(10), url, "lt_stage") // append (default)
+    val back = TableWriter.readJdbc(spark, url, "lt_stage")
+    assert(back.count() == 110)
+    assert(back.filter($"id" === 1L).count() == 2)
   }
 }

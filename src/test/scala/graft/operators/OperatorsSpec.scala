@@ -39,6 +39,44 @@ class TreeOpsSpec extends SparkSpec {
   }
 }
 
+class NodeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tables = TreeOps.NodeTables(
+    conceptDimension = Seq(("\\T\\A\\", "CA", "GS1"), ("\\T\\B\\", "CB", "GS1"))
+      .toDF("concept_path", "concept_cd", "sourcesystem_cd"),
+    i2b2 = Seq(
+      ("\\T\\A\\", 2, "A", "LA", "CA", "GS1"),
+      ("\\T\\B\\", 2, "B", "LH", "CB", "GS1")) // B hidden (2nd attr char H)
+      .toDF("c_fullname", "c_hlevel", "c_name", "c_visualattributes",
+        "c_basecode", "sourcesystem_cd"),
+    observationFact = Seq((1L, "CA"), (2L, "CB"), (3L, "CX"))
+      .toDF("patient_num", "concept_cd"))
+
+  test("addNodes replaces listed paths, drops their facts, deterministic codes") {
+    val r = TreeOps.addNodes(spark, tables, Seq("\\T\\A\\", "\\T\\New\\"), Some("GS1"))
+    // replaced node CA's facts gone, others kept
+    assert(r.observationFact.collect().map(_.getAs[String]("concept_cd")).toSet == Set("CB", "CX"))
+    val cd = r.conceptDimension.collect()
+      .map(x => x.getAs[String]("concept_path") -> x.getAs[String]("concept_cd")).toMap
+    assert(cd.keySet == Set("\\T\\A\\", "\\T\\B\\", "\\T\\New\\"))
+    assert(cd("\\T\\A\\") != "CA" && cd("\\T\\A\\").length == 16) // re-minted code
+    val added = r.i2b2.filter($"c_fullname" === "\\T\\New\\").collect()(0)
+    assert(added.getAs[String]("c_visualattributes") == "FA")
+    assert(added.getAs[String]("c_name") == "New")
+    assert(added.getAs[Int]("c_hlevel") == 2)
+  }
+
+  test("hidden-node cleanup removes H nodes with their facts; deleteNode exact path") {
+    val r = TreeOps.deleteHiddenNodes(tables, "\\T\\")
+    assert(r.i2b2.collect().map(_.getAs[String]("c_fullname")).toSeq == Seq("\\T\\A\\"))
+    assert(r.observationFact.collect().map(_.getAs[String]("concept_cd")).toSet == Set("CA", "CX"))
+    val one = TreeOps.deleteNode(tables, "\\T\\A\\")
+    assert(one.i2b2.collect().map(_.getAs[String]("c_fullname")).toSeq == Seq("\\T\\B\\"))
+    assert(TreeOps.deleteNode(tables, "%").i2b2.count() == 2) // guard: no-op
+  }
+}
+
 class EavSpec extends SparkSpec {
   import spark.implicits._
 

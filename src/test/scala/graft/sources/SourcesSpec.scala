@@ -71,10 +71,59 @@ class VcfReaderSpec extends SparkSpec {
     assert(df.filter($"pos" === 100).select("probeset_id")
       .collect().map(_.getString(0)).toSeq == Seq("rs1", "rs2"))
   }
+
+  test("subject summary: R/V variant + variantFormat encoding, reference flag") {
+    val ss = VcfReader.subjectSummary(
+      VcfReader.variants(spark, vcfPath), Seq("S1", "S2"), "TR1")
+    def row(pos: Long, s: String, probe: String) =
+      ss.filter($"pos" === pos && $"sample_id" === s && $"probeset_id" === probe)
+        .collect()(0)
+    val het = row(100L, "S1", "rs1") // 0/1 on REF=A ALT=G
+    assert(het.getAs[String]("variant") == "A/G")
+    assert(het.getAs[String]("variant_format") == "R/V")
+    assert(!het.getAs[Boolean]("reference"))
+    assert(het.getAs[Int]("allele1") == 0 && het.getAs[Int]("allele2") == 1)
+    val hom = row(100L, "S2", "rs2") // 1|1, pipe separator preserved
+    assert(hom.getAs[String]("variant") == "G|G")
+    assert(hom.getAs[String]("variant_format") == "V|V")
+    val miss = row(200L, "S1", "rs3") // './.' -> empty contributions
+    assert(miss.getAs[String]("variant") == "/")
+    assert(miss.getAs[String]("variant_format") == "/")
+    assert(miss.getAs[Boolean]("reference")) // both alleles absent
+    assert(miss.isNullAt(miss.fieldIndex("allele1")))
+    val refAlt2 = row(200L, "S2", "rs3") // 0/2 on REF=AT ALT=A,ATT
+    assert(refAlt2.getAs[String]("variant") == "AT/ATT")
+    assert(refAlt2.getAs[String]("variant_format") == "R/V")
+    assert(!refAlt2.getAs[Boolean]("reference"))
+    assert(ss.filter($"pos" === 100).count() == 4) // 2 samples x 2 probesets
+  }
 }
 
 class OmicsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("study metadata: fuzzy headers, multi-line continuation, species default") {
+    val lines = Seq(
+      "Accession (Internal study_id)\tTITLE\tStudy Design\tOverall Description\tNumber of Patients",
+      "GS1\tStudy One\t\"multi", // quoted cell spans three lines
+      "line",
+      "design\"\tA description\t42",
+      "GS2\tStudy Two\tsimple\t\t7")
+    val rows = OmicsSources.parseStudyMetadata(lines)
+    assert(rows.length == 2)
+    val gs1 = rows(0)
+    assert(gs1("study_id") == "GS1" && gs1("title") == "Study One")
+    assert(gs1("study_design") == "multi\nline\ndesign") // quotes stripped
+    assert(gs1("number_of_patients") == "42")
+    assert(gs1("species") == "Homo Sapiens") // default when absent
+    // 'Overall Description' must NOT fuzzy-match 'Description' (full match)
+    assert(!gs1.contains("description"))
+    assert(rows(1)("study_design") == "simple")
+    // missing study-id column fails like the reference
+    intercept[IllegalArgumentException] {
+      OmicsSources.parseStudyMetadata(Seq("Title\tPI", "T\tx"))
+    }
+  }
 
   test("matrix melt skips empties and types intensities") {
     val m = Seq(("p1", "1.5", "2.0"), ("p2", "", "3.25")).toDF("ID_REF", "GSM1", "GSM2")
