@@ -70,6 +70,8 @@ object SparkEntry {
     "merge_update" -> (MergeQueries.mergeUpdate _),
     "merge_append" -> (MergeQueries.mergeAppend _),
     "merge_update_variables" -> (MergeQueries.mergeUpdateVariables _),
+    "study_move" -> (MergeQueries.studyMove _),
+    "study_delete" -> (MergeQueries.studyDelete _),
     "annotation_registry" -> (OmicsQueries.annotationRegistry _),
     "load_samples_mapping" -> (OmicsQueries.loadSamplesMapping _),
     "load_samples_facts" -> (OmicsQueries.loadSamplesFacts _),

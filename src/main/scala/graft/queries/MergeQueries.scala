@@ -54,6 +54,36 @@ object MergeQueries {
   def mergeAppend(s: SparkSession, dir: String): DataFrame =
     MergeModes.append(oldFacts(s, dir), newFacts(s, dir), "STUDY_A")
 
+  /** Ontology nodes synthesized from region x nation for the move/delete
+    * queries: one node per nation under its region's study root. */
+  private def pathNodes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("n_nationkey").cast("long").as("node_id"),
+        concat(lit("\\Public Studies\\"), col("r_name"), lit("\\"),
+          col("n_name"), lit("\\")).as("c_fullname"))
+
+  /** Study move (I2B2_MOVE_STUDY_BY_PATH prefix rewrite + level renumber)
+    * under the gate: the AMERICA subtree moves to a deeper archive path,
+    * every other node keeps its path; hlevel recomputed from the result. */
+  def studyMove(s: SparkSession, dir: String): DataFrame =
+    MergeModes.moveStudy(pathNodes(s, dir), "c_fullname",
+      "\\Public Studies\\AMERICA\\", "\\Archive\\2026\\AMERICA Moved\\")
+
+  /** Study delete (J8 subtree predicate, I2B2_DELETE_ALL_DATA node sweep):
+    * facts under the ASIA study root vanish, the rest survive. */
+  def studyDelete(s: SparkSession, dir: String): DataFrame = {
+    val facts = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("c_custkey").cast("long").as("patient_num"),
+        concat(lit("\\Public Studies\\"), col("r_name"), lit("\\"),
+          col("n_name"), lit("\\")).as("leaf_node"))
+    MergeModes.deleteStudy(facts, "\\Public Studies\\ASIA\\")
+  }
+
   /** Two patterns, each matching exactly one of the five priority paths —
     * the reference's "replace single matching categorical subtree" rule. */
   def mergeUpdateVariables(s: SparkSession, dir: String): DataFrame = {

@@ -452,6 +452,32 @@ object Oracles {
         |    AND n.usubjid = o.usubjid AND n.leaf_node = o.leaf_node)
         |UNION ALL SELECT * FROM new""".stripMargin),
 
+    "study_move" ->
+      """WITH nodes AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS node_id,
+        |    '\Public Studies\' || r_name || '\' || n_name || '\' AS c_fullname
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |moved AS (
+        |  SELECT node_id,
+        |    CASE WHEN starts_with(c_fullname, '\Public Studies\AMERICA\')
+        |         THEN '\Archive\2026\AMERICA Moved\' ||
+        |              substr(c_fullname, len('\Public Studies\AMERICA\') + 1)
+        |         ELSE c_fullname END AS c_fullname
+        |  FROM nodes)
+        |SELECT node_id, c_fullname,
+        |  CAST(len(list_filter(string_split(c_fullname, '\'), x -> len(x) > 0)) AS INT)
+        |    AS c_hlevel
+        |FROM moved""".stripMargin,
+
+    "study_delete" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS patient_num,
+        |  '\Public Studies\' || r_name || '\' || n_name || '\' AS leaf_node
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE NOT starts_with('\Public Studies\' || r_name || '\' || n_name || '\',
+        |  '\Public Studies\ASIA\')""".stripMargin,
+
     "merge_update_variables" -> (MergeCtes +
       """, victims AS (
         |  SELECT DISTINCT leaf_node FROM old
