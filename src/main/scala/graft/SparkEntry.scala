@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),
     "f5_visit_suppress" -> (Remaining.f5VisitSuppress _),
+    "f8_validation" -> (Remaining.f8Validation _),
     "a6_probe_avg" -> (Remaining.a6ProbeAvg _),
     "a11_min_record" -> (Remaining.a11MinRecord _),
     "seq_surrogate_ids" -> (Remaining.seqSurrogateIds _),

@@ -114,6 +114,31 @@ object Oracles {
         |  ',+$', '', 'g')) AS clean
         |FROM d""".stripMargin,
 
+    // each branch re-derives the rule predicate independently of the
+    // ValidationRules compiler
+    "f8_validation" ->
+      """WITH c AS (
+        |  SELECT c_name, CAST(c_acctbal AS VARCHAR) AS v, c_mktsegment FROM customer)
+        |SELECT 'required' AS rule,
+        |  CAST(sum(CASE WHEN length(coalesce(v, '')) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  coalesce(string_agg(CASE WHEN length(coalesce(v, '')) = 0 THEN c_name END, ',' ORDER BY c_name), '') AS violator_ids
+        |FROM c
+        |UNION ALL
+        |SELECT '>0',
+        |  CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  coalesce(string_agg(CASE WHEN TRY_CAST(v AS DOUBLE) <= 0 THEN c_name END, ',' ORDER BY c_name), '')
+        |FROM c
+        |UNION ALL
+        |SELECT 'between 100 to 5000',
+        |  CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) < 100 OR TRY_CAST(v AS DOUBLE) > 5000 THEN 1 ELSE 0 END) AS BIGINT),
+        |  coalesce(string_agg(CASE WHEN TRY_CAST(v AS DOUBLE) < 100 OR TRY_CAST(v AS DOUBLE) > 5000 THEN c_name END, ',' ORDER BY c_name), '')
+        |FROM c
+        |UNION ALL
+        |SELECT '<9000, when "c_mktsegment" is equal to "BUILDING"',
+        |  CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' AND TRY_CAST(v AS DOUBLE) >= 9000 THEN 1 ELSE 0 END) AS BIGINT),
+        |  coalesce(string_agg(CASE WHEN c_mktsegment = 'BUILDING' AND TRY_CAST(v AS DOUBLE) >= 9000 THEN c_name END, ',' ORDER BY c_name), '')
+        |FROM c""".stripMargin,
+
     "f6_usubjid" ->
       """SELECT c_custkey,
         |  regexp_replace(concat_ws(':', 'TRIAL1',

@@ -128,6 +128,27 @@ object Remaining {
         (round(col("zscore"), 4) + lit(0.0)).as("zscore"))
   }
 
+  /** F8: the row-level validation-rule DSL under the gate — the production
+    * ValidationRules compiler runs four rule shapes (required, one-sided
+    * range, between-range, conditional range) over customer balances; one
+    * row per rule with the violation count and the sorted violator list.
+    * DuckDB recomputes each predicate independently. */
+  def f8Validation(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ValidationRules
+    val c = t(s, dir, "customer").select(
+      col("c_name"), col("c_acctbal").cast("string").as("v"), col("c_mktsegment"))
+    val rules = ValidationRules.parse(
+      "required; >0; between 100 to 5000; <9000, when \"c_mktsegment\" is equal to \"BUILDING\"")
+    rules.map { r =>
+      val bad = ValidationRules.violates(r, col("v"), col(_))
+      c.agg(
+        sum(when(bad, 1L).otherwise(0L)).as("n_violations"),
+        array_join(sort_array(collect_list(when(bad, col("c_name")))), ",")
+          .as("violator_ids"))
+        .withColumn("rule", lit(r.source))
+    }.reduce(_ unionByName _)
+  }
+
   /** §2.9 sequences: deterministic surrogate ids — distributed dense rank
     * over a total order replaces nextval() (stable across runs, which the
     * reference's sequences are not; SURVEY §7.3). Uses [[graft.core.Ids

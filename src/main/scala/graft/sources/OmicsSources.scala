@@ -178,6 +178,42 @@ object OmicsSources {
     (blobs, fam)
   }
 
+  /** S5 LOB store: the reference compresses `.bed/.bim/.fam` into a LOB
+    * table (GWASPlinkDataProcessor.groovy:94-100,130-142, LZO codec). The
+    * container has no LZO implementation, so the codec here is Deflate
+    * (java.util.zip) — same shape (study_id, file_name, raw_length,
+    * compressed bytes), documented codec swap. [[inflate]] is the
+    * round-trip check. */
+  def plinkLobTable(blobs: DataFrame, studyId: String): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val deflateUdf = udf { (b: Array[Byte]) => deflate(b) }
+    blobs.select(
+      lit(studyId).as("study_id"),
+      regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+      col("length").as("raw_length"),
+      deflateUdf(col("content")).as("content_compressed"))
+  }
+
+  def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length / 2))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  def inflate(b: Array[Byte]): Array[Byte] = {
+    val i = new java.util.zip.Inflater()
+    i.setInput(b)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 2))
+    val buf = new Array[Byte](8192)
+    while (!i.finished()) out.write(buf, 0, i.inflate(buf))
+    i.end()
+    out.toByteArray
+  }
+
   /** Validate a `.fam` frame; returns violation messages. */
   def validateFam(fam: DataFrame): Seq[String] = {
     if (fam.columns.isEmpty) return Seq("no .fam file")

@@ -125,6 +125,21 @@ class OmicsSpec extends SparkSpec {
     }
   }
 
+  test("PLINK LOB table: deflate round-trip preserves bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plink")
+    val bytes = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    java.nio.file.Files.write(dir.resolve("study.bed"), bytes)
+    java.nio.file.Files.writeString(dir.resolve("study.fam"), "F1 I1 0 0 1 2\n")
+    val (blobs, _) = OmicsSources.readPlink(spark, dir.toString)
+    val lob = OmicsSources.plinkLobTable(blobs, "GS1")
+    val bed = lob.filter($"file_name" === "study.bed").collect()(0)
+    assert(bed.getAs[String]("study_id") == "GS1")
+    assert(bed.getAs[Long]("raw_length") == 4096L)
+    val packed = bed.getAs[Array[Byte]]("content_compressed")
+    assert(packed.length < 4096) // actually compressed
+    assert(OmicsSources.inflate(packed).toSeq == bytes.toSeq)
+  }
+
   test("matrix melt skips empties and types intensities") {
     val m = Seq(("p1", "1.5", "2.0"), ("p2", "", "3.25")).toDF("ID_REF", "GSM1", "GSM2")
     val melted = OmicsSources.meltMatrix(m)
