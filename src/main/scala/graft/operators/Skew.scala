@@ -35,10 +35,19 @@ object Skew {
   /** Salted join for a skewed fact key against a small-but-not-broadcastable
     * dim: fact rows get a deterministic salt, the dim is replicated once
     * per bucket, and the join key becomes (key, salt) — the hot key's rows
-    * spread over `buckets` reducers. */
+    * spread over `buckets` reducers.
+    *
+    * The salt hashes the key together with the caller-named `spreadCols`
+    * (payload columns that vary within the hot key) — deterministic, so
+    * the partition layout reproduces run to run; join RESULTS never depend
+    * on the salt either way, but a reproducible layout is what makes perf
+    * runs comparable. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                 buckets: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn("_salt", pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
+                 spreadCols: Seq[String], buckets: Int = 16): DataFrame = {
+    require(spreadCols.nonEmpty,
+      "spreadCols must name at least one fact column that varies within the hot key")
+    val saltedFact = fact.withColumn("_salt",
+      pmod(hash((key +: spreadCols).map(col): _*), lit(buckets)))
     val explodedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(explodedDim, Seq(key, "_salt")).drop("_salt")

@@ -21,7 +21,7 @@ class SkewSpec extends SparkSpec {
   test("saltedJoin equals plain join") {
     val fact = (1 to 100).map(i => (if (i % 10 == 0) "k1" else "k2", i)).toDF("k", "v")
     val dim = Seq(("k1", "A"), ("k2", "B")).toDF("k", "label")
-    val salted = Skew.saltedJoin(fact, dim, "k")
+    val salted = Skew.saltedJoin(fact, dim, "k", spreadCols = Seq("v"))
       .groupBy($"label").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val plain = fact.join(dim, "k")
       .groupBy($"label").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
