@@ -62,6 +62,8 @@ object SparkEntry {
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),
     "f5_visit_suppress" -> (Remaining.f5VisitSuppress _),
     "f8_validation" -> (Remaining.f8Validation _),
+    "fn_replace_last" -> (Remaining.fnReplaceLast _),
+    "w4_window_agg" -> (Remaining.w4WindowAgg _),
     "a6_probe_avg" -> (Remaining.a6ProbeAvg _),
     "a11_min_record" -> (Remaining.a11MinRecord _),
     "seq_surrogate_ids" -> (Remaining.seqSurrogateIds _),

@@ -202,6 +202,27 @@ object Oracles {
     "a11_min_record" ->
       "SELECT l_partkey, min(l_orderkey) AS min_record_id FROM lineitem GROUP BY 1",
 
+    "fn_replace_last" ->
+      """WITH nodes AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS node_id,
+        |    '\Public Studies\' || r_name || '\' || n_name || '\' AS c_fullname
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |parts AS (
+        |  SELECT node_id, c_fullname,
+        |    list_filter(string_split(c_fullname, '\'), x -> len(x) > 0) AS p
+        |  FROM nodes)
+        |SELECT node_id, c_fullname,
+        |  '\' || array_to_string(p[1:len(p)-1], '\') ||
+        |  CASE WHEN len(p) > 1 THEN '\' ELSE '' END ||
+        |  'Node ' || node_id || '\' AS renamed
+        |FROM parts""".stripMargin,
+
+    "w4_window_agg" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "seq_surrogate_ids" ->
       """SELECT c_custkey, c_name,
         |  row_number() OVER (ORDER BY c_name, c_custkey) AS patient_num

@@ -149,6 +149,32 @@ object Remaining {
     }.reduce(_ unionByName _)
   }
 
+  /** §2.9 replace_last_path_component (REPLACE_LAST_PATH_COMPONENT.sql):
+    * each nation node gets its last component renamed to a derived name. */
+  def fnReplaceLast(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PathFunctions._
+    t(s, dir, "nation")
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("n_nationkey").cast("long").as("node_id"),
+        concat(lit("\\Public Studies\\"), col("r_name"), lit("\\"),
+          col("n_name"), lit("\\")).as("c_fullname"))
+      .withColumn("renamed", replaceLastPathComponent(col("c_fullname"),
+        concat(lit("Node "), col("node_id").cast("string"))))
+  }
+
+  /** W4 (streaming batch twin): tumbling 1-hour window aggregate over the
+    * event stream — the batch form of EventStream.windowedCounts, so both
+    * sides of the lambda-free architecture agree on window semantics.
+    * `ts` is epoch-nanos (TESTDATA nanosAsLong). */
+  def w4WindowAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(expr("ts DIV 3600000000000").as("hour_bucket"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+
   /** §2.9 sequences: deterministic surrogate ids — distributed dense rank
     * over a total order replaces nextval() (stable across runs, which the
     * reference's sequences are not; SURVEY §7.3). Uses [[graft.core.Ids

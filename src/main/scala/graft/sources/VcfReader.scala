@@ -19,16 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object VcfReader {
 
-  final case class InfoField(id: String, number: String, tpe: String)
+  final case class InfoField(id: String, number: String, tpe: String,
+                             description: String = "")
 
   private val InfoRx =
-    """##INFO=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*>""".r.unanchored
+    """##INFO=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+)(?:,Description="([^"]*)")?.*>""".r.unanchored
 
   /** Parse the `##INFO` declarations (driver-side, bounded head scan). */
   def infoFields(spark: SparkSession, path: String): Seq[InfoField] = {
     import spark.implicits._
     spark.read.textFile(path).filter(l => l.startsWith("##")).take(5000)
-      .toSeq.collect { case InfoRx(id, num, tpe) => InfoField(id, num, tpe) }
+      .toSeq.collect { case InfoRx(id, num, tpe, desc) =>
+        InfoField(id, num, tpe, Option(desc).getOrElse(""))
+      }
   }
 
   /** Sample ids from the `#CHROM` header line (columns after FORMAT). */

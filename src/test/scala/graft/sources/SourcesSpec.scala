@@ -72,6 +72,26 @@ class VcfReaderSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("rs1", "rs2"))
   }
 
+  test("VcfPipeline: one file -> all five de_variant_* tables") {
+    val t = graft.pipeline.VcfPipeline.run(spark, vcfPath, "TR1")
+    val ds = t.dataset.collect()(0)
+    assert(ds.getString(0) == "TR1:TEST" && ds.getString(2) == "hg19")
+    assert(t.subjectIdx.orderBy("position").collect()
+      .map(r => (r.getString(1), r.getInt(2))).toSeq == Seq(("S1", 1), ("S2", 2)))
+    val pi = t.populationInfo.collect()
+      .map(r => r.getString(1) -> (r.getString(2), r.getString(3))).toMap
+    assert(pi("DP") == ("Depth", "Integer"))
+    assert(pi("DB") == ("dbSNP", "Flag"))
+    val det = t.subjectDetail.filter($"rs_id" === "rs1").collect()(0)
+    assert(det.getAs[String]("variant_value") == "0/1:10\t1|1:12")
+    assert(det.getAs[String]("alt") == "G")
+    assert(t.subjectDetail.count() == 3) // rs1, rs2 (same line), rs3
+    assert(t.subjectSummary.filter($"dataset_id" === "TR1:TEST").count() == 6)
+    val af = t.populationData.filter($"info_name" === "AF" && $"pos" === 200)
+      .orderBy("info_index").collect()
+    assert(af.map(_.getAs[Double]("float_value")).toSeq == Seq(0.25, 0.75))
+  }
+
   test("subject summary: R/V variant + variantFormat encoding, reference flag") {
     val ss = VcfReader.subjectSummary(
       VcfReader.variants(spark, vcfPath), Seq("S1", "S2"), "TR1")
