@@ -91,4 +91,33 @@ object OmicsPipeline {
 
     OmicsTables(mapping, sampleFacts, data)
   }
+
+  final case class FullOmicsTables(
+      annotation: AnnotationRegistry.AnnotationTables,
+      loadSamples: LoadSamples.LoadSamplesTables,
+      omics: OmicsTables)
+
+  /** The complete §3.2 expression-upload flow, composed exactly like the
+    * reference's procedure chain: platform annotation load
+    * (i2b2_load_annotation_deapp) -> sample/node build (I2B2_LOAD_SAMPLES)
+    * -> probe tagging via the refreshed registry -> duplicate-probe
+    * averaging -> z-score (I2B2_PROCESS_MRNA_DATA). The probe join uses
+    * the annotation output the same way the reference's
+    * `md.probeset = gs.probeset and sd.gpl_id = gs.platform` join does. */
+  def runFull(spark: SparkSession, studyId: String, topNode: String,
+              sampleMap: DataFrame, meltedMatrix: DataFrame,
+              stagedAnnotations: DataFrame, probesets: DataFrame,
+              bioMarkers: DataFrame, gplInfo: DataFrame, patients: DataFrame,
+              dataType: String = "R", logBase: Double = 2.0,
+              markerType: String = "GENE EXPRESSION"): FullOmicsTables = {
+    val ann = AnnotationRegistry.load(spark, stagedAnnotations, probesets, bioMarkers)
+    val ls = LoadSamples.run(spark, studyId, topNode, sampleMap, gplInfo,
+      patients, markerType)
+    val platform = ann.mrnaAnnotation.select(
+      col("probe_id").as("probeset_id"), col("gene_symbol"), col("gene_id"))
+      .distinct()
+    val omics = run(spark, studyId, topNode, sampleMap, meltedMatrix,
+      platform, dataType, logBase)
+    FullOmicsTables(ann, ls, omics)
+  }
 }

@@ -196,6 +196,51 @@ class OmicsSpec extends SparkSpec {
         .collect()(0).getAs[Double]("zscore"))) < 1e-12) // symmetric around median
   }
 
+  test("full omics flow: annotation -> load-samples -> zscore composed") {
+    val sampleMap = Seq(
+      ("GS1", "", "P01", "GSM1", "GPL570", "Liver", null: String, null: String,
+        "Biomarker_Data+PLATFORM+TISSUETYPE"),
+      ("GS1", "", "P02", "GSM2", "GPL570", "Liver", null: String, null: String,
+        "Biomarker_Data+PLATFORM+TISSUETYPE"))
+      .toDF("study_id", "site_id", "subject_id", "sample_id", "platform_name",
+        "tissuetype", "attr1", "attr2", "category_cd")
+      // LoadSamples input aliases
+      .withColumn("sample_cd", $"sample_id")
+      .withColumn("platform", $"platform_name")
+      .withColumn("tissue_type", $"tissuetype")
+      .withColumn("attribute_1", $"attr1")
+      .withColumn("attribute_2", $"attr2")
+    val matrix = Seq(("p1", "2.0", "4.0"), ("p2", "8.0", "16.0"))
+      .toDF("ID_REF", "GSM1", "GSM2")
+    val staged = Seq(("GPL570", "p1", null: String, "1956", "Homo sapiens"))
+      .toDF("gpl_id", "probe_id", "gene_symbol", "gene_id", "organism")
+    val probesets = Seq((1L, "p0", "GPL570", "Homo sapiens"))
+      .toDF("probeset_id", "probeset", "platform", "organism")
+    val markers = Seq(("EGFR", "Homo sapiens", "1956", "GENE"))
+      .toDF("bio_marker_name", "organism", "primary_external_id", "bio_marker_type")
+    val gpl = Seq(("GPL570", "Affy U133", "Gene Expression"))
+      .toDF("platform", "title", "marker_type")
+    val patients = Seq((11L, "GS1:P01"), (12L, "GS1:P02"))
+      .toDF("patient_num", "sourcesystem_cd")
+
+    val t = OmicsPipeline.runFull(spark, "GS1", "\\Studies\\GS1\\",
+      sampleMap, OmicsSources.meltMatrix(matrix), staged, probesets,
+      markers, gpl, patients)
+    // gene symbol reached the data via the registry's backfill-by-id
+    val p1 = t.omics.data.filter($"probeset_id" === "p1" && $"assay_id" === 1)
+      .collect()(0)
+    assert(p1.getAs[String]("gene_symbol") == "EGFR")
+    assert(p1.getAs[Long]("gene_id") == 1956L)
+    // the load-samples leaf node uses the GPL TITLE, not the platform name
+    val leaf = t.loadSamples.sampleMapping.select("concept_code").distinct()
+    assert(t.loadSamples.nodes
+      .filter($"node_type" === "LEAF").collect()(0).getAs[String]("leaf_node")
+      == "\\Studies\\GS1\\Biomarker Data\\Affy U133\\Liver\\")
+    assert(t.loadSamples.sampleMapping.count() == 2)
+    assert(t.loadSamples.sampleFacts.count() == 2)
+    assert(leaf.count() == 1)
+  }
+
   test("metadata XML: timepoint minute conversion + numeric template") {
     assert(MetadataXml.timepointMinutes("Baseline").contains(0.0))
     assert(MetadataXml.timepointMinutes("Week -3").contains(-30240.0))
