@@ -77,19 +77,36 @@ object ClinicalPipeline {
     val visitCol = entries.find(_.dataLabel.equalsIgnoreCase("VISIT_NAME"))
       .map(e => byIndex(e.colNbr)).getOrElse(lit(null).cast("string"))
 
+    // the reference emits facts only for entries with a category
+    // (ClinicalDataProcessor.groovy:106); DATA_LABEL-keyword rows never
+    // become entries (ClinicalDataMapping.groovy:97)
     val valueEntries = entries.filterNot(e =>
-      Seq("STUDY_ID", "SUBJ_ID", "SITE_ID", "VISIT_NAME").contains(e.dataLabel.toUpperCase))
+      Seq("STUDY_ID", "SUBJ_ID", "SITE_ID", "VISIT_NAME", "DATA_LABEL", "OMIT")
+        .contains(e.dataLabel.toUpperCase) || e.categoryCd.isEmpty)
 
     val structs = valueEntries.map { e =>
+      // DATA_LABEL_SOURCE (`\` label + "4A"/"4B"): the label is the
+      // referenced column's row value, and the category gains a DATALABEL
+      // placeholder — type A inserts it before the last component, type B
+      // appends (ClinicalDataProcessor.groovy:118-130)
+      val (catCd, labelCol) = e.dataLabelSource match {
+        case Some((src, typ)) =>
+          val cat =
+            if (e.categoryCd.contains("DATALABEL")) e.categoryCd
+            else if (typ == "B") e.categoryCd + "+DATALABEL"
+            else e.categoryCd.replaceAll("^(.+)\\+([^+]+?)$", "$1+DATALABEL+$2")
+          (cat, fixColumn(byIndex(src)))
+        case None => (e.categoryCd, lit(e.dataLabel))
+      }
       // resolve $$TAG against the tag column's row value
-      val catParts: Seq[Column] = splitByTags(e.categoryCd).map {
+      val catParts: Seq[Column] = splitByTags(catCd).map {
         case Left(text) => lit(text)
         case Right(tag) => labelByName.get(tag.toUpperCase) match {
           case Some(i) => coalesce(byIndex(i), lit(""))
           case None => lit("")
         }
       }
-      val tagEmpty: Column = splitByTags(e.categoryCd).collect {
+      val tagEmpty: Column = splitByTags(catCd).collect {
         case Right(tag) => labelByName.get(tag.toUpperCase)
           .map(i => length(coalesce(byIndex(i), lit(""))) === 0)
           .getOrElse(lit(true))
@@ -97,7 +114,7 @@ object ClinicalPipeline {
 
       struct(
         concat(catParts: _*).as("category_cd"),
-        lit(e.dataLabel).as("data_label"),
+        labelCol.as("data_label"),
         fixColumn(byIndex(e.colNbr)).as("data_value"),
         tagEmpty.as("drop_row"))
     }

@@ -44,11 +44,7 @@ object TsvReader {
     val first = spark.read.textFile(path)
       .filter(l => !l.startsWith("#") && l.trim.nonEmpty)
       .first()
-    val raw = first.split("\t", -1).map(_.trim)
-    val counts = raw.groupBy(identity).view.mapValues(_.length).toMap
-    raw.zipWithIndex.map { case (name, i) =>
-      if (counts(name) > 1) s"$name@${i + 1}" else name
-    }.toSeq
+    mangle(first.split("\t", -1).map(c => unquoteCell(c.trim)))
   }
 
   private def mangle(raw: Array[String]): Seq[String] = {
@@ -57,6 +53,13 @@ object TsvReader {
       if (counts(name) > 1) s"$name@${i + 1}" else name
     }.toSeq
   }
+
+  /** TDF quoting (CsvLikeFile wraps commons-csv CSVFormat.TDF): a cell
+    * wrapped in double quotes is unwrapped and `""` unescapes to `"`. */
+  def unquoteCell(s: String): String =
+    if (s != null && s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
+      s.substring(1, s.length - 1).replace("\"\"", "\"")
+    else s
 
   /** Read the file into a DataFrame of strings with repaired rows.
     * `strict=false` drops irreparable rows (extra non-empty cells);
@@ -74,7 +77,7 @@ object TsvReader {
     val lines = spark.read.textFile(path)
       .filter(l => !l.startsWith("#") && l.trim.nonEmpty)
     val headerLine = lines.first()
-    val cols = mangle(headerLine.split("\t", -1).map(_.trim))
+    val cols = mangle(headerLine.split("\t", -1).map(c => unquoteCell(c.trim)))
     val n = cols.size
 
     val withId = lines.withColumn("__mid", monotonically_increasing_id())
@@ -84,7 +87,7 @@ object TsvReader {
       .filter(col("__mid") =!= headerId)
       .select(col("value")).as[String]
       .map { line =>
-        val cells = line.split("\t", -1).map(_.trim).toSeq
+        val cells = line.split("\t", -1).map(c => unquoteCell(c.trim)).toSeq
         if (cells.size == n) Some(cells)
         else if (cells.size < n) Some(cells ++ Seq.fill(n - cells.size)(null: String))
         else if (cells.drop(n).forall(c => c == null || c.isEmpty)) Some(cells.take(n))

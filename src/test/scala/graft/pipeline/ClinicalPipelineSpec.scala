@@ -114,6 +114,29 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(moved.getInt(1) == 4)
   }
 
+  test("reference fixture GSE0 replays to the reference's expected tree counts") {
+    // the §7.2 milestone: the SAME assertion the reference's own
+    // integration test makes (ClinicalDataProcessorTest.groovy:132-147),
+    // replayed over the real fixture files (read-only input data)
+    val dir = "/root/reference/fixtures/Test Studies/Test Study_GSE0/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark, s"$dir/Test Study_GSE0_Mapping_File.txt")
+    val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+    val t = ClinicalPipeline.run(spark, "GSE0", "\\Test Studies\\Test Study",
+      mapping, files)
+
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aaMutation =
+      "\\Test Studies\\Test Study\\Biomarker Data\\Mutations\\TST001 (Entrez ID: 1956)\\AA mutation\\"
+    assert(counts(aaMutation) == 9) // hasNode(...).withPatientCount(9)
+    assert(counts.contains(aaMutation + "T790M\\")) // hasNode(... + 'T790M\\')
+    // hasPatient('HCC2935').inTrial(studyId)
+    assert(t.patientDimension.filter($"subj_id" === "HCC2935").count() == 1)
+    // demographics facts exist under both categories mapping column 3
+    assert(counts.contains("\\Test Studies\\Test Study\\Subjects\\Demographics\\Age (AGE)\\"))
+    assert(counts.contains("\\Test Studies\\Test Study\\Ages\\Demographics\\Age (AGE)\\"))
+  }
+
   test("TsvReader: comment skip, dup-header mangling, row repair") {
     val dir = Files.createTempDirectory("graft-tsv")
     val f = dir.resolve("t.txt")
