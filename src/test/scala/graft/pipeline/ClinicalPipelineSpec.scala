@@ -137,6 +137,26 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(counts.contains("\\Test Studies\\Test Study\\Ages\\Demographics\\Age (AGE)\\"))
   }
 
+  test("reference tag fixture GSE0TAG replays: $$-tag expansion node counts") {
+    // the reference's testItLoadsDataWithTags assertions
+    // (ClinicalDataProcessorTest.groovy:148-166) over the real fixture
+    val dir = "/root/reference/fixtures/Test Studies/Test Study Tag_GSE0TAG/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark, s"$dir/Test Study_GSE0TAG_Mapping_File.txt")
+    val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+    val t = ClinicalPipeline.run(spark, "GSE0TAG",
+      "\\Test Studies\\Test Study Tag", mapping, files)
+
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = "\\Test Studies\\Test Study Tag\\GSE0TAG\\eText\\"
+    assert(counts(base + "tag1\\") == 8)
+    assert(counts(base + "tag2\\") == 4)
+    assert(counts(base + "tag1 tag and Spain language\\") == 1)
+    assert(counts(base + "tag2 tag and English language\\") == 2)
+    val subj = t.patientDimension.select("subj_id").collect().map(_.getString(0)).toSet
+    assert(subj.contains("HCC2935") && subj.contains("2SKMEL28"))
+  }
+
   test("TsvReader: comment skip, dup-header mangling, row repair") {
     val dir = Files.createTempDirectory("graft-tsv")
     val f = dir.resolve("t.txt")
