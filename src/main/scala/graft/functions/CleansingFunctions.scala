@@ -45,6 +45,18 @@ object CleansingFunctions {
     * (I2B2_LOAD_CLINICAL_DATA.sql:236-240). */
   def nonEmpty(c: Column): Column = length(coalesce(c, lit(""))) > 0
 
+  /** data_label cleansing sweep (I2B2_LOAD_CLINICAL_DATA.sql:434-459):
+    * `%` -> ' Pct', `&` and `+` -> ' and ', `_` -> space, `(plus)` -> `+`,
+    * then space collapse / trims / trailing-comma trim. NULL stays NULL. */
+  def cleanseLabel(c: Column): Column = {
+    val repl = replace(replace(replace(replace(replace(c,
+      lit("%"), lit(" Pct")), lit("&"), lit(" and ")), lit("+"), lit(" and ")),
+      lit("_"), lit(" ")), lit("(plus)"), lit("+"))
+    regexp_replace(
+      trim(regexp_replace(regexp_replace(repl, " {2,}", " "), " ,", ",")),
+      ",+$", "")
+  }
+
   /** usubjid synthesis `TRIAL:SITE:SUBJECT` with `::` collapse when SITE is
     * empty — I2B2_LOAD_CLINICAL_DATA.sql:230-231. */
   def usubjid(trial: Column, site: Column, subject: Column): Column =

@@ -58,7 +58,9 @@ object ClinicalPipeline {
 
   // ---------------------------------------------------------------- explode
 
-  private val TagRx = "\\$\\$\\{?([A-Za-z0-9_]+)\\}?".r
+  /** The reference's tag syntax (TagReplacer.groovy:14): braced tags take
+    * anything up to `}`; unbraced tags run to the next `+`. */
+  private val TagRx = "\\$\\$(\\{[^}]+\\}|[^+]+)".r
 
   /** P1: one output row per (input row x mapping entry). Placeholders:
     * DATALABEL / DATAVALUE / VISITNAME resolved later (path shaping);
@@ -102,7 +104,11 @@ object ClinicalPipeline {
       val catParts: Seq[Column] = splitByTags(catCd).map {
         case Left(text) => lit(text)
         case Right(tag) => labelByName.get(tag.toUpperCase) match {
-          case Some(i) => coalesce(byIndex(i), lit(""))
+          // a '+' inside a tag VALUE is escaped '(plus)' so it cannot split
+          // the path; the label/value cleansing unescapes it
+          // (TagReplacer.groovy:101-105)
+          case Some(i) => regexp_replace(coalesce(byIndex(i), lit("")),
+            "\\+", "(plus)")
           case None => lit("")
         }
       }
@@ -114,6 +120,10 @@ object ClinicalPipeline {
 
       struct(
         concat(catParts: _*).as("category_cd"),
+        // the unexpanded mapping template — the reference's visit-name
+        // suppression groups by category_cd with tag VALUES stripped
+        // (SQL:346-350 normalization), i.e. by this template
+        lit(catCd).as("category_tpl"),
         labelCol.as("data_label"),
         fixColumn(byIndex(e.colNbr)).as("data_value"),
         tagEmpty.as("drop_row"))
@@ -126,7 +136,8 @@ object ClinicalPipeline {
         fixColumn(visitCol).as("visit_name"),
         explode(array(structs: _*)).as("e"))
       .select(col("study_id"), col("subj_id"), col("site_id"), col("visit_name"),
-        col("e.category_cd"), col("e.data_label"), col("e.data_value"), col("e.drop_row"))
+        col("e.category_cd"), col("e.category_tpl"), col("e.data_label"),
+        col("e.data_value"), col("e.drop_row"))
       .filter(!col("drop_row")).drop("drop_row")
   }
 
@@ -139,7 +150,10 @@ object ClinicalPipeline {
       var pos = 0
       ms.foreach { m =>
         if (m.start > pos) pieces += Left(cat.substring(pos, m.start))
-        pieces += Right(m.group(1))
+        val raw = m.group(1)
+        pieces += Right(
+          if (raw.startsWith("{") && raw.endsWith("}")) raw.substring(1, raw.length - 1)
+          else raw)
         pos = m.end
       }
       if (pos < cat.length) pieces += Left(cat.substring(pos))
@@ -159,51 +173,115 @@ object ClinicalPipeline {
 
   // ------------------------------------------------- type inference + paths
 
-  /** A1 + leaf-path shaping (SQL:546-632,732-747): numeric concept groups
-    * get value-less leaf paths (values live in nval_num); text groups get
-    * the value as the leaf component, unless the category ends with the
-    * `+$` terminator. VISITNAME/DATALABEL/DATAVALUE placeholders resolved
-    * here; `_`->space and `+`->`\` path normalization (F4). */
+  /** The reference's visit/label suppression sweeps + group-scoped type
+    * inference + category-path completion + leaf build, in its exact
+    * order (SQL:342-541 suppression, :546-598 inference, :600-632
+    * completion, :718-747 leaf nodes):
+    *
+    *  1. visit_name nulled when the category TEMPLATE has a single
+    *     distinct visit (unless alwaysSetVisitName)
+    *  2. the category's last component is stripped when it equals the
+    *     data_label (the DATALABEL append restores it at the end)
+    *  3. terminator (`+$`) categories null their visit/label unless the
+    *     VISITNAME/DATALABEL placeholder is present
+    *  4. label/visit cleansing (% & + _ (plus) sweeps); visit nulled when
+    *     equal to the label or the value
+    *  5. type inference per (category, label, visit) group
+    *  6. completion: terminator strips, otherwise missing \DATALABEL,
+    *     \DATAVALUE (T only) and \VISITNAME are appended
+    *  7. leaf = topNode + substituted path, backslash runs collapsed */
   def inferAndShapePaths(eav: DataFrame, topNode: String,
                          alwaysSetVisitName: Boolean): DataFrame = {
-    // null-tolerant group key, the reference's coalesce(x,'@') trick (J1)
-    val keyed = eav.withColumn("vkey", coalesce(col("visit_name"), lit("@")))
-    val groups = keyed.groupBy(col("category_cd"), col("data_label"), col("vkey"))
+    val hasTerminator = col("category_cd").endsWith("+$")
+
+    // 1. single-visit suppression across the mapping template (SQL:342-369).
+    //    Aggregate + broadcast join, NOT a window: a window partitioned by
+    //    the handful of templates would funnel every fact row through a few
+    //    reducers; the groupBy combines map-side.
+    val visitCounts = eav.groupBy(col("category_tpl"))
+      .agg(countDistinct(upper(col("visit_name"))).as("__nvisits"))
+    val step1 = eav
+      .join(broadcast(visitCounts), Seq("category_tpl"), "left")
+      .withColumn("visit_name",
+        if (alwaysSetVisitName) col("visit_name")
+        else when(col("__nvisits") === 1, lit(null).cast("string"))
+          .otherwise(col("visit_name")))
+      .drop("__nvisits")
+
+    // 2. strip the category's last component when it equals the label
+    //    (SQL:381-406; the path form compares with '_' as space)
+    val parts = split(regexp_replace(col("category_cd"), "\\+\\$$", ""), "\\+")
+    val lastComp = element_at(parts, -1)
+    val step2 = step1.withColumn("category_cd",
+      when(col("data_label").isNotNull && size(parts) > 1 &&
+          upper(regexp_replace(lastComp, "_", " ")) === upper(col("data_label")),
+        concat(array_join(slice(parts, lit(1), size(parts) - 1), "+"),
+          when(hasTerminator, lit("+$")).otherwise(lit(""))))
+        .otherwise(col("category_cd")))
+
+    // 3. terminator rules (SQL:476-488)
+    val step3 = step2
+      .withColumn("visit_name",
+        when(hasTerminator && !col("category_cd").contains("VISITNAME"),
+          lit(null).cast("string")).otherwise(col("visit_name")))
+      .withColumn("data_label",
+        when(hasTerminator && !col("category_cd").contains("DATALABEL"),
+          lit(null).cast("string")).otherwise(col("data_label")))
+
+    // 4. label/category cleansing sweeps (SQL:434-459) + visit==label /
+    //    visit==value suppression (SQL:495-541)
+    val step4 = step3
+      .withColumn("data_label", cleanseLabel(col("data_label")))
+      .withColumn("category_cd",
+        replace(replace(col("category_cd"), lit("%"), lit(" Pct")),
+          lit("&"), lit(" and ")))
+      .withColumn("visit_name",
+        trim(regexp_replace(col("visit_name"), " {2,}", " ")))
+      .withColumn("visit_name",
+        when(col("visit_name") === col("data_label") ||
+          col("visit_name") === col("data_value"),
+          lit(null).cast("string")).otherwise(col("visit_name")))
+
+    // 5. group-scoped type inference (SQL:546-598); null-tolerant keys,
+    //    the reference's coalesce(x,'@') trick (J1)
+    val keyed = step4
+      .withColumn("vkey", coalesce(col("visit_name"), lit("@")))
+      .withColumn("lkey", coalesce(col("data_label"), lit("@")))
+    val groups = keyed.groupBy(col("category_cd"), col("lkey"), col("vkey"))
       .agg(sum(isNumericInverted(col("data_value"))).as("nonnum"))
       .withColumn("valtype_cd", when(col("nonnum") === 0, lit("N")).otherwise(lit("T")))
       .drop("nonnum")
-
     val withType = keyed.join(groups,
-      Seq("category_cd", "data_label", "vkey")) // small dim, AQE broadcasts
-      .drop("vkey")
+      Seq("category_cd", "lkey", "vkey")) // small dim, AQE broadcasts
+      .drop("vkey", "lkey")
 
-    val hasTerminator = col("category_cd").endsWith("+$")
-    val catClean = regexp_replace(regexp_replace(
-      regexp_replace(col("category_cd"), "\\+\\$$", ""), "_", " "), "\\+", "\\\\")
+    // 6. category-path completion (SQL:600-632): terminator strips and
+    //    adds nothing; otherwise missing placeholders are appended
+    val basePath = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(col("category_cd"), "\\+\\$$", ""), "_", " "),
+      "\\+", "\\\\"), "\\(plus\\)", "+")
+    val completed =
+      when(hasTerminator, basePath).otherwise(concat(
+        basePath,
+        when(!col("category_cd").contains("DATALABEL"), lit("\\DATALABEL"))
+          .otherwise(lit("")),
+        when(col("valtype_cd") === "T" && !col("category_cd").contains("DATAVALUE"),
+          lit("\\DATAVALUE")).otherwise(lit("")),
+        when(!col("category_cd").contains("VISITNAME"), lit("\\VISITNAME"))
+          .otherwise(lit(""))))
 
-    val resolved = withType
-      .withColumn("had_label_ph", col("category_cd").contains("DATALABEL"))
-      .withColumn("had_value_ph", col("category_cd").contains("DATAVALUE"))
-      .withColumn("cat_path", catClean)
-      .withColumn("cat_path", replace(col("cat_path"), lit("DATALABEL"), col("data_label")))
-      .withColumn("cat_path", replace(col("cat_path"), lit("VISITNAME"),
-        coalesce(col("visit_name"), lit(""))))
-      .withColumn("cat_path", replace(col("cat_path"), lit("DATAVALUE"), col("data_value")))
-
-    // label appended unless the mapping placed it via DATALABEL
-    val withLeafBase = resolved.withColumn("leaf_base",
-      when(col("had_label_ph") || hasTerminator, col("cat_path"))
-        .otherwise(concat_ws("\\", col("cat_path"), col("data_label"))))
-
-    // text concepts carry the value as the leaf component (N vs T shapes)
+    // 7. leaf build (SQL:732-747): numeric paths never substitute DATAVALUE
+    val substituted = replace(replace(
+      completed,
+      lit("DATALABEL"), coalesce(col("data_label"), lit(""))),
+      lit("VISITNAME"), coalesce(col("visit_name"), lit("")))
     val fullLeaf =
-      when(col("valtype_cd") === "T" && !hasTerminator && !col("had_value_ph"),
-        concat(col("leaf_base"), lit("\\"), col("data_value")))
-        .otherwise(col("leaf_base"))
+      when(col("valtype_cd") === "T",
+        replace(substituted, lit("DATAVALUE"), coalesce(col("data_value"), lit(""))))
+        .otherwise(substituted)
 
-    withLeafBase
+    withType
       .withColumn("leaf_node", normalizePath(concat(lit(topNode + "\\"), fullLeaf)))
-      .drop("cat_path", "leaf_base", "had_label_ph", "had_value_ph")
   }
 
   // ----------------------------------------------------------------- dedup

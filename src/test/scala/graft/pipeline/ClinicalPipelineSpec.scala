@@ -157,6 +157,41 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(subj.contains("HCC2935") && subj.contains("2SKMEL28"))
   }
 
+  test("reference terminator fixture GSE0TERMINATOR replays: +$, free-form tags, visit paths") {
+    // the reference's 'it should load category_cd with terminator'
+    // assertions (ClinicalDataProcessorTest.groovy:373-398)
+    val dir = "/root/reference/fixtures/Test Studies/Test Study With Terminator_GSE0TERMINATOR/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark,
+      s"$dir/Test Study With Terminator_GSE0TERMINATOR_Mapping_File.txt")
+    val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+    val t = ClinicalPipeline.run(spark, "GSE0TERMINATOR",
+      "\\Test Studies\\Test Study With Terminator", mapping, files)
+
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val demo = "\\Test Studies\\Test Study With Terminator\\Subjects\\Demographics\\"
+    assert(counts(demo) == 9)
+    // plain text variable: label \ value \ visit
+    assert(counts(demo + "Language\\") == 5)
+    assert(counts(demo + "Language\\English\\") == 2)
+    assert(counts(demo + "Language\\Spanish\\") == 1)
+    assert(counts(demo + "Language\\French\\") == 1)
+    assert(counts(demo + "Language\\Russian\\") == 1)
+    assert(counts(demo + "Language\\Russian\\v1\\") == 1)
+    assert(counts(demo + "Language\\Russian\\v2\\") == 1)
+    // DATALABEL+DATAVALUE+$$Language+$ composition
+    assert(counts(demo + "Sex (SEX)\\Male\\Spanish\\") == 1)
+    assert(counts(demo + "Sex (SEX)\\Female\\") == 2)
+    assert(counts(demo + "Sex (SEX)\\Female\\French\\") == 1)
+    assert(!counts.contains(demo + "Sex (SEX)\\Female\\French\\$\\"))
+    assert(!counts.contains(demo + "Sex (SEX)\\Female\\French\\v1\\"))
+    // DATALABEL+$$Sex (SEX)+$ composition (numeric: no value, no visit)
+    assert(counts(demo + "Age (AGE)\\Male\\") == 2)
+    assert(counts(demo + "Age (AGE)\\Female\\") == 5)
+    assert(!counts.contains(demo + "Age (AGE)\\Female\\$\\"))
+    assert(!counts.contains(demo + "Age (AGE)\\Female\\v1\\"))
+  }
+
   test("TsvReader: comment skip, dup-header mangling, row repair") {
     val dir = Files.createTempDirectory("graft-tsv")
     val f = dir.resolve("t.txt")
