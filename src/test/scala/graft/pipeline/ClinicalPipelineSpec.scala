@@ -192,6 +192,29 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(!counts.contains(demo + "Age (AGE)\\Female\\v1\\"))
   }
 
+  test("reference DVINPATH fixture replays: DATAVALUE placement in category paths") {
+    // 'it should load category_cd with data value'
+    // (ClinicalDataProcessorTest.groovy:400-418)
+    val dir = "/root/reference/fixtures/Test Studies/Test Study With Data Value In Path_GSE0DVINPATH/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark,
+      s"$dir/Test Study With Data Value In Path_GSE0DVINPATH_Mapping_File.txt")
+    val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+    val t = ClinicalPipeline.run(spark, "GSE0DVINPATH",
+      "\\Test Studies\\Test Study With Data Value In Path", mapping, files)
+
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val demo = "\\Test Studies\\Test Study With Data Value In Path\\Subjects\\Demographics\\"
+    assert(counts(demo + "Female\\Baseline\\French\\Sex (SEX)\\") == 2)
+    assert(counts(demo + "Female\\Visit 7\\French\\Sex (SEX)\\") == 1)
+    assert(counts(demo + "Female\\Baseline\\English\\Sex (SEX)\\") == 1)
+    assert(counts(demo + "Age (AGE)\\Baseline\\") == 9)
+    assert(counts(demo + "Age (AGE)\\Visit 7\\") == 2)
+    assert(counts(demo + "French\\Language\\Baseline\\") == 2)
+    assert(counts(demo + "French\\Language\\Visit 7\\") == 1)
+    assert(counts("\\Test Studies\\Test Study With Data Value In Path\\Clinical Data\\Datavalue5\\Baseline\\TAG test 2\\Test data label\\") == 1)
+  }
+
   test("TsvReader: comment skip, dup-header mangling, row repair") {
     val dir = Files.createTempDirectory("graft-tsv")
     val f = dir.resolve("t.txt")
