@@ -215,6 +215,27 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(counts("\\Test Studies\\Test Study With Data Value In Path\\Clinical Data\\Datavalue5\\Baseline\\TAG test 2\\Test data label\\") == 1)
   }
 
+  test("reference single-visit fixture: suppression collapses the visit component") {
+    // ClinicalDataProcessorTest.groovy:286-289 — every row carries the
+    // same 'Baseline' visit, so the visit component vanishes from paths
+    val dir = "/root/reference/fixtures/Test Studies/Test Study With Single Visit Name_GSE0SINGLEVN/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark,
+      s"$dir/Test Study With Single Visit Name_GSE0SINGLEVN_Mapping_File.txt")
+    val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+    val t = ClinicalPipeline.run(spark, "GSE0SINGLEVN",
+      "\\Test Studies\\Test Study With Single Visit Name", mapping, files)
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("\\Test Studies\\Test Study With Single Visit Name\\Subjects\\Demographics\\Female\\French\\Sex (SEX)\\") == 2)
+    // with alwaysSetVisitName the visit component survives
+    val kept = ClinicalPipeline.run(spark, "GSE0SINGLEVN",
+      "\\Test Studies\\Test Study With Single Visit Name", mapping, files,
+      alwaysSetVisitName = true)
+    val keptCounts = kept.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptCounts("\\Test Studies\\Test Study With Single Visit Name\\Subjects\\Demographics\\Female\\Baseline\\French\\Sex (SEX)\\") == 2)
+  }
+
   test("TsvReader: comment skip, dup-header mangling, row repair") {
     val dir = Files.createTempDirectory("graft-tsv")
     val f = dir.resolve("t.txt")
