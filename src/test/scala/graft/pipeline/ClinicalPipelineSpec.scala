@@ -236,6 +236,60 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(keptCounts("\\Test Studies\\Test Study With Single Visit Name\\Subjects\\Demographics\\Female\\Baseline\\French\\Sex (SEX)\\") == 2)
   }
 
+  test("reference merge fixtures: UPDATE and REPLACE flows reproduce expected counts") {
+    // the reference's 'it should load study with UPDATE / REPLACE merge
+    // mode' tests (ClinicalDataProcessorTest.groovy:195-248) replayed as
+    // functional merges over the real fixture uploads
+    import graft.operators.TreeOps
+    import graft.sources.ClinicalMapping.MergeMode
+    def load(dir: String) = {
+      val mapping = ClinicalMapping.load(spark, s"$dir/Test Study_GSE0_Mapping_File.txt")
+      val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+      (mapping, ClinicalPipeline.run(spark, "GSE0", "\\Test Studies\\Test Study",
+        mapping, files))
+    }
+    def counts(facts: org.apache.spark.sql.DataFrame) =
+      TreeOps.conceptCounts(facts.select($"leaf_node", $"usubjid"),
+        "leaf_node", "usubjid")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val fixtures = "/root/reference/fixtures"
+    val (_, first) = load(s"$fixtures/Test Studies/Test Study_GSE0/ClinicalDataToUpload")
+    val demo = "\\Test Studies\\Test Study\\Subjects\\Demographics\\"
+    val bio = "\\Test Studies\\Test Study\\Biomarker Data\\Mutations\\" +
+      "TST001 (Entrez ID: 1956)\\AA mutation\\ELREA746del\\Variant Type\\DEL\\"
+    val c1 = counts(first.observationFact)
+    assert(c1(demo + "Sex (SEX)\\Male\\") == 2)
+    assert(c1(demo + "Sex (SEX)\\Female\\") == 5)
+    assert(c1(demo + "Language\\") == 3)
+    assert(c1.contains(demo + "Assessment Date\\09/15/2014\\"))
+    assert(c1(bio) == 3)
+    def ageOf(facts: org.apache.spark.sql.DataFrame) = facts
+      .filter($"leaf_node" === demo + "Age (AGE)\\" && $"usubjid".endsWith("HCC2935"))
+      .collect()(0).getAs[Double]("nval_num")
+    assert(ageOf(first.observationFact) == 20.0)
+
+    // UPDATE: re-uploaded patients' facts refresh, others survive
+    val (updMapping, upd) =
+      load(s"$fixtures/Test Studies For Merge/Update/Test Study_GSE0/ClinicalDataToUpload")
+    assert(updMapping.mergeMode == MergeMode.Update)
+    val merged = MergeModes.update(first.observationFact, upd.observationFact, "GSE0")
+    val c2 = counts(merged)
+    assert(c2(demo + "Sex (SEX)\\Male\\") == 3)
+    assert(c2(demo + "Sex (SEX)\\Female\\") == 4)
+    assert(c2(demo + "Language\\") == 4)
+    assert(c2.contains(demo + "Assessment Date\\09/15/2015\\"))
+    assert(ageOf(merged) == 21.0)
+    assert(c2(bio) == 2)
+
+    // REPLACE: the whole study refreshes
+    val (repMapping, rep) =
+      load(s"$fixtures/Test Studies For Merge/Replace/Test Study_GSE0/ClinicalDataToUpload")
+    assert(repMapping.mergeMode == MergeMode.Replace)
+    val replaced = MergeModes.replace(first.observationFact, rep.observationFact, "GSE0")
+    assert(counts(replaced)(demo) == 1)
+  }
+
   test("TsvReader: comment skip, dup-header mangling, row repair") {
     val dir = Files.createTempDirectory("graft-tsv")
     val f = dir.resolve("t.txt")
