@@ -50,7 +50,11 @@ object OmicsSources {
     val out = df.select(
       col(probeset).as("probeset_id"),
       symbol.map(col).getOrElse(lit(null).cast("string")).as("gene_symbol"),
-      geneId.map(c => col(c).cast("long")).getOrElse(lit(null).cast("long")).as("gene_id"),
+      // regex-gated cast: real GPL files carry multi-values like
+      // '1390 /// 286016' in ENTREZ_GENE_ID; ANSI mode would throw on a
+      // direct cast, the reference treats them as unparseable (null)
+      geneId.map(c => when(col(c).rlike("^\\d+$"), col(c).cast("long")))
+        .getOrElse(lit(null).cast("long")).as("gene_id"),
       species.map(col).getOrElse(lit(meta.getOrElse("PLATFORM_SPECIES", null))
         .cast("string")).as("species"))
     (meta, out)
