@@ -65,6 +65,65 @@ object MergeModes {
       .unionByName(newFacts)
   }
 
+  /** The FULL UPDATE_VARIABLES merge (SQL:1168-1282) — per (patient,
+    * variable) victim selection, unlike [[updateVariables]]'s whole-path
+    * form:
+    *
+    *  - each new TEXT row derives a regex from its leaf TEMPLATE (the
+    *    leaf with DATAVALUE still unsubstituted): metacharacters escaped,
+    *    DATAVALUE -> `[^\]+` (:1174-1177). It must match AT MOST ONE of
+    *    that patient's existing concept paths; >1 is the reference's
+    *    error path; 0 means nothing to delete
+    *  - the matched path's SUBTREE is deleted for that patient only
+    *  - each new NUMERIC row deletes that patient's facts at the exact
+    *    template path
+    *  - `protectedPaths` (omics sample-mapping concepts, :1199-1222)
+    *    survive deletion; only this study's facts are eligible
+    *
+    * Scale: patterns join old paths on usubjid (hash join) with the rlike
+    * as residual — the per-patient candidate sets are bounded by that
+    * patient's distinct concept count. */
+  def updateVariablesByPatient(oldFacts: DataFrame, newFacts: DataFrame,
+                               studyId: String,
+                               protectedPaths: Option[DataFrame] = None): DataFrame = {
+    val pat = newFacts
+      .select(col("usubjid"), col("leaf_template"), col("valtype_cd")).distinct()
+    val tPat = pat.filter(col("valtype_cd") === "T")
+      .withColumn("pattern", concat(lit("^"),
+        org.apache.spark.sql.functions.replace( // MergeModes.replace shadows it
+          regexp_replace(col("leaf_template"), "([\\[\\]\\(\\)\\\\])", "\\\\$1"),
+          lit("DATAVALUE"), lit("[^\\\\]+")),
+        lit("$")))
+
+    val inStudy = oldFacts.filter(col("sourcesystem_cd") === studyId)
+    val oldPaths = inStudy.select(col("usubjid"), col("leaf_node")).distinct()
+    val matches = oldPaths
+      .join(tPat.select(col("usubjid"), col("pattern")), Seq("usubjid"))
+      .filter(expr("leaf_node rlike pattern"))
+    val multi = matches.groupBy(col("usubjid"), col("pattern"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    require(multi == 0,
+      s"UPDATE_VARIABLES: $multi (patient, variable) pairs match several categorical paths")
+
+    // T: the matched path's subtree, per patient; N: the exact path
+    val tVictims = inStudy.as("f")
+      .join(matches.select(col("usubjid"), col("leaf_node").as("mpath")).distinct(),
+        Seq("usubjid"))
+      .filter(col("f.leaf_node").startsWith(col("mpath")))
+      .select(col("usubjid"), col("f.leaf_node").as("leaf_node"))
+    val nVictims = pat.filter(col("valtype_cd") =!= "T")
+      .select(col("usubjid"), col("leaf_template").as("leaf_node"))
+    val victims = protectedPaths match {
+      case Some(p) => tVictims.unionByName(nVictims).distinct()
+        .join(p.select(col("leaf_node")), Seq("leaf_node"), "left_anti")
+      case None => tVictims.unionByName(nVictims).distinct()
+    }
+
+    oldFacts.filter(col("sourcesystem_cd") =!= studyId)
+      .unionByName(inStudy.join(victims, Seq("usubjid", "leaf_node"), "left_anti"))
+      .unionByName(newFacts.select(oldFacts.columns.map(col): _*))
+  }
+
   /** Study delete (I2B2_DELETE_ALL_DATA.sql): subtree removal by path
     * prefix across the star tables — prefix filter, no join (J8). */
   def deleteStudy(facts: DataFrame, topNode: String): DataFrame =

@@ -281,6 +281,10 @@ object ClinicalPipeline {
         .otherwise(substituted)
 
     withType
+      // the leaf with DATAVALUE still unsubstituted — UPDATE_VARIABLES
+      // derives its per-variable match pattern from this (SQL:1174-1177)
+      .withColumn("leaf_template",
+        normalizePath(concat(lit(topNode + "\\"), substituted)))
       .withColumn("leaf_node", normalizePath(concat(lit(topNode + "\\"), fullLeaf)))
   }
 
@@ -323,7 +327,7 @@ object ClinicalPipeline {
       .join(patients.select(col("usubjid"), col("patient_num")), "usubjid")
       .join(concepts, "leaf_node")
       .select(
-        col("patient_num"), col("concept_cd"), col("leaf_node"),
+        col("patient_num"), col("concept_cd"), col("leaf_node"), col("leaf_template"),
         col("usubjid"), col("data_label"), col("visit_name"), col("valtype_cd"),
         when(col("valtype_cd") === "T", col("data_value")).otherwise(lit("E")).as("tval_char"),
         when(col("valtype_cd") === "N", tryCastDouble(col("data_value"))).as("nval_num"),

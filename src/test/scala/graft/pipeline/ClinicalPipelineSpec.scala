@@ -290,6 +290,38 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(counts(replaced)(demo) == 1)
   }
 
+  test("reference merge fixtures: UPDATE_VARIABLES per-patient variable refresh") {
+    // 'it should load study with UPDATE VARIABLES merge mode'
+    // (ClinicalDataProcessorTest.groovy:250-297): one patient's Sex flips
+    // Female->Male, his age refreshes, he GAINS a language; every variable
+    // absent from the upload (assessment date, biomarkers) survives
+    import graft.operators.{MergeModes, TreeOps}
+    def load(dir: String) = {
+      val mapping = ClinicalMapping.load(spark, s"$dir/Test Study_GSE0_Mapping_File.txt")
+      val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+      ClinicalPipeline.run(spark, "GSE0", "\\Test Studies\\Test Study", mapping, files)
+    }
+    val fixtures = "/root/reference/fixtures"
+    val first = load(s"$fixtures/Test Studies/Test Study_GSE0/ClinicalDataToUpload")
+    val uv = load(s"$fixtures/Test Studies For Merge/UpdateVariables/Test Study_GSE0/ClinicalDataToUpload")
+    val merged = MergeModes.updateVariablesByPatient(
+      first.observationFact, uv.observationFact, "GSE0")
+
+    val counts = TreeOps.conceptCounts(
+      merged.select($"leaf_node", $"usubjid"), "leaf_node", "usubjid")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val demo = "\\Test Studies\\Test Study\\Subjects\\Demographics\\"
+    assert(counts(demo + "Sex (SEX)\\Male\\") == 3)
+    assert(counts(demo + "Sex (SEX)\\Female\\") == 4)
+    assert(counts(demo + "Language\\") == 4)
+    assert(counts.contains(demo + "Assessment Date\\09/15/2014\\"))
+    val age = merged.filter($"leaf_node" === demo + "Age (AGE)\\" &&
+      $"usubjid".endsWith("HCC2935")).collect()
+    assert(age.length == 1 && age(0).getAs[Double]("nval_num") == 21.0)
+    assert(counts("\\Test Studies\\Test Study\\Biomarker Data\\Mutations\\" +
+      "TST001 (Entrez ID: 1956)\\AA mutation\\ELREA746del\\Variant Type\\DEL\\") == 3)
+  }
+
   test("TsvReader: comment skip, dup-header mangling, row repair") {
     val dir = Files.createTempDirectory("graft-tsv")
     val f = dir.resolve("t.txt")
