@@ -56,10 +56,16 @@ object AnnotationRegistry {
         col("gene_id"), col("organism"))
       .distinct()
 
-    // 1. organism refresh for existing registry rows (reference :107-131)
+    // 1. organism refresh for existing registry rows (reference :107-131).
+    //    ONE organism per (platform, probe): the reference's UPDATE writes a
+    //    single row, and any additional staged organism reaches the registry
+    //    through step 2's NOT-EXISTS insert with a fresh probeset_id — a
+    //    distinct-per-organism here would instead fan the existing
+    //    probeset_id out across organisms. min() makes the kept organism
+    //    deterministic (the reference's join order is not).
     val stagedOrg = stagedDistinct
-      .select(col("gpl_id"), col("probe_id"), col("organism").as("new_organism"))
-      .distinct()
+      .groupBy(col("gpl_id"), col("probe_id"))
+      .agg(min(col("organism")).as("new_organism"))
     val refreshed = probesets
       .join(broadcast(stagedOrg),
         probesets("platform") === stagedOrg("gpl_id") &&

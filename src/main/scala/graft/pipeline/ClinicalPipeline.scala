@@ -198,10 +198,19 @@ object ClinicalPipeline {
     //    Aggregate + broadcast join, NOT a window: a window partitioned by
     //    the handful of templates would funnel every fact row through a few
     //    reducers; the groupBy combines map-side.
-    val visitCounts = eav.groupBy(col("category_tpl"))
+    //    The reference's group key is category_cd with tag VALUES stripped
+    //    back to mangled tag ids (SQL:347-350 rewrites $$<id><value> to
+    //    $$<id>); on our unexpanded template the same equivalence means
+    //    unifying braced and unbraced tag spellings ($${TAG} == $$TAG —
+    //    TagNameMangler keys on the unbraced name).
+    val tplKey = regexp_replace(col("category_tpl"),
+      "\\$\\$\\{([^}]+)\\}", "\\$\\$$1")
+    val visitCounts = eav.groupBy(tplKey.as("__tpl_key"))
       .agg(countDistinct(upper(col("visit_name"))).as("__nvisits"))
     val step1 = eav
-      .join(broadcast(visitCounts), Seq("category_tpl"), "left")
+      .withColumn("__tpl_key", tplKey)
+      .join(broadcast(visitCounts), Seq("__tpl_key"), "left")
+      .drop("__tpl_key")
       .withColumn("visit_name",
         if (alwaysSetVisitName) col("visit_name")
         else when(col("__nvisits") === 1, lit(null).cast("string"))

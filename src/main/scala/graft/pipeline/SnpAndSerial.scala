@@ -8,18 +8,35 @@ import graft.sources.TsvReader
 /** The two small datatype loads not covered by the shared omics pipeline. */
 object SnpAndSerial {
 
+  import org.apache.spark.sql.types._
+
+  private val CallsSchema = StructType(Seq(
+    StructField("gsm_num", StringType), StructField("snp_name", StringType),
+    StructField("snp_calls", StringType)))
+
+  private val CopyNumberSchema = StructType(Seq(
+    StructField("gsm_num", StringType), StructField("snp_name", StringType),
+    StructField("chrom", StringType), StructField("chrom_pos", LongType),
+    StructField("copy_number", DoubleType)))
+
+  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+
   /** SNP calls file family -> lt_snp_calls_by_gsm
     * (SNPDataProcessor.groovy:117-120): TSV with header GSM_NUM SNP_NAME
     * SNP_CALLS, CsvLikeFile semantics (comment skip, row repair). The
     * reference loads each file on a 4-thread pool with JDBC batches; here
-    * every file is one distributed scan and the union is task-parallel. */
+    * every file is one distributed scan and the union is task-parallel.
+    * An absent file family yields an empty frame (the reference simply
+    * iterates zero files), so a one-sided load still merges. */
   def readSnpCalls(spark: SparkSession, paths: Seq[String]): DataFrame =
     paths.map { p =>
       TsvReader.read(spark, p).select(
         col("GSM_NUM").as("gsm_num"),
         col("SNP_NAME").as("snp_name"),
         col("SNP_CALLS").as("snp_calls"))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _)
+      .getOrElse(emptyFrame(spark, CallsSchema))
 
   /** SNP copy-number file family -> lt_snp_copy_number
     * (SNPDataProcessor.groovy:122-128): GSM_NUM SNP_NAME CHROM CHROM_POS
@@ -32,7 +49,8 @@ object SnpAndSerial {
         col("CHROM").as("chrom"),
         col("CHROM_POS").cast("long").as("chrom_pos"),
         col("COPY_NUMBER").cast("double").as("copy_number"))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _)
+      .getOrElse(emptyFrame(spark, CopyNumberSchema))
 
   /** SNP: calls FULL OUTER copy-number on (gsm, snp_name), keys coalesced
     * (I2B2_PROCESS_SNP_DATA.sql:108-117). */

@@ -25,7 +25,17 @@ import graft.sources.ValidationRules
   * Deviations (documented): id lists and factor counts are sorted
   * (the reference emits first-seen order — nondeterministic under
   * distributed execution); violated checks print in rule-declaration
-  * order.
+  * order with the `Type is Numerical` rule last.
+  *
+  * Unparsable non-empty Numerical values count into the mean/SD divisors
+  * (VariableStatistic.groovy:149-170 increments notEmptyValuesCount
+  * BEFORE parsing, so the Welford divisors include them) and surface as a
+  * `Type is Numerical` rule violation in QC data range — but, like the
+  * reference (getQCRangeCheck), only when the variable also declares
+  * range checks. The reference's running mean is stream-order dependent
+  * when unparsable values interleave with parsable ones; we fix the
+  * "unparsables first" order, under which the Welford recurrence closes
+  * to mean = sum/notEmpty and sdBase = sumsq - sum^2/notEmpty.
   *
   * Spark shape: per file ONE aggregate pass computes every variable's
   * counts, moments, hinge array and violation-id lists (collect_list
@@ -88,11 +98,13 @@ object SummaryStatistic {
       aggs :+= sum(when(nonEmpty(value), 1L).otherwise(0L)).as(s"n_$i")
       if (v.varType == VariableType.Numerical) {
         val d = tryCastDouble(value)
-        aggs :+= avg(d).as(s"mean_$i")
-        aggs :+= stddev_samp(d).as(s"sd_$i")
+        aggs :+= coalesce(sum(d), lit(0.0)).as(s"sum_$i")
+        aggs :+= coalesce(sum(d * d), lit(0.0)).as(s"ssq_$i")
         aggs :+= min(d).as(s"min_$i")
         aggs :+= max(d).as(s"max_$i")
         aggs :+= sort_array(collect_list(d)).as(s"vals_$i")
+        aggs :+= sort_array(collect_list(
+          when(nonEmpty(value) && d.isNull, col(idCol)))).as(s"typeviol_$i")
       }
       v.rules.zipWithIndex.foreach { case (r, j) =>
         aggs :+= sort_array(collect_list(
@@ -129,11 +141,17 @@ object SummaryStatistic {
             if (vals.isEmpty) Double.NaN
             else medianOfSorted(vals.slice(vals.length - h, vals.length)) -
               medianOfSorted(vals.slice(0, h))
-          (fmt6(row.getAs[Double](s"mean_$i")), fmt6(medianOfSorted(vals)),
-            fmt6(iqrV), fmt6(row.getAs[Double](s"min_$i")),
-            fmt6(row.getAs[Double](s"max_$i")),
-            if (row.isNullAt(row.fieldIndex(s"sd_$i"))) ""
-            else fmt6(row.getAs[Double](s"sd_$i")))
+          // divisors use n = notEmptyValuesCount (incl. unparsable values),
+          // matching the reference's Welford counters
+          val sumV = row.getAs[Double](s"sum_$i")
+          val ssqV = row.getAs[Double](s"ssq_$i")
+          val sdV =
+            if (n > 1) math.sqrt(math.max(0.0, ssqV - sumV * sumV / n) / (n - 1))
+            else Double.NaN
+          (fmt6(sumV / n), fmt6(medianOfSorted(vals)), fmt6(iqrV),
+            if (vals.isEmpty) "" else fmt6(row.getAs[Double](s"min_$i")),
+            if (vals.isEmpty) "" else fmt6(row.getAs[Double](s"max_$i")),
+            fmt6(sdV))
         } else ("", "", "", "", "", "")
 
       val countStr =
@@ -153,12 +171,19 @@ object SummaryStatistic {
         else if (nulls > 0) s"$nulls missing (${idList(missingIds)})"
         else "OK"
 
+      val typeViolIds: Seq[String] =
+        if (v.varType == VariableType.Numerical)
+          row.getAs[scala.collection.Seq[String]](s"typeviol_$i").toSeq
+        else Seq.empty
       val violatedRanges = v.rules.zipWithIndex
         .filter(_._1.check != ValidationRules.Required)
         .flatMap { case (r, j) =>
           val ids = violIds(j)
           if (ids.isEmpty) None else Some(s"${r.source} (${idList(ids)})")
-        }
+        } ++
+        (if (typeViolIds.nonEmpty)
+          Seq(s"Type is Numerical (${idList(typeViolIds)})")
+        else Seq.empty)
       val qcRange =
         if (n == 0) "All values are empty"
         else if (v.rangeRules.isEmpty) ""

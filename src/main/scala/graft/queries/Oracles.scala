@@ -429,7 +429,8 @@ object Oracles {
         |  SELECT e.probeset_id, e.probeset, e.platform,
         |    CASE WHEN s.gpl_id IS NOT NULL THEN s.organism ELSE e.organism END AS organism
         |  FROM existing e LEFT JOIN
-        |    (SELECT DISTINCT gpl_id, probe_id, organism FROM staged) s
+        |    (SELECT gpl_id, probe_id, min(organism) AS organism
+        |     FROM staged GROUP BY 1, 2) s
         |    ON e.platform = s.gpl_id AND e.probeset = s.probe_id),
         |cand AS (
         |  SELECT DISTINCT probe_id AS probeset,

@@ -93,6 +93,21 @@ class SnpAndSerialSpec extends SparkSpec {
     assert(merged.schema("chrom_pos").dataType.typeName == "long")
   }
 
+  test("absent SNP file family: empty frame, one-sided merge survives") {
+    // the reference's SNP load iterates zero files for a missing family;
+    // an empty path list must not crash (empty.reduceLeft) and loadSnp
+    // must produce the one-sided full-outer result
+    val dir = java.nio.file.Files.createTempDirectory("graft-snp-onesided")
+    java.nio.file.Files.writeString(dir.resolve("c1.txt"),
+      "GSM_NUM\tSNP_NAME\tSNP_CALLS\ng1\trs1\tAA\n")
+    val merged = SnpAndSerial.loadSnp(spark,
+      Seq(dir.resolve("c1.txt").toString), Seq.empty)
+    assert(merged.count() == 1)
+    val r = merged.filter($"snp_name" === "rs1").collect()(0)
+    assert(r.getAs[String]("snp_calls") == "AA" && r.isNullAt(r.fieldIndex("copy_number")))
+    assert(SnpAndSerial.loadSnp(spark, Seq.empty, Seq.empty).count() == 0)
+  }
+
   test("series metadata stamping + unparseable detection") {
     val nodes = Seq("Baseline", "Week 2", "not a timepoint").toDF("c_name")
     val stamped = SnpAndSerial.stampSeriesMetadata(nodes, "c_name")

@@ -41,6 +41,26 @@ class AnnotationRegistrySpec extends SparkSpec {
     assert(fresh.toSeq == Seq((12L, "PS2"), (13L, "PS3"), (14L, "PS4")))
   }
 
+  test("probe staged under two organisms: one refresh, other gets a fresh id") {
+    // the reference UPDATEs the existing row once and inserts the second
+    // organism as a NEW probeset_id via the NOT-EXISTS path — the refresh
+    // must not fan the existing probeset_id out across organisms
+    val twoOrg = Seq(
+      ("GPL1", "PS1", "BRCA1", "672", "Homo sapiens"),
+      ("GPL1", "PS1", "BRCA1", "672", "Mus musculus")
+    ).toDF("gpl_id", "probe_id", "gene_symbol", "gene_id", "organism")
+    val reg = AnnotationRegistry.load(spark, twoOrg, existing, markers).probesets
+    val ps1 = reg.filter($"probeset" === "PS1").orderBy("probeset_id").collect()
+    assert(ps1.length == 2)
+    // min(organism) keeps 'Homo sapiens' on the existing id 10
+    assert(ps1(0).getLong(0) == 10L && ps1(0).getString(3) == "Homo sapiens")
+    // 'Mus musculus' arrives as a fresh id, not a duplicate of 10
+    assert(ps1(1).getLong(0) == 12L && ps1(1).getString(3) == "Mus musculus")
+    // exactly one registry row per (platform, probeset, organism)
+    assert(reg.groupBy("platform", "probeset", "organism").count()
+      .filter($"count" > 1).count() == 0)
+  }
+
   test("annotation build: organism default, gene_id backfill, type filter") {
     val ann = AnnotationRegistry.load(spark, staged, existing, markers).mrnaAnnotation
       .collect().map(r => r.getString(1) ->

@@ -236,6 +236,19 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(keptCounts("\\Test Studies\\Test Study With Single Visit Name\\Subjects\\Demographics\\Female\\Baseline\\French\\Sex (SEX)\\") == 2)
   }
 
+  test("single-visit suppression groups braced and unbraced tag spellings together") {
+    // SQL:347-350 normalizes $$<id><value> back to $$<id>, so templates
+    // that differ only in tag spelling ($$TAG vs $${TAG}) form ONE
+    // suppression group. Combined they see two distinct visits -> the
+    // visit must survive; per-template grouping would wrongly null both.
+    val eav = Seq(
+      ("Cat+$$TAG", "Cat+X", "LBL", "1", "Baseline"),
+      ("Cat+$${TAG}", "Cat+Y", "LBL", "2", "Visit 2"))
+      .toDF("category_tpl", "category_cd", "data_label", "data_value", "visit_name")
+    val out = ClinicalPipeline.inferAndShapePaths(eav, "\\T", alwaysSetVisitName = false)
+    assert(out.filter($"visit_name".isNotNull).count() == 2)
+  }
+
   test("reference merge fixtures: UPDATE and REPLACE flows reproduce expected counts") {
     // the reference's 'it should load study with UPDATE / REPLACE merge
     // mode' tests (ClinicalDataProcessorTest.groovy:195-248) replayed as

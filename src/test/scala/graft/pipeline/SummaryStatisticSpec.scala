@@ -56,6 +56,33 @@ class SummaryStatisticSpec extends SparkSpec {
     assert(r.getString(15) == "All values are empty")
   }
 
+  test("unparsable numeric values: divisors include them, type violation in QC") {
+    // VariableStatistic.groovy:149-170: notEmptyValuesCount++ happens BEFORE
+    // Double.parseDouble, so "abc" counts into the mean/SD divisors and
+    // records a "Type is Numerical" violation.
+    val df = Seq(("S1", "10"), ("S2", "20"), ("S3", "abc"), ("S4", ""))
+      .toDF("SUBJ_ID", "V")
+    val specs = Seq(SummaryStatistic.VariableSpec("V",
+      VariableType.Numerical, ValidationRules.parse(">0")))
+    val r = SummaryStatistic.forFile("F.txt", df, "SUBJ_ID", specs)(0)
+      .toSeq.map(v => if (v == null) "" else v.toString)
+    assert(r(3) == "3" && r(4) == "1") // N counts "abc", null counts ""
+    assert(r(5) == "10.0") // mean = (10+20)/3, divisor includes "abc"
+    assert(r(6) == "15.0") // median over parsed values only
+    assert(r(8) == "10.0" && r(9) == "20.0")
+    // sdBase = (100+400) - 30^2/3 = 200; sd = sqrt(200/2) = 10.0
+    assert(r(10) == "10.0")
+    assert(r(15) == "Range checks failed: Type is Numerical ('S3')")
+  }
+
+  test("type violation suppressed without range checks (getQCRangeCheck)") {
+    val df = Seq(("S1", "10"), ("S2", "abc")).toDF("SUBJ_ID", "V")
+    val specs = Seq(SummaryStatistic.VariableSpec("V",
+      VariableType.Numerical, Seq.empty))
+    val r = SummaryStatistic.forFile("F.txt", df, "SUBJ_ID", specs)(0)
+    assert(r.getString(15) == "") // hasRangeChecks false -> empty, like the reference
+  }
+
   test("report frame writes the reference's 16 tab-separated columns") {
     val df = SummaryStatistic.report(spark,
       Seq(("DEMO.txt", demo, "SUBJ_ID", vars)))
