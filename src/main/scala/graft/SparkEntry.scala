@@ -58,6 +58,7 @@ object SparkEntry {
     "text_quality" -> (TrainingData.textQuality _),
     "ann_cosine_topk" -> (TrainingData.annCosineTopk _),
     "ann_lsh_buckets" -> (TrainingData.annLshBuckets _),
+    "ann_ivf" -> (TrainingData.annIvf _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),
     "f5_visit_suppress" -> (Remaining.f5VisitSuppress _),
@@ -75,6 +76,12 @@ object SparkEntry {
     "merge_update_variables" -> (MergeQueries.mergeUpdateVariables _),
     "study_move" -> (MergeQueries.studyMove _),
     "study_delete" -> (MergeQueries.studyDelete _),
+    "p3_acgh_melt" -> (SourcesAndOps.p3AcghMelt _),
+    "p4_vcf_summary" -> (SourcesAndOps.p4VcfSummary _),
+    "p5_vcf_info" -> (SourcesAndOps.p5VcfInfo _),
+    "fn_metadata_xml" -> (SourcesAndOps.fnMetadataXml _),
+    "security_ops" -> (SourcesAndOps.securityOps _),
+    "node_ops" -> (SourcesAndOps.nodeOps _),
     "annotation_registry" -> (OmicsQueries.annotationRegistry _),
     "load_samples_mapping" -> (OmicsQueries.loadSamplesMapping _),
     "load_samples_facts" -> (OmicsQueries.loadSamplesFacts _),
@@ -84,5 +91,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.treeAndEav ++ Oracles.statsAndTime ++
-      Oracles.trainingData ++ Oracles.remaining ++ Oracles.merges
+      Oracles.trainingData ++ Oracles.remaining ++ Oracles.merges ++
+      Oracles.sourcesAndOps
 }

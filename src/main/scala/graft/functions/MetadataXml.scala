@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object MetadataXml {
 
-  private val Template =
+  private[graft] val Template =
     "<?xml version=\"1.0\"?><ValueMetadata><Version>3.02</Version>" +
     "<CreationDateTime>08/14/2008 01:22:59</CreationDateTime><TestID></TestID>" +
     "<TestName></TestName><DataType>PosFloat</DataType><CodeType></CodeType>" +

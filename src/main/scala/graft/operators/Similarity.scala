@@ -100,6 +100,76 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
+    * every vector is assigned once to its nearest of `numLists` centroids
+    * (building inverted lists keyed by `list_id`), and a query scans only
+    * its `nprobe` nearest lists instead of the whole collection.
+    *
+    * Centroids are seeded deterministically (the `numLists` lowest-id
+    * vectors) rather than k-means-iterated: Lloyd iterations accumulate
+    * float sums in partition order, which no independent oracle can
+    * reproduce — and the structure that matters for the plan (assign /
+    * probe / rank-within-lists) is identical. At scale you would refine
+    * the seeds offline and feed them in.
+    *
+    * 100 TB shape: centroids broadcast (numLists is thousands at most);
+    * assignment is one narrow pass with a partial-aggregable argmax (no
+    * pair shuffle, no window); the candidate join touches nprobe/numLists
+    * of the data per query. Cosines are rounded to 6 dp BEFORE every
+    * argmax/rank so tiebreaks are reproducible across engines. */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                numLists: Int): DataFrame = {
+    val cents = broadcast(vectors
+      .orderBy(col(idCol)).limit(numLists)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"),
+        l2Norm(col(vecCol)).as("c_norm")))
+    vectors
+      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__norm"))
+      .join(cents)
+      .withColumn("c_cos",
+        round(dot(col(vecCol), col("c_vec")) / (col("__norm") * col("c_norm")), 6))
+      // argmax as a map-side-combinable agg: max over (cosine, -centroid)
+      // keeps the smallest centroid id on ties, like ORDER BY cos DESC, id
+      .groupBy(col(idCol))
+      .agg(max(struct(col("c_cos"), (-col("centroid_id")).as("neg_id"))).as("best"),
+        first(col(vecCol)).as(vecCol), first(col("__norm")).as("__norm"))
+      .select(col(idCol), col(vecCol), col("__norm"),
+        (-col("best.neg_id")).as("list_id"))
+  }
+
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numLists: Int, nprobe: Int): DataFrame = {
+    val cents = broadcast(vectors
+      .orderBy(col(idCol)).limit(numLists)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"),
+        l2Norm(col(vecCol)).as("c_norm")))
+    // queries pick their nprobe nearest lists (tiny frame; window is fine)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    val probes = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        l2Norm(col(vecCol)).as("q_norm"))
+      .join(cents)
+      .withColumn("c_cos",
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("centroid_id").as("list_id")))
+    val assigned = ivfAssign(vectors, idCol, vecCol, numLists)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        col("__norm").as("n_norm"), col("list_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("list_id"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding near-dup: same-block pairs above a cosine threshold.
     * Blocking key bounds the pair blow-up (label here; LSH bucket at scale). */
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,

@@ -170,6 +170,203 @@ object Oracles {
       |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
       |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
 
+  /** Mirrors SourcesAndOps: synthesized inputs recomputed end-to-end. */
+  val sourcesAndOps: Map[String, String] = Map(
+    "p3_acgh_melt" ->
+      """SELECT 'R' || n_nationkey AS region_id, 'S1' AS sample_id,
+        |  CAST(n_nationkey * 2 AS VARCHAR) AS chip,
+        |  CAST(n_nationkey % 3 AS VARCHAR) AS segmented,
+        |  CAST(n_nationkey % 2 AS VARCHAR) AS flag,
+        |  CAST(n_nationkey % 5 AS VARCHAR) AS probloss,
+        |  CAST(n_nationkey % 7 AS VARCHAR) AS probnorm,
+        |  CAST(n_nationkey % 11 AS VARCHAR) AS probgain,
+        |  CAST(n_nationkey % 13 AS VARCHAR) AS probamp
+        |FROM nation
+        |UNION ALL
+        |SELECT 'R' || n_nationkey, 'S2',
+        |  CAST(n_regionkey * 3 AS VARCHAR), CAST(n_regionkey % 2 AS VARCHAR),
+        |  CAST(n_regionkey % 3 AS VARCHAR), CAST(n_regionkey % 5 AS VARCHAR),
+        |  CAST((n_regionkey + n_nationkey) % 7 AS VARCHAR),
+        |  CAST((n_regionkey + n_nationkey) % 11 AS VARCHAR),
+        |  CAST((n_regionkey + n_nationkey) % 13 AS VARCHAR)
+        |FROM nation""".stripMargin,
+
+    "p4_vcf_summary" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS k,
+        |    'chr' || (p_partkey % 5) AS chrom,
+        |    CAST(p_partkey AS BIGINT) AS pos,
+        |    CASE WHEN p_partkey % 7 = 0
+        |         THEN 'rs' || p_partkey || ';rs' || (p_partkey + 100000)
+        |         ELSE 'rs' || p_partkey END AS rs_id,
+        |    (['A','C','G','T','AT'])[(p_partkey % 5) + 1] AS ref,
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'G,T'
+        |         WHEN p_partkey % 3 = 1 THEN 'C' ELSE 'TA' END AS alt,
+        |    CASE WHEN p_partkey % 11 = 0 THEN 'DP:GT'
+        |         WHEN p_partkey % 13 = 0 THEN 'DP' ELSE 'GT:DP' END AS fmt
+        |  FROM part),
+        |sam AS (
+        |  SELECT b.*, o.off, 'SM' || (o.off + 1) AS sample_id,
+        |    CASE WHEN fmt LIKE '%GT%'
+        |         THEN (['0/1','1|2','./.','0/0','1','.','0|2','2/1'])[((k + o.off) % 8) + 1]
+        |         END AS g
+        |  FROM base b CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) o),
+        |alle AS (
+        |  SELECT *,
+        |    CASE WHEN g IS NULL THEN '' ELSE regexp_extract(g, '^([^/|]+)', 1) END AS a1,
+        |    CASE WHEN g IS NULL THEN '' ELSE regexp_extract(g, '^[^/|]+([/|])', 1) END AS sep,
+        |    CASE WHEN g IS NULL THEN '' ELSE regexp_extract(g, '^[^/|]+[/|](.+)$', 1) END AS a2
+        |  FROM sam),
+        |enc AS (
+        |  SELECT *,
+        |    CASE WHEN a1 = '0' THEN ref
+        |         WHEN regexp_matches(a1, '^[0-9]+$')
+        |           THEN coalesce(string_split(alt, ',')[CAST(a1 AS INT)], '')
+        |         ELSE '' END AS v1,
+        |    CASE WHEN a2 = '0' THEN ref
+        |         WHEN regexp_matches(a2, '^[0-9]+$')
+        |           THEN coalesce(string_split(alt, ',')[CAST(a2 AS INT)], '')
+        |         ELSE '' END AS v2,
+        |    CASE WHEN a1 = '0' THEN 'R'
+        |         WHEN regexp_matches(a1, '^[0-9]+$') THEN 'V' ELSE '' END AS f1,
+        |    CASE WHEN a2 = '0' THEN 'R'
+        |         WHEN regexp_matches(a2, '^[0-9]+$') THEN 'V' ELSE '' END AS f2
+        |  FROM alle)
+        |SELECT 'TPCH' AS trial_name, sample_id,
+        |  unnest(string_split(rs_id, ';')) AS probeset_id,
+        |  chrom, pos,
+        |  CASE WHEN sep = '' THEN v1 ELSE v1 || sep || v2 END AS variant,
+        |  CASE WHEN sep = '' THEN f1 ELSE f1 || sep || f2 END AS variant_format,
+        |  CASE WHEN length(ref) = 1
+        |        AND len(list_filter(string_split(alt, ','), a -> length(a) <> 1)) = 0
+        |       THEN 'SNV' ELSE 'DIV' END AS variant_type,
+        |  CASE WHEN sep = '' THEN a1 = '0'
+        |       ELSE (NOT regexp_matches(a1, '^[0-9]+$') OR a1 = '0')
+        |        AND (NOT regexp_matches(a2, '^[0-9]+$') OR a2 = '0') END AS reference,
+        |  CASE WHEN regexp_matches(a1, '^[0-9]+$') THEN CAST(a1 AS INT) END AS allele1,
+        |  CASE WHEN regexp_matches(a2, '^[0-9]+$') THEN CAST(a2 AS INT) END AS allele2
+        |FROM enc""".stripMargin,
+
+    "p5_vcf_info" ->
+      """WITH base AS (
+        |  SELECT 'chr' || (p_partkey % 5) AS chrom, CAST(p_partkey AS BIGINT) AS pos,
+        |    'rs' || p_partkey AS rs_id,
+        |    'DP=' || (p_partkey % 100) ||
+        |    CASE WHEN p_partkey % 2 = 0
+        |         THEN ';AF=0.' || (p_partkey % 9) || ',0.' || ((p_partkey + 3) % 9)
+        |         ELSE '' END ||
+        |    CASE WHEN p_partkey % 5 = 0 THEN ';DB' ELSE '' END AS info
+        |  FROM part),
+        |fields AS (
+        |  SELECT chrom, pos, rs_id, 'DP' AS info_id, 'Integer' AS info_type,
+        |    regexp_extract(info, '(^|;)DP=([^;]*)', 2) AS raw FROM base
+        |  UNION ALL
+        |  SELECT chrom, pos, rs_id, 'AF', 'Float',
+        |    CASE WHEN regexp_matches(info, '(^|;)AF=')
+        |         THEN regexp_extract(info, '(^|;)AF=([^;]*)', 2) END FROM base
+        |  UNION ALL
+        |  SELECT chrom, pos, rs_id, 'DB', 'Flag',
+        |    CASE WHEN regexp_matches(info, '(^|;)DB(;|$)') THEN '1' END FROM base),
+        |vals AS (
+        |  SELECT chrom, pos, rs_id, info_id, info_type,
+        |    generate_subscripts(string_split(raw, ','), 1) - 1 AS value_idx,
+        |    unnest(string_split(raw, ',')) AS value
+        |  FROM fields WHERE raw IS NOT NULL)
+        |SELECT chrom, pos, rs_id, info_id, info_type,
+        |  CAST(value_idx AS INT) AS value_idx, value,
+        |  CASE WHEN info_type = 'Integer' THEN CAST(value AS BIGINT) END AS int_value,
+        |  CASE WHEN info_type = 'Float' THEN CAST(value AS DOUBLE) END AS float_value
+        |FROM vals""".stripMargin,
+
+    "fn_metadata_xml" -> {
+      val T = graft.functions.MetadataXml.Template
+      s"""WITH n AS (
+         |  SELECT n_nationkey AS k,
+         |    CASE WHEN n_nationkey % 5 = 0 THEN 'Baseline'
+         |         WHEN n_nationkey % 5 = 1 THEN 'Week ' || (n_nationkey - 12)
+         |         WHEN n_nationkey % 5 = 2
+         |           THEN n_nationkey || ' days ' || (n_nationkey % 12) || ' hours'
+         |         WHEN n_nationkey % 5 = 3 THEN 'not a timepoint'
+         |         ELSE 'Month ' || n_nationkey END AS display_name,
+         |    CASE WHEN n_nationkey % 3 = 0 THEN 'N' ELSE 'T' END AS data_type,
+         |    CASE WHEN n_nationkey % 2 = 0 THEN 'TIMEPOINT' END AS valuetype_cd,
+         |    CASE WHEN n_nationkey % 5 = 0 THEN 0
+         |         WHEN n_nationkey % 5 = 1 THEN (n_nationkey - 12) * 10080
+         |         WHEN n_nationkey % 5 = 2
+         |           THEN n_nationkey * 1440 + (n_nationkey % 12) * 60
+         |         WHEN n_nationkey % 5 = 3 THEN NULL
+         |         ELSE n_nationkey * 43200 END AS mins
+         |  FROM nation)
+         |SELECT k AS id, display_name, data_type, valuetype_cd,
+         |  CASE WHEN valuetype_cd = 'TIMEPOINT' THEN
+         |    CASE WHEN mins IS NULL THEN NULL
+         |         ELSE '$T<SeriesMeta><Value>' || CAST(CAST(mins AS BIGINT) AS VARCHAR)
+         |           || '</Value><Unit>minutes</Unit><DisplayName>' || display_name
+         |           || '</DisplayName></SeriesMeta></ValueMetadata>' END
+         |  WHEN data_type = 'N' THEN '$T</ValueMetadata>'
+         |  END AS metadataxml
+         |FROM n""".stripMargin
+    },
+
+    "security_ops" ->
+      """WITH existing AS (
+        |  SELECT DISTINCT 'ST' || (c_custkey % 40) AS accession,
+        |    'Old ' || (c_custkey % 40) AS title,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'EXP:STUDY_A'
+        |         ELSE 'EXP:PUBLIC' END AS secure_obj_token
+        |  FROM customer),
+        |incoming AS (
+        |  SELECT 'ST' || n_nationkey AS accession, 'New ' || n_nationkey AS title,
+        |    'EXP:STUDY_A' AS secure_obj_token
+        |  FROM nation),
+        |up AS (
+        |  SELECT e.* FROM existing e
+        |  WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.accession = e.accession)
+        |  UNION ALL SELECT * FROM incoming)
+        |SELECT accession, title,
+        |  CASE WHEN secure_obj_token = 'EXP:STUDY_A' THEN 'EXP:STUDY_B'
+        |       ELSE secure_obj_token END AS secure_obj_token
+        |FROM up""".stripMargin,
+
+    "node_ops" ->
+      """WITH geo AS (
+        |  SELECT r_name, n_name, n_nationkey
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |nodes AS (
+        |  SELECT DISTINCT '\T\' AS c_fullname, 1 AS c_hlevel, 'T' AS c_name FROM geo
+        |  UNION SELECT DISTINCT '\T\' || r_name || '\', 2, r_name FROM geo
+        |  UNION SELECT DISTINCT '\T\' || r_name || '\' || n_name || '\', 3, n_name FROM geo),
+        |i0 AS (
+        |  SELECT c_fullname, c_hlevel, c_name,
+        |    substring(md5(c_fullname), 1, 16) AS c_basecode
+        |  FROM nodes),
+        |f0 AS (
+        |  SELECT substring(md5('\T\' || r_name || '\' || n_name || '\'), 1, 16) AS concept_cd,
+        |    c_custkey
+        |  FROM customer JOIN geo ON c_nationkey = n_nationkey),
+        |newp AS (SELECT unnest(['\T\Extra\', '\T\AFRICA\ALGERIA\']) AS p),
+        |repl AS (SELECT DISTINCT c_basecode FROM i0 JOIN newp ON c_fullname = p),
+        |i1 AS (
+        |  SELECT * FROM i0 WHERE c_fullname NOT IN (SELECT p FROM newp)
+        |  UNION ALL
+        |  SELECT '\T\Extra\', 2, 'Extra', substring(md5('\T\Extra\'), 1, 16)
+        |  UNION ALL
+        |  SELECT '\T\AFRICA\ALGERIA\', 3, 'ALGERIA',
+        |    substring(md5('\T\AFRICA\ALGERIA\'), 1, 16)),
+        |f1 AS (
+        |  SELECT * FROM f0
+        |  WHERE concept_cd NOT IN (SELECT c_basecode FROM repl)),
+        |vict AS (
+        |  SELECT c_fullname, c_basecode FROM i1
+        |  WHERE c_fullname = '\T\AMERICA\BRAZIL\'),
+        |i2 AS (SELECT * FROM i1 WHERE c_fullname NOT IN (SELECT c_fullname FROM vict)),
+        |f2 AS (SELECT * FROM f1 WHERE concept_cd NOT IN (SELECT c_basecode FROM vict)),
+        |fc AS (SELECT concept_cd, CAST(count(*) AS BIGINT) AS n FROM f2 GROUP BY 1)
+        |SELECT i.c_fullname, CAST(i.c_hlevel AS BIGINT) AS c_hlevel, i.c_name,
+        |  i.c_basecode, coalesce(fc.n, 0) AS n_facts
+        |FROM i2 i LEFT JOIN fc ON i.c_basecode = fc.concept_cd""".stripMargin,
+  )
+
   val remaining: Map[String, String] = Map(
     "f3_tag_substitution" ->
       """SELECT p_partkey, p_brand,
@@ -664,6 +861,43 @@ object Oracles {
         |    CAST(sum(CASE WHEN dp > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM dots GROUP BY 1)
         |SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY 1""".stripMargin,
+
+    // Mirrors Similarity.ivfTopK: 16 lowest-id seed centroids, argmax
+    // assignment on the ROUNDED cosine with centroid-id tiebreak, 4 probed
+    // lists per query, rank within probed candidates only.
+    "ann_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+        |  FROM (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+        |  WHERE rn <= 16),
+        |vc AS (
+        |  SELECT a.vec_id, a.embedding, a.nrm, c.cid,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (a.nrm * c.cnrm), 6) AS ccos
+        |  FROM v a CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, embedding, nrm, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, embedding AS qvec, nrm AS qnrm, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc WHERE vec_id < 20) WHERE rn <= 4),
+        |pairs AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(p.qvec) + 1),
+        |      i -> p.qvec[i]::DOUBLE * a.embedding[i]::DOUBLE)) / (p.qnrm * a.nrm), 6) AS cosine
+        |  FROM probes p JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.q_id),
+        |rk AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM pairs)
+        |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin,
 
     "dedup_embedding" -> (
       """WITH p AS (

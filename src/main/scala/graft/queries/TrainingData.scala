@@ -64,6 +64,16 @@ object TrainingData {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** IVF ANN: 16 deterministic seed centroids, 4 probed lists per query —
+    * the scale path next to the brute-force baseline (each query scans
+    * ~1/4 of the collection here; at 100 TB numLists grows with the data
+    * and the scanned fraction shrinks to nprobe/numLists). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10, numLists = 16, nprobe = 4)
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(t(s, dir, "embeddings"),
       "vec_id", "embedding", blockCol = "label", threshold = 0.4)

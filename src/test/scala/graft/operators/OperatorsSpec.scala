@@ -186,6 +186,34 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq(3L, 2L, 1L)) // colinear first, diagonal, orthogonal
   }
 
+  test("ivfAssign puts every vector in exactly one list, nearest centroid wins") {
+    // centroids = 2 lowest ids: c0=(1,0), c1=(0,1)
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", numLists = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(assigned.size == 4)
+    assert(assigned(0L) == 0L && assigned(3L) == 0L) // colinear with c0
+    assert(assigned(1L) == 1L)
+    assert(assigned(2L) == 0L) // equidistant: rounded-cosine tie -> smaller id
+  }
+
+  test("ivfTopK with nprobe = numLists equals brute force") {
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3, numLists = 2, nprobe = 2)
+      .orderBy($"rank").collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    assert(ivf.toSeq == bf.toSeq)
+  }
+
+  test("ivfTopK probes only nprobe lists") {
+    // query 1 = (0,1): its nearest (only probed) list is c1, which holds
+    // just vector 1 itself -> no neighbors at nprobe=1
+    val res = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1),
+      "vec_id", "embedding", k = 3, numLists = 2, nprobe = 1)
+    assert(res.count() == 0)
+  }
+
   test("hyperplane signs are deterministic and lshBucket groups colinear vectors") {
     val p1 = Similarity.hyperplaneSigns(4, 8)
     val p2 = Similarity.hyperplaneSigns(4, 8)
