@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (TrainingData.dedupMinhashLsh _),
     "dedup_simhash" -> (TrainingData.dedupSimhash _),
+    "dedup_clusters" -> (TrainingData.dedupClusters _),
     "text_lang_id" -> (TrainingData.textLangId _),
     "text_quality" -> (TrainingData.textQuality _),
     "ann_cosine_topk" -> (TrainingData.annCosineTopk _),

@@ -127,6 +127,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — the step that turns
+    * verified PAIRS into keep-one-per-CLUSTER decisions (a pairs list
+    * alone over-deletes: a~b and b~c must not delete both b and c against
+    * different survivors).
+    *
+    * Min-label propagation: every doc starts labeled with itself; each
+    * round takes the min of its own and its neighbors' labels; fixpoint in
+    * O(cluster diameter) rounds. Near-dup clusters are shallow (dup sets,
+    * not long chains), so rounds stay in the low single digits; each round
+    * is one shuffle join + aggregate, so the cost model at 100 TB is
+    * "diameter x one co-partitioned join of the edge list". The round
+    * count is driver-controlled with an explicit fixpoint check (one
+    * scalar count per round), results are deterministic (min), and each
+    * round localCheckpoints so the plan does not nest across rounds (the
+    * round's frame references the previous one three times — cache alone
+    * would let the logical plan grow exponentially). */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster_id").as("nbr_label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nbr_label")).as("min_nbr"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("min_nbr"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("doc_id"),
+          col("cluster_id").as("prev")), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Engine-portable SimHash (64-bit, hex string): md5(token) first 16 hex
     * chars give 64 bits; each token occurrence votes +1/-1 per bit; bit = 1
     * when the vote sum is positive.

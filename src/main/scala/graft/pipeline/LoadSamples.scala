@@ -130,6 +130,10 @@ object LoadSamples {
         typedNodes(topNode, nodeValues, "ATTR2", "ATTR2", col("attribute_2").isNotNull))
       .reduce(_ unionByName _)
       .withColumn("concept_cd", substring(md5(col("leaf_node")), 1, 16))
+      // five byType broadcasts consume this tiny frame (distinct attribute
+      // tuples); without the cache each broadcast re-runs the whole
+      // union-of-five-distincts
+      .cache()
 
     val byType = (t: String) => broadcast(
       nodes.filter(col("node_type") === t)

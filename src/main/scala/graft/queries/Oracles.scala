@@ -768,6 +768,43 @@ object Oracles {
         |  GROUP BY 1, 2),
         |""".stripMargin + JaccardTail),
 
+    // Mirrors Dedup.clusters over the minhash pair graph: the verified
+    // pairs become a recursive reachability closure; cluster label = min
+    // reachable doc id (the transitive closure IS the label-propagation
+    // fixpoint on this graph).
+    "dedup_clusters" -> (ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, mh AS (
+        |  SELECT doc_id, j, min(md5(j::VARCHAR || '|' || shingle)) AS minhash
+        |  FROM sh, unnest(range(0, 8)) s(j) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    md5(string_agg(minhash, '|' ORDER BY j)) AS band_key
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.da AND b.doc_id = cand.db
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |  UNION SELECT doc_a, doc_a FROM pairs
+        |  UNION SELECT doc_b, doc_b FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1""".stripMargin),
+
     "dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),

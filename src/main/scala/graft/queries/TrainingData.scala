@@ -30,6 +30,11 @@ object TrainingData {
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
       n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
 
+  /** Pairs -> clusters: connected components over the verified MinHash-LSH
+    * pair graph, min doc id as the deterministic cluster label. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashHex(t(s, dir, "documents"), "doc_id", "text")
 

@@ -130,6 +130,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head._3 == 1.0) // identical docs
   }
 
+  test("clusters: transitive pairs collapse to one min-labeled component") {
+    // a~b, b~c chain plus an isolated d~e pair: two components, labels are
+    // the component minima — the pairs list alone would over-delete b AND c
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("clusters converge on a long chain (diameter > 1 round)") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(chain).collect().map(_.getLong(1)).distinct
+    assert(got.toSeq == Seq(1L))
+  }
+
   test("minhashLsh candidates recover the exact dup pair") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.9)
