@@ -5,7 +5,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -98,4 +99,67 @@ object TextHash {
 
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Distinct word n-gram shingles in first-occurrence order — the native
+    * twin of TextAnalysis.shingles (split on ASCII whitespace like Java's
+    * \s+, slice windows of n, join with ' ', array_distinct). One linear
+    * pass per row instead of an interpreted transform/slice/array_join
+    * lambda chain; the dedup explode is the hottest scan in the
+    * training-data queries. Fewer than n tokens -> empty array. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return null
+    val s = text.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || isAsciiSpace(s.charAt(i))) {
+        if (i > start) toks += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(j))
+      var m = 1
+      while (m < n) { sb.append(' ').append(toks(j + m)); m += 1 }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** word_shingles(text, n): StringType -> ArrayType(StringType), codegen'd. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(t: Any): Any =
+      wordShingles(t.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.functions.TextHash.wordShingles($c, $n);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 }

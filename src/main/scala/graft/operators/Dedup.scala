@@ -24,10 +24,13 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingle) long table, distinct per doc. */
+  /** (id, shingle) long table, distinct per doc. Shingling is the native
+    * codegen'd expression (TextHash.WordShingles) — the interpreted
+    * transform/slice/array_join form (TextAnalysis.shingles) is its
+    * cross-checked reference. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+      explode(graft.functions.TextHash.shingles(col(textCol), n)).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup: candidate pairs share >=1 shingle;
     * J(a,b) = |A n B| / (|A| + |B| - |A n B|) >= threshold.
@@ -144,9 +147,13 @@ object Dedup {
     * round's frame references the previous one three times — cache alone
     * would let the logical plan grow exponentially). */
   def clusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    // materialize the pair pipeline ONCE — both union branches below read
+    // it, and without this the (possibly expensive) upstream that produced
+    // the pairs would execute twice
+    val p = pairs.localCheckpoint(true)
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -158,16 +165,18 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"),
           col("cluster_id").as("nbr_label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nbr_label")).as("min_nbr"))
+      // the change flag rides along into the checkpoint, so the fixpoint
+      // test is a scan of the materialized frame, not another join
       val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("min_nbr"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("min_nbr"), col("cluster_id")) < col("cluster_id"))
+            .as("chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("doc_id"),
-          col("cluster_id").as("prev")), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("chg")).limit(1).count()
+      labels = next.drop("chg")
       rounds += 1
     }
     edges.unpersist()

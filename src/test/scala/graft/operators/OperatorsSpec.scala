@@ -130,6 +130,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head._3 == 1.0) // identical docs
   }
 
+  test("native shingles expression matches the declarative HOF form") {
+    val tricky = Seq(
+      (1L, "a b c d e"),
+      (2L, "a  b\tc"),          // multi-space + tab separators
+      (3L, "x y"),              // fewer tokens than n -> empty
+      (4L, "a b a b a b a b"),  // duplicate shingles -> distinct, in order
+      (5L, "  leading and trailing  ")).toDF("doc_id", "text")
+    val native = tricky.select($"doc_id",
+      graft.functions.TextHash.shingles($"text", 3).as("s"))
+    val hof = tricky.select($"doc_id",
+      TextAnalysis.shingles($"text", 3).as("s"))
+    assert(native.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      == hof.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap)
+  }
+
   test("clusters: transitive pairs collapse to one min-labeled component") {
     // a~b, b~c chain plus an isolated d~e pair: two components, labels are
     // the component minima — the pairs list alone would over-delete b AND c
