@@ -7,14 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, processed in partition-sized batches.
   *
-  * The real media codecs are NOT in this container — the decode step is a
-  * clearly-marked stub (`FakeDecoder`) producing deterministic features
-  * from the bytes. Everything around it is real and tested: the schema,
-  * the batch iteration shape (mapPartitions over a typed Dataset — the
-  * Scala twin of mapInPandas: one JVM-side batch per partition, vectorized
-  * by Tungsten under the hood), the repartitioning contract (media blobs
-  * are large -> partition by byte budget, not row count), and the
-  * downstream feature columns.
+  * IMAGES decode for real: the JDK ships ImageIO codecs (PNG, JPEG, BMP,
+  * GIF, WBMP), so [[ImageIoDecoder]] performs actual decode, RGB-histogram
+  * feature extraction and aspect-preserving resize with no external
+  * libraries. Audio/video codecs are NOT in this container — those
+  * modalities go through the clearly-marked stub (`FakeDecoder`)
+  * producing deterministic features from the bytes; [[routingDecoder]]
+  * dispatches per modality. Everything around the decoders is real and
+  * tested: the schema, the batch iteration shape (mapPartitions over a
+  * typed Dataset — the Scala twin of mapInPandas: one JVM-side batch per
+  * partition), the repartitioning contract (media blobs are large ->
+  * partition by byte budget, not row count), and the downstream feature
+  * columns.
   */
 object Multimodal {
 
@@ -58,6 +62,76 @@ object Multimodal {
         n_frames = math.max(1, (row.duration_ms / 1000L).toInt),
         ok = bytes.nonEmpty)
     }
+  }
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF/WBMP —
+    * codecs bundled with the JVM, no external deps). Feature = 48-dim
+    * L1-normalized RGB histogram (16 bins per channel); unreadable or
+    * empty payloads come back ok=false rather than throwing, so one bad
+    * blob cannot kill a 100 TB scan. */
+  object ImageIoDecoder extends Decoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val bytes = Option(row.payload).getOrElse(Array.emptyByteArray)
+      val img =
+        if (bytes.isEmpty) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+      if (img == null)
+        MediaFeatures(row.media_id, row.modality, new Array[Float](48), 0, ok = false)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val hist = new Array[Float](48)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          hist(((p >> 16) & 0xFF) >> 4) += 1f
+          hist(16 + (((p >> 8) & 0xFF) >> 4)) += 1f
+          hist(32 + ((p & 0xFF) >> 4)) += 1f
+          i += 1
+        }
+        val n = math.max(px.length, 1).toFloat
+        MediaFeatures(row.media_id, row.modality, hist.map(_ / n),
+          n_frames = 1, ok = true)
+      }
+    }
+
+    /** Aspect-preserving shortest-side resize, re-encoded as PNG (the
+      * batch-side realization of [[resizePlan]]'s geometry). Returns None
+      * for unreadable payloads. */
+    def resize(payload: Array[Byte], shortestSide: Int): Option[Array[Byte]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val scale =
+          if (img.getWidth <= img.getHeight) shortestSide.toDouble / img.getWidth
+          else shortestSide.toDouble / img.getHeight
+        val tw = math.max(1, math.round(img.getWidth * scale).toInt)
+        val th = math.max(1, math.round(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(tw, th,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, tw, th, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    }
+  }
+
+  /** Dispatch per modality: images decode for real, audio/video fall back
+    * to the stub until their codecs exist in the runtime. */
+  def routingDecoder(audioVideo: Decoder = FakeDecoder): Decoder = new Decoder {
+    def decode(row: MediaRow): MediaFeatures =
+      if (row.modality == "image") ImageIoDecoder.decode(row)
+      else audioVideo.decode(row)
   }
 
   /** Batch feature extraction: one decoder instance per partition (the

@@ -88,6 +88,40 @@ class MultimodalSpec extends SparkSpec {
     assert(again(1) == f(1).feature.toSeq)
   }
 
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode via JDK ImageIO: histogram, routing, bad payloads") {
+    val red = pngBytes(8, 4, 0xFF0000)
+    val rows = Seq(
+      Multimodal.MediaRow(10, "image", "image/png", 8, 4, 0, red),
+      Multimodal.MediaRow(11, "image", "image/png", 1, 1, 0, Array[Byte](9, 9, 9)), // not an image
+      Multimodal.MediaRow(12, "audio", "audio/wav", 0, 0, 1000, Array[Byte](1, 2))).toDS()
+    val f = Multimodal.extractFeatures(rows, Multimodal.routingDecoder())
+      .collect().map(r => r.media_id -> r).toMap
+    assert(f(10L).ok && f(10L).feature.length == 48)
+    // every red pixel: R bin 15, G bin 0, B bin 0 -> each channel sums to 1
+    assert(math.abs(f(10L).feature(15) - 1.0f) < 1e-6)
+    assert(math.abs(f(10L).feature(16) - 1.0f) < 1e-6)
+    assert(math.abs(f(10L).feature(32) - 1.0f) < 1e-6)
+    assert(!f(11L).ok) // unreadable image: flagged, not thrown
+    assert(f(12L).ok && f(12L).feature.length == 16) // audio routed to stub
+  }
+
+  test("real image resize matches the plan geometry") {
+    val src = pngBytes(64, 32, 0x00FF00)
+    val out = Multimodal.ImageIoDecoder.resize(src, shortestSide = 16).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getHeight == 16 && img.getWidth == 32) // shortest side 32 -> 16
+    assert(Multimodal.ImageIoDecoder.resize(Array[Byte](1, 2), 16).isEmpty)
+  }
+
   test("frame sampling schedule at 2 fps") {
     val sched = Multimodal.frameSampleSchedule(media.toDF(), fps = 2.0)
       .orderBy("frame_idx").collect()
