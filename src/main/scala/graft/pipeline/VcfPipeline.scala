@@ -77,8 +77,7 @@ object VcfPipeline {
       col("value_idx").as("info_index"),
       col("int_value").as("integer_value"),
       col("float_value").as("float_value"),
-      when(col("info_type").isin("Character", "String"), col("value"))
-        .as("text_value"))
+      col("text_value"))
 
     VariantTables(dataset, subjectIdx, populationInfo, subjectDetail,
       subjectSummary, populationData)

@@ -237,15 +237,15 @@ object Oracles {
         |  chrom, pos,
         |  CASE WHEN sep = '' THEN v1 ELSE v1 || sep || v2 END AS variant,
         |  CASE WHEN sep = '' THEN f1 ELSE f1 || sep || f2 END AS variant_format,
-        |  CASE WHEN length(ref) = 1
-        |        AND len(list_filter(string_split(alt, ','), a -> length(a) <> 1)) = 0
+        |  CASE WHEN length(ref) = 1 AND len(string_split(alt, ',')) = 1
+        |        AND length(string_split(alt, ',')[1]) = 1
         |       THEN 'SNV' ELSE 'DIV' END AS variant_type,
         |  CASE WHEN sep = '' THEN a1 = '0'
         |       ELSE (NOT regexp_matches(a1, '^[0-9]+$') OR a1 = '0')
         |        AND (NOT regexp_matches(a2, '^[0-9]+$') OR a2 = '0') END AS reference,
         |  CASE WHEN regexp_matches(a1, '^[0-9]+$') THEN CAST(a1 AS INT) END AS allele1,
         |  CASE WHEN regexp_matches(a2, '^[0-9]+$') THEN CAST(a2 AS INT) END AS allele2
-        |FROM enc""".stripMargin,
+        |FROM enc WHERE g IS NOT NULL""".stripMargin,
 
     "p5_vcf_info" ->
       """WITH base AS (
@@ -255,7 +255,9 @@ object Oracles {
         |    CASE WHEN p_partkey % 2 = 0
         |         THEN ';AF=0.' || (p_partkey % 9) || ',0.' || ((p_partkey + 3) % 9)
         |         ELSE '' END ||
-        |    CASE WHEN p_partkey % 5 = 0 THEN ';DB' ELSE '' END AS info
+        |    CASE WHEN p_partkey % 3 = 0 THEN ';VT=SNP' ELSE '' END ||
+        |    CASE WHEN p_partkey % 10 = 0 THEN ';DB=0'
+        |         WHEN p_partkey % 5 = 0 THEN ';DB' ELSE '' END AS info
         |  FROM part),
         |fields AS (
         |  SELECT chrom, pos, rs_id, 'DP' AS info_id, 'Integer' AS info_type,
@@ -265,8 +267,14 @@ object Oracles {
         |    CASE WHEN regexp_matches(info, '(^|;)AF=')
         |         THEN regexp_extract(info, '(^|;)AF=([^;]*)', 2) END FROM base
         |  UNION ALL
+        |  SELECT chrom, pos, rs_id, 'VT', 'String',
+        |    CASE WHEN regexp_matches(info, '(^|;)VT=')
+        |         THEN regexp_extract(info, '(^|;)VT=([^;]*)', 2) END FROM base
+        |  UNION ALL
         |  SELECT chrom, pos, rs_id, 'DB', 'Flag',
-        |    CASE WHEN regexp_matches(info, '(^|;)DB(;|$)') THEN '1' END FROM base),
+        |    CASE WHEN regexp_matches(info, '(^|;)DB=')
+        |         THEN regexp_extract(info, '(^|;)DB=([^;]*)', 2)
+        |         WHEN regexp_matches(info, '(^|;)DB(;|$)') THEN '1' END FROM base),
         |vals AS (
         |  SELECT chrom, pos, rs_id, info_id, info_type,
         |    generate_subscripts(string_split(raw, ','), 1) - 1 AS value_idx,
@@ -274,8 +282,9 @@ object Oracles {
         |  FROM fields WHERE raw IS NOT NULL)
         |SELECT chrom, pos, rs_id, info_id, info_type,
         |  CAST(value_idx AS INT) AS value_idx, value,
-        |  CASE WHEN info_type = 'Integer' THEN CAST(value AS BIGINT) END AS int_value,
-        |  CASE WHEN info_type = 'Float' THEN CAST(value AS DOUBLE) END AS float_value
+        |  CASE WHEN info_type IN ('Integer', 'Flag') THEN CAST(value AS BIGINT) END AS int_value,
+        |  CASE WHEN info_type = 'Float' THEN CAST(value AS DOUBLE) END AS float_value,
+        |  CASE WHEN info_type IN ('Character', 'String') THEN value END AS text_value
         |FROM vals""".stripMargin,
 
     "fn_metadata_xml" -> {

@@ -78,14 +78,17 @@ object SourcesAndOps {
       Seq("SM1", "SM2", "SM3"), "TPCH")
 
   /** INFO explode against declared fields: Integer scalar, Float list,
-    * Flag presence, and an absent String field (filtered out). */
+    * bare Flag AND explicit-value Flag (`DB=0` keeps its 0), a present
+    * String field (text_value), and an absent field (filtered out). */
   def p5VcfInfo(s: SparkSession, dir: String): DataFrame = {
     val k = col("p_partkey")
     val info = concat(
       lit("DP="), (k % 100).cast("string"),
       when(k % 2 === 0, concat(lit(";AF=0."), (k % 9).cast("string"),
         lit(",0."), ((k + 3) % 9).cast("string"))).otherwise(lit("")),
-      when(k % 5 === 0, lit(";DB")).otherwise(lit("")))
+      when(k % 3 === 0, lit(";VT=SNP")).otherwise(lit("")),
+      when(k % 10 === 0, lit(";DB=0"))
+        .when(k % 5 === 0, lit(";DB")).otherwise(lit("")))
     val df = t(s, dir, "part").select(
       concat(lit("chr"), (k % 5).cast("string")).as("chrom"),
       k.cast("long").as("pos"),
@@ -95,6 +98,7 @@ object SourcesAndOps {
       VcfReader.InfoField("DP", "1", "Integer"),
       VcfReader.InfoField("AF", "A", "Float"),
       VcfReader.InfoField("DB", "0", "Flag"),
+      VcfReader.InfoField("VT", "1", "String"),
       VcfReader.InfoField("XX", "1", "String")))
   }
 

@@ -61,31 +61,37 @@ object VcfReader {
         slice(col("c"), lit(10), greatest(size(col("c")) - 9, lit(0))).as("sample_values"))
   }
 
-  /** P4: per-sample explode — genotype alleles split on `/` or `|`
-    * preserving the separator; allele indices resolved R(ef)/V(ariant);
-    * `.` missing; SNV vs DIV classification; rs_id `;`-explode. */
+  /** P4: per-sample explode — genotype alleles matched with the
+    * reference's pattern `(\d+|\.)(?:([/|])(\d+|\.))?` (VcfFile.groovy:
+    * 129-134 — separator and second allele only when the full pair
+    * matches); allele indices resolved R(ef)/V(ariant); `.` missing.
+    * SNV iff the REF and the SINGLE alternative are one base each
+    * (VCFDataProcessor.groovy:203-204 — multi-alt rows are DIV even when
+    * every alternative is one base). rs_id `;`-explode. */
   def explodeSamples(variants: DataFrame, sampleIds: Seq[String]): DataFrame = {
     val withSample = variants
       .select(col("*"),
         posexplode(col("sample_values")).as(Seq("sample_idx", "sample_value")))
       .withColumn("sample_id",
         element_at(array(sampleIds.map(lit): _*), col("sample_idx") + 1))
-      // GT is the first :-separated field by convention; locate via FORMAT
+      // GT located via FORMAT; a FORMAT without GT leaves gt null (the
+      // reference builds NO sample data at all then — VcfFile.groovy:125)
       .withColumn("gt_idx",
         array_position(split(col("format"), ":"), "GT").cast("int"))
       .withColumn("gt", when(col("gt_idx") > 0,
-        element_at(split(col("sample_value"), ":"), col("gt_idx"))))
-      .withColumn("allele1", regexp_extract(col("gt"), "^([^/|]+)", 1))
-      .withColumn("allele_sep", regexp_extract(col("gt"), "^[^/|]+([/|])", 1))
-      .withColumn("allele2", regexp_extract(col("gt"), "^[^/|]+[/|](.+)$", 1))
-    val alleles = array(concat(lit(""), col("ref")), col("alt")) // idx 0 = REF
+        try_element_at(split(col("sample_value"), ":"), col("gt_idx"))))
+      .withColumn("allele1", regexp_extract(col("gt"), "^(\\d+|\\.)", 1))
+      .withColumn("allele_sep",
+        regexp_extract(col("gt"), "^(?:\\d+|\\.)([/|])(?:\\d+|\\.)", 1))
+      .withColumn("allele2",
+        regexp_extract(col("gt"), "^(?:\\d+|\\.)[/|](\\d+|\\.)", 1))
     withSample
       .withColumn("alts", split(col("alt"), ","))
       .withColumn("variant1", alleleValue(col("allele1"), col("ref"), col("alts")))
       .withColumn("variant2", alleleValue(col("allele2"), col("ref"), col("alts")))
       .withColumn("variant_type",
-        when(length(col("ref")) === 1 &&
-          forall(col("alts"), a => length(a) === 1), lit("SNV")).otherwise(lit("DIV")))
+        when(length(col("ref")) === 1 && size(col("alts")) === 1 &&
+          length(element_at(col("alts"), 1)) === 1, lit("SNV")).otherwise(lit("DIV")))
       .drop("sample_values", "gt_idx", "alts")
   }
 
@@ -111,10 +117,14 @@ object VcfReader {
     *  - reference flag: every present allele is 0 ('.' counts as absent;
     *    a haploid '.' is NOT reference)
     *  - one row per sample per probeset id (rs_id `;`-explode)
+    *  - a variant whose FORMAT lacks GT contributes NO rows (the
+    *    reference's samplesData map stays empty — VcfFile.groovy:125-127,
+    *    asserted by its own test at pos 16050624)
     */
   def subjectSummary(variants: DataFrame, sampleIds: Seq[String],
                      trialId: String): DataFrame = {
     val e = explodeRsIds(explodeSamples(variants, sampleIds))
+      .filter(col("gt").isNotNull)
     val alts = split(col("alt"), ",")
     def isNum(a: Column) = a.rlike("^[0-9]+$")
     def vPart(a: Column): Column =
@@ -146,14 +156,19 @@ object VcfReader {
   }
 
   /** P5: INFO explode — declared fields x value index -> typed rows
-    * (VCFDataProcessor.groovy:168-199). Flags get value "1"; numeric
-    * fields land in int_value/float_value per declaration. */
+    * (VCFDataProcessor.groovy:168-199). A bare flag gets value "1", but a
+    * flag written `FLAG=0` keeps its explicit value (VcfFile.groovy:
+    * 150-157 splits on '=' first and only defaults absent values);
+    * Integer AND Flag land in int_value, Float in float_value,
+    * Character/String in text_value (the processor's type switch at
+    * :177-190 cases Flag together with Integer). */
   def explodeInfo(df: DataFrame, fields: Seq[InfoField]): DataFrame = {
     val infoMap = expr("str_to_map(info, ';', '=')")
     val perField = fields.map { f =>
       struct(lit(f.id).as("info_id"), lit(f.tpe).as("info_type"),
         (if (f.tpe == "Flag")
-          when(infoMap.getItem(f.id).isNotNull || col("info").rlike(s"(^|;)${f.id}(;|$$)"), lit("1"))
+          coalesce(infoMap.getItem(f.id),
+            when(col("info").rlike(s"(^|;)${f.id}(;|$$)"), lit("1")))
         else infoMap.getItem(f.id)).as("raw"))
     }
     df.select(col("chrom"), col("pos"), col("rs_id"),
@@ -163,9 +178,11 @@ object VcfReader {
       .filter(col("raw").isNotNull)
       .select(col("*"), posexplode(split(col("raw"), ",")).as(Seq("value_idx", "value")))
       .withColumn("int_value",
-        when(col("info_type") === "Integer", col("value").cast("long")))
+        when(col("info_type").isin("Integer", "Flag"), col("value").cast("long")))
       .withColumn("float_value",
         when(col("info_type") === "Float", col("value").cast("double")))
+      .withColumn("text_value",
+        when(col("info_type").isin("Character", "String"), col("value")))
       .drop("raw")
   }
 }

@@ -92,6 +92,66 @@ class VcfReaderSpec extends SparkSpec {
     assert(af.map(_.getAs[Double]("float_value")).toSeq == Seq(0.25, 0.75))
   }
 
+  test("reference VCF fixture replays to VCFDataProcessorTest's exact rows") {
+    // VCFDataProcessorTest.groovy:47-122 asserted against the real
+    // fixtures/Test Study_GSE0/VCFDataToUpload/VCFTest.vcf
+    val path = "/root/reference/fixtures/Test Studies/Test Study_GSE0/VCFDataToUpload/VCFTest.vcf"
+    val t = graft.pipeline.VcfPipeline.run(spark, path, "GSE0")
+    val ss = t.subjectSummary
+    def row(s: String, probe: String) =
+      ss.filter($"sample_id" === s && $"probeset_id" === probe).collect()(0)
+
+    val r1 = row("VCF_TST001", "rs149201999") // 0|0 on REF=T
+    assert(r1.getAs[String]("chrom") == "22" && r1.getAs[Long]("pos") == 16050408L)
+    assert(r1.getAs[String]("variant") == "T|T" && r1.getAs[String]("variant_format") == "R|R")
+    assert(r1.getAs[Boolean]("reference"))
+    assert(r1.getAs[Int]("allele1") == 0 && r1.getAs[Int]("allele2") == 0)
+    assert(r1.getAs[String]("variant_type") == "SNV")
+    val r2 = row("VCF_TST001", "rs146752890") // 1/0
+    assert(r2.getAs[String]("variant") == "G/C" && r2.getAs[String]("variant_format") == "V/R")
+    assert(!r2.getAs[Boolean]("reference"))
+    val r3 = row("VCF_TST001", "rs146752889") // haploid '1'
+    assert(r3.getAs[String]("variant") == "G" && r3.getAs[String]("variant_format") == "V")
+    assert(r3.getAs[Int]("allele1") == 1 && r3.isNullAt(r3.fieldIndex("allele2")))
+    assert(!r3.getAs[Boolean]("reference"))
+    val r4 = row("VCF_TST001", "rs146752880") // 2/1, ALT=G,T
+    assert(r4.getAs[String]("variant") == "T/G" && r4.getAs[String]("variant_format") == "V/V")
+    assert(r4.getAs[String]("variant_type") == "DIV") // multi-alt -> DIV even though all single-base
+    assert(r4.getAs[Int]("allele1") == 2 && r4.getAs[Int]("allele2") == 1)
+
+    val s1 = row("VCF_TST002", "rs149201999") // 0|1
+    assert(s1.getAs[String]("variant") == "T|C" && s1.getAs[String]("variant_format") == "R|V")
+    assert(!s1.getAs[Boolean]("reference"))
+    val s2 = row("VCF_TST002", "rs146752890") // './0'
+    assert(s2.getAs[String]("variant") == "/C" && s2.getAs[String]("variant_format") == "/R")
+    assert(s2.getAs[Boolean]("reference"))
+    assert(s2.isNullAt(s2.fieldIndex("allele1")) && s2.getAs[Int]("allele2") == 0)
+    val s3 = row("VCF_TST002", "rs146752889") // haploid '0'
+    assert(s3.getAs[String]("variant") == "C" && s3.getAs[String]("variant_format") == "R")
+    assert(s3.getAs[Boolean]("reference"))
+
+    // FORMAT 'DS:GL' has no GT -> NO summary rows for either subject
+    assert(ss.filter($"pos" === 16050624L).count() == 0)
+
+    val ldaf = t.populationInfo.filter($"info_name" === "LDAF").collect()(0)
+    assert(ldaf.getAs[String]("description") == "MLE Allele Frequency Accounting for LD")
+    assert(ldaf.getAs[String]("type") == "Float" && ldaf.getAs[String]("number") == "1")
+
+    def pd(pos: Long, name: String) =
+      t.populationData.filter($"pos" === pos && $"info_name" === name).collect()
+    assert(pd(16050620L, "UNKNW").isEmpty) // undeclared INFO field dropped
+    val flag = pd(16050624L, "TST_FLAG")(0) // explicit '=0' keeps its value
+    assert(flag.getAs[Long]("integer_value") == 0L && flag.getAs[Int]("info_index") == 0)
+    assert(pd(16050624L, "DB")(0).getAs[Long]("integer_value") == 1L) // bare flag -> 1
+    assert(pd(16050408L, "LDAF")(0).getAs[Double]("float_value") == 0.0649)
+    assert(pd(16050408L, "AN")(0).getAs[Long]("integer_value") == 2184L)
+    assert(pd(16050408L, "VT")(0).getAs[String]("text_value") == "SNP")
+
+    assert(t.subjectIdx.orderBy("position").collect()
+      .map(r => (r.getString(1), r.getInt(2))).toSeq ==
+      Seq(("VCF_TST001", 1), ("VCF_TST002", 2)))
+  }
+
   test("subject summary: R/V variant + variantFormat encoding, reference flag") {
     val ss = VcfReader.subjectSummary(
       VcfReader.variants(spark, vcfPath), Seq("S1", "S2"), "TR1")
