@@ -299,14 +299,52 @@ object ClinicalPipeline {
 
   // ----------------------------------------------------------------- dedup
 
-  /** A4 keep-one with a documented deterministic tiebreak (the reference's
-    * DISTINCT ON keeps an arbitrary row; we keep min data_value). */
+  /** A4 keep-one, the reference's exact-duplicate removal: DISTINCT ON
+    * (subject, visit, label, category, data_value) — the VALUE is part of
+    * the key (SQL:634-645), so only fully identical tuples collapse.
+    * Rows that differ only in value BOTH survive; for numeric concepts
+    * that state is an error the caller must surface via
+    * [[numericDuplicates]] (the reference fails the load, SQL:656-693). */
   def keepOne(typed: DataFrame): DataFrame = {
     val w = Window
       .partitionBy(col("usubjid"), col("leaf_node"), col("data_label"),
-        coalesce(col("visit_name"), lit("@")))
+        coalesce(col("visit_name"), lit("@")), col("data_value"))
       .orderBy(col("data_value"))
     typed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** The numeric-duplicate guard (SQL:656-693 -> wt_clinical_data_dups):
+    * after exact-dup removal, a numeric concept key carrying more than one
+    * row means conflicting values — the reference aborts the load and
+    * (with checkDuplicates) exports duplicates.csv
+    * (ClinicalDataProcessor.groovy:301-331). Returns the dup key rows;
+    * empty = load may proceed. */
+  def numericDuplicates(deduped: DataFrame): DataFrame =
+    deduped.filter(col("valtype_cd") === "N")
+      .groupBy(col("site_id"), col("subj_id").as("subject_id"),
+        col("visit_name"), col("data_label"), col("category_cd"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .drop("n")
+
+  /** duplicates.csv in the reference's exact format (7 columns, empty
+    * strings for nulls, commons-csv MINIMAL quoting — an empty FIRST field
+    * prints as ""). Rows sorted by key (the reference emits table order —
+    * nondeterministic; documented deviation). */
+  def duplicatesCsv(dups: DataFrame): Seq[String] = {
+    val header = "site_id,subject_id,visit_name,data_label,category_cd,modifier_cd,link_value"
+    val rows = dups
+      .select(col("site_id"), col("subject_id"), col("visit_name"),
+        col("data_label"), col("category_cd"))
+      .collect()
+      .map { r =>
+        val fields = (0 until 5).map(i => Option(r.getString(i)).getOrElse("")) ++
+          Seq("", "")
+        fields.zipWithIndex.map { case (f, i) =>
+          if (f.isEmpty && i == 0) "\"\"" else f
+        }.mkString(",")
+      }.sorted
+    header +: rows.toSeq
   }
 
   // ----------------------------------------------------------------- build

@@ -236,6 +236,45 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(keptCounts("\\Test Studies\\Test Study With Single Visit Name\\Subjects\\Demographics\\Female\\Baseline\\French\\Sex (SEX)\\") == 2)
   }
 
+  test("reference DUPPID fixture: numeric dup guard + golden duplicates.csv") {
+    // 'it produces list of duplicates if necessary'
+    // (ClinicalDataProcessorTest.groovy:456-468): PC14 and SW48 carry two
+    // DIFFERENT Age values each -> the numeric dup check trips and the
+    // export matches ExpectedDuplicates.csv
+    val dir = "/root/reference/fixtures/Test Studies/Test Study With Duplicated Patient ID_GSE0DUPPID/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark,
+      s"$dir/Test Study With Dublicated Patiend ID_GSE0DUB_Mapping_File.txt")
+    val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+    val eav = files.toSeq.map { case (fname, df) =>
+      ClinicalPipeline.explodeFile("GSE0DUB", mapping.forFile(fname), df)
+    }.reduce(_ unionByName _)
+    val typed = ClinicalPipeline.inferAndShapePaths(
+      ClinicalPipeline.cleanse(eav), "\\Test Studies\\DUPPID", alwaysSetVisitName = false)
+    val dups = ClinicalPipeline.numericDuplicates(ClinicalPipeline.keepOne(typed))
+
+    val expected = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$dir/ExpectedDuplicates.csv"))
+    assert(ClinicalPipeline.duplicatesCsv(dups) == expected.toArray.toSeq)
+  }
+
+  test("keep-one collapses identical tuples but keeps differing values") {
+    // DISTINCT ON includes data_value (SQL:634-645): identical rows
+    // collapse, conflicting numeric values survive for the guard to catch
+    val typed = Seq(
+      ("", "S1", null.asInstanceOf[String], "Age", "Cat", "\\T\\Age\\", "20", "N"),
+      ("", "S1", null.asInstanceOf[String], "Age", "Cat", "\\T\\Age\\", "20", "N"),
+      ("", "S2", null.asInstanceOf[String], "Age", "Cat", "\\T\\Age\\", "21", "N"),
+      ("", "S2", null.asInstanceOf[String], "Age", "Cat", "\\T\\Age\\", "22", "N"))
+      .toDF("site_id", "subj_id", "visit_name", "data_label", "category_cd",
+        "leaf_node", "data_value", "valtype_cd")
+      .withColumn("usubjid", concat(lit("T:"), $"subj_id"))
+    val kept = ClinicalPipeline.keepOne(typed)
+    assert(kept.filter($"subj_id" === "S1").count() == 1) // identical pair collapsed
+    assert(kept.filter($"subj_id" === "S2").count() == 2) // conflict preserved
+    val dups = ClinicalPipeline.numericDuplicates(kept).collect()
+    assert(dups.length == 1 && dups(0).getAs[String]("subject_id") == "S2")
+  }
+
   test("single-visit suppression groups braced and unbraced tag spellings together") {
     // SQL:347-350 normalizes $$<id><value> back to $$<id>, so templates
     // that differ only in tag spelling ($$TAG vs $${TAG}) form ONE
