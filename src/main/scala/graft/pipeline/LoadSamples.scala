@@ -41,14 +41,18 @@ object LoadSamples {
 
   /** topNode || substituted(categoryPrefix) || '\' with backslash runs
     * collapsed (reference :365-367). Substitution order is the
-    * reference's: PLATFORM -> title, ATTR1, ATTR2, TISSUETYPE, then
-    * '+' -> '\' and '_' -> ' '. */
-  private def nodePath(topNode: String, catPrefix: Column): Column = {
+    * reference's: PLATFORM -> `platformVal`, ATTR1, ATTR2, TISSUETYPE,
+    * then '+' -> '\' and '_' -> ' '. The mRNA proc substitutes the gpl
+    * TITLE (I2B2_LOAD_SAMPLES.sql:365), while the RNASeq proc substitutes
+    * the platform ID itself (I2B2_PROCESS_RNA_DATA.sql:349) — callers
+    * choose via [[run]]'s `platformNodeFromTitle`. */
+  private def nodePath(topNode: String, catPrefix: Column,
+                       platformVal: Column): Column = {
     val substituted =
       regexp_replace(regexp_replace(
         replace(replace(replace(replace(
           catPrefix,
-          lit("PLATFORM"), coalesce(col("title"), lit(""))),
+          lit("PLATFORM"), coalesce(platformVal, lit(""))),
           lit("ATTR1"), coalesce(col("attribute_1"), lit(""))),
           lit("ATTR2"), coalesce(col("attribute_2"), lit(""))),
           lit("TISSUETYPE"), coalesce(col("tissue_type"), lit(""))),
@@ -72,12 +76,12 @@ object LoadSamples {
     * category mentions `ph`. */
   private def typedNodes(topNode: String, nodeValues: DataFrame,
                          nodeType: String, ph: String,
-                         extraFilter: Column): DataFrame = {
+                         extraFilter: Column, platformVal: Column): DataFrame = {
     val prefix = catPrefix(ph, col("category_cd"))
     nodeValues
       .filter(col("category_cd").contains(ph) && extraFilter)
       .select(
-        nodePath(topNode, prefix).as("leaf_node"),
+        nodePath(topNode, prefix, platformVal).as("leaf_node"),
         prefix.as("category_cd"),
         (if (ph == "PLATFORM") col("platform")
          else guarded(prefix, "PLATFORM", col("platform"))).as("platform"),
@@ -99,10 +103,17 @@ object LoadSamples {
     * @param gplInfo   de_gpl_info: (platform, title, marker_type)
     * @param patients  patient_dimension: (patient_num: long,
     *                  sourcesystem_cd)
-    * @param markerType upper-cased marker type filter (:335) */
+    * @param markerType upper-cased marker type filter (:335)
+    * @param platformNodeFromTitle true = mRNA semantics (PLATFORM node
+    *        value is the gpl TITLE, I2B2_LOAD_SAMPLES.sql:365); false =
+    *        RNASeq semantics (the platform ID itself,
+    *        I2B2_PROCESS_RNA_DATA.sql:349) */
   def run(spark: SparkSession, trialId: String, topNode: String,
           sampleMap: DataFrame, gplInfo: DataFrame, patients: DataFrame,
-          markerType: String = "GENE EXPRESSION"): LoadSamplesTables = {
+          markerType: String = "GENE EXPRESSION",
+          platformNodeFromTitle: Boolean = true): LoadSamplesTables = {
+    val platformVal =
+      if (platformNodeFromTitle) col("title") else col("platform")
 
     // 1. node values (:319-338): attribute tuples + platform title
     val nodeValues = sampleMap
@@ -118,16 +129,16 @@ object LoadSamples {
 
     // 2. ontology nodes: LEAF + one node per placeholder type
     val leaf = nodeValues.select(
-      nodePath(topNode, col("category_cd")).as("leaf_node"),
+      nodePath(topNode, col("category_cd"), platformVal).as("leaf_node"),
       col("category_cd"), col("platform"), col("tissue_type"),
       col("attribute_1"), col("attribute_2"),
       lit("LEAF").as("node_type")).distinct()
     val nodes = Seq(
         leaf,
-        typedNodes(topNode, nodeValues, "PLATFORM", "PLATFORM", lit(true)),
-        typedNodes(topNode, nodeValues, "TISSUETYPE", "TISSUETYPE", lit(true)),
-        typedNodes(topNode, nodeValues, "ATTR1", "ATTR1", col("attribute_1").isNotNull),
-        typedNodes(topNode, nodeValues, "ATTR2", "ATTR2", col("attribute_2").isNotNull))
+        typedNodes(topNode, nodeValues, "PLATFORM", "PLATFORM", lit(true), platformVal),
+        typedNodes(topNode, nodeValues, "TISSUETYPE", "TISSUETYPE", lit(true), platformVal),
+        typedNodes(topNode, nodeValues, "ATTR1", "ATTR1", col("attribute_1").isNotNull, platformVal),
+        typedNodes(topNode, nodeValues, "ATTR2", "ATTR2", col("attribute_2").isNotNull, platformVal))
       .reduce(_ unionByName _)
       .withColumn("concept_cd", substring(md5(col("leaf_node")), 1, 16))
       // five byType broadcasts consume this tiny frame (distinct attribute

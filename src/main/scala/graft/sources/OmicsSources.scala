@@ -43,7 +43,9 @@ object OmicsSources {
     val df = TsvReader.read(spark, path)
     def find(rxs: String*): Option[String] =
       df.columns.find(c => rxs.exists(rx => c.toUpperCase.matches(rx)))
-    val probeset = find("^ID(_REF)?$", "^PROBE(SET)?(_ID)?$").getOrElse(df.columns.head)
+    // RNASeq platforms key on 'Transcript ID' (RNASeqPlatform.groovy:44)
+    val probeset = find("^ID(_REF)?$", "^PROBE(SET)?(_ID)?$",
+      "^(TRANSCRIPT[ _]*)?ID$").getOrElse(df.columns.head)
     val symbol = find("^GENE[ _]?SYMBOL$", "^SYMBOL$")
     val geneId = find("^ENTREZ[ _]?GENE[ _]?ID$", "^GENE[ _]?ID$")
     val species = find("^SPECIES.*", "^ORGANISM$")

@@ -301,6 +301,66 @@ class OmicsSpec extends SparkSpec {
     assert(leaf.count() == 1)
   }
 
+  test("reference RNASeq fixture replays: platform-id node path, raw/log values") {
+    // RNASeqDataProcessorTest.groovy:66-89 against the real fixture
+    val base = "/root/reference/fixtures/Test Studies/Test RNASeq Study"
+    val dir = s"$base/RNASeqDataToUpload"
+
+    // platform: fuzzy Transcript ID / Gene Symbol / Organism columns
+    val (meta, ann) = OmicsSources.readPlatform(spark, s"$dir/RNASeq999.txt")
+    assert(meta("PLATFORM_ID") == "RNASeq999")
+    assert(ann.filter($"gene_symbol" === "ASCC1").collect()(0)
+      .getAs[String]("probeset_id") == "NM_025300")
+
+    val m = TsvReader.read(spark,
+      s"$dir/Test Study_GSE_A_37424_Subject_Sample_Mapping_File.txt")
+    val sampleMap = m.select(
+      $"SITE_ID".as("site_id"), $"SUBJECT_ID".as("subject_id"),
+      $"SAMPLE_ID".as("sample_cd"), $"PLATFORM".as("platform"),
+      $"TISSUETYPE".as("tissue_type"), $"ATTR1".as("attribute_1"),
+      $"ATTR2".as("attribute_2"), $"CATEGORY_CD".as("category_cd"))
+    val patients = Seq((1L, "GSE_A_37424:0:1"), (2L, "GSE_A_37424:0:2"))
+      .toDF("patient_num", "sourcesystem_cd")
+    val noGpl = Seq.empty[(String, String, String)]
+      .toDF("platform", "title", "marker_type")
+    val ls = graft.pipeline.LoadSamples.run(spark, "GSE_A_37424",
+      "\\Test Studies\\Test RNASeq Study\\", sampleMap, noGpl, patients,
+      platformNodeFromTitle = false)
+    // hasNode('...\Biomarker Data\RNASeq999\Intestine\Test\')
+    // .withPatientCount(2): the RNASeq proc substitutes the platform ID
+    val leaf = "\\Test Studies\\Test RNASeq Study\\Biomarker Data\\RNASeq999\\Intestine\\Test\\"
+    assert(ls.nodes.filter($"node_type" === "LEAF").collect()(0)
+      .getAs[String]("leaf_node") == leaf)
+    assert(ls.sampleMapping.count() == 2) // S57023 + S57024 both mapped
+    assert(ls.sampleMapping.select("patient_id").distinct().count() == 2)
+
+    // R upload: values arrive raw (ASCC1 ~ 2 under the reference's own
+    // 0.1-delta assertion)
+    val melted = OmicsSources.meltMatrix(
+      TsvReader.read(spark, s"$dir/Test Study_GSE_A_37424_RNASeq_Data_R.txt"),
+      idCol = "TranscriptID")
+    val z = graft.operators.ZScore.pipeline(
+      melted.select($"probeset_id", $"sample_id", $"intensity_value"),
+      Seq("probeset_id"), "intensity_value", dataType = "R", logBase = 2.0)
+    val ascc1 = z.filter($"probeset_id" === "NM_025300" && $"sample_id" === "S57023")
+      .collect()(0)
+    assert(ascc1.getAs[Double]("raw_intensity") == 1.9108)
+    assert(math.abs(ascc1.getAs[Double]("raw_intensity") - 2.0) <= 0.1)
+
+    // Log2 upload: the same numbers are log2 values (log == 1.9108 exact)
+    val zL = graft.operators.ZScore.pipeline(
+      OmicsSources.meltMatrix(
+        TsvReader.read(spark,
+          s"$base/RNASeqDataToUpload_Log2/Test Study_GSE_A_37424_RNASeq_Data_L.txt"),
+        idCol = "TranscriptID", dataType = "L")
+        .select($"probeset_id", $"sample_id", $"intensity_value"),
+      Seq("probeset_id"), "intensity_value", dataType = "L", logBase = 2.0)
+    val l = zL.filter($"probeset_id" === "NM_025300" && $"sample_id" === "S57023")
+      .collect()(0)
+    assert(l.getAs[Double]("log_intensity") == 1.9108)
+    assert(math.abs(l.getAs[Double]("raw_intensity") - math.pow(2.0, 1.9108)) < 1e-9)
+  }
+
   test("metadata XML: timepoint minute conversion + numeric template") {
     assert(MetadataXml.timepointMinutes("Baseline").contains(0.0))
     assert(MetadataXml.timepointMinutes("Week -3").contains(-30240.0))
