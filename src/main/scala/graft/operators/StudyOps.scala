@@ -235,7 +235,45 @@ object StudyOps {
         .withColumn("parent_concept_path", rewrite(col("parent_concept_path"))),
       i2b2Tags = afterRootGc.i2b2Tags
         .withColumn("path", rewrite(col("path"))))
-    MoveResult(moved, None)
+
+    // fill in missing intermediate levels for the new location (the
+    // reference's i2b2_fill_in_tree call at :461) and remove now-empty old
+    // levels bottom-up (the delete-1-node loop at :463-489); deeper levels
+    // fall first so a parent can become empty in the same pass
+    import spark.implicits._
+    val movedPaths = moved.i2b2.select(col("c_fullname")).distinct()
+      .collect().map(_.getString(0)).toSet
+    def properAncestors(p: String): Seq[String] = {
+      val parts = p.stripPrefix("\\").stripSuffix("\\").split("\\\\")
+      (1 until parts.length).map(i => "\\" + parts.take(i).mkString("\\") + "\\")
+    }
+    val missing = properAncestors(newPath).filterNot(movedPaths.contains)
+    val filled =
+      if (missing.isEmpty) moved
+      else moved.copy(
+        i2b2 = moved.i2b2.unionByName(
+          missing.map(p => (p, lastComponent(p))).toDF("c_fullname", "c_name")
+            .withColumn("c_hlevel", hlevel(col("c_fullname")))
+            .withColumn("c_dimcode", col("c_fullname"))
+            .withColumn("c_tooltip", col("c_fullname"))
+            .withColumn("sourcesystem_cd", lit(null).cast("string")),
+          allowMissingColumns = true))
+    val empties = properAncestors(oldPath).reverse
+      .foldLeft((Set.empty[String], movedPaths ++ missing)) {
+        case ((del, cur), a) =>
+          if (cur.contains(a) && !cur.exists(p => p != a && p.startsWith(a)))
+            (del + a, cur - a)
+          else (del, cur)
+      }._1
+    val result =
+      if (empties.isEmpty) filled
+      else filled.copy(
+        i2b2 = filled.i2b2.filter(!col("c_fullname").isInCollection(empties)),
+        i2b2Secure = filled.i2b2Secure.filter(!col("c_fullname").isInCollection(empties)),
+        tableAccess = filled.tableAccess.filter(!col("c_fullname").isInCollection(empties)),
+        conceptDimension = filled.conceptDimension
+          .filter(!col("concept_path").isInCollection(empties)))
+    MoveResult(result, None)
   }
 
   /** The delete cascade (I2B2_DELETE_ALL_DATA.sql:100-346). Give a path,

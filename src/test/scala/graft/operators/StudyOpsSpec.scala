@@ -109,6 +109,35 @@ class StudyOpsSpec extends SparkSpec {
     assert(cps.contains("\\Archive\\GS1X\\Vitals\\") && !cps.exists(_.startsWith("\\Public Studies\\GS1")))
   }
 
+  test("move to a deeper path creates intermediate levels; moving back removes them") {
+    // testMoveStudyWithCreatingNewLevel / WithDeletingNewLevel
+    // (MoveStudyOperationTest.groovy:53-76)
+    val r = StudyOps.moveStudyByPath(spark, star,
+      "\\Public Studies\\GS1\\", "\\A\\New level\\GS1\\")
+    assert(r.error.isEmpty)
+    val byPath = r.star.i2b2.select("c_fullname", "c_hlevel").collect()
+      .map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(byPath.contains("\\A\\") && byPath.contains("\\A\\New level\\"))
+    assert(byPath("\\A\\New level\\") == 2)
+    assert(byPath("\\A\\New level\\GS1\\") == 3)
+    assert(byPath("\\A\\New level\\GS1\\Vitals\\") == 4) // renumbered +1
+
+    val back = StudyOps.moveStudyByPath(spark, r.star,
+      "\\A\\New level\\GS1\\", "\\Z\\GS1\\")
+    assert(back.error.isEmpty)
+    val paths = back.star.i2b2.select("c_fullname").collect().map(_.getString(0)).toSet
+    assert(!paths.exists(_.startsWith("\\A\\"))) // empty levels removed
+    assert(paths.contains("\\Z\\GS1\\Vitals\\"))
+  }
+
+  test("paths without trailing slash normalize (testMoveStudyWithoutTrailingSlash)") {
+    val r = StudyOps.moveStudyByPath(spark, star,
+      "\\Public Studies\\GS1", "\\Archive\\GS1")
+    assert(r.error.isEmpty)
+    val paths = r.star.i2b2.select("c_fullname").collect().map(_.getString(0)).toSet
+    assert(paths.contains("\\Archive\\GS1\\Vitals\\"))
+  }
+
   test("keep-security transplant deletes the occupying study and keeps the old accession") {
     // legal target-exists move requires saveSecurity; GS2 occupies the target
     val r = StudyOps.moveStudyByPath(spark, star,
