@@ -3,10 +3,10 @@ package graft
 /** Plan audit (not a correctness test): prints formatted plans of the
   * round-2 heavyweight queries so shuffle/broadcast shape can be reviewed. */
 class PlanAuditSpec extends SparkSpec {
-  test("print plans for round-2 queries") {
+  test("print plans for heavyweight queries") {
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("load_samples_mapping", "annotation_registry",
-        "merge_append", "pipeline_omics_e2e")) {
+        "merge_append", "pipeline_omics_e2e", "p4_vcf_summary", "node_ops")) {
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
       val ex = "Exchange".r.findAllIn(plan).length
@@ -14,6 +14,37 @@ class PlanAuditSpec extends SparkSpec {
       println(s"=== $name: exchanges=${ex - bc} broadcasts=$bc cartesian=${plan.contains("Cartesian")}")
       assert(!plan.contains("CartesianProduct"),
         s"$name grew an accidental cartesian product")
+    }
+  }
+
+  test("ann_ivf: centroids broadcast, assignment aggregates without a pair window") {
+    val df = SparkEntry.queries("ann_ivf")(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize the adaptive plan so exchanges are visible
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE repeats the pre-adaptive plan below
+    // both centroid scorings are broadcast joins (the bounded-centroid
+    // cross join plans as BroadcastNestedLoopJoin; the candidate join as a
+    // broadcast hash join) — NO shuffle of the vector side for scoring.
+    // The only true Window operators are the tiny probe rank and the
+    // final per-query rank ("WindowGroupLimit" nodes are the rank<=k
+    // pushdown, not extra windows).
+    assert("Broadcast(NestedLoop|Hash)Join".r.findAllIn(plan).length >= 2,
+      plan.take(2000))
+    assert("Window \\[".r.findAllIn(plan).length <= 2)
+    // the vector assignment is an aggregate WITH a map-side partial
+    // (partial_max argmax — SortAggregate because the carried embedding
+    // array forces sort-based buffers), not a row_number over the
+    // vectors-x-centroids pairs
+    assert(plan.contains("partial_max"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("p3/p5 explodes stay shuffle-free projections") {
+    for (name <- Seq("p3_acgh_melt", "p5_vcf_info")) {
+      val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name gained an unexpected shuffle")
     }
   }
 }
