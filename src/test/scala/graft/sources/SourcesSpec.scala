@@ -361,6 +361,110 @@ class OmicsSpec extends SparkSpec {
     assert(math.abs(l.getAs[Double]("raw_intensity") - math.pow(2.0, 1.9108)) < 1e-9)
   }
 
+  test("reference Metabolomics fixture replays: title node, combined annotation matrix") {
+    // MetabolomicsDataProcessorTest.groovy:53-70 — title-substituted node
+    // with 10 patients, 'null' site text in usubjid, combined
+    // annotation+matrix file, raw value HMDB0TEST x 14PP = 5095
+    val dir = "/root/reference/fixtures/Test Studies/Test Metabolomics Study/MetabolomicsDataToUpload"
+    val m = TsvReader.read(spark,
+      s"$dir/Test Study_GSE37427_Subject_Sample_Mapping_File.txt")
+    val sampleMap = m.select(
+      $"SITE_ID".as("site_id"), $"SUBJECT_ID".as("subject_id"),
+      $"SAMPLE_CD".as("sample_cd"), $"PLATFORM".as("platform"),
+      $"TISSUE_TYPE".as("tissue_type"),
+      when(length(coalesce($"ATTRIBUTE_1", lit(""))) === 0,
+        lit(null).cast("string")).otherwise($"ATTRIBUTE_1").as("attribute_1"),
+      lit(null).cast("string").as("attribute_2"),
+      $"CATEGORY_CD".as("category_cd"))
+    val patients = graft.core.Ids.denseIds(
+      sampleMap.select(graft.functions.CleansingFunctions.usubjid(
+        lit("GSE37427"), $"site_id", $"subject_id").as("sourcesystem_cd")).distinct(),
+      Seq("sourcesystem_cd"), "patient_num")
+    // the literal text 'null' in SITE_ID survives into the usubjid
+    assert(patients.filter($"sourcesystem_cd" === "GSE37427:null:GSM918960").count() == 1)
+    val gpl = Seq(("MET998", "Test Metabolomics Platform", "METABOLOMICS"))
+      .toDF("platform", "title", "marker_type")
+    val ls = graft.pipeline.LoadSamples.run(spark, "GSE37427",
+      "\\Test Studies\\Test Metabolomics Study\\", sampleMap, gpl, patients,
+      markerType = "METABOLOMICS")
+    // empty ATTR1 collapses out of the path; the TITLE lands in it
+    val leaf = "\\Test Studies\\Test Metabolomics Study\\Biomarker Data\\Test Metabolomics Platform\\"
+    assert(ls.nodes.filter($"node_type" === "LEAF").collect()(0)
+      .getAs[String]("leaf_node") == leaf)
+    assert(ls.sampleMapping.count() == 10) // hasNode(...).withPatientCount(10)
+    assert(ls.sampleMapping.select("patient_id").distinct().count() == 10)
+    assert(ls.sampleMapping.filter($"sample_cd" === "14PP").collect()(0)
+      .getAs[String]("gpl_id") == "MET998")
+
+    // the data file carries annotation AND intensities; melt just the
+    // HMDB key + the mapped sample columns
+    val data = TsvReader.read(spark, s"$dir/Test Study_GSE37427_METABOLOMICS_Data_R.txt")
+    val samples = sampleMap.select("sample_cd").collect().map(_.getString(0)).toSeq
+    val melted = OmicsSources.meltMatrix(
+      data.select("HMDB", samples: _*), idCol = "HMDB")
+    val v = melted.filter($"probeset_id" === "HMDB0TEST" && $"sample_id" === "14PP")
+      .collect()(0)
+    assert(math.abs(v.getAs[Double]("intensity_value") - 5095.0) < 0.001)
+  }
+
+  test("reference GWAS Plink fixture replays: BFILE meta, LOB rows, GWAS node") {
+    // GWASPlinkDataProcessorTest: plink_data record per study + node
+    // \Test Studies\<study>\GWAS\GWAS Plink\ with patient count 6
+    val dir = "/root/reference/fixtures/Test Studies/Test Study With GWAS Plink_GSE0GWASPLINK/GWASPlinkDataToUpload"
+    val meta = TsvReader.metaHeader(spark, s"$dir/MappingFile.txt")
+    assert(meta("STUDY_ID") == "GSE0GWASPLINK" && meta("BFILE") == "test")
+
+    val (blobs, fam) = OmicsSources.readPlink(spark, dir)
+    assert(OmicsSources.validateFam(fam).isEmpty)
+    val lob = OmicsSources.plinkLobTable(blobs, meta("STUDY_ID"))
+    assert(lob.filter($"study_id" === "GSE0GWASPLINK").count() == 3) // bed+bim+fam
+    val famRow = lob.filter($"file_name" === "test.fam").collect()(0)
+    assert(OmicsSources.inflate(famRow.getAs[Array[Byte]]("content_compressed"))
+      .length == famRow.getAs[Long]("raw_length"))
+
+    // fam IIDs become samples under the default 'GWAS+GWAS Plink' category
+    // (SamplesLoader.addSample defaults: platform '', tissue 'Unknown')
+    val sampleMap = fam.select(
+      lit("").as("site_id"), $"iid".as("subject_id"), $"iid".as("sample_cd"),
+      lit("").as("platform"),
+      lit("Unknown").as("tissue_type"),
+      lit("").as("attribute_1"),
+      lit("").as("attribute_2"),
+      lit("GWAS+GWAS Plink").as("category_cd"))
+    val patients = graft.core.Ids.denseIds(
+      sampleMap.select(graft.functions.CleansingFunctions.usubjid(
+        lit("GSE0GWASPLINK"), $"site_id", $"subject_id").as("sourcesystem_cd"))
+        .distinct(),
+      Seq("sourcesystem_cd"), "patient_num")
+    val noGpl = Seq.empty[(String, String, String)]
+      .toDF("platform", "title", "marker_type")
+    val ls = graft.pipeline.LoadSamples.run(spark, "GSE0GWASPLINK",
+      "\\Test Studies\\Test Study With GWAS Plink\\", sampleMap, noGpl, patients)
+    assert(ls.nodes.filter($"node_type" === "LEAF").collect()(0)
+      .getAs[String]("leaf_node")
+      == "\\Test Studies\\Test Study With GWAS Plink\\GWAS\\GWAS Plink\\")
+    assert(ls.sampleMapping.select("patient_id").distinct().count() == 6)
+  }
+
+  test("reference aCGH fixture replays: 7-metric group melt, expected row") {
+    // ACGHDataProcessorTest: hasRecord(de_subject_acgh_data,
+    // chip 0.097 -> segmented 0.097, flag 0); sample TSGA-04-1530 mapped
+    val dir = "/root/reference/fixtures/Test Studies/Test Study_GSE0/ACGHDataToUpload"
+    val wide = TsvReader.read(spark, s"$dir/TSTA_acgh_data.txt")
+    assert(AcghMelt.samplesOf(wide.columns.toSeq)
+      == Seq("TSGA-04-1530", "TSGA-24-0980"))
+    val melted = AcghMelt.melt(wide, "region_id")
+    val r = melted.filter($"chip" === "0.097" && $"sample_id" === "TSGA-04-1530")
+      .collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getAs[String]("segmented") == "0.097"
+      && x.getAs[String]("flag") == "0"))
+    val m = TsvReader.read(spark, s"$dir/TSTA_Subject_Sample_Mapping_File.txt")
+    assert(m.filter($"SAMPLE_ID" === "TSGA-04-1530").count() == 1)
+    val (meta, _) = OmicsSources.readPlatform(spark, s"$dir/TST_ACGH_region_platform.txt")
+    assert(meta("PLATFORM_TITLE") == "TST_ASGH")
+  }
+
   test("metadata XML: timepoint minute conversion + numeric template") {
     assert(MetadataXml.timepointMinutes("Baseline").contains(0.0))
     assert(MetadataXml.timepointMinutes("Week -3").contains(-30240.0))
