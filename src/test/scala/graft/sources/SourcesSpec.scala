@@ -465,6 +465,83 @@ class OmicsSpec extends SparkSpec {
     assert(meta("PLATFORM_TITLE") == "TST_ASGH")
   }
 
+  test("reference I2B2LoadSamplesTest replays: PLATFORM rollup, empty-platform leaf") {
+    // I2B2LoadSamplesTest.groovy:25-46 — title node counts 1 patient via
+    // ancestor rollup, the empty-platform sample collapses to LDR\Blood\,
+    // and no combined Platform\Blood node exists
+    import graft.operators.TreeOps
+    val sampleMap = Seq(
+      ("", "LDR_TST_SUBJ_001", "LDR_TST_SMP_001", "LDR_TST", "Unknown", "", "", "LDR+PLATFORM+TISSUETYPE"),
+      ("", "LDR_TST_SUBJ_002", "LDR_TST_SMP_002", "", "Blood", "", "", "LDR+PLATFORM+TISSUETYPE"))
+      .toDF("site_id", "subject_id", "sample_cd", "platform", "tissue_type",
+        "attribute_1", "attribute_2", "category_cd")
+    val gpl = Seq(("LDR_TST", "Loader Test Platform", "Gene Expression"))
+      .toDF("platform", "title", "marker_type")
+    val patients = Seq(
+      (1L, "GSE_TST_LDR:LDR_TST_SUBJ_001"), (2L, "GSE_TST_LDR:LDR_TST_SUBJ_002"))
+      .toDF("patient_num", "sourcesystem_cd")
+    val ls = graft.pipeline.LoadSamples.run(spark, "GSE_TST_LDR",
+      "\\Test Studies\\Loader Test\\", sampleMap, gpl, patients)
+
+    val nodePaths = ls.nodes.select("leaf_node").collect().map(_.getString(0)).toSet
+    assert(nodePaths.contains("\\Test Studies\\Loader Test\\LDR\\Loader Test Platform\\"))
+    assert(!nodePaths.contains("\\Test Studies\\Loader Test\\LDR\\Loader Test Platform\\Blood\\"))
+
+    assert(ls.sampleMapping.count() == 2) // hasSample / hasPatient
+    val leaves = ls.sampleMapping.join(
+      ls.nodes.filter($"node_type" === "LEAF")
+        .select($"concept_cd".as("concept_code"), $"leaf_node"), "concept_code")
+    val counts = TreeOps.conceptCounts(
+      leaves.select($"leaf_node", $"patient_id"), "leaf_node", "patient_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("\\Test Studies\\Loader Test\\LDR\\Loader Test Platform\\") == 1)
+    assert(counts("\\Test Studies\\Loader Test\\LDR\\Blood\\") == 1)
+  }
+
+  test("reference MetaData fixture replays: tokens, compound/disease/taxonomy, GEO link") {
+    // MetaDataProcessorTest.groovy:36-80 against the real
+    // TestStudy_GSE0_MetaData.txt
+    val meta = OmicsSources.readStudyMetadata(spark,
+      "/root/reference/fixtures/Test Studies/Test Study_GSE0/MetaDataToUpload/TestStudy_GSE0_MetaData.txt")
+      .head
+    val t = graft.pipeline.StudyMetadata.load(spark, meta,
+      graft.pipeline.StudyMetadata.empty(spark))
+
+    val exp = t.bioExperiment.filter($"accession" === "GSE0").collect()(0)
+    assert(exp.getAs[String]("design") == "STUDY_DESIGN:INTERVENTIONAL")
+    assert(exp.getAs[String]("biomarker_type") == "STUDY_BIOMARKER_TYPE:EFFICACY_BIOMARKER")
+    assert(exp.getAs[String]("access_type") == "STUDY_ACCESS_TYPE:COMMERCIAL")
+    assert(exp.getAs[String]("institution") == "STUDY_INSTITUTION:TEST_INSTITUTION")
+    val expId = exp.getAs[Long]("bio_experiment_id")
+    assert(t.bioDataUid.filter($"bio_data_id" === expId &&
+      $"unique_id" === "EXP:GSE0").count() == 1)
+
+    def linked(reg: org.apache.spark.sql.DataFrame, idc: String, namec: String,
+               name: String, links: org.apache.spark.sql.DataFrame): Boolean = {
+      val id = reg.filter(col(namec) === name).collect()(0).getAs[Long](idc)
+      links.filter(col(idc) === id && col("etl_source") === "METADATA:GSE0" &&
+        col("bio_data_id") === expId).count() == 1
+    }
+    assert(linked(t.bioCompound, "bio_compound_id", "generic_name",
+      "Test Drugs", t.bioDataCompound))
+    assert(linked(t.bioDisease, "bio_disease_id", "disease",
+      "Bad Disease", t.bioDataDisease))
+    assert(linked(t.bioTaxonomy, "bio_taxonomy_id", "taxon_name",
+      "Test Homo", t.bioDataTaxonomy))
+
+    val repo = t.bioContentRepository.filter($"repository_type" === "NCBI" &&
+      $"location" === "http://www.ncbi.nlm.nih.gov/" && $"active_y_n" === "Y" &&
+      $"location_type" === "URL").collect()
+    assert(repo.length == 1)
+    assert(t.bioContent.filter($"location" === "geo/query/acc.cgi?acc=GSE0" &&
+      $"repository_id" === repo(0).getAs[Long]("bio_content_repo_id")).count() == 1)
+
+    // idempotent re-load keeps single rows (the NOT-EXISTS paths)
+    val t2 = graft.pipeline.StudyMetadata.load(spark, meta, t)
+    assert(t2.bioExperiment.count() == 1 && t2.bioCompound.count() == 1)
+    assert(t2.bioDataCompound.count() == 1 && t2.bioContent.count() == 1)
+  }
+
   test("metadata XML: timepoint minute conversion + numeric template") {
     assert(MetadataXml.timepointMinutes("Baseline").contains(0.0))
     assert(MetadataXml.timepointMinutes("Week -3").contains(-30240.0))
