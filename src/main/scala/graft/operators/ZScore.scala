@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   *  3. per-group avg / exact median / sample stddev of log_intensity
   *  4. zscore = 0 when stddev = 0, else clamp((log - median)/stddev, ±2.5)
   *
+  * The six procs differ in one detail: the proteomics/mirna/rbm flavor
+  * logs `value + 0.001` (zero guard) and rounds the log to 4 dp BEFORE
+  * the stats (i2b2_proteomics_zscore_calc.sql:122,150); the mrna/rnaseq
+  * flavor logs the value directly. `zeroGuard`/`logRoundDp` select the
+  * flavor; defaults are the mrna semantics.
+  *
   * Spark shape: one narrow projection, one groupBy on the probe key, one
   * join back. The stats side is tiny relative to the fact side (one row
   * per probe), so AQE broadcast-joins it — the facts are never shuffled
@@ -23,12 +29,16 @@ object ZScore {
   /** dataType: "R" (raw) or "L" (already log-transformed) — the
     * file-name-encoded `_Data_[RLTZ]` convention. */
   def pipeline(df: DataFrame, groupCols: Seq[String], valueCol: String,
-               dataType: String = "R", logBase: Double = 2.0): DataFrame = {
+               dataType: String = "R", logBase: Double = 2.0,
+               zeroGuard: Double = 0.0,
+               logRoundDp: Option[Int] = None): DataFrame = {
     val v = col(valueCol).cast("double")
     val raw = if (dataType == "R") v
       else if (logBase == -1.0) lit(0.0)
       else pow(lit(logBase), v)
-    val logI = if (dataType == "L") v else log(v) / log(lit(logBase))
+    val logRaw = if (dataType == "L") v
+      else log(v + lit(zeroGuard)) / log(lit(logBase))
+    val logI = logRoundDp.map(d => round(logRaw, d)).getOrElse(logRaw)
 
     val withLogs = df
       .withColumn("raw_intensity", raw)

@@ -270,6 +270,21 @@ class ZScoreSpec extends SparkSpec {
     assert(z(("g2", 8.0)) == 0.0) // stddev 0 -> 0
   }
 
+  test("proteomics flavor: +0.001 zero guard and round-4 log before stats") {
+    // i2b2_proteomics_zscore_calc.sql:150 — round(log(2.0, v + 0.001), 4);
+    // zeroes survive as log2(0.001), and the stats see the ROUNDED logs
+    val df = Seq(("p", 0.0), ("p", 4.0)).toDF("g", "v")
+    val r = ZScore.pipeline(df, Seq("g"), "v", dataType = "R", logBase = 2.0,
+      zeroGuard = 0.001, logRoundDp = Some(4))
+      .collect().map(x => x.getAs[Double]("v") -> x.getAs[Double]("log_intensity")).toMap
+    assert(r(0.0) == -9.9658) // round(log2(0.001), 4)
+    assert(r(4.0) == 2.0004)  // round(log2(4.001), 4)
+    // default (mrna) flavor leaves the log unrounded and unguarded
+    val plain = ZScore.pipeline(Seq(("p", 4.0)).toDF("g", "v"), Seq("g"), "v")
+      .collect()(0).getAs[Double]("log_intensity")
+    assert(plain == 2.0)
+  }
+
   test("log/raw intensity derivation for dataType L") {
     val df = Seq(("g", 3.0)).toDF("g", "v")
     val r = ZScore.pipeline(df, Seq("g"), "v", dataType = "L", logBase = 2.0).collect()(0)
