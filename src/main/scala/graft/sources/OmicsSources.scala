@@ -41,12 +41,21 @@ object OmicsSources {
   def readPlatform(spark: SparkSession, path: String): (Map[String, String], DataFrame) = {
     val meta = TsvReader.metaHeader(spark, path)
     val df = TsvReader.read(spark, path)
+    // pattern priority (not column order): earlier patterns are the more
+    // specific per-datatype keys
     def find(rxs: String*): Option[String] =
-      df.columns.find(c => rxs.exists(rx => c.toUpperCase.matches(rx)))
-    // RNASeq platforms key on 'Transcript ID' (RNASeqPlatform.groovy:44)
+      rxs.view.flatMap(rx => df.columns.find(_.toUpperCase.matches(rx)))
+        .headOption
+    // per-datatype key columns (platforms/*.groovy eachEntry regexes):
+    // RNASeq 'Transcript ID', miRNA 'SN_ID'/'MIRNA_ID', protein
+    // '(Majority) Protein ID(s)', RBM 'Antigen Name', metabolomics
+    // 'HMDB_ID' with 'BIOCHEMICAL' as the display symbol
     val probeset = find("^ID(_REF)?$", "^PROBE(SET)?(_ID)?$",
-      "^(TRANSCRIPT[ _]*)?ID$").getOrElse(df.columns.head)
-    val symbol = find("^GENE[ _]?SYMBOL$", "^SYMBOL$")
+      "^(TRANSCRIPT[ _]*)?ID$", "^SN[ _]?ID$", "^(MIRNA[ _]*)?ID$",
+      "^(MAJORITY[ _]*)?(PROTEIN[ _]*)?IDS?$", "^ANTIGEN[ _]?NAME$",
+      "^HMDB[ _]?ID$", "^PEPTIDE$").getOrElse(df.columns.head)
+    val symbol = find("^GENE[ _]?SYMBOL$", "^SYMBOL$", "^MIRNA[ _]*ID$",
+      "^BIOCHEMICAL$")
     val geneId = find("^ENTREZ[ _]?GENE[ _]?ID$", "^GENE[ _]?ID$")
     val species = find("^SPECIES.*", "^ORGANISM$")
     val out = df.select(

@@ -553,6 +553,28 @@ class OmicsSpec extends SparkSpec {
     assert(MetadataXml.buildMetadataXml("Sex", "T", "") == None)
   }
 
+  test("platform reader: per-datatype key columns (miRNA, RBM, metabolomics)") {
+    def readWith(header: String, row: String) = {
+      val f = Files.createTempDirectory("graft-plat").resolve("P.txt")
+      Files.writeString(f, s"# PLATFORM_ID: P\n$header\n$row\n")
+      OmicsSources.readPlatform(spark, f.toString)._2.collect()(0)
+    }
+    // miRNA: SN_ID is the probe, MIRNA_ID the symbol (MIRNAPlatform:50-51)
+    val mirna = readWith("MIRNA_ID\tSN_ID\tORGANISM", "hsa-let-7a\tsn123\tHomo")
+    assert(mirna.getAs[String]("probeset_id") == "sn123")
+    assert(mirna.getAs[String]("gene_symbol") == "hsa-let-7a")
+    // RBM: antigen name keys the row (RBMPlatform:46-49)
+    val rbm = readWith("Antigen Name\tUniprot\tGene Symbol\tGene ID",
+      "IL-8\tQ12345\tCXCL8\t3576")
+    assert(rbm.getAs[String]("probeset_id") == "IL-8")
+    assert(rbm.getAs[String]("gene_symbol") == "CXCL8")
+    assert(rbm.getAs[Long]("gene_id") == 3576L)
+    // metabolomics: HMDB id + BIOCHEMICAL (MetabolomicsPlatform:46-47)
+    val met = readWith("BIOCHEMICAL\tHMDB_ID", "mevalonic acid\tHMDB0TEST")
+    assert(met.getAs[String]("probeset_id") == "HMDB0TEST")
+    assert(met.getAs[String]("gene_symbol") == "mevalonic acid")
+  }
+
   test("platform reader fuzzy column detection") {
     val dir = Files.createTempDirectory("graft-gpl")
     val f = dir.resolve("GPL570.txt")
