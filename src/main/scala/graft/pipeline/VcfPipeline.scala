@@ -82,4 +82,23 @@ object VcfPipeline {
     VariantTables(dataset, subjectIdx, populationInfo, subjectDetail,
       subjectSummary, populationData)
   }
+
+  /** A whole upload directory: every `*.vcf` becomes its own dataset
+    * (VCFDataProcessor.groovy:76 iterates the dir), tables unioned. */
+  def runDir(spark: SparkSession, dir: String, trialId: String,
+             genome: String = "hg19"): VariantTables = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.toLowerCase.endsWith(".vcf"))
+      .map(_.getPath).sorted
+    require(files.nonEmpty, s"no .vcf files in $dir")
+    files.map(run(spark, _, trialId, genome)).reduce { (a, b) =>
+      VariantTables(
+        a.dataset.unionByName(b.dataset),
+        a.subjectIdx.unionByName(b.subjectIdx),
+        a.populationInfo.unionByName(b.populationInfo),
+        a.subjectDetail.unionByName(b.subjectDetail),
+        a.subjectSummary.unionByName(b.subjectSummary),
+        a.populationData.unionByName(b.populationData))
+    }
+  }
 }

@@ -152,6 +152,22 @@ class VcfReaderSpec extends SparkSpec {
       Seq(("VCF_TST001", 1), ("VCF_TST002", 2)))
   }
 
+  test("multi-VCF directory: one dataset per file, tables unioned") {
+    // the reference iterates every *.vcf in the upload dir (:76); the
+    // MultiVCF fixture has two files -> two dataset ids, both subjects
+    // indexed per dataset
+    val dir = "/root/reference/fixtures/Test Studies/Test Study_GSE0/MultiVCFDataToUpload"
+    val t = graft.pipeline.VcfPipeline.runDir(spark, dir, "GSE0")
+    val ds = t.dataset.select("dataset_id").collect().map(_.getString(0)).toSet
+    assert(ds == Set("GSE0:VCFTEST1", "GSE0:VCFTEST2"))
+    // one sample per file, position restarting at 1 per dataset
+    val idx = t.subjectIdx.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(idx == Set(("GSE0:VCFTEST1", "VCF_TST001", 1),
+      ("GSE0:VCFTEST2", "VCF_TST002", 1)))
+    assert(t.subjectSummary.select("dataset_id").distinct().count() == 2)
+  }
+
   test("subject summary: R/V variant + variantFormat encoding, reference flag") {
     val ss = VcfReader.subjectSummary(
       VcfReader.variants(spark, vcfPath), Seq("S1", "S2"), "TR1")
