@@ -63,6 +63,30 @@ object SnpAndSerial {
     mergeSnp(readSnpCalls(spark, callsFiles),
       readSnpCopyNumber(spark, copyNumberFiles))
 
+  /** Serial-HDD sample-dimensions mapping -> (category_cd, c_metadataxml)
+    * (SerialHDDDataLoader.groovy:46-88): one row per mapped category,
+    * underscores in the category become spaces, and the XML carries the
+    * file's (value, unit, display label) VERBATIM — unlike the
+    * display-name-parsing builder in [[stampSeriesMetadata]], nothing is
+    * converted to minutes here. The template reproduces the reference's
+    * exact string (indentation included). */
+  def readSampleDimensions(spark: SparkSession, path: String): DataFrame = {
+    val df = TsvReader.read(spark, path)
+    val Seq(cat, value, unit, label) = df.columns.take(4).toSeq.map(col)
+    val xml =
+      "<?xml version=\"1.0\"?>\n                        <ValueMetadata>\n" +
+      "                            <Oktousevalues>Y</Oktousevalues>\n" +
+      "                            <SeriesMeta>\n" +
+      "                                <Value>%s</Value>\n" +
+      "                                <Unit>%s</Unit>\n" +
+      "                                <DisplayName>%s</DisplayName>\n" +
+      "                            </SeriesMeta>\n" +
+      "                    </ValueMetadata>"
+    df.select(
+      regexp_replace(cat, "_", " ").as("category_cd"),
+      format_string(xml, value, unit, label).as("c_metadataxml"))
+  }
+
   /** Serial-HDD (time-series) concepts: stamp each TIMEPOINT node with its
     * ValueMetadata XML — the UPDATE..FROM at I2B2_PROCESS_SERIAL_HDD_DATA
     * .sql:62-74,112-134 as a functional column rewrite. Nodes whose

@@ -108,6 +108,22 @@ class SnpAndSerialSpec extends SparkSpec {
     assert(SnpAndSerial.loadSnp(spark, Seq.empty, Seq.empty).count() == 0)
   }
 
+  test("reference SerialHDD dimensions mapping replays: verbatim unit XML") {
+    // ExpressionSerialHDDDataProcessorTest expects the Week 1 node's
+    // metadata to carry <Value>7</Value><Unit>days</Unit> verbatim (days,
+    // NOT converted to minutes — the Groovy loader template)
+    val dims = SnpAndSerial.readSampleDimensions(spark,
+      "/root/reference/fixtures/Test Studies/Test ExpressionSerialHDD Study/ExpressionSerialHDDDataToUpload/Test Study_TSTSHDD_Sample_Dimensions_Mapping.txt")
+    assert(dims.count() == 11)
+    val w1 = dims.filter($"category_cd" === "Sample Factors Week 1")
+      .collect()(0).getAs[String]("c_metadataxml")
+    assert(w1.contains("<Value>7</Value>"))
+    assert(w1.contains("<Unit>days</Unit>"))
+    assert(w1.contains("<DisplayName>Week 1</DisplayName>"))
+    assert(w1.startsWith("<?xml version=\"1.0\"?>"))
+    assert(w1.contains("<Oktousevalues>Y</Oktousevalues>"))
+  }
+
   test("series metadata stamping + unparseable detection") {
     val nodes = Seq("Baseline", "Week 2", "not a timepoint").toDF("c_name")
     val stamped = SnpAndSerial.stampSeriesMetadata(nodes, "c_name")
