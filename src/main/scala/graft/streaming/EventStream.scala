@@ -32,6 +32,20 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** Streaming exact dedup — the training-data pipeline's dedup-at-ingest
+    * twin of Dedup.exact: duplicates of a fingerprint are dropped as they
+    * arrive, with the watermark bounding how long each fingerprint's state
+    * lives (dropDuplicatesWithinWatermark — without the bound, state grows
+    * with the number of distinct documents forever). Scale note: state is
+    * hash-partitioned by fingerprint, so the dedup shuffles once on the
+    * same key the batch groupBy uses. */
+  def dedupStream(docs: DataFrame, textCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class SessionState(start: Long, lastTs: Long, nEvents: Int)
   final case class SessionOut(user_id: Long, session_start: Long,
                               session_end: Long, n_events: Int)

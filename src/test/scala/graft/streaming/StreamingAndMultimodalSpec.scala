@@ -28,6 +28,24 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming exact dedup drops repeated fingerprints within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStream.dedupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), "text", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData(
+      (1L, ts(0), "the quick brown fox"),
+      (2L, ts(1), "a different document"),
+      (3L, ts(2), "THE  quick brown fox")) // normalized dup of 1 -> dropped
+    q.processAllAvailable()
+    val kept = spark.table("dedup_stream").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L))
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
