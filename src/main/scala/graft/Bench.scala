@@ -20,10 +20,12 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       // noop sink: full computation + column materialization, no pruning
       // shortcuts from count(), nothing written. Best of 2 runs — single
-      // runs on a shared host show multi-x swings from neighbor load.
-      // A crashing query reports -1, never a fast fake timing.
+      // runs on a shared host show multi-x swings from neighbor load; when
+      // even the two samples disagree by >1.5x the host is loaded, so take
+      // a third and keep the min. A crashing query reports -1, never a
+      // fast fake timing.
       var failed = false
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -32,6 +34,8 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val two = Seq(once(), once())
+      val times = if (!failed && two.max > two.min * 1.5) two :+ once() else two
       spark.catalog.clearCache() // bound memory across the suite
       name -> (if (failed) -1.0 else times.min)
     }

@@ -26,18 +26,36 @@ import org.apache.spark.sql.functions._
   */
 object ZScore {
 
+  /** RBM "R" log (I2B2_RBM_ZSCORE_CALC_NEW.sql:185): the +0.001 zero guard
+    * applies ONLY when the value is <= 0, unlike proteomics' always-on
+    * guard. */
+  def rbmLog(v: Column): Column =
+    when(v <= 0, log(2.0, v + lit(0.001))).otherwise(log(2.0, v))
+
+  /** miRNA-seq "R" log (I2B2_MIRNA_ZSCORE_CALC.sql:118-120): 0 when the
+    * value is <= 0, else log2, rounded to 5 dp BEFORE the stats. */
+  def mirnaSeqLog(v: Column): Column =
+    round(when(v <= 0, lit(0.0)).otherwise(log(2.0, v)), 5)
+
+  /** miRNA-qPCR log (I2B2_MIRNA_ZSCORE_CALC.sql:160-177): a dCt value IS
+    * minus the log already, so log_intensity = -value. */
+  def qpcrLog(v: Column): Column = -v
+
   /** dataType: "R" (raw) or "L" (already log-transformed) — the
-    * file-name-encoded `_Data_[RLTZ]` convention. */
+    * file-name-encoded `_Data_[RLTZ]` convention. `customLog` overrides
+    * the R-side log computation for the per-datatype flavors above. */
   def pipeline(df: DataFrame, groupCols: Seq[String], valueCol: String,
                dataType: String = "R", logBase: Double = 2.0,
                zeroGuard: Double = 0.0,
-               logRoundDp: Option[Int] = None): DataFrame = {
+               logRoundDp: Option[Int] = None,
+               customLog: Option[Column => Column] = None): DataFrame = {
     val v = col(valueCol).cast("double")
     val raw = if (dataType == "R") v
       else if (logBase == -1.0) lit(0.0)
       else pow(lit(logBase), v)
     val logRaw = if (dataType == "L") v
-      else log(v + lit(zeroGuard)) / log(lit(logBase))
+      else customLog.map(_(v))
+        .getOrElse(log(v + lit(zeroGuard)) / log(lit(logBase)))
     val logI = logRoundDp.map(d => round(logRaw, d)).getOrElse(logRaw)
 
     val withLogs = df

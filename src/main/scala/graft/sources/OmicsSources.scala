@@ -27,6 +27,41 @@ object OmicsSources {
       .withColumn("data_type", lit(dataType))
   }
 
+  /** Protein matrix melt (ProteinDataProcessor.groovy:184-207): column 0
+    * is the peptide; when it is literally named PEPTIDE the next column is
+    * the majority-protein id and samples start at column 2, otherwise the
+    * file has no peptide column and samples start at column 1
+    * (`havePeptide`). Key rides out as `probeset_id` like every melt. */
+  def meltProtein(matrix: DataFrame, dataType: String = "R"): DataFrame = {
+    val havePeptide = matrix.columns.head.toUpperCase == "PEPTIDE"
+    val sampleCols = matrix.columns.drop(if (havePeptide) 2 else 1)
+    meltMatrix(matrix.select(matrix.columns.head, sampleCols: _*),
+      idCol = matrix.columns.head, dataType = dataType)
+  }
+
+  /** RBM long-format data file (RBMDataProcessor.groovy:186-208): columns
+    * by POSITION — 2 = SAMPID, 5 = ANALYTE (with its `(unit)` suffix),
+    * 7 = AVALUE; the header is sanity-checked; rows with any of the three
+    * empty are dropped. Output matches the melt shape so the probe-avg /
+    * z-score chain downstream is shared. */
+  def readRbmLong(df: DataFrame, dataType: String = "R"): DataFrame = {
+    val cols = df.columns
+    require(cols.length > 7 &&
+      (cols(2).toUpperCase == "SAMPID" ||
+        cols(5).toUpperCase.contains("ANALYTE") ||
+        cols(7).toUpperCase == "AVALUE"),
+      s"Incorrect RBM data file: ${cols.take(8).mkString(", ")}")
+    df.select(
+        col(cols(5)).as("probeset_id"),
+        col(cols(2)).as("sample_id"),
+        col(cols(7)).as("raw_value"))
+      .filter(length(coalesce(col("probeset_id"), lit(""))) > 0 &&
+        length(coalesce(col("sample_id"), lit(""))) > 0 &&
+        length(coalesce(col("raw_value"), lit(""))) > 0)
+      .withColumn("intensity_value", col("raw_value").cast("double"))
+      .withColumn("data_type", lit(dataType))
+  }
+
   /** File-name convention `..._Data_R.txt` -> data type letter
     * (ExpressionDataProcessor.groovy:56). */
   def dataTypeFromFileName(name: String): String = {
@@ -47,20 +82,25 @@ object OmicsSources {
       rxs.view.flatMap(rx => df.columns.find(_.toUpperCase.matches(rx)))
         .headOption
     // per-datatype key columns (platforms/*.groovy eachEntry regexes):
-    // RNASeq 'Transcript ID', miRNA 'SN_ID'/'MIRNA_ID', protein
-    // '(Majority) Protein ID(s)', RBM 'Antigen Name', metabolomics
-    // 'HMDB_ID' with 'BIOCHEMICAL' as the display symbol
+    // RNASeq 'Transcript ID', miRNA 'SN_ID'/'MIRNA_ID', protein keyed on
+    // PEPTIDE (always column 0, ProteinPlatform.groovy:62-66) with
+    // '(Majority) Protein ID(s)' as the uniprot id, RBM 'Antigen Name'
+    // with a 'uniprot' column, metabolomics 'HMDB_ID' with 'BIOCHEMICAL'
+    // as the display symbol
     val probeset = find("^ID(_REF)?$", "^PROBE(SET)?(_ID)?$",
       "^(TRANSCRIPT[ _]*)?ID$", "^SN[ _]?ID$", "^(MIRNA[ _]*)?ID$",
-      "^(MAJORITY[ _]*)?(PROTEIN[ _]*)?IDS?$", "^ANTIGEN[ _]?NAME$",
-      "^HMDB[ _]?ID$", "^PEPTIDE$").getOrElse(df.columns.head)
+      "^PEPTIDE$", "^(MAJORITY[ _]*)?(PROTEIN[ _]*)?IDS?$",
+      "^ANTIGEN[ _]?NAME$", "^HMDB[ _]?ID$").getOrElse(df.columns.head)
     val symbol = find("^GENE[ _]?SYMBOL$", "^SYMBOL$", "^MIRNA[ _]*ID$",
       "^BIOCHEMICAL$")
     val geneId = find("^ENTREZ[ _]?GENE[ _]?ID$", "^GENE[ _]?ID$")
     val species = find("^SPECIES.*", "^ORGANISM$")
+    val uniprot = find("^UNIPROT([ _]?ID)?$",
+      "^(MAJORITY[ _]*)?(PROTEIN[ _]*)?IDS?$").filter(_ != probeset)
     val out = df.select(
       col(probeset).as("probeset_id"),
       symbol.map(col).getOrElse(lit(null).cast("string")).as("gene_symbol"),
+      uniprot.map(col).getOrElse(lit(null).cast("string")).as("uniprot_id"),
       // regex-gated cast: real GPL files carry multi-values like
       // '1390 /// 286016' in ENTREZ_GENE_ID; ANSI mode would throw on a
       // direct cast, the reference treats them as unparseable (null)

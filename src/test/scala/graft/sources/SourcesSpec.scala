@@ -591,6 +591,233 @@ class OmicsSpec extends SparkSpec {
     assert(met.getAs[String]("gene_symbol") == "mevalonic acid")
   }
 
+  test("reference Protein fixture replays: peptide key, avg collapse, proteomics zscore") {
+    // ProteinDataProcessorTest.groovy:41-59 — title node with 5 patients;
+    // annotation keyed on PEPTIDE with the majority-protein id as uniprot;
+    // duplicate peptides (RPPGFSPFR x3) collapse by avg BEFORE the log and
+    // fan back out through the annotation join; proteomics flavor =
+    // log2(v + 0.001) rounded to 4 dp before the stats
+    val dir = "/root/reference/fixtures/Test Studies/Test Protein Study_GSE37425/ProteinDataToUpload"
+    val (meta, ann) = OmicsSources.readPlatform(spark, s"$dir/RBM999.txt")
+    assert(meta("PLATFORM_ID") == "RBM999")
+    assert(meta("PLATFORM_TITLE") == "Test Protein Platform")
+    val annRows = ann.collect()
+    assert(annRows.length == 5)
+    assert(annRows.find(_.getAs[String]("probeset_id") == "RPPGFSPFR(QTF-2)")
+      .get.getAs[String]("uniprot_id") == "P50440")
+
+    val m = TsvReader.read(spark, s"$dir/Test Study_GSE37425_Subject_Sample_Mapping_File.txt")
+    def nullIfEmpty(c: org.apache.spark.sql.Column) =
+      when(length(coalesce(c, lit(""))) === 0, lit(null).cast("string")).otherwise(c)
+    val sampleMap = m.select(
+      $"SITE_ID".as("site_id"), $"SUBJECT_ID".as("subject_id"),
+      $"SAMPLE_CD".as("sample_cd"), $"PLATFORM".as("platform"),
+      $"TISSUE_TYPE".as("tissue_type"),
+      nullIfEmpty($"ATTRIBUTE_1").as("attribute_1"),
+      nullIfEmpty($"ATTRIBUTE_2").as("attribute_2"),
+      $"CATEGORY_CD".as("category_cd"))
+    val patients = graft.core.Ids.denseIds(
+      sampleMap.select(graft.functions.CleansingFunctions.usubjid(
+        lit("GSE37425"), coalesce($"site_id", lit("")), $"subject_id")
+        .as("sourcesystem_cd")).distinct(),
+      Seq("sourcesystem_cd"), "patient_num")
+    assert(patients.filter($"sourcesystem_cd" === "GSE37425:GSM918945").count() == 1)
+    val gpl = Seq(("RBM999", "Test Protein Platform", "PROTEOMICS"))
+      .toDF("platform", "title", "marker_type")
+    val ls = graft.pipeline.LoadSamples.run(spark, "GSE37425",
+      "\\Test Studies\\Test Protein Study\\", sampleMap, gpl, patients,
+      markerType = "PROTEOMICS")
+    // hasNode('...\Biomarker Data\Test Protein Platform\').withPatientCount(5)
+    assert(ls.nodes.filter($"node_type" === "LEAF").collect()(0)
+      .getAs[String]("leaf_node")
+      == "\\Test Studies\\Test Protein Study\\Biomarker Data\\Test Protein Platform\\")
+    assert(ls.sampleMapping.select("patient_id").distinct().count() == 5)
+    assert(ls.sampleMapping.filter($"subject_id" === "GSM918944" &&
+      $"sample_cd" === "P50440").collect()(0).getAs[String]("gpl_id") == "RBM999")
+
+    // data melt skips the 'Majority protein IDs' column (havePeptide)
+    val melted = OmicsSources.meltProtein(
+      TsvReader.read(spark, s"$dir/Test Study_GSE37425_PROTEIN_Data_R.txt"))
+    // R upload keeps zeros, drops only negatives (sign <> -1, :973)
+    val avgd = melted.filter(signum($"intensity_value") =!= -1)
+      .groupBy($"probeset_id", $"sample_id")
+      .agg(avg($"intensity_value").as("intensity_value"))
+    val z = graft.operators.ZScore.pipeline(avgd, Seq("probeset_id"),
+      "intensity_value", dataType = "R", logBase = 2.0,
+      zeroGuard = 0.001, logRoundDp = Some(4))
+    val facts = z.join(
+      ann.select($"probeset_id", $"uniprot_id".as("gene_symbol")),
+      Seq("probeset_id"))
+
+    // hasRecord(de_subject_protein_data, GSM918946 x P50440,
+    //   component = 'RPPGFSPFR(QTF-2)'); GSM918946's sample is P02647
+    val comp = facts.filter($"sample_id" === "P02647" && $"gene_symbol" === "P50440")
+      .collect()
+    assert(comp.length == 1 && comp(0).getAs[String]("probeset_id") == "RPPGFSPFR(QTF-2)")
+    // log_intensity O00231 x P50440 = 22.6096 (testItMergeSamples first load)
+    val li = facts.filter($"sample_id" === "O00231" && $"gene_symbol" === "P50440")
+      .collect()(0).getAs[Double]("log_intensity")
+    assert(li == 22.6096)
+    // zscore P50440 x O00231 = 0.02146 +- 0.001 (assertThatSampleIsPresent)
+    val zs = facts.filter($"sample_id" === "P50440" && $"gene_symbol" === "O00231")
+      .collect()
+    assert(zs.length == 1)
+    assert(math.abs(zs(0).getAs[Double]("zscore") - 0.02146) < 0.001)
+  }
+
+  test("reference RBM fixture replays: long-format read, unit strip, rbm zscore") {
+    // RBMDataProcessorTest.groovy:62-77 — positional long-format data
+    // (SAMPID/ANALYTE/AVALUE), analyte keeps its '(unit)' suffix through
+    // the stats and is stripped only in the final annotation join; the RBM
+    // R log guards zero with +0.001 only when v <= 0
+    val dir = "/root/reference/fixtures/Test Studies/Test RBM Study/RBMDataToUpload"
+    val (meta, ann) = OmicsSources.readPlatform(spark, s"$dir/RBM100.txt")
+    assert(meta("PLATFORM_TITLE") == "Test RBM Platform")
+    assert(ann.filter($"probeset_id" === "Amphiregulin").collect()(0)
+      .getAs[String]("uniprot_id") == "P15514")
+
+    val m = TsvReader.read(spark, s"$dir/Test Study_TESTRBM_Subject_Sample_Mapping_File.txt")
+    val sampleMap = m.select(
+      $"SITE_ID".as("site_id"), $"SUBJECT_ID".as("subject_id"),
+      $"SAMPLE_ID".as("sample_cd"), $"PLATFORM".as("platform"),
+      $"TISSUETYPE".as("tissue_type"),
+      $"ATTR1".as("attribute_1"), $"ATTR2".as("attribute_2"),
+      $"CATEGORY_CD".as("category_cd"))
+    val patients = graft.core.Ids.denseIds(
+      sampleMap.select(graft.functions.CleansingFunctions.usubjid(
+        lit("TESTRBM"), $"site_id", $"subject_id").as("sourcesystem_cd")).distinct(),
+      Seq("sourcesystem_cd"), "patient_num")
+    // hasPatient('1:S57023').inTrial('TESTRBM')
+    assert(patients.filter($"sourcesystem_cd" === "TESTRBM:1:S57023").count() == 1)
+    val gpl = Seq(("RBM100", "Test RBM Platform", "RBM"))
+      .toDF("platform", "title", "marker_type")
+    val ls = graft.pipeline.LoadSamples.run(spark, "TESTRBM",
+      "\\Test Studies\\Test RBM Study\\", sampleMap, gpl, patients,
+      markerType = "RBM")
+    assert(ls.nodes.filter($"node_type" === "LEAF").collect()(0)
+      .getAs[String]("leaf_node")
+      == "\\Test Studies\\Test RBM Study\\Biomarker Data\\Test RBM Platform\\Intestine\\Test\\")
+    assert(ls.sampleMapping.select("patient_id").distinct().count() == 2)
+    val s24 = ls.sampleMapping.filter($"sample_cd" === "GA8015ZS-06").collect()(0)
+    assert(s24.getAs[String]("subject_id") == "S57024" &&
+      s24.getAs[String]("site_id") == "2" &&
+      s24.getAs[String]("gpl_id") == "RBM100")
+
+    val long = OmicsSources.readRbmLong(
+      TsvReader.read(spark, s"$dir/Test Study_TESTRBM_RBM_Data_R.txt"))
+    val avgd = long.filter(signum($"intensity_value") =!= -1)
+      .groupBy($"probeset_id", $"sample_id")
+      .agg(avg($"intensity_value").as("intensity_value"))
+    val z = graft.operators.ZScore.pipeline(avgd, Seq("probeset_id"),
+      "intensity_value", dataType = "R",
+      customLog = Some(graft.operators.ZScore.rbmLog))
+    // final insert strips '(unit)' for antigen_name and joins the
+    // annotation on the stripped name (I2B2_RBM_ZSCORE_CALC_NEW.sql:300,320)
+    val stripped = z.withColumn("antigen_name",
+      when(instr($"probeset_id", "(") > 0,
+        trim(expr("substring(probeset_id, 1, instr(probeset_id, '(') - 1)")))
+        .otherwise($"probeset_id"))
+    val facts = stripped.join(
+      ann.select(trim($"probeset_id").as("antigen_name"), $"uniprot_id"),
+      Seq("antigen_name"))
+    // assertThatSampleIsPresent('GA8015ZS-06', P15514 -> -1 +- 0.3)
+    val zs = facts.filter($"sample_id" === "GA8015ZS-06" && $"uniprot_id" === "P15514")
+      .collect()
+    assert(zs.length == 1)
+    assert(math.abs(zs(0).getAs[Double]("zscore") - (-1.0)) <= 0.3)
+  }
+
+  test("reference MirnaQpcr fixture replays: dCt negation log, title node") {
+    // MIRNAQpcrDataProcessorTest.groovy:49-73 — a qPCR dCt value IS minus
+    // the log, so log_intensity = -value; probe '1' on GSM918938:
+    // raw 0.113408, log -0.113408, zscore 0.70711
+    val dir = "/root/reference/fixtures/Test Studies/Test MirnaQpcr Study/MIRNA_QPCRDataToUpload"
+    val (meta, ann) = OmicsSources.readPlatform(spark, s"$dir/GPL15467qpcrbased.txt")
+    assert(meta("PLATFORM_TITLE") == "Test MIRNAqpcr Platform")
+    assert(ann.filter($"probeset_id" === "1").collect()(0)
+      .getAs[String]("gene_symbol") == "mmu-let-7b")
+
+    val m = TsvReader.read(spark, s"$dir/Test Study_TEST005_Subject_Sample_Mapping_file.txt")
+    val sampleMap = m.select(
+      $"SITE_ID".as("site_id"), $"SUBJECT_ID".as("subject_id"),
+      $"SAMPLE_ID".as("sample_cd"), $"PLATFORM".as("platform"),
+      $"TISSUETYPE".as("tissue_type"),
+      $"ATTR1".as("attribute_1"), $"ATTR2".as("attribute_2"),
+      $"CATEGORY_CD".as("category_cd"))
+    val patients = graft.core.Ids.denseIds(
+      sampleMap.select(graft.functions.CleansingFunctions.usubjid(
+        lit("TEST005"), $"site_id", $"subject_id").as("sourcesystem_cd")).distinct(),
+      Seq("sourcesystem_cd"), "patient_num")
+    assert(patients.filter($"sourcesystem_cd" === "TEST005:2:S57024").count() == 1)
+    val gpl = Seq(("GPL15467qpcrbased", "Test MIRNAqpcr Platform", "MIRNA_QPCR"))
+      .toDF("platform", "title", "marker_type")
+    val ls = graft.pipeline.LoadSamples.run(spark, "TEST005",
+      "\\Test Studies\\Test MirnaQpcr Study\\", sampleMap, gpl, patients,
+      markerType = "MIRNA_QPCR")
+    assert(ls.nodes.filter($"node_type" === "LEAF").collect()(0)
+      .getAs[String]("leaf_node")
+      == "\\Test Studies\\Test MirnaQpcr Study\\Biomarker Data\\Test MIRNAqpcr Platform\\Intestine\\Test\\")
+    assert(ls.sampleMapping.select("patient_id").distinct().count() == 2)
+    assert(ls.sampleMapping.filter($"subject_id" === "S57023").collect()(0)
+      .getAs[String]("sample_cd") == "GSM918938")
+
+    val melted = OmicsSources.meltMatrix(
+      TsvReader.read(spark, s"$dir/Test Study_TEST005_MIRNA_Data_R.txt"))
+    val z = graft.operators.ZScore.pipeline(melted, Seq("probeset_id"),
+      "intensity_value", dataType = "R",
+      customLog = Some(graft.operators.ZScore.qpcrLog))
+    val r = z.filter($"probeset_id" === "1" && $"sample_id" === "GSM918938")
+      .collect()(0)
+    assert(r.getAs[Double]("raw_intensity") == 0.113408)
+    assert(r.getAs[Double]("log_intensity") == -0.113408)
+    assert(math.abs(r.getAs[Double]("zscore") - 0.70711) < 1e-4)
+  }
+
+  test("reference MirnaSeq fixture replays: rounded log2, Synovium rollup") {
+    // MIRNASeqDataProcessorTest.groovy:51-70 — R log = round(log2(v), 5)
+    // with a 0 floor for v <= 0; node \Biomarker Data\Test MIRNAseq
+    // Platform\Synovium\ rolls up 8 patients; probe '16' on GSM918944:
+    // raw 0.163313108, log -2.61429, zscore 1.05828
+    val dir = "/root/reference/fixtures/Test Studies/Test MirnaSeq Study/MIRNA_SEQDataToUpload"
+    val (meta, _) = OmicsSources.readPlatform(spark, s"$dir/GPL15467seqbased.txt")
+    assert(meta("PLATFORM_TITLE") == "Test MIRNAseq Platform")
+
+    val m = TsvReader.read(spark, s"$dir/Test Study_mirnaseqbased_Subject_Sample_Mapping_File.txt")
+    val sampleMap = m.select(
+      $"SITE_ID".as("site_id"), $"SUBJECT_ID".as("subject_id"),
+      $"SAMPLE_CD".as("sample_cd"), $"PLATFORM".as("platform"),
+      $"TISSUETYPE".as("tissue_type"),
+      $"ATTRITBUTE_1".as("attribute_1"), // the fixture's own header typo
+      $"ATTRITBUTE_2".as("attribute_2"),
+      $"CATEGORY_CD".as("category_cd"))
+    val patients = graft.core.Ids.denseIds(
+      sampleMap.select(graft.functions.CleansingFunctions.usubjid(
+        lit("MIRNASEQBASED"), coalesce($"site_id", lit("")), $"subject_id")
+        .as("sourcesystem_cd")).distinct(),
+      Seq("sourcesystem_cd"), "patient_num")
+    val gpl = Seq(("GPL15467seqbased", "Test MIRNAseq Platform", "MIRNA_SEQ"))
+      .toDF("platform", "title", "marker_type")
+    val ls = graft.pipeline.LoadSamples.run(spark, "MIRNASEQBASED",
+      "\\Test Studies\\Test MirnaSeq Study\\", sampleMap, gpl, patients,
+      markerType = "MIRNA_SEQ")
+    // ATTR1 = Synovium is the path tail; 8 subjects map under it
+    assert(ls.nodes.filter($"node_type" === "LEAF").collect()(0)
+      .getAs[String]("leaf_node")
+      == "\\Test Studies\\Test MirnaSeq Study\\Biomarker Data\\Test MIRNAseq Platform\\Synovium\\")
+    assert(ls.sampleMapping.select("patient_id").distinct().count() == 8)
+
+    val melted = OmicsSources.meltMatrix(
+      TsvReader.read(spark, s"$dir/Test Study_mirnaseqbased_MIRNA_Data_R.txt"))
+    val z = graft.operators.ZScore.pipeline(melted, Seq("probeset_id"),
+      "intensity_value", dataType = "R",
+      customLog = Some(graft.operators.ZScore.mirnaSeqLog))
+    val r = z.filter($"probeset_id" === "16" && $"sample_id" === "GSM918944")
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("raw_intensity") - 0.163313108) < 1e-9)
+    assert(r.getAs[Double]("log_intensity") == -2.61429)
+    assert(math.abs(r.getAs[Double]("zscore") - 1.05828) < 1e-4)
+  }
+
   test("platform reader fuzzy column detection") {
     val dir = Files.createTempDirectory("graft-gpl")
     val f = dir.resolve("GPL570.txt")
