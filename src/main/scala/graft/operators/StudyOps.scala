@@ -113,9 +113,15 @@ object StudyOps {
     val oldPath = normalizeInputPath(oldPathIn.trim)
     val newPath = normalizeInputPath(newPathIn.trim)
 
-    val trialId = star.conceptDimension
-      .filter(col("concept_path") === oldPath)
+    // trial from the ontology row's sourcesystem_cd (the reference reads
+    // i2b2, not concept_dimension — a moved sub-node can be a FOLDER that
+    // has no concept row, e.g. \...\Demographics\Language\)
+    val trialId = star.i2b2
+      .filter(col("c_fullname") === oldPath && col("sourcesystem_cd").isNotNull)
       .select(col("sourcesystem_cd")).collect().headOption.map(_.getString(0))
+      .orElse(star.conceptDimension
+        .filter(col("concept_path") === oldPath)
+        .select(col("sourcesystem_cd")).collect().headOption.map(_.getString(0)))
     val oldStudyPath = trialId.flatMap { t =>
       val r = star.i2b2.filter(col("sourcesystem_cd") === t)
         .agg(min(col("c_fullname"))).collect()(0)
@@ -273,7 +279,35 @@ object StudyOps {
         tableAccess = filled.tableAccess.filter(!col("c_fullname").isInCollection(empties)),
         conceptDimension = filled.conceptDimension
           .filter(!col("concept_path").isInCollection(empties)))
-    MoveResult(result, None)
+
+    // the reference finishes every move by RECOMPUTING concept counts over
+    // the affected study (I2B2_CREATE_CONCEPT_COUNTS at :457 whole-study,
+    // :521 sub-node) rather than just renaming count rows — a sub-node
+    // move changes rollups (the old parent loses the moved patients, a new
+    // intermediate gains them) that no path rewrite can express. Sub-node
+    // scope is the unchanged study root; whole-study scope is the target.
+    val countsRoot = oldStudyPath match {
+      case Some(sp) if sp != oldPath => sp
+      case _ => newPath
+    }
+    val factPaths = result.observationFact
+      .join(result.conceptDimension.select(col("concept_cd"), col("concept_path")),
+        Seq("concept_cd"))
+      .filter(col("concept_path").startsWith(countsRoot))
+      .select(col("concept_path"), col("patient_num"))
+    val rebuilt = TreeOps.conceptCounts(factPaths, "concept_path", "patient_num")
+      .filter(col("c_fullname").startsWith(countsRoot))
+      .select(col("c_fullname").as("concept_path"),
+        when(hlevel(col("c_fullname")) > 1,
+          concat(lit("\\"),
+            array_join(slice(pathComponents(col("c_fullname")), lit(1),
+              hlevel(col("c_fullname")) - 1), "\\"),
+            lit("\\"))).as("parent_concept_path"),
+        col("patient_count"))
+    val withCounts = result.copy(conceptCounts = result.conceptCounts
+      .filter(!col("concept_path").startsWith(countsRoot))
+      .unionByName(rebuilt))
+    MoveResult(withCounts, None)
   }
 
   /** The delete cascade (I2B2_DELETE_ALL_DATA.sql:100-346). Give a path,

@@ -23,34 +23,56 @@ object SnpAndSerial {
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
 
   /** SNP calls file family -> lt_snp_calls_by_gsm
-    * (SNPDataProcessor.groovy:117-120): TSV with header GSM_NUM SNP_NAME
-    * SNP_CALLS, CsvLikeFile semantics (comment skip, row repair). The
-    * reference loads each file on a 4-thread pool with JDBC batches; here
-    * every file is one distributed scan and the union is task-parallel.
-    * An absent file family yields an empty frame (the reference simply
-    * iterates zero files), so a one-sided load still merges. */
+    * (SNPDataProcessor.groovy:117-120): columns are taken by POSITION
+    * (CsvFileLoader inserts into [GSM_NUM, SNP_NAME, SNP_CALLS]
+    * positionally — the fixture files' own headers say
+    * SAMPLE_ID/PROBESET_ID/CALLS), CsvLikeFile semantics (comment skip,
+    * row repair). The reference loads each file on a 4-thread pool with
+    * JDBC batches; here every file is one distributed scan and the union
+    * is task-parallel. An absent file family yields an empty frame (the
+    * reference simply iterates zero files), so a one-sided load still
+    * merges. */
   def readSnpCalls(spark: SparkSession, paths: Seq[String]): DataFrame =
     paths.map { p =>
-      TsvReader.read(spark, p).select(
-        col("GSM_NUM").as("gsm_num"),
-        col("SNP_NAME").as("snp_name"),
-        col("SNP_CALLS").as("snp_calls"))
+      val df = TsvReader.read(spark, p)
+      val c = df.columns
+      df.select(
+        col(c(0)).as("gsm_num"),
+        col(c(1)).as("snp_name"),
+        col(c(2)).as("snp_calls"))
     }.reduceOption(_ unionByName _)
       .getOrElse(emptyFrame(spark, CallsSchema))
 
   /** SNP copy-number file family -> lt_snp_copy_number
-    * (SNPDataProcessor.groovy:122-128): GSM_NUM SNP_NAME CHROM CHROM_POS
-    * COPY_NUMBER with the reference's long/double casts. */
+    * (SNPDataProcessor.groovy:122-128): positional [GSM_NUM, SNP_NAME,
+    * CHROM, CHROM_POS, COPY_NUMBER] with the reference's long/double
+    * casts. */
   def readSnpCopyNumber(spark: SparkSession, paths: Seq[String]): DataFrame =
     paths.map { p =>
-      TsvReader.read(spark, p).select(
-        col("GSM_NUM").as("gsm_num"),
-        col("SNP_NAME").as("snp_name"),
-        col("CHROM").as("chrom"),
-        col("CHROM_POS").cast("long").as("chrom_pos"),
-        col("COPY_NUMBER").cast("double").as("copy_number"))
+      val df = TsvReader.read(spark, p)
+      val c = df.columns
+      df.select(
+        col(c(0)).as("gsm_num"),
+        col(c(1)).as("snp_name"),
+        col(c(2)).as("chrom"),
+        col(c(3)).cast("long").as("chrom_pos"),
+        col(c(4)).cast("double").as("copy_number"))
     }.reduceOption(_ unionByName _)
       .getOrElse(emptyFrame(spark, CopyNumberSchema))
+
+  /** The SNP mapping file names each sample's calls / copy-number files
+    * (columns CALLS_FILE_NAME, COPY_NUMBER_FILE_NAME —
+    * SNPDataProcessor.groovy processMappingFile); resolve them against
+    * the upload dir into the two file families. Either column may be
+    * absent or empty for a one-sided load. */
+  def snpFileLists(mapping: DataFrame, dir: String): (Seq[String], Seq[String]) = {
+    def files(colName: String): Seq[String] =
+      if (!mapping.columns.contains(colName)) Seq.empty
+      else mapping.select(col(colName)).collect()
+        .map(_.getString(0)).filter(f => f != null && f.nonEmpty)
+        .distinct.map(f => s"$dir/$f").toSeq
+    (files("CALLS_FILE_NAME"), files("COPY_NUMBER_FILE_NAME"))
+  }
 
   /** SNP: calls FULL OUTER copy-number on (gsm, snp_name), keys coalesced
     * (I2B2_PROCESS_SNP_DATA.sql:108-117). */

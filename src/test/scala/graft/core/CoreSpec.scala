@@ -2,6 +2,7 @@ package graft.core
 
 import graft.SparkSpec
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 
 class StudyDiscoverySpec extends SparkSpec {
 
@@ -106,6 +107,57 @@ class SnpAndSerialSpec extends SparkSpec {
     val r = merged.filter($"snp_name" === "rs1").collect()(0)
     assert(r.getAs[String]("snp_calls") == "AA" && r.isNullAt(r.fieldIndex("copy_number")))
     assert(SnpAndSerial.loadSnp(spark, Seq.empty, Seq.empty).count() == 0)
+  }
+
+  test("reference SNP fixture replays: positional reads, merge, platform node") {
+    // SNPDataProcessorTest.groovy:32-46 — the mapping file names each
+    // sample's calls/copy-number files; per-sample files are read by
+    // POSITION (their headers say SAMPLE_ID/PROBESET_ID/...); full-outer
+    // merge leaves calls null for copy-number-only probes
+    val dir = "/root/reference/fixtures/Test Studies/Test Study_GSE0/SNPDataToUpload"
+    val mapping = graft.sources.TsvReader.read(spark,
+      s"$dir/Test Study_GSE0_Subject_Sample_Mapping_File.txt")
+    val (callsFiles, cnFiles) = SnpAndSerial.snpFileLists(mapping, dir)
+    assert(callsFiles.size == 3 && cnFiles.size == 3)
+
+    val merged = SnpAndSerial.loadSnp(spark, callsFiles, cnFiles)
+    // hasRecord(de_sample_snp_data, TST001 x SNP_A-4265338,
+    //   snp_calls null, copy_number 0.628913)
+    val r1 = merged.filter($"gsm_num" === "TST001" && $"snp_name" === "SNP_A-4265338")
+      .collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("snp_calls")))
+    assert(r1.getAs[Double]("copy_number") == 0.628913)
+    // hasRecord(.., TST001 x SNP_A-1984209, snp_calls '2', cn -0.187262)
+    val r2 = merged.filter($"gsm_num" === "TST001" && $"snp_name" === "SNP_A-1984209")
+      .collect()(0)
+    assert(r2.getAs[String]("snp_calls") == "2")
+    assert(r2.getAs[Double]("copy_number") == -0.187262)
+
+    // hasNode(\Test Studies\Test Study\SNP\Test SNP Platform\Unknown\)
+    // .withPatientCount(3): title-substituted platform node, Unknown tissue
+    val meta = graft.sources.TsvReader.metaHeader(spark, s"$dir/TST_SNP.txt")
+    assert(meta("PLATFORM_TITLE") == "Test SNP Platform")
+    val sampleMap = mapping.select(
+      $"SITE_ID".as("site_id"), $"SUBJECT_ID".as("subject_id"),
+      $"SAMPLE_CD".as("sample_cd"), $"PLATFORM".as("platform"),
+      $"TISSUETYPE".as("tissue_type"),
+      $"ATTR1".as("attribute_1"), $"ATTR2".as("attribute_2"),
+      $"CATEGORY_CD".as("category_cd"))
+    val patients = graft.core.Ids.denseIds(
+      sampleMap.select(graft.functions.CleansingFunctions.usubjid(
+        lit("GSE0"), coalesce($"site_id", lit("")), $"subject_id")
+        .as("sourcesystem_cd")).distinct(),
+      Seq("sourcesystem_cd"), "patient_num")
+    assert(patients.filter($"sourcesystem_cd" === "GSE0:Subject_0").count() == 1)
+    val gpl = Seq(("TST_SNP", "Test SNP Platform", "SNP"))
+      .toDF("platform", "title", "marker_type")
+    val ls = graft.pipeline.LoadSamples.run(spark, "GSE0",
+      "\\Test Studies\\Test Study\\", sampleMap, gpl, patients,
+      markerType = "SNP")
+    assert(ls.nodes.filter($"node_type" === "LEAF").collect()(0)
+      .getAs[String]("leaf_node")
+      == "\\Test Studies\\Test Study\\SNP\\Test SNP Platform\\Unknown\\")
+    assert(ls.sampleMapping.select("patient_id").distinct().count() == 3)
   }
 
   test("reference SerialHDD dimensions mapping replays: verbatim unit XML") {

@@ -156,6 +156,82 @@ class StudyOpsSpec extends SparkSpec {
     assert(paths.contains("\\Other\\GS2\\Vitals\\"))
   }
 
+  test("sub-node move replays testMoveSubfolder: counts recomputed, not renamed") {
+    // MoveStudyOperationTest.groovy:253-270 over the real GSE0 fixture:
+    // move \Subjects\Demographics\Language\ under 'Demographics new' and
+    // expect the reference's exact count matrix — the old parent keeps its
+    // OTHER children's rollups, the new intermediate gets the moved ones
+    import graft.pipeline.ClinicalPipeline
+    import graft.sources.{ClinicalMapping, TsvReader}
+    val dir = "/root/reference/fixtures/Test Studies/Test Study_GSE0/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark, s"$dir/Test Study_GSE0_Mapping_File.txt")
+    val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+    val t = ClinicalPipeline.run(spark, "GSE0", "\\Test Studies\\Test Study",
+      mapping, files)
+
+    val emptyStr = Seq.empty[(String, String)].toDF("a", "b")
+    val gse0 = StudyOps.Star(
+      tableAccess = t.i2b2.select(col("c_fullname")),
+      i2b2 = t.i2b2.select(col("c_fullname"), col("c_hlevel"), col("c_name"))
+        .withColumn("c_dimcode", col("c_fullname"))
+        .withColumn("c_tooltip", col("c_fullname"))
+        // only the study subtree belongs to the trial; \Test Studies\ is a
+        // shared root with no sourcesystem
+        .withColumn("sourcesystem_cd",
+          when(col("c_fullname").startsWith("\\Test Studies\\Test Study\\"),
+            "GSE0")),
+      i2b2Secure = t.i2b2.select(col("c_fullname"))
+        .withColumn("secure_obj_token", lit("EXP:GSE0")),
+      i2b2Tags = emptyStr.select(col("a").as("path"), col("b").as("tag")),
+      conceptDimension = t.conceptDimension
+        .select(col("leaf_node").as("concept_path"), col("concept_cd"))
+        .withColumn("sourcesystem_cd", lit("GSE0")),
+      conceptCounts = t.conceptCounts
+        .select(col("c_fullname").as("concept_path"), col("patient_count"))
+        .withColumn("parent_concept_path", lit(null).cast("string")),
+      observationFact = t.observationFact
+        .select(col("patient_num"), col("concept_cd"), col("sourcesystem_cd")),
+      patientDimension = t.patientDimension
+        .select(col("patient_num"), col("usubjid").as("sourcesystem_cd")),
+      patientTrial = t.patientDimension
+        .select(col("patient_num")).withColumn("trial", lit("GSE0")),
+      sampleMapping = Seq.empty[(String, Long, String, String)]
+        .toDF("trial_name", "assay_id", "concept_code", "source_cd"),
+      omicsData = Map.empty,
+      variantDatasets = emptyStr.select(col("a").as("dataset_id")),
+      variantTables = Map.empty,
+      bioExperiment = Seq(("GSE0", "Test Study")).toDF("accession", "title"),
+      bioDataUid = Seq("EXP:GSE0").toDF("unique_id"),
+      searchSecureObject = Seq("EXP:GSE0").toDF("bio_data_unique_id"))
+
+    val base = "\\Test Studies\\Test Study\\Subjects\\"
+    val r = StudyOps.moveStudyByPath(spark, gse0,
+      s"${base}Demographics\\Language\\", s"${base}Demographics new\\Language\\")
+    assert(r.error.isEmpty)
+
+    val counts = r.star.conceptCounts.collect()
+      .map(x => x.getAs[String]("concept_path") -> x.getAs[Long]("patient_count"))
+      .toMap
+    // the reference's matrix (testMoveSubfolder)
+    assert(counts(s"${base}Demographics new\\") == 3)
+    assert(counts(s"${base}Demographics new\\Language\\") == 3)
+    assert(counts(s"${base}Demographics new\\Language\\English\\") == 2)
+    assert(counts(s"${base}Demographics new\\Language\\Spain\\") == 1)
+    assert(counts(s"${base}Demographics\\Sex (SEX)\\Female\\") == 5)
+    assert(counts(s"${base}Demographics\\Sex (SEX)\\") == 7)
+    assert(counts(s"${base}Demographics\\Assessment Date\\") == 9)
+    // moved paths exist in the tree, old ones gone
+    val paths = r.star.i2b2.select("c_fullname").collect().map(_.getString(0)).toSet
+    assert(paths.contains(s"${base}Demographics new\\Language\\English\\"))
+    assert(!paths.contains(s"${base}Demographics\\Language\\"))
+
+    // testItDoesntMoveSubfolderOutsideOfStudy: reject crossing the root
+    val bad = StudyOps.moveStudyByPath(spark, gse0,
+      s"${base}Demographics\\Language\\",
+      "\\Test Studies\\Other Study\\Subjects\\Demographics\\Language\\")
+    assert(bad.error.exists(_.contains("inside of study root")))
+  }
+
   test("delete cascade removes the study from every table, resolves path from trial id") {
     val d = StudyOps.deleteStudy(spark, star, pathIn = None, trialIdIn = Some("GS1"))
     assert(d.i2b2.filter(col("c_fullname").startsWith("\\Public Studies\\GS1")).count() == 0)
