@@ -61,6 +61,8 @@ object SparkEntry {
     "ann_lsh_buckets" -> (TrainingData.annLshBuckets _),
     "ann_ivf" -> (TrainingData.annIvf _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
+    "sample_stratified" -> (TrainingData.sampleStratified _),
+    "pack_sequences" -> (TrainingData.packSequences _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),
     "f5_visit_suppress" -> (Remaining.f5VisitSuppress _),
     "f8_validation" -> (Remaining.f8Validation _),

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Training-set assembly operators: deterministic stratified sampling and
+  * token-budget sequence packing.
+  *
+  * Both are designed for the 100 TB shape of a training-data pipeline:
+  * sampling is a pure filter (no shuffle, no state, reproducible across
+  * engines and runs), packing is one range-partitioned sort plus a
+  * broadcast of per-partition offsets — the same no-global-window pattern
+  * as [[graft.core.Ids.denseIds]], so no single task ever sees the whole
+  * corpus.
+  */
+object Sampling {
+
+  /** Keep condition for one stratum: the first 4 hex chars of md5(key)
+    * sort below the rate's cutoff. md5 hex compares identically in every
+    * engine (and in DuckDB SQL), so the sample is reproducible and
+    * joinable across runs — unlike `rand()`-based sampling. Granularity is
+    * 1/65536 (~0.0015%). */
+  def sampleCond(key: Column, rate: Double): Column =
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else substring(md5(key.cast("string")), 1, 4) <
+      lit(f"${math.round(rate * 65536).toInt}%04x")
+
+  /** Per-stratum deterministic sampling: each stratum value gets its own
+    * rate (e.g. downsample English, keep every low-resource-language doc).
+    * Rows whose stratum is not in `rates` use `defaultRate`. A pure
+    * filter — embarrassingly parallel at any scale. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    val cond = rates.toSeq.sortBy(_._1)
+      .foldRight(sampleCond(col(keyCol), defaultRate)) {
+        case ((stratum, rate), els) =>
+          when(col(stratumCol) === stratum, sampleCond(col(keyCol), rate))
+            .otherwise(els)
+      }
+    df.filter(cond)
+  }
+
+  /** Assign each document to a fixed-token-budget pack: documents are laid
+    * out in `sortCols` order and pack_id = floor(tokens-before-this-doc /
+    * budget) — contiguous, deterministic, and independent of partitioning
+    * (a streaming packer, not a bin-packing optimizer; a doc can straddle
+    * two budgets, the trainer's concatenate-and-chunk view).
+    *
+    * Scale shape: global cumulative sums are the textbook global-window
+    * trap (every row through ONE task). Here: range-partition on the sort
+    * key, run the running sum per partition (parallel windows), collect
+    * only the per-partition TOTALS (numShufflePartitions rows) to the
+    * driver, and broadcast the prefix offsets back. The result is exact
+    * and the plan never has a single-partition exchange. */
+  def packSequences(df: DataFrame, sortCols: Seq[String], tokensCol: String,
+                    budget: Long, packCol: String = "pack_id"): DataFrame = {
+    require(budget > 0, s"pack budget must be positive: $budget")
+    val spark = df.sparkSession
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols.map(col): _*)
+    val sorted = df
+      .withColumn("__tok", col(tokensCol).cast("long"))
+      .repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__cume", sum(col("__tok")).over(w))
+      // two jobs consume this frame (offset totals + final result) and the
+      // range partitioner's boundary sampling is only stable within one
+      // materialization
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val totals = sorted.groupBy(col("__pid")).agg(max(col("__cume")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (p, t) => val o = (p, acc); acc += t; o }
+
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    sorted.join(offDf, "__pid")
+      .withColumn(packCol,
+        floor((col("__off") + col("__cume") - col("__tok"))
+          .cast("double") / budget))
+      .drop("__pid", "__cume", "__off", "__tok")
+  }
+}

@@ -861,6 +861,25 @@ object Oracles {
         |       ELSE 'zh' END AS predicted_lang
         |FROM sc""".stripMargin,
 
+    // stratified sampling mirrors the md5-prefix cutoffs exactly:
+    // round(rate * 65536) as 4 hex digits, string-compared
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE
+        |  WHEN lang = 'de' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  WHEN lang = 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  ELSE TRUE END""".stripMargin,
+    // the pack id is a pure function of the running token total in doc_id
+    // order, so the single-window SQL form is the exact oracle for the
+    // distributed two-phase cumsum
+    "pack_sequences" ->
+      """WITH x AS (
+        |  SELECT doc_id, CAST(ceil(n_chars::DOUBLE / 4.0) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |              - n_tokens)::DOUBLE / 2048.0) AS BIGINT) AS pack_id
+        |FROM x""".stripMargin,
     "text_quality" ->
       """WITH x AS (
         |  SELECT doc_id, text, n_chars,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -82,4 +82,23 @@ object TrainingData {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(t(s, dir, "embeddings"),
       "vec_id", "embedding", blockCol = "label", threshold = 0.4)
+
+  /** Deterministic stratified sampling: downsample the high-resource
+    * languages (en to 25%, de to 50%), keep everything else — an
+    * md5-prefix cutoff per stratum, so the sample is a pure filter and
+    * reproduces bit-identically in any engine. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang",
+      rates = Map("en" -> 0.25, "de" -> 0.5), defaultRate = 1.0)
+
+  /** Token-budget sequence packing: documents in doc_id order, est-BPE
+    * token counts, 2048 tokens per pack — distributed cumulative sum
+    * (range partition + broadcast offsets), no global window. */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.estBpeTokens(col("n_chars")).as("n_tokens")),
+      Seq("doc_id"), "n_tokens", budget = 2048L)
 }

@@ -47,4 +47,20 @@ class PlanAuditSpec extends SparkSpec {
         s"$name gained an unexpected shuffle")
     }
   }
+
+  test("sample_stratified is a pure filter; pack_sequences has no global window") {
+    val sample = SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.001")
+    val sPlan = sample.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("Exchange") && !sPlan.contains("Window"),
+      s"sampling must stay a scan+filter:\n${sPlan.take(1500)}")
+
+    val packed = SparkEntry.queries("pack_sequences")(spark, "/root/testdata/sf0.001")
+    packed.collect()
+    val pPlan = packed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the cumsum windows are per-range-partition (partitioned by __pid);
+    // a single-partition global window would print 'No Partition Defined'
+    assert(!pPlan.contains("No Partition Defined"),
+      "pack_sequences leaked a global window")
+  }
 }

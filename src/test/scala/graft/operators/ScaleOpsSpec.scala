@@ -71,3 +71,51 @@ class SecurityOpsSpec extends SparkSpec {
     assert(swapped == Set("EXP:GS5", "EXP:GS9"))
   }
 }
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified sample: deterministic, per-stratum rates, filter-only") {
+    val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val s = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 0.25), defaultRate = 1.0)
+    // zh stratum untouched
+    assert(s.filter($"lang" === "zh").count() == 2000)
+    // en stratum near the rate (md5 is uniform; 2000 draws at p=.25)
+    val en = s.filter($"lang" === "en").count()
+    assert(en > 380 && en < 620, s"en sample $en far from 500")
+    // byte-identical on a different partitioning
+    val again = Sampling.stratifiedSample(docs.repartition(7), "doc_id", "lang",
+      rates = Map("en" -> 0.25), defaultRate = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == s.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // rate edges
+    assert(Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.0, "zh" -> 1.0)).count() == 2000)
+  }
+
+  test("pack sequences matches the single-window form; no global window in plan") {
+    val docs = (0L until 997L).map(i => (i, 100L + i % 700)).toDF("doc_id", "n_toks")
+    val packed = Sampling.packSequences(docs, Seq("doc_id"), "n_toks", budget = 4096)
+      .select("doc_id", "pack_id")
+    // naive single-window oracle
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = docs
+      .withColumn("pack_id", floor((sum($"n_toks").over(w) - $"n_toks")
+        .cast("double") / 4096))
+      .select("doc_id", "pack_id")
+    assert(packed.except(naive).count() == 0 && naive.except(packed).count() == 0)
+    // packs are contiguous in doc order and within ~budget
+    val sums = packed.join(docs, "doc_id")
+      .groupBy("pack_id").agg(sum($"n_toks").as("t"), count(lit(1)).as("n"))
+      .collect()
+    assert(sums.forall(r => r.getAs[Long]("t") <= 4096 + 799)) // straddle <= max doc
+    // the operator's own plan has no single-partition global Window
+    val plan = Sampling.packSequences(docs, Seq("doc_id"), "n_toks", budget = 4096)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      !plan.contains("No Partition Defined"), "global window leaked into packSequences")
+  }
+}
