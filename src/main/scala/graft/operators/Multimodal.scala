@@ -10,15 +10,17 @@ import org.apache.spark.sql.types._
   * IMAGES decode for real: the JDK ships ImageIO codecs (PNG, JPEG, BMP,
   * GIF, WBMP), so [[ImageIoDecoder]] performs actual decode, RGB-histogram
   * feature extraction and aspect-preserving resize with no external
-  * libraries. Audio/video codecs are NOT in this container — those
-  * modalities go through the clearly-marked stub (`FakeDecoder`)
-  * producing deterministic features from the bytes; [[routingDecoder]]
-  * dispatches per modality. Everything around the decoders is real and
-  * tested: the schema, the batch iteration shape (mapPartitions over a
-  * typed Dataset — the Scala twin of mapInPandas: one JVM-side batch per
-  * partition), the repartitioning contract (media blobs are large ->
-  * partition by byte budget, not row count), and the downstream feature
-  * columns.
+  * libraries. AUDIO decodes for real too: javax.sound.sampled parses
+  * WAV/AIFF/AU and converts the PCM family (signed/unsigned 8/16-bit,
+  * U-law, A-law) — [[JavaSoundDecoder]] extracts an RMS energy envelope
+  * from the actual samples. Only VIDEO (and compressed audio like MP3,
+  * whose codecs are not in the JDK) goes through the clearly-marked stub
+  * (`FakeDecoder`); [[routingDecoder]] dispatches per modality.
+  * Everything around the decoders is real and tested: the schema, the
+  * batch iteration shape (mapPartitions over a typed Dataset — the Scala
+  * twin of mapInPandas: one JVM-side batch per partition), the
+  * repartitioning contract (media blobs are large -> partition by byte
+  * budget, not row count), and the downstream feature columns.
   */
 object Multimodal {
 
@@ -126,12 +128,85 @@ object Multimodal {
     }
   }
 
-  /** Dispatch per modality: images decode for real, audio/video fall back
-    * to the stub until their codecs exist in the runtime. */
-  def routingDecoder(audioVideo: Decoder = FakeDecoder): Decoder = new Decoder {
+  /** REAL audio decode via the JDK's javax.sound.sampled — WAV/AIFF/AU
+    * containers with the PCM encoding family (signed/unsigned 8/16-bit,
+    * U-law, A-law; non-16-bit-signed input is converted by the JDK's own
+    * codec chain). Feature = 16-bucket RMS energy envelope over the clip
+    * (each bucket is the RMS of its time slice, normalized to full scale,
+    * channels averaged); n_frames = PCM frame count. Compressed formats
+    * (MP3/OGG/AAC) have no JDK codec: they, and any unreadable payload,
+    * come back ok=false rather than throwing — one bad blob cannot kill a
+    * 100 TB scan. */
+  object JavaSoundDecoder extends Decoder {
+    private val Buckets = 16
+
+    def decode(row: MediaRow): MediaFeatures = {
+      val bytes = Option(row.payload).getOrElse(Array.emptyByteArray)
+      val samples = try decodeSamples(bytes) catch { case _: Exception => null }
+      if (samples == null || samples.isEmpty)
+        MediaFeatures(row.media_id, row.modality, new Array[Float](Buckets), 0,
+          ok = false)
+      else {
+        val n = samples.length
+        val hist = new Array[Float](Buckets)
+        var b = 0
+        while (b < Buckets) {
+          val from = (n.toLong * b / Buckets).toInt
+          val until = math.max((n.toLong * (b + 1) / Buckets).toInt, from + 1)
+          var acc = 0.0
+          var i = from
+          while (i < until) { val s = samples(i); acc += s * s; i += 1 }
+          hist(b) = (math.sqrt(acc / (until - from)) / 32768.0).toFloat
+          b += 1
+        }
+        MediaFeatures(row.media_id, row.modality, hist, n_frames = n, ok = true)
+      }
+    }
+
+    /** Channel-averaged 16-bit samples, one per PCM frame; null when the
+      * container/encoding is not JDK-decodable. */
+    private def decodeSamples(bytes: Array[Byte]): Array[Double] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      if (bytes.isEmpty) return null
+      val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val src = raw.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        src.getChannels * 2, src.getSampleRate, false) // little-endian
+      val in =
+        if (src.matches(target)) raw
+        else AudioSystem.getAudioInputStream(target, raw)
+      val data = in.readAllBytes()
+      val ch = target.getChannels
+      val frames = data.length / (2 * ch)
+      val out = new Array[Double](frames)
+      var f = 0
+      while (f < frames) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = (f * ch + c) * 2
+          acc += ((data(off) & 0xFF) | (data(off + 1) << 8)).toShort
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      out
+    }
+  }
+
+  /** Dispatch per modality: images and PCM audio decode for real; video
+    * (no codec in the JDK) falls back to the stub. */
+  def routingDecoder(videoFallback: Decoder = FakeDecoder): Decoder = new Decoder {
     def decode(row: MediaRow): MediaFeatures =
       if (row.modality == "image") ImageIoDecoder.decode(row)
-      else audioVideo.decode(row)
+      else if (row.modality == "audio") {
+        val real = JavaSoundDecoder.decode(row)
+        // compressed audio the JDK can't parse still gets the stub's
+        // deterministic byte features instead of an empty row
+        if (real.ok) real else videoFallback.decode(row).copy(ok = false)
+      } else videoFallback.decode(row)
   }
 
   /** Batch feature extraction: one decoder instance per partition (the

@@ -117,4 +117,26 @@ object TextAnalysis {
         i => array_join(slice(toks, i, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Fixed-size overlapping chunks for long-document preprocessing: chunk
+    * i covers characters [i*stride, i*stride + chunkChars) with
+    * stride = chunkChars - overlapChars; a doc shorter than one chunk
+    * yields exactly one. Pure projection + explode — no shuffle, scales
+    * linearly with the corpus; chunk ids are (doc, idx), deterministic. */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                chunkChars: Int, overlapChars: Int): DataFrame = {
+    require(overlapChars >= 0 && chunkChars > overlapChars,
+      s"need chunkChars > overlapChars >= 0: $chunkChars/$overlapChars")
+    val stride = chunkChars - overlapChars
+    val len = length(col(textCol))
+    val n = greatest(
+      ceil((len - lit(overlapChars)).cast("double") / stride).cast("long"),
+      lit(1L))
+    df.select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), n - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        col(textCol).substr(
+          (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkChars)).as("chunk"))
+  }
 }

@@ -869,6 +869,14 @@ object Oracles {
         |  WHEN lang = 'de' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
         |  WHEN lang = 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |  ELSE TRUE END""".stripMargin,
+    "text_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |     c AS (SELECT doc_id, text,
+        |             greatest(CAST(ceil((len - 64)::DOUBLE / 192.0) AS BIGINT), 1) AS n
+        |           FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  substring(text, CAST(i*192 + 1 AS INT), 256) AS chunk
+        |FROM c, LATERAL unnest(generate_series(0, n - 1)) AS t(i)""".stripMargin,
     // the pack id is a pure function of the running token total in doc_id
     // order, so the single-window SQL form is the exact oracle for the
     // distributed two-phase cumsum

@@ -93,6 +93,13 @@ object TrainingData {
       "doc_id", "lang",
       rates = Map("en" -> 0.25, "de" -> 0.5), defaultRate = 1.0)
 
+  /** Overlapping 256-char chunks with a 64-char overlap — the long-doc
+    * split that precedes tokenization; one row per (doc, chunk index). */
+  def textChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkText(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", chunkChars = 256, overlapChars = 64)
+
   /** Token-budget sequence packing: documents in doc_id order, est-BPE
     * token counts, 2048 tokens per pack — distributed cumulative sum
     * (range partition + broadcast offsets), no global window. */

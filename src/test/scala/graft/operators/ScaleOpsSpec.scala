@@ -119,3 +119,27 @@ class SamplingSpec extends SparkSpec {
       !plan.contains("No Partition Defined"), "global window leaked into packSequences")
   }
 }
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunks overlap correctly and reassemble to the original text") {
+    val text = (1 to 300).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkText(docs, "doc_id", "text",
+        chunkChars = 100, overlapChars = 20)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc1 = chunks.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk"))
+    // ceil((300-20)/80) = 4 chunks
+    assert(doc1.length == 4)
+    // consecutive chunks share the 20-char overlap
+    doc1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.takeRight(20) == b.take(20))
+    }
+    // stripping the overlap from every chunk after the first rebuilds the doc
+    assert((doc1.head +: doc1.tail.map(_.drop(20))).mkString == text)
+    // a short doc yields exactly one whole chunk
+    val doc2 = chunks.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2(0).getAs[String]("chunk") == "short")
+  }
+}

@@ -129,7 +129,46 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(10L).feature(16) - 1.0f) < 1e-6)
     assert(math.abs(f(10L).feature(32) - 1.0f) < 1e-6)
     assert(!f(11L).ok) // unreadable image: flagged, not thrown
-    assert(f(12L).ok && f(12L).feature.length == 16) // audio routed to stub
+    // undecodable audio keeps the stub's byte features but is FLAGGED
+    assert(!f(12L).ok && f(12L).feature.length == 16)
+  }
+
+  private def wavBytes(hz: Double, ms: Int, sampleRate: Float = 8000f,
+                       amplitude: Double = 0.5): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = (sampleRate * ms / 1000).toInt
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * hz * i / sampleRate) * amplitude * 32767).toInt
+      data(i * 2) = (s & 0xFF).toByte
+      data(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode via javax.sound: RMS envelope, frame count, routing") {
+    val sine = wavBytes(440, ms = 200) // 1600 PCM frames at 8 kHz
+    val silence = wavBytes(440, ms = 200, amplitude = 0.0)
+    val rows = Seq(
+      Multimodal.MediaRow(20, "audio", "audio/wav", 0, 0, 200, sine),
+      Multimodal.MediaRow(21, "audio", "audio/wav", 0, 0, 200, silence),
+      Multimodal.MediaRow(22, "audio", "audio/mpeg", 0, 0, 200, Array[Byte](1, 2, 3))).toDS()
+    val f = Multimodal.extractFeatures(rows, Multimodal.routingDecoder())
+      .collect().map(r => r.media_id -> r).toMap
+    assert(f(20L).ok && f(20L).n_frames == 1600 && f(20L).feature.length == 16)
+    // a constant sine's RMS is amplitude/sqrt(2) = 0.3536 in every bucket
+    assert(f(20L).feature.forall(v => math.abs(v - 0.3536f) < 0.02f),
+      f(20L).feature.mkString(","))
+    assert(f(21L).ok && f(21L).feature.forall(_ < 1e-3f)) // silence -> ~0
+    assert(!f(22L).ok) // mp3: no JDK codec -> flagged, not thrown
+    // determinism
+    val again = Multimodal.extractFeatures(rows, Multimodal.routingDecoder())
+      .collect().map(r => r.media_id -> r.feature.toSeq).toMap
+    assert(again(20L) == f(20L).feature.toSeq)
   }
 
   test("real image resize matches the plan geometry") {
