@@ -109,6 +109,65 @@ object SnpAndSerial {
       format_string(xml, value, unit, label).as("c_metadataxml"))
   }
 
+  final case class SerialHddTables(
+      i2b2: DataFrame, sampleDimension: DataFrame, facts: DataFrame)
+
+  /** The full serial-HDD apply step (I2B2_PROCESS_SERIAL_HDD_DATA.sql:
+    * 61-140) as three functional rewrites:
+    *
+    *  1. stamp `c_metadataxml` onto the study's ontology nodes whose
+    *     c_name matches a mapped category and whose basecode is one of the
+    *     study's mapped sample concepts (:61-74);
+    *  2. `sample_dimension` upsert — every mapped sample_cd not already
+    *     registered (:93-95);
+    *  3. `observation_fact.sample_cd` backfill from the sample mapping on
+    *     (concept, patient) (:113-125). The reference's UPDATE picks an
+    *     arbitrary row when a (concept, patient) maps several samples; we
+    *     take the MIN sample_cd (documented deterministic tiebreak).
+    *
+    * The dims/mapping frames are dimension-sized -> broadcast; the fact
+    * backfill is the only join touching a large frame and it broadcasts
+    * the small side. */
+  def applySerialHdd(i2b2: DataFrame, dims: DataFrame,
+                     sampleMapping: DataFrame, sampleDimension: DataFrame,
+                     facts: DataFrame, trialId: String): SerialHddTables = {
+    val base =
+      if (i2b2.columns.contains("c_metadataxml")) i2b2
+      else i2b2.withColumn("c_metadataxml", lit(null).cast("string"))
+    val mapped = broadcast(
+      sampleMapping.filter(col("trial_name") === trialId)
+        .select(col("concept_code").as("c_basecode")).distinct()
+        .withColumn("__mapped", lit(true)))
+    val dimsB = broadcast(dims.select(
+      col("category_cd").as("__cat"), col("c_metadataxml").as("__xml")))
+    val stamped = base
+      .join(mapped, Seq("c_basecode"), "left")
+      .join(dimsB, col("c_name") === col("__cat"), "left")
+      .withColumn("c_metadataxml",
+        when(col("__mapped") && col("sourcesystem_cd") === trialId &&
+          col("__xml").isNotNull, col("__xml"))
+          .otherwise(col("c_metadataxml")))
+      .drop("__mapped", "__cat", "__xml")
+
+    val newSamples = sampleMapping.filter(col("trial_name") === trialId)
+      .select(col("sample_cd")).distinct()
+      .join(sampleDimension, Seq("sample_cd"), "left_anti")
+    val sampleDim = sampleDimension.unionByName(newSamples)
+
+    val sm = sampleMapping.filter(col("trial_name") === trialId)
+      .groupBy(col("concept_code").as("concept_cd"),
+        col("patient_id").as("patient_num"))
+      .agg(min(col("sample_cd")).as("__sample_cd"))
+    val withSample = facts.join(broadcast(sm), Seq("concept_cd", "patient_num"), "left")
+      .withColumn("sample_cd",
+        if (facts.columns.contains("sample_cd"))
+          coalesce(col("__sample_cd"), col("sample_cd"))
+        else col("__sample_cd"))
+      .drop("__sample_cd")
+
+    SerialHddTables(stamped, sampleDim, withSample)
+  }
+
   /** Serial-HDD (time-series) concepts: stamp each TIMEPOINT node with its
     * ValueMetadata XML — the UPDATE..FROM at I2B2_PROCESS_SERIAL_HDD_DATA
     * .sql:62-74,112-134 as a functional column rewrite. Nodes whose

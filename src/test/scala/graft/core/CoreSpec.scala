@@ -176,6 +176,62 @@ class SnpAndSerialSpec extends SparkSpec {
     assert(w1.contains("<Oktousevalues>Y</Oktousevalues>"))
   }
 
+  test("reference ProteinSerialHDD fixture replays: xml stamp, sample dim, fact backfill") {
+    // ProteinSerialHDDDataProcessorTest — the Week 1 node carries the
+    // verbatim days XML, every sample registers in sample_dimension, and
+    // each sample's facts carry its sample_cd
+    import org.apache.spark.sql.functions._
+    val dir = "/root/reference/fixtures/Test Studies/Test Protein Study_GSE37425/ProteinSerialHDDDataToUpload"
+    val dims = SnpAndSerial.readSampleDimensions(spark,
+      s"$dir/Test Study_GSE37425_Sample_Dimensions_Mapping.txt")
+    assert(dims.count() == 11)
+
+    val m = graft.sources.TsvReader.read(spark,
+      s"$dir/Test Study_GSE37425_Subject_Sample_Mapping_File.txt")
+    val sampleMap = m.select(
+      $"SITE_ID".as("site_id"), $"SUBJECT_ID".as("subject_id"),
+      $"SAMPLE_CD".as("sample_cd"), $"PLATFORM".as("platform"),
+      $"TISSUE_TYPE".as("tissue_type"),
+      lit(null).cast("string").as("attribute_1"),
+      lit(null).cast("string").as("attribute_2"),
+      $"CATEGORY_CD".as("category_cd"))
+    val patients = graft.core.Ids.denseIds(
+      sampleMap.select(graft.functions.CleansingFunctions.usubjid(
+        lit("GSE37425"), coalesce($"site_id", lit("")), $"subject_id")
+        .as("sourcesystem_cd")).distinct(),
+      Seq("sourcesystem_cd"), "patient_num")
+    val gpl = Seq(("RBM888", "Test Protein Platform 2", "PROTEOMICS"))
+      .toDF("platform", "title", "marker_type")
+    val ls = graft.pipeline.LoadSamples.run(spark, "GSE37425",
+      "\\Test Studies\\Test Protein Study\\", sampleMap, gpl, patients,
+      markerType = "PROTEOMICS")
+
+    // ontology frame in the proc's shape: name + basecode + study
+    val i2b2 = ls.nodes.select(
+      $"leaf_node".as("c_fullname"),
+      graft.functions.PathFunctions.lastPathComponent($"leaf_node").as("c_name"),
+      $"concept_cd".as("c_basecode"),
+      lit("GSE37425").as("sourcesystem_cd"))
+    val mapping = ls.sampleMapping.select(
+      $"concept_code", $"sample_cd", $"patient_id", $"trial_name")
+    val noDim = Seq.empty[String].toDF("sample_cd")
+    val t = SnpAndSerial.applySerialHdd(i2b2, dims, mapping, noDim,
+      ls.sampleFacts.withColumnRenamed("patient_num", "patient_num"), "GSE37425")
+
+    // hasRecord(i2b2, '\...\Sample Factors Week 1\', metadataxml Value 7 days)
+    val wk1 = t.i2b2.filter(
+      $"c_fullname" === "\\Test Studies\\Test Protein Study\\Sample Factors Week 1\\")
+      .collect()(0).getAs[String]("c_metadataxml")
+    assert(wk1 != null && wk1.contains("<Value>7</Value>") &&
+      wk1.contains("<Unit>days</Unit>") && wk1.contains("<DisplayName>Week 1</DisplayName>"))
+    // hasRecord(sample_dimension, O002311)
+    assert(t.sampleDimension.collect().map(_.getString(0)).toSet ==
+      Set("P516591", "O002311", "P504401", "P378021", "P026471"))
+    // every sample's facts carry its sample_cd
+    val factSamples = t.facts.select("sample_cd").collect().map(_.getString(0)).toSet
+    assert(factSamples == Set("P516591", "O002311", "P504401", "P378021", "P026471"))
+  }
+
   test("series metadata stamping + unparseable detection") {
     val nodes = Seq("Baseline", "Week 2", "not a timepoint").toDF("c_name")
     val stamped = SnpAndSerial.stampSeriesMetadata(nodes, "c_name")

@@ -70,6 +70,33 @@ class SecurityOpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(swapped == Set("EXP:GS5", "EXP:GS9"))
   }
+
+  test("copy security from other study replays PostProcessingTest") {
+    // COPY_SECURITY_FROM_OTHER_STUDY: the admin grant (principal 1, level
+    // 8) on the FIRST study's secure object is replicated onto SECOND's
+    val access = Seq((10L, 1L, 100L, 8L), (11L, 2L, 999L, 8L))
+      .toDF("auth_sec_obj_access_id", "auth_principal_id",
+        "secure_object_id", "secure_access_level_id")
+    val secureObjects = Seq((100L, "EXP:GSE0"), (200L, "EXP:GSE0SECOND"))
+      .toDF("search_secure_object_id", "bio_data_unique_id")
+    val bioDataUid = Seq((1L, "EXP:GSE0"), (2L, "EXP:GSE0SECOND"))
+      .toDF("bio_data_id", "unique_id")
+    val bioExperiment = Seq((1L, "GSE0"), (2L, "GSE0SECOND"))
+      .toDF("bio_experiment_id", "accession")
+
+    val out = SecurityOps.copySecurityFromOtherStudy(access, secureObjects,
+      bioDataUid, bioExperiment, studyId = "GSE0SECOND", studyIdFrom = "GSE0")
+    val copied = out.filter($"secure_object_id" === 200L).collect()
+    assert(copied.length == 1)
+    assert(copied(0).getAs[Long]("auth_principal_id") == 1L)
+    assert(copied(0).getAs[Long]("secure_access_level_id") == 8L)
+    assert(copied(0).getAs[Long]("auth_sec_obj_access_id") == 12L) // max+1
+    assert(out.count() == 3) // originals survive
+
+    // unknown source study -> no-op (the proc inserts nothing)
+    assert(SecurityOps.copySecurityFromOtherStudy(access, secureObjects,
+      bioDataUid, bioExperiment, "GSE0SECOND", "MISSING").count() == 2)
+  }
 }
 
 class SamplingSpec extends SparkSpec {
