@@ -47,10 +47,45 @@ object StudyDiscovery {
     walk(root, parentNode)
   }
 
-  /** Post-processing rename: `_DONE_x` / `_FAIL_x` (StudyProcessor:76-78). */
+  /** Post-processing rename: `_DONE_x` / `_FAIL_x` (StudyProcessor:76-78).
+    * Also the zip marking (`_DONE_Study.zip`, ZipStudyProcessor:28-34). */
   def markProcessed(dir: Path, success: Boolean): Path = {
     val prefix = if (success) "_DONE_" else "_FAIL_"
     val target = dir.resolveSibling(prefix + dir.getFileName.toString)
     Files.move(dir, target)
+  }
+
+  /** Zip studies in `dir` (DirectoryProcessor.groovy:59): `X.zip` holds a
+    * single study folder `X/`. Skips already-marked archives. */
+  def zipStudies(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".zip"))
+      .filterNot(p => p.getFileName.toString.startsWith("_"))
+      .toSeq.sortBy(_.getFileName.toString)
+
+  /** Extract a zip study for processing. The reference reads entries
+    * in-place through a zip FileSystem (ZipStudyProcessor.groovy:23-26);
+    * Spark's distributed readers need real file paths, so the archive is
+    * extracted to `scratch` and normal discovery continues there. Returns
+    * the extracted study dir (named like the archive minus `.zip`). */
+  def extractZipStudy(zip: Path, scratch: Path): Path = {
+    val name = zip.getFileName.toString.stripSuffix(".zip")
+    val zf = new java.util.zip.ZipFile(zip.toFile)
+    try {
+      zf.entries().asScala.foreach { e =>
+        val out = scratch.resolve(e.getName).normalize()
+        require(out.startsWith(scratch), s"zip entry escapes scratch: ${e.getName}")
+        if (e.isDirectory) Files.createDirectories(out)
+        else {
+          Files.createDirectories(out.getParent)
+          val in = zf.getInputStream(e)
+          try Files.copy(in, out,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+        }
+      }
+    } finally zf.close()
+    scratch.resolve(name)
   }
 }

@@ -48,6 +48,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("parquet scans prune columns and push filters") {
+    val dir = "/root/testdata/sf0.001"
+    // q1_agg reads 2 of lineitem's 16 columns; the scan must show a
+    // pruned ReadSchema, not the full row
+    val q1 = SparkEntry.queries("q1_agg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val q1Schema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(q1)
+      .map(_.group(1)).getOrElse("")
+    assert(q1Schema.split(",").length <= 3, s"q1_agg scan too wide: $q1Schema")
+
+    // ann_cosine_topk filters vec_id < 20 on the query side; the predicate
+    // must reach the parquet scan as a pushed filter
+    val ann = SparkEntry.queries("ann_cosine_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(ann.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)]") ||
+      "PushedFilters: \\[[^\\]]*LessThan\\(vec_id".r.findFirstIn(ann).isDefined,
+      "vec_id filter not pushed to the scan")
+
+    // text_lang_id projects 3 of documents' columns
+    val tl = SparkEntry.queries("text_lang_id")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val tlSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(tl)
+      .map(_.group(1)).getOrElse("")
+    assert(!tlSchema.contains("n_chars") && !tlSchema.contains("url"),
+      s"text_lang_id reads unused columns: $tlSchema")
+  }
+
   test("sample_stratified is a pure filter; pack_sequences has no global window") {
     val sample = SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.001")
     val sPlan = sample.queryExecution.executedPlan.toString

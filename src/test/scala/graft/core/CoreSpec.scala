@@ -23,6 +23,32 @@ class StudyDiscoverySpec extends SparkSpec {
     val done = StudyDiscovery.markProcessed(st.path, success = true)
     assert(done.getFileName.toString == "_DONE_Study A")
   }
+
+  test("zip studies: listed, extracted, discovered, marked (DirectoryProcessorTest)") {
+    val root = Files.createTempDirectory("graft-zip-root")
+    // build Study Z.zip holding Study Z/ClinicalDataToUpload/data.txt
+    val zipPath = root.resolve("Study Z.zip")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("Study Z/ClinicalDataToUpload/data.txt"))
+    zos.write("SUBJ_ID\tAGE\nS1\t42\n".getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    Files.createFile(root.resolve("_DONE_Old.zip")) // already processed: skipped
+
+    val zips = StudyDiscovery.zipStudies(root)
+    assert(zips.map(_.getFileName.toString) == Seq("Study Z.zip"))
+
+    val scratch = Files.createTempDirectory("graft-zip-scratch")
+    val studyDir = StudyDiscovery.extractZipStudy(zips.head, scratch)
+    assert(studyDir.getFileName.toString == "Study Z")
+    val found = StudyDiscovery.discover(scratch, "\\Public Studies")
+    assert(found.size == 1 && found.head.dataTypes.keySet == Set("Clinical"))
+    assert(Files.readString(found.head.dataTypes("Clinical").resolve("data.txt"))
+      .startsWith("SUBJ_ID"))
+
+    // the archive itself gets the _DONE_ mark, like ZipStudyProcessor
+    val marked = StudyDiscovery.markProcessed(zipPath, success = true)
+    assert(marked.getFileName.toString == "_DONE_Study Z.zip")
+  }
 }
 
 class AuditSpec extends SparkSpec {
@@ -58,6 +84,49 @@ class IdsSpec extends SparkSpec {
     val again = Ids.denseIds(df.repartition(3), Seq("k"), "id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == dense)
+  }
+}
+
+class StudyGuardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // DataProcessorTest scenarios: same-path and same-id conflicts
+  private def i2b2 = Seq(
+    ("\\Test Studies\\Study A\\", "GSE_A"),
+    ("\\Test Studies\\Study A\\Vitals\\", "GSE_A"),
+    ("\\Test Studies\\Two Ids\\X\\", "GSE_X"),
+    ("\\Test Studies\\Two Ids\\Y\\", "GSE_Y"),
+    ("\\Test Studies\\", null))
+    .toDF("c_fullname", "sourcesystem_cd")
+
+  test("same path with several study ids is unrecoverable") {
+    val r = StudyGuards.checkStudiesBySamePath(i2b2, "\\Test Studies\\Two Ids\\")
+    assert(r.left.exists(_.message.contains("several different studyIds")))
+    assert(r.left.exists(c => c.message.contains("GSE_X") && c.message.contains("GSE_Y")))
+  }
+
+  test("occupied path: same id re-uploads, different id needs replaceStudy") {
+    val node = "\\Test Studies\\Study A\\"
+    val old = StudyGuards.checkStudiesBySamePath(i2b2, node).toOption.flatten
+    assert(old.contains("GSE_A"))
+    // re-upload of the same study proceeds
+    assert(StudyGuards.checkStudyExist(i2b2, "GSE_A", node, old).isEmpty)
+    // a different id on the occupied path fails...
+    val conflict = StudyGuards.checkStudyExist(i2b2, "GSE_B", node, old)
+    assert(conflict.exists(_.message.contains("different studyId")))
+    // ...unless replaceStudy is on (the caller then deletes GSE_A first)
+    assert(StudyGuards.checkStudyExist(i2b2, "GSE_B", node, old,
+      replaceStudy = true).isEmpty)
+  }
+
+  test("same id under a different path is rejected (first_value canonical path)") {
+    val r = StudyGuards.checkStudyExist(i2b2, "GSE_A",
+      "\\Test Studies\\Renamed Study\\", oldId = None)
+    assert(r.exists(_.message.contains(
+      "same id found by different path: \\Test Studies\\Study A\\")))
+    // unseen id loads anywhere
+    assert(StudyGuards.checkStudyExist(i2b2, "GSE_NEW",
+      "\\Test Studies\\Anywhere\\", None).isEmpty)
   }
 }
 
