@@ -64,6 +64,7 @@ object SparkEntry {
     "sample_stratified" -> (TrainingData.sampleStratified _),
     "pack_sequences" -> (TrainingData.packSequences _),
     "text_chunks" -> (TrainingData.textChunks _),
+    "decontaminate" -> (TrainingData.decontaminate _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),
     "f5_visit_suppress" -> (Remaining.f5VisitSuppress _),
     "f8_validation" -> (Remaining.f8Validation _),

@@ -130,6 +130,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination: per corpus document, how many of its word
+    * shingles also occur in a benchmark/quarantine set (eval-set leakage
+    * detection). The benchmark side is tiny relative to the corpus
+    * (thousands of eval docs vs billions of training docs), so its
+    * DISTINCT shingle set broadcasts and the whole check is one map-side
+    * join + groupBy — no corpus self-join, no shuffle of the corpus beyond
+    * the per-doc aggregate. Returns (doc_id, n_shingles, n_hits,
+    * contamination = hits/shingles rounded to 6 dp); docs with fewer than
+    * n tokens have no shingles and are absent, like every shingle op. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusSh = docShingles(corpus, idCol, textCol, n)
+    val benchSh = broadcast(
+      docShingles(benchmark, idCol, textCol, n)
+        .select(col("shingle")).distinct()
+        .withColumn("__hit", lit(true)))
+    corpusSh
+      .join(benchSh, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("contamination",
+        round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * verified PAIRS into keep-one-per-CLUSTER decisions (a pairs list
     * alone over-deletes: a~b and b~c must not delete both b and c against

@@ -869,6 +869,17 @@ object Oracles {
         |  WHEN lang = 'de' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
         |  WHEN lang = 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |  ELSE TRUE END""".stripMargin,
+    // same shingle semantics as the dedup oracles (3-gram, distinct,
+    // ASCII-whitespace tokens); benchmark = doc_id < 25
+    "decontaminate" -> (ShingleCte +
+      """, corpus AS (SELECT * FROM sh WHERE doc_id >= 25),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*)::DOUBLE, 6) AS contamination
+        |FROM corpus c LEFT JOIN bench b USING (shingle)
+        |GROUP BY 1""".stripMargin),
     "text_chunks" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
         |     c AS (SELECT doc_id, text,

@@ -93,6 +93,16 @@ object TrainingData {
       "doc_id", "lang",
       rates = Map("en" -> 0.25, "de" -> 0.5), defaultRate = 1.0)
 
+  /** Decontamination profile: docs 0-24 act as the quarantined benchmark
+    * set, the rest as the corpus; per corpus doc, the share of its 3-gram
+    * shingles that leak from the benchmark. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contamination(
+      docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+      "doc_id", "text", n = 3)
+  }
+
   /** Overlapping 256-char chunks with a 64-char overlap — the long-doc
     * split that precedes tokenization; one row per (doc, chunk index). */
   def textChunks(s: SparkSession, dir: String): DataFrame =

@@ -123,6 +123,23 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("contamination: benchmark leakage ratio, broadcast bench side") {
+    // doc 1 is IN the benchmark -> its corpus twin (2) is fully
+    // contaminated; the near-dup (3) partially; the unrelated doc not at all
+    val bench = docs.filter($"doc_id" === 1L)
+    val corpus = docs.filter($"doc_id" > 1L)
+    val c = Dedup.contamination(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("contamination")).toMap
+    assert(c(2L) == 1.0)
+    assert(c(3L) > 0.0 && c(3L) < 1.0)
+    assert(c(4L) == 0.0)
+    // the benchmark shingle set broadcasts; the corpus never self-joins
+    val plan = Dedup.contamination(corpus, bench, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
   test("ngramJaccard finds exact and near duplicates") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
