@@ -65,6 +65,7 @@ object SparkEntry {
     "pack_sequences" -> (TrainingData.packSequences _),
     "text_chunks" -> (TrainingData.textChunks _),
     "decontaminate" -> (TrainingData.decontaminate _),
+    "pipeline_training_e2e" -> (TrainingData.pipelineTrainingE2e _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),
     "f5_visit_suppress" -> (Remaining.f5VisitSuppress _),
     "f8_validation" -> (Remaining.f8Validation _),

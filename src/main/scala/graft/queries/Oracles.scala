@@ -869,6 +869,52 @@ object Oracles {
         |  WHEN lang = 'de' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
         |  WHEN lang = 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |  ELSE TRUE END""".stripMargin,
+    // the composed corpus build: quality gate -> exact dedup ->
+    // decontaminate (>= 0.5 leakage vs raw docs 0-24) -> en 50% sample ->
+    // 2048-token packing; each CTE mirrors its standalone oracle
+    "pipeline_training_e2e" ->
+      """WITH x AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS t
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, text, n_chars FROM x
+        |  WHERE round(greatest(
+        |      least(len(t)::DOUBLE / 100.0, 1.0) * 0.5 +
+        |      least(len(list_filter(t, s -> s IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+        |            / greatest(len(t)::DOUBLE, 1.0) * 4.0, 1.0) * 0.5 -
+        |      least((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+        |            / greatest(n_chars::DOUBLE, 1.0) * 2.0, 0.5),
+        |    0.0), 4) >= 0.3),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM q
+        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))),
+        |d AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        |  FROM x WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
+        |contam AS (
+        |  SELECT c.doc_id
+        |  FROM (SELECT sh.* FROM sh JOIN d USING (doc_id) WHERE sh.doc_id >= 25) c
+        |  LEFT JOIN bench b USING (shingle)
+        |  GROUP BY c.doc_id
+        |  HAVING sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |         / count(*)::DOUBLE >= 0.5),
+        |clean AS (
+        |  SELECT * FROM d
+        |  WHERE doc_id >= 25 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |sampled AS (
+        |  SELECT doc_id, lang, CAST(ceil(n_chars::DOUBLE / 4.0) AS BIGINT) AS n_tokens
+        |  FROM clean
+        |  WHERE CASE WHEN lang = 'en'
+        |    THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |    ELSE TRUE END)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |              - n_tokens)::DOUBLE / 2048.0) AS BIGINT) AS pack_id
+        |FROM sampled""".stripMargin,
     // same shingle semantics as the dedup oracles (3-gram, distinct,
     // ASCII-whitespace tokens); benchmark = doc_id < 25
     "decontaminate" -> (ShingleCte +

@@ -93,6 +93,43 @@ object TrainingData {
       "doc_id", "lang",
       rates = Map("en" -> 0.25, "de" -> 0.5), defaultRate = 1.0)
 
+  /** The training-set assembly pipeline END-TO-END: quality gate ->
+    * exact-dedup keep-one -> benchmark decontamination -> stratified
+    * sampling -> token-budget packing. Every stage is the same operator
+    * its standalone query gates; the composition is what a real corpus
+    * build runs. Docs 0-24 are the quarantined benchmark set. */
+  def pipelineTrainingE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // 1. quality gate (the text_quality expression, same 4-dp rounding)
+    val toks = TextAnalysis.tokens(col("text"))
+    val q = docs
+      .withColumn("quality",
+        round(TextAnalysis.qualityScoreFromTokens(toks, col("text"),
+          col("n_chars")), 4))
+      .filter(col("quality") >= 0.3)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+    // 2. exact dedup, min doc id survives
+    val keep = Dedup.exact(q, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = q.join(keep, "doc_id")
+    // 3. decontamination at >= 0.5 leakage vs the raw benchmark docs
+    val corpus = deduped.filter(col("doc_id") >= 25)
+    val flagged = Dedup.contamination(corpus,
+        docs.filter(col("doc_id") < 25), "doc_id", "text", n = 3)
+      .filter(col("contamination") >= 0.5)
+      .select(col("doc_id"))
+    val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
+    // 4. downsample English to 50%
+    val sampled = Sampling.stratifiedSample(clean, "doc_id", "lang",
+      rates = Map("en" -> 0.5), defaultRate = 1.0)
+    // 5. pack to 2048-token budgets in doc id order
+    Sampling.packSequences(
+      sampled.select(col("doc_id"), col("lang"),
+        TextAnalysis.estBpeTokens(col("n_chars")).as("n_tokens")),
+      Seq("doc_id"), "n_tokens", budget = 2048L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+  }
+
   /** Decontamination profile: docs 0-24 act as the quarantined benchmark
     * set, the rest as the corpus; per corpus doc, the share of its 3-gram
     * shingles that leak from the benchmark. */
