@@ -230,6 +230,36 @@ class StudyOpsSpec extends SparkSpec {
       s"${base}Demographics\\Language\\",
       "\\Test Studies\\Other Study\\Subjects\\Demographics\\Language\\")
     assert(bad.error.exists(_.contains("inside of study root")))
+
+    // testMoveSubfolder2: the target introduces a NEW top-level intermediate
+    // ('Subjects new') that must be filled in and counted
+    val top = "\\Test Studies\\Test Study\\"
+    val r2 = StudyOps.moveStudyByPath(spark, gse0,
+      s"${base}Demographics\\Language\\",
+      s"${top}Subjects new\\Demographics\\Language\\")
+    assert(r2.error.isEmpty)
+    val c2 = r2.star.conceptCounts.collect()
+      .map(x => x.getAs[String]("concept_path") -> x.getAs[Long]("patient_count"))
+      .toMap
+    assert(c2(s"${top}Subjects new\\Demographics\\") == 3)
+    assert(c2(s"${top}Subjects new\\Demographics\\Language\\") == 3)
+    assert(c2(s"${top}Subjects new\\Demographics\\Language\\English\\") == 2)
+    assert(c2(s"${top}Subjects new\\Demographics\\Language\\Spain\\") == 1)
+    assert(c2(s"${base}Demographics\\Sex (SEX)\\Female\\") == 5)
+    assert(c2(s"${base}Demographics\\Sex (SEX)\\Male\\") == 2)
+
+    // testMoveSubfolder3: BOTH intermediates new ('Subjects new\Demographics new')
+    val r3 = StudyOps.moveStudyByPath(spark, gse0,
+      s"${base}Demographics\\Language\\",
+      s"${top}Subjects new\\Demographics new\\Language\\")
+    assert(r3.error.isEmpty)
+    val c3 = r3.star.conceptCounts.collect()
+      .map(x => x.getAs[String]("concept_path") -> x.getAs[Long]("patient_count"))
+      .toMap
+    assert(c3(s"${top}Subjects new\\Demographics new\\") == 3)
+    assert(c3(s"${top}Subjects new\\Demographics new\\Language\\") == 3)
+    assert(c3(s"${top}Subjects new\\Demographics new\\Language\\English\\") == 2)
+    assert(c3(s"${top}Subjects new\\Demographics new\\Language\\Spain\\") == 1)
   }
 
   test("delete cascade removes the study from every table, resolves path from trial id") {
