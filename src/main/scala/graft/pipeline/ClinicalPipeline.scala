@@ -56,6 +56,46 @@ object ClinicalPipeline {
     build(spark, studyId, topNode, deduped)
   }
 
+  /** The reference's per-row STUDY_ID consistency guard
+    * (ClinicalDataProcessor.groovy:67-81): one upload carries exactly one
+    * study id across ALL its files; the error names the first differing
+    * PHYSICAL line (header = line 1) and its file. `files` in processing
+    * order with each file's 1-based STUDY_ID column. Distributed shape:
+    * text lines zipWithIndex, two tiny aggregates per file (the first id
+    * and the min differing line) — no row ever collects to the driver. */
+  def checkStudyIdConsistency(spark: SparkSession,
+                              files: Seq[(String, Int)]): Option[String] = {
+    var used: Option[String] = None
+    files.foreach { case (path, colIdx) =>
+      val lines = spark.read.textFile(path).rdd.zipWithIndex()
+        .filter { case (l, _) => !l.startsWith("#") && l.trim.nonEmpty }
+        .cache()
+      try {
+        val headerIdx = lines.map(_._2).min()
+        val ids = lines
+          .filter(_._2 != headerIdx)
+          .map { case (l, i) =>
+            val cells = l.split("\t", -1)
+            val v = if (colIdx - 1 < cells.length) cells(colIdx - 1).trim.toUpperCase
+                    else ""
+            (i + 1, v) // 1-based physical line
+          }
+          .filter(_._2.nonEmpty)
+        if (used.isEmpty && !ids.isEmpty())
+          used = Some(ids.min()(Ordering.by((x: (Long, String)) => x._1))._2)
+        used.foreach { u =>
+          val bad = ids.filter(_._2 != u)
+          if (!bad.isEmpty()) {
+            val line = bad.map(_._1).min()
+            return Some(s"STUDY_ID differs from previous in $line line in " +
+              s"${new java.io.File(path).getName} file.")
+          }
+        }
+      } finally lines.unpersist()
+    }
+    None
+  }
+
   // ---------------------------------------------------------------- explode
 
   /** The reference's tag syntax (TagReplacer.groovy:14): braced tags take

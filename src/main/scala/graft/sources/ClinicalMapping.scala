@@ -103,6 +103,23 @@ object ClinicalMapping {
     Mapping(entries, MergeMode.parse(meta.getOrElse("MERGE_MODE", "REPLACE")))
   }
 
+  /** Mapping-file discovery (ClinicalDataProcessor.groovy:185-197): files
+    * matching `*_Mapping_File.txt` (case-insensitive, exact suffix — the
+    * wrong-name fixture's `..._Mapping_File...txt` must NOT match). Empty
+    * result carries the reference's error message. */
+  def findMappingFiles(dir: java.nio.file.Path): Either[String, Seq[java.nio.file.Path]] = {
+    import scala.jdk.CollectionConverters._
+    val rx = "(?i).+_Mapping_File\\.txt$".r
+    val found =
+      if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+      else java.nio.file.Files.list(dir).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          rx.matches(p.getFileName.toString))
+        .toSeq.sortBy(_.getFileName.toString)
+    if (found.isEmpty) Left("Mapping file wasn't found. Please, check file name.")
+    else Right(found)
+  }
+
   /** F7 validations (ClinicalDataMapping.groovy:69-189): column indices in
     * range, duplicate mapped columns flagged, category_cd length bound. */
   def validate(m: Mapping, fileColumnCounts: Map[String, Int],

@@ -104,6 +104,23 @@ object TsvReader {
     }.drop("cells")
   }
 
+  /** The reference's non-visual-symbol guard (SkipLinesReader.groovy:
+    * 109-115): its UTF-8 decoder REPLACES malformed bytes with U+FFFD and
+    * then fails the load when any replacement char appears in the stream —
+    * this covers both the "non-UTF8 symbols" and the "non visual symbols
+    * in header" fixtures. Returns the reference's message with ~100 chars
+    * of context, or None when the file is clean. */
+  def validateVisual(spark: SparkSession, path: String): Option[String] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .filter(l => l.indexOf('�') >= 0)
+      .take(1).headOption.map { l =>
+        val i = l.indexOf('�')
+        val ctx = l.substring(math.max(0, i - 100), math.min(l.length, i + 100))
+        s"In this:\n $ctx \nfound non visual symbol."
+      }
+  }
+
   /** Plain permissive TSV via the native csv source (fast path when the
     * file is known-regular): comment skip + header, Spark handles splits. */
   def readFast(spark: SparkSession, path: String): DataFrame =

