@@ -409,6 +409,14 @@ object ClinicalPipeline {
       .withColumnRenamed("c_fullname", "v_path")
     val i2b2WithAttrs = i2b2.join(visuals, i2b2("c_fullname") === visuals("v_path"), "left")
       .drop("v_path")
+      // only the study subtree belongs to the trial: folders ABOVE the
+      // study root (e.g. \Test Studies\Extra Level\) keep a NULL
+      // sourcesystem — the reference's upper-level-directories rule
+      // (ClinicalDataProcessorTest 'should not set study_id for upper
+      // level directories')
+      .withColumn("sourcesystem_cd",
+        when(col("c_fullname").startsWith(topNode.stripSuffix("\\") + "\\"),
+          lit(studyId)))
 
     val fact = facts
       .join(patients.select(col("usubjid"), col("patient_num")), "usubjid")

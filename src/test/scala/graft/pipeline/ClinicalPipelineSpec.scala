@@ -213,6 +213,27 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(ClinicalPipeline.checkStudyIdConsistency(spark,
       Seq(s"$clean/TST001.txt" -> 1, s"$clean/TST_DEMO.txt" -> 1)).isEmpty)
   }
+  test("reference extra-level fixture: no study id above the study root") {
+    // 'it should not set study_id for upper level directories' — the study
+    // loads under \Test Studies\Extra Level\; Age counts 9 patients and
+    // the intermediate levels carry NULL sourcesystem
+    val dir = "/root/reference/fixtures/Test Studies/Test Study Deeper in the Tree_GSE0EL/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark,
+      s"$dir/Test Study Deeper in the Tree_GSE0EL_Mapping_File.txt")
+    val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+    val top = "\\Test Studies\\Extra Level\\Test Study Deeper in the Tree"
+    val t = ClinicalPipeline.run(spark, "GSE0EL", top, mapping, files)
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(s"$top\\Subjects\\Demographics\\Age (AGE)\\") == 9)
+    val src = t.i2b2.select("c_fullname", "sourcesystem_cd").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(src("\\Test Studies\\") == None)
+    assert(src("\\Test Studies\\Extra Level\\") == None)
+    assert(src(s"$top\\") == Some("GSE0EL"))
+    assert(src(s"$top\\Subjects\\") == Some("GSE0EL"))
+  }
+
   test("reference tag fixture GSE0TAG replays: $$-tag expansion node counts") {
     // the reference's testItLoadsDataWithTags assertions
     // (ClinicalDataProcessorTest.groovy:148-166) over the real fixture
