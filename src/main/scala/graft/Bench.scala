@@ -14,9 +14,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // deterministic order, heavy dedup queries last so their GC/JIT
     // pressure doesn't pollute the cheap queries' timings
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (if (name.startsWith("dedup_")) 1 else 0, name)
-    }
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy { case (name, _) =>
+        (if (name.startsWith("dedup_")) 1 else 0, name)
+      }
     val results = ordered.map { case (name, fn) =>
       // noop sink: full computation + column materialization, no pruning
       // shortcuts from count(), nothing written. Best of 2 runs — single

@@ -162,4 +162,105 @@ object TextHash {
 
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** MinHash signature of a document's word n-gram shingles, one 32-hex md5
+    * per seed j in 0 until numHashes: sig(j) = min over shingles of
+    * md5(j + "|" + shingle). Hex strings compare like their digest bytes
+    * (both ASCII/unsigned lexicographic), so the min is taken on the raw
+    * digests and only the winners are hex-encoded.
+    *
+    * This is the map-only twin of the relational explode -> groupBy(doc)
+    * signature build: a signature is a pure function of the text, so
+    * computing it per row removes the full-corpus shingle shuffle from the
+    * LSH pipeline — at 100 TB the candidate generator becomes scan +
+    * project + tiny band self-join. Null when the doc has no shingles
+    * (mirrors "no rows after explode"). */
+  def minhashHex(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    if (text == null) return null
+    val s = text.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || isAsciiSpace(s.charAt(i))) {
+        if (i > start) toks += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (toks.length < n) return null
+    val md = md5Local.get()
+    val mins = new Array[Array[Byte]](numHashes)
+    val prefixes = Array.tabulate(numHashes)(j => s"$j|".getBytes("UTF-8"))
+    var j0 = 0
+    while (j0 + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(j0))
+      var m = 1
+      while (m < n) { sb.append(' ').append(toks(j0 + m)); m += 1 }
+      val shingleBytes = sb.toString.getBytes("UTF-8")
+      var j = 0
+      while (j < numHashes) {
+        md.reset()
+        md.update(prefixes(j))
+        val d = md.digest(shingleBytes)
+        val cur = mins(j)
+        if (cur == null || unsignedLess(d, cur)) mins(j) = d
+        j += 1
+      }
+      j0 += 1
+    }
+    val out = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      out(k) = UTF8String.fromString(hex(mins(k)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** minhash_hex(text, n, numHashes): StringType -> ArrayType(StringType). */
+  case class MinHashHex(child: Expression, n: Int, numHashes: Int)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(t: Any): Any =
+      minhashHex(t.asInstanceOf[UTF8String], n, numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.functions.TextHash.minhashHex($c, $n, $numHashes);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def minhash(text: Column, n: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinHashHex(ColumnBridge.expression(text), n, numHashes))
 }

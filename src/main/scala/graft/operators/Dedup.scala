@@ -93,26 +93,46 @@ object Dedup {
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    * bucket-join candidates -> exact-Jaccard verify. */
+  /** Full MinHash-LSH near-dup pipeline: sign -> band -> bucket-join
+    * candidates -> exact-Jaccard verify.
+    *
+    * A document's MinHash signature is a pure function of its text, so the
+    * signature is ONE codegen'd scalar expression per row
+    * ([[graft.functions.TextHash.minhash]]) — candidate generation is scan
+    * -> project -> band explode -> band-key self-join, with NO full-corpus
+    * shingle explode and NO signature groupBy shuffle. Shingles are only
+    * ever exploded for the bucket SURVIVORS (the verify step), which is the
+    * LSH contract: the quadratic/bulky work is confined to candidates.
+    * The relational signature build ([[minhashSignatures]]) is kept as the
+    * spec's in-engine cross-check. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, numHashes: Int, rowsPerBand: Int,
                  threshold: Double): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n).cache()
-    val bands = lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
+    val nBands = numHashes / rowsPerBand
+    val sig = docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextHash.minhash(col(textCol), n, numHashes).as("mh"))
+      .filter(col("mh").isNotNull)
+    val bandCols = (0 until nBands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col("mh").getItem(j))
+      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("band_key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    // shrink the verify join to candidate docs BEFORE the shingle self-join
+    // shrink the verify work to candidate docs BEFORE any shingle explode
     // (the LSH point: the quadratic step only ever sees bucket survivors)
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val a = shCand.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = shCand.select(col("doc_id").as("doc_b"), col("shingle"))
+    val candDocs = cand.select(col("doc_a").as(idCol))
+      .union(cand.select(col("doc_b").as(idCol))).distinct()
+    val candTexts = docs.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val sh = docShingles(candTexts, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val common = a.join(b, "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")

@@ -184,6 +184,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // identical signatures share every band
   }
 
+  test("native minhash expression matches the relational signature build bit-for-bit") {
+    val extra = Seq(
+      (5L, "  leading and \t trailing whitespace  "),
+      (6L, "unicode tokens 你好 世界 mixed in here ok"),
+      (7L, "x y"), // fewer tokens than n -> no signature
+      (8L, "a b a b a b a b") // duplicate shingles -> same min
+    ).toDF("doc_id", "text")
+    val all = docs.union(extra)
+    val numHashes = 8
+    val native = all.select($"doc_id",
+      graft.functions.TextHash.minhash($"text", 3, numHashes).as("mh"))
+      .filter($"mh".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val relational = Dedup.minhashSignatures(
+        Dedup.docShingles(all, "doc_id", "text", 3), numHashes)
+      .collect().map(r => r.getLong(0) ->
+        (1 to numHashes).map(i => r.getString(i)).toList).toMap
+    assert(native == relational)
+    assert(!native.contains(7L))
+  }
+
   test("simhash: identical docs identical hashes, 16 hex chars") {
     val h = Dedup.simhashHex(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
