@@ -327,7 +327,8 @@ object StudyOps {
     val trialId = trialIdIn.orElse {
       path.flatMap { p =>
         star.conceptDimension.filter(col("concept_path") === p)
-          .select(col("sourcesystem_cd")).collect().headOption.map(_.getString(0))
+          .select(col("sourcesystem_cd")).collect().headOption
+          .flatMap(r => Option(r.getString(0)))
       }
     }.getOrElse("")
 
@@ -341,7 +342,8 @@ object StudyOps {
 
     // VCF datasets = sample mapping x variant summary (the cursor, :14-19)
     val vcfSummary = star.variantTables.getOrElse("de_variant_subject_summary",
-      star.variantDatasets.limit(0))
+      star.variantDatasets.limit(0)
+        .withColumn("assay_id", lit(null).cast("long")))
     val vcfDatasets = broadcast(star.sampleMapping
       .filter(col("trial_name") === trialId)
       .select(col("assay_id"))
@@ -352,7 +354,7 @@ object StudyOps {
       .filter(col("sourcesystem_cd").startsWith(trialId + ":"))
       .select(col("patient_num")).distinct())
 
-    Star(
+    val result = Star(
       tableAccess = star.tableAccess.filter(!subtree(col("c_fullname"))),
       i2b2 = star.i2b2.filter(!subtree(col("c_fullname"))),
       i2b2Secure = star.i2b2Secure.filter(!subtree(col("c_fullname"))),
@@ -383,5 +385,31 @@ object StudyOps {
       bioDataUid = star.bioDataUid.filter(col("unique_id") =!= s"EXP:$trialId"),
       searchSecureObject = star.searchSecureObject
         .filter(col("bio_data_unique_id") =!= s"EXP:$trialId"))
+
+    // Top-node cleanup (:86-99, 315-336): topNode is the deleted path's
+    // parent in concept_counts (fallback: the path's first component; for
+    // a root path that is the path itself, which the existence check below
+    // then rejects — it was just deleted). If the cascade left NO children
+    // under topNode and the node still exists, recursively delete it —
+    // walking empty parents all the way up (testItDeleteTopEmptyNode).
+    val topNode: Option[String] = path.flatMap { p =>
+      star.conceptCounts.filter(col("concept_path") === p)
+        .select(col("parent_concept_path")).collect().headOption match {
+        case Some(r) => Option(r.getString(0)).filter(_.nonEmpty)
+        case None =>
+          val i = p.indexOf('\\', 1)
+          if (i < 0) None else Some(p.substring(0, i + 1))
+      }
+    }
+    topNode match {
+      case Some(tn) =>
+        val hasChildren = result.conceptCounts
+          .filter(col("parent_concept_path") === tn).limit(1).count() > 0
+        val exists = result.i2b2.filter(col("c_fullname") === tn)
+          .limit(1).count() > 0
+        if (!hasChildren && exists) deleteStudy(spark, result, Some(tn), None)
+        else result
+      case None => result
+    }
   }
 }

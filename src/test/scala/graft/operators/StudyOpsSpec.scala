@@ -262,6 +262,115 @@ class StudyOpsSpec extends SparkSpec {
     assert(c3(s"${top}Subjects new\\Demographics new\\Language\\Spain\\") == 1)
   }
 
+  /** A warehouse with studies at the given (path, trial) leaves plus all
+    * their ancestor folder nodes, concept_counts parent links included —
+    * the shape the top-node delete recursion walks. */
+  private def treeStar(studies: Seq[(String, String)]): StudyOps.Star = {
+    def ancestors(p: String): Seq[String] = {
+      val parts = p.stripPrefix("\\").stripSuffix("\\").split("\\\\")
+      (1 until parts.length).map(i => parts.take(i).mkString("\\", "\\", "\\"))
+    }
+    val folders = studies.flatMap(s => ancestors(s._1)).distinct
+    val i2b2 = (folders.map(f => (f, f.count(_ == '\\') - 1, null: String)) ++
+      studies.map(s => (s._1, s._1.count(_ == '\\') - 1, s._2)))
+      .toDF("c_fullname", "c_hlevel", "sourcesystem_cd")
+      .withColumn("c_name", lit("n"))
+      .withColumn("c_dimcode", col("c_fullname"))
+      .withColumn("c_tooltip", col("c_fullname"))
+    def parent(p: String): String = {
+      val a = ancestors(p)
+      if (a.isEmpty) null else a.last
+    }
+    val counts = (folders ++ studies.map(_._1))
+      .map(p => (p, parent(p), 1L))
+      .toDF("concept_path", "parent_concept_path", "patient_count")
+    val cd = studies.map(s => (s._1, "C" + s._2, s._2))
+      .toDF("concept_path", "concept_cd", "sourcesystem_cd")
+    val emptyStr = Seq.empty[(String, String)].toDF("a", "b")
+    StudyOps.Star(
+      tableAccess = i2b2.select(col("c_fullname")),
+      i2b2 = i2b2,
+      i2b2Secure = i2b2.select(col("c_fullname"))
+        .withColumn("secure_obj_token", lit("EXP:PUBLIC")),
+      i2b2Tags = emptyStr.select(col("a").as("path"), col("b").as("tag")),
+      conceptDimension = cd,
+      conceptCounts = counts,
+      observationFact = studies.map(s => (1L, "C" + s._2, s._2))
+        .toDF("patient_num", "concept_cd", "sourcesystem_cd"),
+      patientDimension = studies.zipWithIndex
+        .map { case (s, i) => (i.toLong, s"${s._2}:S$i") }
+        .toDF("patient_num", "sourcesystem_cd"),
+      patientTrial = studies.zipWithIndex.map { case (s, i) => (i.toLong, s._2) }
+        .toDF("patient_num", "trial"),
+      sampleMapping = Seq.empty[(String, Long, String, String)]
+        .toDF("trial_name", "assay_id", "concept_code", "source_cd"),
+      omicsData = Map.empty,
+      variantDatasets = emptyStr.select(col("a").as("dataset_id")),
+      variantTables = Map.empty,
+      bioExperiment = studies.map(s => (s._2, "t")).toDF("accession", "title"),
+      bioDataUid = studies.map(s => "EXP:" + s._2).toDF("unique_id"),
+      searchSecureObject = studies.map(s => "EXP:" + s._2)
+        .toDF("bio_data_unique_id"))
+  }
+
+  private def paths(s: StudyOps.Star): Set[String] =
+    s.i2b2.select("c_fullname").collect().map(_.getString(0)).toSet
+
+  test("top node deleted when the removed study was its last child (testItDeleteTopNode)") {
+    val s = treeStar(Seq(("\\Delete Operation Test\\S1\\", "S1")))
+    val d = StudyOps.deleteStudy(spark, s,
+      Some("\\Delete Operation Test\\S1\\"), Some("S1"))
+    assert(paths(d).isEmpty) // study AND the now-empty top node are gone
+  }
+
+  test("top node survives while a sibling study remains, falls with the last (testItNotDeleteTopNode)") {
+    val s = treeStar(Seq(
+      ("\\Delete Operation Test\\S1\\", "S1"),
+      ("\\Delete Operation Test\\S2\\", "S2")))
+    val d1 = StudyOps.deleteStudy(spark, s,
+      Some("\\Delete Operation Test\\S2\\"), Some("S2"))
+    assert(paths(d1) ==
+      Set("\\Delete Operation Test\\", "\\Delete Operation Test\\S1\\"))
+    val d2 = StudyOps.deleteStudy(spark, d1,
+      Some("\\Delete Operation Test\\S1\\"), Some("S1"))
+    assert(paths(d2).isEmpty)
+  }
+
+  test("empty parents removed recursively all the way up (testItDeleteTopEmptyNode)") {
+    val s = treeStar(Seq(
+      ("\\Delete Operation Test\\Test Study\\S3\\", "S3"),
+      ("\\Delete Operation Test\\Test Study\\S4\\", "S4")))
+    val d1 = StudyOps.deleteStudy(spark, s,
+      Some("\\Delete Operation Test\\Test Study\\S4\\"), Some("S4"))
+    // the sub-top keeps S3, so both levels survive
+    assert(paths(d1).contains("\\Delete Operation Test\\Test Study\\"))
+    assert(paths(d1).contains("\\Delete Operation Test\\"))
+    val d2 = StudyOps.deleteStudy(spark, d1,
+      Some("\\Delete Operation Test\\Test Study\\S3\\"), Some("S3"))
+    // last study out: the empty sub-top AND the empty root both fall
+    assert(paths(d2).isEmpty)
+  }
+
+  test("sub-node delete leaves the study's other branches and the top alone (testItDeleteSubNode)") {
+    val s = treeStar(Seq(
+      ("\\Test Studies\\GS1\\SNP\\", "GS1"),
+      ("\\Test Studies\\GS1\\Expression\\", "GS1")))
+    val d = StudyOps.deleteStudy(spark, s,
+      Some("\\Test Studies\\GS1\\SNP\\"), Some("GS1"))
+    assert(paths(d).contains("\\Test Studies\\"))
+    assert(paths(d).contains("\\Test Studies\\GS1\\Expression\\"))
+    assert(!paths(d).contains("\\Test Studies\\GS1\\SNP\\"))
+  }
+
+  test("delete is exact-case on the path (testItDeleteDataSensitiveCase)") {
+    val s = treeStar(Seq(
+      ("\\Test Studies\\Abc\\", "T1"),
+      ("\\Test Studies\\ABC\\", "T2")))
+    val d = StudyOps.deleteStudy(spark, s, Some("\\Test Studies\\ABC\\"), Some("T2"))
+    assert(paths(d).contains("\\Test Studies\\Abc\\"))
+    assert(!paths(d).contains("\\Test Studies\\ABC\\"))
+  }
+
   test("delete cascade removes the study from every table, resolves path from trial id") {
     val d = StudyOps.deleteStudy(spark, star, pathIn = None, trialIdIn = Some("GS1"))
     assert(d.i2b2.filter(col("c_fullname").startsWith("\\Public Studies\\GS1")).count() == 0)
