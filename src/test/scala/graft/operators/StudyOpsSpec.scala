@@ -156,11 +156,9 @@ class StudyOpsSpec extends SparkSpec {
     assert(paths.contains("\\Other\\GS2\\Vitals\\"))
   }
 
-  test("sub-node move replays testMoveSubfolder: counts recomputed, not renamed") {
-    // MoveStudyOperationTest.groovy:253-270 over the real GSE0 fixture:
-    // move \Subjects\Demographics\Language\ under 'Demographics new' and
-    // expect the reference's exact count matrix — the old parent keeps its
-    // OTHER children's rollups, the new intermediate gets the moved ones
+  /** The real GSE0 clinical fixture loaded into a Star — the warehouse the
+    * reference's move tests operate on. */
+  private lazy val gse0: StudyOps.Star = {
     import graft.pipeline.ClinicalPipeline
     import graft.sources.{ClinicalMapping, TsvReader}
     val dir = "/root/reference/fixtures/Test Studies/Test Study_GSE0/ClinicalDataToUpload"
@@ -170,7 +168,7 @@ class StudyOpsSpec extends SparkSpec {
       mapping, files)
 
     val emptyStr = Seq.empty[(String, String)].toDF("a", "b")
-    val gse0 = StudyOps.Star(
+    StudyOps.Star(
       tableAccess = t.i2b2.select(col("c_fullname")),
       i2b2 = t.i2b2.select(col("c_fullname"), col("c_hlevel"), col("c_name"))
         .withColumn("c_dimcode", col("c_fullname"))
@@ -203,7 +201,13 @@ class StudyOpsSpec extends SparkSpec {
       bioExperiment = Seq(("GSE0", "Test Study")).toDF("accession", "title"),
       bioDataUid = Seq("EXP:GSE0").toDF("unique_id"),
       searchSecureObject = Seq("EXP:GSE0").toDF("bio_data_unique_id"))
+  }
 
+  test("sub-node move replays testMoveSubfolder: counts recomputed, not renamed") {
+    // MoveStudyOperationTest.groovy:253-270 over the real GSE0 fixture:
+    // move \Subjects\Demographics\Language\ under 'Demographics new' and
+    // expect the reference's exact count matrix — the old parent keeps its
+    // OTHER children's rollups, the new intermediate gets the moved ones
     val base = "\\Test Studies\\Test Study\\Subjects\\"
     val r = StudyOps.moveStudyByPath(spark, gse0,
       s"${base}Demographics\\Language\\", s"${base}Demographics new\\Language\\")
@@ -260,6 +264,44 @@ class StudyOpsSpec extends SparkSpec {
     assert(c3(s"${top}Subjects new\\Demographics new\\Language\\") == 3)
     assert(c3(s"${top}Subjects new\\Demographics new\\Language\\English\\") == 2)
     assert(c3(s"${top}Subjects new\\Demographics new\\Language\\Spain\\") == 1)
+  }
+
+  test("deep leaf moved to a new shallow branch (testMoveSubfolder4)") {
+    // MoveStudyOperationTest.groovy:271-280: pull ELREA746del out from four
+    // levels down to a new 'test' branch; the old Biomarker rollup drops to
+    // the reference's 6
+    val top = "\\Test Studies\\Test Study\\"
+    val r = StudyOps.moveStudyByPath(spark, gse0,
+      s"${top}Biomarker Data\\Mutations\\TST001 (Entrez ID: 1956)\\AA mutation\\ELREA746del\\",
+      s"${top}test\\ELREA746del\\")
+    assert(r.error.isEmpty)
+    val counts = r.star.conceptCounts.collect()
+      .map(x => x.getAs[String]("concept_path") -> x.getAs[Long]("patient_count"))
+      .toMap
+    assert(counts(s"${top}Biomarker Data\\") == 6)
+    assert(counts.contains(s"${top}test\\ELREA746del\\"))
+  }
+
+  test("whole-study move rewrites concept_counts parent links; no counts above the study root") {
+    // testItCheckUpdateConceptCounts / WIthDoubleChangeTop /
+    // WithAddHierarchyLevel (MoveStudyOperationTest.groovy:323-382): the
+    // old subtree's count rows are GONE (not just renamed), the new rows
+    // carry rewritten parent links, and intermediate levels above the study
+    // root exist in i2b2 but get NO concept_counts row
+    val old = "\\Test Studies\\Test Study\\"
+    val target = "\\Test Studies Update\\C\\D\\"
+    val r = StudyOps.moveStudyByPath(spark, gse0, old, target)
+    assert(r.error.isEmpty)
+    val parents = r.star.conceptCounts.collect()
+      .map(x => x.getAs[String]("concept_path") ->
+        x.getAs[String]("parent_concept_path")).toMap
+    assert(parents(s"${target}Subjects\\Demographics\\") == s"${target}Subjects\\")
+    assert(!parents.keys.exists(_.startsWith(old)))
+    assert(!parents.contains("\\Test Studies Update\\C\\"))
+    val ps = paths(r.star)
+    assert(ps.contains("\\Test Studies Update\\"))
+    assert(ps.contains("\\Test Studies Update\\C\\"))
+    assert(ps.contains(s"${target}Subjects\\Demographics\\"))
   }
 
   /** A warehouse with studies at the given (path, trial) leaves plus all
