@@ -75,6 +75,24 @@ class PlanAuditSpec extends SparkSpec {
       s"text_lang_id reads unused columns: $tlSchema")
   }
 
+  test("minhash LSH candidate generation is map-only up to the band join") {
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // signatures are one codegen'd scalar per row: the corpus is scanned,
+    // projected and band-exploded with NO aggregate before the band-key
+    // self-join — the old shape shuffled a full-corpus (doc, shingle)
+    // explode through numHashes min() aggregates first
+    assert(!plan.contains("partial_min"),
+      "signature build regressed to the explode+groupBy shape")
+    // shingles are exploded only for bucket survivors, behind the
+    // broadcast semi-join on candidate doc ids
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "candidate-doc semi-join is not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("sample_stratified is a pure filter; pack_sequences has no global window") {
     val sample = SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.001")
     val sPlan = sample.queryExecution.executedPlan.toString
