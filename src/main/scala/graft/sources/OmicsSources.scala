@@ -73,7 +73,8 @@ object OmicsSources {
     * column detection by regex over the header (GplFile.groovy,
     * GexPlatform.groovy:47-82). Returns (meta, normalized annotation DF
     * with probeset_id / gene_symbol / gene_id / species). */
-  def readPlatform(spark: SparkSession, path: String): (Map[String, String], DataFrame) = {
+  def readPlatform(spark: SparkSession, path: String,
+                   useFirstGeneId: Boolean = false): (Map[String, String], DataFrame) = {
     val meta = TsvReader.metaHeader(spark, path)
     val df = TsvReader.read(spark, path)
     // pattern priority (not column order): earlier patterns are the more
@@ -97,15 +98,39 @@ object OmicsSources {
     val species = find("^SPECIES.*", "^ORGANISM$")
     val uniprot = find("^UNIPROT([ _]?ID)?$",
       "^(MAJORITY[ _]*)?(PROTEIN[ _]*)?IDS?$").filter(_ != probeset)
-    val out = df.select(
+    // gene-keyed (GEX) normalization, GexPlatform.groovy:67-74 +
+    // PlatformProcessor.normalizeGeneIdAndSymbol: by default a multi-valued
+    // ENTREZ_GENE_ID row ('123 /// 456') is DROPPED entirely; with
+    // useFirstGeneId the first number wins and the gene symbol is truncated
+    // at '///' too; a symbol with no word character collapses to ''
+    val base = geneId match {
+      case Some(g) if !useFirstGeneId =>
+        df.filter(coalesce(col(g), lit("")) === "" || col(g).rlike("^\\d+$"))
+      case _ => df
+    }
+    val geneIdCol = geneId.map { g =>
+      val normalized =
+        if (useFirstGeneId) regexp_replace(trim(col(g)), " *//+.*", "")
+        else col(g)
+      when(normalized.rlike("^\\d+$"), normalized.cast("long"))
+    }.getOrElse(lit(null).cast("long"))
+    val symbolCol = symbol.map { s =>
+      val truncated =
+        if (useFirstGeneId && geneId.isDefined)
+          // the reference truncates the symbol only when the id changed
+          when(regexp_replace(trim(col(geneId.get)), " *//+.*", "")
+              =!= col(geneId.get),
+            regexp_replace(col(s), " *//+.*", "")).otherwise(col(s))
+        else col(s)
+      if (geneId.isDefined)
+        when(truncated.rlike("\\w"), truncated).otherwise(lit(""))
+      else truncated
+    }.getOrElse(lit(null).cast("string"))
+    val out = base.select(
       col(probeset).as("probeset_id"),
-      symbol.map(col).getOrElse(lit(null).cast("string")).as("gene_symbol"),
+      symbolCol.as("gene_symbol"),
       uniprot.map(col).getOrElse(lit(null).cast("string")).as("uniprot_id"),
-      // regex-gated cast: real GPL files carry multi-values like
-      // '1390 /// 286016' in ENTREZ_GENE_ID; ANSI mode would throw on a
-      // direct cast, the reference treats them as unparseable (null)
-      geneId.map(c => when(col(c).rlike("^\\d+$"), col(c).cast("long")))
-        .getOrElse(lit(null).cast("long")).as("gene_id"),
+      geneIdCol.as("gene_id"),
       species.map(col).getOrElse(lit(meta.getOrElse("PLATFORM_SPECIES", null))
         .cast("string")).as("species"))
     (meta, out)

@@ -834,4 +834,27 @@ class OmicsSpec extends SparkSpec {
     assert(r.getAs[String]("gene_symbol") == "EGFR")
     assert(r.getAs[Long]("gene_id") == 1956L)
   }
+
+  test("reference TST platform replays PlatformLoaderTest: multi-gene-id modes") {
+    // PlatformLoaderTest.groovy:13-42 over the real fixture: by default the
+    // '123 /// 456' row is dropped (5 rows, ARX gene_id null); with
+    // useFirstGeneId the first id wins (6 rows, MULTID -> 123)
+    val path = "/root/reference/fixtures/Platforms/TST.txt"
+    val (meta, ann) = OmicsSources.readPlatform(spark, path)
+    assert(meta("PLATFORM_TITLE") == "Test Platform")
+    assert(meta("PLATFORM_SPECIES") == "Homo Sapiens")
+    val rows = ann.collect()
+    assert(rows.length == 5)
+    val arx = rows.find(_.getAs[String]("gene_symbol") == "ARX").get
+    assert(arx.isNullAt(arx.fieldIndex("gene_id")))
+    assert(!rows.exists(_.getAs[String]("gene_symbol") == "MULTID"))
+
+    val (_, annFirst) = OmicsSources.readPlatform(spark, path, useFirstGeneId = true)
+    val rowsFirst = annFirst.collect()
+    assert(rowsFirst.length == 6)
+    val mult = rowsFirst.find(_.getAs[String]("gene_symbol") == "MULTID").get
+    assert(mult.getAs[Long]("gene_id") == 123L)
+    val arx2 = rowsFirst.find(_.getAs[String]("gene_symbol") == "ARX").get
+    assert(arx2.isNullAt(arx2.fieldIndex("gene_id")))
+  }
 }
