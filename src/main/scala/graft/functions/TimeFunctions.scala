@@ -38,11 +38,14 @@ object TimeFunctions {
       comp(d, "day"), comp(h, "hour"), comp(m, "minute"), comp(sec, "second")))
   }
 
-  /** Reference-parity API: both arguments 'yyyy-MM-dd HH:mm:ss' strings. */
+  /** Reference-parity API: 'yyyy-MM-dd HH:mm:ss' strings; Postgres'
+    * to_timestamp tolerates missing seconds ('2000-12-31 12:00'), so both
+    * shapes parse (try_to_timestamp keeps the fallback ANSI-safe). */
   def timestampToTimepoint(tsValue: Column, baselineValue: Column): Column = {
-    val fmt = "yyyy-MM-dd HH:mm:ss"
-    val diff = unix_timestamp(to_timestamp(tsValue, fmt)) -
-      unix_timestamp(to_timestamp(baselineValue, fmt))
+    def ts(c: Column) = coalesce(
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm")))
+    val diff = unix_timestamp(ts(tsValue)) - unix_timestamp(ts(baselineValue))
     timepointLabel(diff)
   }
 }

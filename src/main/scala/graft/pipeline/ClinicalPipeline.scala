@@ -158,6 +158,20 @@ object ClinicalPipeline {
           .getOrElse(lit(true))
       }.foldLeft(lit(false))(_ || _)
 
+      // timestamp-series variables: the baseline is the RAW per-row value
+      // of the column whose DATA_LABEL the mapping's baseline field names
+      // (ClinicalDataProcessor.groovy:148-150); valuetype_cd tags
+      // TIMEPOINT/TIMESTAMP variables for the metadata-XML stamp
+      val baselineCol: Column = e.baseline
+        .flatMap(b => entries.find(_.dataLabel == b))
+        .map(x => byIndex(x.colNbr))
+        .getOrElse(lit(null).cast("string"))
+      val valuetypeCd: Column = e.variableType match {
+        case Some(ClinicalMapping.VariableType.Timepoint) => lit("TIMEPOINT")
+        case Some(ClinicalMapping.VariableType.Timestamp) => lit("TIMESTAMP")
+        case _ => lit(null).cast("string")
+      }
+
       struct(
         concat(catParts: _*).as("category_cd"),
         // the unexpanded mapping template — the reference's visit-name
@@ -166,6 +180,8 @@ object ClinicalPipeline {
         lit(catCd).as("category_tpl"),
         labelCol.as("data_label"),
         fixColumn(byIndex(e.colNbr)).as("data_value"),
+        baselineCol.as("baseline_value"),
+        valuetypeCd.as("valuetype_cd"),
         tagEmpty.as("drop_row"))
     }
 
@@ -177,7 +193,8 @@ object ClinicalPipeline {
         explode(array(structs: _*)).as("e"))
       .select(col("study_id"), col("subj_id"), col("site_id"), col("visit_name"),
         col("e.category_cd"), col("e.category_tpl"), col("e.data_label"),
-        col("e.data_value"), col("e.drop_row"))
+        col("e.data_value"), col("e.baseline_value"), col("e.valuetype_cd"),
+        col("e.drop_row"))
       .filter(!col("drop_row")).drop("drop_row")
   }
 
@@ -230,8 +247,12 @@ object ClinicalPipeline {
     *  6. completion: terminator strips, otherwise missing \DATALABEL,
     *     \DATAVALUE (T only) and \VISITNAME are appended
     *  7. leaf = topNode + substituted path, backslash runs collapsed */
-  def inferAndShapePaths(eav: DataFrame, topNode: String,
+  def inferAndShapePaths(eavIn: DataFrame, topNode: String,
                          alwaysSetVisitName: Boolean): DataFrame = {
+    // frames built outside explodeFile may predate the timestamp columns
+    val eav = Seq("baseline_value", "valuetype_cd").foldLeft(eavIn) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string"))
+    }
     val hasTerminator = col("category_cd").endsWith("+$")
 
     // 1. single-visit suppression across the mapping template (SQL:342-369).
@@ -335,6 +356,19 @@ object ClinicalPipeline {
       .withColumn("leaf_template",
         normalizePath(concat(lit(topNode + "\\"), substituted)))
       .withColumn("leaf_node", normalizePath(concat(lit(topNode + "\\"), fullLeaf)))
+      // 8. timestamp series (SQL:762-767): a baselined leaf's last
+      //    component — the raw timestamp the $$-tag substituted in — is
+      //    rendered as a timepoint label relative to the row's baseline,
+      //    and the variable becomes a TIMEPOINT concept
+      .withColumn("leaf_node",
+        when(col("baseline_value").isNotNull,
+          replaceLastPathComponent(col("leaf_node"),
+            graft.functions.TimeFunctions.timestampToTimepoint(
+              lastPathComponent(col("leaf_node")), col("baseline_value"))))
+          .otherwise(col("leaf_node")))
+      .withColumn("valuetype_cd",
+        when(col("baseline_value").isNotNull, lit("TIMEPOINT"))
+          .otherwise(col("valuetype_cd")))
   }
 
   // ----------------------------------------------------------------- dedup
@@ -407,8 +441,22 @@ object ClinicalPipeline {
       facts.select(col("leaf_node")).distinct(), "leaf_node").cache()
     val visuals = TreeOps.visualAttrs(i2b2, "c_fullname")
       .withColumnRenamed("c_fullname", "v_path")
+    // leaf metadata XML (SQL:988-994): numeric leaves get the PosFloat
+    // template, TIMEPOINT leaves the SeriesMeta block keyed on the node
+    // name; a tiny per-leaf dimension, broadcast onto the tree
+    val hasValuetype = facts.columns.contains("valuetype_cd")
+    val leafMeta = facts
+      .groupBy(col("leaf_node").as("m_path"))
+      .agg(max(col("valtype_cd")).as("__dt"),
+        max(if (hasValuetype) col("valuetype_cd")
+            else lit(null).cast("string")).as("__vt"))
+      .withColumn("c_metadataxml", graft.functions.MetadataXml.metadataXml(
+        lastPathComponent(col("m_path")), col("__dt"), col("__vt")))
+      .select(col("m_path"), col("c_metadataxml"))
     val i2b2WithAttrs = i2b2.join(visuals, i2b2("c_fullname") === visuals("v_path"), "left")
       .drop("v_path")
+      .join(broadcast(leafMeta), i2b2("c_fullname") === leafMeta("m_path"), "left")
+      .drop("m_path")
       // only the study subtree belongs to the trial: folders ABOVE the
       // study root (e.g. \Test Studies\Extra Level\) keep a NULL
       // sourcesystem — the reference's upper-level-directories rule

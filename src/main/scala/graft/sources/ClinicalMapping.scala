@@ -59,7 +59,9 @@ object ClinicalMapping {
     }
   }
 
-  /** One mapping row. */
+  /** One mapping row. `baseline` names the DATA_LABEL of the column whose
+    * per-row value is this variable's timestamp baseline
+    * (ClinicalDataMapping.groovy:32-33,125-126,161-168). */
   final case class Entry(
       filename: String,
       categoryCd: String,
@@ -67,7 +69,8 @@ object ClinicalMapping {
       dataLabel: String,
       dataLabelSource: Option[(Int, String)], // (1-based col, "A"|"B")
       variableType: Option[VariableType],
-      validationRules: Seq[ValidationRules.Rule])
+      validationRules: Seq[ValidationRules.Rule],
+      baseline: Option[String] = None)
 
   final case class Mapping(entries: Seq[Entry], mergeMode: MergeMode) {
     def forFile(filename: String): Seq[Entry] = entries.filter(_.filename == filename)
@@ -98,7 +101,8 @@ object ClinicalMapping {
           case _ => None
         },
         variableType = VariableType.parse(cell(r, "variable_type")),
-        validationRules = ValidationRules.parse(cell(r, "validation_rules"))))
+        validationRules = ValidationRules.parse(cell(r, "validation_rules")),
+        baseline = Some(cell(r, "baseline")).filter(_.nonEmpty)))
     }
     Mapping(entries, MergeMode.parse(meta.getOrElse("MERGE_MODE", "REPLACE")))
   }

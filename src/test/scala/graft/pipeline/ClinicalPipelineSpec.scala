@@ -76,6 +76,125 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(attrs("\\Public Studies\\GS1\\Vital Signs\\Heart Rate\\") == "LA")
   }
 
+  test("serial LDD with timestamp replays: per-row baselines, timepoint nodes, series XML") {
+    // ClinicalDataProcessorTest 'it should load Serial LDD data with
+    // timestamp different baseline in one column' (:860-916): the
+    // $$Timestamp tag substitutes the raw timestamp into the path, and the
+    // leaf's last component is rendered as a timepoint label relative to
+    // the row's Baseline column; TIMEPOINT nodes carry SeriesMeta XML
+    val dir = Files.createTempDirectory("graft-sldd")
+    Files.writeString(dir.resolve("TEST.txt"),
+      """STUDY_ID	SUBJ_ID	Days	Timestamp	Sex	Baseline
+        |GSE0SLDDWTS	SUBJ1	0	2000-12-31 12:00	Female	2000-12-31 12:00
+        |GSE0SLDDWTS	SUBJ1	10	2000-12-31 12:01	Female	2000-12-31 12:00
+        |GSE0SLDDWTS	SUBJ1	12	2000-12-31 12:02	Female	2000-12-31 12:00
+        |GSE0SLDDWTS	SUBJ1	10	2000-12-31 12:05	Female	2000-12-31 12:00
+        |GSE0SLDDWTS	SUBJ2	5	2000-12-31 12:00	Male	2000-12-31 12:05
+        |GSE0SLDDWTS	SUBJ2	13	2000-12-31 12:02	Male	2000-12-31 12:05
+        |GSE0SLDDWTS	SUBJ2	15	2000-12-31 12:05	Male	2000-12-31 12:05
+        |GSE0SLDDWTS	SUBJ3	7	2000-12-31 11:00	Male	2000-12-31 11:05
+        |GSE0SLDDWTS	SUBJ3	8	2000-12-31 11:02	Male	2000-12-31 11:05
+        |GSE0SLDDWTS	SUBJ3	9	2000-12-31 11:05	Male	2000-12-31 11:05
+        |GSE0SLDDWTS	SUBJ4	17	2000-12-31 13:00	Male	2000-12-31 11:05
+        |GSE0SLDDWTS	SUBJ4	18	2000-12-31 13:02	Male	2000-12-31 11:05
+        |GSE0SLDDWTS	SUBJ4	19	2000-12-31 13:05	Male	2000-12-31 11:05
+        |""".stripMargin)
+    Files.writeString(dir.resolve("TEST_Mapping_File.txt"),
+      "filename\tcategory_cd\tcol_nbr\tdata_label\tdata_label_source\tvariable_type\tvalidation_rules\tbaseline\n" +
+      "TEST.txt\t\t1\tSTUDY_ID\t\t\t\t\n" +
+      "TEST.txt\t\t2\tSUBJ_ID\t\t\t\t\n" +
+      "TEST.txt\tVars+DATALABEL+$$Timestamp\t3\tTimestamp\t\tTIMESTAMP\t\tBaseline\n" +
+      "TEST.txt\t\t4\tTimestamp\t\tTIMESTAMP\t\t\n" +
+      "TEST.txt\tVars\t5\tSex\t\t\t\t\n" +
+      "TEST.txt\t\t6\tBaseline\t\t\t\t\n")
+    val mapping = ClinicalMapping.load(spark, dir.resolve("TEST_Mapping_File.txt").toString)
+    assert(mapping.entries.find(_.colNbr == 3).get.baseline.contains("Baseline"))
+    val data = TsvReader.read(spark, dir.resolve("TEST.txt").toString)
+    val top = "\\Test Studies\\Test Study With Serial LDD with timestamp"
+    val t = ClinicalPipeline.run(spark, "GSE0SLDDWTS", top,
+      mapping, Map("TEST.txt" -> data))
+
+    val tp = s"$top\\Vars\\Timestamp"
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(s"$tp\\Baseline\\") == 3)
+    assert(counts(s"$tp\\1 minute\\") == 1)
+
+    def fact(leaf: String, subj: String): Double =
+      t.observationFact
+        .filter($"leaf_node" === leaf && $"usubjid" === s"GSE0SLDDWTS:$subj")
+        .select("nval_num").collect()(0).getDouble(0)
+    assert(fact(s"$tp\\Baseline\\", "SUBJ1") == 0)
+    assert(fact(s"$tp\\Baseline\\", "SUBJ2") == 15)
+    assert(fact(s"$tp\\Baseline\\", "SUBJ3") == 9)
+    assert(fact(s"$tp\\1 minute\\", "SUBJ1") == 10)
+    assert(fact(s"$tp\\-5 minutes\\", "SUBJ3") == 7)
+    assert(fact(s"$tp\\2 hours\\", "SUBJ4") == 19)
+
+    // checkMetaDataXMLForTimestamp: SeriesMeta minutes on timepoint nodes
+    val xml = t.i2b2.collect()
+      .map(r => r.getAs[String]("c_fullname") -> r.getAs[String]("c_metadataxml"))
+      .toMap
+    assert(xml(s"$tp\\Baseline\\").contains(
+      "<SeriesMeta><Value>0</Value><Unit>minutes</Unit><DisplayName>Baseline</DisplayName>"))
+    assert(xml(s"$tp\\5 minutes\\").contains(
+      "<SeriesMeta><Value>5</Value><Unit>minutes</Unit><DisplayName>5 minutes</DisplayName>"))
+    assert(xml(s"$tp\\2 hours\\").contains("<Value>120</Value>"))
+    // plain numeric leaves get the PosFloat template, no series block
+    assert(xml(s"$top\\Vars\\Sex\\Female\\") == null ||
+      !xml(s"$top\\Vars\\Sex\\Female\\").contains("SeriesMeta"))
+  }
+
+  test("serial LDD with timepoint labels replays: label nodes, minutes XML") {
+    // ClinicalDataProcessorTest 'it should load Serial LDD data' (:679-742):
+    // the $$Timepoint tag substitutes the label column directly; TIMEPOINT
+    // type comes from the mapping, XML minutes from the label shape
+    val dir = Files.createTempDirectory("graft-sldd2")
+    Files.writeString(dir.resolve("TEST.txt"),
+      """STUDY_ID	SUBJ_ID	Days	Time point	Sex
+        |GSE0SLDD	SUBJ1	20	Week -1	Female
+        |GSE0SLDD	SUBJ1	0	Baseline	Female
+        |GSE0SLDD	SUBJ1	1	Day 1	Female
+        |GSE0SLDD	SUBJ1	7	Week 1	Female
+        |GSE0SLDD	SUBJ1	60	Month 2	Female
+        |GSE0SLDD	SUBJ1	30	months 1	Female
+        |GSE0SLDD	SUBJ1	3	days 3	Female
+        |GSE0SLDD	SUBJ1	2	day 2	Female
+        |GSE0SLDD	SUBJ2	0	Baseline	Male
+        |GSE0SLDD	SUBJ2	30	days 3	Female
+        |GSE0SLDD	SUBJ2	20	2 days	Female
+        |GSE0SLDD	SUBJ2	90	Month 3	Male
+        |""".stripMargin)
+    Files.writeString(dir.resolve("TEST_Mapping_File.txt"),
+      "filename\tcategory_cd\tcol_nbr\tdata_label\tdata_label_source\tvariable_type\tvalidation_rules\n" +
+      "TEST.txt\t\t1\tSTUDY_ID\t\t\t\n" +
+      "TEST.txt\t\t2\tSUBJ_ID\t\t\t\n" +
+      "TEST.txt\tVars+DATALABEL+$$Timepoint\t3\tTimepoints\t\tTIMEPOINT\t\n" +
+      "TEST.txt\t\t4\tTimepoint\t\tTIMEPOINT\t\n" +
+      "TEST.txt\tVars\t5\tSex\t\t\t\n")
+    val mapping = ClinicalMapping.load(spark, dir.resolve("TEST_Mapping_File.txt").toString)
+    val data = TsvReader.read(spark, dir.resolve("TEST.txt").toString)
+    val top = "\\Test Studies\\Test Study With Serial LDD"
+    val t = ClinicalPipeline.run(spark, "GSE0SLDD", top,
+      mapping, Map("TEST.txt" -> data))
+
+    val tp = s"$top\\Vars\\Timepoints"
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(s"$tp\\Baseline\\") == 2)
+    assert(counts(s"$tp\\Day 1\\") == 1)
+    assert(counts(s"$tp\\Month 3\\") == 1)
+
+    val xml = t.i2b2.collect()
+      .map(r => r.getAs[String]("c_fullname") -> r.getAs[String]("c_metadataxml"))
+      .toMap
+    assert(xml(s"$tp\\Baseline\\").contains(
+      "<SeriesMeta><Value>0</Value><Unit>minutes</Unit><DisplayName>Baseline</DisplayName>"))
+    assert(xml(s"$tp\\Month 2\\").contains(s"<Value>${60 * 24 * 30 * 2}</Value>"))
+    assert(xml(s"$tp\\Week -1\\").contains("<Value>-10080</Value>"))
+    assert(xml(s"$tp\\2 days\\").contains("<Value>2880</Value>"))
+  }
+
   test("validation rules flag out-of-range and missing values") {
     val rules = graft.sources.ValidationRules.parse("required; >=18")
     assert(rules.size == 2)
