@@ -195,6 +195,63 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(xml(s"$tp\\2 days\\").contains("<Value>2880</Value>"))
   }
 
+  test("different values for different patients share a node; label-source B appends") {
+    // ClinicalDataProcessorTest :484-546: a terminator text variable
+    // WITHOUT DATAVALUE keeps per-patient tval facts on ONE node; a
+    // DATA_LABEL_SOURCE type-B mapping appends DATALABEL after the
+    // category and the value lands underneath
+    val dir = Files.createTempDirectory("graft-difval")
+    Files.writeString(dir.resolve("TST.txt"),
+      """STUDY_ID	SUBJ_ID	Visit	Duplicates_Cat	Duplicates_Num	Duplicates_Cat_No_Data_Value
+        |DIFVAL	TST01	Baseline	Active	1	Active
+        |DIFVAL	TST02	Baseline	Active	1	Inactive
+        |""".stripMargin)
+    Files.writeString(dir.resolve("TST_Mapping_File.txt"),
+      "filename\tcategory_cd\tcol_nbr\tdata_label\tdata_label_source\tvariable_type\tvalidation_rules\n" +
+      "TST.txt\t\t1\tSTUDY_ID\t\t\t\n" +
+      "TST.txt\t\t2\tSUBJ_ID\t\t\t\n" +
+      "TST.txt\t\t3\tVISIT_NAME\t\t\t\n" +
+      "TST.txt\tClinical Data+Status+DATALABEL+DATAVALUE+$\t4\tDuplicates_Cat\t\t\t\n" +
+      "TST.txt\tClinical Data+Status\t5\tDuplicates_Num\t\t\t\n" +
+      "TST.txt\tClinical Data+Status+DATALABEL+$\t6\tDuplicates_Cat_No_Data_Value\t\t\t\n")
+    val mapping = ClinicalMapping.load(spark, dir.resolve("TST_Mapping_File.txt").toString)
+    val data = TsvReader.read(spark, dir.resolve("TST.txt").toString)
+    val top = "\\Test Studies\\Dif Values"
+    val t = ClinicalPipeline.run(spark, "DIFVAL", top, mapping, Map("TST.txt" -> data))
+    val status = s"$top\\Clinical Data\\Status"
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(s"$status\\Duplicates Cat\\Active\\") == 2)
+    assert(counts(s"$status\\Duplicates Cat No Data Value\\") == 2)
+    val noDv = t.observationFact
+      .filter($"leaf_node" === s"$status\\Duplicates Cat No Data Value\\")
+      .collect().map(r => r.getAs[String]("usubjid") -> r.getAs[String]("tval_char"))
+      .toMap
+    assert(noDv("DIFVAL:TST01") == "Active" && noDv("DIFVAL:TST02") == "Inactive")
+
+    // :518-546 'multiple values for same data label' — label-source 3B
+    val dir2 = Files.createTempDirectory("graft-duppaths")
+    Files.writeString(dir2.resolve("AESTATUS.txt"),
+      """STUDY_ID	SUBJ_ID	System	Condition
+        |GSE0DUPPATHS	50015	Neuro	Headache
+        |GSE0DUPPATHS	50015	Neuro	Unsteadiness
+        |""".stripMargin)
+    Files.writeString(dir2.resolve("AES_Mapping_File.txt"),
+      "filename\tcategory_cd\tcol_nbr\tdata_label\tdata_label_source\tvariable_type\tvalidation_rules\n" +
+      "AESTATUS.txt\t\t1\tSTUDY_ID\t\t\t\n" +
+      "AESTATUS.txt\t\t2\tSUBJ_ID\t\t\t\n" +
+      "AESTATUS.txt\t\t3\tDATA_LABEL\t\t\t\n" +
+      "AESTATUS.txt\tMed_His+Active\t4\t\\\t3B\t\t\n")
+    val mapping2 = ClinicalMapping.load(spark, dir2.resolve("AES_Mapping_File.txt").toString)
+    val data2 = TsvReader.read(spark, dir2.resolve("AESTATUS.txt").toString)
+    val top2 = "\\Test Studies\\Test Study With Duplicate Paths"
+    val t2 = ClinicalPipeline.run(spark, "GSE0DUPPATHS", top2,
+      mapping2, Map("AESTATUS.txt" -> data2))
+    val paths2 = t2.i2b2.select("c_fullname").collect().map(_.getString(0)).toSet
+    assert(paths2.contains(s"$top2\\Med His\\Active\\Neuro\\Headache\\"))
+    assert(paths2.contains(s"$top2\\Med His\\Active\\Neuro\\Unsteadiness\\"))
+  }
+
   test("validation rules flag out-of-range and missing values") {
     val rules = graft.sources.ValidationRules.parse("required; >=18")
     assert(rules.size == 2)
