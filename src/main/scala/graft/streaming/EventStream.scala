@@ -46,6 +46,62 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  final case class CandidatePair(doc_a: Long, doc_b: Long)
+
+  /** Streaming MinHash-LSH near-dup candidates — the near-dup twin of
+    * [[dedupStream]] for dedup-at-ingest. The signature is ONE codegen'd
+    * scalar per row ([[graft.functions.TextHash.minhash]]), so the stream
+    * never shuffles raw text: rows are banded in a projection and the only
+    * shuffle is the state partitioning on the LSH bucket key. Each bucket
+    * remembers the FIRST document that claimed it; later arrivals emit
+    * (first, later) candidate pairs for downstream exact-Jaccard
+    * verification — the batch LSH contract (bulky work only for bucket
+    * survivors) carried to streaming. Pairs among non-first bucket members
+    * are not emitted; the verifier's cluster step completes components,
+    * exactly as in the batch pipeline. Bucket state expires one hour past
+    * the bucket's newest event via event-time timeout, so state is bounded
+    * by the distinct buckets inside the watermark+horizon window, not by
+    * stream lifetime. */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                        watermark: String = "10 minutes"): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    val nBands = numHashes / rowsPerBand
+    val sig = docs
+      .withWatermark("ts", watermark)
+      .select(col(idCol).as("doc_id"), col("ts"),
+        graft.functions.TextHash.minhash(col(textCol), n, numHashes).as("mh"))
+      .filter(col("mh").isNotNull)
+    val bandKeys = (0 until nBands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col("mh").getItem(j))
+      md5(concat_ws("|", lit(b) +: slice: _*))
+    }
+    sig
+      .select(col("doc_id"), col("ts"), explode(array(bandKeys: _*)).as("band_key"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq
+            val ids = rs.map(_._1).distinct.sorted
+            val first = state.getOption.getOrElse(ids.head)
+            state.update(first)
+            state.setTimeoutTimestamp(rs.map(_._2.getTime).max, "1 hour")
+            ids.filterNot(_ == first)
+              .map(d => CandidatePair(math.min(first, d), math.max(first, d)))
+              .iterator
+          }
+      }
+      // a pair colliding in several bands repeats; buckets are independent
+      // state partitions, so the dedup is the consumer's (batch verify
+      // dropDuplicates) — documented contract, matching the batch
+      // candidate generator's pre-distinct shape
+  }
+
   final case class SessionState(start: Long, lastTs: Long, nEvents: Int)
   final case class SessionOut(user_id: Long, session_start: Long,
                               session_end: Long, n_events: Int)

@@ -46,6 +46,27 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming near-dup candidates: bucket collisions emit pairs vs the first doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStream.nearDupCandidates(
+      mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData(
+      (1L, ts(0), "the quick brown fox jumps over the lazy dog"),
+      (2L, ts(1), "a completely different document about spark streams"))
+    q.processAllAvailable()
+    // identical text in a later batch: every band collides with doc 1's
+    mem.addData((3L, ts(2), "the quick brown fox jumps over the lazy dog"))
+    q.processAllAvailable()
+    val pairs = spark.table("neardup_stream").as[EventStream.CandidatePair]
+      .collect().map(p => (p.doc_a, p.doc_b)).toSet
+    assert(pairs == Set((1L, 3L)))
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
