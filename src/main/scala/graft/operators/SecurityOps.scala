@@ -17,6 +17,41 @@ object SecurityOps {
     i2b2.withColumn("secure_obj_token",
       if (secure) lit(s"EXP:$studyId") else lit("EXP:PUBLIC"))
 
+  /** i2b2_create_security_for_trial: replace the trial's per-patient
+    * SECURITY facts — one 'SECURITY' text fact per distinct trial patient,
+    * tval `EXP:<trial>` when secured else `EXP:PUBLIC`. The delete keys on
+    * the fact's trial (sourcesystem_cd), the insert is a projection of the
+    * patient set. */
+  def refreshSecurityFacts(observationFact: DataFrame, trialPatients: DataFrame,
+                           patientCol: String, studyId: String,
+                           secure: Boolean): DataFrame = {
+    val token = if (secure) s"EXP:$studyId" else "EXP:PUBLIC"
+    val fresh = trialPatients.select(col(patientCol).as("patient_num")).distinct()
+      .withColumn("concept_cd", lit("SECURITY"))
+      .withColumn("valtype_cd", lit("T"))
+      .withColumn("tval_char", lit(token))
+      .withColumn("sourcesystem_cd", lit(studyId))
+    observationFact
+      .filter(!(col("concept_cd") === "SECURITY" &&
+        col("sourcesystem_cd") === studyId))
+      .unionByName(fresh, allowMissingColumns = true)
+  }
+
+  /** I2B2_LOAD_SECURITY_DATA.sql:89-97 — the WAREHOUSE-level i2b2_secure
+    * rebuild: every i2b2 row joined (left) to the distinct per-trial
+    * SECURITY token, default `EXP:PUBLIC` for rows with no secured trial.
+    * The token dimension is tiny (one row per trial) and broadcasts. */
+  def rebuildI2b2SecureFromFacts(i2b2: DataFrame,
+                                 observationFact: DataFrame): DataFrame = {
+    val tokens = observationFact
+      .filter(col("concept_cd") === "SECURITY")
+      .select(col("sourcesystem_cd").as("__trial"), col("tval_char")).distinct()
+    i2b2
+      .join(broadcast(tokens), i2b2("sourcesystem_cd") === tokens("__trial"), "left")
+      .withColumn("secure_obj_token", coalesce(col("tval_char"), lit("EXP:PUBLIC")))
+      .drop("__trial", "tval_char")
+  }
+
   /** Upsert rows into a keyed table: new rows win, old non-conflicting rows
     * survive (set-based MERGE without Delta — recompute + publish). */
   def upsertByKey(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =

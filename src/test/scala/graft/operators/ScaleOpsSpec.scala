@@ -71,6 +71,37 @@ class SecurityOpsSpec extends SparkSpec {
     assert(swapped == Set("EXP:GS5", "EXP:GS9"))
   }
 
+  test("SECURITY facts refresh per trial; i2b2_secure rebuilt from facts (upload with SECURITY)") {
+    // DataProcessorTest 'it should upload data with SECURITY': a secured
+    // upload writes one SECURITY fact per trial patient and the
+    // warehouse-level i2b2_secure rebuild keys every study's subtree off
+    // those facts, defaulting EXP:PUBLIC
+    val facts = Seq((101L, "C1", "T", "61", "GS1"), (201L, "SECURITY", "T", "EXP:PUBLIC", "GS2"))
+      .toDF("patient_num", "concept_cd", "valtype_cd", "tval_char", "sourcesystem_cd")
+    val pats = Seq(101L, 102L).toDF("patient_num")
+    val refreshed = SecurityOps.refreshSecurityFacts(facts, pats, "patient_num",
+      "GS1", secure = true)
+    val sec = refreshed.filter($"concept_cd" === "SECURITY")
+      .collect().map(r => (r.getAs[Long]("patient_num"), r.getAs[String]("tval_char"))).toSet
+    assert(sec == Set((101L, "EXP:GS1"), (102L, "EXP:GS1"), (201L, "EXP:PUBLIC")))
+    // re-running as unsecured replaces, never duplicates
+    val again = SecurityOps.refreshSecurityFacts(refreshed, pats, "patient_num",
+      "GS1", secure = false)
+    assert(again.filter($"concept_cd" === "SECURITY" && $"sourcesystem_cd" === "GS1")
+      .collect().map(_.getAs[String]("tval_char")).toSet == Set("EXP:PUBLIC"))
+
+    val i2b2 = Seq(("\\S\\GS1\\", "GS1"), ("\\S\\GS1\\V\\", "GS1"),
+      ("\\S\\GS2\\", "GS2"), ("\\S\\", null))
+      .toDF("c_fullname", "sourcesystem_cd")
+    val rebuilt = SecurityOps.rebuildI2b2SecureFromFacts(i2b2, refreshed)
+      .collect().map(r => r.getAs[String]("c_fullname") ->
+        r.getAs[String]("secure_obj_token")).toMap
+    assert(rebuilt("\\S\\GS1\\") == "EXP:GS1")
+    assert(rebuilt("\\S\\GS1\\V\\") == "EXP:GS1")
+    assert(rebuilt("\\S\\GS2\\") == "EXP:PUBLIC")
+    assert(rebuilt("\\S\\") == "EXP:PUBLIC")
+  }
+
   test("copy security from other study replays PostProcessingTest") {
     // COPY_SECURITY_FROM_OTHER_STUDY: the admin grant (principal 1, level
     // 8) on the FIRST study's secure object is replicated onto SECOND's
