@@ -72,7 +72,8 @@ object ClinicalMapping {
       validationRules: Seq[ValidationRules.Rule],
       baseline: Option[String] = None)
 
-  final case class Mapping(entries: Seq[Entry], mergeMode: MergeMode) {
+  final case class Mapping(entries: Seq[Entry], mergeMode: MergeMode,
+                           parseErrors: Seq[String] = Nil) {
     def forFile(filename: String): Seq[Entry] = entries.filter(_.filename == filename)
     def files: Seq[String] = entries.map(_.filename).distinct
   }
@@ -87,11 +88,27 @@ object ClinicalMapping {
       val i = cols.indexOf(name)
       if (i < 0 || r.isNullAt(i)) "" else r.getString(i)
     }
+    // malformed rows collect errors the way the reference's mappingErrors
+    // do (ClinicalDataMapping.groovy:86-151) — surfaced via validate()
+    val parseErrors = scala.collection.mutable.ArrayBuffer.empty[String]
     val entries = rows.toSeq.flatMap { r =>
       val label = cell(r, "data_label")
       val colNbr = cell(r, "col_nbr")
-      if (label.equalsIgnoreCase("OMIT") || colNbr.isEmpty) None
-      else Some(Entry(
+      val rowTxt = cols.map(cell(r, _)).mkString("[", ", ", "]")
+      if (label.equalsIgnoreCase("OMIT") || label == "DATA_LABEL") None
+      else if (colNbr.isEmpty || !colNbr.matches("\\d+")) {
+        parseErrors += s"Invalid or empty column index '$colNbr' for row: $rowTxt"
+        None
+      } else if (label == "\\" && cell(r, "category_cd").isEmpty) {
+        parseErrors += "CATEGORY_CD wasn't specified for variable with " +
+          s"DATA_LABEL_SOURCE for row: $rowTxt"
+        None
+      } else if (label == "\\" &&
+          !DataLabelSourceRx.matches(cell(r, "data_label_source"))) {
+        parseErrors += s"Invalid data_label_source " +
+          s"'${cell(r, "data_label_source")}' for row: $rowTxt"
+        None
+      } else Some(Entry(
         filename = cell(r, "filename"),
         categoryCd = cell(r, "category_cd"),
         colNbr = colNbr.toInt,
@@ -104,7 +121,8 @@ object ClinicalMapping {
         validationRules = ValidationRules.parse(cell(r, "validation_rules")),
         baseline = Some(cell(r, "baseline")).filter(_.nonEmpty)))
     }
-    Mapping(entries, MergeMode.parse(meta.getOrElse("MERGE_MODE", "REPLACE")))
+    Mapping(entries, MergeMode.parse(meta.getOrElse("MERGE_MODE", "REPLACE")),
+      parseErrors.toSeq)
   }
 
   /** Mapping-file discovery (ClinicalDataProcessor.groovy:185-197): files
@@ -124,27 +142,61 @@ object ClinicalMapping {
     else Right(found)
   }
 
-  /** F7 validations (ClinicalDataMapping.groovy:69-189): column indices in
-    * range, duplicate mapped columns flagged, category_cd length bound. */
+  private val TagRx = "\\$\\$(\\{[^}]+\\}|[^+]+)".r
+  private val SpecialLabels =
+    Set("STUDY_ID", "SITE_ID", "SUBJ_ID", "VISIT_NAME", "SAMPLE_ID")
+
+  /** F7 validations (ClinicalDataMapping.groovy:86-168, TagReplacer
+    * .groovy:58-86), reference messages: parse errors from load, column /
+    * label-source indices in range, referenced data file exists,
+    * category_cd length bound, `$$` tags resolve to a mapped DATA_LABEL or
+    * special column. Duplicate mapped columns are a WARNING in the
+    * reference (the load proceeds) — see [[warnings]]. */
   def validate(m: Mapping, fileColumnCounts: Map[String, Int],
                maxCategoryLen: Int = 250): Seq[String] = {
     val oob = m.entries.flatMap { e =>
       fileColumnCounts.get(e.filename) match {
         case Some(n) if e.colNbr < 1 || e.colNbr > n =>
-          Some(s"${e.filename}: col_nbr ${e.colNbr} out of 1..$n")
-        case None => Some(s"${e.filename}: file not found")
+          Some(s"Column index '${e.colNbr}' is out of bounds of data file " +
+            s"columns (1-$n) for row: ${e.filename}/${e.dataLabel}")
+        case None => Some(s"File '${e.filename}' doesn't exists")
         case _ => None
       }
     }
-    val dups = m.entries.groupBy(e => (e.filename, e.colNbr)).collect {
-      case ((f, c), es) if es.size > 1 => s"$f: column $c mapped ${es.size} times"
+    val dlsOob = m.entries.flatMap { e =>
+      (e.dataLabelSource, fileColumnCounts.get(e.filename)) match {
+        case (Some((src, _)), Some(n)) if src < 1 || src > n =>
+          Some(s"Data label source column index '$src' is out of bounds of " +
+            s"data file columns (1-$n) for row: ${e.filename}/${e.categoryCd}")
+        case _ => None
+      }
     }
     val longCats = m.entries.collect {
       case e if e.categoryCd.length > maxCategoryLen =>
-        s"${e.filename}: category_cd longer than $maxCategoryLen"
+        s"CATEGORY_CD is too long (${e.categoryCd.length} > $maxCategoryLen) " +
+          s"for row: ${e.filename}/${e.dataLabel}"
     }
-    oob ++ dups ++ longCats
+    val badTags = m.files.flatMap { f =>
+      val labels = m.forFile(f).map(_.dataLabel.toUpperCase).toSet ++ SpecialLabels
+      m.forFile(f).flatMap { e =>
+        TagRx.findAllMatchIn(e.categoryCd).map(_.group(1)).map { raw =>
+          if (raw.startsWith("{") && raw.endsWith("}"))
+            raw.substring(1, raw.length - 1)
+          else raw
+        }.filterNot(t => labels.contains(t.toUpperCase)).map(t =>
+          s"$f: cat_cd '${e.categoryCd}' contains not-existing tag: '$t'")
+      }
+    }
+    m.parseErrors ++ oob ++ dlsOob ++ longCats ++ badTags
   }
+
+  /** Duplicate mapped columns — a warning, not an error: the reference
+    * logs and loads both variables off the shared column. */
+  def warnings(m: Mapping): Seq[String] =
+    m.entries.groupBy(e => (e.filename, e.colNbr)).collect {
+      case ((f, c), es) if es.size > 1 =>
+        s"Column index '$c' is already mapped in other row ($f)"
+    }.toSeq
 }
 
 /** The validation-rules DSL (statistic/ValidationRule.groovy:32-155,

@@ -252,6 +252,77 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(paths2.contains(s"$top2\\Med His\\Active\\Neuro\\Unsteadiness\\"))
   }
 
+  test("mapping validation replays the reference's error/warning matrix") {
+    // ClinicalDataProcessorTest :582-678: six scenarios over a 4-column
+    // data file (STUDY_ID, SUBJ_ID, v1, v23)
+    import graft.sources.ClinicalMapping.{Entry, Mapping, MergeMode}
+    val dir = Files.createTempDirectory("graft-mapval")
+    Files.writeString(dir.resolve("TEST.txt"),
+      """STUDY_ID	SUBJ_ID	v1	v23
+        |GSE0SS	TST1	Value 1	Value 2
+        |GSE0SS	TST2	Value 3	Value 4
+        |""".stripMargin)
+    val counts = Map("TEST.txt" -> 4)
+    def entry(cat: String, colNbr: Int, label: String,
+              dls: Option[(Int, String)] = None) =
+      Entry("TEST.txt", cat, colNbr, label, dls, None, Nil)
+
+    // 'missing column index' -> load records the reference's error
+    Files.writeString(dir.resolve("BAD_Mapping_File.txt"),
+      "filename\tcategory_cd\tcol_nbr\tdata_label\tdata_label_source\tvariable_type\tvalidation_rules\n" +
+      "TEST.txt\tVars\t\tVar\t\t\t\n" +
+      "TEST.txt\tVars\t4\tv2\t\t\t\n")
+    val bad = ClinicalMapping.load(spark, dir.resolve("BAD_Mapping_File.txt").toString)
+    assert(bad.parseErrors.exists(_.startsWith("Invalid or empty column index")))
+    assert(ClinicalMapping.validate(bad, counts)
+      .exists(_.startsWith("Invalid or empty column index")))
+
+    // 'missing reference to data_label_source' -> error at load
+    Files.writeString(dir.resolve("DLS_Mapping_File.txt"),
+      "filename\tcategory_cd\tcol_nbr\tdata_label\tdata_label_source\tvariable_type\tvalidation_rules\n" +
+      "TEST.txt\tVars\t3\t\\\tA\t\t\n" +
+      "TEST.txt\tVars\t4\t\\\t\t\t\n")
+    val dls = ClinicalMapping.load(spark, dir.resolve("DLS_Mapping_File.txt").toString)
+    assert(dls.parseErrors.count(_.startsWith("Invalid data_label_source")) == 2)
+
+    // 'mapping refers to existing file' -> File doesn't exists
+    val m3 = Mapping(Seq(Entry("TEST2.txt", "Vars", 3, "v1", None, None, Nil)),
+      MergeMode.Replace)
+    assert(ClinicalMapping.validate(m3, counts)
+      .contains("File 'TEST2.txt' doesn't exists"))
+
+    // 'column numbers is not out of bound'
+    val m4 = Mapping(Seq(entry("Vars", 3, "v1"), entry("Vars", 6, "v2")),
+      MergeMode.Replace)
+    assert(ClinicalMapping.validate(m4, counts)
+      .exists(_.startsWith("Column index '6' is out of bounds")))
+
+    // 'tags refers to existing columns'
+    val m5 = Mapping(Seq(entry("Vars+$$v3", 3, "v1"), entry("Vars", 4, "v2")),
+      MergeMode.Replace)
+    assert(ClinicalMapping.validate(m5, counts)
+      .exists(_.contains("contains not-existing tag: 'v3'")))
+    // a resolvable tag passes
+    val m5ok = Mapping(Seq(entry("Vars+$$v2", 3, "v1"), entry("", 4, "v2")),
+      MergeMode.Replace)
+    assert(ClinicalMapping.validate(m5ok, counts).isEmpty)
+
+    // 'duplicate columns' -> warning only; BOTH variables load off column 3
+    val m6 = Mapping(Seq(
+      Entry("TEST.txt", "", 1, "STUDY_ID", None, None, Nil),
+      Entry("TEST.txt", "", 2, "SUBJ_ID", None, None, Nil),
+      entry("Vars", 3, "v1"), entry("Vars", 3, "v2")), MergeMode.Replace)
+    assert(ClinicalMapping.validate(m6, counts).isEmpty)
+    assert(ClinicalMapping.warnings(m6)
+      .exists(_.startsWith("Column index '3' is already mapped")))
+    val data = TsvReader.read(spark, dir.resolve("TEST.txt").toString)
+    val t = ClinicalPipeline.run(spark, "GSE0SS", "\\Test Studies\\SS",
+      m6, Map("TEST.txt" -> data))
+    val paths = t.i2b2.select("c_fullname").collect().map(_.getString(0)).toSet
+    assert(paths.contains("\\Test Studies\\SS\\Vars\\v1\\Value 1\\"))
+    assert(paths.contains("\\Test Studies\\SS\\Vars\\v2\\Value 1\\"))
+  }
+
   test("validation rules flag out-of-range and missing values") {
     val rules = graft.sources.ValidationRules.parse("required; >=18")
     assert(rules.size == 2)
