@@ -301,6 +301,58 @@ class SnpAndSerialSpec extends SparkSpec {
     assert(factSamples == Set("P516591", "O002311", "P504401", "P378021", "P026471"))
   }
 
+  test("reference MIRNA-QPCR SerialHDD fixture replays: week XML, sample dims, fact codes") {
+    // MIRNASerialHDDDataProcessorTest: 'Sample Factors Week 1' node carries
+    // the 7-days XML, both GSM samples register in sample_dimension, and
+    // each sample's facts carry its sample_cd — same serial-HDD apply step,
+    // MIRNA flavor of the fixture
+    import org.apache.spark.sql.functions._
+    val dir = "/root/reference/fixtures/Test Studies/Test MirnaQpcr Study/MIRNA_QPCRSerialHDDDataToUpload"
+    val dims = SnpAndSerial.readSampleDimensions(spark,
+      s"$dir/Test Study_TEST005_Sample_Dimensions_Mapping.txt")
+    assert(dims.count() == 11)
+
+    val m = graft.sources.TsvReader.read(spark,
+      s"$dir/Test Study_TEST005_Subject_Sample_Mapping_file.txt")
+    val sampleMap = m.select(
+      $"SITE_ID".as("site_id"), $"SUBJECT_ID".as("subject_id"),
+      $"SAMPLE_ID".as("sample_cd"), $"PLATFORM".as("platform"),
+      $"TISSUETYPE".as("tissue_type"),
+      $"ATTR1".as("attribute_1"), $"ATTR2".as("attribute_2"),
+      $"CATEGORY_CD".as("category_cd"))
+    val patients = graft.core.Ids.denseIds(
+      sampleMap.select(graft.functions.CleansingFunctions.usubjid(
+        lit("TEST005"), coalesce($"site_id", lit("")), $"subject_id")
+        .as("sourcesystem_cd")).distinct(),
+      Seq("sourcesystem_cd"), "patient_num")
+    val gpl = Seq(("GPL15467qpcrbased", "Test MIRNA Platform", "MIRNA_QPCR"))
+      .toDF("platform", "title", "marker_type")
+    val ls = graft.pipeline.LoadSamples.run(spark, "TEST005",
+      "\\Test Studies\\Test MirnaQpcr Study\\", sampleMap, gpl, patients,
+      markerType = "MIRNA_QPCR")
+
+    val i2b2 = ls.nodes.select(
+      $"leaf_node".as("c_fullname"),
+      graft.functions.PathFunctions.lastPathComponent($"leaf_node").as("c_name"),
+      $"concept_cd".as("c_basecode"),
+      lit("TEST005").as("sourcesystem_cd"))
+    val mapping = ls.sampleMapping.select(
+      $"concept_code", $"sample_cd", $"patient_id", $"trial_name")
+    val noDim = Seq.empty[String].toDF("sample_cd")
+    val t = SnpAndSerial.applySerialHdd(i2b2, dims, mapping, noDim,
+      ls.sampleFacts, "TEST005")
+
+    val wk1 = t.i2b2.filter($"c_fullname" ===
+      "\\Test Studies\\Test MirnaQpcr Study\\Sample Factors Week 1\\")
+      .collect()(0).getAs[String]("c_metadataxml")
+    assert(wk1 != null && wk1.contains("<Value>7</Value>") &&
+      wk1.contains("<Unit>days</Unit>") && wk1.contains("<DisplayName>Week 1</DisplayName>"))
+    assert(t.sampleDimension.collect().map(_.getString(0)).toSet ==
+      Set("GSM918938", "GSM918939"))
+    val factSamples = t.facts.select("sample_cd").collect().map(_.getString(0)).toSet
+    assert(factSamples == Set("GSM918938", "GSM918939"))
+  }
+
   test("series metadata stamping + unparseable detection") {
     val nodes = Seq("Baseline", "Week 2", "not a timepoint").toDF("c_name")
     val stamped = SnpAndSerial.stampSeriesMetadata(nodes, "c_name")
