@@ -62,6 +62,7 @@ object SparkEntry {
     "ann_ivf" -> (TrainingData.annIvf _),
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "sample_stratified" -> (TrainingData.sampleStratified _),
+    "sample_shuffle" -> (TrainingData.sampleShuffle _),
     "pack_sequences" -> (TrainingData.packSequences _),
     "text_chunks" -> (TrainingData.textChunks _),
     "decontaminate" -> (TrainingData.decontaminate _),

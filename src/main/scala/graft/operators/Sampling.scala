@@ -44,6 +44,20 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Deterministic pseudorandom shuffle — the training-set ORDERING step
+    * (corpus builds fix a shuffle seed so epochs are reproducible and
+    * resumable): rank every row by md5(seed | id). Engine-portable (md5,
+    * no JVM RNG) and distributed — positions come from the dense-id
+    * machinery (range partition + per-partition offsets), so there is no
+    * single-task global window at any scale and a different seed is a
+    * different total order. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String): DataFrame =
+    graft.core.Ids.denseIds(
+      df.withColumn("__sk",
+        md5(concat_ws("|", lit(seed), col(idCol).cast("string")))),
+      Seq("__sk"), "shuffle_pos")
+      .drop("__sk")
+
   /** Assign each document to a fixed-token-budget pack: documents are laid
     * out in `sortCols` order and pack_id = floor(tokens-before-this-doc /
     * budget) — contiguous, deterministic, and independent of partitioning

@@ -861,6 +861,14 @@ object Oracles {
         |       ELSE 'zh' END AS predicted_lang
         |FROM sc""".stripMargin,
 
+    // deterministic epoch shuffle: same md5 rank on both engines
+    "sample_shuffle" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR))) AS BIGINT)
+        |    AS shuffle_pos
+        |FROM documents""".stripMargin,
+
     // stratified sampling mirrors the md5-prefix cutoffs exactly:
     // round(rate * 65536) as 4 hex digits, string-compared
     "sample_stratified" ->

@@ -87,6 +87,13 @@ object TrainingData {
     * languages (en to 25%, de to 50%), keep everything else — an
     * md5-prefix cutoff per stratum, so the sample is a pure filter and
     * reproduces bit-identically in any engine. */
+  /** Deterministic epoch shuffle: stable pseudorandom order by
+    * md5('epoch0' | doc_id), position from the distributed dense-id path. */
+  def sampleShuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicShuffle(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "epoch0")
+
   def sampleStratified(s: SparkSession, dir: String): DataFrame =
     Sampling.stratifiedSample(
       t(s, dir, "documents").select(col("doc_id"), col("lang")),

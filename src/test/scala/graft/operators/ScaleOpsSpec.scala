@@ -153,6 +153,24 @@ class SamplingSpec extends SparkSpec {
       Map("en" -> 0.0, "zh" -> 1.0)).count() == 2000)
   }
 
+  test("deterministic shuffle: stable permutation, seed-sensitive, no global window") {
+    import graft.operators.Sampling
+    val docs = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = Sampling.deterministicShuffle(docs, "doc_id", "epoch0")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("shuffle_pos")).toMap
+    val b = Sampling.deterministicShuffle(docs, "doc_id", "epoch0")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(a == b) // same seed -> same order across runs
+    assert(a.values.toSeq.sorted == (1L to 200L)) // a true permutation
+    val c = Sampling.deterministicShuffle(docs, "doc_id", "epoch1")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(a != c) // different seed -> different order
+    // scale guard: position assignment must not be a global window
+    val plan = Sampling.deterministicShuffle(docs, "doc_id", "epoch0")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("No Partition Defined"))
+  }
+
   test("pack sequences matches the single-window form; no global window in plan") {
     val docs = (0L until 997L).map(i => (i, 100L + i % 700)).toDF("doc_id", "n_toks")
     val packed = Sampling.packSequences(docs, Seq("doc_id"), "n_toks", budget = 4096)
