@@ -35,8 +35,10 @@ object CleansingFunctions {
     val pipeDash = regexp_replace(pipeTrim, "\\|", "-")
     val pct = regexp_replace(pipeDash, "%", " Pct")
     val amp = regexp_replace(pct, "[&+]", " and ")
-    val us = regexp_replace(amp, "_", " ")
-    val sp = regexp_replace(us, " {2,}", " ")
+    // '(plus)' survives the '+' sweep and restores AFTER it (SQL:440);
+    // values keep their underscores — only labels sweep '_' to space
+    val plus = replace(amp, lit("(plus)"), lit("+"))
+    val sp = regexp_replace(plus, " {2,}", " ")
     val comma = regexp_replace(sp, ",+$", "")
     trim(comma)
   }

@@ -97,7 +97,7 @@ object Oracles {
 
     "f2_value_cleanup" ->
       """WITH d AS (SELECT p_partkey,
-        |    '|' || replace(p_type, ' ', '_') || '+50%_done,,|' AS dirty FROM part)
+        |    '|' || replace(p_type, ' ', '_') || '+50%_done(plus),,|' AS dirty FROM part)
         |SELECT p_partkey, dirty,
         |  trim(regexp_replace(
         |    regexp_replace(
@@ -109,7 +109,7 @@ object Oracles {
         |            '|', '-'),
         |          '%', ' Pct'),
         |        '[&+]', ' and ', 'g'),
-        |      '_', ' '),
+        |      '(plus)', '+'),
         |    ' {2,}', ' ', 'g'),
         |  ',+$', '', 'g')) AS clean
         |FROM d""".stripMargin,

@@ -85,7 +85,7 @@ object TreeAndEav {
   /** F2: ordered value-cleanup sweep on synthesized dirty values. */
   def f2ValueCleanup(s: SparkSession, dir: String): DataFrame = {
     val dirty = concat(lit("|"), regexp_replace(col("p_type"), " ", "_"),
-      lit("+50%_done,,|"))
+      lit("+50%_done(plus),,|"))
     t(s, dir, "part").select(
       col("p_partkey"), dirty.as("dirty"),
       graft.functions.CleansingFunctions.cleanseValue(dirty).as("clean"))

@@ -200,17 +200,22 @@ object ClinicalMapping {
 }
 
 /** The validation-rules DSL (statistic/ValidationRule.groovy:32-155,
-  * ValueRange.groovy:13-22): `required`, ranges (`>x`, `>=x`, `<x`, `<=x`,
-  * `between a to b`, `a-b`), each optionally conditioned with
-  * `, when "Field" is <cond>` (present / absent / equal to "v").
-  */
+  * ValueRange.groovy:13-22): `required`, ranges in symbol (`>x`, `>=x`,
+  * `<x`, `<=x`) and verbal (`Greater than x`, `Greater than or equal to x`,
+  * `Lesser than [or equal to] x`) forms plus `between a to b` / `a-b`,
+  * each optionally conditioned with `, when "Field" is <cond>` where the
+  * condition is itself a range, `present`, `blank`, or
+  * `[not] equal(s) to "v"`. Unparseable rules are ignored, like the
+  * loader's warn-and-skip. */
 object ValidationRules {
 
   sealed trait Condition
   case object Always extends Condition
   final case class WhenPresent(field: String) extends Condition
   final case class WhenAbsent(field: String) extends Condition
-  final case class WhenEquals(field: String, value: String) extends Condition
+  final case class WhenEquals(field: String, value: String,
+                              negated: Boolean = false) extends Condition
+  final case class WhenInRange(field: String, range: Range) extends Condition
 
   sealed trait Check
   case object Required extends Check
@@ -221,42 +226,57 @@ object ValidationRules {
     * prints it verbatim (the reference's rule `description`). */
   final case class Rule(check: Check, condition: Condition, source: String = "")
 
-  private val WhenRx = """(?i)\s*,\s*when\s+"([^"]+)"\s+is\s+(.*)$""".r.unanchored
-  private val EqRx = """(?i)equal\s+to\s+"([^"]+)"""".r
-  private val GtRx = """^>\s*(-?[\d.]+)$""".r
-  private val GeRx = """^>=\s*(-?[\d.]+)$""".r
-  private val LtRx = """^<\s*(-?[\d.]+)$""".r
-  private val LeRx = """^<=\s*(-?[\d.]+)$""".r
-  private val BetweenRx = """(?i)^between\s+(-?[\d.]+)\s+to\s+(-?[\d.]+)$""".r
-  private val DashRx = """^(-?[\d.]+)\s*-\s*(-?[\d.]+)$""".r
+  private val WhenRx = """(?is)^\s*(.*)\s*,\s+when\s+"([^"]+)"\s+is\s+(.*)$""".r
+  private val EqRx = """(?i)^(not\s+)?equals?\s+to\s+"([^"]*)"$""".r
+  // verbal/symbol forms in the reference's match order (>= before >)
+  private val GeRx = """(?i)^(?:greater than or equal to\s+|>=)\s*(.+)$""".r
+  private val GtRx = """(?i)^(?:greater than\s+|>)\s*(.+)$""".r
+  private val LeRx = """(?i)^(?:lesser than or equal to\s+|<=)\s*(.+)$""".r
+  private val LtRx = """(?i)^(?:lesser than\s+|<)\s*(.+)$""".r
+  private val BetweenRx = """(?i)^between\s+(.+?)\s+to\s+(.+)$""".r
+  private val DashRx = """^(.+?)-(.+)$""".r
+
+  private def num(s: String): Option[Double] =
+    try Some(s.trim.toDouble) catch { case _: NumberFormatException => None }
+
+  /** The shared range grammar (valueRangeFactory order). */
+  private def parseRange(body: String): Option[Range] = body match {
+    case GeRx(x) => num(x).map(v => Range(Some(v), true, None, true))
+    case GtRx(x) => num(x).map(v => Range(Some(v), false, None, true))
+    case LeRx(x) => num(x).map(v => Range(None, true, Some(v), true))
+    case LtRx(x) => num(x).map(v => Range(None, true, Some(v), false))
+    case BetweenRx(a, b) =>
+      for (x <- num(a); y <- num(b)) yield Range(Some(x), true, Some(y), true)
+    case DashRx(a, b) =>
+      for (x <- num(a); y <- num(b)) yield Range(Some(x), true, Some(y), true)
+    case _ => None
+  }
 
   def parse(s: String): Seq[Rule] =
     if (s == null || s.trim.isEmpty) Seq.empty
     else s.split(";").toSeq.map(_.trim).filter(_.nonEmpty).flatMap(parseOne)
 
   private def parseOne(s: String): Option[Rule] = {
-    val (body, cond) = s match {
-      case WhenRx(field, rest) =>
-        val c = rest.trim match {
-          case r if r.equalsIgnoreCase("present") => WhenPresent(field)
-          case r if r.equalsIgnoreCase("absent") => WhenAbsent(field)
-          case EqRx(v) => WhenEquals(field, v)
-          case _ => Always
+    val (body, cond: Option[Condition]) = s match {
+      case WhenRx(rule, field, rest) =>
+        val c: Option[Condition] = rest.trim match {
+          case r if r.equalsIgnoreCase("present") => Some(WhenPresent(field))
+          // the reference's absence pattern is a PREFIX match on 'blank';
+          // 'absent' kept as this engine's historical alias
+          case r if r.toLowerCase.startsWith("blank") ||
+            r.equalsIgnoreCase("absent") => Some(WhenAbsent(field))
+          case EqRx(not, v) => Some(WhenEquals(field, v, negated = not != null))
+          case r => parseRange(r).map(WhenInRange(field, _))
         }
-        (s.substring(0, s.toLowerCase.indexOf(", when")).trim, c)
-      case _ => (s.trim, Always)
+        // an unparseable condition drops the whole rule (warn-and-skip)
+        if (c.isEmpty) return None
+        (rule.trim, c)
+      case _ => (s.trim, Some(Always))
     }
-    val check: Option[Check] = body match {
-      case b if b.equalsIgnoreCase("required") => Some(Required)
-      case GeRx(x) => Some(Range(Some(x.toDouble), true, None, true))
-      case GtRx(x) => Some(Range(Some(x.toDouble), false, None, true))
-      case LeRx(x) => Some(Range(None, true, Some(x.toDouble), true))
-      case LtRx(x) => Some(Range(None, true, Some(x.toDouble), false))
-      case BetweenRx(a, b) => Some(Range(Some(a.toDouble), true, Some(b.toDouble), true))
-      case DashRx(a, b) => Some(Range(Some(a.toDouble), true, Some(b.toDouble), true))
-      case _ => None
-    }
-    check.map(Rule(_, cond, s))
+    val check: Option[Check] =
+      if (body.equalsIgnoreCase("required")) Some(Required)
+      else parseRange(body)
+    check.map(Rule(_, cond.get, s))
   }
 
   /** Compile a rule to a boolean violation Column over (value, peers). */
@@ -264,20 +284,30 @@ object ValidationRules {
   import org.apache.spark.sql.functions._
   import graft.functions.CleansingFunctions.tryCastDouble
 
+  /** A value is INSIDE the range (condition semantics). */
+  private def inRange(v: Column, r: Range): Column = {
+    val okLo = r.min.map(m => if (r.minInclusive) v >= m else v > m)
+      .getOrElse(lit(true))
+    val okHi = r.max.map(m => if (r.maxInclusive) v <= m else v < m)
+      .getOrElse(lit(true))
+    v.isNotNull && okLo && okHi
+  }
+
   def violates(rule: Rule, value: Column, peer: String => Column): Column = {
     val active: Column = rule.condition match {
       case Always => lit(true)
       case WhenPresent(f) => length(coalesce(peer(f), lit(""))) > 0
       case WhenAbsent(f) => length(coalesce(peer(f), lit(""))) === 0
-      case WhenEquals(f, v) => coalesce(peer(f), lit("")) === v
+      case WhenEquals(f, v, negated) =>
+        val eq = coalesce(peer(f), lit("")) === v
+        if (negated) !eq else eq
+      case WhenInRange(f, r) => inRange(tryCastDouble(peer(f)), r)
     }
     val bad: Column = rule.check match {
       case Required => length(coalesce(value, lit(""))) === 0
-      case Range(mn, mni, mx, mxi) =>
+      case r @ Range(_, _, _, _) =>
         val v = tryCastDouble(value)
-        val lo = mn.map(m => if (mni) v < m else v <= m).getOrElse(lit(false))
-        val hi = mx.map(m => if (mxi) v > m else v >= m).getOrElse(lit(false))
-        v.isNotNull && (lo || hi)
+        v.isNotNull && !inRange(v, r)
     }
     active && bad
   }

@@ -61,8 +61,12 @@ class CleansingSpec extends SparkSpec {
 
   test("cleanseValue ordered sweep (I2B2_LOAD_CLINICAL_DATA.sql:236-474)") {
     assert(one(cleanseValue($"v"), "|a|b|") == "a-b")
-    assert(one(cleanseValue($"v"), "50%_done,,") == "50 Pct done")
+    // values KEEP underscores (SQL:440 sweeps '_' in data_label only)
+    assert(one(cleanseValue($"v"), "50%_done,,") == "50 Pct_done")
     assert(one(cleanseValue($"v"), "a+b&c") == "a and b and c")
+    // literal '(plus)' escapes restore AFTER the '+' sweep
+    assert(one(cleanseValue($"v"), "Spain+English+German(plus)") ==
+      "Spain and English and German+")
     assert(one(cleanseValue($"v"), "x  y") == "x y")
   }
 

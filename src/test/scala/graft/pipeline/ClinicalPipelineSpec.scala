@@ -323,6 +323,35 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(paths.contains("\\Test Studies\\SS\\Vars\\v2\\Value 1\\"))
   }
 
+  test("reference plus-sign fixture replays: (plus) escapes, quoted cells, verbal rules") {
+    // ClinicalDataProcessorTest :359-370 over the real GSE0PLS fixture:
+    // '(plus)' in category_cd/data_label renders as literal '+', a tag
+    // value's own '+' survives into the path, values sweep '+' to ' and ',
+    // and the mapping's quoted cells (incl. the 11-clause verbal rule
+    // string) parse
+    val dir = "/root/reference/fixtures/Test Studies/Test Study With Plus Sign_GSE0PLS/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark,
+      s"$dir/Test Study With Plus Sign_GSE0PLS_Mapping_File.txt")
+    // the quoted rule cell parses into 11 rules incl. verbal forms and a
+    // quoted-field equality condition
+    val ageRules = mapping.entries.find(_.dataLabel == "Age (AGE)").get.validationRules
+    assert(ageRules.size == 11)
+    import graft.sources.ValidationRules._
+    assert(ageRules.exists(r => r.condition ==
+      WhenEquals("Sex", "Male") && r.check == Range(Some(30.0), false, None, true)))
+    assert(ageRules.exists(_.check == Range(Some(30.0), true, Some(50.0), true)))
+
+    val files = mapping.files.map(f => f -> TsvReader.read(spark, s"$dir/$f")).toMap
+    val top = "\\Test Studies\\Test Study With Plus Sign"
+    val t = ClinicalPipeline.run(spark, "GSE0PLS", top, mapping, files)
+    val counts = t.conceptCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(s"$top\\Subjects+\\Demographics+\\") == 1)
+    assert(counts(s"$top\\Subjects+\\Demographics+\\Language++\\") == 1)
+    assert(counts(s"$top\\Subjects+\\Demographics+\\Language++\\Spain and English and German+\\") == 1)
+    assert(counts(s"$top\\Subjects\\Demographics\\Spain+English+German+\\Assessment Date\\10/01/2014\\") == 1)
+  }
+
   test("validation rules flag out-of-range and missing values") {
     val rules = graft.sources.ValidationRules.parse("required; >=18")
     assert(rules.size == 2)
