@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_embedding" -> (TrainingData.dedupEmbedding _),
     "sample_stratified" -> (TrainingData.sampleStratified _),
     "sample_shuffle" -> (TrainingData.sampleShuffle _),
+    "text_repetition" -> (TrainingData.textRepetition _),
     "pack_sequences" -> (TrainingData.packSequences _),
     "text_chunks" -> (TrainingData.textChunks _),
     "decontaminate" -> (TrainingData.decontaminate _),

@@ -107,6 +107,22 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Within-document n-gram repetition (the Gopher-report style quality
+    * signal): the share of a document's n-gram OCCURRENCES that repeat an
+    * earlier n-gram — 1 - distinct/total, 0 for docs shorter than n
+    * tokens. A pure projection (the distinct count rides on the codegen'd
+    * shingle expression, which already dedups): no explode, no shuffle, so
+    * the filter composes into any corpus scan for free at 100 TB. */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val nToks = size(tokens(text))
+    val total = greatest(nToks - (n - 1), lit(0))
+    val distinctN = when(nToks >= n,
+      size(graft.functions.TextHash.shingles(text, n))).otherwise(lit(0))
+    round(when(total > 0,
+      lit(1.0) - distinctN.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0)), 6)
+  }
+
   def fingerprintPrefix(text: Column): Column = substring(fingerprint(text), 1, 16)
 
   /** Word n-gram shingles (space-joined), for Jaccard/MinHash dedup. */

@@ -861,6 +861,23 @@ object Oracles {
         |       ELSE 'zh' END AS predicted_lang
         |FROM sc""".stripMargin,
 
+    // within-document 3-gram repetition: same tokenize/distinct as the
+    // dedup shingle CTE, per doc
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(CASE WHEN len(t) >= 3 THEN len(list_distinct(list_transform(
+        |    range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))))
+        |    ELSE 0 END AS BIGINT) AS n_distinct,
+        |  round(CASE WHEN len(t) >= 3 THEN
+        |    1.0 - len(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))))::DOUBLE / (len(t) - 2)
+        |    ELSE 0.0 END, 6) AS repetition
+        |FROM toks""".stripMargin,
+
     // deterministic epoch shuffle: same md5 rank on both engines
     "sample_shuffle" ->
       """SELECT doc_id, lang,

@@ -87,6 +87,17 @@ object TrainingData {
     * languages (en to 25%, de to 50%), keep everything else — an
     * md5-prefix cutoff per stratum, so the sample is a pure filter and
     * reproduces bit-identically in any engine. */
+  /** Within-document 3-gram repetition signal over the corpus. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nToks = size(TextAnalysis.tokens(col("text")))
+    docs.select(col("doc_id"),
+      greatest(nToks - 2, lit(0)).cast("long").as("n_ngrams"),
+      when(nToks >= 3, size(graft.functions.TextHash.shingles(col("text"), 3)))
+        .otherwise(lit(0)).cast("long").as("n_distinct"),
+      TextAnalysis.repetitionScore(col("text"), 3).as("repetition"))
+  }
+
   /** Deterministic epoch shuffle: stable pseudorandom order by
     * md5('epoch0' | doc_id), position from the distributed dense-id path. */
   def sampleShuffle(s: SparkSession, dir: String): DataFrame =

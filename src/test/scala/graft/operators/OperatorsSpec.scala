@@ -205,6 +205,21 @@ class DedupSpec extends SparkSpec {
     assert(!native.contains(7L))
   }
 
+  test("repetition score: distinct-over-total n-grams, short docs zero") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),   // 7 trigrams, 3 distinct -> 4/7
+      (2L, "all distinct words here now"), // no repeats -> 0
+      (3L, "x y")                  // shorter than n -> 0
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      TextAnalysis.repetitionScore($"text", 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == BigDecimal(4.0 / 7.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 0.0)
+  }
+
   test("simhash: identical docs identical hashes, 16 hex chars") {
     val h = Dedup.simhashHex(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
