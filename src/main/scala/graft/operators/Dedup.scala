@@ -242,6 +242,36 @@ object Dedup {
       graft.functions.TextHash.simhash64(col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
 
+  /** SimHash near-dup PAIRS: band the 64-bit hash into four 16-bit slices;
+    * by pigeonhole any pair within hamming distance 3 shares at least one
+    * intact slice, so candidates come from a slice-value equi-join (the
+    * same scale contract as MinHash-LSH: no all-pairs anywhere) and only
+    * candidates pay the exact hamming check. Hamming is computed on the
+    * two 32-bit halves via conv/xor/bit_count — codegen'd built-ins, no
+    * UDF; halves keep the unsigned hex inside Long range. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val h = simhashHex(docs, idCol, textCol)
+    val bands = h.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("simhash"), 1 + 4 * b, 4)): _*)).as(Seq("band", "slice")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.slice") === col("y.slice") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("h_a"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("h_b"))
+      .distinct()
+    def half(c: Column, i: Int): Column =
+      conv(substring(c, 1 + 8 * i, 8), 16, 10).cast("long")
+    val hamming = (0 until 2).map(i =>
+      bit_count(half(col("h_a"), i).bitwiseXOR(half(col("h_b"), i))))
+      .reduce(_ + _)
+    cand
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** The explode/groupBy form of [[simhashHex]] — bit-identical output,
     * used by the spec as an in-engine oracle for the native expression. */
   def simhashHexRelational(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

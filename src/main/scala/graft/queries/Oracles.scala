@@ -158,6 +158,37 @@ object Oracles {
       |  FROM toks WHERE len(t) >= 3)
       |""".stripMargin
 
+  /** The full DuckDB simhash recomputation, ending in hashes(doc_id, simhash). */
+  private val SimhashCte =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+      |    x -> len(x) > 0)) AS token FROM documents),
+      |tw AS (SELECT doc_id, token, count(*) AS w FROM toks GROUP BY 1, 2),
+      |th AS (SELECT doc_id, w, substring(md5(token), 1, 16) AS h16 FROM tw),
+      |nibs0 AS (
+      |  SELECT doc_id, w, i AS pos,
+      |    strpos('0123456789abcdef', substring(h16, i, 1)) - 1 AS nib
+      |  FROM th, unnest(range(1, 17)) p(i)),
+      |bits AS (
+      |  SELECT doc_id, w, (pos - 1) * 4 + b AS bitpos,
+      |    CASE b WHEN 0 THEN (nib // 8) % 2 WHEN 1 THEN (nib // 4) % 2
+      |           WHEN 2 THEN (nib // 2) % 2 ELSE nib % 2 END AS bit
+      |  FROM nibs0, unnest(range(0, 4)) u(b)),
+      |votes AS (
+      |  SELECT doc_id, bitpos, sum(CASE WHEN bit = 1 THEN w ELSE -w END) AS vote
+      |  FROM bits GROUP BY 1, 2),
+      |nibs AS (
+      |  SELECT doc_id, bitpos // 4 AS nibpos,
+      |    sum((CASE WHEN vote > 0 THEN 1 ELSE 0 END) *
+      |        (CASE bitpos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS nibval
+      |  FROM votes GROUP BY 1, 2),
+      |hashes AS (
+      |  SELECT doc_id,
+      |    string_agg(substring('0123456789abcdef', (nibval + 1)::INT, 1), '' ORDER BY nibpos)
+      |      AS simhash
+      |  FROM nibs GROUP BY 1)
+      |""".stripMargin
+
   private val JaccardTail =
     """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
       |SELECT doc_a, doc_b, round(c::DOUBLE / (sa.n + sb.n - c)::DOUBLE, 6) AS jaccard
@@ -841,6 +872,26 @@ object Oracles {
         |  string_agg(substring('0123456789abcdef', (nibval + 1)::INT, 1), '' ORDER BY nibpos)
         |    AS simhash
         |FROM nibs GROUP BY 1""".stripMargin,
+
+    // banded simhash pairing: 4x16-bit slices, slice equi-join, exact
+    // nibble-wise hamming on candidates only (same hashes as dedup_simhash)
+    "dedup_simhash_pairs" -> (SimhashCte +
+      """, bands AS (
+        |  SELECT doc_id, simhash, b, substring(simhash, 1 + 4 * b, 4) AS slice
+        |  FROM hashes, unnest(range(0, 4)) u(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS h_a,
+        |         y.doc_id AS doc_b, y.simhash AS h_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.slice = y.slice AND x.doc_id < y.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      bit_count(xor(strpos('0123456789abcdef', substring(h_a, i, 1)) - 1,
+        |                    strpos('0123456789abcdef', substring(h_b, i, 1)) - 1)))) AS BIGINT)
+        |      AS hamming
+        |  FROM cand)
+        |SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= 3""".stripMargin),
 
     "text_lang_id" ->
       """WITH sc AS (

@@ -83,10 +83,10 @@ object TrainingData {
     Similarity.embeddingNearDup(t(s, dir, "embeddings"),
       "vec_id", "embedding", blockCol = "label", threshold = 0.4)
 
-  /** Deterministic stratified sampling: downsample the high-resource
-    * languages (en to 25%, de to 50%), keep everything else — an
-    * md5-prefix cutoff per stratum, so the sample is a pure filter and
-    * reproduces bit-identically in any engine. */
+  /** SimHash near-dup pairs at hamming <= 3 over the corpus. */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+
   /** Within-document 3-gram repetition signal over the corpus. */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -105,6 +105,10 @@ object TrainingData {
       t(s, dir, "documents").select(col("doc_id"), col("lang")),
       "doc_id", "epoch0")
 
+  /** Deterministic stratified sampling: downsample the high-resource
+    * languages (en to 25%, de to 50%), keep everything else — an
+    * md5-prefix cutoff per stratum, so the sample is a pure filter and
+    * reproduces bit-identically in any engine. */
   def sampleStratified(s: SparkSession, dir: String): DataFrame =
     Sampling.stratifiedSample(
       t(s, dir, "documents").select(col("doc_id"), col("lang")),

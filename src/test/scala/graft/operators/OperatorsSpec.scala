@@ -205,6 +205,17 @@ class DedupSpec extends SparkSpec {
     assert(!native.contains(7L))
   }
 
+  test("simhash pairs: identical docs at hamming 0, distant docs not paired") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact dups 1/2 collide in every band at distance 0
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    // the unrelated doc 4 pairs with nothing
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // every emitted pair respects the cap
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   test("repetition score: distinct-over-total n-grams, short docs zero") {
     val df = Seq(
       (1L, "a b c a b c a b c"),   // 7 trigrams, 3 distinct -> 4/7
