@@ -191,11 +191,50 @@ object Dedup {
     * round localCheckpoints so the plan does not nest across rounds (the
     * round's frame references the previous one three times — cache alone
     * would let the logical plan grow exponentially). */
-  def clusters(pairs: DataFrame): DataFrame = {
-    // materialize the pair pipeline ONCE — both union branches below read
-    // it, and without this the (possibly expensive) upstream that produced
-    // the pairs would execute twice
+  def clusters(pairs: DataFrame, driverLimit: Long = 5000000L): DataFrame = {
+    // materialize the pair pipeline ONCE — every consumer below reads it,
+    // and without this the (possibly expensive) upstream that produced
+    // the pairs would execute per round
     val p = pairs.localCheckpoint(true)
+    // The pair list is the verifier's OUTPUT — near-dup pairs are a tiny
+    // fraction of the corpus (the LSH contract), so the common case fits
+    // on the driver, where union-find finishes in milliseconds instead of
+    // one Spark job cascade per propagation round. The distributed loop
+    // below stays the fallback for genuinely huge pair graphs; the guard
+    // is an explicit count, not a hope.
+    if (p.count() <= driverLimit) clustersDriver(p) else clustersDistributed(p)
+  }
+
+  /** Driver-side union-find with union-by-min: the root of every component
+    * is its minimum member, matching the distributed min-label fixpoint
+    * bit for bit. Pair ids must be integral (they are: doc ids). */
+  private def clustersDriver(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val edges = p.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted.map(k => (k, find(k)))
+      .toDF("doc_id", "cluster_id")
+  }
+
+  private def clustersDistributed(p: DataFrame): DataFrame = {
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -175,6 +175,11 @@ class DedupSpec extends SparkSpec {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val got = Dedup.clusters(chain).collect().map(_.getLong(1)).distinct
     assert(got.toSeq == Seq(1L))
+    // the distributed fallback (forced via driverLimit=0) agrees exactly
+    val dist = Dedup.clusters(chain, driverLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == Dedup.clusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
   test("minhashLsh candidates recover the exact dup pair") {
