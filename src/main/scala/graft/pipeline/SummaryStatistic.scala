@@ -22,10 +22,11 @@ import graft.sources.ValidationRules
   *  - QC data range = "Range checks failed: <rule> ('id', ...); ..." /
   *    "OK" / "All values are empty"
   *
-  * Deviations (documented): id lists and factor counts are sorted
-  * (the reference emits first-seen order — nondeterministic under
-  * distributed execution); violated checks print in rule-declaration
-  * order with the `Type is Numerical` rule last.
+  * Id lists and factor counts are sorted (the reference emits first-seen
+  * order; the golden fixture's lists are sorted, so the outputs agree).
+  * Violated checks print in the reference's first-appearance order —
+  * insertion-ordered map filled row-major, rules in declaration order
+  * within a row — reproduced from (first violating row, rule index).
   *
   * Unparsable non-empty Numerical values count into the mean/SD divisors
   * (VariableStatistic.groovy:149-170 increments notEmptyValuesCount
@@ -47,7 +48,11 @@ object SummaryStatistic {
 
   final case class VariableSpec(name: String, varType: VariableType,
                                 rules: Seq[ValidationRules.Rule]) {
-    def required: Boolean = rules.exists(_.check == ValidationRules.Required)
+    // ID/SUBJ_ID variables are implicitly required (VariableStatistic:
+    // required = type in [ID, SUBJ_ID] || rules contain Required)
+    def required: Boolean =
+      varType == VariableType.Id || varType == VariableType.SubjId ||
+        rules.exists(_.check == ValidationRules.Required)
     def rangeRules: Seq[ValidationRules.Rule] =
       rules.filter(_.check != ValidationRules.Required)
   }
@@ -86,10 +91,13 @@ object SummaryStatistic {
 
   /** Compute the report rows for one file's wide frame. `idCol` is the
     * subject-id column used in violation lists. */
-  def forFile(fileName: String, df: DataFrame, idCol: String,
+  def forFile(fileName: String, dfIn: DataFrame, idCol: String,
               vars: Seq[VariableSpec]): Seq[Row] = {
     def nonEmpty(c: Column) = length(coalesce(c, lit(""))) > 0
     val peer: String => Column = name => col(name)
+    // file row order, for the reference's first-appearance violation
+    // ordering (single-file frame: ids ascend in file order)
+    val df = dfIn.withColumn("__row", monotonically_increasing_id())
 
     // --- single aggregate pass over the file
     var aggs = Vector[Column](count(lit(1)).as("__total"))
@@ -105,11 +113,14 @@ object SummaryStatistic {
         aggs :+= sort_array(collect_list(d)).as(s"vals_$i")
         aggs :+= sort_array(collect_list(
           when(nonEmpty(value) && d.isNull, col(idCol)))).as(s"typeviol_$i")
+        aggs :+= min(when(nonEmpty(value) && d.isNull, col("__row")))
+          .as(s"typeviolrow_$i")
       }
       v.rules.zipWithIndex.foreach { case (r, j) =>
-        aggs :+= sort_array(collect_list(
-          when(ValidationRules.violates(r, value, peer), col(idCol))))
+        val bad = ValidationRules.violates(r, value, peer)
+        aggs :+= sort_array(collect_list(when(bad, col(idCol))))
           .as(s"viol_${i}_$j")
+        aggs :+= min(when(bad, col("__row"))).as(s"violrow_${i}_$j")
       }
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -175,15 +186,23 @@ object SummaryStatistic {
         if (v.varType == VariableType.Numerical)
           row.getAs[scala.collection.Seq[String]](s"typeviol_$i").toSeq
         else Seq.empty
-      val violatedRanges = v.rules.zipWithIndex
+      // first-appearance ordering: the reference's violatedRangeChecks is
+      // an insertion-ordered map filled row-major, rules in declaration
+      // order within a row — reproduce via (first violating row, rule idx);
+      // the type check runs during value collection, before range rules
+      val ranged = v.rules.zipWithIndex
         .filter(_._1.check != ValidationRules.Required)
         .flatMap { case (r, j) =>
           val ids = violIds(j)
-          if (ids.isEmpty) None else Some(s"${r.source} (${idList(ids)})")
+          if (ids.isEmpty) None
+          else Some((row.getAs[Long](s"violrow_${i}_$j"), j,
+            s"${r.source} (${idList(ids)})"))
         } ++
         (if (typeViolIds.nonEmpty)
-          Seq(s"Type is Numerical (${idList(typeViolIds)})")
+          Seq((row.getAs[Long](s"typeviolrow_$i"), -1,
+            s"Type is Numerical (${idList(typeViolIds)})"))
         else Seq.empty)
+      val violatedRanges = ranged.sortBy(t => (t._1, t._2)).map(_._3)
       val qcRange =
         if (n == 0) "All values are empty"
         else if (v.rangeRules.isEmpty) ""

@@ -135,5 +135,9 @@ object TsvReader {
     * shape — ClinicalDataProcessor.groovy:199-201,301-331). */
   def writeTsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite")
-      .option("sep", "\t").option("header", "true").csv(path)
+      .option("sep", "\t").option("header", "true")
+      // commons-csv TDF semantics: embedded quotes double ("" not \"),
+      // empty cells stay truly empty (Spark's default writes "")
+      .option("escape", "\"").option("emptyValue", "")
+      .csv(path)
 }

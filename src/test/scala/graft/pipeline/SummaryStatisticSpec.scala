@@ -35,8 +35,10 @@ class SummaryStatisticSpec extends SparkSpec {
       "25.0", "25.0", "20.0", "10.0", "40.0", "12.909944", "",
       "Yes", ">15; 10-35; >25, when \"Sex\" is equal to \"Male\"",
       "1 missing ('S5')",
-      "Range checks failed: >15 ('S1'); 10-35 ('S4'); " +
-        ">25, when \"Sex\" is equal to \"Male\" ('S1')"))
+      // first-appearance order: S1 violates >15 and the conditional rule
+      // in row 1; 10-35 first violates at S4's row
+      "Range checks failed: >15 ('S1'); " +
+        ">25, when \"Sex\" is equal to \"Male\" ('S1'); 10-35 ('S4')"))
 
     assert(rows(1) == Seq("DEMO.txt", "Sex", "Categorical", "4", "1",
       "", "", "", "", "", "", "Female: 2, Male: 2",
@@ -81,6 +83,46 @@ class SummaryStatisticSpec extends SparkSpec {
       VariableType.Numerical, Seq.empty))
     val r = SummaryStatistic.forFile("F.txt", df, "SUBJ_ID", specs)(0)
     assert(r.getString(15) == "") // hasRangeChecks false -> empty, like the reference
+  }
+
+  test("GSE0 fixture report matches ExpectedSummaryStatistic.txt byte-for-byte") {
+    // ClinicalDataProcessorTest 'it should produce SummaryStatistic.txt':
+    // actualFile.readLines() == expectedFile.readLines() over the real
+    // fixture. Variables are the file columns in mapping order with
+    // SUBJ_ID as the implicit ID variable; names come from the FILE
+    // headers (collectVariableValue uses csvFile.header), types/rules
+    // from the mapping.
+    import graft.sources.{ClinicalMapping, TsvReader}
+    val dir = "/root/reference/fixtures/Test Studies/Test Study_GSE0/ClinicalDataToUpload"
+    val mapping = ClinicalMapping.load(spark, s"$dir/Test Study_GSE0_Mapping_File.txt")
+    val specials = Set("STUDY_ID", "SUBJ_ID", "SITE_ID", "VISIT_NAME", "SAMPLE_ID")
+    val files = mapping.files.map { f =>
+      val header = TsvReader.header(spark, s"$dir/$f")
+      val entries = mapping.forFile(f)
+        .filterNot(e => specials.contains(e.dataLabel.toUpperCase))
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Int]
+      val dataVars = entries.flatMap { e =>
+        if (seen.add(e.colNbr))
+          Some(SummaryStatistic.VariableSpec(header(e.colNbr - 1),
+            e.variableType.getOrElse(ClinicalMapping.VariableType.Text),
+            e.validationRules))
+        else None
+      }
+      val vars = SummaryStatistic.VariableSpec("SUBJ_ID",
+        ClinicalMapping.VariableType.Id, Seq.empty) +: dataVars
+      (f, TsvReader.read(spark, s"$dir/$f"), "SUBJ_ID", vars)
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-golden").toString
+    SummaryStatistic.write(spark, out, files)
+    val written = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val actual = java.nio.file.Files.readAllLines(written.toPath)
+    val expected = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/ExpectedSummaryStatistic.txt"))
+    assert(actual.size == expected.size)
+    actual.toArray.zip(expected.toArray).zipWithIndex.foreach {
+      case ((a, e), i) => assert(a == e, s"line ${i + 1} differs")
+    }
   }
 
   test("report frame writes the reference's 16 tab-separated columns") {
