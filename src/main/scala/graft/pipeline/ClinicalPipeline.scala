@@ -423,20 +423,12 @@ object ClinicalPipeline {
 
   // ----------------------------------------------------------------- build
 
-  /** Dimensions + facts + tree. Surrogate ids: row_number over sorted
-    * natural keys (deterministic; SURVEY §7.3 sequence replacement). */
-  def build(spark: SparkSession, studyId: String, topNode: String,
-            facts: DataFrame): StudyTables = {
-    // distributed deterministic ids (no single-task global window)
-    val patients = graft.core.Ids.denseIds(
-      facts.select(col("usubjid"), col("subj_id")).distinct(),
-      Seq("usubjid"), "patient_num")
-
-    val concepts = graft.core.Ids.denseIds(
-        facts.select(col("leaf_node")).distinct(), Seq("leaf_node"), "concept_id")
-      .withColumn("concept_cd", concat(lit(s"$studyId:"), col("concept_id").cast("string")))
-      .drop("concept_id")
-
+  /** Ontology rebuild from any fact-shaped frame carrying leaf_node (+
+    * valtype_cd / valuetype_cd for the XML stamp): fill-in-tree, visual
+    * attributes, per-leaf metadata XML, study-scoped sourcesystem. The
+    * post-MERGE step runs this over the merged facts — the reference's
+    * i2b2_fill_in_tree + metadata update at the end of every load. */
+  def rebuildTree(studyId: String, topNode: String, facts: DataFrame): DataFrame = {
     val i2b2 = TreeOps.fillInTree(
       facts.select(col("leaf_node")).distinct(), "leaf_node").cache()
     val visuals = TreeOps.visualAttrs(i2b2, "c_fullname")
@@ -453,7 +445,7 @@ object ClinicalPipeline {
       .withColumn("c_metadataxml", graft.functions.MetadataXml.metadataXml(
         lastPathComponent(col("m_path")), col("__dt"), col("__vt")))
       .select(col("m_path"), col("c_metadataxml"))
-    val i2b2WithAttrs = i2b2.join(visuals, i2b2("c_fullname") === visuals("v_path"), "left")
+    i2b2.join(visuals, i2b2("c_fullname") === visuals("v_path"), "left")
       .drop("v_path")
       .join(broadcast(leafMeta), i2b2("c_fullname") === leafMeta("m_path"), "left")
       .drop("m_path")
@@ -465,6 +457,23 @@ object ClinicalPipeline {
       .withColumn("sourcesystem_cd",
         when(col("c_fullname").startsWith(topNode.stripSuffix("\\") + "\\"),
           lit(studyId)))
+  }
+
+  /** Dimensions + facts + tree. Surrogate ids: row_number over sorted
+    * natural keys (deterministic; SURVEY §7.3 sequence replacement). */
+  def build(spark: SparkSession, studyId: String, topNode: String,
+            facts: DataFrame): StudyTables = {
+    // distributed deterministic ids (no single-task global window)
+    val patients = graft.core.Ids.denseIds(
+      facts.select(col("usubjid"), col("subj_id")).distinct(),
+      Seq("usubjid"), "patient_num")
+
+    val concepts = graft.core.Ids.denseIds(
+        facts.select(col("leaf_node")).distinct(), Seq("leaf_node"), "concept_id")
+      .withColumn("concept_cd", concat(lit(s"$studyId:"), col("concept_id").cast("string")))
+      .drop("concept_id")
+
+    val i2b2WithAttrs = rebuildTree(studyId, topNode, facts)
 
     val fact = facts
       .join(patients.select(col("usubjid"), col("patient_num")), "usubjid")
@@ -472,6 +481,8 @@ object ClinicalPipeline {
       .select(
         col("patient_num"), col("concept_cd"), col("leaf_node"), col("leaf_template"),
         col("usubjid"), col("data_label"), col("visit_name"), col("valtype_cd"),
+        (if (facts.columns.contains("valuetype_cd")) col("valuetype_cd")
+         else lit(null).cast("string")).as("valuetype_cd"),
         when(col("valtype_cd") === "T", col("data_value")).otherwise(lit("E")).as("tval_char"),
         when(col("valtype_cd") === "N", tryCastDouble(col("data_value"))).as("nval_num"),
         lit(studyId).as("sourcesystem_cd"))

@@ -195,6 +195,63 @@ class ClinicalPipelineSpec extends SparkSpec {
     assert(xml(s"$tp\\2 days\\").contains("<Value>2880</Value>"))
   }
 
+  test("serial LDD timestamps merge: APPEND keeps old timepoints, new nodes get XML") {
+    // ClinicalDataProcessorTest :995-1056/:1057-1125: a second upload with
+    // later (or earlier) timestamps APPEND-merges; the rebuilt tree holds
+    // both uploads' timepoint nodes with correct SeriesMeta minutes
+    def mappingFor(dir: Path, valueCol: String) = {
+      Files.writeString(dir.resolve("TEST_Mapping_File.txt"),
+        "filename\tcategory_cd\tcol_nbr\tdata_label\tdata_label_source\tvariable_type\tvalidation_rules\tbaseline\n" +
+        "TEST.txt\t\t1\tSTUDY_ID\t\t\t\t\n" +
+        "TEST.txt\t\t2\tSUBJ_ID\t\t\t\t\n" +
+        "TEST.txt\tVars+DATALABEL+$$Timestamp\t3\tTimestamp\t\tTIMESTAMP\t\tBaseline\n" +
+        "TEST.txt\t\t4\tTimestamp\t\tTIMESTAMP\t\t\n" +
+        s"TEST.txt\tVars\t5\t$valueCol\t\t\t\t\n" +
+        "TEST.txt\t\t6\tBaseline\t\t\t\t\n")
+      ClinicalMapping.load(spark, dir.resolve("TEST_Mapping_File.txt").toString)
+    }
+    val top = "\\Test Studies\\Test Study With Serial LDD with timestamp"
+    val dir1 = Files.createTempDirectory("graft-slddm1")
+    Files.writeString(dir1.resolve("TEST.txt"),
+      """STUDY_ID	SUBJ_ID	Days	Timestamp	Sex	Baseline
+        |GSE0SLDDWTS	SUBJ1	0	2000-12-31 12:00	Female	2000-12-31 12:00
+        |GSE0SLDDWTS	SUBJ1	10	2000-12-31 12:01	Female	2000-12-31 12:00
+        |GSE0SLDDWTS	SUBJ2	5	2000-12-31 12:00	Male	2000-12-31 12:00
+        |""".stripMargin)
+    val t1 = ClinicalPipeline.run(spark, "GSE0SLDDWTS", top,
+      mappingFor(dir1, "Sex"),
+      Map("TEST.txt" -> TsvReader.read(spark, dir1.resolve("TEST.txt").toString)))
+
+    val dir2 = Files.createTempDirectory("graft-slddm2")
+    Files.writeString(dir2.resolve("TEST.txt"),
+      """STUDY_ID	SUBJ_ID	Days	Timestamp	Race	Baseline
+        |GSE0SLDDWTS	SUBJ1	0	2000-12-31 13:00	One	2000-12-31 12:00
+        |GSE0SLDDWTS	SUBJ1	12	2000-12-31 14:00	One	2000-12-31 12:00
+        |GSE0SLDDWTS	SUBJ2	5	2000-12-31 13:00	Two	2000-12-31 12:00
+        |""".stripMargin)
+    val t2 = ClinicalPipeline.run(spark, "GSE0SLDDWTS", top,
+      mappingFor(dir2, "Race"),
+      Map("TEST.txt" -> TsvReader.read(spark, dir2.resolve("TEST.txt").toString)))
+
+    val merged = MergeModes.append(t1.observationFact, t2.observationFact,
+      "GSE0SLDDWTS")
+    val tp = s"$top\\Vars\\Timestamp"
+    val leaves = merged.select("leaf_node").distinct()
+      .collect().map(_.getString(0)).toSet
+    // old timepoints survive the APPEND, new ones arrive
+    assert(leaves.contains(s"$tp\\Baseline\\"))
+    assert(leaves.contains(s"$tp\\1 minute\\"))
+    assert(leaves.contains(s"$tp\\1 hour\\"))
+    assert(leaves.contains(s"$tp\\2 hours\\"))
+    // the post-merge ontology rebuild stamps the new nodes' minutes
+    val xml = ClinicalPipeline.rebuildTree("GSE0SLDDWTS", top, merged)
+      .collect().map(r => r.getAs[String]("c_fullname") ->
+        r.getAs[String]("c_metadataxml")).toMap
+    assert(xml(s"$tp\\1 hour\\").contains("<Value>60</Value>"))
+    assert(xml(s"$tp\\2 hours\\").contains("<Value>120</Value>"))
+    assert(xml(s"$tp\\Baseline\\").contains("<Value>0</Value>"))
+  }
+
   test("different values for different patients share a node; label-source B appends") {
     // ClinicalDataProcessorTest :484-546: a terminator text variable
     // WITHOUT DATAVALUE keeps per-patient tval facts on ONE node; a
