@@ -16,6 +16,15 @@ import graft.functions.VectorExpressions.{DotProduct, L2Norm}
   * needs today (SURVEY §4: no custom physical operators required).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import graft.functions.TextHash
+
+  // int parameters arrive as literal expressions in SQL calls
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
@@ -25,5 +34,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
       (children: Seq[Expression]) => L2Norm(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[TextHash.SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => TextHash.SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[TextHash.WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) =>
+        TextHash.WordShingles(children(0), intArg(children(1), "graft_shingles"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[TextHash.MinHashHex].getName, "graft_minhash"),
+      (children: Seq[Expression]) => TextHash.MinHashHex(children(0),
+        intArg(children(1), "graft_minhash"), intArg(children(2), "graft_minhash"))))
   }
 }

@@ -9,6 +9,8 @@ object SparkTestSession {
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-test")
+      // the engine's SQL surface loads the way production sessions do
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

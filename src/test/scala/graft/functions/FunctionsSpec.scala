@@ -132,3 +132,28 @@ class StatAggregatorsSpec extends SparkSpec {
     assert((r2.getDouble(0), r2.getDouble(1), r2.getDouble(2)) == (2.5, 4.5, 6.5))
   }
 }
+
+/** The SparkSessionExtensions SQL surface: every registered native
+  * expression callable from spark.sql, matching its Column-API twin. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_* SQL functions resolve and match the Column API") {
+    Seq((1L, "the quick brown fox jumps", Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("id", "text", "a", "b").createOrReplaceTempView("gx")
+    val r = spark.sql(
+      """SELECT graft_dot(a, b) AS d, graft_l2norm(a) AS n,
+        |  graft_simhash64(text) AS sh, graft_shingles(text, 3) AS sg,
+        |  graft_minhash(text, 3, 4) AS mh FROM gx""".stripMargin).collect()(0)
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(math.abs(r.getAs[Double]("n") - math.sqrt(5.0)) < 1e-12)
+    val viaColumn = Seq("the quick brown fox jumps").toDF("text")
+      .select(graft.functions.TextHash.simhash64($"text").as("sh"),
+        graft.functions.TextHash.shingles($"text", 3).as("sg"),
+        graft.functions.TextHash.minhash($"text", 3, 4).as("mh"))
+      .collect()(0)
+    assert(r.getAs[String]("sh") == viaColumn.getAs[String]("sh"))
+    assert(r.getSeq[String](r.fieldIndex("sg")) == viaColumn.getSeq[String](1))
+    assert(r.getSeq[String](r.fieldIndex("mh")) == viaColumn.getSeq[String](2))
+  }
+}
