@@ -75,3 +75,41 @@ class TimepointPropertySpec extends AnyFunSuite {
     }
   }
 }
+
+class TextHashPropertySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta",
+    "x", "y", "zz", "多字", "mots")
+  private val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+
+  test("native minhash equals the relational signature build on random texts") {
+    val texts = Gens.samples(textGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val native = df.select($"doc_id", TextHash.minhash($"text", 2, 6).as("mh"))
+      .filter($"mh".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val relational = graft.operators.Dedup.minhashSignatures(
+        graft.operators.Dedup.docShingles(df, "doc_id", "text", 2), 6)
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getString).toList).toMap
+    assert(native == relational)
+  }
+
+  test("repetition in [0,1]; simhash invariant under whitespace runs") {
+    val texts = Gens.samples(textGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val reps = df.select(
+      graft.operators.TextAnalysis.repetitionScore($"text", 3).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(reps.forall(r => r >= 0.0 && r <= 1.0))
+    val pairs = df
+      .select($"doc_id",
+        TextHash.simhash64($"text").as("a"),
+        TextHash.simhash64(regexp_replace($"text", " ", "   ")).as("b"))
+      .filter($"a".isNotNull).collect()
+    pairs.foreach(r => assert(r.getString(1) == r.getString(2)))
+  }
+}
