@@ -107,6 +107,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Contact-information signals — the corpus-safety pass that feeds PII
+    * scrubbing/filtering decisions: per-document counts of email-like,
+    * URL-like and long-digit-run spans. Pure regexp_count projections
+    * (codegen'd), so the scan composes with any other per-doc signal; the
+    * REDACTION itself is the same regex in regexp_replace, kept separate
+    * so counting never mutates the corpus. */
+  def contactSignals(text: Column): Column = struct(
+    regexp_count(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+      .as("n_emails"),
+    regexp_count(text, lit("https?://[^\\s]+")).as("n_urls"),
+    regexp_count(text, lit("[0-9]{7,}")).as("n_long_digit_runs"))
+
+  /** Redact the matched contact spans with a fixed token (same regexes as
+    * [[contactSignals]]). */
+  def redactContacts(text: Column, token: String = "<REDACTED>"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", token),
+        "https?://[^\\s]+", token),
+      "[0-9]{7,}", token)
+
   /** Within-document n-gram repetition (the Gopher-report style quality
     * signal): the share of a document's n-gram OCCURRENCES that repeat an
     * earlier n-gram — 1 - distinct/total, 0 for docs shorter than n

@@ -221,6 +221,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("contact signals count and redact emails, urls, digit runs") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@ex-1.org or see https://x.io/p?q=1 call 12345678"),
+      (2L, "nothing to see here 123")).toDF("doc_id", "text")
+    val sig = df.select($"doc_id",
+      TextAnalysis.contactSignals($"text").as("s"))
+      .select($"doc_id", $"s.n_emails", $"s.n_urls", $"s.n_long_digit_runs")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(sig(1L) == ((1, 1, 1)))
+    assert(sig(2L) == ((0, 0, 0)))
+    val red = df.filter($"doc_id" === 1L)
+      .select(TextAnalysis.redactContacts($"text").as("t"))
+      .collect()(0).getString(0)
+    assert(red == "mail me at <REDACTED> or see <REDACTED> call <REDACTED>")
+  }
+
   test("repetition score: distinct-over-total n-grams, short docs zero") {
     val df = Seq(
       (1L, "a b c a b c a b c"),   // 7 trigrams, 3 distinct -> 4/7
