@@ -359,13 +359,18 @@ object ClinicalPipeline {
       // 8. timestamp series (SQL:762-767): a baselined leaf's last
       //    component — the raw timestamp the $$-tag substituted in — is
       //    rendered as a timepoint label relative to the row's baseline,
-      //    and the variable becomes a TIMEPOINT concept
-      .withColumn("leaf_node",
+      //    and the variable becomes a TIMEPOINT concept. An unparseable
+      //    component keeps its leaf (the reference would abort the load;
+      //    nulling the leaf would silently drop the row's facts)
+      .withColumn("__tp",
         when(col("baseline_value").isNotNull,
-          replaceLastPathComponent(col("leaf_node"),
-            graft.functions.TimeFunctions.timestampToTimepoint(
-              lastPathComponent(col("leaf_node")), col("baseline_value"))))
+          graft.functions.TimeFunctions.timestampToTimepoint(
+            lastPathComponent(col("leaf_node")), col("baseline_value"))))
+      .withColumn("leaf_node",
+        when(col("__tp").isNotNull,
+          replaceLastPathComponent(col("leaf_node"), col("__tp")))
           .otherwise(col("leaf_node")))
+      .drop("__tp")
       .withColumn("valuetype_cd",
         when(col("baseline_value").isNotNull, lit("TIMEPOINT"))
           .otherwise(col("valuetype_cd")))
