@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
 object TimeFunctions {
 
   /** Render a signed whole-second difference as the reference's timepoint
-    * label. */
+    * label. Null-propagating: a null diff (unparseable timestamp) yields
+    * null, not '' — callers' isNotNull fallback guards rely on this. */
   def timepointLabel(diffSeconds: Column): Column = {
     val neg = diffSeconds < 0
     val secs = abs(diffSeconds)
@@ -34,8 +35,9 @@ object TimeFunctions {
 
     val prefix = when(diffSeconds === 0, lit("Baseline"))
       .otherwise(when(neg, lit("-")).otherwise(lit("")))
-    trim(concat(prefix,
-      comp(d, "day"), comp(h, "hour"), comp(m, "minute"), comp(sec, "second")))
+    when(diffSeconds.isNotNull,
+      trim(concat(prefix,
+        comp(d, "day"), comp(h, "hour"), comp(m, "minute"), comp(sec, "second"))))
   }
 
   /** Reference-parity API: 'yyyy-MM-dd HH:mm:ss' strings; Postgres'

@@ -31,9 +31,12 @@ object SecurityOps {
       .withColumn("valtype_cd", lit("T"))
       .withColumn("tval_char", lit(token))
       .withColumn("sourcesystem_cd", lit(studyId))
+    // null-safe: a row with a null concept_cd or sourcesystem_cd makes the
+    // conjunction NULL, and plain NOT(NULL) would silently drop it — only
+    // rows that definitely ARE this trial's SECURITY facts may go
     observationFact
-      .filter(!(col("concept_cd") === "SECURITY" &&
-        col("sourcesystem_cd") === studyId))
+      .filter(not(coalesce(col("concept_cd") === "SECURITY" &&
+        col("sourcesystem_cd") === studyId, lit(false))))
       .unionByName(fresh, allowMissingColumns = true)
   }
 

@@ -102,16 +102,28 @@ object StudyOps {
 
   final case class MoveResult(star: Star, error: Option[String])
 
+  /** Existence flags for a bounded candidate set — one filtered aggregate
+    * instead of collecting the whole ontology to the driver (the candidate
+    * list is a handful of probe paths; the `i2b2` table at warehouse scale
+    * is tens of millions of rows and must never be collected). */
+  private def existingPaths(i2b2: DataFrame, candidates: Iterable[String]): Set[String] = {
+    val cs = candidates.toSeq.distinct
+    if (cs.isEmpty) Set.empty
+    else i2b2.filter(col("c_fullname").isInCollection(cs))
+      .select(col("c_fullname")).distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
   /** The full move: validations -> optional keep-security transplant (incl.
     * deleting the occupying study) -> root-node management -> prefix
     * rewrite + c_name/level renumber. */
   def moveStudyByPath(spark: SparkSession, star: Star,
                       oldPathIn: String, newPathIn: String,
                       saveSecurity: Boolean = false): MoveResult = {
-    val paths = star.i2b2.select(col("c_fullname")).distinct()
-      .collect().map(_.getString(0)).toSet
     val oldPath = normalizeInputPath(oldPathIn.trim)
     val newPath = normalizeInputPath(newPathIn.trim)
+    // the validations only probe these two paths
+    val paths = existingPaths(star.i2b2, Seq(oldPath, newPath))
 
     // trial from the ontology row's sourcesystem_cd (the reference reads
     // i2b2, not concept_dimension — a moved sub-node can be a FOLDER that
@@ -177,17 +189,14 @@ object StudyOps {
     // target-exists check AFTER the keep-security delete (reference
     // :219-236): legal only when the target no longer exists or is a
     // prefix of the old path
-    val pathsAfter =
-      if (afterSecurity eq star) paths
-      else afterSecurity.i2b2.select(col("c_fullname")).distinct()
-        .collect().map(_.getString(0)).toSet
+    val oldRoot = rootNode(oldPath)
+    val newRoot = rootNode(newPath)
+    val pathsAfter = existingPaths(afterSecurity.i2b2, Seq(newPath, newRoot))
     if (pathsAfter.contains(newPath) && !oldPath.contains(newPath))
       return MoveResult(star, Some("Study target path is already exists"))
 
     // root-node management (reference :238-308): create the new root when
     // absent; drop the old root when the moved subtree was its only child
-    val oldRoot = rootNode(oldPath)
-    val newRoot = rootNode(newPath)
     val withNewRoot =
       if (pathsAfter.contains(newRoot)) afterSecurity
       else {
@@ -206,8 +215,12 @@ object StudyOps {
             rootRow.select(col("c_fullname")), allowMissingColumns = true))
       }
 
-    val otherChildren = pathsAfter.count(p =>
-      p.startsWith(oldRoot) && !p.startsWith(oldPath))
+    // 'was the moved subtree the old root's only child?' — only the
+    // 1-vs-more distinction matters, so probe at most 2 rows
+    val otherChildren = afterSecurity.i2b2
+      .filter(col("c_fullname").startsWith(oldRoot) &&
+        !col("c_fullname").startsWith(oldPath))
+      .select(col("c_fullname")).distinct().limit(2).count()
     val afterRootGc =
       if (oldRoot != newRoot && otherChildren == 1) // only the root itself
         withNewRoot.copy(
@@ -247,13 +260,15 @@ object StudyOps {
     // levels bottom-up (the delete-1-node loop at :463-489); deeper levels
     // fall first so a parent can become empty in the same pass
     import spark.implicits._
-    val movedPaths = moved.i2b2.select(col("c_fullname")).distinct()
-      .collect().map(_.getString(0)).toSet
     def properAncestors(p: String): Seq[String] = {
       val parts = p.stripPrefix("\\").stripSuffix("\\").split("\\\\")
       (1 until parts.length).map(i => "\\" + parts.take(i).mkString("\\") + "\\")
     }
-    val missing = properAncestors(newPath).filterNot(movedPaths.contains)
+    val missing = {
+      val anc = properAncestors(newPath)
+      val present = existingPaths(moved.i2b2, anc)
+      anc.filterNot(present)
+    }
     val filled =
       if (missing.isEmpty) moved
       else moved.copy(
@@ -264,13 +279,31 @@ object StudyOps {
             .withColumn("c_tooltip", col("c_fullname"))
             .withColumn("sourcesystem_cd", lit(null).cast("string")),
           allowMissingColumns = true))
-    val empties = properAncestors(oldPath).reverse
-      .foldLeft((Set.empty[String], movedPaths ++ missing)) {
-        case ((del, cur), a) =>
-          if (cur.contains(a) && !cur.exists(p => p != a && p.startsWith(a)))
-            (del + a, cur - a)
-          else (del, cur)
-      }._1
+    // per-ancestor (exists, distinct-descendant count) in ONE aggregate
+    // over the rewritten ontology — the chain is path-depth-bounded, so
+    // this stays a single narrow job at any table size
+    val ancOld = properAncestors(oldPath)
+    val empties =
+      if (ancOld.isEmpty) Set.empty[String]
+      else {
+        val aggs = ancOld.zipWithIndex.flatMap { case (a, i) =>
+          Seq(
+            coalesce(max(when(col("c_fullname") === a, 1).otherwise(0)), lit(0)).as(s"e$i"),
+            count_distinct(when(col("c_fullname").startsWith(a) &&
+              col("c_fullname") =!= a, col("c_fullname"))).as(s"d$i"))
+        }
+        val r = filled.i2b2.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val stats = ancOld.zipWithIndex.map { case (a, i) =>
+          a -> ((r.getAs[Int](s"e$i") == 1, r.getAs[Long](s"d$i")))
+        }.toMap
+        // deepest first: a deleted deeper level no longer counts as its
+        // parent's descendant, so a parent can empty out in the same pass
+        ancOld.reverse.foldLeft(Set.empty[String]) { (del, a) =>
+          val (exists, desc) = stats(a)
+          val remaining = desc - del.count(d => d != a && d.startsWith(a))
+          if (exists && remaining == 0) del + a else del
+        }
+      }
     val result =
       if (empties.isEmpty) filled
       else filled.copy(

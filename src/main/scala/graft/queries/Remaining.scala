@@ -37,8 +37,14 @@ object Remaining {
     val e = t(s, dir, "events")
       .select(col("event_id"), col("event_type"),
         get_json_object(col("props"), "$.k").as("visit_name"))
-    val w = Window.partitionBy(col("event_type"))
-    e.withColumn("n_visits", size(collect_set(col("visit_name")).over(w)))
+    // The reference's shape is a group-HAVING (SQL:342-369), not a per-row
+    // window: one map-side-combinable countDistinct per category, joined
+    // back broadcast — no per-row collect_set materialization, no skew on
+    // a hot category key.
+    val counts = broadcast(
+      e.groupBy(col("event_type").as("__et"))
+        .agg(countDistinct(col("visit_name")).as("n_visits")))
+    e.join(counts, col("event_type") <=> col("__et"), "left")
       .withColumn("visit_name_out",
         when(col("n_visits") === 1, lit(null).cast("string"))
           .when(col("visit_name") === col("event_type"), lit(null).cast("string"))

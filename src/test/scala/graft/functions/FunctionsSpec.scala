@@ -105,6 +105,19 @@ class TimeFunctionsSpec extends SparkSpec {
     val df = Seq(("2024-01-03 10:30:00", "2024-01-01 10:30:00")).toDF("ts", "base")
     assert(df.select(timestampToTimepoint($"ts", $"base")).collect()(0).getString(0) == "2 days")
   }
+
+  test("unparseable component yields null, not '' (guards key on isNotNull)") {
+    val df = Seq(
+      ("not a ts", "2024-01-01 10:30:00"),
+      ("2024-01-03 10:30:00", "garbage"),
+      (null, "2024-01-01 10:30:00")).toDF("ts", "base")
+    val got = df.select(timestampToTimepoint($"ts", $"base").as("r"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(None, None, None))
+    val lbl = Seq[Option[Long]](None).toDF("s")
+      .select(timepointLabel($"s")).collect()(0)
+    assert(lbl.isNullAt(0))
+  }
 }
 
 class StatAggregatorsSpec extends SparkSpec {

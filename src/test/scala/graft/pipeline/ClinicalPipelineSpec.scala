@@ -145,6 +145,35 @@ class ClinicalPipelineSpec extends SparkSpec {
       !xml(s"$top\\Vars\\Sex\\Female\\").contains("SeriesMeta"))
   }
 
+  test("unparseable timestamp component keeps its raw leaf (no silent fact loss)") {
+    // An unparseable $$Timestamp value must NOT collapse the leaf's last
+    // component to '' (which would orphan the row's facts from the tree);
+    // the raw value stays as the leaf component.
+    val dir = Files.createTempDirectory("graft-sldd-bad")
+    Files.writeString(dir.resolve("TEST.txt"),
+      """STUDY_ID	SUBJ_ID	Days	Timestamp	Baseline
+        |GSE0BADTS	SUBJ1	1	2000-12-31 12:01	2000-12-31 12:00
+        |GSE0BADTS	SUBJ2	2	not a timestamp	2000-12-31 12:00
+        |""".stripMargin)
+    Files.writeString(dir.resolve("TEST_Mapping_File.txt"),
+      "filename\tcategory_cd\tcol_nbr\tdata_label\tdata_label_source\tvariable_type\tvalidation_rules\tbaseline\n" +
+      "TEST.txt\t\t1\tSTUDY_ID\t\t\t\t\n" +
+      "TEST.txt\t\t2\tSUBJ_ID\t\t\t\t\n" +
+      "TEST.txt\tVars+DATALABEL+$$Timestamp\t3\tTimestamp\t\tTIMESTAMP\t\tBaseline\n" +
+      "TEST.txt\t\t4\tTimestamp\t\tTIMESTAMP\t\t\n" +
+      "TEST.txt\t\t5\tBaseline\t\t\t\t\n")
+    val mapping = ClinicalMapping.load(spark, dir.resolve("TEST_Mapping_File.txt").toString)
+    val data = TsvReader.read(spark, dir.resolve("TEST.txt").toString)
+    val top = "\\Test Studies\\Bad Timestamp"
+    val t = ClinicalPipeline.run(spark, "GSE0BADTS", top,
+      mapping, Map("TEST.txt" -> data))
+    val leaves = t.observationFact.select("leaf_node").collect().map(_.getString(0)).toSet
+    assert(leaves.contains(s"$top\\Vars\\Timestamp\\1 minute\\"))
+    // the bad row keeps its raw component — and no malformed '\\\\'-ended leaf
+    assert(leaves.contains(s"$top\\Vars\\Timestamp\\not a timestamp\\"))
+    assert(!leaves.exists(_.endsWith("\\\\")))
+  }
+
   test("serial LDD with timepoint labels replays: label nodes, minutes XML") {
     // ClinicalDataProcessorTest 'it should load Serial LDD data' (:679-742):
     // the $$Timepoint tag substitutes the label column directly; TIMEPOINT
