@@ -94,6 +94,8 @@ object SparkEntry {
     "annotation_registry" -> (OmicsQueries.annotationRegistry _),
     "load_samples_mapping" -> (OmicsQueries.loadSamplesMapping _),
     "load_samples_facts" -> (OmicsQueries.loadSamplesFacts _),
+    "chrom_region" -> (OmicsQueries.chromRegion _),
+    "acgh_facts" -> (OmicsQueries.acghFacts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +103,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.treeAndEav ++ Oracles.statsAndTime ++
       Oracles.trainingData ++ Oracles.remaining ++ Oracles.merges ++
-      Oracles.sourcesAndOps
+      Oracles.sourcesAndOps ++ Oracles.omicsDeep
 }

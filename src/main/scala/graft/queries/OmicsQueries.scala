@@ -104,4 +104,112 @@ object OmicsQueries {
   /** Per-sample category facts (observation_fact rows). */
   def loadSamplesFacts(s: SparkSession, dir: String): DataFrame =
     loadSamples(s, dir).sampleFacts
+
+  // ---- I2B2_LOAD_CHROM_REGION inputs: parts play staged regions (nulls
+  // ---- seeded into gene_symbol/gene_id to exercise both backfills),
+  // ---- nations play the pre-existing registry (even keys = the reloaded
+  // ---- platform, to be replaced; odd keys = another platform, kept).
+
+  private def chromStaged(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      lit("GPL_A").as("gpl_id"),
+      concat(lit("R"), col("p_partkey").cast("string")).as("region_name"),
+      ((col("p_partkey") % 22) + 1).cast("string").as("chromosome"),
+      (col("p_partkey") * 1000).cast("int").as("start_bp"),
+      (col("p_partkey") * 1000 + 999).cast("int").as("end_bp"),
+      col("p_size").cast("int").as("num_probes"),
+      col("p_brand").as("cytoband"),
+      when(col("p_partkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("G"), (col("p_partkey") % 50).cast("string")))
+        .as("gene_symbol"),
+      when(col("p_partkey") % 3 === 0, lit(null).cast("long"))
+        .otherwise((col("p_partkey") % 200).cast("long")).as("gene_id"),
+      when(col("p_partkey") % 4 === 0, lit("HOMO SAPIENS"))
+        .otherwise(lit("Homo Sapiens")).as("organism"))
+
+  private def chromExisting(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select(
+      (col("n_nationkey") + 1000).cast("long").as("region_id"),
+      when(col("n_nationkey") % 2 === 0, lit("GPL_A")).otherwise(lit("GPL_B"))
+        .as("gpl_id"),
+      col("n_name").as("region_name"),
+      lit(null).cast("string").as("chromosome"),
+      lit(null).cast("int").as("start_bp"),
+      lit(null).cast("int").as("end_bp"),
+      lit(null).cast("int").as("num_probes"),
+      lit(null).cast("string").as("cytoband"),
+      lit(null).cast("string").as("gene_symbol"),
+      lit(null).cast("long").as("gene_id"),
+      lit("Homo Sapiens").as("organism"))
+
+  /** The de_chromosomal_region registry after an i2b2_load_chrom_region
+    * run: platform replace + both gene backfills + deterministic ids. */
+  def chromRegion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gplInfo = Seq(("GPL_A", "stale title", "Homo Sapiens", "Chromosomal", ""))
+      .toDF("platform", "title", "organism", "marker_type", "release_nbr")
+    graft.pipeline.ChromRegion.load(s, chromStaged(s, dir),
+      chromExisting(s, dir), gplInfo, bioMarkers(s, dir),
+      platformTitle = "Chromosomal Chip A").regions
+  }
+
+  // ---- I2B2_PROCESS_ACGH_DATA: suppliers play samples, parts play
+  // ---- regions, lineitem plays the melted 7-metric matrix.
+
+  private def acghSampleMap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").select(
+      lit("TPCH").as("study_id"),
+      lit(null).cast("string").as("site_id"),
+      col("s_name").as("subject_id"),
+      col("s_name").as("sample_cd"),
+      lit("GPL_A").as("platform"),
+      lit("Ovary").as("tissue_type"),
+      lit(null).cast("string").as("attribute_1"),
+      lit(null).cast("string").as("attribute_2"),
+      lit("Biomarker_Data+Chrom+PLATFORM+TISSUETYPE").as("category_cd"),
+      lit("STD").as("source_cd"))
+
+  private def acghMelted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").select(col("p_partkey"),
+        concat(lit("R"), col("p_partkey").cast("string")).as("region_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("region_name"), col("s_name").as("expr_id"),
+        col("l_quantity").cast("string").as("chip"),
+        col("l_discount").cast("string").as("segmented"),
+        (col("l_linenumber") % 2).cast("string").as("flag"),
+        col("l_tax").cast("string").as("probloss"),
+        (col("l_quantity") + 1).cast("string").as("probnorm"),
+        col("l_discount").cast("string").as("probgain"),
+        col("l_tax").cast("string").as("probamp"))
+
+  /** The de_subject_acgh_data build E2E: chromosomal node machinery ->
+    * sample mapping with deterministic assay ids -> region facts. */
+  def acghFacts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gplInfo = Seq(("GPL_A", "Chip Alpha", "Homo Sapiens", "Chromosomal", ""))
+      .toDF("platform", "title", "organism", "marker_type", "release_nbr")
+    val regions = t(s, dir, "part").select(
+      col("p_partkey").cast("long").as("region_id"),
+      lit("GPL_A").as("gpl_id"),
+      concat(lit("R"), col("p_partkey").cast("string")).as("region_name"))
+    val patients = t(s, dir, "supplier").select(
+      (col("s_suppkey") + 5000).cast("long").as("patient_num"),
+      graft.functions.CleansingFunctions.usubjid(
+        lit("TPCH"), lit(""), col("s_name")).as("sourcesystem_cd"))
+    val out = graft.pipeline.AcghPipeline.run(s, "TPCH", "\\Studies\\TPCH\\",
+      acghSampleMap(s, dir), acghMelted(s, dir), regions, gplInfo, patients)
+    out.regionFacts.select(
+      col("partition_id"), col("region_id"), col("assay_id"), col("patient_id"),
+      col("trial_name"),
+      (round(col("chip"), 4) + lit(0.0)).as("chip"),
+      (round(col("segmented"), 4) + lit(0.0)).as("segmented"),
+      col("flag"),
+      (round(col("probloss"), 4) + lit(0.0)).as("probloss"),
+      (round(col("probnorm"), 4) + lit(0.0)).as("probnorm"),
+      (round(col("probgain"), 4) + lit(0.0)).as("probgain"),
+      (round(col("probamp"), 4) + lit(0.0)).as("probamp"))
+  }
 }

@@ -1330,4 +1330,95 @@ object Oracles {
         |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
         |GROUP BY 1""".stripMargin,
   )
+
+  /** Deep-omics round 5: the chromosomal-region registry
+    * (I2B2_LOAD_CHROM_REGION) and the aCGH fact build
+    * (I2B2_PROCESS_ACGH_DATA), mirroring OmicsQueries' synthesized
+    * inputs. */
+  val omicsDeep: Map[String, String] = Map(
+    "chrom_region" ->
+      """WITH staged AS (
+        |  SELECT 'GPL_A' AS gpl_id, 'R' || p_partkey AS region_name,
+        |    CAST((p_partkey % 22) + 1 AS VARCHAR) AS chromosome,
+        |    CAST(p_partkey * 1000 AS INT) AS start_bp,
+        |    CAST(p_partkey * 1000 + 999 AS INT) AS end_bp,
+        |    p_size AS num_probes, p_brand AS cytoband,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL
+        |         ELSE 'G' || (p_partkey % 50) END AS gene_symbol,
+        |    CASE WHEN p_partkey % 3 = 0 THEN NULL
+        |         ELSE CAST(p_partkey % 200 AS BIGINT) END AS gene_id,
+        |    CASE WHEN p_partkey % 4 = 0 THEN 'HOMO SAPIENS'
+        |         ELSE 'Homo Sapiens' END AS organism
+        |  FROM part),
+        |kept AS (
+        |  SELECT CAST(n_nationkey + 1000 AS BIGINT) AS region_id,
+        |    'GPL_B' AS gpl_id, n_name AS region_name,
+        |    CAST(NULL AS VARCHAR) AS chromosome, CAST(NULL AS INT) AS start_bp,
+        |    CAST(NULL AS INT) AS end_bp, CAST(NULL AS INT) AS num_probes,
+        |    CAST(NULL AS VARCHAR) AS cytoband, CAST(NULL AS VARCHAR) AS gene_symbol,
+        |    CAST(NULL AS BIGINT) AS gene_id, 'Homo Sapiens' AS organism
+        |  FROM nation WHERE n_nationkey % 2 <> 0),
+        |gonly AS (
+        |  SELECT 'G' || (s_suppkey % 50) AS bio_marker_name,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN 'HOMO SAPIENS' ELSE 'Mus musculus' END AS organism,
+        |    CAST(s_suppkey % 200 AS VARCHAR) AS primary_external_id
+        |  FROM supplier WHERE s_suppkey % 10 <> 0),
+        |idbysym AS (
+        |  SELECT bio_marker_name AS sym, upper(organism) AS org,
+        |    min(CAST(primary_external_id AS BIGINT)) AS gid
+        |  FROM gonly GROUP BY 1, 2),
+        |symbyid AS (
+        |  SELECT CAST(primary_external_id AS BIGINT) AS gid, upper(organism) AS org,
+        |    min(bio_marker_name) AS sym
+        |  FROM gonly GROUP BY 1, 2),
+        |withids AS (
+        |  SELECT s.gpl_id, s.region_name, s.chromosome, s.start_bp, s.end_bp,
+        |    s.num_probes, s.cytoband, s.gene_symbol,
+        |    coalesce(s.gene_id, i.gid) AS gene_id, s.organism
+        |  FROM staged s LEFT JOIN idbysym i
+        |    ON s.gene_id IS NULL AND s.gene_symbol IS NOT NULL
+        |   AND s.gene_symbol = i.sym AND upper(s.organism) = i.org),
+        |backfilled AS (
+        |  SELECT w.gpl_id, w.region_name, w.chromosome, w.start_bp, w.end_bp,
+        |    w.num_probes, w.cytoband,
+        |    coalesce(w.gene_symbol, s2.sym) AS gene_symbol, w.gene_id, w.organism
+        |  FROM withids w LEFT JOIN symbyid s2
+        |    ON w.gene_symbol IS NULL AND w.gene_id IS NOT NULL
+        |   AND w.gene_id = s2.gid AND upper(w.organism) = s2.org)
+        |SELECT region_id, gpl_id, region_name, chromosome, start_bp, end_bp,
+        |  num_probes, cytoband, gene_symbol, gene_id, organism
+        |FROM kept
+        |UNION ALL
+        |SELECT (SELECT coalesce(max(region_id), 0) FROM kept)
+        |    + row_number() OVER (ORDER BY gpl_id, region_name) AS region_id,
+        |  gpl_id, region_name, chromosome, start_bp, end_bp,
+        |  num_probes, cytoband, gene_symbol, gene_id, organism
+        |FROM backfilled""".stripMargin,
+
+    "acgh_facts" ->
+      """WITH m AS (
+        |  SELECT s_name AS sample_cd, CAST(s_suppkey + 5000 AS BIGINT) AS patient_id,
+        |    row_number() OVER (ORDER BY s_name) AS assay_id
+        |  FROM supplier),
+        |f AS (
+        |  SELECT DISTINCT CAST(l.l_partkey AS BIGINT) AS region_id,
+        |    m.assay_id, m.patient_id,
+        |    l.l_quantity AS chip, l.l_discount AS segmented,
+        |    l.l_linenumber % 2 AS flag, l.l_tax AS probloss,
+        |    l.l_quantity + 1 AS probnorm, l.l_discount AS probgain,
+        |    l.l_tax AS probamp
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN m ON s.s_name = m.sample_cd)
+        |SELECT CAST(1 AS BIGINT) AS partition_id, region_id,
+        |  CAST(assay_id AS BIGINT) AS assay_id, patient_id,
+        |  'TPCH' AS trial_name,
+        |  round(chip, 4) + 0.0 AS chip,
+        |  round(segmented, 4) + 0.0 AS segmented, flag,
+        |  round(probloss, 4) + 0.0 AS probloss,
+        |  round(probnorm, 4) + 0.0 AS probnorm,
+        |  round(probgain, 4) + 0.0 AS probgain,
+        |  round(probamp, 4) + 0.0 AS probamp
+        |FROM f""".stripMargin,
+  )
 }
