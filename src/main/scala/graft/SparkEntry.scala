@@ -96,6 +96,12 @@ object SparkEntry {
     "load_samples_facts" -> (OmicsQueries.loadSamplesFacts _),
     "chrom_region" -> (OmicsQueries.chromRegion _),
     "acgh_facts" -> (OmicsQueries.acghFacts _),
+    "annot_proteomics" -> (OmicsQueries.annotProteomics _),
+    "annot_rna" -> (OmicsQueries.annotRna _),
+    "annot_mirna" -> (OmicsQueries.annotMirna _),
+    "annot_rbm" -> (OmicsQueries.annotRbm _),
+    "annot_metabolomics" -> (OmicsQueries.annotMetabolomics _),
+    "annot_metab_sub_pathways" -> (OmicsQueries.annotMetabSubPathways _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

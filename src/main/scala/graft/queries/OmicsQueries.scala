@@ -185,6 +185,127 @@ object OmicsQueries {
         col("l_discount").cast("string").as("probgain"),
         col("l_tax").cast("string").as("probamp"))
 
+  // ---- Per-datatype annotation registries (round 5): parts play staged
+  // ---- annotation rows, nations play the pre-existing registries,
+  // ---- suppliers play bio_marker. Nulls are seeded to exercise every
+  // ---- backfill path.
+
+  /** de_protein_annotation: replace-by-platform with trim + organism
+    * default (I2B2_LOAD_PROTEOMICS_ANNOT). */
+  def annotProteomics(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "part").select(
+      lit("GPLP").as("gpl_id"),
+      concat(lit("  PEP"), col("p_partkey").cast("string"), lit("  ")).as("peptide"),
+      when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("U"), (col("p_partkey") % 100).cast("string")))
+        .as("uniprot_id"),
+      when(col("p_partkey") % 4 === 0, lit(null).cast("string"))
+        .otherwise(lit("Homo Sapiens")).as("organism"))
+    val existing = t(s, dir, "nation").select(
+      when(col("n_nationkey") % 2 === 0, lit("GPLP")).otherwise(lit("GPLQ"))
+        .as("gpl_id"),
+      concat(lit("OLD"), col("n_nationkey").cast("string")).as("peptide"),
+      lit(null).cast("string").as("uniprot_id"),
+      lit(null).cast("string").as("uniprot_name"),
+      lit("Homo sapiens").as("organism"))
+    graft.pipeline.DatatypeAnnotations.proteomics(staged, existing)
+  }
+
+  /** de_rna_annotation: transcript NOT-IN insert + symbol backfill
+    * (I2B2_RNA_ANNOTATION). */
+  def annotRna(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "part").select(
+      concat(lit("T"), (col("p_partkey") % 1800).cast("string")).as("transcript_id"),
+      lit("GPLR").as("gpl_id"),
+      when(col("p_partkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("G"), (col("p_partkey") % 50).cast("string")))
+        .as("gene_symbol"),
+      lit("Homo sapiens").as("organism"))
+    val existing = t(s, dir, "nation").select(
+      concat(lit("T"), col("n_nationkey").cast("string")).as("transcript_id"),
+      lit("GPLOLD").as("gpl_id"),
+      when(col("n_nationkey") % 2 === 1,
+        concat(lit("G"), col("n_nationkey").cast("string"))).as("gene_symbol"),
+      when(col("n_nationkey") % 3 =!= 0, col("n_nationkey") + 900)
+        .cast("long").as("gene_id"),
+      lit("Homo sapiens").as("organism"))
+    graft.pipeline.DatatypeAnnotations.rna(staged, existing, bioMarkers(s, dir))
+  }
+
+  /** de_qpcr_mirna_annotation: probeset upsert + organism refresh +
+    * lower(mirna_id) (I2B2_LOAD_MIRNA_ANNOT_DEAPP). */
+  def annotMirna(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "part").select(
+      concat(lit("MIR"), col("p_partkey").cast("string")).as("id_ref"),
+      when(col("p_partkey") % 6 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("HSA-MIR-"), (col("p_partkey") % 300).cast("string")))
+        .as("mirna_id"),
+      when(col("p_partkey") % 4 === 0, lit(null).cast("string"))
+        .otherwise(lit("Homo Sapiens")).as("organism"),
+      lit("GPLM").as("gpl_id"))
+    val probesets = t(s, dir, "nation").select(
+      (col("n_nationkey") + 500).cast("long").as("probeset_id"),
+      concat(lit("MIR"), (col("n_nationkey") * 10).cast("string")).as("probeset"),
+      lit("Old organism").as("organism"),
+      when(col("n_nationkey") % 2 === 0, lit("GPLM")).otherwise(lit("GPLZ"))
+        .as("platform"))
+    graft.pipeline.DatatypeAnnotations.mirna(s, staged, probesets).annotation
+  }
+
+  /** de_rbm_annotation: antigen upsert + RBM-typed marker backfills
+    * (I2B2_LOAD_RBM_ANNOTATION). */
+  def annotRbm(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "part").select(
+      lit("GPLB").as("gpl_id"),
+      concat(lit("ANT"), (col("p_partkey") % 400).cast("string")).as("antigen_name"),
+      when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("U"), (col("p_partkey") % 100).cast("string")))
+        .as("uniprotid"),
+      when(col("p_partkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("G"), (col("p_partkey") % 50).cast("string")))
+        .as("gene_symbol"),
+      when(col("p_partkey") % 3 === 0, lit(null).cast("string"))
+        .otherwise((col("p_partkey") % 200).cast("string")).as("gene_id"))
+    val antigens = t(s, dir, "nation").select(
+      (col("n_nationkey") + 300).cast("long").as("antigen_id"),
+      concat(lit("ANT"), col("n_nationkey").cast("string")).as("antigen_name"),
+      when(col("n_nationkey") % 2 === 0, lit("GPLB")).otherwise(lit("GPLQ"))
+        .as("platform"))
+    val markers = t(s, dir, "supplier").select(
+      concat(lit("G"), (col("s_suppkey") % 50).cast("string")).as("bio_marker_name"),
+      (col("s_suppkey") % 200).cast("string").as("primary_external_id"),
+      when(col("s_suppkey") % 3 === 0, lit("rbm")).otherwise(lit("GENE"))
+        .as("bio_marker_type"))
+    graft.pipeline.DatatypeAnnotations.rbm(s, staged, antigens, markers).annotation
+  }
+
+  private def metabStaged(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") % 8 === 0).select(
+      lit("GPLX").as("gpl_id"),
+      concat(lit("BIO"), col("p_partkey").cast("string")).as("biochemical_name"),
+      when(col("p_partkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("HMDB"), (col("p_partkey") % 250).cast("string")))
+        .as("hmdb_id"),
+      concat(lit("Sup "), (col("p_partkey") % 5).cast("string")).as("super_pathway"),
+      concat(lit("Sub"), (col("p_partkey") % 7).cast("string"),
+        lit(";Sub"), (col("p_partkey") % 11).cast("string")).as("sub_pathway"))
+
+  private def metabMarkers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select(
+      concat(lit("BIO"), (col("n_nationkey") * 16).cast("string")).as("bio_marker_name"),
+      concat(lit("EXT"), col("n_nationkey").cast("string")).as("primary_external_id"))
+
+  /** de_metabolite_annotation: replace-by-platform with marker join
+    * (I2B2_LOAD_METABOLOMICS_ANNOT). */
+  def annotMetabolomics(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.DatatypeAnnotations.metabolomics(
+      s, metabStaged(s, dir), metabMarkers(s, dir)).annotation
+
+  /** de_metabolite_sub_pathways: the `;`-split + super-pathway join. */
+  def annotMetabSubPathways(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.DatatypeAnnotations.metabolomics(
+      s, metabStaged(s, dir), metabMarkers(s, dir)).subPathways
+
   /** The de_subject_acgh_data build E2E: chromosomal node machinery ->
     * sample mapping with deterministic assay ids -> region facts. */
   def acghFacts(s: SparkSession, dir: String): DataFrame = {

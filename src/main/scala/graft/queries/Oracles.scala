@@ -1420,5 +1420,179 @@ object Oracles {
         |  round(probgain, 4) + 0.0 AS probgain,
         |  round(probamp, 4) + 0.0 AS probamp
         |FROM f""".stripMargin,
+
+    "annot_proteomics" ->
+      """SELECT gpl_id, peptide, uniprot_id, uniprot_name, organism FROM (
+        |  SELECT CASE WHEN n_nationkey % 2 = 0 THEN 'GPLP' ELSE 'GPLQ' END AS gpl_id,
+        |    'OLD' || n_nationkey AS peptide, CAST(NULL AS VARCHAR) AS uniprot_id,
+        |    CAST(NULL AS VARCHAR) AS uniprot_name, 'Homo sapiens' AS organism
+        |  FROM nation) e WHERE gpl_id <> 'GPLP'
+        |UNION ALL
+        |SELECT DISTINCT 'GPLP' AS gpl_id,
+        |  trim('  PEP' || p_partkey || '  ') AS peptide,
+        |  CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE 'U' || (p_partkey % 100) END AS uniprot_id,
+        |  CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE 'U' || (p_partkey % 100) END AS uniprot_name,
+        |  coalesce(CASE WHEN p_partkey % 4 = 0 THEN NULL ELSE 'Homo Sapiens' END,
+        |    'Homo sapiens') AS organism
+        |FROM part""".stripMargin,
+
+    "annot_rna" ->
+      """WITH staged AS (
+        |  SELECT DISTINCT 'T' || (p_partkey % 1800) AS transcript_id, 'GPLR' AS gpl_id,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE 'G' || (p_partkey % 50) END AS gene_symbol,
+        |    CAST(NULL AS BIGINT) AS gene_id, 'Homo sapiens' AS organism
+        |  FROM part),
+        |existing AS (
+        |  SELECT 'T' || n_nationkey AS transcript_id, 'GPLOLD' AS gpl_id,
+        |    CASE WHEN n_nationkey % 2 = 1 THEN 'G' || n_nationkey END AS gene_symbol,
+        |    CASE WHEN n_nationkey % 3 <> 0 THEN CAST(n_nationkey + 900 AS BIGINT) END AS gene_id,
+        |    'Homo sapiens' AS organism
+        |  FROM nation),
+        |allrows AS (
+        |  SELECT * FROM existing
+        |  UNION ALL
+        |  SELECT * FROM staged s
+        |  WHERE s.transcript_id NOT IN (SELECT DISTINCT transcript_id FROM existing)),
+        |idbysym AS (
+        |  SELECT 'G' || (s_suppkey % 50) AS sym,
+        |    min(CAST(s_suppkey % 200 AS BIGINT)) AS gid
+        |  FROM supplier GROUP BY 1)
+        |SELECT a.transcript_id, a.gpl_id, a.gene_symbol,
+        |  coalesce(a.gene_id, i.gid) AS gene_id, a.organism
+        |FROM allrows a LEFT JOIN idbysym i
+        |  ON a.gene_id IS NULL AND a.gene_symbol = i.sym""".stripMargin,
+
+    "annot_mirna" ->
+      """WITH staged AS (
+        |  SELECT 'MIR' || p_partkey AS id_ref,
+        |    CASE WHEN p_partkey % 6 = 0 THEN NULL
+        |         ELSE 'HSA-MIR-' || (p_partkey % 300) END AS mirna_id,
+        |    CASE WHEN p_partkey % 4 = 0 THEN NULL ELSE 'Homo Sapiens' END AS organism,
+        |    'GPLM' AS gpl_id
+        |  FROM part),
+        |probesets AS (
+        |  SELECT CAST(n_nationkey + 500 AS BIGINT) AS probeset_id,
+        |    'MIR' || (n_nationkey * 10) AS probeset, 'Old organism' AS organism,
+        |    CASE WHEN n_nationkey % 2 = 0 THEN 'GPLM' ELSE 'GPLZ' END AS platform
+        |  FROM nation),
+        |sorg AS (SELECT id_ref, min(organism) AS new_organism FROM staged GROUP BY 1),
+        |skeys AS (SELECT DISTINCT id_ref, gpl_id FROM staged),
+        |refreshed AS (
+        |  SELECT p.probeset_id, p.probeset, p.platform,
+        |    CASE WHEN k.id_ref IS NOT NULL THEN o.new_organism
+        |         ELSE p.organism END AS organism
+        |  FROM probesets p
+        |  LEFT JOIN skeys k ON p.probeset = k.id_ref AND p.platform = k.gpl_id
+        |  LEFT JOIN sorg o ON p.probeset = o.id_ref),
+        |fresh AS (
+        |  SELECT DISTINCT id_ref AS probeset,
+        |    coalesce(organism, 'Homo sapiens') AS organism, gpl_id AS platform
+        |  FROM staged s
+        |  WHERE NOT EXISTS (SELECT 1 FROM refreshed r
+        |    WHERE r.probeset = s.id_ref AND r.platform = s.gpl_id)),
+        |registry AS (
+        |  SELECT probeset_id, probeset, platform, organism FROM refreshed
+        |  UNION ALL
+        |  SELECT (SELECT coalesce(max(probeset_id), 0) FROM refreshed)
+        |      + row_number() OVER (ORDER BY platform, probeset, organism),
+        |    probeset, platform, organism
+        |  FROM fresh)
+        |SELECT DISTINCT s.id_ref, CAST(NULL AS VARCHAR) AS probe_id,
+        |  CAST(NULL AS VARCHAR) AS mirna_symbol, lower(s.mirna_id) AS mirna_id,
+        |  r.probeset_id, coalesce(s.organism, 'Homo sapiens') AS organism, s.gpl_id
+        |FROM staged s JOIN registry r
+        |  ON s.id_ref = r.probeset AND s.gpl_id = r.platform
+        | AND coalesce(s.organism, 'Homo sapiens') = coalesce(r.organism, 'Homo sapiens')""".stripMargin,
+
+    "annot_rbm" ->
+      """WITH staged AS (
+        |  SELECT 'GPLB' AS gpl_id, 'ANT' || (p_partkey % 400) AS antigen_name,
+        |    CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE 'U' || (p_partkey % 100) END AS uniprotid,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE 'G' || (p_partkey % 50) END AS gene_symbol,
+        |    CASE WHEN p_partkey % 3 = 0 THEN NULL
+        |         ELSE CAST(p_partkey % 200 AS VARCHAR) END AS gene_id
+        |  FROM part),
+        |antigens AS (
+        |  SELECT CAST(n_nationkey + 300 AS BIGINT) AS antigen_id,
+        |    'ANT' || n_nationkey AS antigen_name,
+        |    CASE WHEN n_nationkey % 2 = 0 THEN 'GPLB' ELSE 'GPLQ' END AS platform
+        |  FROM nation),
+        |fresh AS (
+        |  SELECT DISTINCT antigen_name, gpl_id AS platform FROM staged s
+        |  WHERE NOT EXISTS (SELECT 1 FROM antigens a
+        |    WHERE a.antigen_name = s.antigen_name AND a.platform = s.gpl_id)),
+        |registry AS (
+        |  SELECT antigen_id, antigen_name, platform FROM antigens
+        |  UNION ALL
+        |  SELECT (SELECT coalesce(max(antigen_id), 0) FROM antigens)
+        |      + row_number() OVER (ORDER BY platform, antigen_name),
+        |    antigen_name, platform
+        |  FROM fresh),
+        |rows0 AS (
+        |  SELECT DISTINCT s.gpl_id, r.antigen_id AS id, s.antigen_name,
+        |    s.uniprotid AS uniprot_id, s.gene_symbol,
+        |    CAST(s.gene_id AS BIGINT) AS gene_id
+        |  FROM staged s JOIN registry r
+        |    ON s.antigen_name = r.antigen_name AND s.gpl_id = r.platform),
+        |rbmm AS (
+        |  SELECT 'G' || (s_suppkey % 50) AS bio_marker_name,
+        |    CAST(s_suppkey % 200 AS VARCHAR) AS primary_external_id
+        |  FROM supplier WHERE s_suppkey % 3 = 0),
+        |idbysym AS (
+        |  SELECT bio_marker_name AS sym,
+        |    CAST(min(primary_external_id) AS BIGINT) AS gid
+        |  FROM rbmm GROUP BY 1),
+        |symbyid AS (
+        |  SELECT primary_external_id AS gid2, min(bio_marker_name) AS sym2
+        |  FROM rbmm GROUP BY 1)
+        |SELECT r.gpl_id, r.id, r.antigen_name, r.uniprot_id,
+        |  CASE WHEN coalesce(r.gene_symbol, '') = '' THEN s2.sym2
+        |       ELSE r.gene_symbol END AS gene_symbol,
+        |  coalesce(r.gene_id, i.gid) AS gene_id
+        |FROM rows0 r
+        |LEFT JOIN idbysym i ON r.gene_id IS NULL
+        |  AND coalesce(r.gene_symbol, '') <> '' AND r.gene_symbol = i.sym
+        |LEFT JOIN symbyid s2 ON coalesce(r.gene_symbol, '') = ''
+        |  AND r.gene_id IS NOT NULL AND CAST(r.gene_id AS VARCHAR) = s2.gid2""".stripMargin,
+
+    "annot_metabolomics" ->
+      """WITH staged AS (
+        |  SELECT 'GPLX' AS gpl_id, 'BIO' || p_partkey AS biochemical_name,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL
+        |         ELSE 'HMDB' || (p_partkey % 250) END AS hmdb_id
+        |  FROM part WHERE p_partkey % 8 = 0),
+        |markers AS (
+        |  SELECT 'BIO' || (n_nationkey * 16) AS bio_marker_name,
+        |    'EXT' || n_nationkey AS primary_external_id
+        |  FROM nation)
+        |SELECT row_number() OVER (ORDER BY biochemical_name, hmdb_id) AS id,
+        |  gpl_id, biochemical_name, biomarker_id, hmdb_id
+        |FROM (
+        |  SELECT s.gpl_id, trim(s.biochemical_name) AS biochemical_name,
+        |    m.primary_external_id AS biomarker_id, s.hmdb_id
+        |  FROM staged s LEFT JOIN markers m
+        |    ON s.biochemical_name = m.bio_marker_name) j""".stripMargin,
+
+    "annot_metab_sub_pathways" ->
+      """WITH staged AS (
+        |  SELECT 'GPLX' AS gpl_id,
+        |    'Sup ' || (p_partkey % 5) AS super_pathway,
+        |    'Sub' || (p_partkey % 7) || ';Sub' || (p_partkey % 11) AS sub_pathway
+        |  FROM part WHERE p_partkey % 8 = 0),
+        |sup AS (
+        |  SELECT row_number() OVER (ORDER BY super_pathway) AS id, gpl_id,
+        |    super_pathway AS super_pathway_name
+        |  FROM (SELECT DISTINCT gpl_id, super_pathway FROM staged) d),
+        |splitrows AS (
+        |  SELECT gpl_id, super_pathway,
+        |    unnest(string_split(sub_pathway, ';')) AS sub_pathway
+        |  FROM staged)
+        |SELECT row_number() OVER (ORDER BY sub_pathway_name, super_pathway_id) AS id,
+        |  gpl_id, sub_pathway_name, super_pathway_id
+        |FROM (
+        |  SELECT sr.gpl_id, trim(sr.sub_pathway) AS sub_pathway_name,
+        |    sup.id AS super_pathway_id
+        |  FROM splitrows sr
+        |  JOIN sup ON trim(sr.super_pathway) = trim(sup.super_pathway_name)) j""".stripMargin,
   )
 }
