@@ -41,7 +41,8 @@ object Dedup {
                    n: Int, threshold: Double,
                    maxDocFreq: Option[Long] = None): DataFrame = {
     // consumed three times (sizes + both sides of the pair join): cache
-    // the exploded shingles instead of re-tokenizing the corpus
+    // the exploded shingles instead of re-tokenizing the corpus; the
+    // cache is released below once the (small) pair result materializes
     val sh = docShingles(docs, idCol, textCol, n).cache()
     val filtered = maxDocFreq match {
       case Some(maxDf) =>
@@ -57,7 +58,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val result = common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -67,6 +68,12 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      // materialize the verified pairs (tiny: the near-dup fraction), then
+      // free the shingle cache — library callers must not accumulate
+      // CacheManager entries across dedup calls
+      .localCheckpoint(true)
+    sh.unpersist()
+    result
   }
 
   /** Engine-portable MinHash: for seed j, h_j(doc) = lexicographic min of
@@ -108,6 +115,21 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, numHashes: Int, rowsPerBand: Int,
                  threshold: Double): DataFrame = {
+    val (sh, lazyResult) =
+      minhashLshLazy(docs, idCol, textCol, n, numHashes, rowsPerBand, threshold)
+    // materialize the verified pairs (tiny: the near-dup fraction), then
+    // free the candidate-shingle cache — library callers must not
+    // accumulate CacheManager entries across dedup calls
+    val result = lazyResult.localCheckpoint(true)
+    sh.unpersist()
+    result
+  }
+
+  /** The un-materialized pipeline + its shingle cache handle — the plan
+    * audit inspects this shape; [[minhashLsh]] is the cache-safe entry. */
+  def minhashLshLazy(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, numHashes: Int, rowsPerBand: Int,
+                     threshold: Double): (DataFrame, DataFrame) = {
     val nBands = numHashes / rowsPerBand
     val sig = docs.select(col(idCol).as("doc_id"),
         graft.functions.TextHash.minhash(col(textCol), n, numHashes).as("mh"))
@@ -138,7 +160,7 @@ object Dedup {
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val result = common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -148,6 +170,7 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    (sh, result)
   }
 
   /** Benchmark decontamination: per corpus document, how many of its word
@@ -207,31 +230,42 @@ object Dedup {
 
   /** Driver-side union-find with union-by-min: the root of every component
     * is its minimum member, matching the distributed min-label fixpoint
-    * bit for bit. Pair ids must be integral (they are: doc ids). */
+    * bit for bit. Ids keep their NATIVE type — casting string ids to long
+    * would null out (or collide '01' with '1'), and the output schema must
+    * match [[clustersDistributed]], which preserves the input type. The
+    * min ordering is the type's natural Comparable order, which matches
+    * Spark's min/least for the numeric and (ASCII) string ids used here. */
   private def clustersDriver(p: DataFrame): DataFrame = {
     val spark = p.sparkSession
-    import spark.implicits._
-    val edges = p.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+    val idType = p.schema("doc_a").dataType
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val edges = p.select(col("doc_a"), col("doc_b")).collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
       var r = x
       while (parent(r) != r) r = parent(r)
       var c = x
       while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    edges.foreach { case (a, b) =>
+    edges.foreach { row =>
+      val a = row.get(0)
+      val b = row.get(1)
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
       val ra = find(a)
       val rb = find(b)
       if (ra != rb) {
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        if (cmp(ra, rb) < 0) parent(rb) = ra else parent(ra) = rb
       }
     }
-    parent.keys.toSeq.sorted.map(k => (k, find(k)))
-      .toDF("doc_id", "cluster_id")
+    val rows = parent.keys.toSeq.sortWith(cmp(_, _) < 0)
+      .map(k => org.apache.spark.sql.Row(k, find(k)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
 
   private def clustersDistributed(p: DataFrame): DataFrame = {

@@ -142,9 +142,11 @@ object LoadSamples {
       .reduce(_ unionByName _)
       .withColumn("concept_cd", substring(md5(col("leaf_node")), 1, 16))
       // five byType broadcasts consume this tiny frame (distinct attribute
-      // tuples); without the cache each broadcast re-runs the whole
-      // union-of-five-distincts
-      .cache()
+      // tuples); without materialization each broadcast re-runs the whole
+      // union-of-five-distincts. localCheckpoint (not cache) so library
+      // callers don't accumulate CacheManager entries; blocks are freed
+      // when the frame is collected.
+      .localCheckpoint(true)
 
     val byType = (t: String) => broadcast(
       nodes.filter(col("node_type") === t)

@@ -182,6 +182,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("clusters keep native string ids; driver and distributed schemas agree") {
+    // '01' and '1' are distinct docs — a long cast would merge them (or
+    // NPE); both paths must keep the string type and agree exactly
+    val pairs = Seq(("01", "1"), ("1", "zz")).toDF("doc_a", "doc_b")
+    val driver = Dedup.clusters(pairs)
+    val dist = Dedup.clusters(pairs, driverLimit = 0)
+    assert(driver.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(driver.schema == dist.schema)
+    val got = driver.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("01" -> "01", "1" -> "01", "zz" -> "01"))
+    assert(got == dist.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+  }
+
   test("minhashLsh candidates recover the exact dup pair") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.9)
