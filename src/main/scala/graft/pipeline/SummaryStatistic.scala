@@ -90,13 +90,21 @@ object SummaryStatistic {
     ids.map(i => s"'$i'").mkString(", ")
 
   /** Compute the report rows for one file's wide frame. `idCol` is the
-    * subject-id column used in violation lists. */
+    * subject-id column used in violation lists.
+    *
+    * PRECONDITION: `dfIn` must be the file as read (e.g. TsvReader.read),
+    * NOT repartitioned or shuffled — the reference's first-appearance
+    * violation ordering is file order, recovered here from
+    * monotonically_increasing_id, which follows partition layout: split
+    * order for a frame read straight from one file, arbitrary after a
+    * shuffle. A caller that reorders the frame gets a nondeterministic
+    * "Range checks failed" ordering. */
   def forFile(fileName: String, dfIn: DataFrame, idCol: String,
               vars: Seq[VariableSpec]): Seq[Row] = {
     def nonEmpty(c: Column) = length(coalesce(c, lit(""))) > 0
     val peer: String => Column = name => col(name)
     // file row order, for the reference's first-appearance violation
-    // ordering (single-file frame: ids ascend in file order)
+    // ordering (see the precondition above)
     val df = dfIn.withColumn("__row", monotonically_increasing_id())
 
     // --- single aggregate pass over the file

@@ -239,18 +239,26 @@ object ValidationRules {
   private def num(s: String): Option[Double] =
     try Some(s.trim.toDouble) catch { case _: NumberFormatException => None }
 
-  /** The shared range grammar (valueRangeFactory order). */
-  private def parseRange(body: String): Option[Range] = body match {
-    case GeRx(x) => num(x).map(v => Range(Some(v), true, None, true))
-    case GtRx(x) => num(x).map(v => Range(Some(v), false, None, true))
-    case LeRx(x) => num(x).map(v => Range(None, true, Some(v), true))
-    case LtRx(x) => num(x).map(v => Range(None, true, Some(v), false))
+  /** The shared range grammar (valueRangeFactory order), two-level like
+    * the reference: the STRING-level pattern match happens before numeric
+    * conversion. Returns None when no pattern matches; Some(None) when a
+    * pattern matched syntactically but a bound is not numeric (the
+    * reference logs and hard-drops — NumberFormatException paths at
+    * ValidationRule.groovy:73-77,149-153). */
+  private def parseRangeCond(body: String): Option[Option[Range]] = body match {
+    case GeRx(x) => Some(num(x).map(v => Range(Some(v), true, None, true)))
+    case GtRx(x) => Some(num(x).map(v => Range(Some(v), false, None, true)))
+    case LeRx(x) => Some(num(x).map(v => Range(None, true, Some(v), true)))
+    case LtRx(x) => Some(num(x).map(v => Range(None, true, Some(v), false)))
     case BetweenRx(a, b) =>
-      for (x <- num(a); y <- num(b)) yield Range(Some(x), true, Some(y), true)
+      Some(for (x <- num(a); y <- num(b)) yield Range(Some(x), true, Some(y), true))
     case DashRx(a, b) =>
-      for (x <- num(a); y <- num(b)) yield Range(Some(x), true, Some(y), true)
+      Some(for (x <- num(a); y <- num(b)) yield Range(Some(x), true, Some(y), true))
     case _ => None
   }
+
+  private def parseRange(body: String): Option[Range] =
+    parseRangeCond(body).flatten
 
   def parse(s: String): Seq[Rule] =
     if (s == null || s.trim.isEmpty) Seq.empty
@@ -259,14 +267,21 @@ object ValidationRules {
   private def parseOne(s: String): Option[Rule] = {
     val (body, cond: Option[Condition]) = s match {
       case WhenRx(rule, field, rest) =>
+        // parseRuleCondition order (ValidationRule.groovy:70-90): the RANGE
+        // grammar first — a syntactic range match whose bound is not
+        // numeric drops the whole rule, even if it would read as an
+        // equality (e.g. `equal to "Follow-up"`: the dash pattern claims
+        // it) — then presence, blank, equality
         val c: Option[Condition] = rest.trim match {
+          case r if parseRangeCond(r).isDefined =>
+            parseRange(r).map(WhenInRange(field, _))
           case r if r.equalsIgnoreCase("present") => Some(WhenPresent(field))
           // the reference's absence pattern is a PREFIX match on 'blank';
           // 'absent' kept as this engine's historical alias
           case r if r.toLowerCase.startsWith("blank") ||
             r.equalsIgnoreCase("absent") => Some(WhenAbsent(field))
           case EqRx(not, v) => Some(WhenEquals(field, v, negated = not != null))
-          case r => parseRange(r).map(WhenInRange(field, _))
+          case _ => None
         }
         // an unparseable condition drops the whole rule (warn-and-skip)
         if (c.isEmpty) return None

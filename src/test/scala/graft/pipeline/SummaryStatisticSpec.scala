@@ -48,6 +48,19 @@ class SummaryStatisticSpec extends SparkSpec {
       "", "", "", "", "", "", "", "", "", "", ""))
   }
 
+  test("condition parse order mirrors the reference: range grammar first") {
+    // ValidationRule.groovy:70-90 — parseRuleCondition tries the range
+    // grammar before equality; a dash inside an equality value makes the
+    // range pattern claim the condition, and its non-numeric bounds drop
+    // the WHOLE rule (hard drop, not a fallthrough to equality)
+    assert(ValidationRules.parse(">10, when \"Visit\" is equal to \"Follow-up\"").isEmpty)
+    // numeric range / equality / presence / blank conditions still parse
+    assert(ValidationRules.parse(">10, when \"Age\" is 10-20").length == 1)
+    assert(ValidationRules.parse(">10, when \"Sex\" is equal to \"Male\"").length == 1)
+    assert(ValidationRules.parse(">10, when \"Sex\" is present").length == 1)
+    assert(ValidationRules.parse(">10, when \"Sex\" is blank or empty").length == 1)
+  }
+
   test("edge cases: all-empty numeric column, no required rule") {
     val df = Seq(("S1", ""), ("S2", "")).toDF("SUBJ_ID", "V")
     val specs = Seq(SummaryStatistic.VariableSpec("V",
