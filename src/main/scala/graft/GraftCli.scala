@@ -1,0 +1,447 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.core.StudyDiscovery
+import graft.operators.StudyOps
+import graft.pipeline.{AcghPipeline, ChromRegion, ClinicalPipeline}
+import graft.sources.{AcghMelt, ClinicalMapping, TsvReader}
+
+/** The thin operations driver — the engine's `tm_etl` counterpart
+  * (reference CommandLineTool.groovy:36-62, DirectoryProcessor.groovy:
+  * 37-135): crawl a study directory tree, run the per-datatype pipelines
+  * into a parquet warehouse, mark processed studies `_DONE_`/`_FAIL_`,
+  * and expose the maintenance operations (`--move-study`,
+  * `--delete-study-by-id`, `--delete-study-by-path`) over that warehouse.
+  *
+  * Option names mirror the reference's CLI. The reference talks to a
+  * Postgres/Oracle star; this driver's warehouse is a directory of
+  * parquet tables (one `<table>.parquet` each), which is the lakehouse
+  * equivalent — at scale each becomes a partitioned table and nothing
+  * here changes.
+  *
+  * Upload datatypes wired end-to-end: Clinical and ACGH (the two
+  * file-complete flows). Other datatype folders are reported and skipped.
+  */
+object GraftCli {
+
+  final case class Options(
+      dataDir: Option[Path] = None,
+      warehouse: Path = Paths.get("graft-warehouse"),
+      parentNode: String = "\\Public Studies",
+      noRename: Boolean = false,
+      stopOnFail: Boolean = false,
+      secureStudy: Boolean = false,
+      moveStudy: Option[(String, String)] = None,
+      keepSecurity: Boolean = false,
+      deleteStudyById: Option[String] = None,
+      deleteStudyByPath: Option[String] = None,
+      useFirstGeneId: Boolean = false,
+      checkDuplicates: Boolean = false,
+      alwaysSetVisitName: Boolean = false,
+      showHelp: Boolean = false)
+
+  val Usage: String =
+    """usage: graft-etl [options] [<data_dir>]
+      | -o,--output <dir>               Warehouse directory (parquet tables)
+      | -h,--help                       Show usage information
+      | -n,--no-rename                  Don't rename folders when failed
+      | -s,--stop-on-fail               Stop when upload is failed
+      | -m,--move-study <old;new>       Move study
+      |    --keep-security              Preserve security settings when moving a new
+      |                                 study over an old one (only with --move-study)
+      |    --secure-study               Make study securable
+      |    --always-set-visit-name      Add visit name to concept path even if only
+      |                                 one visit found
+      |    --delete-study-by-id <id>    Delete study by id
+      |    --delete-study-by-path <p>   Delete study by path
+      |    --use-first-gene-id          When probe maps to multiple Entrez Gene IDs
+      |                                 use only the first one
+      |    --check-duplicates           Check patient duplicates
+      |    --parent-node <path>         Ontology parent for uploaded studies
+      |""".stripMargin
+
+  def parseArgs(args: Seq[String]): Either[String, Options] = {
+    var o = Options()
+    var rest = args.toList
+    while (rest.nonEmpty) {
+      rest match {
+        case ("-h" | "--help") :: t => o = o.copy(showHelp = true); rest = t
+        case ("-n" | "--no-rename") :: t => o = o.copy(noRename = true); rest = t
+        case ("-s" | "--stop-on-fail") :: t => o = o.copy(stopOnFail = true); rest = t
+        case "--secure-study" :: t => o = o.copy(secureStudy = true); rest = t
+        case "--keep-security" :: t => o = o.copy(keepSecurity = true); rest = t
+        case "--always-set-visit-name" :: t =>
+          o = o.copy(alwaysSetVisitName = true); rest = t
+        case "--use-first-gene-id" :: t => o = o.copy(useFirstGeneId = true); rest = t
+        case "--check-duplicates" :: t => o = o.copy(checkDuplicates = true); rest = t
+        case ("-m" | "--move-study") :: v :: t =>
+          v.split(";", 2) match {
+            case Array(a, b) => o = o.copy(moveStudy = Some((a, b))); rest = t
+            case _ => return Left(s"--move-study needs 'old_path;new_path', got: $v")
+          }
+        case "--delete-study-by-id" :: v :: t =>
+          o = o.copy(deleteStudyById = Some(v)); rest = t
+        case "--delete-study-by-path" :: v :: t =>
+          o = o.copy(deleteStudyByPath = Some(v)); rest = t
+        case ("-o" | "--output") :: v :: t =>
+          o = o.copy(warehouse = Paths.get(v)); rest = t
+        case "--parent-node" :: v :: t => o = o.copy(parentNode = v); rest = t
+        case bad :: _ if bad.startsWith("-") => return Left(s"unknown option: $bad")
+        case dir :: t => o = o.copy(dataDir = Some(Paths.get(dir))); rest = t
+      }
+    }
+    Right(o)
+  }
+
+  // ------------------------------------------------------- warehouse I/O
+
+  private val CoreTables: Seq[(String, Seq[(String, org.apache.spark.sql.types.DataType)])] = Seq(
+    "table_access" -> Seq("c_fullname" -> StringType),
+    "i2b2" -> Seq("c_fullname" -> StringType, "c_hlevel" -> LongType,
+      "c_name" -> StringType, "c_dimcode" -> StringType,
+      "c_tooltip" -> StringType, "sourcesystem_cd" -> StringType),
+    "i2b2_secure" -> Seq("c_fullname" -> StringType, "secure_obj_token" -> StringType),
+    "i2b2_tags" -> Seq("path" -> StringType, "tag" -> StringType),
+    "concept_dimension" -> Seq("concept_path" -> StringType,
+      "concept_cd" -> StringType, "sourcesystem_cd" -> StringType),
+    "concept_counts" -> Seq("concept_path" -> StringType,
+      "parent_concept_path" -> StringType, "patient_count" -> LongType),
+    "observation_fact" -> Seq("patient_num" -> LongType,
+      "concept_cd" -> StringType, "sourcesystem_cd" -> StringType),
+    "patient_dimension" -> Seq("patient_num" -> LongType,
+      "sourcesystem_cd" -> StringType),
+    "patient_trial" -> Seq("patient_num" -> LongType, "trial" -> StringType),
+    "de_subject_sample_mapping" -> Seq("trial_name" -> StringType,
+      "assay_id" -> LongType, "concept_code" -> StringType,
+      "source_cd" -> StringType),
+    "bio_experiment" -> Seq("accession" -> StringType, "title" -> StringType),
+    "bio_data_uid" -> Seq("unique_id" -> StringType),
+    "search_secure_object" -> Seq("bio_data_unique_id" -> StringType))
+
+  private def emptyTable(spark: SparkSession,
+                         fields: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(fields.map { case (n, t) => StructField(n, t) }))
+
+  def readTable(spark: SparkSession, wh: Path, name: String): DataFrame = {
+    val p = wh.resolve(s"$name.parquet")
+    if (Files.exists(p)) spark.read.parquet(p.toString)
+    else emptyTable(spark, CoreTables.toMap.apply(name))
+  }
+
+  private def writeTmp(df: DataFrame, wh: Path, name: String): Unit = {
+    Files.createDirectories(wh)
+    df.write.mode("overwrite").parquet(wh.resolve(s"$name.parquet.tmp").toString)
+  }
+
+  private def swapTmp(wh: Path, name: String): Unit = {
+    val tmp = wh.resolve(s"$name.parquet.tmp")
+    val dst = wh.resolve(s"$name.parquet")
+    if (Files.exists(dst)) {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).iterator().forEachRemaining(rm)
+        Files.delete(p)
+      }
+      rm(dst)
+    }
+    Files.move(tmp, dst)
+  }
+
+  /** Overwrite-in-place safely: the new content may be derived from the
+    * old files, so materialize to a sibling tmp dir first, then swap. */
+  def writeTable(df: DataFrame, wh: Path, name: String): Unit = {
+    writeTmp(df, wh, name)
+    swapTmp(wh, name)
+  }
+
+  def loadStar(spark: SparkSession, wh: Path): StudyOps.Star = {
+    def t(n: String) = readTable(spark, wh, n)
+    StudyOps.Star(
+      tableAccess = t("table_access"),
+      i2b2 = t("i2b2"),
+      i2b2Secure = t("i2b2_secure"),
+      i2b2Tags = t("i2b2_tags"),
+      conceptDimension = t("concept_dimension"),
+      conceptCounts = t("concept_counts"),
+      observationFact = t("observation_fact"),
+      patientDimension = t("patient_dimension"),
+      patientTrial = t("patient_trial"),
+      sampleMapping = t("de_subject_sample_mapping"),
+      omicsData = Map.empty,
+      variantDatasets = emptyTable(spark, Seq("dataset_id" -> StringType)),
+      variantTables = Map.empty,
+      bioExperiment = t("bio_experiment"),
+      bioDataUid = t("bio_data_uid"),
+      searchSecureObject = t("search_secure_object"))
+  }
+
+  /** Every output plan may read any of the OLD table files (the move's
+    * count rebuild joins facts x concepts), so ALL tables materialize to
+    * tmp dirs before ANY old dir is swapped out. */
+  def writeStar(star: StudyOps.Star, wh: Path): Unit = {
+    val tables = Seq(
+      "table_access" -> star.tableAccess,
+      "i2b2" -> star.i2b2,
+      "i2b2_secure" -> star.i2b2Secure,
+      "i2b2_tags" -> star.i2b2Tags,
+      "concept_dimension" -> star.conceptDimension,
+      "concept_counts" -> star.conceptCounts,
+      "observation_fact" -> star.observationFact,
+      "patient_dimension" -> star.patientDimension,
+      "patient_trial" -> star.patientTrial,
+      "de_subject_sample_mapping" -> star.sampleMapping,
+      "bio_experiment" -> star.bioExperiment,
+      "bio_data_uid" -> star.bioDataUid,
+      "search_secure_object" -> star.searchSecureObject)
+    tables.foreach { case (n, df) => writeTmp(df, wh, n) }
+    tables.foreach { case (n, _) => swapTmp(wh, n) }
+  }
+
+  // ------------------------------------------------------ clinical upload
+
+  /** STUDY_ID from the mapped column of the first data file (the
+    * reference reads it off the rows — ClinicalDataProcessor.groovy:67). */
+  private def studyIdOf(spark: SparkSession, dir: Path,
+                        mapping: ClinicalMapping.Mapping): String = {
+    val e = mapping.entries.find(_.dataLabel.equalsIgnoreCase("STUDY_ID"))
+      .getOrElse(sys.error("mapping has no STUDY_ID entry"))
+    val header = TsvReader.header(spark, dir.resolve(e.filename).toString)
+    TsvReader.read(spark, dir.resolve(e.filename).toString)
+      .select(col(header(e.colNbr - 1)))
+      .filter(length(coalesce(col(header(e.colNbr - 1)), lit(""))) > 0)
+      .limit(1).collect().headOption
+      .map(_.getString(0).trim.toUpperCase)
+      .getOrElse(sys.error(s"${e.filename}: no STUDY_ID values"))
+  }
+
+  def uploadClinical(spark: SparkSession, dir: Path, topNodeParent: String,
+                     studyLabel: String, wh: Path,
+                     alwaysSetVisitName: Boolean): String = {
+    import scala.jdk.CollectionConverters._
+    val mf = Files.list(dir).iterator().asScala
+      .find(_.getFileName.toString.toLowerCase.endsWith("_mapping_file.txt"))
+      .getOrElse(sys.error(s"$dir: no *_Mapping_File.txt"))
+    val mapping = ClinicalMapping.load(spark, mf.toString)
+    val studyId = studyIdOf(spark, dir, mapping)
+    val topNode = s"$topNodeParent\\$studyLabel"
+    val data = mapping.files.map(f =>
+      f -> TsvReader.read(spark, dir.resolve(f).toString)).toMap
+    val t = ClinicalPipeline.run(spark, studyId, topNode, mapping, data,
+      alwaysSetVisitName)
+
+    val prefix = topNode.stripSuffix("\\") + "\\"
+    def replaceSubtree(old: DataFrame, fresh: DataFrame, pathCol: String) =
+      old.filter(!col(pathCol).startsWith(prefix))
+        .unionByName(fresh, allowMissingColumns = true)
+
+    writeTable(replaceSubtree(readTable(spark, wh, "i2b2"),
+      t.i2b2, "c_fullname"), wh, "i2b2")
+    writeTable(replaceSubtree(readTable(spark, wh, "concept_dimension"),
+      t.conceptDimension.select(col("leaf_node").as("concept_path"),
+        col("concept_cd"), lit(studyId).as("sourcesystem_cd")),
+      "concept_path"), wh, "concept_dimension")
+    import graft.functions.PathFunctions._
+    writeTable(replaceSubtree(readTable(spark, wh, "concept_counts"),
+      t.conceptCounts.select(col("c_fullname").as("concept_path"),
+        when(hlevel(col("c_fullname")) > 1,
+          concat(lit("\\"), array_join(slice(pathComponents(col("c_fullname")),
+            lit(1), hlevel(col("c_fullname")) - 1), "\\"), lit("\\")))
+          .as("parent_concept_path"),
+        col("patient_count")), "concept_path"), wh, "concept_counts")
+    writeTable(readTable(spark, wh, "observation_fact")
+      .filter(!(col("sourcesystem_cd") <=> lit(studyId)))
+      .unionByName(t.observationFact, allowMissingColumns = true),
+      wh, "observation_fact")
+    writeTable(readTable(spark, wh, "patient_dimension")
+      .filter(!col("sourcesystem_cd").startsWith(studyId + ":"))
+      .unionByName(t.patientDimension
+        .select(col("patient_num"), col("usubjid").as("sourcesystem_cd")),
+        allowMissingColumns = true), wh, "patient_dimension")
+    writeTable(readTable(spark, wh, "patient_trial")
+      .filter(!(col("trial") <=> lit(studyId)))
+      .unionByName(t.patientDimension.select(col("patient_num"),
+        lit(studyId).as("trial")), allowMissingColumns = true),
+      wh, "patient_trial")
+    studyId
+  }
+
+  // ---------------------------------------------------------- aCGH upload
+
+  def uploadAcgh(spark: SparkSession, dir: Path, topNodeParent: String,
+                 studyLabel: String, wh: Path): String = {
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(dir).iterator().asScala.toSeq
+    def findFile(rx: String): Option[Path] =
+      files.find(p => p.getFileName.toString.matches(rx))
+    val mapFile = findFile("(?i).+_Subject_Sample_Mapping_File(_GPL\\d+)*\\.txt")
+      .getOrElse(sys.error(s"$dir: no subject-sample mapping file"))
+    val dataFile = findFile("(?i).+_acgh_data(_GPL\\d+)*\\.txt")
+      .getOrElse(sys.error(s"$dir: no aCGH data file"))
+
+    val raw = TsvReader.read(spark, mapFile.toString)
+    def optCol(n: String) =
+      when(length(coalesce(col(n), lit(""))) > 0, col(n))
+    val sampleMap = raw.select(
+      upper(col("STUDY_ID")).as("study_id"),
+      optCol("SITE_ID").as("site_id"),
+      col("SUBJECT_ID").as("subject_id"),
+      col("SAMPLE_ID").as("sample_cd"),
+      col("PLATFORM").as("platform"),
+      optCol("TISSUETYPE").as("tissue_type"),
+      optCol("ATTR1").as("attribute_1"),
+      optCol("ATTR2").as("attribute_2"),
+      col("CATEGORY_CD").as("category_cd"),
+      col("SOURCE_CD").as("source_cd"))
+    val studyId = sampleMap.select(col("study_id")).limit(1)
+      .collect().head.getString(0)
+    val platform = sampleMap.select(col("platform")).limit(1)
+      .collect().head.getString(0)
+
+    // platform file: <platform>_region_platform.txt or <platform>.txt
+    // (ACGHDataProcessor.groovy:103-106)
+    val registry = findFile(s"(?i)${java.util.regex.Pattern.quote(platform)}(_region_platform)?\\.txt") match {
+      case Some(pf) =>
+        val (meta, staged) = ChromRegion.readAcghPlatform(spark, pf.toString, platform)
+        val regs = ChromRegion.load(spark, staged,
+          readTable2(spark, wh, "de_chromosomal_region",
+            Seq("region_id" -> LongType, "gpl_id" -> StringType,
+              "region_name" -> StringType)),
+          readTable2(spark, wh, "de_gpl_info",
+            Seq("platform" -> StringType, "title" -> StringType,
+              "organism" -> StringType, "marker_type" -> StringType,
+              "release_nbr" -> StringType)),
+          emptyTable(spark, Seq("bio_marker_name" -> StringType,
+            "organism" -> StringType, "primary_external_id" -> StringType,
+            "bio_marker_type" -> StringType)),
+          platformTitle = meta.getOrElse("PLATFORM_TITLE", ""))
+        writeTable(regs.regions, wh, "de_chromosomal_region")
+        writeTable(regs.gplInfo, wh, "de_gpl_info")
+        regs
+      case None =>
+        ChromRegion.ChromRegionTables(
+          readTable2(spark, wh, "de_chromosomal_region",
+            Seq("region_id" -> LongType, "gpl_id" -> StringType,
+              "region_name" -> StringType)),
+          readTable2(spark, wh, "de_gpl_info",
+            Seq("platform" -> StringType, "title" -> StringType,
+              "organism" -> StringType, "marker_type" -> StringType,
+              "release_nbr" -> StringType)))
+    }
+
+    val errs = AcghPipeline.validate(sampleMap, registry.regions, registry.gplInfo)
+    require(errs.isEmpty, errs.mkString("; "))
+
+    val melted = AcghMelt.melt(TsvReader.read(spark, dataFile.toString), "region_id")
+      .withColumnRenamed("region_id", "region_name")
+      .withColumnRenamed("sample_id", "expr_id")
+    val patients = AcghPipeline.ensurePatients(spark,
+      readTable(spark, wh, "patient_dimension"), sampleMap, studyId)
+    val topNode = s"$topNodeParent\\$studyLabel\\"
+    val t = AcghPipeline.run(spark, studyId, topNode, sampleMap, melted,
+      registry.regions, registry.gplInfo, patients)
+
+    writeTable(patients, wh, "patient_dimension")
+    writeTable(readTable2(spark, wh, "de_subject_acgh_data",
+        Seq("region_id" -> LongType, "assay_id" -> LongType,
+          "trial_name" -> StringType))
+      .filter(!(col("trial_name") <=> lit(studyId)))
+      .unionByName(t.regionFacts, allowMissingColumns = true),
+      wh, "de_subject_acgh_data")
+    writeTable(readTable(spark, wh, "de_subject_sample_mapping")
+      .filter(!(col("trial_name") <=> lit(studyId)))
+      .unionByName(t.sampleMapping, allowMissingColumns = true),
+      wh, "de_subject_sample_mapping")
+    studyId
+  }
+
+  private def readTable2(spark: SparkSession, wh: Path, name: String,
+                         schema: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame = {
+    val p = wh.resolve(s"$name.parquet")
+    if (Files.exists(p)) spark.read.parquet(p.toString)
+    else emptyTable(spark, schema)
+  }
+
+  // ------------------------------------------------------------ directory
+
+  /** Crawl + process; returns (succeeded, failed) study labels. */
+  def processDirectory(spark: SparkSession, o: Options): (Seq[String], Seq[String]) = {
+    val root = o.dataDir.getOrElse(sys.error("data_dir required"))
+    val ok = Seq.newBuilder[String]
+    val failed = Seq.newBuilder[String]
+    val studies = StudyDiscovery.discover(root, o.parentNode)
+    studies.foreach { st =>
+      val done =
+        try {
+          st.dataTypes.foreach { case (tpe, dir) =>
+            tpe.toUpperCase match {
+              case "CLINICAL" =>
+                uploadClinical(spark, dir, st.parentPath, st.studyLabel,
+                  o.warehouse, o.alwaysSetVisitName)
+              case "ACGH" =>
+                uploadAcgh(spark, dir, st.parentPath, st.studyLabel, o.warehouse)
+              case other =>
+                println(s">>> SKIPPING unsupported datatype folder: $other (${st.studyLabel})")
+            }
+          }
+          true
+        } catch {
+          case e: Exception =>
+            println(s"!!! ${st.studyLabel}: ${e.getMessage}")
+            false
+        }
+      if (done) ok += st.studyLabel else failed += st.studyLabel
+      if (!o.noRename) StudyDiscovery.markProcessed(st.path, done)
+      if (!done && o.stopOnFail) return (ok.result(), failed.result())
+    }
+    (ok.result(), failed.result())
+  }
+
+  // ------------------------------------------------------------------ ops
+
+  def run(spark: SparkSession, args: Seq[String]): Int =
+    parseArgs(args) match {
+      case Left(err) => println(err); println(Usage); 1
+      case Right(o) if o.showHelp => println(Usage); 0
+      case Right(o) if o.moveStudy.isDefined =>
+        val (oldPath, newPath) = o.moveStudy.get
+        val r = StudyOps.moveStudyByPath(spark, loadStar(spark, o.warehouse),
+          oldPath, newPath, saveSecurity = o.keepSecurity)
+        r.error match {
+          case Some(msg) => println(s"!!! $msg"); 1
+          case None => writeStar(r.star, o.warehouse); println(">>> STUDY MOVED"); 0
+        }
+      case Right(o) if o.deleteStudyById.isDefined || o.deleteStudyByPath.isDefined =>
+        val star = loadStar(spark, o.warehouse)
+        val out = StudyOps.deleteStudy(spark, star,
+          pathIn = o.deleteStudyByPath, trialIdIn = o.deleteStudyById.map(_.toUpperCase))
+        writeStar(out, o.warehouse)
+        println(">>> STUDY DELETED")
+        0
+      case Right(o) if o.dataDir.isDefined =>
+        val (ok, failed) = processDirectory(spark, o)
+        println(s">>> processed: ${ok.size} ok, ${failed.size} failed")
+        if (failed.nonEmpty) 1 else 0
+      case Right(_) => println(Usage); 1
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .appName("graft-etl")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = try run(spark, args.toSeq) finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+
+/** End-to-end drive of the operations driver: crawl a fixture directory
+  * (one clinical study + the reference's aCGH fixture), load into a
+  * parquet warehouse, verify `_DONE_` marking, then run the maintenance
+  * operations (--move-study, --delete-study-by-path) over the warehouse —
+  * the CommandLineTool.groovy flow on the lakehouse star. */
+class GraftCliSpec extends SparkSpec {
+
+  private def writeClinicalStudy(root: Path): Unit = {
+    val dir = root.resolve("Study CLI").resolve("ClinicalDataToUpload")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("DEMO.txt"),
+      """STUDY_ID	SUBJ_ID	Age	Sex
+        |GSCLI	P01	61	Male
+        |GSCLI	P02	54	Female
+        |GSCLI	P03	48	Female
+        |""".stripMargin)
+    Files.writeString(dir.resolve("CLI_Mapping_File.txt"),
+      "filename\tcategory_cd\tcol_nbr\tdata_label\tdata_label_source\tvariable_type\tvalidation_rules\n" +
+      "DEMO.txt\t\t1\tSTUDY_ID\t\t\t\n" +
+      "DEMO.txt\t\t2\tSUBJ_ID\t\t\t\n" +
+      "DEMO.txt\tSubjects+Demographics\t3\tAge\t\t\t\n" +
+      "DEMO.txt\tSubjects+Demographics\t4\tSex\t\t\t\n")
+  }
+
+  private def copyAcghFixture(root: Path): Unit = {
+    val src = java.nio.file.Paths.get(
+      "/root/reference/fixtures/Test Studies/Test Study_GSE0/ACGHDataToUpload")
+    val dir = root.resolve("Study ACGH").resolve("ACGHDataToUpload")
+    Files.createDirectories(dir)
+    Files.list(src).forEach { f =>
+      Files.copy(f, dir.resolve(f.getFileName.toString))
+    }
+  }
+
+  test("upload + mark + move + delete over the parquet warehouse") {
+    val root = Files.createTempDirectory("graft-cli-root")
+    val wh = Files.createTempDirectory("graft-cli-wh")
+    writeClinicalStudy(root)
+    copyAcghFixture(root)
+
+    // --- upload run: both studies load, folders marked _DONE_
+    val code = GraftCli.run(spark, Seq(
+      "-o", wh.toString, "--parent-node", "\\Public Studies", root.toString))
+    assert(code == 0)
+    val marked = Files.list(root).iterator()
+    val names = {
+      val b = Seq.newBuilder[String]
+      marked.forEachRemaining(p => b += p.getFileName.toString)
+      b.result().sorted
+    }
+    assert(names == Seq("_DONE_Study ACGH", "_DONE_Study CLI"))
+
+    // clinical star landed
+    val i2b2 = GraftCli.readTable(spark, wh, "i2b2")
+    assert(i2b2.filter(col("c_fullname") ===
+      "\\Public Studies\\Study CLI\\Subjects\\Demographics\\Sex\\Female\\").count() == 1)
+    val facts = GraftCli.readTable(spark, wh, "observation_fact")
+    assert(facts.filter(col("sourcesystem_cd") === "GSCLI").count() == 6)
+    // aCGH tables landed
+    assert(spark.read.parquet(s"$wh/de_subject_acgh_data.parquet")
+      .filter(col("trial_name") === "TSTA").count() > 0)
+    assert(spark.read.parquet(s"$wh/de_chromosomal_region.parquet")
+      .count() == 3422)
+
+    // --- move the clinical study
+    val mv = GraftCli.run(spark, Seq("-o", wh.toString,
+      "--move-study", "\\Public Studies\\Study CLI;\\Archive\\Study CLI"))
+    assert(mv == 0)
+    val moved = GraftCli.readTable(spark, wh, "i2b2")
+    assert(moved.filter(col("c_fullname").startsWith("\\Public Studies\\Study CLI"))
+      .count() == 0)
+    assert(moved.filter(col("c_fullname") ===
+      "\\Archive\\Study CLI\\Subjects\\Demographics\\Sex\\Female\\").count() == 1)
+
+    // an illegal move reports the reference's error and leaves the star alone
+    val bad = GraftCli.run(spark, Seq("-o", wh.toString,
+      "--move-study", "\\Nope\\Missing;\\Archive\\X"))
+    assert(bad == 1)
+
+    // --- delete it by path
+    val del = GraftCli.run(spark, Seq("-o", wh.toString,
+      "--delete-study-by-path", "\\Archive\\Study CLI"))
+    assert(del == 0)
+    val after = GraftCli.readTable(spark, wh, "i2b2")
+    assert(after.filter(col("c_fullname").startsWith("\\Archive\\Study CLI"))
+      .count() == 0)
+    assert(GraftCli.readTable(spark, wh, "observation_fact")
+      .filter(col("sourcesystem_cd") === "GSCLI").count() == 0)
+
+    // --- option surface sanity
+    assert(GraftCli.parseArgs(Seq("--bogus")).isLeft)
+    assert(GraftCli.parseArgs(Seq("-m", "a")).isLeft)
+    val parsed = GraftCli.parseArgs(Seq("-n", "-s", "--secure-study",
+      "--keep-security", "--check-duplicates", "--use-first-gene-id",
+      "--always-set-visit-name", "-m", "x;y", "d")).toOption.get
+    assert(parsed.noRename && parsed.stopOnFail && parsed.secureStudy &&
+      parsed.keepSecurity && parsed.checkDuplicates && parsed.useFirstGeneId &&
+      parsed.alwaysSetVisitName && parsed.moveStudy.contains(("x", "y")) &&
+      parsed.dataDir.exists(_.toString == "d"))
+  }
+}
