@@ -59,6 +59,24 @@ object ChromRegion {
     (meta, staged)
   }
 
+  /** I2B2_ADD_PLATFORM (reference
+    * sql/postgres/procedures/I2B2_ADD_PLATFORM.sql:24-27): one de_gpl_info
+    * row appended. The reference leaves duplicate platform rows to the
+    * PK; here the platform's existing row is replaced (the null-safe
+    * delete the other registry loads use). */
+  def addPlatform(gplInfo: DataFrame, gplId: String, title: String,
+                  organism: String, markerType: String,
+                  genomeBuild: String = null, releaseNbr: String = null): DataFrame = {
+    val spark = gplInfo.sparkSession
+    import spark.implicits._
+    gplInfo.filter(!(col("platform") <=> lit(gplId))).unionByName(
+      Seq((gplId, title, organism, markerType,
+        Option(genomeBuild).orNull, Option(releaseNbr).orNull))
+        .toDF("platform", "title", "organism", "marker_type",
+          "genome_build", "release_nbr"),
+      allowMissingColumns = true)
+  }
+
   /** @param staged     lt_chromosomal_region: (gpl_id, region_name,
     *                   chromosome, start_bp, end_bp, num_probes, cytoband,
     *                   gene_symbol, gene_id: long, organism) — ONE platform

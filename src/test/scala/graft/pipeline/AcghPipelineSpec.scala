@@ -151,6 +151,20 @@ class AcghPipelineSpec extends SparkSpec {
       "\\Test Studies\\Test Study ACGH\\Biomarker Data\\Chrom\\TST ASGH\\Ovary\\")
   }
 
+  test("addPlatform replaces the platform's de_gpl_info row (I2B2_ADD_PLATFORM)") {
+    val existing = Seq(("GPL9", "old title", "Homo Sapiens", "Chromosomal", null: String, null: String))
+      .toDF("platform", "title", "organism", "marker_type", "genome_build", "release_nbr")
+    val out = ChromRegion.addPlatform(existing, "GPL9", "new title",
+      "Mus musculus", "Gene Expression", genomeBuild = "mm10")
+    assert(out.count() == 1)
+    val r = out.collect()(0)
+    assert(r.getAs[String]("title") == "new title")
+    assert(r.getAs[String]("marker_type") == "Gene Expression")
+    assert(r.getAs[String]("genome_build") == "mm10")
+    // a different platform appends
+    assert(ChromRegion.addPlatform(existing, "GPL10", "t", "o", "SNP").count() == 2)
+  }
+
   test("validate surfaces the proc's abort conditions") {
     val badMap = sampleMap.withColumn("tissue_type", lit(null).cast("string"))
     val errs = AcghPipeline.validate(badMap, registry.regions, registry.gplInfo)
