@@ -99,6 +99,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("acgh_facts: dimensions broadcast, one fact-side shuffle (the dedup)") {
+    val df = SparkEntry.queries("acgh_facts")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // sample mapping + region registry broadcast onto the melted fact
+    // stream; the only fact-side exchange is the GROUP BY-dedup
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"fact side should shuffle once (dedup), got $shuffles")
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 3,
+      "aCGH dims must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("sample_stratified is a pure filter; pack_sequences has no global window") {
     val sample = SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.001")
     val sPlan = sample.queryExecution.executedPlan.toString
