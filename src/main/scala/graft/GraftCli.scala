@@ -158,6 +158,14 @@ object GraftCli {
     swapTmp(wh, name)
   }
 
+  /** trial_name-keyed omics fact tables present in the warehouse — the
+    * delete cascade clears each (the reference's de_subject_*_data
+    * family). */
+  private val OmicsFactTables = Seq("de_subject_acgh_data",
+    "de_subject_microarray_data", "de_subject_protein_data",
+    "de_subject_rbm_data", "de_subject_mirna_data",
+    "de_subject_metabolomics_data", "de_subject_rna_data")
+
   def loadStar(spark: SparkSession, wh: Path): StudyOps.Star = {
     def t(n: String) = readTable(spark, wh, n)
     StudyOps.Star(
@@ -171,7 +179,10 @@ object GraftCli {
       patientDimension = t("patient_dimension"),
       patientTrial = t("patient_trial"),
       sampleMapping = t("de_subject_sample_mapping"),
-      omicsData = Map.empty,
+      omicsData = OmicsFactTables
+        .filter(n => Files.exists(wh.resolve(s"$n.parquet")))
+        .map(n => n -> spark.read.parquet(wh.resolve(s"$n.parquet").toString))
+        .toMap,
       variantDatasets = emptyTable(spark, Seq("dataset_id" -> StringType)),
       variantTables = Map.empty,
       bioExperiment = t("bio_experiment"),
@@ -197,8 +208,9 @@ object GraftCli {
       "bio_experiment" -> star.bioExperiment,
       "bio_data_uid" -> star.bioDataUid,
       "search_secure_object" -> star.searchSecureObject)
-    tables.foreach { case (n, df) => writeTmp(df, wh, n) }
-    tables.foreach { case (n, _) => swapTmp(wh, n) }
+    val omics = star.omicsData.toSeq
+    (tables ++ omics).foreach { case (n, df) => writeTmp(df, wh, n) }
+    (tables ++ omics).foreach { case (n, _) => swapTmp(wh, n) }
   }
 
   // ------------------------------------------------------ clinical upload

@@ -92,6 +92,14 @@ class GraftCliSpec extends SparkSpec {
     assert(GraftCli.readTable(spark, wh, "observation_fact")
       .filter(col("sourcesystem_cd") === "GSCLI").count() == 0)
 
+    // --- delete the aCGH study by id: trial-keyed omics tables cascade
+    val delAcgh = GraftCli.run(spark, Seq("-o", wh.toString,
+      "--delete-study-by-id", "tsta"))
+    assert(delAcgh == 0)
+    assert(spark.read.parquet(s"$wh/de_subject_acgh_data.parquet").count() == 0)
+    assert(GraftCli.readTable(spark, wh, "de_subject_sample_mapping")
+      .filter(col("trial_name") === "TSTA").count() == 0)
+
     // --- option surface sanity
     assert(GraftCli.parseArgs(Seq("--bogus")).isLeft)
     assert(GraftCli.parseArgs(Seq("-m", "a")).isLeft)
