@@ -102,6 +102,44 @@ class DatatypeAnnotationsSpec extends SparkSpec {
     assert(t.annotation.count() == nProbes)
   }
 
+  test("registry reloads are idempotent (delete-by-platform + reinsert)") {
+    // running the same staged platform twice must converge: the second
+    // load replaces the first's rows and reassigns the same ids
+    val staged = Seq(
+      ("GPLI", "r1", "1", 1, 10, 1, "c", "S1", java.lang.Long.valueOf(5L), "Homo Sapiens"),
+      ("GPLI", "r2", "2", 11, 20, 2, "c", null, null.asInstanceOf[java.lang.Long], "Homo Sapiens"))
+      .toDF("gpl_id", "region_name", "chromosome", "start_bp", "end_bp",
+        "num_probes", "cytoband", "gene_symbol", "gene_id", "organism")
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("region_id", "gpl_id", "region_name", "gene_symbol", "gene_id")
+    val emptyGpl = Seq.empty[(String, String, String, String, String)]
+      .toDF("platform", "title", "organism", "marker_type", "release_nbr")
+    val emptyBm = Seq.empty[(String, String, String, String)]
+      .toDF("bio_marker_name", "organism", "primary_external_id", "bio_marker_type")
+    val once = ChromRegion.load(spark, staged, empty, emptyGpl, emptyBm)
+    val twice = ChromRegion.load(spark, staged,
+      once.regions.select("region_id", "gpl_id", "region_name",
+        "gene_symbol", "gene_id"),
+      once.gplInfo, emptyBm)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("region_id", "gpl_id", "region_name").collect()
+        .map(_.toSeq).toSet
+    assert(snap(once.regions) == snap(twice.regions))
+    assert(twice.gplInfo.count() == 1)
+
+    // same for the RBM antigen upsert: re-staging assigns no new ids
+    val rbmStaged = Seq(("GPLB2", "A1", "U1", "G1", "7"))
+      .toDF("gpl_id", "antigen_name", "uniprotid", "gene_symbol", "gene_id")
+    val noAntigens = Seq.empty[(Long, String, String)]
+      .toDF("antigen_id", "antigen_name", "platform")
+    val noMarkers = Seq.empty[(String, String, String)]
+      .toDF("bio_marker_name", "primary_external_id", "bio_marker_type")
+    val r1 = DatatypeAnnotations.rbm(spark, rbmStaged, noAntigens, noMarkers)
+    val r2 = DatatypeAnnotations.rbm(spark, rbmStaged, r1.antigens, noMarkers)
+    assert(r1.antigens.collect().map(_.toSeq).toSet ==
+      r2.antigens.collect().map(_.toSeq).toSet)
+  }
+
   test("proteomics: trim, uniprot_name mirror, organism default, replace") {
     val staged = Seq(
       ("GPLP", "  PEP1  ", "U1", null),
