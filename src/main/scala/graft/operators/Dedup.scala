@@ -115,21 +115,6 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, numHashes: Int, rowsPerBand: Int,
                  threshold: Double): DataFrame = {
-    val (sh, lazyResult) =
-      minhashLshLazy(docs, idCol, textCol, n, numHashes, rowsPerBand, threshold)
-    // materialize the verified pairs (tiny: the near-dup fraction), then
-    // free the candidate-shingle cache — library callers must not
-    // accumulate CacheManager entries across dedup calls
-    val result = lazyResult.localCheckpoint(true)
-    sh.unpersist()
-    result
-  }
-
-  /** The un-materialized pipeline + its shingle cache handle — the plan
-    * audit inspects this shape; [[minhashLsh]] is the cache-safe entry. */
-  def minhashLshLazy(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int, numHashes: Int, rowsPerBand: Int,
-                     threshold: Double): (DataFrame, DataFrame) = {
     val nBands = numHashes / rowsPerBand
     val sig = docs.select(col(idCol).as("doc_id"),
         graft.functions.TextHash.minhash(col(textCol), n, numHashes).as("mh"))
@@ -151,8 +136,14 @@ object Dedup {
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
     val candTexts = docs.join(broadcast(candDocs), Seq(idCol), "left_semi")
-    val sh = docShingles(candTexts, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    // TextHash.shingles yields DISTINCT shingles, so the per-doc size is
+    // a scalar projection — no explode, no shuffle. The only explode
+    // consumers are the two sides of the pair join over the (small)
+    // candidate set, cheap to recompute — NO cache, so the pipeline stays
+    // lazy and library callers leak nothing.
+    val sizes = candTexts.select(col(idCol).as("doc_id"),
+      size(graft.functions.TextHash.shingles(col(textCol), n)).as("n_shingles"))
+    val sh = docShingles(candTexts, idCol, textCol, n)
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val common = a.join(b, "shingle")
@@ -160,7 +151,7 @@ object Dedup {
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    val result = common
+    common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -170,7 +161,6 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-    (sh, result)
   }
 
   /** Benchmark decontamination: per corpus document, how many of its word

