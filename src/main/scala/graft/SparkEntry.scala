@@ -65,6 +65,7 @@ object SparkEntry {
     "sample_stratified" -> (TrainingData.sampleStratified _),
     "sample_shuffle" -> (TrainingData.sampleShuffle _),
     "text_repetition" -> (TrainingData.textRepetition _),
+    "text_contacts" -> (TrainingData.textContacts _),
     "pack_sequences" -> (TrainingData.packSequences _),
     "text_chunks" -> (TrainingData.textChunks _),
     "decontaminate" -> (TrainingData.decontaminate _),

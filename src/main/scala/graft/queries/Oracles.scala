@@ -929,6 +929,28 @@ object Oracles {
         |    ELSE 0.0 END, 6) AS repetition
         |FROM toks""".stripMargin,
 
+    "text_contacts" ->
+      """WITH d AS (
+        |  SELECT c_custkey AS doc_id,
+        |    CASE WHEN c_custkey % 3 = 0
+        |      THEN c_name || ' plain row no contacts here'
+        |      ELSE c_name || ' contact '
+        |        || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+        |        || '@example.com via https://ex.org/' || CAST(c_custkey AS VARCHAR)
+        |        || ' phone ' || CAST(c_custkey * 137 + 10000000 AS VARCHAR)
+        |    END AS text
+        |  FROM customer)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_long_digit_runs,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<REDACTED>', 'g'),
+        |    'https?://[^\s]+', '<REDACTED>', 'g'),
+        |    '[0-9]{7,}', '<REDACTED>', 'g') AS redacted
+        |FROM d""".stripMargin,
+
     // deterministic epoch shuffle: same md5 rank on both engines
     "sample_shuffle" ->
       """SELECT doc_id, lang,

@@ -98,6 +98,29 @@ object TrainingData {
       TextAnalysis.repetitionScore(col("text"), 3).as("repetition"))
   }
 
+  /** Contact-signal counting + redaction over a synthetic corpus with
+    * DETERMINISTIC spans (the driver's documents table has none):
+    * customers gain an email, a URL and a long digit run on 2 of 3 rows;
+    * DuckDB recomputes both the counts and the redacted text with the
+    * same regexes. */
+  def textContacts(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val handle = lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ""))
+    val text = when(col("c_custkey") % 3 === 0,
+      concat(col("c_name"), lit(" plain row no contacts here")))
+      .otherwise(concat(
+        col("c_name"), lit(" contact "), handle, lit("@example.com via https://ex.org/"),
+        col("c_custkey").cast("string"), lit(" phone "),
+        (col("c_custkey") * 137 + 10000000).cast("string")))
+    c.select(col("c_custkey").as("doc_id"), text.as("text"))
+      .withColumn("sig", TextAnalysis.contactSignals(col("text")))
+      .select(col("doc_id"),
+        col("sig.n_emails").cast("long").as("n_emails"),
+        col("sig.n_urls").cast("long").as("n_urls"),
+        col("sig.n_long_digit_runs").cast("long").as("n_long_digit_runs"),
+        TextAnalysis.redactContacts(col("text")).as("redacted"))
+  }
+
   /** Deterministic epoch shuffle: stable pseudorandom order by
     * md5('epoch0' | doc_id), position from the distributed dense-id path. */
   def sampleShuffle(s: SparkSession, dir: String): DataFrame =
