@@ -70,6 +70,10 @@ object SparkEntry {
     "text_chunks" -> (TrainingData.textChunks _),
     "decontaminate" -> (TrainingData.decontaminate _),
     "pipeline_training_e2e" -> (TrainingData.pipelineTrainingE2e _),
+    "dedup_segments" -> (TrainingData.dedupSegments _),
+    "text_tfidf" -> (TrainingData.textTfidf _),
+    "text_bm25" -> (TrainingData.textBm25 _),
+    "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),
     "f5_visit_suppress" -> (Remaining.f5VisitSuppress _),
     "f8_validation" -> (Remaining.f8Validation _),

@@ -76,6 +76,48 @@ object Dedup {
     result
   }
 
+  /** Cross-document segment dedup — the fixed-granularity approximation of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): documents split into consecutive
+    * `segTokens`-token segments; a segment occurring in several documents
+    * survives only in the lowest-id one (the owner keeps all its own
+    * occurrences) and is cut from the rest, then each document is
+    * reassembled from its surviving segments in order.
+    *
+    * 100 TB shape: tokenize + segment is a linear projection; ownership is
+    * ONE map-side-combinable groupBy on the segment hash; the join back is
+    * co-partitioned with that aggregate's shuffle; reassembly is a per-doc
+    * aggregate. No self-join, no window — the suffix-array machinery of
+    * true exact-substring dedup is replaced by the segment-boundary
+    * approximation, which is the standard trade at corpus scale.
+    * Documents with no tokens have no segments and are absent, like every
+    * shingle op. Returns (doc_id, n_segments, n_removed, clean_text). */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int): DataFrame = {
+    // tokens materialized as a real column first: a transform lambda
+    // re-evaluates free expressions per element, a bound reference doesn't
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).as("__n"))
+      .filter(col("__n") > 0)
+    val segs = base.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), ceil(col("__n") / lit(segTokens.toDouble)).cast("int") - 1),
+        i => array_join(slice(col("__toks"), i * segTokens + 1, lit(segTokens)), " ")))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("seg_hash", md5(col("seg")))
+    val owners = segs.groupBy(col("seg_hash")).agg(min(col("doc_id")).as("keep_doc"))
+    segs.join(owners, "seg_hash")
+      .withColumn("kept", col("doc_id") === col("keep_doc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+  }
+
   /** Engine-portable MinHash: for seed j, h_j(doc) = lexicographic min of
     * md5(j || '|' || shingle). All signatures computed as columns in a
     * SINGLE groupBy pass — map-side partial aggregation collapses each

@@ -105,24 +105,36 @@ object Similarity {
     * (building inverted lists keyed by `list_id`), and a query scans only
     * its `nprobe` nearest lists instead of the whole collection.
     *
-    * Centroids are seeded deterministically (the `numLists` lowest-id
-    * vectors) rather than k-means-iterated: Lloyd iterations accumulate
-    * float sums in partition order, which no independent oracle can
-    * reproduce — and the structure that matters for the plan (assign /
-    * probe / rank-within-lists) is identical. At scale you would refine
-    * the seeds offline and feed them in.
+    * Centroids default to deterministic seeds (the `numLists` lowest-id
+    * vectors): Lloyd iterations accumulate float sums in partition order,
+    * which no independent oracle can reproduce bit-for-bit — so the seeded
+    * quantizer is the hash-gated path, and [[kmeansCentroids]] provides the
+    * trained refinement via [[ivfAssignWith]]/[[ivfTopKWith]].
     *
     * 100 TB shape: centroids broadcast (numLists is thousands at most);
     * assignment is one narrow pass with a partial-aggregable argmax (no
     * pair shuffle, no window); the candidate join touches nprobe/numLists
     * of the data per query. Cosines are rounded to 6 dp BEFORE every
     * argmax/rank so tiebreaks are reproducible across engines. */
+  /** The deterministic seed quantizer: the `numLists` lowest-id vectors as
+    * centroids, (centroid_id, c_vec) — the shape [[ivfAssignWith]] expects,
+    * and what [[kmeansCentroids]] refines. */
+  def seedCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                    numLists: Int): DataFrame =
+    vectors.orderBy(col(idCol)).limit(numLists)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"))
+
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-                numLists: Int): DataFrame = {
-    val cents = broadcast(vectors
-      .orderBy(col(idCol)).limit(numLists)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"),
-        l2Norm(col(vecCol)).as("c_norm")))
+                numLists: Int): DataFrame =
+    ivfAssignWith(vectors, idCol, vecCol,
+      seedCentroids(vectors, idCol, vecCol, numLists))
+
+  /** IVF assignment against an EXTERNAL centroid table (centroid_id,
+    * c_vec) — seeded, k-means-trained, or loaded from a model store. */
+  def ivfAssignWith(vectors: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col("centroid_id"), col("c_vec"), l2Norm(col("c_vec")).as("c_norm")))
     vectors
       .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__norm"))
       .join(cents)
@@ -138,11 +150,16 @@ object Similarity {
   }
 
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, numLists: Int, nprobe: Int): DataFrame = {
-    val cents = broadcast(vectors
-      .orderBy(col(idCol)).limit(numLists)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"),
-        l2Norm(col(vecCol)).as("c_norm")))
+              vecCol: String, k: Int, numLists: Int, nprobe: Int): DataFrame =
+    ivfTopKWith(vectors, queries, idCol, vecCol, k, nprobe,
+      seedCentroids(vectors, idCol, vecCol, numLists))
+
+  /** IVF search against an external centroid table — see [[ivfAssignWith]]. */
+  def ivfTopKWith(vectors: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nprobe: Int,
+                  centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col("centroid_id"), col("c_vec"), l2Norm(col("c_vec")).as("c_norm")))
     // queries pick their nprobe nearest lists (tiny frame; window is fine)
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("centroid_id"))
@@ -156,7 +173,7 @@ object Similarity {
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_norm"),
         col("centroid_id").as("list_id")))
-    val assigned = ivfAssign(vectors, idCol, vecCol, numLists)
+    val assigned = ivfAssignWith(vectors, idCol, vecCol, centroids)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         col("__norm").as("n_norm"), col("list_id"))
     val wRank = Window.partitionBy(col("q_id"))
@@ -168,6 +185,89 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Spherical k-means (Lloyd's) coarse-quantizer trainer for IVF.
+    *
+    * Assignment is by cosine (matching [[ivfAssignWith]]); the update step
+    * is the per-dimension mean of each list's members (the mean's direction
+    * is the spherical centroid — cosine normalizes, so no explicit
+    * renormalization is needed). Initialized from [[seedCentroids]];
+    * empty lists keep their previous centroid.
+    *
+    * 100 TB shape per iteration: centroids live on the driver (k x dim
+    * doubles — KB to low MB) and enter the plan as literal arrays, so
+    * assignment is ONE narrow codegen'd pass (argmax over k dot products,
+    * no join, no window); the update is a posexplode + (list, dim) groupBy
+    * whose result is exactly k x dim rows — map-side combine does the
+    * heavy lifting and the collect is centroid-sized, never data-sized.
+    *
+    * Determinism: the per-dimension double sums follow Spark's partition
+    * order, so trained centroids are reproducible for a fixed layout but
+    * NOT bit-portable across engines — centroid training is gated by
+    * in-engine specs and a rows-level oracle check, not a hash compare
+    * (the seeded quantizer stays the hash-gated path).
+    *
+    * Returns (centroid_id: long 0..k-1, c_vec: array<double>). */
+  def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    require(k >= 2, "k-means needs k >= 2")
+    val spark = vectors.sparkSession
+    def rowVec(a: Any): Array[Double] = a match {
+      // Row.get yields mutable.ArraySeq — match the collection root, not
+      // the immutable alias
+      case s: scala.collection.Seq[_] => s.iterator.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray
+      case other => sys.error(s"unexpected vector value: $other")
+    }
+    var cents: IndexedSeq[Array[Double]] =
+      vectors.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+        .map(r => rowVec(r.get(0))).toIndexedSeq
+    var it = 0
+    while (it < iters) {
+      val assigned = vectors.select(
+        nearestCentroid(col(vecCol), cents).as("list_id"), col(vecCol))
+      val means = assigned
+        .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = Array.tabulate(k)(i => cents(i))
+      means.groupBy(_.getAs[Int]("list_id")).foreach { case (cid, rows) =>
+        val arr = new Array[Double](cents(cid).length)
+        rows.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+        next(cid) = arr
+      }
+      cents = next.toIndexedSeq
+      it += 1
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i.toLong, c.toSeq) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+  }
+
+  /** Argmax-cosine list id against DRIVER-side centroids rendered as
+    * literal arrays: a single codegen'd projection, the assignment hot
+    * path of one Lloyd iteration. Cosines round to 6 dp before the argmax,
+    * smallest centroid id wins ties — same tiebreak as [[ivfAssignWith]]. */
+  private def nearestCentroid(vecCol: Column, cents: Seq[Array[Double]]): Column = {
+    val vnorm = l2Norm(vecCol)
+    val scored = cents.zipWithIndex.map { case (c, cid) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct(round(dot(vecCol, array(c.map(lit): _*)) / (vnorm * cn), 6).as("cos"),
+        lit(-cid).as("neg_id"))
+    }
+    -greatest(scored: _*).getField("neg_id")
   }
 
   /** Embedding near-dup: same-block pairs above a cosine threshold.

@@ -779,6 +779,64 @@ object Oracles {
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // 10-token segments; a repeated segment survives only in min(doc_id)
+    "dedup_segments" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(t[(i*10+1):((i+1)*10)], ' ') AS seg
+        |  FROM toks, unnest(range(0, CAST(ceil(len(t) / 10.0) AS INT))) s(i)
+        |  WHERE len(t) > 0),
+        |owners AS (SELECT md5(seg) AS seg_hash, min(doc_id) AS keep_doc
+        |           FROM segs GROUP BY 1),
+        |m AS (SELECT doc_id, seg_idx, seg, (doc_id = keep_doc) AS kept
+        |      FROM segs JOIN owners ON md5(seg) = seg_hash)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), '')
+        |    AS clean_text
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // smoothed tf-idf, rank on the ROUNDED score with term tiebreak
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |      FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // Okapi BM25 (k1=1.2, b=0.75); avgdl = exact integer-sum mean
+    "text_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |g AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df, dl,
+        |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rank
+        |      FROM scored)
+        |SELECT doc_id, term, tf, df, dl, bm25, rank FROM r WHERE rank <= 5""".stripMargin,
+
     // shf mirrors the Spark query's maxDocFreq=250 stop-shingle cap
     "dedup_ngram_jaccard" -> (ShingleCte +
       """, keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 250),

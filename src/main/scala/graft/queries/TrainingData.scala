@@ -175,6 +175,34 @@ object TrainingData {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
   }
 
+  /** Cross-document segment dedup — the fixed-granularity exact-substring
+    * approximation: 10-token segments, a repeated segment survives only in
+    * its lowest-id document, documents reassembled from the survivors. */
+  def dedupSegments(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", segTokens = 10)
+
+  /** Smoothed TF-IDF top-5 terms per document. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TermStats.tfidfTopTerms(
+      t(s, dir, "documents"), "doc_id", "text", k = 5)
+
+  /** BM25 (Okapi k1=1.2, b=0.75) top-5 terms per document. */
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TermStats.bm25TopTerms(
+      t(s, dir, "documents"), "doc_id", "text", k = 5)
+
+  /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
+    * seeded quantizer). Trained float sums are not bit-portable across
+    * engines, so this row is rows/schema-gated (no oracle SQL) — the
+    * seeded `ann_ivf` twin stays the hash-gated path. */
+  def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      k = 16, iters = 3)
+    Similarity.ivfTopKWith(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10, nprobe = 4, cents)
+  }
+
   /** Decontamination profile: docs 0-24 act as the quarantined benchmark
     * set, the rest as the corpus; per corpus doc, the share of its 3-gram
     * shingles that leak from the benchmark. */

@@ -291,6 +291,78 @@ class DedupSpec extends SparkSpec {
     val empty = Seq((8L, "   ")).toDF("doc_id", "text")
     assert(Dedup.simhashHex(empty, "doc_id", "text").count() == 0)
   }
+
+  test("segmentDedup: repeated segments survive only in the owner doc") {
+    // 2-token segments; 'a b' and 'c d' repeat across docs, 'x y' unique
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_segments"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((2L, 0L, "a b c d"))) // owner of both segments
+    assert(out(2L) == ((2L, 1L, "x y")))     // 'a b' cut, own tail kept
+    assert(out(3L) == ((1L, 1L, "")))        // fully deduplicated
+  }
+
+  test("segmentDedup: partial tail segment, within-doc repeats kept in owner") {
+    val d = Seq(
+      (1L, "p q p q p"), // segments: 'p q', 'p q', 'p' — all owned by 1
+      (2L, "p q")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_segments"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    // the owner keeps BOTH its occurrences (cross-doc dedup, not within-doc)
+    assert(out(1L) == ((3L, 0L, "p q p q p")))
+    assert(out(2L) == ((1L, 1L, "")))
+    // token-less docs have no segments and are absent
+    val empty = Seq((9L, "  ")).toDF("doc_id", "text")
+    assert(Dedup.segmentDedup(empty, "doc_id", "text", 2).count() == 0)
+  }
+}
+
+class TermStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 docs; 'shared' in all, 'pair' in two, 'only' in one
+  private val docs = Seq(
+    (1L, "shared pair only only"),
+    (2L, "shared pair"),
+    (3L, "shared")).toDF("doc_id", "text")
+
+  test("tfidf: rare terms outscore common ones, smoothed idf formula exact") {
+    val out = TermStats.tfidfTopTerms(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("tfidf"),
+          r.getAs[Long]("rank")))).toMap
+    def score(tf: Long, df: Long): Double =
+      BigDecimal(tf * (math.log(4.0 / (df + 1.0)) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, "only")) == ((2L, 1L, score(2, 1), 1L)))
+    assert(out((1L, "pair")) == ((1L, 2L, score(1, 2), 2L)))
+    // df = N: ln((N+1)/(N+1)) + 1 = 1 -> tfidf = tf
+    assert(out((3L, "shared")) == ((1L, 3L, 1.0, 1L)))
+    // rank within doc 1: only > pair > shared
+    assert(out((1L, "shared"))._4 == 3L)
+  }
+
+  test("bm25: rank ordering matches tfidf intuition, dl/avgdl normalization") {
+    val rows = TermStats.bm25TopTerms(docs, "doc_id", "text", k = 5).collect()
+    val doc1 = rows.filter(_.getLong(0) == 1L)
+      .sortBy(_.getAs[Long]("rank")).map(_.getString(1)).toSeq
+    assert(doc1 == Seq("only", "pair", "shared"))
+    // exact formula for doc 3's 'shared': tf=1, df=3, dl=1, avgdl=7/3
+    val r3 = rows.find(r => r.getLong(0) == 3L && r.getString(1) == "shared").get
+    val idf = math.log(1.0 + (3 - 3 + 0.5) / (3 + 0.5))
+    val expected = BigDecimal(idf * 1.0 * 2.2 /
+        (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * 1.0 / (7.0 / 3.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r3.getAs[Double]("bm25") == expected)
+    assert(r3.getAs[Long]("dl") == 1L)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -353,6 +425,45 @@ class SimilaritySpec extends SparkSpec {
       Similarity.lshBucket($"embedding", planes).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(buckets(0L) == buckets(3L)) // colinear vectors, same signs
+  }
+
+  // two tight clusters around (1,0) and (0,1); seeds 0 and 1 start in
+  // DIFFERENT clusters, so Lloyd's must pull each centroid to its mean
+  private val clustered = Seq(
+    (0L, Array(1.0f, 0.00f)), (2L, Array(1.0f, 0.10f)),
+    (4L, Array(1.0f, -0.1f)), (6L, Array(1.0f, 0.05f)),
+    (1L, Array(0.0f, 1.00f)), (3L, Array(0.1f, 1.00f)),
+    (5L, Array(-0.1f, 1.0f)), (7L, Array(0.05f, 1.0f))).toDF("vec_id", "embedding")
+
+  test("kmeansCentroids converge to the per-cluster means on separable data") {
+    val cents = Similarity.kmeansCentroids(clustered, "vec_id", "embedding",
+      k = 2, iters = 3)
+    val m = cents.collect().map(r => r.getLong(0) ->
+      r.getSeq[Double](1).toArray).toMap
+    assert(m.size == 2)
+    // centroid 0 inherits seed 0's cluster (x-heavy), centroid 1 the other
+    assert(m(0L)(0) > 0.9 && math.abs(m(0L)(1)) < 0.1)
+    assert(m(1L)(1) > 0.9 && math.abs(m(1L)(0)) < 0.1)
+    // exact per-dimension means of the converged assignment
+    assert(math.abs(m(0L)(1) - (0.0 + 0.10 - 0.1 + 0.05) / 4.0) < 1e-6)
+  }
+
+  test("ivfTopKWith trained centroids: assignment matches the true clusters") {
+    val cents = Similarity.kmeansCentroids(clustered, "vec_id", "embedding",
+      k = 2, iters = 3)
+    val assigned = Similarity.ivfAssignWith(clustered, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(Seq(0L, 2L, 4L, 6L).forall(assigned(_) == 0L))
+    assert(Seq(1L, 3L, 5L, 7L).forall(assigned(_) == 1L))
+    // probing both lists = brute force, trained or seeded alike
+    val ivf = Similarity.ivfTopKWith(clustered,
+      clustered.filter($"vec_id" === 0), "vec_id", "embedding",
+      k = 3, nprobe = 2, cents)
+      .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val bf = Similarity.bruteForceTopK(clustered,
+      clustered.filter($"vec_id" === 0), "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(ivf == bf)
   }
 }
 
