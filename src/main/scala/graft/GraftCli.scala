@@ -22,8 +22,8 @@ import graft.sources.{AcghMelt, ClinicalMapping, TsvReader}
   * equivalent — at scale each becomes a partitioned table and nothing
   * here changes.
   *
-  * Upload datatypes wired end-to-end: Clinical and ACGH (the two
-  * file-complete flows). Other datatype folders are reported and skipped.
+  * Upload datatypes wired end-to-end: Clinical, ACGH and Expression
+  * (mRNA). Other datatype folders are reported and skipped.
   */
 object GraftCli {
 
@@ -356,17 +356,138 @@ object GraftCli {
     val t = AcghPipeline.run(spark, studyId, topNode, sampleMap, melted,
       registry.regions, registry.gplInfo, patients)
 
-    writeTable(patients, wh, "patient_dimension")
-    writeTable(readTable2(spark, wh, "de_subject_acgh_data",
-        Seq("region_id" -> LongType, "assay_id" -> LongType,
-          "trial_name" -> StringType))
-      .filter(!(col("trial_name") <=> lit(studyId)))
-      .unionByName(t.regionFacts, allowMissingColumns = true),
-      wh, "de_subject_acgh_data")
-    writeTable(readTable(spark, wh, "de_subject_sample_mapping")
-      .filter(!(col("trial_name") <=> lit(studyId)))
-      .unionByName(t.sampleMapping, allowMissingColumns = true),
-      wh, "de_subject_sample_mapping")
+    // t's lineage reads the OLD patient_dimension file (ensurePatients):
+    // materialize every output to tmp before any swap, like writeStar
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "patient_dimension" -> patients,
+      "de_subject_acgh_data" ->
+        readTable2(spark, wh, "de_subject_acgh_data",
+          Seq("region_id" -> LongType, "assay_id" -> LongType,
+            "trial_name" -> StringType))
+          .filter(!(col("trial_name") <=> lit(studyId)))
+          .unionByName(t.regionFacts, allowMissingColumns = true),
+      "de_subject_sample_mapping" ->
+        readTable(spark, wh, "de_subject_sample_mapping")
+          .filter(!(col("trial_name") <=> lit(studyId)))
+          .unionByName(t.sampleMapping, allowMissingColumns = true))
+    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+    studyId
+  }
+
+  // ---------------------------------------------------- expression upload
+
+  /** mRNA expression upload (§3.2): platform annotation -> registry load ->
+    * load-samples node build -> melt -> probe tagging -> z-score, the
+    * `OmicsPipeline.runFull` chain, persisted into the warehouse star
+    * (registry + gpl info + sample mapping + de_subject_microarray_data). */
+  def uploadExpression(spark: SparkSession, dir: Path, topNodeParent: String,
+                       studyLabel: String, wh: Path,
+                       useFirstGeneId: Boolean): String = {
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(dir).iterator().asScala.toSeq
+    def findFile(rx: String): Option[Path] =
+      files.find(p => p.getFileName.toString.matches(rx))
+    val mapFile = findFile("(?i).+_Subject_Sample_Mapping_File(_GPL\\d+)*\\.txt")
+      .getOrElse(sys.error(s"$dir: no subject-sample mapping file"))
+    val dataFile = findFile("(?i).+_Gene_Expression_Data_[RLT](_GPL\\d+)*\\.txt")
+      .getOrElse(sys.error(s"$dir: no *_Gene_Expression_Data_{R,L,T}.txt"))
+
+    val raw = TsvReader.read(spark, mapFile.toString)
+    def nz(n: String) =
+      if (raw.columns.contains(n))
+        when(length(coalesce(col(n), lit(""))) > 0, col(n))
+      else lit(null).cast(StringType)
+    val sampleMap = raw.select(
+      upper(col("STUDY_ID")).as("study_id"),
+      nz("SITE_ID").as("site_id"),
+      col("SUBJECT_ID").as("subject_id"),
+      col("SAMPLE_ID").as("sample_cd"),
+      nz("PLATFORM").as("platform"),
+      nz("TISSUETYPE").as("tissue_type"),
+      nz("ATTR1").as("attribute_1"),
+      nz("ATTR2").as("attribute_2"),
+      nz("CATEGORY_CD").as("category_cd"),
+      nz("SOURCE_CD").as("source_cd"))
+      // OmicsPipeline/LoadSamples accept both naming conventions
+      .withColumn("sample_id", col("sample_cd"))
+      .withColumn("platform_name", col("platform"))
+      .withColumn("tissuetype", col("tissue_type"))
+      .withColumn("attr1", col("attribute_1"))
+      .withColumn("attr2", col("attribute_2"))
+    val studyId = sampleMap.select(col("study_id")).limit(1)
+      .collect().head.getString(0)
+    val platform = sampleMap.filter(col("platform").isNotNull)
+      .select(col("platform")).limit(1).collect().head.getString(0)
+
+    val pf = findFile(s"(?i)${java.util.regex.Pattern.quote(platform)}\\.txt")
+      .getOrElse(sys.error(s"$dir: no platform file $platform.txt"))
+    val (meta, platformAnn) =
+      graft.sources.OmicsSources.readPlatform(spark, pf.toString, useFirstGeneId)
+    val staged = platformAnn.select(
+      lit(platform).as("gpl_id"), col("probeset_id").as("probe_id"),
+      col("gene_symbol"), col("gene_id").cast(StringType).as("gene_id"),
+      col("species").as("organism"))
+
+    val probesets0 = readTable2(spark, wh, "probeset_deapp",
+      Seq("probeset_id" -> LongType, "probeset" -> StringType,
+        "platform" -> StringType, "organism" -> StringType))
+    val bioMarkers = readTable2(spark, wh, "bio_marker",
+      Seq("bio_marker_name" -> StringType, "organism" -> StringType,
+        "primary_external_id" -> StringType, "bio_marker_type" -> StringType))
+    // de_gpl_info upsert = I2B2_ADD_PLATFORM's replace row
+    val gplInfo = readTable2(spark, wh, "de_gpl_info",
+      Seq("platform" -> StringType, "title" -> StringType,
+        "organism" -> StringType, "marker_type" -> StringType,
+        "release_nbr" -> StringType))
+      .filter(!(col("platform") <=> lit(platform)))
+      .unionByName(spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(platform,
+          meta.getOrElse("PLATFORM_TITLE", platform),
+          meta.getOrElse("PLATFORM_SPECIES", "Homo sapiens"),
+          "Gene Expression", null)),
+        StructType(Seq("platform", "title", "organism", "marker_type",
+          "release_nbr").map(StructField(_, StringType)))),
+        allowMissingColumns = true)
+
+    val patients = AcghPipeline.ensurePatients(spark,
+      readTable(spark, wh, "patient_dimension"), sampleMap, studyId)
+    val topNode = s"$topNodeParent\\$studyLabel\\"
+    val dataType = graft.sources.OmicsSources
+      .dataTypeFromFileName(dataFile.getFileName.toString)
+    val t = graft.pipeline.OmicsPipeline.runFull(spark, studyId, topNode,
+      sampleMap,
+      graft.sources.OmicsSources.meltMatrix(TsvReader.readFast(spark, dataFile.toString)),
+      staged, probesets0, bioMarkers, gplInfo, patients, dataType = dataType)
+
+    // every plan below may re-read the OLD warehouse files (patients'
+    // lineage scans patient_dimension), so materialize ALL outputs to tmp
+    // dirs before any old dir is swapped out — the writeStar discipline
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "patient_dimension" -> patients,
+      "de_gpl_info" -> gplInfo,
+      "probeset_deapp" -> t.annotation.probesets,
+      "de_mrna_annotation" -> t.annotation.mrnaAnnotation,
+      "de_subject_sample_mapping" ->
+        readTable(spark, wh, "de_subject_sample_mapping")
+          .filter(!(col("trial_name") <=> lit(studyId)))
+          .unionByName(
+            // the node-typed mapping rows from LOAD_SAMPLES, with the
+            // assay ids the mRNA proc assigned backfilled per sample
+            t.loadSamples.sampleMapping.drop("assay_id")
+              .join(broadcast(t.omics.sampleMapping
+                .select(col("sample_id").as("sample_cd"),
+                  col("assay_id"))), Seq("sample_cd"), "left"),
+            allowMissingColumns = true),
+      "de_subject_microarray_data" ->
+        readTable2(spark, wh, "de_subject_microarray_data",
+          Seq("probeset_id" -> StringType, "assay_id" -> LongType,
+            "trial_name" -> StringType))
+          .filter(!(col("trial_name") <=> lit(studyId)))
+          .unionByName(t.omics.data.withColumn("trial_name", lit(studyId)),
+            allowMissingColumns = true))
+    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    outputs.foreach { case (n, _) => swapTmp(wh, n) }
     studyId
   }
 
@@ -395,6 +516,9 @@ object GraftCli {
                   o.warehouse, o.alwaysSetVisitName)
               case "ACGH" =>
                 uploadAcgh(spark, dir, st.parentPath, st.studyLabel, o.warehouse)
+              case "EXPRESSION" =>
+                uploadExpression(spark, dir, st.parentPath, st.studyLabel,
+                  o.warehouse, o.useFirstGeneId)
               case other =>
                 println(s">>> SKIPPING unsupported datatype folder: $other (${st.studyLabel})")
             }

@@ -37,13 +37,24 @@ class GraftCliSpec extends SparkSpec {
     }
   }
 
+  private def copyExpressionFixture(root: Path): Unit = {
+    val src = java.nio.file.Paths.get(
+      "/root/reference/fixtures/Test Studies/Test Study_GSE0/ExpressionDataToUpload")
+    val dir = root.resolve("Study GEX").resolve("ExpressionDataToUpload")
+    Files.createDirectories(dir)
+    Files.list(src).forEach { f =>
+      Files.copy(f, dir.resolve(f.getFileName.toString))
+    }
+  }
+
   test("upload + mark + move + delete over the parquet warehouse") {
     val root = Files.createTempDirectory("graft-cli-root")
     val wh = Files.createTempDirectory("graft-cli-wh")
     writeClinicalStudy(root)
     copyAcghFixture(root)
+    copyExpressionFixture(root)
 
-    // --- upload run: both studies load, folders marked _DONE_
+    // --- upload run: all three studies load, folders marked _DONE_
     val code = GraftCli.run(spark, Seq(
       "-o", wh.toString, "--parent-node", "\\Public Studies", root.toString))
     assert(code == 0)
@@ -53,7 +64,7 @@ class GraftCliSpec extends SparkSpec {
       marked.forEachRemaining(p => b += p.getFileName.toString)
       b.result().sorted
     }
-    assert(names == Seq("_DONE_Study ACGH", "_DONE_Study CLI"))
+    assert(names == Seq("_DONE_Study ACGH", "_DONE_Study CLI", "_DONE_Study GEX"))
 
     // clinical star landed
     val i2b2 = GraftCli.readTable(spark, wh, "i2b2")
@@ -66,6 +77,19 @@ class GraftCliSpec extends SparkSpec {
       .filter(col("trial_name") === "TSTA").count() > 0)
     assert(spark.read.parquet(s"$wh/de_chromosomal_region.parquet")
       .count() == 3422)
+    // expression tables landed: registry, mapping, intensity fidelity
+    // (ExpressionDataProcessorTest.groovy:55-74's raw-value check)
+    assert(spark.read.parquet(s"$wh/de_mrna_annotation.parquet")
+      .filter(col("gpl_id") === "GEX_TST").count() > 0)
+    val gexMap = spark.read.parquet(s"$wh/de_subject_sample_mapping.parquet")
+      .filter(col("trial_name") === "GSE0")
+    assert(gexMap.select("sample_cd").distinct().count() == 32)
+    val assay719 = gexMap.filter(col("sample_cd") === "TST1000000719")
+      .select("assay_id").distinct().collect()(0).getLong(0)
+    val gexV = spark.read.parquet(s"$wh/de_subject_microarray_data.parquet")
+      .filter(col("probeset_id") === "1007_s_at" && col("assay_id") === assay719)
+      .collect()(0).getAs[Double]("raw_intensity")
+    assert(math.abs(gexV - 6.624529839) < 0.001)
 
     // --- move the clinical study
     val mv = GraftCli.run(spark, Seq("-o", wh.toString,
@@ -99,6 +123,15 @@ class GraftCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/de_subject_acgh_data.parquet").count() == 0)
     assert(GraftCli.readTable(spark, wh, "de_subject_sample_mapping")
       .filter(col("trial_name") === "TSTA").count() == 0)
+
+    // --- delete the expression study: microarray facts + mapping cascade
+    val delGex = GraftCli.run(spark, Seq("-o", wh.toString,
+      "--delete-study-by-id", "gse0"))
+    assert(delGex == 0)
+    assert(spark.read.parquet(s"$wh/de_subject_microarray_data.parquet")
+      .filter(col("trial_name") === "GSE0").count() == 0)
+    assert(GraftCli.readTable(spark, wh, "de_subject_sample_mapping")
+      .filter(col("trial_name") === "GSE0").count() == 0)
 
     // --- option surface sanity
     assert(GraftCli.parseArgs(Seq("--bogus")).isLeft)

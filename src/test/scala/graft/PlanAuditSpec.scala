@@ -107,6 +107,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("dedup_segments: one ownership aggregate, no self-join, no window") {
+    val df = SparkEntry.queries("dedup_segments")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // ownership is a map-side-combinable min() on the segment hash; the
+    // join back rides the same hash partitioning; reassembly is the
+    // per-doc aggregate. NO pair self-join, NO window anywhere.
+    assert(plan.contains("partial_min"), "ownership lost its partial agg")
+    assert(!plan.contains("Window"), "segment dedup must not window")
+    assert(!plan.contains("CartesianProduct"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"expected hash agg + join + doc agg, got $shuffles")
+  }
+
+  test("text_tfidf/bm25: per-doc windows only, no global window") {
+    for (name <- Seq("text_tfidf", "text_bm25")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("No Partition Defined"),
+        s"$name leaked a global window")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: the global-scalar cross join must broadcast, not cartesian")
+      // term aggregates keep their map-side partials
+      assert(plan.contains("partial_count"), s"$name lost partial aggregation")
+    }
+  }
+
   test("sample_stratified is a pure filter; pack_sequences has no global window") {
     val sample = SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.001")
     val sPlan = sample.queryExecution.executedPlan.toString
