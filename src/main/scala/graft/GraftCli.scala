@@ -166,6 +166,11 @@ object GraftCli {
     "de_subject_rbm_data", "de_subject_mirna_data",
     "de_subject_metabolomics_data", "de_subject_rna_data")
 
+  /** dataset_id-keyed variant tables (the reference's de_variant_* star). */
+  private val VariantTables = Seq("de_variant_subject_idx",
+    "de_variant_population_info", "de_variant_subject_detail",
+    "de_variant_subject_summary", "de_variant_population_data")
+
   def loadStar(spark: SparkSession, wh: Path): StudyOps.Star = {
     def t(n: String) = readTable(spark, wh, n)
     StudyOps.Star(
@@ -183,8 +188,12 @@ object GraftCli {
         .filter(n => Files.exists(wh.resolve(s"$n.parquet")))
         .map(n => n -> spark.read.parquet(wh.resolve(s"$n.parquet").toString))
         .toMap,
-      variantDatasets = emptyTable(spark, Seq("dataset_id" -> StringType)),
-      variantTables = Map.empty,
+      variantDatasets = readTable2(spark, wh, "de_variant_dataset",
+        Seq("dataset_id" -> StringType)),
+      variantTables = VariantTables
+        .filter(n => Files.exists(wh.resolve(s"$n.parquet")))
+        .map(n => n -> spark.read.parquet(wh.resolve(s"$n.parquet").toString))
+        .toMap,
       bioExperiment = t("bio_experiment"),
       bioDataUid = t("bio_data_uid"),
       searchSecureObject = t("search_secure_object"))
@@ -209,8 +218,10 @@ object GraftCli {
       "bio_data_uid" -> star.bioDataUid,
       "search_secure_object" -> star.searchSecureObject)
     val omics = star.omicsData.toSeq
-    (tables ++ omics).foreach { case (n, df) => writeTmp(df, wh, n) }
-    (tables ++ omics).foreach { case (n, _) => swapTmp(wh, n) }
+    val variants = ("de_variant_dataset" -> star.variantDatasets) +:
+      star.variantTables.toSeq
+    (tables ++ omics ++ variants).foreach { case (n, df) => writeTmp(df, wh, n) }
+    (tables ++ omics ++ variants).foreach { case (n, _) => swapTmp(wh, n) }
   }
 
   // ------------------------------------------------------ clinical upload
@@ -375,6 +386,82 @@ object GraftCli {
     studyId
   }
 
+  // ----------------------------------------------------------- VCF upload
+
+  /** VCF upload (VCFDataProcessor.groovy): every `*.vcf` in the folder
+    * becomes its own `<study>:<file>` dataset via [[graft.pipeline.VcfPipeline.runDir]];
+    * subjects upsert into patient_dimension, samples get warehouse-unique
+    * assay ids (the sample-mapping rows are what ties the delete cascade
+    * to de_variant_subject_summary), and the six de_variant_* tables
+    * replace their study-prefixed datasets. Study id + genome build come
+    * from the mapping file's `# KEY: value` meta header. */
+  def uploadVcf(spark: SparkSession, dir: Path, wh: Path): String = {
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(dir).iterator().asScala.toSeq
+    val mapFile = files
+      .find(_.getFileName.toString.matches("(?i)(.*_)?Subject_Sample_Mapping_File(_.*)*\\.txt"))
+      .getOrElse(sys.error(s"$dir: no subject-sample mapping file"))
+    val meta = Files.readAllLines(mapFile).asScala
+      .takeWhile(_.startsWith("#"))
+      .flatMap { l =>
+        l.drop(1).split(":", 2) match {
+          case Array(k, v) => Some(k.trim.toUpperCase -> v.trim)
+          case _ => None
+        }
+      }.toMap
+    val studyId = meta.getOrElse("STUDY_ID",
+      sys.error(s"$mapFile: no # STUDY_ID meta line")).toUpperCase
+    val genome = meta.getOrElse("GENOME_BUILD", "hg19")
+
+    val sm = TsvReader.read(spark, mapFile.toString).select(
+      col("SUBJECT_ID").as("subject_id"),
+      col("SAMPLE_CD").as("sample_cd"),
+      lit(null).cast(StringType).as("site_id"))
+    val t = graft.pipeline.VcfPipeline.runDir(spark, dir.toString, studyId, genome)
+
+    val patients = AcghPipeline.ensurePatients(spark,
+      readTable(spark, wh, "patient_dimension"), sm, studyId)
+    val oldMapping = readTable(spark, wh, "de_subject_sample_mapping")
+    val maxAssay = oldMapping.agg(coalesce(max(col("assay_id")), lit(0L)))
+      .collect()(0).getLong(0)
+    val mapping = graft.core.Ids.denseIds(
+        sm.select(col("subject_id"), col("sample_cd")),
+        Seq("sample_cd"), "assay_id", startAt = maxAssay + 1)
+      .withColumn("trial_name", lit(studyId))
+      .withColumn("source_cd", lit("VCF"))
+    val summary = t.subjectSummary.join(
+      broadcast(mapping.select(col("sample_cd").as("sample_id"),
+        col("assay_id"))), Seq("sample_id"), "left")
+
+    def replaceDatasets(old: DataFrame, fresh: DataFrame): DataFrame =
+      old.filter(!col("dataset_id").startsWith(studyId + ":"))
+        .unionByName(fresh, allowMissingColumns = true)
+    def oldVt(n: String) =
+      readTable2(spark, wh, n, Seq("dataset_id" -> StringType))
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "patient_dimension" -> patients,
+      // replace per (trial, source_cd) — a study's OTHER datatype
+      // mappings (expression, aCGH) must survive a VCF re-upload
+      "de_subject_sample_mapping" ->
+        oldMapping.filter(!(col("trial_name") <=> lit(studyId) &&
+            coalesce(col("source_cd"), lit("STD")) === "VCF"))
+          .unionByName(mapping, allowMissingColumns = true),
+      "de_variant_dataset" -> replaceDatasets(oldVt("de_variant_dataset"), t.dataset),
+      "de_variant_subject_idx" ->
+        replaceDatasets(oldVt("de_variant_subject_idx"), t.subjectIdx),
+      "de_variant_population_info" ->
+        replaceDatasets(oldVt("de_variant_population_info"), t.populationInfo),
+      "de_variant_subject_detail" ->
+        replaceDatasets(oldVt("de_variant_subject_detail"), t.subjectDetail),
+      "de_variant_subject_summary" ->
+        replaceDatasets(oldVt("de_variant_subject_summary"), summary),
+      "de_variant_population_data" ->
+        replaceDatasets(oldVt("de_variant_population_data"), t.populationData))
+    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+    studyId
+  }
+
   // ---------------------------------------------------- expression upload
 
   /** mRNA expression upload (§3.2): platform annotation -> registry load ->
@@ -419,6 +506,9 @@ object GraftCli {
       .collect().head.getString(0)
     val platform = sampleMap.filter(col("platform").isNotNull)
       .select(col("platform")).limit(1).collect().head.getString(0)
+    val srcCd = sampleMap.filter(col("source_cd").isNotNull)
+      .select(col("source_cd")).limit(1).collect()
+      .headOption.map(_.getString(0)).getOrElse("STD")
 
     val pf = findFile(s"(?i)${java.util.regex.Pattern.quote(platform)}\\.txt")
       .getOrElse(sys.error(s"$dir: no platform file $platform.txt"))
@@ -468,16 +558,20 @@ object GraftCli {
       "de_gpl_info" -> gplInfo,
       "probeset_deapp" -> t.annotation.probesets,
       "de_mrna_annotation" -> t.annotation.mrnaAnnotation,
+      // replace per (trial, source_cd) like I2B2_LOAD_SAMPLES's delete
+      // (source_cd defaults to 'STD'), so sibling datatypes survive
       "de_subject_sample_mapping" ->
         readTable(spark, wh, "de_subject_sample_mapping")
-          .filter(!(col("trial_name") <=> lit(studyId)))
+          .filter(!(col("trial_name") <=> lit(studyId) &&
+            coalesce(col("source_cd"), lit("STD")) === srcCd))
           .unionByName(
             // the node-typed mapping rows from LOAD_SAMPLES, with the
             // assay ids the mRNA proc assigned backfilled per sample
             t.loadSamples.sampleMapping.drop("assay_id")
               .join(broadcast(t.omics.sampleMapping
                 .select(col("sample_id").as("sample_cd"),
-                  col("assay_id"))), Seq("sample_cd"), "left"),
+                  col("assay_id"))), Seq("sample_cd"), "left")
+              .withColumn("source_cd", lit(srcCd)),
             allowMissingColumns = true),
       "de_subject_microarray_data" ->
         readTable2(spark, wh, "de_subject_microarray_data",
@@ -519,6 +613,8 @@ object GraftCli {
               case "EXPRESSION" =>
                 uploadExpression(spark, dir, st.parentPath, st.studyLabel,
                   o.warehouse, o.useFirstGeneId)
+              case "VCF" | "MULTIVCF" =>
+                uploadVcf(spark, dir, o.warehouse)
               case other =>
                 println(s">>> SKIPPING unsupported datatype folder: $other (${st.studyLabel})")
             }

@@ -74,6 +74,8 @@ object SparkEntry {
     "text_tfidf" -> (TrainingData.textTfidf _),
     "text_bm25" -> (TrainingData.textBm25 _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
+    "dedup_url" -> (TrainingData.dedupUrl _),
+    "text_quality_flags" -> (TrainingData.textQualityFlags _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),
     "f5_visit_suppress" -> (Remaining.f5VisitSuppress _),
     "f8_validation" -> (Remaining.f8Validation _),

@@ -118,6 +118,30 @@ object Dedup {
           x => x.getField("seg")), " ").as("clean_text"))
   }
 
+  /** Canonical URL for web-corpus dedup: lowercase, scheme and `www.`
+    * stripped, fragment dropped, trailing utm_* tracking query removed,
+    * trailing slash trimmed. Pure regex projection — engine-portable,
+    * codegen'd, no UDF. */
+  def canonicalUrl(url: Column): Column = {
+    val lowered = lower(url)
+    val noScheme = regexp_replace(lowered, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noFrag = regexp_replace(noWww, "#.*$", "")
+    val noUtm = regexp_replace(noFrag,
+      "\\?utm_[a-z]+=[^&#]*(&utm_[a-z]+=[^&#]*)*$", "")
+    regexp_replace(noUtm, "/$", "")
+  }
+
+  /** URL dedup — the cheapest, highest-yield web-corpus dedup pass (crawl
+    * frontiers re-fetch the same page under scheme/www/fragment/tracking
+    * variants): group by the canonical URL, keep the smallest id. Same
+    * single-aggregate shape as [[exact]]. */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Engine-portable MinHash: for seed j, h_j(doc) = lexicographic min of
     * md5(j || '|' || shingle). All signatures computed as columns in a
     * SINGLE groupBy pass — map-side partial aggregation collapses each

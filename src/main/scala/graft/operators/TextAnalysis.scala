@@ -102,6 +102,63 @@ object TextAnalysis {
     greatest(lengthComp + stopComp - punctPenalty, lit(0.0))
   }
 
+  /** Gopher-style quality-filter FLAGS (Rae et al. 2021 §A1.1 "repetition
+    * and quality heuristics", the rule set every large-scale text pipeline
+    * reimplements): per-document rule columns plus the conjunction. All
+    * ratios derive from integer counts (exact in any engine) and round to
+    * 4 dp BEFORE thresholding, so the flags reproduce bit-identically in
+    * the DuckDB oracle. One projection pass over a shared token array —
+    * no shuffle, composes with any other per-doc signal.
+    *
+    * Rules (thresholds scaled to the synthetic corpus's short docs; the
+    * published bounds are minWords=50/maxWords=100k, meanWordLen in
+    * [3,10], symbolRatio<0.1, alphaFrac>0.8, stopFrac>=0.06):
+    * returns (idCol passthrough..., n_words, mean_word_len, symbol_ratio,
+    * alpha_frac, stopword_frac, passes). */
+  def gopherFlags(df: DataFrame, textCol: String,
+                  minWords: Long = 10, maxWords: Long = 100000,
+                  minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                  minStopFrac: Double = 0.0): DataFrame = {
+    val passthrough = df.columns.map(col).toSeq
+    // layer 1: token array once; layer 2: integer counts off it; layer 3:
+    // exact ratios + flags (interpreted array lambdas run once per row)
+    val counted = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__charsum",
+        aggregate(transform(col("__toks"), t => length(t)), lit(0L),
+          (acc, v) => acc + v))
+      .withColumn("__alpha",
+        size(filter(col("__toks"), t => t.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("__stop",
+        stopwordHits(col("__toks"), StopwordsByLang.toMap.apply("en")).cast("long"))
+      .withColumn("__sym",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[#@~^|\\\\]", ""))).cast("long"))
+    val nW = col("n_words")
+    counted
+      .withColumn("n_words", col("__n"))
+      .withColumn("mean_word_len",
+        round(col("__charsum").cast("double") / greatest(nW, lit(1L)), 4))
+      .withColumn("symbol_ratio",
+        round(col("__sym").cast("double") / greatest(nW, lit(1L)), 4))
+      .withColumn("alpha_frac",
+        round(col("__alpha").cast("double") / greatest(nW, lit(1L)), 4))
+      .withColumn("stopword_frac",
+        round(col("__stop").cast("double") / greatest(nW, lit(1L)), 4))
+      .withColumn("passes",
+        nW >= minWords && nW <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stopword_frac") >= minStopFrac)
+      .select(passthrough ++ Seq(col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_frac"), col("stopword_frac"),
+        col("passes")): _*)
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercased text
     * (content-defined fingerprinting; 16-hex prefix as a compact key). */
   def fingerprint(text: Column): Column =

@@ -799,6 +799,62 @@ object Oracles {
         |    AS clean_text
         |FROM m GROUP BY 1""".stripMargin,
 
+    // canonical-URL dedup over the synthetic 4-variant URL groups
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://' || b
+        |      WHEN 1 THEN 'http://www.' || b || '/'
+        |      WHEN 2 THEN 'HTTPS://' || b || '#section-2'
+        |      ELSE 'https://' || b || '?utm_source=feed&utm_medium=rss' END AS url
+        |  FROM (SELECT doc_id,
+        |          'Example.COM/docs/page' || CAST(doc_id // 4 AS VARCHAR) AS b
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(url), '^https?://', ''), '^www\.', ''),
+        |      '#.*$', ''), '\?utm_[a-z]+=[^&#]*(&utm_[a-z]+=[^&#]*)*$', ''),
+        |      '/$', '') AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // Gopher-style quality flags; integer-derived ratios rounded to 4 dp
+    // BEFORE thresholding on both sides
+    "text_quality_flags" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT)
+        |      AS charsum,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+        |      AS alpha,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS stop,
+        |    CAST(len(text) - len(regexp_replace(text, '[#@~^|\\]', '', 'g'))
+        |      AS BIGINT) AS sym
+        |  FROM toks),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    round(charsum::DOUBLE / greatest(n_words, 1), 4) AS mean_word_len,
+        |    round(sym::DOUBLE / greatest(n_words, 1), 4) AS symbol_ratio,
+        |    round(alpha::DOUBLE / greatest(n_words, 1), 4) AS alpha_frac,
+        |    round(stop::DOUBLE / greatest(n_words, 1), 4) AS stopword_frac
+        |  FROM c)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+        |  stopword_frac,
+        |  (n_words >= 10 AND n_words <= 100000
+        |   AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        |   AND stopword_frac >= 0.0) AS passes
+        |FROM r""".stripMargin,
+
     // smoothed tf-idf, rank on the ROUNDED score with term tiebreak
     "text_tfidf" ->
       """WITH terms AS (

@@ -203,6 +203,30 @@ object TrainingData {
       "vec_id", "embedding", k = 10, nprobe = 4, cents)
   }
 
+  /** URL-canonicalization dedup over DETERMINISTIC synthetic URL variants
+    * (the driver's documents table has no url column): every group of 4
+    * doc ids shares one page under scheme / www+trailing-slash / fragment /
+    * utm-tracking variants; DuckDB recanonicalizes with the same regexes. */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = concat(lit("Example.COM/docs/page"),
+      (col("doc_id") / 4).cast("long"))
+    val url = when(col("doc_id") % 4 === 0, concat(lit("https://"), base))
+      .when(col("doc_id") % 4 === 1, concat(lit("http://www."), base, lit("/")))
+      .when(col("doc_id") % 4 === 2, concat(lit("HTTPS://"), base, lit("#section-2")))
+      .otherwise(concat(lit("https://"), base,
+        lit("?utm_source=feed&utm_medium=rss")))
+    Dedup.urlDedup(d.select(col("doc_id"), url.as("url")), "doc_id", "url")
+  }
+
+  /** Gopher-style quality-filter flags over the corpus (thresholds scaled
+    * to the synthetic docs); every ratio is integer-derived and rounded
+    * before thresholding, so the oracle reproduces the flags exactly. */
+  def textQualityFlags(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFlags(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+      .drop("text")
+
   /** Decontamination profile: docs 0-24 act as the quarantined benchmark
     * set, the rest as the corpus; per corpus doc, the share of its 3-gram
     * shingles that leak from the benchmark. */

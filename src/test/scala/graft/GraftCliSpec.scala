@@ -38,12 +38,16 @@ class GraftCliSpec extends SparkSpec {
   }
 
   private def copyExpressionFixture(root: Path): Unit = {
-    val src = java.nio.file.Paths.get(
-      "/root/reference/fixtures/Test Studies/Test Study_GSE0/ExpressionDataToUpload")
-    val dir = root.resolve("Study GEX").resolve("ExpressionDataToUpload")
-    Files.createDirectories(dir)
-    Files.list(src).forEach { f =>
-      Files.copy(f, dir.resolve(f.getFileName.toString))
+    // ONE study folder with TWO datatype dirs (expression + VCF), both
+    // trial GSE0 — the multi-datatype layout the reference crawls
+    for (dt <- Seq("ExpressionDataToUpload", "VCFDataToUpload")) {
+      val src = java.nio.file.Paths.get(
+        s"/root/reference/fixtures/Test Studies/Test Study_GSE0/$dt")
+      val dir = root.resolve("Study GEX").resolve(dt)
+      Files.createDirectories(dir)
+      Files.list(src).forEach { f =>
+        Files.copy(f, dir.resolve(f.getFileName.toString))
+      }
     }
   }
 
@@ -82,7 +86,7 @@ class GraftCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/de_mrna_annotation.parquet")
       .filter(col("gpl_id") === "GEX_TST").count() > 0)
     val gexMap = spark.read.parquet(s"$wh/de_subject_sample_mapping.parquet")
-      .filter(col("trial_name") === "GSE0")
+      .filter(col("trial_name") === "GSE0" && col("source_cd") === "STD")
     assert(gexMap.select("sample_cd").distinct().count() == 32)
     val assay719 = gexMap.filter(col("sample_cd") === "TST1000000719")
       .select("assay_id").distinct().collect()(0).getLong(0)
@@ -90,6 +94,19 @@ class GraftCliSpec extends SparkSpec {
       .filter(col("probeset_id") === "1007_s_at" && col("assay_id") === assay719)
       .collect()(0).getAs[Double]("raw_intensity")
     assert(math.abs(gexV - 6.624529839) < 0.001)
+    // VCF dataset landed under the same trial: per-file dataset id, summary
+    // rows carry warehouse-unique assay ids tied to the sample mapping
+    assert(spark.read.parquet(s"$wh/de_variant_dataset.parquet")
+      .collect().map(_.getString(0)).toSeq == Seq("GSE0:VCFTEST"))
+    val vcfSummary = spark.read.parquet(s"$wh/de_variant_subject_summary.parquet")
+    assert(vcfSummary.filter(col("assay_id").isNull).count() == 0)
+    val vcfAssays = vcfSummary.select("assay_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val mapAssays = spark.read
+      .parquet(s"$wh/de_subject_sample_mapping.parquet")
+      .filter(col("source_cd") === "VCF")
+      .select("assay_id").collect().map(_.getLong(0)).toSet
+    assert(vcfAssays.subsetOf(mapAssays) && vcfAssays.nonEmpty)
 
     // --- move the clinical study
     val mv = GraftCli.run(spark, Seq("-o", wh.toString,
@@ -132,6 +149,10 @@ class GraftCliSpec extends SparkSpec {
       .filter(col("trial_name") === "GSE0").count() == 0)
     assert(GraftCli.readTable(spark, wh, "de_subject_sample_mapping")
       .filter(col("trial_name") === "GSE0").count() == 0)
+    // the VCF datasets cascade with the study (sample mapping x summary)
+    assert(spark.read.parquet(s"$wh/de_variant_dataset.parquet").count() == 0)
+    assert(spark.read.parquet(s"$wh/de_variant_subject_summary.parquet")
+      .count() == 0)
 
     // --- option surface sanity
     assert(GraftCli.parseArgs(Seq("--bogus")).isLeft)

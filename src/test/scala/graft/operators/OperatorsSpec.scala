@@ -292,6 +292,43 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashHex(empty, "doc_id", "text").count() == 0)
   }
 
+  test("urlDedup: scheme/www/fragment/tracking variants collapse, real queries survive") {
+    val d = Seq(
+      (1L, "https://Example.com/a"),
+      (2L, "http://www.example.com/a/"),
+      (3L, "https://example.com/a#frag"),
+      (4L, "https://example.com/a?utm_source=x&utm_medium=y"),
+      (5L, "https://example.com/a?id=3"), // REAL query param: distinct page
+      (6L, "https://example.com/b")).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(d, "doc_id", "url")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))).toMap
+    assert(out("example.com/a") == ((1L, 4L)))
+    assert(out("example.com/a?id=3") == ((5L, 1L)))
+    assert(out("example.com/b") == ((6L, 1L)))
+  }
+
+  test("gopherFlags: rule columns exact, conjunction flags short/symbol docs") {
+    val d = Seq(
+      (1L, "the cat sat of and to in is it on the mat here now ok"), // passes
+      (2L, "too short"),                                            // n_words
+      (3L, "#### @@@@ ~~~~ the cat sat on a mat in a hat today")    // symbols
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFlags(d, "text", minWords = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("passes"))
+    assert(!out(2L).getAs[Boolean]("passes") &&
+      out(2L).getAs[Long]("n_words") == 2L)
+    val r3 = out(3L)
+    assert(!r3.getAs[Boolean]("passes"))
+    assert(r3.getAs[Double]("symbol_ratio") > 0.1)
+    // exact ratio check on doc 1: 15 words, 8 en-stopword hits
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 15L)
+    assert(r1.getAs[Double]("stopword_frac") ==
+      BigDecimal(8.0 / 15.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("segmentDedup: repeated segments survive only in the owner doc") {
     // 2-token segments; 'a b' and 'c d' repeat across docs, 'x y' unique
     val d = Seq(
