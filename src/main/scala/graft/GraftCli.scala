@@ -164,7 +164,8 @@ object GraftCli {
   private val OmicsFactTables = Seq("de_subject_acgh_data",
     "de_subject_microarray_data", "de_subject_protein_data",
     "de_subject_rbm_data", "de_subject_mirna_data",
-    "de_subject_metabolomics_data", "de_subject_rna_data")
+    "de_subject_metabolomics_data", "de_subject_rna_data",
+    "de_sample_snp_data", "plink_data")
 
   /** dataset_id-keyed variant tables (the reference's de_variant_* star). */
   private val VariantTables = Seq("de_variant_subject_idx",
@@ -381,6 +382,330 @@ object GraftCli {
         readTable(spark, wh, "de_subject_sample_mapping")
           .filter(!(col("trial_name") <=> lit(studyId)))
           .unionByName(t.sampleMapping, allowMissingColumns = true))
+    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+    studyId
+  }
+
+  // ---------------------------------------------- generic high-dim upload
+
+  /** One row per supported high-dim datatype: how to find its data file,
+    * how to melt it, and the z-score flavor its reference proc applies
+    * (each mirrored from the corresponding *DataProcessorTest replay in
+    * SourcesSpec). `meltKind`: MATRIX = first column keys a wide matrix
+    * restricted to the mapped samples (also covers the metabolomics
+    * combined annotation+matrix file), PROTEIN = peptide-keyed wide
+    * matrix skipping the majority-protein column, RBM_LONG = positional
+    * SAMPID/ANALYTE/AVALUE long format. */
+  final case class HighDimConfig(
+      dataRx: String,
+      markerType: String,
+      factsTable: String,
+      meltKind: String = "MATRIX",
+      platformNodeFromTitle: Boolean = true,
+      dropNegativesAvg: Boolean = false,
+      zeroGuard: Double = 0.0,
+      logRoundDp: Option[Int] = None,
+      customLog: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None)
+
+  import graft.operators.ZScore
+  val HighDimConfigs: Map[String, HighDimConfig] = Map(
+    "RNASEQ" -> HighDimConfig("(?i).+_RNASeq_Data_[RLT].*\\.txt", "RNASEQ",
+      "de_subject_rna_data", platformNodeFromTitle = false),
+    "PROTEIN" -> HighDimConfig("(?i).+_PROTEIN_Data_[RLT].*\\.txt", "PROTEOMICS",
+      "de_subject_protein_data", meltKind = "PROTEIN",
+      dropNegativesAvg = true, zeroGuard = 0.001, logRoundDp = Some(4)),
+    "RBM" -> HighDimConfig("(?i).+_RBM_Data_[RLT].*\\.txt", "RBM",
+      "de_subject_rbm_data", meltKind = "RBM_LONG",
+      dropNegativesAvg = true, customLog = Some(ZScore.rbmLog)),
+    "MIRNA_QPCR" -> HighDimConfig("(?i).+_MIRNA_Data_[RLT].*\\.txt", "MIRNA_QPCR",
+      "de_subject_mirna_data", customLog = Some(ZScore.qpcrLog)),
+    "MIRNA_SEQ" -> HighDimConfig("(?i).+_MIRNA_Data_[RLT].*\\.txt", "MIRNA_SEQ",
+      "de_subject_mirna_data", customLog = Some(ZScore.mirnaSeqLog)),
+    "METABOLOMICS" -> HighDimConfig("(?i).+_METABOLOMICS_Data_[RLT].*\\.txt",
+      "METABOLOMICS", "de_subject_metabolomics_data"))
+
+  /** Staging read of a subject-sample mapping file with the reference's
+    * fuzzy header tolerance (STUDY_ID/TRIAL_NAME, SAMPLE_ID/SAMPLE_CD,
+    * TISSUETYPE/TISSUE_TYPE, ATTR1/ATTRIBUTE_1 — incl. the mirna-seq
+    * fixture's ATTRITBUTE_ typo); present-but-empty cells become NULL. */
+  def readOmicsSampleMap(spark: SparkSession, path: String): DataFrame = {
+    val raw = TsvReader.read(spark, path)
+    def find(rx: String): Option[String] =
+      raw.columns.find(_.trim.toUpperCase.matches(rx))
+    def req(rx: String): String =
+      find(rx).getOrElse(sys.error(s"$path: no column matching $rx"))
+    def nz(c: org.apache.spark.sql.Column) =
+      when(length(coalesce(c, lit(""))) > 0, c)
+    def opt(rx: String) =
+      find(rx).map(n => nz(col(n))).getOrElse(lit(null).cast(StringType))
+    raw.select(
+      upper(col(req("^(STUDY[_ ]?ID|TRIAL[_ ]?NAME)$"))).as("study_id"),
+      opt("^SITE[_ ]?ID$").as("site_id"),
+      col(req("^SUBJECT[_ ]?ID$")).as("subject_id"),
+      col(req("^SAMPLE[_ ]?(ID|CD)$")).as("sample_cd"),
+      opt("^PLATFORM$").as("platform"),
+      opt("^TISSUE[_ ]?TYPE$").as("tissue_type"),
+      opt("^ATTR\\w*[_ ]?1$").as("attribute_1"),
+      opt("^ATTR\\w*[_ ]?2$").as("attribute_2"),
+      opt("^CATEGORY[_ ]?CD$").as("category_cd"),
+      opt("^SOURCE[_ ]?CD$").as("source_cd"))
+  }
+
+  /** The non-mRNA high-dim upload path (RNASeq / proteomics / RBM /
+    * miRNA qPCR / miRNA seq / metabolomics): platform meta + gpl upsert ->
+    * patient upsert -> LOAD_SAMPLES node build -> datatype melt ->
+    * duplicate-collapse where the proc averages -> flavored z-score ->
+    * per-sample assay ids -> warehouse star. The annotation registries
+    * themselves load through `pipeline.DatatypeAnnotations` (oracle-gated
+    * library path); this is the upload star only. */
+  def uploadHighDim(spark: SparkSession, dir: Path, topNodeParent: String,
+                    studyLabel: String, wh: Path, cfg: HighDimConfig): String = {
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(dir).iterator().asScala.toSeq
+    def findFile(rx: String): Option[Path] =
+      files.find(p => p.getFileName.toString.matches(rx))
+    val mapFile = findFile("(?i).+Subject_Sample_Mapping_File.*\\.txt")
+      .getOrElse(sys.error(s"$dir: no subject-sample mapping file"))
+    val dataFile = findFile(cfg.dataRx)
+      .getOrElse(sys.error(s"$dir: no data file matching ${cfg.dataRx}"))
+
+    val sampleMap = readOmicsSampleMap(spark, mapFile.toString)
+    val studyId = sampleMap.select(col("study_id")).limit(1)
+      .collect().head.getString(0)
+    val platform = sampleMap.filter(col("platform").isNotNull)
+      .select(col("platform")).limit(1).collect().head.getString(0)
+    val srcCd = sampleMap.filter(col("source_cd").isNotNull)
+      .select(col("source_cd")).limit(1).collect()
+      .headOption.map(_.getString(0)).getOrElse("STD")
+
+    val meta = findFile(s"(?i)${java.util.regex.Pattern.quote(platform)}\\.txt")
+      .map(pf => graft.sources.OmicsSources.readPlatform(spark, pf.toString)._1)
+      .getOrElse(Map.empty[String, String])
+    val gplRow = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(platform,
+        meta.getOrElse("PLATFORM_TITLE", platform),
+        meta.getOrElse("PLATFORM_SPECIES", "Homo sapiens"),
+        cfg.markerType, null)),
+      StructType(Seq("platform", "title", "organism", "marker_type",
+        "release_nbr").map(StructField(_, StringType))))
+    val gplInfo = readTable2(spark, wh, "de_gpl_info",
+      Seq("platform" -> StringType, "title" -> StringType,
+        "organism" -> StringType, "marker_type" -> StringType,
+        "release_nbr" -> StringType))
+      .filter(!(col("platform") <=> lit(platform)))
+      .unionByName(gplRow, allowMissingColumns = true)
+
+    val patients = AcghPipeline.ensurePatients(spark,
+      readTable(spark, wh, "patient_dimension"), sampleMap, studyId)
+    val topNode = s"$topNodeParent\\$studyLabel\\"
+    val ls = graft.pipeline.LoadSamples.run(spark, studyId, topNode,
+      sampleMap, gplRow, patients, markerType = cfg.markerType,
+      platformNodeFromTitle = cfg.platformNodeFromTitle)
+
+    val data = TsvReader.read(spark, dataFile.toString)
+    val sampleCds = sampleMap.select(col("sample_cd")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val melted = cfg.meltKind match {
+      case "PROTEIN" => graft.sources.OmicsSources.meltProtein(data)
+      case "RBM_LONG" => graft.sources.OmicsSources.readRbmLong(data)
+      case _ =>
+        // the probe key column by the platform readers' fuzzy priority
+        // (metabolomics' combined file keys on HMDB mid-row, matrices on
+        // ID_REF/TranscriptID up front); melt only the MAPPED samples
+        val id = Seq("^HMDB([ _]?ID)?$", "^ID(_REF)?$",
+            "^(TRANSCRIPT[ _]*)?ID$", "^PROBE(SET)?(_ID)?$").view
+          .flatMap(rx => data.columns.find(_.trim.toUpperCase.matches(rx)))
+          .headOption.getOrElse(data.columns.head)
+        val present = sampleCds.filter(data.columns.contains)
+        graft.sources.OmicsSources.meltMatrix(
+          data.select(id, present: _*), idCol = id)
+    }
+    val pre =
+      if (cfg.dropNegativesAvg)
+        melted.filter(signum(col("intensity_value")) =!= -1)
+          .groupBy(col("probeset_id"), col("sample_id"))
+          .agg(avg(col("intensity_value")).as("intensity_value"))
+      else melted.select(col("probeset_id"), col("sample_id"),
+        col("intensity_value"))
+    val dataType = graft.sources.OmicsSources
+      .dataTypeFromFileName(dataFile.getFileName.toString)
+    val z = ZScore.pipeline(pre, Seq("probeset_id"), "intensity_value",
+      dataType = dataType, logBase = 2.0, zeroGuard = cfg.zeroGuard,
+      logRoundDp = cfg.logRoundDp, customLog = cfg.customLog)
+
+    val oldMapping = readTable(spark, wh, "de_subject_sample_mapping")
+    val maxAssay = oldMapping.agg(coalesce(max(col("assay_id")), lit(0L)))
+      .collect()(0).getLong(0)
+    val assayIds = graft.core.Ids.denseIds(
+      sampleMap.select(col("sample_cd")).distinct(),
+      Seq("sample_cd"), "assay_id", startAt = maxAssay + 1)
+    val facts = z
+      .join(broadcast(assayIds.select(col("sample_cd").as("sample_id"),
+        col("assay_id"))), Seq("sample_id"))
+      .withColumn("trial_name", lit(studyId))
+
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "patient_dimension" -> patients,
+      "de_gpl_info" -> gplInfo,
+      "de_subject_sample_mapping" ->
+        oldMapping.filter(!(col("trial_name") <=> lit(studyId) &&
+            coalesce(col("source_cd"), lit("STD")) === srcCd))
+          .unionByName(
+            ls.sampleMapping.drop("assay_id")
+              .join(broadcast(assayIds), Seq("sample_cd"), "left")
+              .withColumn("source_cd", lit(srcCd)),
+            allowMissingColumns = true),
+      cfg.factsTable ->
+        readTable2(spark, wh, cfg.factsTable,
+          Seq("probeset_id" -> StringType, "assay_id" -> LongType,
+            "trial_name" -> StringType))
+          .filter(!(col("trial_name") <=> lit(studyId)))
+          .unionByName(facts, allowMissingColumns = true))
+    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+    studyId
+  }
+
+  // ---------------------------------------------------- GWAS Plink upload
+
+  /** GWAS Plink upload (GWASPlinkDataProcessor): BFILE meta from the
+    * mapping file, bed/bim/fam compressed into the LOB table (stored
+    * trial-keyed as plink_data so the delete cascade covers it), fam IIDs
+    * become samples under the default `GWAS+GWAS Plink` category. */
+  def uploadGwasPlink(spark: SparkSession, dir: Path, topNodeParent: String,
+                      studyLabel: String, wh: Path): String = {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.OmicsSources
+    val mapFile = Files.list(dir).iterator().asScala
+      .find(_.getFileName.toString.matches("(?i).*Mapping.*File.*\\.txt"))
+      .getOrElse(sys.error(s"$dir: no mapping file"))
+    val meta = TsvReader.metaHeader(spark, mapFile.toString)
+    val studyId = meta.getOrElse("STUDY_ID",
+      sys.error(s"$mapFile: no # STUDY_ID meta line")).toUpperCase
+
+    val (blobs, fam) = OmicsSources.readPlink(spark, dir.toString)
+    val famErrs = OmicsSources.validateFam(fam)
+    require(famErrs.isEmpty, famErrs.mkString("; "))
+    val lob = OmicsSources.plinkLobTable(blobs, studyId)
+      .withColumnRenamed("study_id", "trial_name")
+
+    val sampleMap = fam.select(
+      lit("").as("site_id"), col("iid").as("subject_id"),
+      col("iid").as("sample_cd"), lit("").as("platform"),
+      lit("Unknown").as("tissue_type"), lit("").as("attribute_1"),
+      lit("").as("attribute_2"), lit("GWAS+GWAS Plink").as("category_cd"))
+    val patients = AcghPipeline.ensurePatients(spark,
+      readTable(spark, wh, "patient_dimension"), sampleMap, studyId)
+    val noGpl = emptyTable(spark, Seq("platform" -> StringType,
+      "title" -> StringType, "marker_type" -> StringType))
+    val ls = graft.pipeline.LoadSamples.run(spark, studyId,
+      s"$topNodeParent\\$studyLabel\\", sampleMap, noGpl, patients)
+
+    val oldMapping = readTable(spark, wh, "de_subject_sample_mapping")
+    val maxAssay = oldMapping.agg(coalesce(max(col("assay_id")), lit(0L)))
+      .collect()(0).getLong(0)
+    val assayIds = graft.core.Ids.denseIds(
+      sampleMap.select(col("sample_cd")).distinct(),
+      Seq("sample_cd"), "assay_id", startAt = maxAssay + 1)
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "patient_dimension" -> patients,
+      "de_subject_sample_mapping" ->
+        oldMapping.filter(!(col("trial_name") <=> lit(studyId) &&
+            coalesce(col("source_cd"), lit("STD")) === "STD"))
+          .unionByName(
+            ls.sampleMapping.drop("assay_id")
+              .join(broadcast(assayIds), Seq("sample_cd"), "left")
+              .withColumn("source_cd", lit("STD")),
+            allowMissingColumns = true),
+      "plink_data" ->
+        readTable2(spark, wh, "plink_data",
+          Seq("trial_name" -> StringType, "file_name" -> StringType))
+          .filter(!(col("trial_name") <=> lit(studyId)))
+          .unionByName(lob, allowMissingColumns = true))
+    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+    studyId
+  }
+
+  // ----------------------------------------------------------- SNP upload
+
+  /** SNP upload (I2B2_PROCESS_SNP_DATA): the mapping file names each
+    * sample's calls/copy-number files (read by POSITION), full-outer
+    * merged per (sample, snp), platform node from the SNP platform title,
+    * facts into de_sample_snp_data. */
+  def uploadSnp(spark: SparkSession, dir: Path, topNodeParent: String,
+                studyLabel: String, wh: Path): String = {
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(dir).iterator().asScala.toSeq
+    def findFile(rx: String): Option[Path] =
+      files.find(p => p.getFileName.toString.matches(rx))
+    val mapFile = findFile("(?i).+Subject_Sample_Mapping_File.*\\.txt")
+      .getOrElse(sys.error(s"$dir: no subject-sample mapping file"))
+    val rawMapping = TsvReader.read(spark, mapFile.toString)
+    val sampleMap = readOmicsSampleMap(spark, mapFile.toString)
+    val studyId = sampleMap.select(col("study_id")).limit(1)
+      .collect().head.getString(0)
+    val platform = sampleMap.filter(col("platform").isNotNull)
+      .select(col("platform")).limit(1).collect().head.getString(0)
+    val srcCd = sampleMap.filter(col("source_cd").isNotNull)
+      .select(col("source_cd")).limit(1).collect()
+      .headOption.map(_.getString(0)).getOrElse("STD")
+
+    val (callsFiles, cnFiles) =
+      graft.pipeline.SnpAndSerial.snpFileLists(rawMapping, dir.toString)
+    val merged = graft.pipeline.SnpAndSerial.loadSnp(spark, callsFiles, cnFiles)
+
+    val meta = findFile(s"(?i)${java.util.regex.Pattern.quote(platform)}\\.txt")
+      .map(pf => graft.sources.OmicsSources.readPlatform(spark, pf.toString)._1)
+      .getOrElse(Map.empty[String, String])
+    val gplRow = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(platform,
+        meta.getOrElse("PLATFORM_TITLE", platform),
+        meta.getOrElse("PLATFORM_SPECIES", "Homo sapiens"), "SNP", null)),
+      StructType(Seq("platform", "title", "organism", "marker_type",
+        "release_nbr").map(StructField(_, StringType))))
+    val gplInfo = readTable2(spark, wh, "de_gpl_info",
+      Seq("platform" -> StringType, "title" -> StringType,
+        "organism" -> StringType, "marker_type" -> StringType,
+        "release_nbr" -> StringType))
+      .filter(!(col("platform") <=> lit(platform)))
+      .unionByName(gplRow, allowMissingColumns = true)
+    val patients = AcghPipeline.ensurePatients(spark,
+      readTable(spark, wh, "patient_dimension"), sampleMap, studyId)
+    val ls = graft.pipeline.LoadSamples.run(spark, studyId,
+      s"$topNodeParent\\$studyLabel\\", sampleMap, gplRow, patients,
+      markerType = "SNP")
+
+    val oldMapping = readTable(spark, wh, "de_subject_sample_mapping")
+    val maxAssay = oldMapping.agg(coalesce(max(col("assay_id")), lit(0L)))
+      .collect()(0).getLong(0)
+    val assayIds = graft.core.Ids.denseIds(
+      sampleMap.select(col("sample_cd")).distinct(),
+      Seq("sample_cd"), "assay_id", startAt = maxAssay + 1)
+    val facts = merged
+      .withColumnRenamed("gsm_num", "sample_id")
+      .join(broadcast(assayIds.select(col("sample_cd").as("sample_id"),
+        col("assay_id"))), Seq("sample_id"))
+      .withColumn("trial_name", lit(studyId))
+
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "patient_dimension" -> patients,
+      "de_gpl_info" -> gplInfo,
+      "de_subject_sample_mapping" ->
+        oldMapping.filter(!(col("trial_name") <=> lit(studyId) &&
+            coalesce(col("source_cd"), lit("STD")) === srcCd))
+          .unionByName(
+            ls.sampleMapping.drop("assay_id")
+              .join(broadcast(assayIds), Seq("sample_cd"), "left")
+              .withColumn("source_cd", lit(srcCd)),
+            allowMissingColumns = true),
+      "de_sample_snp_data" ->
+        readTable2(spark, wh, "de_sample_snp_data",
+          Seq("snp_name" -> StringType, "assay_id" -> LongType,
+            "trial_name" -> StringType))
+          .filter(!(col("trial_name") <=> lit(studyId)))
+          .unionByName(facts, allowMissingColumns = true))
     outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
     outputs.foreach { case (n, _) => swapTmp(wh, n) }
     studyId
@@ -615,6 +940,14 @@ object GraftCli {
                   o.warehouse, o.useFirstGeneId)
               case "VCF" | "MULTIVCF" =>
                 uploadVcf(spark, dir, o.warehouse)
+              case hd if HighDimConfigs.contains(hd) =>
+                uploadHighDim(spark, dir, st.parentPath, st.studyLabel,
+                  o.warehouse, HighDimConfigs(hd))
+              case "SNP" =>
+                uploadSnp(spark, dir, st.parentPath, st.studyLabel, o.warehouse)
+              case "GWASPLINK" =>
+                uploadGwasPlink(spark, dir, st.parentPath, st.studyLabel,
+                  o.warehouse)
               case other =>
                 println(s">>> SKIPPING unsupported datatype folder: $other (${st.studyLabel})")
             }

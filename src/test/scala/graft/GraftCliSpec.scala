@@ -154,7 +154,8 @@ class GraftCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/de_variant_subject_summary.parquet")
       .count() == 0)
 
-    // --- option surface sanity
+    // --- option surface sanity (kept in this test; see the high-dim test
+    // below for the remaining datatype uploads)
     assert(GraftCli.parseArgs(Seq("--bogus")).isLeft)
     assert(GraftCli.parseArgs(Seq("-m", "a")).isLeft)
     val parsed = GraftCli.parseArgs(Seq("-n", "-s", "--secure-study",
@@ -164,5 +165,101 @@ class GraftCliSpec extends SparkSpec {
       parsed.keepSecurity && parsed.checkDuplicates && parsed.useFirstGeneId &&
       parsed.alwaysSetVisitName && parsed.moveStudy.contains(("x", "y")) &&
       parsed.dataDir.exists(_.toString == "d"))
+  }
+
+  test("high-dim datatypes crawl through the CLI: rnaseq/protein/rbm/mirna/metabolomics") {
+    val root = Files.createTempDirectory("graft-cli-hd-root")
+    val wh = Files.createTempDirectory("graft-cli-hd-wh")
+    val fixtures = Seq(
+      ("Test RNASeq Study", "RNASeqDataToUpload"),
+      ("Test Protein Study_GSE37425", "ProteinDataToUpload"),
+      ("Test RBM Study", "RBMDataToUpload"),
+      ("Test MirnaQpcr Study", "MIRNA_QPCRDataToUpload"),
+      ("Test MirnaSeq Study", "MIRNA_SEQDataToUpload"),
+      ("Test Metabolomics Study", "MetabolomicsDataToUpload"),
+      ("Test SNP Study", "SNPDataToUpload"),
+      ("Test Study With GWAS Plink_GSE0GWASPLINK", "GWASPlinkDataToUpload"))
+    for ((study, dt) <- fixtures) {
+      // the SNP fixture lives inside Test Study_GSE0; give it its own
+      // study folder so its trial doesn't collide in this crawl
+      val srcStudy =
+        if (dt == "SNPDataToUpload") "Test Study_GSE0" else study
+      val src = java.nio.file.Paths.get(
+        s"/root/reference/fixtures/Test Studies/$srcStudy/$dt")
+      val dir = root.resolve(study).resolve(dt)
+      Files.createDirectories(dir)
+      Files.list(src).forEach { f =>
+        Files.copy(f, dir.resolve(f.getFileName.toString))
+      }
+    }
+    val code = GraftCli.run(spark, Seq(
+      "-o", wh.toString, "--parent-node", "\\Test Studies", root.toString))
+    assert(code == 0)
+
+    def facts(table: String) = spark.read.parquet(s"$wh/$table.parquet")
+    def row(table: String, trial: String, probe: String, sample: String) =
+      facts(table).filter(col("trial_name") === trial &&
+        col("probeset_id") === probe && col("sample_id") === sample)
+        .collect()(0)
+
+    // RNASeq: raw value arrives untransformed (RNASeqDataProcessorTest)
+    val rna = row("de_subject_rna_data", "GSE_A_37424", "NM_025300", "S57023")
+    assert(rna.getAs[Double]("raw_intensity") == 1.9108)
+    // Protein: proteomics flavor log2(avg + 0.001) rounded to 4 dp
+    // (ProteinDataProcessorTest testItMergeSamples first load)
+    val prot = row("de_subject_protein_data", "GSE37425",
+      "RPPGFSPFR(QTF-2)", "O00231")
+    assert(prot.getAs[Double]("log_intensity") == 22.6096)
+    // RBM: long-format read + rbm zero-guard log; unit suffix survives
+    // into the fact key (RBMDataProcessorTest z ~ -0.7071 for P15514)
+    val rbm = facts("de_subject_rbm_data")
+      .filter(col("trial_name") === "TESTRBM" &&
+        col("sample_id") === "GA8015ZS-06" &&
+        col("probeset_id").startsWith("Amphiregulin")).collect()(0)
+    assert(math.abs(rbm.getAs[Double]("zscore") - (-0.7071)) < 1e-3)
+    // miRNA qPCR: dCt negation (MIRNAQpcrDataProcessorTest)
+    val qpcr = row("de_subject_mirna_data", "TEST005", "1", "GSM918938")
+    assert(qpcr.getAs[Double]("log_intensity") == -0.113408)
+    assert(math.abs(qpcr.getAs[Double]("zscore") - 0.70711) < 1e-4)
+    // miRNA seq: round(log2, 5) with zero floor (MIRNASeqDataProcessorTest)
+    val seq = row("de_subject_mirna_data", "MIRNASEQBASED", "16", "GSM918944")
+    assert(seq.getAs[Double]("log_intensity") == -2.61429)
+    assert(math.abs(seq.getAs[Double]("zscore") - 1.05828) < 1e-4)
+    // Metabolomics: combined annotation+matrix melt keeps raw intensities
+    val met = row("de_subject_metabolomics_data", "GSE37427", "HMDB0TEST", "14PP")
+    assert(math.abs(met.getAs[Double]("raw_intensity") - 5095.0) < 0.001)
+
+    // SNP: positional per-sample file reads, full-outer calls/copy-number
+    // merge (SNPDataProcessorTest: TST001 x SNP_A-4265338 has cn only)
+    val snp = facts("de_sample_snp_data")
+      .filter(col("trial_name") === "GSE0" && col("sample_id") === "TST001" &&
+        col("snp_name") === "SNP_A-4265338").collect()(0)
+    assert(snp.isNullAt(snp.fieldIndex("snp_calls")))
+    assert(snp.getAs[Double]("copy_number") == 0.628913)
+    assert(!snp.isNullAt(snp.fieldIndex("assay_id")))
+
+    // GWAS Plink: bed/bim/fam LOB rows land trial-keyed; fam IIDs map as
+    // samples (GWASPlinkDataProcessorTest: 6 patients, 3 LOB files)
+    assert(facts("plink_data")
+      .filter(col("trial_name") === "GSE0GWASPLINK").count() == 3)
+    assert(facts("de_subject_sample_mapping")
+      .filter(col("trial_name") === "GSE0GWASPLINK")
+      .select("patient_id").distinct().count() == 6)
+
+    // assay ids are warehouse-unique across the six uploads and tie the
+    // facts to the sample mapping
+    val mapping = facts("de_subject_sample_mapping")
+    assert(mapping.groupBy("assay_id").count()
+      .filter(col("count") > 1).count() == 0)
+    val rnaAssay = rna.getAs[Long]("assay_id")
+    assert(mapping.filter(col("assay_id") === rnaAssay)
+      .collect()(0).getAs[String]("sample_cd") == "S57023")
+
+    // deleting one study leaves the others' facts alone
+    assert(GraftCli.run(spark, Seq("-o", wh.toString,
+      "--delete-study-by-id", "TEST005")) == 0)
+    val mirna = facts("de_subject_mirna_data")
+    assert(mirna.filter(col("trial_name") === "TEST005").count() == 0)
+    assert(mirna.filter(col("trial_name") === "MIRNASEQBASED").count() > 0)
   }
 }
