@@ -379,16 +379,30 @@ object Dedup {
     * two 32-bit halves via conv/xor/bit_count — codegen'd built-ins, no
     * UDF; halves keep the unsigned hex inside Long range. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val h = simhashHex(docs, idCol, textCol)
-    val bands = h.select(col("doc_id"), col("simhash"),
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs64(simhashHex(docs, idCol, textCol), "doc_id", "simhash",
+      maxHamming)
+
+  /** Banded near-dup PAIRS over ANY 64-bit hex hash column (SimHash for
+    * text, aHash for images, …): the 64 bits band into four 16-bit
+    * slices; by pigeonhole any pair within hamming distance 3 shares at
+    * least one intact slice, so candidates come from a slice-value
+    * equi-join (no all-pairs anywhere) and only candidates pay the exact
+    * hamming check — computed on the two 32-bit halves via
+    * conv/xor/bit_count, all codegen'd built-ins. Returns
+    * (doc_a, doc_b, hamming) keyed by `idCol`'s values. */
+  def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val h = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h64"))
+      .filter(col("h64").isNotNull)
+    val bands = h.select(col("doc_id"), col("h64"),
       posexplode(array((0 until 4).map(b =>
-        substring(col("simhash"), 1 + 4 * b, 4)): _*)).as(Seq("band", "slice")))
+        substring(col("h64"), 1 + 4 * b, 4)): _*)).as(Seq("band", "slice")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.slice") === col("y.slice") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("h_a"),
-        col("y.doc_id").as("doc_b"), col("y.simhash").as("h_b"))
+      .select(col("x.doc_id").as("doc_a"), col("x.h64").as("h_a"),
+        col("y.doc_id").as("doc_b"), col("y.h64").as("h_b"))
       .distinct()
     def half(c: Column, i: Int): Column =
       conv(substring(c, 1 + 8 * i, 8), 16, 10).cast("long")

@@ -220,6 +220,72 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash (aHash) of a decoded image: the image is
+    * box-averaged onto a deterministic 8x8 grayscale grid (explicit pixel
+    * sums — no platform scaler, so the hash is bit-stable across JVMs),
+    * each cell votes 1 when brighter than the grid mean, and the 64 bits
+    * render as 16 hex chars — the same 64-bit-hex currency as the text
+    * SimHash, so [[Dedup.hammingPairs64]] pairs images with the identical
+    * banded plan. Returns null for unreadable payloads. */
+  def aHash64(payload: Array[Byte]): String = {
+    val img =
+      if (payload == null || payload.isEmpty) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+    if (img == null) null
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(7, x * 8 / w)
+          val p = px(y * w + x)
+          val gray = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+          val cell = gy * 8 + gx
+          sums(cell) += gray
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val cells = Array.tabulate(64)(i =>
+        if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+      val mean = cells.sum / 64.0
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (cells(i) > mean) bits |= (1L << (63 - i))
+        i += 1
+      }
+      f"$bits%016x"
+    }
+  }
+
+  /** (media_id, ahash) over the image rows; undecodable payloads yield a
+    * null hash (dropped by the pairing step). One linear decode pass. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "image")
+      .map(r => (r.media_id, aHash64(r.payload)))
+      .toDF("media_id", "ahash")
+  }
+
+  /** Image near-dup pairs at hamming <= `maxHamming` over the perceptual
+    * hash — the image-side twin of text SimHash pairing, sharing the
+    * banded candidate plan (no all-pairs of images anywhere). */
+  def imageNearDupPairs(media: Dataset[MediaRow],
+                        maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(imageHashes(media), "media_id", "ahash", maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
   /** Media-aware repartitioning: blobs are MBs, rows are not the right
     * unit — size partitions by a byte budget so executor memory holds a
     * bounded number of frames in flight. */

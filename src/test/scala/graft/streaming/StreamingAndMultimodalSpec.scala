@@ -136,6 +136,55 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** Gradient PNG (left-to-right brightness ramp), with `flip` pixels in
+    * the top-left corner blasted white to make a near-identical variant. */
+  private def gradientPng(w: Int, h: Int, flip: Int = 0,
+                          invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v0 = (x * 255) / math.max(w - 1, 1)
+      val v = if (invert) 255 - v0 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    var flipped = 0
+    for (x <- 0 until w; y <- 0 until h if flipped < flip) {
+      img.setRGB(x, y, 0xFFFFFF); flipped += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash: deterministic 64-bit hex, identical images hash equal") {
+    val a = Multimodal.aHash64(gradientPng(64, 64))
+    assert(a != null && a.length == 16 && a.matches("[0-9a-f]{16}"))
+    assert(Multimodal.aHash64(gradientPng(64, 64)) == a) // bit-stable
+    // inverted gradient flips (nearly) every vote
+    val inv = Multimodal.aHash64(gradientPng(64, 64, invert = true))
+    def bits(s: String) = java.lang.Long.parseUnsignedLong(s, 16)
+    assert(java.lang.Long.bitCount(bits(a) ^ bits(inv)) > 32)
+    // unreadable payload -> null, not an exception
+    assert(Multimodal.aHash64(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.aHash64(null) == null)
+  }
+
+  test("imageNearDupPairs: near-identical images pair, distinct ones do not") {
+    val rows = Seq(
+      Multimodal.MediaRow(1, "image", "image/png", 64, 64, 0, gradientPng(64, 64)),
+      Multimodal.MediaRow(2, "image", "image/png", 64, 64, 0, gradientPng(64, 64, flip = 3)),
+      Multimodal.MediaRow(3, "image", "image/png", 64, 64, 0, gradientPng(64, 64, invert = true)),
+      Multimodal.MediaRow(4, "image", "image/png", 64, 64, 0, Array[Byte](9, 9)), // undecodable
+      Multimodal.MediaRow(5, "audio", "audio/wav", 0, 0, 0, Array.emptyByteArray) // not an image
+    ).toDS()
+    val pairs = Multimodal.imageNearDupPairs(rows, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L))) // 3 corner pixels barely move the cell means
+    assert(pairs((1L, 2L)) <= 3L)
+    assert(!pairs.keySet.exists { case (x, y) => x == 3L || y == 3L }) // inverted far
+    assert(!pairs.keySet.exists { case (x, y) => x == 4L || y == 4L }) // null hash dropped
+  }
+
   test("real image decode via JDK ImageIO: histogram, routing, bad payloads") {
     val red = pngBytes(8, 4, 0xFF0000)
     val rows = Seq(
