@@ -112,4 +112,69 @@ class TextHashPropertySpec extends SparkSpec {
       .filter($"a".isNotNull).collect()
     pairs.foreach(r => assert(r.getString(1) == r.getString(2)))
   }
+
+  test("segmentDedup: unique corpora keep everything; exact copies lose everything") {
+    // suffix every token with its doc id -> no cross-doc segment can repeat
+    val texts = Gens.samples(textGen, 40).zipWithIndex
+      .map { case (t, i) =>
+        (i.toLong, t.split("\\s+").filter(_.nonEmpty)
+          .map(w => s"${w}_$i").mkString(" ")) }
+      .filter(_._2.nonEmpty)
+    val out = graft.operators.Dedup.segmentDedup(
+        texts.toDF("doc_id", "text"), "doc_id", "text", segTokens = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, t) =>
+      val r = out(id)
+      assert(r.getAs[Long]("n_removed") == 0L)
+      // reassembly of an untouched doc is the token-normalized original
+      assert(r.getAs[String]("clean_text") ==
+        t.split("\\s+").filter(_.nonEmpty).mkString(" "))
+      assert(r.getAs[Long]("n_segments") ==
+        (t.split("\\s+").count(_.nonEmpty) + 2) / 3)
+    }
+    // an exact copy keeps nothing: every segment's owner is the lower id
+    val dup = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val o2 = graft.operators.Dedup.segmentDedup(dup, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(o2(1L) == ((0L, "a b c d e f g")))
+    assert(o2(2L) == ((3L, "")))
+  }
+
+  test("canonicalUrl is idempotent over the generated URL space") {
+    val seg = Gen.nonEmptyListOf(Gen.alphaNumChar).map("h" + _.mkString.take(8))
+    val urlGen = for {
+      scheme <- Gen.oneOf("", "http://", "https://", "HTTPS://")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- seg
+      path <- Gen.listOf(seg).map(_.take(3))
+      slash <- Gen.oneOf("", "/")
+      frag <- Gen.oneOf("", "#frag", "#a/b?c")
+      utm <- Gen.oneOf("", "?utm_source=x", "?utm_source=x&utm_medium=y")
+    } yield scheme + www + (host +: path).mkString(".") + slash + utm + frag
+    val urls = Gens.samples(urlGen, 80)
+    val rows = urls.toDF("u").select(
+      graft.operators.Dedup.canonicalUrl($"u").as("c1"),
+      graft.operators.Dedup.canonicalUrl(
+        graft.operators.Dedup.canonicalUrl($"u")).as("c2"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("tfidf ranks are contiguous per doc and scores non-increasing") {
+    val texts = Gens.samples(textGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.filter(_._2.trim.nonEmpty)
+    val out = graft.operators.TermStats.tfidfTopTerms(
+        texts.toDF("doc_id", "text"), "doc_id", "text", k = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+    out.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to byRank.length).toSeq)
+      val scores = byRank.map(_.getAs[Double]("tfidf")).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

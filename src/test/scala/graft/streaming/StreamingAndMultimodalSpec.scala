@@ -67,6 +67,40 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("quality gate and decontamination run unchanged on a stream") {
+    // both ops are stateless projections / broadcast joins, so the SAME
+    // library calls that pass the batch oracle drive a micro-batch stream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val flagged = graft.operators.TextAnalysis.gopherFlags(
+      mem.toDF().toDF("doc_id", "text"), "text", minWords = 3)
+    val q = flagged.writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "the cat sat on the mat in a hat"),
+      (2L, "too short"))
+    q.processAllAvailable()
+    val out = spark.table("quality_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("passes")).toMap
+    assert(out(1L) && !out(2L))
+    q.stop()
+
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = graft.operators.Dedup.contamination(
+        mem2.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", n = 3)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("update").start()
+    mem2.addData(
+      (1L, "the quick brown fox jumps"), // fully leaked from the benchmark
+      (2L, "an unrelated corpus document entirely"))
+    q2.processAllAvailable()
+    val contam = spark.table("contam_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("contamination")).toMap
+    assert(contam(1L) == 1.0 && contam(2L) == 0.0)
+    q2.stop()
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
