@@ -137,6 +137,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text_quality_flags is a shuffle-free projection; dedup_url one aggregate") {
+    val flags = SparkEntry.queries("text_quality_flags")(spark, "/root/testdata/sf0.001")
+    val fPlan = flags.queryExecution.executedPlan.toString
+    assert(!fPlan.contains("Exchange") && !fPlan.contains("Window"),
+      s"quality flags must stay scan+project:\n${fPlan.take(1500)}")
+
+    val url = SparkEntry.queries("dedup_url")(spark, "/root/testdata/sf0.001")
+    url.collect()
+    val uPlan = url.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(uPlan.contains("partial_min"), "url dedup lost its map-side combine")
+    assert("Exchange hashpartitioning".r.findAllIn(uPlan).length <= 1)
+  }
+
   test("sample_stratified is a pure filter; pack_sequences has no global window") {
     val sample = SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.001")
     val sPlan = sample.queryExecution.executedPlan.toString
