@@ -167,6 +167,39 @@ class GraftCliSpec extends SparkSpec {
       parsed.dataDir.exists(_.toString == "d"))
   }
 
+  test("failed study marks _FAIL_ and --stop-on-fail halts the crawl") {
+    val root = Files.createTempDirectory("graft-cli-fail-root")
+    val wh = Files.createTempDirectory("graft-cli-fail-wh")
+    // study A (crawled first) has a clinical dir with NO mapping file
+    val bad = root.resolve("A Bad Study").resolve("ClinicalDataToUpload")
+    Files.createDirectories(bad)
+    Files.writeString(bad.resolve("DEMO.txt"), "STUDY_ID\tSUBJ_ID\nX\tP1\n")
+    writeClinicalStudy(root) // "Study CLI", crawled after "A Bad Study"
+
+    val code = GraftCli.run(spark, Seq("-o", wh.toString,
+      "--stop-on-fail", root.toString))
+    assert(code == 1)
+    val names = {
+      val b = Seq.newBuilder[String]
+      Files.list(root).forEach(p => b += p.getFileName.toString)
+      b.result().sorted
+    }
+    // the bad study is marked _FAIL_; stop-on-fail left the good one alone
+    assert(names == Seq("Study CLI", "_FAIL_A Bad Study"))
+
+    // re-crawl: the _FAIL_ dir is skipped, the remaining study loads clean
+    val code2 = GraftCli.run(spark, Seq("-o", wh.toString, root.toString))
+    assert(code2 == 0)
+    val names2 = {
+      val b = Seq.newBuilder[String]
+      Files.list(root).forEach(p => b += p.getFileName.toString)
+      b.result().sorted
+    }
+    assert(names2 == Seq("_DONE_Study CLI", "_FAIL_A Bad Study"))
+    assert(GraftCli.readTable(spark, wh, "observation_fact")
+      .filter(col("sourcesystem_cd") === "GSCLI").count() == 6)
+  }
+
   test("high-dim datatypes crawl through the CLI: rnaseq/protein/rbm/mirna/metabolomics") {
     val root = Files.createTempDirectory("graft-cli-hd-root")
     val wh = Files.createTempDirectory("graft-cli-hd-wh")
