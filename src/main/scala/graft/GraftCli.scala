@@ -244,7 +244,8 @@ object GraftCli {
 
   def uploadClinical(spark: SparkSession, dir: Path, topNodeParent: String,
                      studyLabel: String, wh: Path,
-                     alwaysSetVisitName: Boolean): String = {
+                     alwaysSetVisitName: Boolean,
+                     secureStudy: Boolean = false): String = {
     import scala.jdk.CollectionConverters._
     val mf = Files.list(dir).iterator().asScala
       .find(_.getFileName.toString.toLowerCase.endsWith("_mapping_file.txt"))
@@ -262,34 +263,64 @@ object GraftCli {
       old.filter(!col(pathCol).startsWith(prefix))
         .unionByName(fresh, allowMissingColumns = true)
 
-    writeTable(replaceSubtree(readTable(spark, wh, "i2b2"),
-      t.i2b2, "c_fullname"), wh, "i2b2")
-    writeTable(replaceSubtree(readTable(spark, wh, "concept_dimension"),
-      t.conceptDimension.select(col("leaf_node").as("concept_path"),
-        col("concept_cd"), lit(studyId).as("sourcesystem_cd")),
-      "concept_path"), wh, "concept_dimension")
     import graft.functions.PathFunctions._
-    writeTable(replaceSubtree(readTable(spark, wh, "concept_counts"),
-      t.conceptCounts.select(col("c_fullname").as("concept_path"),
-        when(hlevel(col("c_fullname")) > 1,
-          concat(lit("\\"), array_join(slice(pathComponents(col("c_fullname")),
-            lit(1), hlevel(col("c_fullname")) - 1), "\\"), lit("\\")))
-          .as("parent_concept_path"),
-        col("patient_count")), "concept_path"), wh, "concept_counts")
-    writeTable(readTable(spark, wh, "observation_fact")
-      .filter(!(col("sourcesystem_cd") <=> lit(studyId)))
-      .unionByName(t.observationFact, allowMissingColumns = true),
-      wh, "observation_fact")
-    writeTable(readTable(spark, wh, "patient_dimension")
-      .filter(!col("sourcesystem_cd").startsWith(studyId + ":"))
-      .unionByName(t.patientDimension
-        .select(col("patient_num"), col("usubjid").as("sourcesystem_cd")),
-        allowMissingColumns = true), wh, "patient_dimension")
-    writeTable(readTable(spark, wh, "patient_trial")
-      .filter(!(col("trial") <=> lit(studyId)))
-      .unionByName(t.patientDimension.select(col("patient_num"),
-        lit(studyId).as("trial")), allowMissingColumns = true),
-      wh, "patient_trial")
+    import graft.operators.SecurityOps
+    val newI2b2 = replaceSubtree(readTable(spark, wh, "i2b2"),
+      t.i2b2, "c_fullname")
+    // the reference ALWAYS writes per-patient SECURITY facts — the
+    // --secure-study flag only chooses EXP:<study> vs EXP:PUBLIC
+    // (i2b2_create_security_for_trial + I2B2_LOAD_SECURITY_DATA)
+    val newFacts = SecurityOps.refreshSecurityFacts(
+      readTable(spark, wh, "observation_fact")
+        .filter(!(col("sourcesystem_cd") <=> lit(studyId)))
+        .unionByName(t.observationFact, allowMissingColumns = true),
+      t.patientDimension, "patient_num", studyId, secureStudy)
+    val ssoOld = readTable(spark, wh, "search_secure_object")
+      .filter(col("bio_data_unique_id") =!= s"EXP:$studyId")
+    val sso =
+      if (!secureStudy) ssoOld
+      else ssoOld.unionByName(spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(s"EXP:$studyId")),
+          StructType(Seq(StructField("bio_data_unique_id", StringType)))),
+        allowMissingColumns = true)
+    val bioUid = SecurityOps.upsertByKey(
+      readTable(spark, wh, "bio_data_uid"),
+      spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(s"EXP:$studyId")),
+        StructType(Seq(StructField("unique_id", StringType)))),
+      Seq("unique_id"))
+
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "i2b2" -> newI2b2,
+      "i2b2_secure" -> SecurityOps.rebuildI2b2SecureFromFacts(newI2b2, newFacts),
+      "concept_dimension" -> replaceSubtree(
+        readTable(spark, wh, "concept_dimension"),
+        t.conceptDimension.select(col("leaf_node").as("concept_path"),
+          col("concept_cd"), lit(studyId).as("sourcesystem_cd")),
+        "concept_path"),
+      "concept_counts" -> replaceSubtree(readTable(spark, wh, "concept_counts"),
+        t.conceptCounts.select(col("c_fullname").as("concept_path"),
+          when(hlevel(col("c_fullname")) > 1,
+            concat(lit("\\"), array_join(slice(pathComponents(col("c_fullname")),
+              lit(1), hlevel(col("c_fullname")) - 1), "\\"), lit("\\")))
+            .as("parent_concept_path"),
+          col("patient_count")), "concept_path"),
+      "observation_fact" -> newFacts,
+      "patient_dimension" -> (readTable(spark, wh, "patient_dimension")
+        .filter(!col("sourcesystem_cd").startsWith(studyId + ":"))
+        .unionByName(t.patientDimension
+          .select(col("patient_num"), col("usubjid").as("sourcesystem_cd")),
+          allowMissingColumns = true)),
+      "patient_trial" -> (readTable(spark, wh, "patient_trial")
+        .filter(!(col("trial") <=> lit(studyId)))
+        .unionByName(t.patientDimension.select(col("patient_num"),
+          lit(studyId).as("trial")), allowMissingColumns = true)),
+      "bio_experiment" -> SecurityOps.upsertBioExperiment(
+        readTable(spark, wh, "bio_experiment"), studyId, studyLabel),
+      "bio_data_uid" -> bioUid,
+      "search_secure_object" -> sso)
+    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    outputs.foreach { case (n, _) => swapTmp(wh, n) }
     studyId
   }
 
@@ -932,7 +963,7 @@ object GraftCli {
             tpe.toUpperCase match {
               case "CLINICAL" =>
                 uploadClinical(spark, dir, st.parentPath, st.studyLabel,
-                  o.warehouse, o.alwaysSetVisitName)
+                  o.warehouse, o.alwaysSetVisitName, o.secureStudy)
               case "ACGH" =>
                 uploadAcgh(spark, dir, st.parentPath, st.studyLabel, o.warehouse)
               case "EXPRESSION" =>

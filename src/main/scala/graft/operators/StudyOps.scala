@@ -359,9 +359,17 @@ object StudyOps {
     }
     val trialId = trialIdIn.orElse {
       path.flatMap { p =>
+        // exact concept first; a study-ROOT path has no concept row of its
+        // own, so fall back to any concept under it (deterministic min)
         star.conceptDimension.filter(col("concept_path") === p)
           .select(col("sourcesystem_cd")).collect().headOption
           .flatMap(r => Option(r.getString(0)))
+          .orElse {
+            val r = star.conceptDimension
+              .filter(col("concept_path").startsWith(p))
+              .agg(min(col("sourcesystem_cd"))).collect()(0)
+            if (r.isNullAt(0)) None else Some(r.getString(0))
+          }
       }
     }.getOrElse("")
 

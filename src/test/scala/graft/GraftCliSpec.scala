@@ -60,7 +60,8 @@ class GraftCliSpec extends SparkSpec {
 
     // --- upload run: all three studies load, folders marked _DONE_
     val code = GraftCli.run(spark, Seq(
-      "-o", wh.toString, "--parent-node", "\\Public Studies", root.toString))
+      "-o", wh.toString, "--parent-node", "\\Public Studies",
+      "--secure-study", root.toString))
     assert(code == 0)
     val marked = Files.list(root).iterator()
     val names = {
@@ -75,7 +76,20 @@ class GraftCliSpec extends SparkSpec {
     assert(i2b2.filter(col("c_fullname") ===
       "\\Public Studies\\Study CLI\\Subjects\\Demographics\\Sex\\Female\\").count() == 1)
     val facts = GraftCli.readTable(spark, wh, "observation_fact")
-    assert(facts.filter(col("sourcesystem_cd") === "GSCLI").count() == 6)
+    assert(facts.filter(col("sourcesystem_cd") === "GSCLI" &&
+      col("concept_cd") =!= "SECURITY").count() == 6)
+    // --secure-study: one SECURITY fact per patient with the EXP token,
+    // i2b2_secure re-tokened off the facts, secure object registered
+    assert(facts.filter(col("sourcesystem_cd") === "GSCLI" &&
+      col("concept_cd") === "SECURITY" &&
+      col("tval_char") === "EXP:GSCLI").count() == 3)
+    assert(GraftCli.readTable(spark, wh, "i2b2_secure")
+      .filter(col("sourcesystem_cd") === "GSCLI" &&
+        col("secure_obj_token") === "EXP:GSCLI").count() > 0)
+    assert(GraftCli.readTable(spark, wh, "search_secure_object")
+      .filter(col("bio_data_unique_id") === "EXP:GSCLI").count() == 1)
+    assert(GraftCli.readTable(spark, wh, "bio_experiment")
+      .filter(col("accession") === "GSCLI").count() == 1)
     // aCGH tables landed
     assert(spark.read.parquet(s"$wh/de_subject_acgh_data.parquet")
       .filter(col("trial_name") === "TSTA").count() > 0)
@@ -197,7 +211,8 @@ class GraftCliSpec extends SparkSpec {
     }
     assert(names2 == Seq("_DONE_Study CLI", "_FAIL_A Bad Study"))
     assert(GraftCli.readTable(spark, wh, "observation_fact")
-      .filter(col("sourcesystem_cd") === "GSCLI").count() == 6)
+      .filter(col("sourcesystem_cd") === "GSCLI" &&
+        col("concept_cd") =!= "SECURITY").count() == 6)
   }
 
   test("high-dim datatypes crawl through the CLI: rnaseq/protein/rbm/mirna/metabolomics") {
