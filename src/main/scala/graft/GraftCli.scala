@@ -245,7 +245,8 @@ object GraftCli {
   def uploadClinical(spark: SparkSession, dir: Path, topNodeParent: String,
                      studyLabel: String, wh: Path,
                      alwaysSetVisitName: Boolean,
-                     secureStudy: Boolean = false): String = {
+                     secureStudy: Boolean = false,
+                     checkDuplicates: Boolean = false): String = {
     import scala.jdk.CollectionConverters._
     val mf = Files.list(dir).iterator().asScala
       .find(_.getFileName.toString.toLowerCase.endsWith("_mapping_file.txt"))
@@ -255,8 +256,19 @@ object GraftCli {
     val topNode = s"$topNodeParent\\$studyLabel"
     val data = mapping.files.map(f =>
       f -> TsvReader.read(spark, dir.resolve(f).toString)).toMap
-    val t = ClinicalPipeline.run(spark, studyId, topNode, mapping, data,
-      alwaysSetVisitName)
+    // the reference ALWAYS aborts on conflicting numeric duplicates;
+    // --check-duplicates additionally exports duplicates.csv next to the
+    // study files (ClinicalDataProcessor.groovy:301-331)
+    val t =
+      try ClinicalPipeline.run(spark, studyId, topNode, mapping, data,
+        alwaysSetVisitName, failOnNumericDuplicates = true)
+      catch {
+        case e: ClinicalPipeline.NumericDuplicatesException =>
+          if (checkDuplicates)
+            Files.writeString(dir.resolve("duplicates.csv"),
+              e.csv.mkString("", "\n", "\n"))
+          throw e
+      }
 
     val prefix = topNode.stripSuffix("\\") + "\\"
     def replaceSubtree(old: DataFrame, fresh: DataFrame, pathCol: String) =
@@ -963,7 +975,8 @@ object GraftCli {
             tpe.toUpperCase match {
               case "CLINICAL" =>
                 uploadClinical(spark, dir, st.parentPath, st.studyLabel,
-                  o.warehouse, o.alwaysSetVisitName, o.secureStudy)
+                  o.warehouse, o.alwaysSetVisitName, o.secureStudy,
+                  o.checkDuplicates)
               case "ACGH" =>
                 uploadAcgh(spark, dir, st.parentPath, st.studyLabel, o.warehouse)
               case "EXPRESSION" =>

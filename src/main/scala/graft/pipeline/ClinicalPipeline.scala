@@ -39,9 +39,17 @@ object ClinicalPipeline {
   /** Run the full pipeline for one study directory's worth of files.
     * `dataFiles` maps filename -> already-read DataFrame (TsvReader.read).
     */
+  /** Thrown when [[run]] is asked to enforce the reference's
+    * numeric-duplicate abort (SQL:656-693) and the guard trips; carries
+    * the duplicates.csv lines the CLI exports with --check-duplicates. */
+  final case class NumericDuplicatesException(csv: Seq[String])
+    extends RuntimeException(
+      s"Duplicate numeric values for ${csv.length - 1} subject/variable keys")
+
   def run(spark: SparkSession, studyId: String, topNode: String,
           mapping: Mapping, dataFiles: Map[String, DataFrame],
-          alwaysSetVisitName: Boolean = false): StudyTables = {
+          alwaysSetVisitName: Boolean = false,
+          failOnNumericDuplicates: Boolean = false): StudyTables = {
 
     val eav = dataFiles.toSeq.map { case (fname, df) =>
       explodeFile(studyId, mapping.forFile(fname), df)
@@ -53,6 +61,10 @@ object ClinicalPipeline {
     // tree, fact join, counts) — cache once, the way the reference's wt_*
     // work tables materialize the staged rows (SURVEY §4 UNLOGGED note)
     val deduped = keepOne(typed).cache()
+    if (failOnNumericDuplicates) {
+      val dups = numericDuplicates(deduped)
+      if (!dups.isEmpty) throw NumericDuplicatesException(duplicatesCsv(dups))
+    }
     build(spark, studyId, topNode, deduped)
   }
 

@@ -215,6 +215,32 @@ class GraftCliSpec extends SparkSpec {
         col("concept_cd") =!= "SECURITY").count() == 6)
   }
 
+  test("numeric-duplicate abort: _FAIL_ mark and duplicates.csv export") {
+    val root = Files.createTempDirectory("graft-cli-dup-root")
+    val wh = Files.createTempDirectory("graft-cli-dup-wh")
+    val fixture = java.nio.file.Paths.get(
+      "/root/reference/fixtures/Test Studies/Test Study With Duplicated Patient ID_GSE0DUPPID/ClinicalDataToUpload")
+    val dir = root.resolve("Dup Study").resolve("ClinicalDataToUpload")
+    Files.createDirectories(dir)
+    Files.list(fixture).forEach { f =>
+      Files.copy(f, dir.resolve(f.getFileName.toString))
+    }
+    val code = GraftCli.run(spark, Seq("-o", wh.toString,
+      "--check-duplicates", root.toString))
+    assert(code == 1)
+    val marked = root.resolve("_FAIL_Dup Study")
+    assert(Files.isDirectory(marked))
+    // the exported CSV matches the reference's expected file line-set
+    // (the reference emits table order; ours is sorted — documented)
+    val written = Files.readAllLines(
+      marked.resolve("ClinicalDataToUpload").resolve("duplicates.csv"))
+    val expected = Files.readAllLines(fixture.resolve("ExpectedDuplicates.csv"))
+    assert(written.get(0) == expected.get(0)) // header verbatim
+    import scala.jdk.CollectionConverters._
+    assert(written.asScala.drop(1).toSet ==
+      expected.asScala.drop(1).filter(_.nonEmpty).toSet)
+  }
+
   test("high-dim datatypes crawl through the CLI: rnaseq/protein/rbm/mirna/metabolomics") {
     val root = Files.createTempDirectory("graft-cli-hd-root")
     val wh = Files.createTempDirectory("graft-cli-hd-wh")
