@@ -22,8 +22,11 @@ import graft.sources.{AcghMelt, ClinicalMapping, TsvReader}
   * equivalent — at scale each becomes a partitioned table and nothing
   * here changes.
   *
-  * Upload datatypes wired end-to-end: Clinical, ACGH and Expression
-  * (mRNA). Other datatype folders are reported and skipped.
+  * Upload datatypes wired end-to-end: Clinical, Expression (mRNA), ACGH,
+  * VCF/MultiVCF, RNASeq, Proteomics, RBM, miRNA (qPCR + seq),
+  * Metabolomics, SNP and GWAS Plink — every datatype the reference's
+  * CommandLineTool dispatches. Omics uploads persist their LOAD_SAMPLES
+  * ontology per category root, so a study's datatypes coexist in i2b2.
   */
 object GraftCli {
 
@@ -426,8 +429,63 @@ object GraftCli {
           .filter(!(col("trial_name") <=> lit(studyId)))
           .unionByName(t.sampleMapping, allowMissingColumns = true))
     outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    persistOntology(spark, wh, studyId, topNode, t.loadSamples)
     outputs.foreach { case (n, _) => swapTmp(wh, n) }
     studyId
+  }
+
+  // ------------------------------------------- omics ontology persistence
+
+  /** Persist the LOAD_SAMPLES ontology into the warehouse star: the i2b2
+    * subtree (fill-in-tree + visual attrs via ClinicalPipeline.rebuildTree),
+    * LEAF concept rows and tree-rolled concept counts — replacing ONLY the
+    * CATEGORY roots this upload populates (I2B2_LOAD_SAMPLES deletes
+    * per-category, so a study's clinical nodes and sibling datatypes
+    * coexist); ancestors that already exist (the study root, shared
+    * folders) are kept, not duplicated. */
+  def persistOntology(spark: SparkSession, wh: Path, studyId: String,
+                      topNode: String,
+                      ls: graft.pipeline.LoadSamples.LoadSamplesTables): Unit = {
+    val leafFrame = ls.sampleFacts
+      .join(ls.nodes.filter(col("node_type") === "LEAF")
+        .select(col("concept_cd"), col("leaf_node")), Seq("concept_cd"))
+    val prefix = topNode.stripSuffix("\\") + "\\"
+    val roots = leafFrame.select(col("leaf_node")).distinct().collect()
+      .map(_.getString(0))
+      .filter(_.startsWith(prefix))
+      .map(p => prefix + p.stripPrefix(prefix).takeWhile(_ != '\\') + "\\")
+      .distinct.toSeq
+    if (roots.isEmpty) return
+    val underRoot = (c: org.apache.spark.sql.Column) =>
+      roots.map(c.startsWith(_)).reduce(_ || _)
+    val tree = ClinicalPipeline.rebuildTree(studyId, topNode, leafFrame)
+    val keptI2b2 = readTable(spark, wh, "i2b2")
+      .filter(!underRoot(col("c_fullname")))
+    val freshI2b2 = tree.join(keptI2b2.select(col("c_fullname")),
+      Seq("c_fullname"), "left_anti")
+    import graft.functions.PathFunctions._
+    val counts = graft.operators.TreeOps.conceptCounts(
+        leafFrame.select(col("leaf_node"), col("patient_num")),
+        "leaf_node", "patient_num")
+      .filter(underRoot(col("c_fullname")))
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "i2b2" -> keptI2b2.unionByName(freshI2b2, allowMissingColumns = true),
+      "concept_dimension" -> (readTable(spark, wh, "concept_dimension")
+        .filter(!underRoot(col("concept_path")))
+        .unionByName(ls.nodes.filter(col("node_type") === "LEAF")
+          .select(col("leaf_node").as("concept_path"), col("concept_cd"),
+            lit(studyId).as("sourcesystem_cd")),
+          allowMissingColumns = true)),
+      "concept_counts" -> (readTable(spark, wh, "concept_counts")
+        .filter(!underRoot(col("concept_path")))
+        .unionByName(counts.select(col("c_fullname").as("concept_path"),
+          when(hlevel(col("c_fullname")) > 1,
+            concat(lit("\\"), array_join(slice(pathComponents(col("c_fullname")),
+              lit(1), hlevel(col("c_fullname")) - 1), "\\"), lit("\\")))
+            .as("parent_concept_path"),
+          col("patient_count")), allowMissingColumns = true)))
+    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    outputs.foreach { case (n, _) => swapTmp(wh, n) }
   }
 
   // ---------------------------------------------- generic high-dim upload
@@ -606,6 +664,10 @@ object GraftCli {
           .filter(!(col("trial_name") <=> lit(studyId)))
           .unionByName(facts, allowMissingColumns = true))
     outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    // the ontology build re-reads the OLD star through ls's lineage
+    // (patients scans patient_dimension): run it BEFORE the swap; its own
+    // three tables are disjoint from this upload's outputs
+    persistOntology(spark, wh, studyId, topNode, ls)
     outputs.foreach { case (n, _) => swapTmp(wh, n) }
     studyId
   }
@@ -667,6 +729,7 @@ object GraftCli {
           .filter(!(col("trial_name") <=> lit(studyId)))
           .unionByName(lob, allowMissingColumns = true))
     outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    persistOntology(spark, wh, studyId, s"$topNodeParent\\$studyLabel\\", ls)
     outputs.foreach { case (n, _) => swapTmp(wh, n) }
     studyId
   }
@@ -750,6 +813,7 @@ object GraftCli {
           .filter(!(col("trial_name") <=> lit(studyId)))
           .unionByName(facts, allowMissingColumns = true))
     outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    persistOntology(spark, wh, studyId, s"$topNodeParent\\$studyLabel\\", ls)
     outputs.foreach { case (n, _) => swapTmp(wh, n) }
     studyId
   }
@@ -949,6 +1013,7 @@ object GraftCli {
           .unionByName(t.omics.data.withColumn("trial_name", lit(studyId)),
             allowMissingColumns = true))
     outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    persistOntology(spark, wh, studyId, topNode, t.loadSamples)
     outputs.foreach { case (n, _) => swapTmp(wh, n) }
     studyId
   }

@@ -303,6 +303,21 @@ class GraftCliSpec extends SparkSpec {
     val met = row("de_subject_metabolomics_data", "GSE37427", "HMDB0TEST", "14PP")
     assert(math.abs(met.getAs[Double]("raw_intensity") - 5095.0) < 0.001)
 
+    // LOAD_SAMPLES ontology landed in the warehouse star: the replay
+    // specs' node paths and tree rollups, via the CLI this time
+    val i2b2 = facts("i2b2")
+    val counts = facts("concept_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val rnaLeaf =
+      "\\Test Studies\\Test RNASeq Study\\Biomarker Data\\RNASeq999\\Intestine\\Test\\"
+    assert(i2b2.filter(col("c_fullname") === rnaLeaf).count() == 1)
+    assert(counts(rnaLeaf) == 2L)
+    val mirnaSeqLeaf =
+      "\\Test Studies\\Test MirnaSeq Study\\Biomarker Data\\Test MIRNAseq Platform\\Synovium\\"
+    assert(counts(mirnaSeqLeaf) == 8L)
+    assert(counts(
+      "\\Test Studies\\Test Metabolomics Study\\Biomarker Data\\Test Metabolomics Platform\\") == 10L)
+
     // SNP: positional per-sample file reads, full-outer calls/copy-number
     // merge (SNPDataProcessorTest: TST001 x SNP_A-4265338 has cn only)
     val snp = facts("de_sample_snp_data")
