@@ -468,9 +468,18 @@ object GraftCli {
         leafFrame.select(col("leaf_node"), col("patient_num")),
         "leaf_node", "patient_num")
       .filter(underRoot(col("c_fullname")))
+    // facts at the REPLACED concepts go with their nodes (the
+    // I2B2_LOAD_SAMPLES delete), the fresh per-sample category facts land
+    val oldConcepts = readTable(spark, wh, "concept_dimension")
+    val victims = broadcast(oldConcepts
+      .filter(underRoot(col("concept_path")))
+      .select(col("concept_cd")).distinct())
     val outputs: Seq[(String, DataFrame)] = Seq(
       "i2b2" -> keptI2b2.unionByName(freshI2b2, allowMissingColumns = true),
-      "concept_dimension" -> (readTable(spark, wh, "concept_dimension")
+      "observation_fact" -> (readTable(spark, wh, "observation_fact")
+        .join(victims, Seq("concept_cd"), "left_anti")
+        .unionByName(ls.sampleFacts, allowMissingColumns = true)),
+      "concept_dimension" -> (oldConcepts
         .filter(!underRoot(col("concept_path")))
         .unionByName(ls.nodes.filter(col("node_type") === "LEAF")
           .select(col("leaf_node").as("concept_path"), col("concept_cd"),
@@ -732,6 +741,49 @@ object GraftCli {
     persistOntology(spark, wh, studyId, s"$topNodeParent\\$studyLabel\\", ls)
     outputs.foreach { case (n, _) => swapTmp(wh, n) }
     studyId
+  }
+
+  // ------------------------------------------------- serial-HDD post-step
+
+  /** Base datatype key for each *SerialHDD folder (the reference treats
+    * serial HDD as the same processor plus a Sample_Dimensions_Mapping). */
+  val SerialHddBase: Map[String, String] = Map(
+    "EXPRESSIONSERIALHDD" -> "EXPRESSION",
+    "PROTEINSERIALHDD" -> "PROTEIN",
+    "RNASEGSERIALHDD" -> "RNASEQ", // the reference fixture's own spelling
+    "RNASEQSERIALHDD" -> "RNASEQ",
+    "MIRNA_QPCRSERIALHDD" -> "MIRNA_QPCR",
+    "METABOLOMICSSERIALHDD" -> "METABOLOMICS")
+
+  /** Serial-HDD (time-series) post-step (I2B2_PROCESS_SERIAL_HDD_DATA):
+    * after the base upload persisted its ontology and facts, the sample-
+    * dimensions mapping stamps its verbatim value/unit XML onto the
+    * study's mapped category nodes, every sample registers in
+    * sample_dimension, and the study's facts backfill their sample_cd. */
+  def applySerialHddStep(spark: SparkSession, dir: Path, wh: Path,
+                         studyId: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dimsFile = Files.list(dir).iterator().asScala
+      .find(_.getFileName.toString.matches("(?i).*Sample_Dimensions_Mapping.*\\.txt"))
+      .getOrElse(return)
+    val dims = graft.pipeline.SnpAndSerial.readSampleDimensions(
+      spark, dimsFile.toString)
+    val mapping = readTable(spark, wh, "de_subject_sample_mapping")
+    // the warehouse i2b2 carries no basecode; the LEAF concept rows do
+    val i2b2 = readTable(spark, wh, "i2b2")
+      .join(readTable(spark, wh, "concept_dimension")
+        .select(col("concept_path").as("c_fullname"),
+          col("concept_cd").as("c_basecode")), Seq("c_fullname"), "left")
+    val sampleDim = readTable2(spark, wh, "sample_dimension",
+      Seq("sample_cd" -> StringType))
+    val t = graft.pipeline.SnpAndSerial.applySerialHdd(i2b2, dims,
+      mapping, sampleDim, readTable(spark, wh, "observation_fact"), studyId)
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "i2b2" -> t.i2b2.drop("c_basecode"),
+      "sample_dimension" -> t.sampleDimension,
+      "observation_fact" -> t.facts)
+    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    outputs.foreach { case (n, _) => swapTmp(wh, n) }
   }
 
   // ----------------------------------------------------------- SNP upload
@@ -1052,6 +1104,14 @@ object GraftCli {
               case hd if HighDimConfigs.contains(hd) =>
                 uploadHighDim(spark, dir, st.parentPath, st.studyLabel,
                   o.warehouse, HighDimConfigs(hd))
+              case sh if SerialHddBase.contains(sh) =>
+                val sid =
+                  if (SerialHddBase(sh) == "EXPRESSION")
+                    uploadExpression(spark, dir, st.parentPath, st.studyLabel,
+                      o.warehouse, o.useFirstGeneId)
+                  else uploadHighDim(spark, dir, st.parentPath, st.studyLabel,
+                    o.warehouse, HighDimConfigs(SerialHddBase(sh)))
+                applySerialHddStep(spark, dir, o.warehouse, sid)
               case "SNP" =>
                 uploadSnp(spark, dir, st.parentPath, st.studyLabel, o.warehouse)
               case "GWASPLINK" =>

@@ -215,6 +215,39 @@ class GraftCliSpec extends SparkSpec {
         col("concept_cd") =!= "SECURITY").count() == 6)
   }
 
+  test("serial-HDD datatype: week XML stamped, sample dims, fact sample codes") {
+    val root = Files.createTempDirectory("graft-cli-shdd-root")
+    val wh = Files.createTempDirectory("graft-cli-shdd-wh")
+    val src = java.nio.file.Paths.get(
+      "/root/reference/fixtures/Test Studies/Test MirnaQpcr Study/MIRNA_QPCRSerialHDDDataToUpload")
+    val dir = root.resolve("Test MirnaQpcr Study")
+      .resolve("MIRNA_QPCRSerialHDDDataToUpload")
+    Files.createDirectories(dir)
+    Files.list(src).forEach { f =>
+      Files.copy(f, dir.resolve(f.getFileName.toString))
+    }
+    val code = GraftCli.run(spark, Seq("-o", wh.toString,
+      "--parent-node", "\\Test Studies", root.toString))
+    assert(code == 0)
+    // MIRNASerialHDDDataProcessorTest: 'Sample Factors Week 1' node
+    // carries the verbatim 7-days XML after the serial apply step
+    val wk1 = spark.read.parquet(s"$wh/i2b2.parquet")
+      .filter(col("c_fullname") ===
+        "\\Test Studies\\Test MirnaQpcr Study\\Sample Factors Week 1\\")
+      .collect()(0).getAs[String]("c_metadataxml")
+    assert(wk1 != null && wk1.contains("<Value>7</Value>") &&
+      wk1.contains("<Unit>days</Unit>") &&
+      wk1.contains("<DisplayName>Week 1</DisplayName>"))
+    // both GSM samples registered; the study's facts carry sample codes
+    assert(spark.read.parquet(s"$wh/sample_dimension.parquet")
+      .collect().map(_.getString(0)).toSet == Set("GSM918938", "GSM918939"))
+    val factSamples = spark.read.parquet(s"$wh/observation_fact.parquet")
+      .filter(col("sourcesystem_cd") === "TEST005" &&
+        col("concept_cd") =!= "SECURITY")
+      .select("sample_cd").collect().map(_.getString(0)).toSet
+    assert(factSamples == Set("GSM918938", "GSM918939"))
+  }
+
   test("numeric-duplicate abort: _FAIL_ mark and duplicates.csv export") {
     val root = Files.createTempDirectory("graft-cli-dup-root")
     val wh = Files.createTempDirectory("graft-cli-dup-wh")
