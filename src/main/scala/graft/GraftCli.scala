@@ -879,7 +879,8 @@ object GraftCli {
     * to de_variant_subject_summary), and the six de_variant_* tables
     * replace their study-prefixed datasets. Study id + genome build come
     * from the mapping file's `# KEY: value` meta header. */
-  def uploadVcf(spark: SparkSession, dir: Path, wh: Path): String = {
+  def uploadVcf(spark: SparkSession, dir: Path, wh: Path,
+                topNodeParent: String = "", studyLabel: String = ""): String = {
     import scala.jdk.CollectionConverters._
     val files = Files.list(dir).iterator().asScala.toSeq
     val mapFile = files
@@ -897,10 +898,13 @@ object GraftCli {
       sys.error(s"$mapFile: no # STUDY_ID meta line")).toUpperCase
     val genome = meta.getOrElse("GENOME_BUILD", "hg19")
 
-    val sm = TsvReader.read(spark, mapFile.toString).select(
+    val rawSm = TsvReader.read(spark, mapFile.toString)
+    val sm = rawSm.select(
       col("SUBJECT_ID").as("subject_id"),
       col("SAMPLE_CD").as("sample_cd"),
-      lit(null).cast(StringType).as("site_id"))
+      lit(null).cast(StringType).as("site_id"),
+      (if (rawSm.columns.contains("CATEGORY_CD")) col("CATEGORY_CD")
+       else lit(null).cast(StringType)).as("category_cd"))
     val t = graft.pipeline.VcfPipeline.runDir(spark, dir.toString, studyId, genome)
 
     val patients = AcghPipeline.ensurePatients(spark,
@@ -942,6 +946,36 @@ object GraftCli {
       "de_variant_population_data" ->
         replaceDatasets(oldVt("de_variant_population_data"), t.populationData))
     outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    // configured paths (VCFDataProcessor's CATEGORY_CD column): each
+    // sample's category becomes an ontology leaf ('+' -> '\\', '_' -> ' ')
+    // with per-sample facts, persisted through the shared category-root
+    // machinery BEFORE the swap (patients lineage reads the old star)
+    if (topNodeParent.nonEmpty &&
+        sm.columns.contains("category_cd") &&
+        !sm.filter(col("category_cd").isNotNull).isEmpty) {
+      val topNode = s"$topNodeParent\\$studyLabel\\"
+      val leafed = sm.filter(col("category_cd").isNotNull)
+        .withColumn("leaf_node",
+          concat(lit(topNode),
+            regexp_replace(regexp_replace(col("category_cd"), "\\+", "\\\\"),
+              "_", " "), lit("\\")))
+        .withColumn("usubjid", graft.functions.CleansingFunctions.usubjid(
+          lit(studyId), lit(""), col("subject_id")))
+      val nodes = leafed.select(col("leaf_node")).distinct()
+        .withColumn("node_type", lit("LEAF"))
+        .withColumn("concept_cd", substring(md5(col("leaf_node")), 1, 16))
+      val sampleFacts = leafed
+        .join(patients.select(col("patient_num"), col("sourcesystem_cd")),
+          leafed("usubjid") === col("sourcesystem_cd"))
+        .join(nodes.select(col("leaf_node"), col("concept_cd")), Seq("leaf_node"))
+        .select(col("patient_num"), col("concept_cd"),
+          lit(studyId).as("modifier_cd"), lit("T").as("valtype_cd"),
+          lit("E").as("tval_char"), lit(studyId).as("sourcesystem_cd"))
+        .distinct()
+      persistOntology(spark, wh, studyId, topNode,
+        graft.pipeline.LoadSamples.LoadSamplesTables(
+          nodes, mapping, sampleFacts))
+    }
     outputs.foreach { case (n, _) => swapTmp(wh, n) }
     studyId
   }
@@ -1100,7 +1134,8 @@ object GraftCli {
                 uploadExpression(spark, dir, st.parentPath, st.studyLabel,
                   o.warehouse, o.useFirstGeneId)
               case "VCF" | "MULTIVCF" =>
-                uploadVcf(spark, dir, o.warehouse)
+                uploadVcf(spark, dir, o.warehouse, st.parentPath,
+                  st.studyLabel)
               case hd if HighDimConfigs.contains(hd) =>
                 uploadHighDim(spark, dir, st.parentPath, st.studyLabel,
                   o.warehouse, HighDimConfigs(hd))

@@ -248,6 +248,35 @@ class GraftCliSpec extends SparkSpec {
     assert(factSamples == Set("GSM918938", "GSM918939"))
   }
 
+  test("multi-VCF with configured paths: per-sample category nodes + counts") {
+    val root = Files.createTempDirectory("graft-cli-vcfcp-root")
+    val wh = Files.createTempDirectory("graft-cli-vcfcp-wh")
+    val src = java.nio.file.Paths.get(
+      "/root/reference/fixtures/Test Studies/Test Study_GSE0/MultiVCFDataWithConfiguredPaths")
+    val dir = root.resolve("Study VCFCP").resolve("MultiVCFDataToUpload")
+    Files.createDirectories(dir)
+    Files.list(src).forEach { f =>
+      Files.copy(f, dir.resolve(f.getFileName.toString))
+    }
+    val code = GraftCli.run(spark, Seq("-o", wh.toString,
+      "--parent-node", "\\Test Studies", root.toString))
+    assert(code == 0)
+    // one dataset per file
+    assert(spark.read.parquet(s"$wh/de_variant_dataset.parquet")
+      .collect().map(_.getString(0)).toSet ==
+      Set("GSE0:VCFTEST1", "GSE0:VCFTEST2", "GSE0:VCFTEST3"))
+    // CATEGORY_CD became ontology leaves with per-sample counts
+    val counts = spark.read.parquet(s"$wh/concept_counts.parquet")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(counts(
+      "\\Test Studies\\Study VCFCP\\VCF\\Subjects\\Subject0\\") == 1L)
+    assert(counts(
+      "\\Test Studies\\Study VCFCP\\VCF\\Subjects\\Other\\") == 2L)
+    assert(spark.read.parquet(s"$wh/i2b2.parquet")
+      .filter(col("c_fullname") ===
+        "\\Test Studies\\Study VCFCP\\VCF\\Subjects\\Other\\").count() == 1)
+  }
+
   test("numeric-duplicate abort: _FAIL_ mark and duplicates.csv export") {
     val root = Files.createTempDirectory("graft-cli-dup-root")
     val wh = Files.createTempDirectory("graft-cli-dup-wh")
