@@ -44,6 +44,7 @@ object GraftCli {
       useFirstGeneId: Boolean = false,
       checkDuplicates: Boolean = false,
       alwaysSetVisitName: Boolean = false,
+      forceStart: Boolean = false,
       showHelp: Boolean = false)
 
   val Usage: String =
@@ -52,6 +53,8 @@ object GraftCli {
       | -h,--help                       Show usage information
       | -n,--no-rename                  Don't rename folders when failed
       | -s,--stop-on-fail               Stop when upload is failed
+      | -c,--config <file>              Config file (key = value lines; command-line
+      |                                 options win). Default: ~/.graft/graft.conf
       | -m,--move-study <old;new>       Move study
       |    --keep-security              Preserve security settings when moving a new
       |                                 study over an old one (only with --move-study)
@@ -64,10 +67,62 @@ object GraftCli {
       |                                 use only the first one
       |    --check-duplicates           Check patient duplicates
       |    --parent-node <path>         Ontology parent for uploaded studies
+      |    --force-start                Remove a leftover lock file before starting
       |""".stripMargin
 
+  /** Site defaults from a config file — the reference's ConfigSlurper
+    * `Config.groovy` layer (CommandLineTool.groovy:100-107) as plain
+    * `key = value` lines (`#` comments). Recognized keys mirror the CLI
+    * options; explicit command-line flags always win. */
+  def loadConfig(file: Path, base: Options = Options()): Either[String, Options] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isRegularFile(file)) return Left(s"config file not found: $file")
+    def bool(v: String) = Seq("true", "yes", "1", "on").contains(v.toLowerCase)
+    var o = base
+    for (line <- Files.readAllLines(file).asScala.map(_.trim)
+           if line.nonEmpty && !line.startsWith("#")) {
+      line.split("=", 2) match {
+        case Array(k, v0) =>
+          val v = v0.trim
+          k.trim.toLowerCase.replace("-", "_") match {
+            case "output" | "warehouse" => o = o.copy(warehouse = Paths.get(v))
+            case "data_dir" => o = o.copy(dataDir = Some(Paths.get(v)))
+            case "parent_node" => o = o.copy(parentNode = v)
+            case "no_rename" => o = o.copy(noRename = bool(v))
+            case "stop_on_fail" => o = o.copy(stopOnFail = bool(v))
+            case "secure_study" => o = o.copy(secureStudy = bool(v))
+            case "keep_security" => o = o.copy(keepSecurity = bool(v))
+            case "use_first_gene_id" => o = o.copy(useFirstGeneId = bool(v))
+            case "check_duplicates" => o = o.copy(checkDuplicates = bool(v))
+            case "always_set_visit_name" => o = o.copy(alwaysSetVisitName = bool(v))
+            case other => return Left(s"$file: unknown config key: $other")
+          }
+        case _ => return Left(s"$file: not a key = value line: $line")
+      }
+    }
+    Right(o)
+  }
+
   def parseArgs(args: Seq[String]): Either[String, Options] = {
-    var o = Options()
+    // config first (explicit -c, else the default site file if present),
+    // then flags on top — flags win
+    val defaultConf = Paths.get(sys.props.getOrElse("user.home", "."),
+      ".graft", "graft.conf")
+    val base = args.sliding(2).collectFirst {
+      case Seq("-c" | "--config", f) => Paths.get(f)
+    } match {
+      case Some(f) => loadConfig(f) match {
+        case Left(err) => return Left(err)
+        case Right(o) => o
+      }
+      case None if Files.isRegularFile(defaultConf) =>
+        loadConfig(defaultConf) match {
+          case Left(err) => return Left(err)
+          case Right(o) => o
+        }
+      case None => Options()
+    }
+    var o = base
     var rest = args.toList
     while (rest.nonEmpty) {
       rest match {
@@ -80,6 +135,8 @@ object GraftCli {
           o = o.copy(alwaysSetVisitName = true); rest = t
         case "--use-first-gene-id" :: t => o = o.copy(useFirstGeneId = true); rest = t
         case "--check-duplicates" :: t => o = o.copy(checkDuplicates = true); rest = t
+        case "--force-start" :: t => o = o.copy(forceStart = true); rest = t
+        case ("-c" | "--config") :: _ :: t => rest = t // consumed above
         case ("-m" | "--move-study") :: v :: t =>
           v.split(";", 2) match {
             case Array(a, b) => o = o.copy(moveStudy = Some((a, b))); rest = t
@@ -100,6 +157,25 @@ object GraftCli {
   }
 
   // ------------------------------------------------------- warehouse I/O
+  //
+  // Layout: each table is a directory `<wh>/<table>.parquet`. The big
+  // per-study tables (facts, patient dims, omics/variant data, platform
+  // registries) are HIVE-PARTITIONED by their trial / dataset / platform
+  // column, so an upload or move/delete rewrites ONLY the partitions it
+  // touches — O(study) I/O, not O(warehouse) — the lakehouse equivalent
+  // of the reference's partition-per-dataset DDL
+  // (I2B2_PROCESS_MRNA_DATA.sql:183-222). Ontology/metadata tables
+  // (i2b2, concept_*, bio_*) are node-sized — orders of magnitude smaller
+  // than the facts — and stay whole-replaced.
+  //
+  // Every write stages to `<table>.parquet.tmp` FIRST (output plans may
+  // read the old files), then promotes by rename: the old dir moves
+  // aside (whole tables to `<table>.parquet.old`, partition dirs to
+  // `_old_<dir>` — underscore-prefixed paths are invisible to Spark
+  // readers), the tmp content moves in, and the old copy is removed
+  // last. Every table therefore always has a readable version; a crash
+  // mid-publish leaves a recoverable `.old`/`_old_` copy rather than a
+  // half-deleted table.
 
   private val CoreTables: Seq[(String, Seq[(String, org.apache.spark.sql.types.DataType)])] = Seq(
     "table_access" -> Seq("c_fullname" -> StringType),
@@ -129,36 +205,212 @@ object GraftCli {
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(fields.map { case (n, t) => StructField(n, t) }))
 
-  def readTable(spark: SparkSession, wh: Path, name: String): DataFrame = {
-    val p = wh.resolve(s"$name.parquet")
-    if (Files.exists(p)) spark.read.parquet(p.toString)
-    else emptyTable(spark, CoreTables.toMap.apply(name))
+  /** Partition column per big table; tables not listed here are
+    * node/metadata-sized and whole-replaced. `patient_dimension`'s
+    * `trial` column is DERIVED at write time from the usubjid-shaped
+    * sourcesystem_cd (`TRIAL:SITE:SUBJ` — first ':'-component). */
+  val PartitionedTables: Map[String, String] = Map(
+    "observation_fact" -> "sourcesystem_cd",
+    "patient_dimension" -> "trial",
+    "patient_trial" -> "trial",
+    "de_subject_sample_mapping" -> "trial_name",
+    "de_subject_acgh_data" -> "trial_name",
+    "de_subject_microarray_data" -> "trial_name",
+    "de_subject_protein_data" -> "trial_name",
+    "de_subject_rbm_data" -> "trial_name",
+    "de_subject_mirna_data" -> "trial_name",
+    "de_subject_metabolomics_data" -> "trial_name",
+    "de_subject_rna_data" -> "trial_name",
+    "de_sample_snp_data" -> "trial_name",
+    "plink_data" -> "trial_name",
+    "de_variant_subject_idx" -> "dataset_id",
+    "de_variant_population_info" -> "dataset_id",
+    "de_variant_subject_detail" -> "dataset_id",
+    "de_variant_subject_summary" -> "dataset_id",
+    "de_variant_population_data" -> "dataset_id",
+    "probeset_deapp" -> "platform",
+    "de_mrna_annotation" -> "gpl_id",
+    "de_chromosomal_region" -> "gpl_id")
+
+  // Hive-compatible partition-dir escaping (the char set Spark's writer
+  // escapes), so partition values like `GSE0:VCFTEST` round-trip between
+  // our dir bookkeeping and Spark's own `<col>=<value>` layout.
+  private val EscapedChars: Set[Char] =
+    (0.toChar to 31.toChar).toSet ++
+      Set('"', '#', '%', '\'', '*', '/', ':', '=', '?', '\\', '\u007F',
+        '{', '[', ']', '^')
+
+  private[graft] def escapePartVal(v: String): String =
+    if (v == null || v.isEmpty) "__HIVE_DEFAULT_PARTITION__"
+    else v.flatMap(c =>
+      if (EscapedChars(c)) f"%%${c.toInt}%02X" else c.toString)
+
+  private[graft] def unescapePartVal(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          s.substring(i + 1, i + 3).forall(h => Character.digit(h, 16) >= 0)) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
-  private def writeTmp(df: DataFrame, wh: Path, name: String): Unit = {
+  /** Files.list with the directory stream closed (a leaked stream holds a
+    * directory fd until GC — one per table per study over a long crawl). */
+  private def listDir(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+      } finally s.close()
+    }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+
+  /** Existing partition values of a partitioned table — one directory
+    * listing, never a data scan. */
+  def listPartitionValues(wh: Path, name: String): Seq[String] = {
+    val pc = PartitionedTables(name)
+    listDir(wh.resolve(s"$name.parquet"))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(pc + "="))
+      .map(d => unescapePartVal(d.substring(pc.length + 1)))
+      .filter(v => v != "__HIVE_DEFAULT_PARTITION__" && v != "__EMPTY__")
+  }
+
+  private final case class StagedWrite(name: String,
+      partValues: Option[Seq[String]],
+      partitioned: Boolean,
+      fileSchema: StructType)
+
+  /** Stage a whole-table replacement to `<name>.parquet.tmp`. */
+  private def stageWhole(df: DataFrame, wh: Path, name: String): StagedWrite = {
     Files.createDirectories(wh)
     df.write.mode("overwrite").parquet(wh.resolve(s"$name.parquet.tmp").toString)
+    StagedWrite(name, None, partitioned = false, df.schema)
   }
 
-  private def swapTmp(wh: Path, name: String): Unit = {
-    val tmp = wh.resolve(s"$name.parquet.tmp")
-    val dst = wh.resolve(s"$name.parquet")
-    if (Files.exists(dst)) {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).iterator().forEachRemaining(rm)
-        Files.delete(p)
-      }
-      rm(dst)
-    }
-    Files.move(tmp, dst)
+  private def withPartCol(df: DataFrame, name: String): DataFrame = {
+    val pc = PartitionedTables(name)
+    if (name == "patient_dimension")
+      // derive (or re-derive) the trial from the usubjid; rows read back
+      // from the table already carry it — coalesce keeps theirs
+      df.withColumn(pc,
+        if (df.columns.contains(pc))
+          coalesce(col(pc), substring_index(col("sourcesystem_cd"), ":", 1))
+        else substring_index(col("sourcesystem_cd"), ":", 1))
+    else df
   }
+
+  /** Stage a replacement of ONLY the named partitions: rows outside them
+    * are dropped (the read side prunes to the affected partitions), and a
+    * value with no surviving rows becomes a partition DROP at commit. */
+  private def stagePart(df0: DataFrame, wh: Path, name: String,
+                        values: Seq[String]): StagedWrite = {
+    val pc = PartitionedTables(name)
+    val df = withPartCol(df0, name)
+    Files.createDirectories(wh)
+    val vs = values.distinct
+    val filtered =
+      if (vs.isEmpty) df.filter(lit(false)) else df.filter(col(pc).isInCollection(vs))
+    filtered.write.mode("overwrite").partitionBy(pc)
+      .parquet(wh.resolve(s"$name.parquet.tmp").toString)
+    StagedWrite(name, Some(vs), partitioned = true,
+      StructType(df.schema.filterNot(_.name == pc)))
+  }
+
+  /** Stage a FULL rewrite of a partitioned table (library fallback — the
+    * per-study paths always know their affected partition values). */
+  private def stagePartAll(df0: DataFrame, wh: Path, name: String): StagedWrite = {
+    val pc = PartitionedTables(name)
+    val df = withPartCol(df0, name)
+    Files.createDirectories(wh)
+    df.write.mode("overwrite").partitionBy(pc)
+      .parquet(wh.resolve(s"$name.parquet.tmp").toString)
+    StagedWrite(name, None, partitioned = true,
+      StructType(df.schema.filterNot(_.name == pc)))
+  }
+
+  /** Promote staged writes. All staging (which is what reads the OLD
+    * files) must be complete before the first commit of a batch. */
+  private def commitStaged(spark: SparkSession, wh: Path,
+                           writes: Seq[StagedWrite]): Unit =
+    writes.foreach { w =>
+      val tmp = wh.resolve(s"${w.name}.parquet.tmp")
+      val dst = wh.resolve(s"${w.name}.parquet")
+      w.partValues match {
+        case None =>
+          val old = wh.resolve(s"${w.name}.parquet.old")
+          deleteRecursively(old) // stale leftover from a crash
+          val had = Files.exists(dst)
+          if (had) Files.move(dst, old)
+          Files.move(tmp, dst)
+          deleteRecursively(old)
+        case Some(vs) =>
+          val pc = PartitionedTables(w.name)
+          Files.createDirectories(dst)
+          listDir(dst).filter(_.getFileName.toString.startsWith("_old_"))
+            .foreach(deleteRecursively) // stale leftovers from a crash
+          vs.foreach { v =>
+            val dirName = s"$pc=${escapePartVal(v)}"
+            val from = tmp.resolve(dirName)
+            val to = dst.resolve(dirName)
+            val old = dst.resolve("_old_" + dirName)
+            val had = Files.exists(to)
+            if (had) Files.move(to, old)
+            if (Files.exists(from)) Files.move(from, to)
+            if (had) deleteRecursively(old)
+          }
+          deleteRecursively(tmp)
+      }
+      if (w.partitioned) ensureReadable(spark, wh, w.name, w.fileSchema)
+    }
+
+  /** A partitioned table whose LAST partition was dropped (or that was
+    * created empty) must stay readable by a plain parquet scan: leave a
+    * zero-row schema marker partition. Removed again once real data
+    * partitions exist. */
+  private def ensureReadable(spark: SparkSession, wh: Path, name: String,
+                             fileSchema: StructType): Unit = {
+    val pc = PartitionedTables(name)
+    val dst = wh.resolve(s"$name.parquet")
+    val marker = dst.resolve(s"$pc=__EMPTY__")
+    val hasData = listDir(dst).exists { d =>
+      val n = d.getFileName.toString
+      n.startsWith(pc + "=") && n != s"$pc=__EMPTY__" &&
+        listDir(d).exists(_.getFileName.toString.endsWith(".parquet"))
+    }
+    if (!hasData)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), fileSchema)
+        .write.mode("overwrite").parquet(marker.toString)
+    else if (Files.exists(marker)) deleteRecursively(marker)
+  }
+
+  def readTable(spark: SparkSession, wh: Path, name: String): DataFrame =
+    readTable2(spark, wh, name, CoreTables.toMap.apply(name))
 
   /** Overwrite-in-place safely: the new content may be derived from the
-    * old files, so materialize to a sibling tmp dir first, then swap. */
+    * old files, so materialize to a sibling tmp dir first, then swap.
+    * Partitioned tables route to the partitioned layout (full rewrite —
+    * per-study paths use [[stagePart]] with explicit values instead). */
   def writeTable(df: DataFrame, wh: Path, name: String): Unit = {
-    writeTmp(df, wh, name)
-    swapTmp(wh, name)
+    val staged =
+      if (PartitionedTables.contains(name)) stagePartAll(df, wh, name)
+      else stageWhole(df, wh, name)
+    commitStaged(df.sparkSession, wh, Seq(staged))
   }
 
   /** trial_name-keyed omics fact tables present in the warehouse — the
@@ -177,6 +429,8 @@ object GraftCli {
 
   def loadStar(spark: SparkSession, wh: Path): StudyOps.Star = {
     def t(n: String) = readTable(spark, wh, n)
+    def raw(n: String) = spark.read.option("mergeSchema", "true")
+      .parquet(wh.resolve(s"$n.parquet").toString)
     StudyOps.Star(
       tableAccess = t("table_access"),
       i2b2 = t("i2b2"),
@@ -190,42 +444,61 @@ object GraftCli {
       sampleMapping = t("de_subject_sample_mapping"),
       omicsData = OmicsFactTables
         .filter(n => Files.exists(wh.resolve(s"$n.parquet")))
-        .map(n => n -> spark.read.parquet(wh.resolve(s"$n.parquet").toString))
+        .map(n => n -> raw(n))
         .toMap,
       variantDatasets = readTable2(spark, wh, "de_variant_dataset",
         Seq("dataset_id" -> StringType)),
       variantTables = VariantTables
         .filter(n => Files.exists(wh.resolve(s"$n.parquet")))
-        .map(n => n -> spark.read.parquet(wh.resolve(s"$n.parquet").toString))
+        .map(n => n -> raw(n))
         .toMap,
       bioExperiment = t("bio_experiment"),
       bioDataUid = t("bio_data_uid"),
       searchSecureObject = t("search_secure_object"))
   }
 
-  /** Every output plan may read any of the OLD table files (the move's
-    * count rebuild joins facts x concepts), so ALL tables materialize to
-    * tmp dirs before ANY old dir is swapped out. */
-  def writeStar(star: StudyOps.Star, wh: Path): Unit = {
-    val tables = Seq(
+  /** Publish a recomputed star. `affectedTrials` = the trials move/delete
+    * actually touched: the node-sized ontology/metadata tables are always
+    * whole-replaced, but the big partitioned tables rewrite ONLY those
+    * trials' partitions (dropping ones the new content leaves empty —
+    * that is how a deleted study's fact partitions disappear). Variant
+    * tables are dataset-keyed; a trial's datasets are found by partition
+    * listing (`<trial>:` prefix — the id shape our VCF upload writes).
+    * `None` falls back to a full rewrite. Every output plan may read the
+    * OLD files, so all tables stage to tmp before any swap. */
+  def writeStar(star: StudyOps.Star, wh: Path,
+                affectedTrials: Option[Seq[String]] = None): Unit = {
+    val spark = star.i2b2.sparkSession
+    val small = Seq(
       "table_access" -> star.tableAccess,
       "i2b2" -> star.i2b2,
       "i2b2_secure" -> star.i2b2Secure,
       "i2b2_tags" -> star.i2b2Tags,
       "concept_dimension" -> star.conceptDimension,
       "concept_counts" -> star.conceptCounts,
+      "bio_experiment" -> star.bioExperiment,
+      "bio_data_uid" -> star.bioDataUid,
+      "search_secure_object" -> star.searchSecureObject,
+      "de_variant_dataset" -> star.variantDatasets)
+    val byTrial = Seq(
       "observation_fact" -> star.observationFact,
       "patient_dimension" -> star.patientDimension,
       "patient_trial" -> star.patientTrial,
-      "de_subject_sample_mapping" -> star.sampleMapping,
-      "bio_experiment" -> star.bioExperiment,
-      "bio_data_uid" -> star.bioDataUid,
-      "search_secure_object" -> star.searchSecureObject)
-    val omics = star.omicsData.toSeq
-    val variants = ("de_variant_dataset" -> star.variantDatasets) +:
-      star.variantTables.toSeq
-    (tables ++ omics ++ variants).foreach { case (n, df) => writeTmp(df, wh, n) }
-    (tables ++ omics ++ variants).foreach { case (n, _) => swapTmp(wh, n) }
+      "de_subject_sample_mapping" -> star.sampleMapping) ++ star.omicsData.toSeq
+    val byDataset = star.variantTables.toSeq
+    val staged =
+      small.map { case (n, df) => stageWhole(df, wh, n) } ++
+        (affectedTrials match {
+          case Some(trials) =>
+            byTrial.map { case (n, df) => stagePart(df, wh, n, trials) } ++
+              byDataset.map { case (n, df) =>
+                stagePart(df, wh, n, trials.flatMap(t =>
+                  listPartitionValues(wh, n).filter(_.startsWith(t + ":"))))
+              }
+          case None =>
+            (byTrial ++ byDataset).map { case (n, df) => stagePartAll(df, wh, n) }
+        })
+    commitStaged(spark, wh, staged)
   }
 
   // ------------------------------------------------------ clinical upload
@@ -250,8 +523,7 @@ object GraftCli {
                      alwaysSetVisitName: Boolean,
                      secureStudy: Boolean = false,
                      checkDuplicates: Boolean = false): String = {
-    import scala.jdk.CollectionConverters._
-    val mf = Files.list(dir).iterator().asScala
+    val mf = listDir(dir)
       .find(_.getFileName.toString.toLowerCase.endsWith("_mapping_file.txt"))
       .getOrElse(sys.error(s"$dir: no *_Mapping_File.txt"))
     val mapping = ClinicalMapping.load(spark, mf.toString)
@@ -273,6 +545,29 @@ object GraftCli {
           throw e
       }
 
+    // warehouse-consistent patient ids (the reference draws from a global
+    // SEQ_PATIENT_NUM sequence): the pipeline's per-study dense ranks
+    // would collide across studies, so reuse the warehouse row's id for a
+    // usubjid already present (re-upload, or an omics upload of the same
+    // study came first — keeps omics facts' patient_id stable) and
+    // continue past the warehouse max for genuinely new subjects.
+    val oldPatients = readTable(spark, wh, "patient_dimension")
+    val studySubjects = t.patientDimension.select(col("usubjid")).distinct()
+    val reused = oldPatients
+      .filter(col("sourcesystem_cd").startsWith(studyId + ":"))
+      .select(col("sourcesystem_cd").as("usubjid"), col("patient_num"))
+      .join(studySubjects, Seq("usubjid"), "left_semi")
+    val maxPatient = oldPatients.agg(coalesce(max(col("patient_num")), lit(0L)))
+      .collect()(0).getLong(0)
+    val freshIds = graft.core.Ids.denseIds(
+      studySubjects.join(reused, Seq("usubjid"), "left_anti"),
+      Seq("usubjid"), "patient_num", startAt = maxPatient + 1)
+    // one row per study subject — broadcastable at any warehouse size
+    val idMap = broadcast(
+      reused.unionByName(freshIds.select(col("usubjid"), col("patient_num"))))
+    val patientDim = t.patientDimension.drop("patient_num")
+      .join(idMap, Seq("usubjid"))
+
     val prefix = topNode.stripSuffix("\\") + "\\"
     def replaceSubtree(old: DataFrame, fresh: DataFrame, pathCol: String) =
       old.filter(!col(pathCol).startsWith(prefix))
@@ -284,12 +579,15 @@ object GraftCli {
       t.i2b2, "c_fullname")
     // the reference ALWAYS writes per-patient SECURITY facts — the
     // --secure-study flag only chooses EXP:<study> vs EXP:PUBLIC
-    // (i2b2_create_security_for_trial + I2B2_LOAD_SECURITY_DATA)
-    val newFacts = SecurityOps.refreshSecurityFacts(
-      readTable(spark, wh, "observation_fact")
-        .filter(!(col("sourcesystem_cd") <=> lit(studyId)))
-        .unionByName(t.observationFact, allowMissingColumns = true),
-      t.patientDimension, "patient_num", studyId, secureStudy)
+    // (i2b2_create_security_for_trial + I2B2_LOAD_SECURITY_DATA). Only
+    // this study's fact partition is rewritten; the secure rebuild below
+    // sees other trials' tokens through a SECURITY-filtered read.
+    val studyFacts = SecurityOps.refreshSecurityFacts(
+      t.observationFact.drop("patient_num").join(idMap, Seq("usubjid")),
+      patientDim, "patient_num", studyId, secureStudy)
+    val factsView = readTable(spark, wh, "observation_fact")
+      .filter(not(coalesce(col("sourcesystem_cd") === studyId, lit(false))))
+      .unionByName(studyFacts, allowMissingColumns = true)
     val ssoOld = readTable(spark, wh, "search_secure_object")
       .filter(col("bio_data_unique_id") =!= s"EXP:$studyId")
     val sso =
@@ -305,37 +603,34 @@ object GraftCli {
         StructType(Seq(StructField("unique_id", StringType)))),
       Seq("unique_id"))
 
-    val outputs: Seq[(String, DataFrame)] = Seq(
-      "i2b2" -> newI2b2,
-      "i2b2_secure" -> SecurityOps.rebuildI2b2SecureFromFacts(newI2b2, newFacts),
-      "concept_dimension" -> replaceSubtree(
+    val staged = Seq(
+      stageWhole(newI2b2, wh, "i2b2"),
+      stageWhole(SecurityOps.rebuildI2b2SecureFromFacts(newI2b2, factsView),
+        wh, "i2b2_secure"),
+      stageWhole(replaceSubtree(
         readTable(spark, wh, "concept_dimension"),
         t.conceptDimension.select(col("leaf_node").as("concept_path"),
           col("concept_cd"), lit(studyId).as("sourcesystem_cd")),
-        "concept_path"),
-      "concept_counts" -> replaceSubtree(readTable(spark, wh, "concept_counts"),
+        "concept_path"), wh, "concept_dimension"),
+      stageWhole(replaceSubtree(readTable(spark, wh, "concept_counts"),
         t.conceptCounts.select(col("c_fullname").as("concept_path"),
           when(hlevel(col("c_fullname")) > 1,
             concat(lit("\\"), array_join(slice(pathComponents(col("c_fullname")),
               lit(1), hlevel(col("c_fullname")) - 1), "\\"), lit("\\")))
             .as("parent_concept_path"),
-          col("patient_count")), "concept_path"),
-      "observation_fact" -> newFacts,
-      "patient_dimension" -> (readTable(spark, wh, "patient_dimension")
-        .filter(!col("sourcesystem_cd").startsWith(studyId + ":"))
-        .unionByName(t.patientDimension
-          .select(col("patient_num"), col("usubjid").as("sourcesystem_cd")),
-          allowMissingColumns = true)),
-      "patient_trial" -> (readTable(spark, wh, "patient_trial")
-        .filter(!(col("trial") <=> lit(studyId)))
-        .unionByName(t.patientDimension.select(col("patient_num"),
-          lit(studyId).as("trial")), allowMissingColumns = true)),
-      "bio_experiment" -> SecurityOps.upsertBioExperiment(
+          col("patient_count")), "concept_path"), wh, "concept_counts"),
+      stagePart(studyFacts, wh, "observation_fact", Seq(studyId)),
+      stagePart(patientDim
+        .select(col("patient_num"), col("usubjid").as("sourcesystem_cd")),
+        wh, "patient_dimension", Seq(studyId)),
+      stagePart(patientDim.select(col("patient_num"),
+        lit(studyId).as("trial")), wh, "patient_trial", Seq(studyId)),
+      stageWhole(SecurityOps.upsertBioExperiment(
         readTable(spark, wh, "bio_experiment"), studyId, studyLabel),
-      "bio_data_uid" -> bioUid,
-      "search_secure_object" -> sso)
-    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
-    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+        wh, "bio_experiment"),
+      stageWhole(bioUid, wh, "bio_data_uid"),
+      stageWhole(sso, wh, "search_secure_object"))
+    commitStaged(spark, wh, staged)
     studyId
   }
 
@@ -343,8 +638,7 @@ object GraftCli {
 
   def uploadAcgh(spark: SparkSession, dir: Path, topNodeParent: String,
                  studyLabel: String, wh: Path): String = {
-    import scala.jdk.CollectionConverters._
-    val files = Files.list(dir).iterator().asScala.toSeq
+    val files = listDir(dir)
     def findFile(rx: String): Option[Path] =
       files.find(p => p.getFileName.toString.matches(rx))
     val mapFile = findFile("(?i).+_Subject_Sample_Mapping_File(_GPL\\d+)*\\.txt")
@@ -373,33 +667,31 @@ object GraftCli {
 
     // platform file: <platform>_region_platform.txt or <platform>.txt
     // (ACGHDataProcessor.groovy:103-106)
+    def readRegistryTables() = ChromRegion.ChromRegionTables(
+      readTable2(spark, wh, "de_chromosomal_region",
+        Seq("region_id" -> LongType, "gpl_id" -> StringType,
+          "region_name" -> StringType)),
+      readTable2(spark, wh, "de_gpl_info",
+        Seq("platform" -> StringType, "title" -> StringType,
+          "organism" -> StringType, "marker_type" -> StringType,
+          "release_nbr" -> StringType)))
     val registry = findFile(s"(?i)${java.util.regex.Pattern.quote(platform)}(_region_platform)?\\.txt") match {
       case Some(pf) =>
         val (meta, staged) = ChromRegion.readAcghPlatform(spark, pf.toString, platform)
-        val regs = ChromRegion.load(spark, staged,
-          readTable2(spark, wh, "de_chromosomal_region",
-            Seq("region_id" -> LongType, "gpl_id" -> StringType,
-              "region_name" -> StringType)),
-          readTable2(spark, wh, "de_gpl_info",
-            Seq("platform" -> StringType, "title" -> StringType,
-              "organism" -> StringType, "marker_type" -> StringType,
-              "release_nbr" -> StringType)),
+        val prior = readRegistryTables()
+        val regs = ChromRegion.load(spark, staged, prior.regions, prior.gplInfo,
           emptyTable(spark, Seq("bio_marker_name" -> StringType,
             "organism" -> StringType, "primary_external_id" -> StringType,
             "bio_marker_type" -> StringType)),
           platformTitle = meta.getOrElse("PLATFORM_TITLE", ""))
-        writeTable(regs.regions, wh, "de_chromosomal_region")
-        writeTable(regs.gplInfo, wh, "de_gpl_info")
-        regs
-      case None =>
-        ChromRegion.ChromRegionTables(
-          readTable2(spark, wh, "de_chromosomal_region",
-            Seq("region_id" -> LongType, "gpl_id" -> StringType,
-              "region_name" -> StringType)),
-          readTable2(spark, wh, "de_gpl_info",
-            Seq("platform" -> StringType, "title" -> StringType,
-              "organism" -> StringType, "marker_type" -> StringType,
-              "release_nbr" -> StringType)))
+        // only this platform's registry partition changes; re-read after
+        // the swap so the downstream plans scan the PUBLISHED files rather
+        // than old dirs the swap just removed
+        commitStaged(spark, wh, Seq(
+          stagePart(regs.regions, wh, "de_chromosomal_region", Seq(platform)),
+          stageWhole(regs.gplInfo, wh, "de_gpl_info")))
+        readRegistryTables()
+      case None => readRegistryTables()
     }
 
     val errs = AcghPipeline.validate(sampleMap, registry.regions, registry.gplInfo)
@@ -414,23 +706,17 @@ object GraftCli {
     val t = AcghPipeline.run(spark, studyId, topNode, sampleMap, melted,
       registry.regions, registry.gplInfo, patients)
 
-    // t's lineage reads the OLD patient_dimension file (ensurePatients):
-    // materialize every output to tmp before any swap, like writeStar
-    val outputs: Seq[(String, DataFrame)] = Seq(
-      "patient_dimension" -> patients,
-      "de_subject_acgh_data" ->
-        readTable2(spark, wh, "de_subject_acgh_data",
-          Seq("region_id" -> LongType, "assay_id" -> LongType,
-            "trial_name" -> StringType))
-          .filter(!(col("trial_name") <=> lit(studyId)))
-          .unionByName(t.regionFacts, allowMissingColumns = true),
-      "de_subject_sample_mapping" ->
-        readTable(spark, wh, "de_subject_sample_mapping")
-          .filter(!(col("trial_name") <=> lit(studyId)))
-          .unionByName(t.sampleMapping, allowMissingColumns = true))
-    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+    // t's lineage reads the OLD patient_dimension files (ensurePatients):
+    // stage every output to tmp before any swap. Partition semantics make
+    // the old `filter(trial != study) union fresh` reads unnecessary —
+    // replacing the study's partition with the fresh frames IS the
+    // per-trial replace.
+    val staged = Seq(
+      stagePart(patients, wh, "patient_dimension", Seq(studyId)),
+      stagePart(t.regionFacts, wh, "de_subject_acgh_data", Seq(studyId)),
+      stagePart(t.sampleMapping, wh, "de_subject_sample_mapping", Seq(studyId)))
     persistOntology(spark, wh, studyId, topNode, t.loadSamples)
-    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+    commitStaged(spark, wh, staged)
     studyId
   }
 
@@ -474,27 +760,33 @@ object GraftCli {
     val victims = broadcast(oldConcepts
       .filter(underRoot(col("concept_path")))
       .select(col("concept_cd")).distinct())
-    val outputs: Seq[(String, DataFrame)] = Seq(
-      "i2b2" -> keptI2b2.unionByName(freshI2b2, allowMissingColumns = true),
-      "observation_fact" -> (readTable(spark, wh, "observation_fact")
+    val staged = Seq(
+      stageWhole(keptI2b2.unionByName(freshI2b2, allowMissingColumns = true),
+        wh, "i2b2"),
+      // the victims' facts are this study's (concepts under its category
+      // roots), so only this trial's fact partition changes — the read is
+      // partition-pruned to it
+      stagePart(readTable(spark, wh, "observation_fact")
+        .filter(col("sourcesystem_cd") === studyId)
         .join(victims, Seq("concept_cd"), "left_anti")
-        .unionByName(ls.sampleFacts, allowMissingColumns = true)),
-      "concept_dimension" -> (oldConcepts
+        .unionByName(ls.sampleFacts, allowMissingColumns = true),
+        wh, "observation_fact", Seq(studyId)),
+      stageWhole(oldConcepts
         .filter(!underRoot(col("concept_path")))
         .unionByName(ls.nodes.filter(col("node_type") === "LEAF")
           .select(col("leaf_node").as("concept_path"), col("concept_cd"),
             lit(studyId).as("sourcesystem_cd")),
-          allowMissingColumns = true)),
-      "concept_counts" -> (readTable(spark, wh, "concept_counts")
+          allowMissingColumns = true), wh, "concept_dimension"),
+      stageWhole(readTable(spark, wh, "concept_counts")
         .filter(!underRoot(col("concept_path")))
         .unionByName(counts.select(col("c_fullname").as("concept_path"),
           when(hlevel(col("c_fullname")) > 1,
             concat(lit("\\"), array_join(slice(pathComponents(col("c_fullname")),
               lit(1), hlevel(col("c_fullname")) - 1), "\\"), lit("\\")))
             .as("parent_concept_path"),
-          col("patient_count")), allowMissingColumns = true)))
-    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
-    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+          col("patient_count")), allowMissingColumns = true),
+        wh, "concept_counts"))
+    commitStaged(spark, wh, staged)
   }
 
   // ---------------------------------------------- generic high-dim upload
@@ -571,8 +863,7 @@ object GraftCli {
     * library path); this is the upload star only. */
   def uploadHighDim(spark: SparkSession, dir: Path, topNodeParent: String,
                     studyLabel: String, wh: Path, cfg: HighDimConfig): String = {
-    import scala.jdk.CollectionConverters._
-    val files = Files.list(dir).iterator().asScala.toSeq
+    val files = listDir(dir)
     def findFile(rx: String): Option[Path] =
       files.find(p => p.getFileName.toString.matches(rx))
     val mapFile = findFile("(?i).+Subject_Sample_Mapping_File.*\\.txt")
@@ -655,29 +946,27 @@ object GraftCli {
         col("assay_id"))), Seq("sample_id"))
       .withColumn("trial_name", lit(studyId))
 
-    val outputs: Seq[(String, DataFrame)] = Seq(
-      "patient_dimension" -> patients,
-      "de_gpl_info" -> gplInfo,
-      "de_subject_sample_mapping" ->
-        oldMapping.filter(!(col("trial_name") <=> lit(studyId) &&
-            coalesce(col("source_cd"), lit("STD")) === srcCd))
+    // the mapping replace is per (trial, source_cd) like I2B2_LOAD_SAMPLES'
+    // delete — the trial partition's OTHER source_cd rows survive the
+    // partition rewrite (partition-pruned read), sibling datatypes coexist
+    val staged = Seq(
+      stagePart(patients, wh, "patient_dimension", Seq(studyId)),
+      stageWhole(gplInfo, wh, "de_gpl_info"),
+      stagePart(
+        oldMapping.filter(col("trial_name") <=> lit(studyId) &&
+            coalesce(col("source_cd"), lit("STD")) =!= srcCd)
           .unionByName(
             ls.sampleMapping.drop("assay_id")
               .join(broadcast(assayIds), Seq("sample_cd"), "left")
               .withColumn("source_cd", lit(srcCd)),
             allowMissingColumns = true),
-      cfg.factsTable ->
-        readTable2(spark, wh, cfg.factsTable,
-          Seq("probeset_id" -> StringType, "assay_id" -> LongType,
-            "trial_name" -> StringType))
-          .filter(!(col("trial_name") <=> lit(studyId)))
-          .unionByName(facts, allowMissingColumns = true))
-    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+        wh, "de_subject_sample_mapping", Seq(studyId)),
+      stagePart(facts, wh, cfg.factsTable, Seq(studyId)))
     // the ontology build re-reads the OLD star through ls's lineage
     // (patients scans patient_dimension): run it BEFORE the swap; its own
-    // three tables are disjoint from this upload's outputs
+    // tables are disjoint from this upload's outputs
     persistOntology(spark, wh, studyId, topNode, ls)
-    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+    commitStaged(spark, wh, staged)
     studyId
   }
 
@@ -689,9 +978,8 @@ object GraftCli {
     * become samples under the default `GWAS+GWAS Plink` category. */
   def uploadGwasPlink(spark: SparkSession, dir: Path, topNodeParent: String,
                       studyLabel: String, wh: Path): String = {
-    import scala.jdk.CollectionConverters._
     import graft.sources.OmicsSources
-    val mapFile = Files.list(dir).iterator().asScala
+    val mapFile = listDir(dir)
       .find(_.getFileName.toString.matches("(?i).*Mapping.*File.*\\.txt"))
       .getOrElse(sys.error(s"$dir: no mapping file"))
     val meta = TsvReader.metaHeader(spark, mapFile.toString)
@@ -722,24 +1010,20 @@ object GraftCli {
     val assayIds = graft.core.Ids.denseIds(
       sampleMap.select(col("sample_cd")).distinct(),
       Seq("sample_cd"), "assay_id", startAt = maxAssay + 1)
-    val outputs: Seq[(String, DataFrame)] = Seq(
-      "patient_dimension" -> patients,
-      "de_subject_sample_mapping" ->
-        oldMapping.filter(!(col("trial_name") <=> lit(studyId) &&
-            coalesce(col("source_cd"), lit("STD")) === "STD"))
+    val staged = Seq(
+      stagePart(patients, wh, "patient_dimension", Seq(studyId)),
+      stagePart(
+        oldMapping.filter(col("trial_name") <=> lit(studyId) &&
+            coalesce(col("source_cd"), lit("STD")) =!= "STD")
           .unionByName(
             ls.sampleMapping.drop("assay_id")
               .join(broadcast(assayIds), Seq("sample_cd"), "left")
               .withColumn("source_cd", lit("STD")),
             allowMissingColumns = true),
-      "plink_data" ->
-        readTable2(spark, wh, "plink_data",
-          Seq("trial_name" -> StringType, "file_name" -> StringType))
-          .filter(!(col("trial_name") <=> lit(studyId)))
-          .unionByName(lob, allowMissingColumns = true))
-    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+        wh, "de_subject_sample_mapping", Seq(studyId)),
+      stagePart(lob, wh, "plink_data", Seq(studyId)))
     persistOntology(spark, wh, studyId, s"$topNodeParent\\$studyLabel\\", ls)
-    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+    commitStaged(spark, wh, staged)
     studyId
   }
 
@@ -762,8 +1046,7 @@ object GraftCli {
     * sample_dimension, and the study's facts backfill their sample_cd. */
   def applySerialHddStep(spark: SparkSession, dir: Path, wh: Path,
                          studyId: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val dimsFile = Files.list(dir).iterator().asScala
+    val dimsFile = listDir(dir)
       .find(_.getFileName.toString.matches("(?i).*Sample_Dimensions_Mapping.*\\.txt"))
       .getOrElse(return)
     val dims = graft.pipeline.SnpAndSerial.readSampleDimensions(
@@ -776,14 +1059,18 @@ object GraftCli {
           col("concept_cd").as("c_basecode")), Seq("c_fullname"), "left")
     val sampleDim = readTable2(spark, wh, "sample_dimension",
       Seq("sample_cd" -> StringType))
+    // the sample_cd backfill is a left join that passes non-study facts
+    // through unchanged — feed it ONLY this trial's fact partition and
+    // rewrite only that partition
     val t = graft.pipeline.SnpAndSerial.applySerialHdd(i2b2, dims,
-      mapping, sampleDim, readTable(spark, wh, "observation_fact"), studyId)
-    val outputs: Seq[(String, DataFrame)] = Seq(
-      "i2b2" -> t.i2b2.drop("c_basecode"),
-      "sample_dimension" -> t.sampleDimension,
-      "observation_fact" -> t.facts)
-    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
-    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+      mapping, sampleDim,
+      readTable(spark, wh, "observation_fact")
+        .filter(col("sourcesystem_cd") === studyId), studyId)
+    val staged = Seq(
+      stageWhole(t.i2b2.drop("c_basecode"), wh, "i2b2"),
+      stageWhole(t.sampleDimension, wh, "sample_dimension"),
+      stagePart(t.facts, wh, "observation_fact", Seq(studyId)))
+    commitStaged(spark, wh, staged)
   }
 
   // ----------------------------------------------------------- SNP upload
@@ -794,8 +1081,7 @@ object GraftCli {
     * facts into de_sample_snp_data. */
   def uploadSnp(spark: SparkSession, dir: Path, topNodeParent: String,
                 studyLabel: String, wh: Path): String = {
-    import scala.jdk.CollectionConverters._
-    val files = Files.list(dir).iterator().asScala.toSeq
+    val files = listDir(dir)
     def findFile(rx: String): Option[Path] =
       files.find(p => p.getFileName.toString.matches(rx))
     val mapFile = findFile("(?i).+Subject_Sample_Mapping_File.*\\.txt")
@@ -847,26 +1133,21 @@ object GraftCli {
         col("assay_id"))), Seq("sample_id"))
       .withColumn("trial_name", lit(studyId))
 
-    val outputs: Seq[(String, DataFrame)] = Seq(
-      "patient_dimension" -> patients,
-      "de_gpl_info" -> gplInfo,
-      "de_subject_sample_mapping" ->
-        oldMapping.filter(!(col("trial_name") <=> lit(studyId) &&
-            coalesce(col("source_cd"), lit("STD")) === srcCd))
+    val staged = Seq(
+      stagePart(patients, wh, "patient_dimension", Seq(studyId)),
+      stageWhole(gplInfo, wh, "de_gpl_info"),
+      stagePart(
+        oldMapping.filter(col("trial_name") <=> lit(studyId) &&
+            coalesce(col("source_cd"), lit("STD")) =!= srcCd)
           .unionByName(
             ls.sampleMapping.drop("assay_id")
               .join(broadcast(assayIds), Seq("sample_cd"), "left")
               .withColumn("source_cd", lit(srcCd)),
             allowMissingColumns = true),
-      "de_sample_snp_data" ->
-        readTable2(spark, wh, "de_sample_snp_data",
-          Seq("snp_name" -> StringType, "assay_id" -> LongType,
-            "trial_name" -> StringType))
-          .filter(!(col("trial_name") <=> lit(studyId)))
-          .unionByName(facts, allowMissingColumns = true))
-    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+        wh, "de_subject_sample_mapping", Seq(studyId)),
+      stagePart(facts, wh, "de_sample_snp_data", Seq(studyId)))
     persistOntology(spark, wh, studyId, s"$topNodeParent\\$studyLabel\\", ls)
-    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+    commitStaged(spark, wh, staged)
     studyId
   }
 
@@ -882,7 +1163,7 @@ object GraftCli {
   def uploadVcf(spark: SparkSession, dir: Path, wh: Path,
                 topNodeParent: String = "", studyLabel: String = ""): String = {
     import scala.jdk.CollectionConverters._
-    val files = Files.list(dir).iterator().asScala.toSeq
+    val files = listDir(dir)
     val mapFile = files
       .find(_.getFileName.toString.matches("(?i)(.*_)?Subject_Sample_Mapping_File(_.*)*\\.txt"))
       .getOrElse(sys.error(s"$dir: no subject-sample mapping file"))
@@ -912,8 +1193,11 @@ object GraftCli {
     val oldMapping = readTable(spark, wh, "de_subject_sample_mapping")
     val maxAssay = oldMapping.agg(coalesce(max(col("assay_id")), lit(0L)))
       .collect()(0).getLong(0)
+    // one assay per distinct (subject, sample) — a MultiVCF mapping file
+    // repeats SAMPLE_CD once per file, and per-ROW ids would both mint
+    // duplicate assay_ids and fan out the summary join below
     val mapping = graft.core.Ids.denseIds(
-        sm.select(col("subject_id"), col("sample_cd")),
+        sm.select(col("subject_id"), col("sample_cd")).distinct(),
         Seq("sample_cd"), "assay_id", startAt = maxAssay + 1)
       .withColumn("trial_name", lit(studyId))
       .withColumn("source_cd", lit("VCF"))
@@ -921,31 +1205,36 @@ object GraftCli {
       broadcast(mapping.select(col("sample_cd").as("sample_id"),
         col("assay_id"))), Seq("sample_id"), "left")
 
+    // null-safe: NOT(NULL startsWith) would silently drop null-keyed rows
     def replaceDatasets(old: DataFrame, fresh: DataFrame): DataFrame =
-      old.filter(!col("dataset_id").startsWith(studyId + ":"))
+      old.filter(not(coalesce(col("dataset_id").startsWith(studyId + ":"),
+          lit(false))))
         .unionByName(fresh, allowMissingColumns = true)
-    def oldVt(n: String) =
-      readTable2(spark, wh, n, Seq("dataset_id" -> StringType))
-    val outputs: Seq[(String, DataFrame)] = Seq(
-      "patient_dimension" -> patients,
+    // a re-upload may drop a vcf file: affected partitions = the fresh
+    // dataset ids PLUS any existing partition of this study's prefix
+    val freshDatasets = t.dataset.select(col("dataset_id")).collect()
+      .map(_.getString(0)).toSeq
+    def stageVt(n: String, fresh: DataFrame) = stagePart(fresh, wh, n,
+      freshDatasets ++
+        listPartitionValues(wh, n).filter(_.startsWith(studyId + ":")))
+    val staged = Seq(
+      stagePart(patients, wh, "patient_dimension", Seq(studyId)),
       // replace per (trial, source_cd) — a study's OTHER datatype
       // mappings (expression, aCGH) must survive a VCF re-upload
-      "de_subject_sample_mapping" ->
-        oldMapping.filter(!(col("trial_name") <=> lit(studyId) &&
-            coalesce(col("source_cd"), lit("STD")) === "VCF"))
+      stagePart(
+        oldMapping.filter(col("trial_name") <=> lit(studyId) &&
+            coalesce(col("source_cd"), lit("STD")) =!= "VCF")
           .unionByName(mapping, allowMissingColumns = true),
-      "de_variant_dataset" -> replaceDatasets(oldVt("de_variant_dataset"), t.dataset),
-      "de_variant_subject_idx" ->
-        replaceDatasets(oldVt("de_variant_subject_idx"), t.subjectIdx),
-      "de_variant_population_info" ->
-        replaceDatasets(oldVt("de_variant_population_info"), t.populationInfo),
-      "de_variant_subject_detail" ->
-        replaceDatasets(oldVt("de_variant_subject_detail"), t.subjectDetail),
-      "de_variant_subject_summary" ->
-        replaceDatasets(oldVt("de_variant_subject_summary"), summary),
-      "de_variant_population_data" ->
-        replaceDatasets(oldVt("de_variant_population_data"), t.populationData))
-    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+        wh, "de_subject_sample_mapping", Seq(studyId)),
+      stageWhole(replaceDatasets(
+        readTable2(spark, wh, "de_variant_dataset",
+          Seq("dataset_id" -> StringType)), t.dataset),
+        wh, "de_variant_dataset"),
+      stageVt("de_variant_subject_idx", t.subjectIdx),
+      stageVt("de_variant_population_info", t.populationInfo),
+      stageVt("de_variant_subject_detail", t.subjectDetail),
+      stageVt("de_variant_subject_summary", summary),
+      stageVt("de_variant_population_data", t.populationData))
     // configured paths (VCFDataProcessor's CATEGORY_CD column): each
     // sample's category becomes an ontology leaf ('+' -> '\\', '_' -> ' ')
     // with per-sample facts, persisted through the shared category-root
@@ -976,7 +1265,7 @@ object GraftCli {
         graft.pipeline.LoadSamples.LoadSamplesTables(
           nodes, mapping, sampleFacts))
     }
-    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+    commitStaged(spark, wh, staged)
     studyId
   }
 
@@ -989,8 +1278,7 @@ object GraftCli {
   def uploadExpression(spark: SparkSession, dir: Path, topNodeParent: String,
                        studyLabel: String, wh: Path,
                        useFirstGeneId: Boolean): String = {
-    import scala.jdk.CollectionConverters._
-    val files = Files.list(dir).iterator().asScala.toSeq
+    val files = listDir(dir)
     def findFile(rx: String): Option[Path] =
       files.find(p => p.getFileName.toString.matches(rx))
     val mapFile = findFile("(?i).+_Subject_Sample_Mapping_File(_GPL\\d+)*\\.txt")
@@ -1069,19 +1357,22 @@ object GraftCli {
       staged, probesets0, bioMarkers, gplInfo, patients, dataType = dataType)
 
     // every plan below may re-read the OLD warehouse files (patients'
-    // lineage scans patient_dimension), so materialize ALL outputs to tmp
-    // dirs before any old dir is swapped out — the writeStar discipline
-    val outputs: Seq[(String, DataFrame)] = Seq(
-      "patient_dimension" -> patients,
-      "de_gpl_info" -> gplInfo,
-      "probeset_deapp" -> t.annotation.probesets,
-      "de_mrna_annotation" -> t.annotation.mrnaAnnotation,
+    // lineage scans patient_dimension), so ALL outputs stage to tmp dirs
+    // before any old dir is swapped out — the writeStar discipline
+    val writes = Seq(
+      stagePart(patients, wh, "patient_dimension", Seq(studyId)),
+      stageWhole(gplInfo, wh, "de_gpl_info"),
+      // the annotation registries are platform-keyed: only this
+      // platform's partition changes
+      stagePart(t.annotation.probesets, wh, "probeset_deapp", Seq(platform)),
+      stagePart(t.annotation.mrnaAnnotation, wh, "de_mrna_annotation",
+        Seq(platform)),
       // replace per (trial, source_cd) like I2B2_LOAD_SAMPLES's delete
       // (source_cd defaults to 'STD'), so sibling datatypes survive
-      "de_subject_sample_mapping" ->
+      stagePart(
         readTable(spark, wh, "de_subject_sample_mapping")
-          .filter(!(col("trial_name") <=> lit(studyId) &&
-            coalesce(col("source_cd"), lit("STD")) === srcCd))
+          .filter(col("trial_name") <=> lit(studyId) &&
+            coalesce(col("source_cd"), lit("STD")) =!= srcCd)
           .unionByName(
             // the node-typed mapping rows from LOAD_SAMPLES, with the
             // assay ids the mRNA proc assigned backfilled per sample
@@ -1091,23 +1382,23 @@ object GraftCli {
                   col("assay_id"))), Seq("sample_cd"), "left")
               .withColumn("source_cd", lit(srcCd)),
             allowMissingColumns = true),
-      "de_subject_microarray_data" ->
-        readTable2(spark, wh, "de_subject_microarray_data",
-          Seq("probeset_id" -> StringType, "assay_id" -> LongType,
-            "trial_name" -> StringType))
-          .filter(!(col("trial_name") <=> lit(studyId)))
-          .unionByName(t.omics.data.withColumn("trial_name", lit(studyId)),
-            allowMissingColumns = true))
-    outputs.foreach { case (n, df) => writeTmp(df, wh, n) }
+        wh, "de_subject_sample_mapping", Seq(studyId)),
+      stagePart(t.omics.data.withColumn("trial_name", lit(studyId)),
+        wh, "de_subject_microarray_data", Seq(studyId)))
     persistOntology(spark, wh, studyId, topNode, t.loadSamples)
-    outputs.foreach { case (n, _) => swapTmp(wh, n) }
+    commitStaged(spark, wh, writes)
     studyId
   }
 
   private def readTable2(spark: SparkSession, wh: Path, name: String,
                          schema: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame = {
+    // partition values are trial/platform STRINGS — never let the reader
+    // type-infer a numeric-looking study id into an int partition column
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     val p = wh.resolve(s"$name.parquet")
-    if (Files.exists(p)) spark.read.parquet(p.toString)
+    // mergeSchema: partitions are written per upload, and different
+    // writers legitimately carry different optional columns
+    if (Files.exists(p)) spark.read.option("mergeSchema", "true").parquet(p.toString)
     else emptyTable(spark, schema)
   }
 
@@ -1171,30 +1462,70 @@ object GraftCli {
 
   // ------------------------------------------------------------------ ops
 
+  /** Refuse to run two loaders against one warehouse at once: the
+    * reference's ProcessLocker.groovy / CommandLineTool.groovy:76-86 —
+    * a lock file, no staleness heuristic (the reference's too: a crashed
+    * run leaves the file and the message tells the operator; the
+    * `--force-start` flag removes a leftover lock). Scoped to the
+    * warehouse directory, the unit two concurrent runs would corrupt. */
+  private def withProcessLock(wh: Path, force: Boolean)(body: => Int): Int = {
+    Files.createDirectories(wh)
+    val lock = wh.resolve(".graft-etl.lock")
+    if (force) Files.deleteIfExists(lock)
+    val acquired =
+      try { Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!acquired) {
+      println("Probably another graft-etl instance is already running against " +
+        s"this warehouse. If a previous run finished incorrectly, check that " +
+        s"no other instance is running and remove ${lock.toAbsolutePath} " +
+        "(or pass --force-start).")
+      1
+    } else
+      try body finally Files.deleteIfExists(lock)
+  }
+
   def run(spark: SparkSession, args: Seq[String]): Int =
     parseArgs(args) match {
       case Left(err) => println(err); println(Usage); 1
       case Right(o) if o.showHelp => println(Usage); 0
-      case Right(o) if o.moveStudy.isDefined =>
+      case Right(o) if o.moveStudy.isDefined || o.deleteStudyById.isDefined ||
+          o.deleteStudyByPath.isDefined || o.dataDir.isDefined =>
+        withProcessLock(o.warehouse, o.forceStart)(dispatch(spark, o))
+      case Right(_) => println(Usage); 1
+    }
+
+  private def dispatch(spark: SparkSession, opts: Options): Int =
+    opts match {
+      case o if o.moveStudy.isDefined =>
         val (oldPath, newPath) = o.moveStudy.get
         val r = StudyOps.moveStudyByPath(spark, loadStar(spark, o.warehouse),
           oldPath, newPath, saveSecurity = o.keepSecurity)
         r.error match {
           case Some(msg) => println(s"!!! $msg"); 1
-          case None => writeStar(r.star, o.warehouse); println(">>> STUDY MOVED"); 0
+          case None =>
+            // a plain move rewrites paths — ontology tables only; the big
+            // partitioned tables change ONLY when a keep-security
+            // transplant deleted the occupying study
+            writeStar(r.star, o.warehouse,
+              affectedTrials = Some(r.deletedTrial.toSeq))
+            println(">>> STUDY MOVED"); 0
         }
-      case Right(o) if o.deleteStudyById.isDefined || o.deleteStudyByPath.isDefined =>
+      case o if o.deleteStudyById.isDefined || o.deleteStudyByPath.isDefined =>
         val star = loadStar(spark, o.warehouse)
+        val trialIdIn = o.deleteStudyById.map(_.toUpperCase)
+        // the cascade empties exactly this trial's partitions (the
+        // recursive empty-parent cleanup touches ontology tables only)
+        val trial = StudyOps.resolveTrial(star, o.deleteStudyByPath, trialIdIn)
         val out = StudyOps.deleteStudy(spark, star,
-          pathIn = o.deleteStudyByPath, trialIdIn = o.deleteStudyById.map(_.toUpperCase))
-        writeStar(out, o.warehouse)
+          pathIn = o.deleteStudyByPath, trialIdIn = trialIdIn)
+        writeStar(out, o.warehouse, affectedTrials = Some(trial.toSeq))
         println(">>> STUDY DELETED")
         0
-      case Right(o) if o.dataDir.isDefined =>
+      case o =>
         val (ok, failed) = processDirectory(spark, o)
         println(s">>> processed: ${ok.size} ok, ${failed.size} failed")
         if (failed.nonEmpty) 1 else 0
-      case Right(_) => println(Usage); 1
     }
 
   def main(args: Array[String]): Unit = {
@@ -1208,6 +1539,10 @@ object GraftCli {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // warehouse tables are trial-partitioned; different uploads write
+      // different optional columns, and partition values are strings
+      .config("spark.sql.parquet.mergeSchema", "true")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val code = try run(spark, args.toSeq) finally spark.stop()

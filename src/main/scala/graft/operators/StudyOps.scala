@@ -100,7 +100,12 @@ object StudyOps {
       p => pathExists(p) && p != normalizeInputPath(newPathIn.trim),
       oldStudyPath)
 
-  final case class MoveResult(star: Star, error: Option[String])
+  /** `deletedTrial` = the occupying study removed by a keep-security
+    * transplant, if any — a plain move touches only the ontology tables,
+    * so it is the ONLY trial whose partitioned fact tables a writer needs
+    * to republish. */
+  final case class MoveResult(star: Star, error: Option[String],
+                              deletedTrial: Option[String] = None)
 
   /** Existence flags for a bounded candidate set — one filtered aggregate
     * instead of collecting the whole ontology to the driver (the candidate
@@ -148,15 +153,15 @@ object StudyOps {
     // keep-security: when a study occupies the target path, transplant its
     // EXP: accession onto the moved study's token and delete its data
     // (reference :157-215)
-    val afterSecurity =
-      if (!saveSecurity) star
+    val (afterSecurity, deletedTrial) =
+      if (!saveSecurity) (star, None)
       else {
         val occupying = star.conceptDimension
           .filter(col("concept_path") === newPath)
           .select(col("sourcesystem_cd")).collect().headOption.map(_.getString(0))
         occupying match {
-          case None => star // "No study found with path ... Ignoring"
-          case Some(_) =>
+          case None => (star, None) // "No study found with path ... Ignoring"
+          case Some(occTrial) =>
             def token(p: String): Option[String] = star.i2b2Secure
               .filter(col("c_fullname") === p)
               .select(col("secure_obj_token")).collect().headOption
@@ -182,7 +187,8 @@ object StudyOps {
                         .otherwise(col("bio_data_unique_id"))))
               case _ => star
             }
-            deleteStudy(spark, transplanted, pathIn = Some(newPath), trialIdIn = None)
+            (deleteStudy(spark, transplanted, pathIn = Some(newPath),
+              trialIdIn = None), Option(occTrial))
         }
       }
 
@@ -340,27 +346,34 @@ object StudyOps {
     val withCounts = result.copy(conceptCounts = result.conceptCounts
       .filter(!col("concept_path").startsWith(countsRoot))
       .unionByName(rebuilt))
-    MoveResult(withCounts, None)
+    MoveResult(withCounts, None, deletedTrial)
   }
 
-  /** The delete cascade (I2B2_DELETE_ALL_DATA.sql:100-346). Give a path,
-    * a trial id, or both; a missing path is resolved as the trial's
-    * first concept path (the W1 first_value shape, :52-57). */
-  def deleteStudy(spark: SparkSession, star: Star,
-                  pathIn: Option[String], trialIdIn: Option[String]): Star = {
-    require(pathIn.isDefined || trialIdIn.isDefined,
-      "Path string and study id are null")
-    val path = pathIn.map(p => normalizeInputPath(p.trim)).orElse {
+  /** The (normalized) path a delete operates on — given directly, or
+    * resolved as the trial's first concept path (W1 first_value,
+    * I2B2_DELETE_ALL_DATA.sql:52-57). The reference's concept_dimension
+    * holds a row for EVERY node including the study root, so its min IS
+    * the root; ours holds leaf concepts only, so the equivalent probe is
+    * the ontology's min c_fullname (the root sorts first as the shortest
+    * prefix) — the same probe the move uses for oldStudyPath. */
+  def resolvePath(star: Star, pathIn: Option[String],
+                  trialIdIn: Option[String]): Option[String] =
+    pathIn.map(p => normalizeInputPath(p.trim)).orElse {
       trialIdIn.flatMap { t =>
-        val r = star.conceptDimension.filter(col("sourcesystem_cd") === t)
-          .agg(min(col("concept_path"))).collect()(0)
+        val r = star.i2b2.filter(col("sourcesystem_cd") === t)
+          .agg(min(col("c_fullname"))).collect()(0)
         if (r.isNullAt(0)) None else Some(r.getString(0))
       }
     }
-    val trialId = trialIdIn.orElse {
-      path.flatMap { p =>
-        // exact concept first; a study-ROOT path has no concept row of its
-        // own, so fall back to any concept under it (deterministic min)
+
+  /** The trial a delete (or the CLI's partition writer) targets: the id
+    * as given, else the sourcesystem of the path's concept — exact row
+    * first; a study ROOT has no concept row of its own, so fall back to
+    * any concept under it (deterministic min). */
+  def resolveTrial(star: Star, pathIn: Option[String],
+                   trialIdIn: Option[String]): Option[String] =
+    trialIdIn.orElse {
+      resolvePath(star, pathIn, trialIdIn).flatMap { p =>
         star.conceptDimension.filter(col("concept_path") === p)
           .select(col("sourcesystem_cd")).collect().headOption
           .flatMap(r => Option(r.getString(0)))
@@ -371,7 +384,17 @@ object StudyOps {
             if (r.isNullAt(0)) None else Some(r.getString(0))
           }
       }
-    }.getOrElse("")
+    }
+
+  /** The delete cascade (I2B2_DELETE_ALL_DATA.sql:100-346). Give a path,
+    * a trial id, or both; a missing path is resolved as the trial's
+    * first concept path (the W1 first_value shape, :52-57). */
+  def deleteStudy(spark: SparkSession, star: Star,
+                  pathIn: Option[String], trialIdIn: Option[String]): Star = {
+    require(pathIn.isDefined || trialIdIn.isDefined,
+      "Path string and study id are null")
+    val path = resolvePath(star, pathIn, trialIdIn)
+    val trialId = resolveTrial(star, pathIn, trialIdIn).getOrElse("")
 
     val subtree = (c: org.apache.spark.sql.Column) =>
       path.map(p => c.startsWith(p)).getOrElse(lit(false))
@@ -412,8 +435,10 @@ object StudyOps {
           Seq("patient_num"), "left")
         .filter(!(col("__sec") && coalesce(col("__trialpat"), lit(false))))
         .drop("__sec", "__trialpat"),
+      // null-safe: NOT(NULL startsWith) would silently drop null-keyed rows
       patientDimension = star.patientDimension
-        .filter(!col("sourcesystem_cd").startsWith(trialId + ":")),
+        .filter(not(coalesce(col("sourcesystem_cd").startsWith(trialId + ":"),
+          lit(false)))),
       patientTrial = star.patientTrial.filter(col("trial") =!= trialId),
       sampleMapping = star.sampleMapping.filter(col("trial_name") =!= trialId),
       omicsData = star.omicsData.view.mapValues(

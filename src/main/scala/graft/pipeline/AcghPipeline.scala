@@ -66,9 +66,16 @@ object AcghPipeline {
 
   /** patient_dimension upsert for the trial's subjects (:168-205):
     * sourcesystem_cd = TRIAL:site:subject with '::' runs collapsed; new
-    * subjects get max(existing)+dense-rank patient numbers, sex 'Unknown'. */
+    * subjects get max(existing)+dense-rank patient numbers, sex 'Unknown'.
+    * Returns the TRIAL's patient slice — existing rows reused, new
+    * subjects appended past the warehouse max — which is both what the
+    * omics pipelines join against and exactly the trial partition a
+    * partitioned warehouse rewrites. The usubjid's leading component IS
+    * the trial, so the existing-row probe prefix-prunes the scan; only
+    * the max(patient_num) aggregate touches other trials (column stats). */
   def ensurePatients(spark: SparkSession, patients: DataFrame,
                      sampleMap: DataFrame, trialId: String): DataFrame = {
+    val slice = patients.filter(col("sourcesystem_cd").startsWith(trialId + ":"))
     val wanted = sampleMap
       .filter(col("subject_id").isNotNull)
       .select(graft.functions.CleansingFunctions.usubjid(
@@ -76,10 +83,10 @@ object AcghPipeline {
         .as("sourcesystem_cd"))
       .distinct()
     val fresh = wanted.join(
-      patients.select(col("sourcesystem_cd")), Seq("sourcesystem_cd"), "left_anti")
+      slice.select(col("sourcesystem_cd")), Seq("sourcesystem_cd"), "left_anti")
     val maxId = patients.agg(coalesce(max(col("patient_num")), lit(0L)))
       .collect()(0).getLong(0)
-    patients.unionByName(
+    slice.unionByName(
       graft.core.Ids.denseIds(fresh, Seq("sourcesystem_cd"), "patient_num",
           startAt = maxId + 1)
         .withColumn("sex_cd", lit("Unknown")),

@@ -15,6 +15,10 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the CLI warehouse is trial-partitioned: merge per-upload schemas,
+      // never type-infer string partition values
+      .config("spark.sql.parquet.mergeSchema", "true")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
