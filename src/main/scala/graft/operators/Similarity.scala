@@ -203,10 +203,13 @@ object Similarity {
     * heavy lifting and the collect is centroid-sized, never data-sized.
     *
     * Determinism: the per-dimension double sums follow Spark's partition
-    * order, so trained centroids are reproducible for a fixed layout but
-    * NOT bit-portable across engines — centroid training is gated by
-    * in-engine specs and a rows-level oracle check, not a hash compare
-    * (the seeded quantizer stays the hash-gated path).
+    * order, so raw means would not be bit-portable across engines. Every
+    * centroid component is therefore ROUNDED TO 6 DP after each Lloyd
+    * iteration (the repo's round-before-rank discipline): the ~1e-16
+    * relative float-order noise vanishes at 6 dp, the next iteration's
+    * assignment argmax sees identical centroids in any engine, and an
+    * independent SQL oracle can replay the seeded, rounded iterations
+    * hash-exactly.
     *
     * Returns (centroid_id: long 0..k-1, c_vec: array<double>). */
   def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
@@ -233,7 +236,7 @@ object Similarity {
       val means = assigned
         .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
         .collect()
       val next = Array.tabulate(k)(i => cents(i))
       means.groupBy(_.getAs[Int]("list_id")).foreach { case (cid, rows) =>

@@ -1249,7 +1249,77 @@ object Oracles {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.4""".stripMargin),
+
+    "ann_ivf_kmeans" -> KmeansIvfSql,
   )
+
+  /** Replays `Similarity.kmeansCentroids` + `ivfTopKWith` exactly: the 16
+    * lowest-id vectors seed the quantizer, then THREE Lloyd iterations —
+    * assignment by cosine rounded to 6 dp (smallest centroid id on ties),
+    * update = per-dimension mean ROUNDED TO 6 DP (empty lists keep their
+    * previous centroid) — the 6-dp rounding after every iteration is what
+    * makes the trained centroids engine-portable and this hash compare
+    * possible. The tail is the ann_ivf probe/search shape over the
+    * trained centroids (nprobe 4, top 10). */
+  private lazy val KmeansIvfSql: String = {
+    def assign(i: Int) =
+      s"""assign$i AS (
+         |  SELECT vec_id, embedding, nrm, cid AS list_id FROM (
+         |    SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+         |          j -> v.embedding[j]::DOUBLE * c.cvec[j])) / (v.nrm * c.cnrm), 6) DESC,
+         |        c.cid) AS rn
+         |    FROM v CROSS JOIN cents$i c) WHERE rn = 1),
+         |u$i AS (
+         |  SELECT list_id, pos, round(avg(val), 6) AS m FROM (
+         |    SELECT list_id, unnest(embedding)::DOUBLE AS val,
+         |           unnest(range(1, len(embedding) + 1)) AS pos
+         |    FROM assign$i)
+         |  GROUP BY 1, 2),
+         |cents${i + 1} AS (
+         |  SELECT p.cid, coalesce(n.nvec, p.cvec) AS cvec,
+         |    sqrt(list_sum(list_transform(coalesce(n.nvec, p.cvec),
+         |      x -> x * x))) AS cnrm
+         |  FROM cents$i p LEFT JOIN (
+         |    SELECT list_id AS cid, list(m ORDER BY pos) AS nvec
+         |    FROM u$i GROUP BY 1) n USING (cid))""".stripMargin
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |cents0 AS (
+      |  SELECT CAST(rn - 1 AS BIGINT) AS cid,
+      |    list_transform(embedding, x -> x::DOUBLE) AS cvec, nrm AS cnrm
+      |  FROM (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+      |  WHERE rn <= 16),
+      |""".stripMargin +
+      (0 until 3).map(assign).mkString("", ",\n", ",\n") +
+      """vc AS (
+        |  SELECT a.vec_id, a.embedding, a.nrm, c.cid,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      j -> a.embedding[j]::DOUBLE * c.cvec[j])) / (a.nrm * c.cnrm), 6) AS ccos
+        |  FROM v a CROSS JOIN cents3 c),
+        |fin AS (
+        |  SELECT vec_id, embedding, nrm, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, embedding AS qvec, nrm AS qnrm, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc WHERE vec_id < 20) WHERE rn <= 4),
+        |pairs AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(p.qvec) + 1),
+        |      j -> p.qvec[j]::DOUBLE * a.embedding[j]::DOUBLE)) / (p.qnrm * a.nrm), 6) AS cosine
+        |  FROM probes p JOIN fin a ON a.list_id = p.list_id AND a.vec_id <> p.q_id),
+        |rk AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM pairs)
+        |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin
+  }
 
   val statsAndTime: Map[String, String] = Map(
     "a7_zscore" ->

@@ -192,9 +192,10 @@ object TrainingData {
       t(s, dir, "documents"), "doc_id", "text", k = 5)
 
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
-    * seeded quantizer). Trained float sums are not bit-portable across
-    * engines, so this row is rows/schema-gated (no oracle SQL) — the
-    * seeded `ann_ivf` twin stays the hash-gated path. */
+    * seeded quantizer). Centroid components round to 6 dp after every
+    * iteration, which makes the trained centroids engine-portable — the
+    * DuckDB oracle replays the seeded, rounded iterations and the row is
+    * fully hash-gated like its seeded `ann_ivf` twin. */
   def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
