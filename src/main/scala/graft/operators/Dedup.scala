@@ -36,14 +36,19 @@ object Dedup {
     * J(a,b) = |A n B| / (|A| + |B| - |A n B|) >= threshold.
     * The self-join is on the shingle key — skew guard: very frequent
     * shingles (stop-shingles) can be dropped via maxDocFreq, the standard
-    * trick to keep bucket sizes bounded at scale. */
+    * trick to keep bucket sizes bounded at scale.
+    *
+    * Deliberately STATELESS: the exploded shingles feed three consumers
+    * (sizes + both join sides), but re-tokenizing is a codegen-fused
+    * projection per consumer, measurably cheaper than materializing the
+    * corpus-sized shingle table through the block manager — and the
+    * operator leaves no CacheManager entries behind for library callers.
+    * The returned pair frame is lazy; [[clusters]] (the usual consumer)
+    * checkpoints it once before iterating. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    maxDocFreq: Option[Long] = None): DataFrame = {
-    // consumed three times (sizes + both sides of the pair join): cache
-    // the exploded shingles instead of re-tokenizing the corpus; the
-    // cache is released below once the (small) pair result materializes
-    val sh = docShingles(docs, idCol, textCol, n).cache()
+    val sh = docShingles(docs, idCol, textCol, n)
     val filtered = maxDocFreq match {
       case Some(maxDf) =>
         val df_ = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -68,11 +73,6 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      // materialize the verified pairs (tiny: the near-dup fraction), then
-      // free the shingle cache — library callers must not accumulate
-      // CacheManager entries across dedup calls
-      .localCheckpoint(true)
-    sh.unpersist()
     result
   }
 
