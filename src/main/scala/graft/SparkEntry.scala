@@ -74,6 +74,7 @@ object SparkEntry {
     "text_tfidf" -> (TrainingData.textTfidf _),
     "text_bm25" -> (TrainingData.textBm25 _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
+    "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
     "dedup_url" -> (TrainingData.dedupUrl _),
     "text_quality_flags" -> (TrainingData.textQualityFlags _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),

@@ -268,6 +268,37 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic image payload: a 32x32 PNG of 8x8
+    * bright/dark blocks drawn from md5(`group`)'s 64 bits, plus a uniform
+    * `brightness` offset. The offset shifts every cell AND the grid mean
+    * equally, so [[aHash64]] is bit-identical for every brightness
+    * variant of a group (hamming 0), while two groups' hashes differ in
+    * ~32 bits — which makes the whole decode→aHash→banded-pair pipeline
+    * oracle-checkable: the expected pairs are a pure function of the
+    * group key. PNG encoding is lossless; the decoder sees exact pixels. */
+  def syntheticPatternPng(group: Long, brightness: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(group.toString.getBytes("UTF-8"))
+    val bits = java.nio.ByteBuffer.wrap(md, 0, 8).getLong
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val cell = (y / 4) * 8 + (x / 4)
+        val base = if (((bits >>> (63 - cell)) & 1L) == 1L) 200 else 40
+        val v = math.min(255, math.max(0, base + brightness))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** (media_id, ahash) over the image rows; undecodable payloads yield a
     * null hash (dropped by the pairing step). One linear decode pass. */
   def imageHashes(media: Dataset[MediaRow]): DataFrame = {

@@ -143,9 +143,13 @@ object LoadSamples {
       .withColumn("concept_cd", substring(md5(col("leaf_node")), 1, 16))
       // five byType broadcasts consume this tiny frame (distinct attribute
       // tuples); without materialization each broadcast re-runs the whole
-      // union-of-five-distincts. localCheckpoint (not cache) so library
-      // callers don't accumulate CacheManager entries; blocks are freed
-      // when the frame is collected.
+      // union-of-five-distincts. Coalesce first: the union carries the five
+      // distincts' full shuffle parallelism (~5 x shuffle.partitions
+      // near-empty partitions), and checkpointing + five broadcast scans of
+      // a node-sized frame should cost 5 tasks, not 5 stages' worth.
+      // localCheckpoint (not cache) so library callers don't accumulate
+      // CacheManager entries; blocks are freed when the frame is collected.
+      .coalesce(1)
       .localCheckpoint(true)
 
     val byType = (t: String) => broadcast(

@@ -1251,6 +1251,17 @@ object Oracles {
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.4""".stripMargin),
 
     "ann_ivf_kmeans" -> KmeansIvfSql,
+
+    // the synthetic payloads make the expected pair set a pure function
+    // of the group key (see TrainingData.multimodalImageDups): brightness
+    // variants of one md5-keyed pattern aHash identically (hamming 0),
+    // distinct patterns never land within the hamming-3 pairing radius
+    "multimodal_image_dups" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM ids a JOIN ids b
+        |  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id""".stripMargin,
   )
 
   /** Replays `Similarity.kmeansCentroids` + `ivfTopKWith` exactly: the 16

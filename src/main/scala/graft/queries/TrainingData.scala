@@ -204,6 +204,23 @@ object TrainingData {
       "vec_id", "embedding", k = 10, nprobe = 4, cents)
   }
 
+  /** Image near-dup through the REAL decode -> aHash -> banded-pair
+    * pipeline, over deterministic synthetic PNG payloads (the documents
+    * table carries no binary column): every group of 4 doc ids renders
+    * the same md5-keyed block pattern at 4 brightness offsets. aHash is
+    * invariant to a uniform brightness shift, so intra-group pairs come
+    * out at hamming 0, cross-group patterns differ in ~32 bits, and the
+    * oracle reproduces the pair set arithmetically from the group key. */
+  def multimodalImageDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = t(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 200).as[Long]
+      .map(id => Multimodal.MediaRow(id, "image", "image/png", 32, 32, 0,
+        Multimodal.syntheticPatternPng(id / 4, (id % 4).toInt)))
+    Multimodal.imageNearDupPairs(media, maxHamming = 3)
+  }
+
   /** URL-canonicalization dedup over DETERMINISTIC synthetic URL variants
     * (the driver's documents table has no url column): every group of 4
     * doc ids shares one page under scheme / www+trailing-slash / fragment /
