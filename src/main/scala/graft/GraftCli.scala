@@ -585,9 +585,6 @@ object GraftCli {
     val studyFacts = SecurityOps.refreshSecurityFacts(
       t.observationFact.drop("patient_num").join(idMap, Seq("usubjid")),
       patientDim, "patient_num", studyId, secureStudy)
-    val factsView = readTable(spark, wh, "observation_fact")
-      .filter(not(coalesce(col("sourcesystem_cd") === studyId, lit(false))))
-      .unionByName(studyFacts, allowMissingColumns = true)
     val ssoOld = readTable(spark, wh, "search_secure_object")
       .filter(col("bio_data_unique_id") =!= s"EXP:$studyId")
     val sso =
@@ -605,7 +602,10 @@ object GraftCli {
 
     val staged = Seq(
       stageWhole(newI2b2, wh, "i2b2"),
-      stageWhole(SecurityOps.rebuildI2b2SecureFromFacts(newI2b2, factsView),
+      // tokens come from the metadata-sized secure-object registry, not a
+      // SECURITY-filtered scan of every fact partition (the two sources
+      // are written together and agree row for row)
+      stageWhole(SecurityOps.rebuildI2b2SecureFromObjects(newI2b2, sso),
         wh, "i2b2_secure"),
       stageWhole(replaceSubtree(
         readTable(spark, wh, "concept_dimension"),

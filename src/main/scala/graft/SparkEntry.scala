@@ -75,6 +75,7 @@ object SparkEntry {
     "text_bm25" -> (TrainingData.textBm25 _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
+    "sample_temperature" -> (TrainingData.sampleTemperature _),
     "dedup_url" -> (TrainingData.dedupUrl _),
     "text_quality_flags" -> (TrainingData.textQualityFlags _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),

@@ -44,6 +44,42 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Temperature-flattened source mixing — the multi-source data-recipe
+    * step of a training-set build (the GPT-3/LLaMA-style `p_l ∝ n_l^α`
+    * mixture): source l with n_l documents is kept at a rate that makes
+    * the sampled mixture follow n_l^alpha / Σ_k n_k^alpha. alpha < 1
+    * flattens the distribution (upsamples tail sources, downsamples the
+    * head); alpha = 1 keeps natural proportions. `targetFraction` sets
+    * the expected kept fraction of the whole corpus; per-source rates
+    * clamp at 1 (sampling only — no row duplication).
+    *
+    * Scale shape: ONE map-side-combinable per-source count (the collect
+    * is source-cardinality-sized — tens of rows, like a centroid table),
+    * rates fixed on the driver and compiled into the SAME md5 pure-filter
+    * keep condition as [[stratifiedSample]] — the corpus itself never
+    * shuffles. Rates round to 6 dp before the cutoff so independent
+    * engines reproduce the sample bit for bit. */
+  def temperatureSample(df: DataFrame, keyCol: String, sourceCol: String,
+                        alpha: Double, targetFraction: Double,
+                        rateCol: String = "mix_rate"): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    val total = counts.map(_._2).sum.toDouble
+    val sumPow = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val rates = counts.map { case (src, n) =>
+      val raw = targetFraction * total *
+        math.pow(n.toDouble, alpha) / sumPow / n.toDouble
+      src -> BigDecimal(math.min(1.0, raw))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val rateExpr = rates.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {
+      case ((src, r), els) =>
+        when(col(sourceCol) === src, lit(r)).otherwise(els)
+    }
+    stratifiedSample(df, keyCol, sourceCol, rates, defaultRate = 0.0)
+      .withColumn(rateCol, rateExpr)
+  }
+
   /** Deterministic pseudorandom shuffle — the training-set ORDERING step
     * (corpus builds fix a shuffle seed so epochs are reproducible and
     * resumable): rank every row by md5(seed | id). Engine-portable (md5,

@@ -55,6 +55,25 @@ object SecurityOps {
       .drop("__trial", "tval_char")
   }
 
+  /** The same rebuild driven by search_secure_object instead of the fact
+    * table: a trial is secured iff its `EXP:<trial>` object is registered
+    * (that registration and the SECURITY facts' tval are written together,
+    * so the two sources agree row for row). At warehouse scale this reads
+    * a metadata-sized table instead of scanning every fact partition for
+    * `concept_cd = 'SECURITY'`. */
+  def rebuildI2b2SecureFromObjects(i2b2: DataFrame,
+                                   searchSecureObject: DataFrame): DataFrame = {
+    val secured = searchSecureObject
+      .filter(col("bio_data_unique_id").startsWith("EXP:"))
+      .select(expr("substring(bio_data_unique_id, 5)").as("__trial"),
+        col("bio_data_unique_id").as("__token"))
+      .distinct()
+    i2b2
+      .join(broadcast(secured), i2b2("sourcesystem_cd") === col("__trial"), "left")
+      .withColumn("secure_obj_token", coalesce(col("__token"), lit("EXP:PUBLIC")))
+      .drop("__trial", "__token")
+  }
+
   /** Upsert rows into a keyed table: new rows win, old non-conflicting rows
     * survive (set-based MERGE without Delta — recompute + publish). */
   def upsertByKey(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =

@@ -1081,6 +1081,22 @@ object Oracles {
         |  WHEN lang = 'de' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
         |  WHEN lang = 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |  ELSE TRUE END""".stripMargin,
+    // rates round to 6 dp BEFORE the 16-bit cutoff on both sides; a rate
+    // clamped at 1.0 keeps everything (its %04x cutoff would be 5 chars
+    // and string-compare wrongly against 'f...' prefixes)
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |           FROM documents GROUP BY 1),
+        |g AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS sumpow FROM c),
+        |r AS (SELECT lang,
+        |        round(least(1.0, 0.5 * g.total * pow(c.n, 0.5) / g.sumpow / c.n), 6)
+        |          AS mix_rate
+        |      FROM c, g)
+        |SELECT d.doc_id, d.lang, r.mix_rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE r.mix_rate >= 1.0
+        |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |      < printf('%04x', CAST(round(r.mix_rate * 65536) AS INT))""".stripMargin,
     // the composed corpus build: quality gate -> exact dedup ->
     // decontaminate (>= 0.5 leakage vs raw docs 0-24) -> en 50% sample ->
     // 2048-token packing; each CTE mirrors its standalone oracle

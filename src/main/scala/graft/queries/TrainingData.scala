@@ -121,6 +121,14 @@ object TrainingData {
         TextAnalysis.redactContacts(col("text")).as("redacted"))
   }
 
+  /** Temperature-flattened language mixing at alpha = 0.5: tail languages
+    * upsample relative to the head, overall keep rate 0.5; rates and the
+    * md5 keep-cutoff reproduce in DuckDB (rates rounded to 6 dp first). */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang", alpha = 0.5, targetFraction = 0.5)
+
   /** Deterministic epoch shuffle: stable pseudorandom order by
     * md5('epoch0' | doc_id), position from the distributed dense-id path. */
   def sampleShuffle(s: SparkSession, dir: String): DataFrame =

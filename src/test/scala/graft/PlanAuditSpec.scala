@@ -157,6 +157,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sPlan.contains("Exchange") && !sPlan.contains("Window"),
       s"sampling must stay a scan+filter:\n${sPlan.take(1500)}")
 
+    // temperature mixing: rates are driver literals, the RESULT plan is
+    // the same scan+filter shape — the corpus never shuffles
+    val temp = SparkEntry.queries("sample_temperature")(spark, "/root/testdata/sf0.001")
+    val tPlan = temp.queryExecution.executedPlan.toString
+    assert(!tPlan.contains("Exchange") && !tPlan.contains("Window"),
+      s"temperature sampling must stay a scan+filter:\n${tPlan.take(1500)}")
+
     val packed = SparkEntry.queries("pack_sequences")(spark, "/root/testdata/sf0.001")
     packed.collect()
     val pPlan = packed.queryExecution.executedPlan.toString

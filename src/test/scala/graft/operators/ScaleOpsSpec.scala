@@ -100,6 +100,14 @@ class SecurityOpsSpec extends SparkSpec {
     assert(rebuilt("\\S\\GS1\\V\\") == "EXP:GS1")
     assert(rebuilt("\\S\\GS2\\") == "EXP:PUBLIC")
     assert(rebuilt("\\S\\") == "EXP:PUBLIC")
+
+    // the metadata-sized twin: the secure-object registry yields the same
+    // tokens as the SECURITY-fact scan (they are written together)
+    val sso = Seq("EXP:GS1", "OTHER:THING").toDF("bio_data_unique_id")
+    val fromObjects = SecurityOps.rebuildI2b2SecureFromObjects(i2b2, sso)
+      .collect().map(r => r.getAs[String]("c_fullname") ->
+        r.getAs[String]("secure_obj_token")).toMap
+    assert(fromObjects == rebuilt)
   }
 
   test("copy security from other study replays PostProcessingTest") {
@@ -151,6 +159,39 @@ class SamplingSpec extends SparkSpec {
     // rate edges
     assert(Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.0, "zh" -> 1.0)).count() == 2000)
+  }
+
+  test("temperature mixing: alpha flattens sources, rates clamp, alpha=1 is natural") {
+    // 3200 en vs 800 zh: alpha=0.5 keeps zh at a sqrt(3200/800) = 2x
+    // higher RATE than en; overall expectation ~0.4 of the corpus
+    val docs = ((0L until 3200L).map(i => (i, "en")) ++
+      (10000L until 10800L).map(i => (i, "zh"))).toDF("doc_id", "lang")
+    val s = Sampling.temperatureSample(docs, "doc_id", "lang",
+      alpha = 0.5, targetFraction = 0.4)
+    val rates = s.select($"lang", $"mix_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rates("zh") / rates("en") - 2.0) < 0.01)
+    val kept = s.count().toDouble
+    assert(kept > 0.3 * 4000 && kept < 0.5 * 4000, s"kept $kept of 4000")
+    // alpha = 1 keeps natural proportions: every source at targetFraction
+    val nat = Sampling.temperatureSample(docs, "doc_id", "lang",
+      alpha = 1.0, targetFraction = 0.25)
+      .select($"lang", $"mix_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(nat("en") == 0.25 && nat("zh") == 0.25)
+    // a tiny tail source's boosted rate clamps at 1.0 (no duplication)
+    val skew = ((0L until 5000L).map(i => (i, "en")) ++
+      Seq((99999L, "xx"))).toDF("doc_id", "lang")
+    val clamped = Sampling.temperatureSample(skew, "doc_id", "lang",
+      alpha = 0.1, targetFraction = 0.9)
+    assert(clamped.filter($"lang" === "xx").count() == 1)
+    assert(clamped.filter($"lang" === "xx").select($"mix_rate")
+      .collect()(0).getDouble(0) == 1.0)
+    // deterministic across partitionings
+    val again = Sampling.temperatureSample(docs.repartition(7), "doc_id",
+      "lang", alpha = 0.5, targetFraction = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == s.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
   test("deterministic shuffle: stable permutation, seed-sensitive, no global window") {
