@@ -43,11 +43,15 @@ object Bench {
       spark.catalog.clearCache() // bound memory across the suite
       name -> (if (failed) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-dp seconds: per-query noise on a shared host is tens of percent,
+    // and the shorter line keeps the whole JSON inside the driver's
+    // bounded output-tail capture (round-5 tails cut the head of the line)
+    def f(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -314,6 +314,24 @@ object GraftCli {
     else df
   }
 
+  /** In-file sort key per table: partitions are laid out sorted by their
+    * hot filter column, so parquet row-group min/max stats prune concept-
+    * keyed reads (the reference's per-partition work-table indexes,
+    * I2B2_PROCESS_MRNA_DATA.sql:277-279, as a lakehouse layout property).
+    * A local sort only — the partition filter already bounded the data. */
+  private val PartitionSortKeys: Map[String, String] = Map(
+    "observation_fact" -> "concept_cd",
+    "de_subject_acgh_data" -> "region_id",
+    "de_subject_microarray_data" -> "probeset_id",
+    "de_subject_protein_data" -> "probeset_id",
+    "de_subject_rbm_data" -> "probeset_id",
+    "de_subject_mirna_data" -> "probeset_id",
+    "de_subject_metabolomics_data" -> "probeset_id",
+    "de_subject_rna_data" -> "probeset_id",
+    "de_sample_snp_data" -> "snp_name",
+    "de_variant_subject_summary" -> "rs_id",
+    "de_variant_subject_detail" -> "rs_id")
+
   /** Stage a replacement of ONLY the named partitions: rows outside them
     * are dropped (the read side prunes to the affected partitions), and a
     * value with no surviving rows becomes a partition DROP at commit. */
@@ -325,7 +343,14 @@ object GraftCli {
     val vs = values.distinct
     val filtered =
       if (vs.isEmpty) df.filter(lit(false)) else df.filter(col(pc).isInCollection(vs))
-    filtered.write.mode("overwrite").partitionBy(pc)
+    val laidOut = PartitionSortKeys.get(name)
+      .filter(df.columns.contains)
+      // sort key PREFIXED by the partition col so the writer's required
+      // partition ordering is already satisfied and the secondary order
+      // survives into the files
+      .map(k => filtered.sortWithinPartitions(col(pc), col(k)))
+      .getOrElse(filtered)
+    laidOut.write.mode("overwrite").partitionBy(pc)
       .parquet(wh.resolve(s"$name.parquet.tmp").toString)
     StagedWrite(name, Some(vs), partitioned = true,
       StructType(df.schema.filterNot(_.name == pc)))
