@@ -76,6 +76,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
     "sample_temperature" -> (TrainingData.sampleTemperature _),
+    "dedup_semantic" -> (TrainingData.dedupSemantic _),
     "dedup_url" -> (TrainingData.dedupUrl _),
     "text_quality_flags" -> (TrainingData.textQualityFlags _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),

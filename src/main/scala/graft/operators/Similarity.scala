@@ -273,6 +273,40 @@ object Similarity {
     -greatest(scored: _*).getField("neg_id")
   }
 
+  /** Semantic dedup over the coarse quantizer (the SemDeDup recipe,
+    * Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with
+    * k-means, call same-cluster vectors above a cosine threshold
+    * semantic duplicates, and keep one representative per duplicate
+    * group — here the LOWEST id, the deterministic stand-in for the
+    * paper's random choice. Returns one row per vector:
+    * (idCol, list_id, keep).
+    *
+    * 100 TB shape: assignment is the same broadcast-centroid argmax as
+    * [[ivfAssignWith]] (one narrow pass, no window); the pair join is
+    * per-cluster, and k grows with the corpus so cluster size — and the
+    * per-key join fan-out — stays bounded (the paper runs 50k clusters
+    * for LAION-scale). A vector is dropped iff SOME smaller-id
+    * clustermate clears the threshold, so the join can early-out via
+    * the aggregated max — no pair materialization leaves the shuffle.
+    *
+    * Thresholding happens on the 6-dp ROUNDED cosine so the keep set is
+    * engine-portable (boundary pairs land identically in any engine). */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = ivfAssignWith(vectors, idCol, vecCol, centroids)
+    val a = assigned.select(col("list_id"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), col("__norm").as("a_norm"))
+    val b = assigned.select(col("list_id"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), col("__norm").as("b_norm"))
+    val dups = a.join(b, Seq("list_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(dot(col("a_vec"), col("b_vec")) /
+        (col("a_norm") * col("b_norm")), 6) >= threshold)
+      .select(col("b_id")).distinct()
+    assigned.join(dups, col(idCol) === col("b_id"), "left")
+      .select(col(idCol), col("list_id"), col("b_id").isNull.as("keep"))
+  }
+
   /** Embedding near-dup: same-block pairs above a cosine threshold.
     * Blocking key bounds the pair blow-up (label here; LSH bucket at scale). */
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,

@@ -1267,6 +1267,7 @@ object Oracles {
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.4""".stripMargin),
 
     "ann_ivf_kmeans" -> KmeansIvfSql,
+    "dedup_semantic" -> SemanticDedupSql,
 
     // the synthetic payloads make the expected pair set a pure function
     // of the group key (see TrainingData.multimodalImageDups): brightness
@@ -1288,7 +1289,44 @@ object Oracles {
     * makes the trained centroids engine-portable and this hash compare
     * possible. The tail is the ann_ivf probe/search shape over the
     * trained centroids (nprobe 4, top 10). */
-  private lazy val KmeansIvfSql: String = {
+  private lazy val KmeansIvfSql: String =
+    KmeansTrainedPrefix +
+      """,
+        |probes AS (
+        |  SELECT vec_id AS q_id, embedding AS qvec, nrm AS qnrm, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc WHERE vec_id < 20) WHERE rn <= 4),
+        |pairs AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(p.qvec) + 1),
+        |      j -> p.qvec[j]::DOUBLE * a.embedding[j]::DOUBLE)) / (p.qnrm * a.nrm), 6) AS cosine
+        |  FROM probes p JOIN fin a ON a.list_id = p.list_id AND a.vec_id <> p.q_id),
+        |rk AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM pairs)
+        |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin
+
+  /** SemDeDup over the same trained quantizer: same-list pairs with
+    * ROUNDED cosine >= 0.3 mark the larger vec_id a duplicate; keep =
+    * never the larger side of such a pair (lowest id survives). */
+  private lazy val SemanticDedupSql: String =
+    KmeansTrainedPrefix +
+      """,
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id AS b_id
+        |  FROM fin a JOIN fin b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      j -> a.embedding[j]::DOUBLE * b.embedding[j]::DOUBLE)) / (a.nrm * b.nrm), 6) >= 0.3)
+        |SELECT f.vec_id, f.list_id, d.b_id IS NULL AS keep
+        |FROM fin f LEFT JOIN dups d ON f.vec_id = d.b_id""".stripMargin
+
+  /** The shared trained-quantizer WITH-prefix (no trailing comma): seeded
+    * centroids, three rounded Lloyd iterations, the final cosine table
+    * `vc` and the per-vector assignment `fin` (vec_id, embedding, nrm,
+    * list_id). */
+  private lazy val KmeansTrainedPrefix: String = {
     def assign(i: Int) =
       s"""assign$i AS (
          |  SELECT vec_id, embedding, nrm, cid AS list_id FROM (
@@ -1330,22 +1368,7 @@ object Oracles {
         |fin AS (
         |  SELECT vec_id, embedding, nrm, cid AS list_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-        |    FROM vc) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS q_id, embedding AS qvec, nrm AS qnrm, cid AS list_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-        |    FROM vc WHERE vec_id < 20) WHERE rn <= 4),
-        |pairs AS (
-        |  SELECT p.q_id, a.vec_id AS neighbor_id,
-        |    round(list_sum(list_transform(range(1, len(p.qvec) + 1),
-        |      j -> p.qvec[j]::DOUBLE * a.embedding[j]::DOUBLE)) / (p.qnrm * a.nrm), 6) AS cosine
-        |  FROM probes p JOIN fin a ON a.list_id = p.list_id AND a.vec_id <> p.q_id),
-        |rk AS (
-        |  SELECT q_id, neighbor_id, cosine,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rn
-        |  FROM pairs)
-        |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
-        |FROM rk WHERE rn <= 10""".stripMargin
+        |    FROM vc) WHERE rn = 1)""".stripMargin
   }
 
   val statsAndTime: Map[String, String] = Map(

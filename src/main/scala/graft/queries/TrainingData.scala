@@ -212,6 +212,19 @@ object TrainingData {
       "vec_id", "embedding", k = 10, nprobe = 4, cents)
   }
 
+  /** SemDeDup over the SAME trained quantizer as `ann_ivf_kmeans` (16
+    * lists, 3 rounded Lloyd iterations): same-cluster vectors with
+    * rounded cosine >= 0.3 are semantic duplicates; the lowest id in a
+    * duplicate group survives. Per-vector (vec_id, list_id, keep) — the
+    * DuckDB oracle replays the rounded training, so fully hash-gated. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      k = 16, iters = 3)
+    Similarity.semanticDedup(e, "vec_id", "embedding", cents,
+      threshold = 0.3)
+  }
+
   /** Image near-dup through the REAL decode -> aHash -> banded-pair
     * pipeline, over deterministic synthetic PNG payloads (the documents
     * table carries no binary column): every group of 4 doc ids renders
