@@ -502,6 +502,23 @@ class SimilaritySpec extends SparkSpec {
       .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
     assert(ivf == bf)
   }
+
+  test("semanticDedup keeps the lowest id per duplicate group, never pairs across clusters") {
+    val cents = Similarity.kmeansCentroids(clustered, "vec_id", "embedding",
+      k = 2, iters = 3)
+    // within a tight cluster every rounded cosine is ~1 >= 0.9, so each
+    // cluster is one duplicate group and only its min id survives
+    val kept = Similarity.semanticDedup(clustered, "vec_id", "embedding",
+      cents, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept.size == 8)
+    assert(kept.filter(_._2).keySet == Set(0L, 1L))
+    // a threshold above every intra-cluster cosine keeps everything
+    val all = Similarity.semanticDedup(clustered, "vec_id", "embedding",
+      cents, threshold = 1.1)
+      .collect().map(_.getBoolean(2))
+    assert(all.forall(identity))
+  }
 }
 
 class ZScoreSpec extends SparkSpec {
