@@ -16,4 +16,32 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** [[load]] plus small-input parallelization for compute-heavy callers.
+    *
+    * A parquet file splits at ROW-GROUP granularity: a table written as
+    * one row group decodes in a single task no matter how many byte-range
+    * splits the scheduler makes, so every downstream map-side operator
+    * (shingling, signatures, melt explodes, partial aggregates) runs
+    * serially on one core. When the scan would produce fewer splits than
+    * the cluster has slots, redistribute rows round-robin right after the
+    * read; deterministic filters and column pruning push THROUGH the
+    * repartition (PushPredicateThroughNonJoin / ColumnPruning), so scan
+    * pushdown is unaffected.
+    *
+    * At warehouse scale this is a no-op by construction — a 100 TB table
+    * yields orders of magnitude more splits than slots — so only the
+    * small-file/test-SF regime pays the one extra exchange. Callers whose
+    * plan IS the cheap part (pure-filter sampling, scan+project flags)
+    * should stay on [[load]]. */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val slots = spark.sparkContext.defaultParallelism
+    val splits = math.max(1L, (bytes + maxPart - 1) / maxPart)
+    if (splits < slots) df.repartition(slots) else df
+  }
 }

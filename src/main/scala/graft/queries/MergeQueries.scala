@@ -19,8 +19,10 @@ import graft.operators.MergeModes
   */
 object MergeQueries {
 
+  // loadParallel: fact-table scans must not serialize on a single-row-
+  // group test file (no-op at warehouse scale; see Tables.loadParallel)
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    Tables.loadParallel(s, dir, name)
 
   /** The warehouse fact table: one EAV-ish fact per order. */
   private def oldFacts(s: SparkSession, dir: String): DataFrame =

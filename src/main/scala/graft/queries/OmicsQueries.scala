@@ -11,8 +11,11 @@ import graft.pipeline.AnnotationRegistry
   * TPC-H tables so DuckDB can recompute the whole flow independently. */
 object OmicsQueries {
 
+  // loadParallel: the omics melts/fact builds do real per-row work on the
+  // lineitem-played matrices; a single-row-group test file must not
+  // serialize them onto one core (no-op at warehouse scale)
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    Tables.loadParallel(s, dir, name)
 
   /** Staged annotation file: parts play probes. Nulls are seeded into
     * gene_symbol (every 5th), gene_id (every 3rd) and organism (every 4th)

@@ -1469,16 +1469,16 @@ object Oracles {
   val relational: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "j1_multi_join" ->
       """SELECT n_name, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_rows
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

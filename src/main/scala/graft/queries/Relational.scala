@@ -15,8 +15,10 @@ import graft.core.Tables
   */
 object Relational {
 
+  // loadParallel: fact-table scans must not serialize on a single-row-
+  // group test file (no-op at warehouse scale; see Tables.loadParallel)
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    Tables.loadParallel(s, dir, name)
 
   /** A1/A6-style pricing summary: groupBy + multi-agg (the TPC-H Q1 shape).
     * Map-side partial aggregation + single shuffle on the (tiny) group key. */
@@ -24,9 +26,13 @@ object Relational {
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        // decimal sums: a double sum follows partition order and can flip
+        // the 2-dp rounding boundary; per-row 4-dp decimal quantization is
+        // deterministic and the decimal sum is exact in any engine
+        round(sum($"l_quantity".cast("decimal(18,4)")), 2).cast("double").as("sum_qty"),
+        round(sum($"l_extendedprice".cast("decimal(18,4)")), 2).cast("double").as("sum_base_price"),
+        round(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_disc_price"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
@@ -44,7 +50,9 @@ object Relational {
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", $"o_orderpriority")
       .agg(
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        // decimal sum: see q1Agg — order-independent at the 2-dp boundary
+        round(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 

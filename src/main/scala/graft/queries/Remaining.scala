@@ -10,8 +10,10 @@ import graft.core.Tables
   * averaging over an inner-join chain), A11 (min-record dedup). */
 object Remaining {
 
+  // loadParallel: fact-table scans must not serialize on a single-row-
+  // group test file (no-op at warehouse scale; see Tables.loadParallel)
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    Tables.loadParallel(s, dir, name)
 
   /** F3: `$$TAG` placeholder substitution in category codes
     * (TagReplacer.groovy:57-112): the tag resolves to another column's row

@@ -13,8 +13,10 @@ import graft.functions.{StatAggregators, TimeFunctions}
   */
 object StatsAndTime {
 
+  // loadParallel: the stats queries aggregate whole fact tables; see
+  // Tables.loadParallel for why a single-row-group test file needs it
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    Tables.loadParallel(s, dir, name)
 
   /** A7: the shared omics z-score pipeline (log2 -> per-group
     * avg/median/stddev -> clamped z-score) on lineitem prices per part. */

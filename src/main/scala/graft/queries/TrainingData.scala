@@ -15,19 +15,26 @@ object TrainingData {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Parallelized read for the compute-heavy queries (shingling,
+    * signatures, vector math): see [[Tables.loadParallel]]. The
+    * pure-filter/scan+project queries stay on [[t]] — their plan IS the
+    * cheap part and must not gain an exchange. */
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadParallel(s, dir, name)
+
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.exact(tp(s, dir, "documents"), "doc_id", "text")
 
   /** maxDocFreq caps stop-shingles (shared boilerplate lines): a shingle in
     * more than 250 docs is dropped before the candidate self-join, keeping
     * every bucket bounded — without it one hot shingle goes quadratic at
     * scale. The oracle applies the identical cap. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.ngramJaccard(tp(s, dir, "documents"), "doc_id", "text",
       n = 3, threshold = 0.5, maxDocFreq = Some(250L))
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.minhashLsh(tp(s, dir, "documents"), "doc_id", "text",
       n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
 
   /** Pairs -> clusters: connected components over the verified MinHash-LSH
@@ -36,7 +43,7 @@ object TrainingData {
     Dedup.clusters(dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashHex(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.simhashHex(tp(s, dir, "documents"), "doc_id", "text")
 
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withLangId(
@@ -85,11 +92,11 @@ object TrainingData {
 
   /** SimHash near-dup pairs at hamming <= 3 over the corpus. */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashPairs(tp(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
 
   /** Within-document 3-gram repetition signal over the corpus. */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = tp(s, dir, "documents")
     val nToks = size(TextAnalysis.tokens(col("text")))
     docs.select(col("doc_id"),
       greatest(nToks - 2, lit(0)).cast("long").as("n_ngrams"),
@@ -152,7 +159,7 @@ object TrainingData {
     * its standalone query gates; the composition is what a real corpus
     * build runs. Docs 0-24 are the quarantined benchmark set. */
   def pipelineTrainingE2e(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = tp(s, dir, "documents")
     // 1. quality gate (the text_quality expression, same 4-dp rounding)
     val toks = TextAnalysis.tokens(col("text"))
     val q = docs
@@ -187,17 +194,17 @@ object TrainingData {
     * approximation: 10-token segments, a repeated segment survives only in
     * its lowest-id document, documents reassembled from the survivors. */
   def dedupSegments(s: SparkSession, dir: String): DataFrame =
-    Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", segTokens = 10)
+    Dedup.segmentDedup(tp(s, dir, "documents"), "doc_id", "text", segTokens = 10)
 
   /** Smoothed TF-IDF top-5 terms per document. */
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     graft.operators.TermStats.tfidfTopTerms(
-      t(s, dir, "documents"), "doc_id", "text", k = 5)
+      tp(s, dir, "documents"), "doc_id", "text", k = 5)
 
   /** BM25 (Okapi k1=1.2, b=0.75) top-5 terms per document. */
   def textBm25(s: SparkSession, dir: String): DataFrame =
     graft.operators.TermStats.bm25TopTerms(
-      t(s, dir, "documents"), "doc_id", "text", k = 5)
+      tp(s, dir, "documents"), "doc_id", "text", k = 5)
 
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every
@@ -270,7 +277,7 @@ object TrainingData {
     * set, the rest as the corpus; per corpus doc, the share of its 3-gram
     * shingles that leak from the benchmark. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = tp(s, dir, "documents")
     Dedup.contamination(
       docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
       "doc_id", "text", n = 3)
