@@ -152,11 +152,15 @@ object LoadSamples {
       .coalesce(1)
       .localCheckpoint(true)
 
-    val byType = (t: String) => broadcast(
-      nodes.filter(col("node_type") === t)
-        .select(col("leaf_node"), col("category_cd"), col("platform"),
-          col("tissue_type"), col("attribute_1"), col("attribute_2"),
-          col("concept_cd")))
+    // ONE broadcast of the whole node-sized frame, node_type filtered in
+    // each join condition: the five typed joins then share a single
+    // BroadcastExchange (ReusedExchange) instead of building five
+    // broadcasts of five filtered scans — fewer jobs, same semantics
+    // (an unmatched node_type simply never satisfies the join condition).
+    val nodesB = broadcast(
+      nodes.select(col("leaf_node"), col("category_cd"), col("platform"),
+        col("tissue_type"), col("attribute_1"), col("attribute_2"),
+        col("concept_cd"), col("node_type")))
 
     // 3. the mapping join chain (:596-856)
     val a = sampleMap.alias("a")
@@ -164,18 +168,19 @@ object LoadSamples {
         lit(trialId), coalesce(col("site_id"), lit("")), col("subject_id")))
     val pd = patients.select(col("patient_num"), col("sourcesystem_cd"))
 
-    val ln = byType("LEAF").alias("ln")
+    val ln = nodesB.alias("ln")
     val joined = a
       .join(pd, a("usubjid") === pd("sourcesystem_cd"))
       .join(ln,
-        a("platform") === col("ln.platform") &&
+        col("ln.node_type") === "LEAF" &&
+          a("platform") === col("ln.platform") &&
           a("tissue_type") === col("ln.tissue_type") &&
           coalesce(a("attribute_1"), lit("")) === coalesce(col("ln.attribute_1"), lit("")) &&
           coalesce(a("attribute_2"), lit("")) === coalesce(col("ln.attribute_2"), lit("")))
 
     def typedJoin(df: DataFrame, alias: String, t: String, ph: String,
                   selfAttr: String): DataFrame = {
-      val n = byType(t).alias(alias)
+      val n = nodesB.alias(alias)
       val prefix = catPrefix(ph, a("category_cd"))
       def g(otherPh: String, attr: Column): Column =
         when(instr(prefix, otherPh) > 1, attr).otherwise(lit(""))
@@ -192,7 +197,8 @@ object LoadSamples {
         .map { case (otherPh, c) =>
           g(otherPh, a(c)) === coalesce(col(s"$alias.$c"), lit(""))
         }
-      df.join(n, conds.foldLeft(selfCond)(_ && _), "left")
+      val typed = col(s"$alias.node_type") === t
+      df.join(n, conds.foldLeft(typed && selfCond)(_ && _), "left")
     }
 
     val full = Seq(
