@@ -77,6 +77,7 @@ object SparkEntry {
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
     "sample_temperature" -> (TrainingData.sampleTemperature _),
     "dedup_semantic" -> (TrainingData.dedupSemantic _),
+    "ann_pq_adc" -> (TrainingData.annPqAdc _),
     "dedup_url" -> (TrainingData.dedupUrl _),
     "text_quality_flags" -> (TrainingData.textQualityFlags _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),

@@ -273,6 +273,110 @@ object Similarity {
     -greatest(scored: _*).getField("neg_id")
   }
 
+  /** Product quantization (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): the vector splits into `m` subvectors,
+    * each encoded as the id of its nearest codeword in a per-subspace
+    * codebook, compressing a D-dim float vector to m small ints. Search
+    * uses ASYMMETRIC DISTANCE (ADC): the query precomputes its m x k'
+    * subspace-distance table once, and each candidate costs m table
+    * lookups instead of D multiplications.
+    *
+    * Codebooks here are SEEDED deterministically (the `codewords`
+    * lowest-id vectors' subvector slices — the same discipline as
+    * [[seedCentroids]]), and every distance is rounded to 6 dp before any
+    * argmin/rank, so codes and rankings are engine-portable. A trained
+    * refinement can swap in any codebook table with the same shape.
+    *
+    * 100 TB shape: codebooks are m x k' x (D/m) doubles — KB — collected
+    * once and entering plans as literals; encoding is ONE narrow
+    * projection pass (no join, no shuffle); ADC is a broadcast of the
+    * (tiny) query table + a scan of the encoded collection with O(m)
+    * work per pair. Compose with the IVF lists ([[ivfAssignWith]]) to
+    * prune the scan — PQ compresses, IVF prunes.
+    */
+  def pqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+                  m: Int, codewords: Int): DataFrame = {
+    val seeds = vectors.orderBy(col(idCol)).limit(codewords)
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+    val subLen = (size(col("__v")) / lit(m)).cast("int")
+    // one row per (subspace, codeword): the seed's s-th slice
+    seeds
+      .select(col(idCol), col("__v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("sub"),
+        col(idCol), slice(col("__v"), col("sub") * subLen + 1, subLen).as("c_sub"))
+      .withColumn("code_id",
+        row_number().over(Window.partitionBy(col("sub")).orderBy(col(idCol)))
+          .cast("long") - 1)
+      .select(col("sub"), col("code_id"), col("c_sub"))
+  }
+
+  /** Rounded squared L2 distance between a slice of `vec` and a literal
+    * codeword, computed as an ascending-index diff-square fold — the
+    * exact expression an independent SQL engine replays. */
+  private def subDist(vec: Column, start: Int, cw: Array[Double]): Column =
+    round(aggregate(
+      zip_with(slice(vec, start + 1, cw.length), array(cw.map(lit): _*),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v), 6)
+
+  /** Encode every vector as its m nearest-codeword ids — a single
+    * projection pass against driver-literal codebooks. Returns
+    * (idCol, codes: array<long>). */
+  def pqEncodeWith(vectors: DataFrame, idCol: String, vecCol: String,
+                   codebooks: DataFrame): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    val subLen = cbs(0)(0).length
+    val codeCols = cbs.indices.map { s =>
+      // argmin over codewords: least (dist, code) struct — smallest
+      // distance, then smallest code id, same tiebreak as the oracle
+      least(cbs(s).zipWithIndex.map { case (cw, c) =>
+        struct(subDist(col(vecCol), s * subLen, cw).as("d"),
+          lit(c.toLong).as("c"))
+      }: _*).getField("c")
+    }
+    vectors.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k: each query precomputes its m x k' distance table ONCE
+    * (broadcast with the query row); a candidate then costs m lookups.
+    * Distances are rounded before summation and ranking; ties break on
+    * neighbor id. Scans the whole collection — compose with IVF lists to
+    * prune. */
+  def pqTopKWith(vectors: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, codebooks: DataFrame): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    val subLen = cbs(0)(0).length
+    // dtab[s][c] = rounded distance from the query's s-th slice to
+    // codeword c — m x k' doubles per query row
+    val dtab = array(cbs.indices.map { s =>
+      array(cbs(s).map(cw => subDist(col(vecCol), s * subLen, cw)): _*)
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).as("q_id"), dtab.as("__dtab")))
+    val enc = pqEncodeWith(vectors, idCol, vecCol, codebooks)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    q.join(enc, col("q_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        round(aggregate(
+          zip_with(col("__dtab"), col("codes"),
+            (row, c) => element_at(row, (c + 1).cast("int"))),
+          lit(0.0), (acc, v) => acc + v), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+
+  /** (sub, code_id, c_sub) -> per-subspace codeword arrays, ordered by
+    * code id. Codebooks are KB-sized by construction. */
+  private def collectCodebooks(codebooks: DataFrame): IndexedSeq[IndexedSeq[Array[Double]]] =
+    codebooks.collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("code_id"),
+        r.getAs[scala.collection.Seq[Double]]("c_sub").toArray))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)
+
   /** Semantic dedup over the coarse quantizer (the SemDeDup recipe,
     * Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with
     * k-means, call same-cluster vectors above a cosine threshold

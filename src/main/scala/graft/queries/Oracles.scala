@@ -1269,6 +1269,44 @@ object Oracles {
     "ann_ivf_kmeans" -> KmeansIvfSql,
     "dedup_semantic" -> SemanticDedupSql,
 
+    // PQ/ADC replay: codebooks = subvector slices of the 16 lowest-id
+    // vectors, per-sub distances rounded to 6 dp before the argmin
+    // encode AND before the lookup-sum (the addends sit on the 6-dp
+    // grid, so the sum is summation-order-proof at 6 dp)
+    "ann_pq_adc" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, s, list_slice(e, s * 8 + 1, s * 8 + 8) AS sub
+        |  FROM v CROSS JOIN (SELECT unnest(range(8)) AS s)),
+        |cb AS (
+        |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+        |    AS BIGINT) AS code_id, sub AS c
+        |  FROM subs WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+        |dist AS (
+        |  SELECT a.vec_id, a.s, b.code_id,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (a.sub[i] - b.c[i]) * (a.sub[i] - b.c[i]))), 6) AS d
+        |  FROM subs a JOIN cb b ON a.s = b.s),
+        |codes AS (
+        |  SELECT vec_id, s, code_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY d, code_id) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |score AS (
+        |  SELECT qd.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    round(sum(qd.d), 6) AS adc_dist
+        |  FROM codes c JOIN dist qd ON qd.s = c.s AND qd.code_id = c.code_id
+        |  WHERE qd.vec_id < 20 AND c.vec_id <> qd.vec_id
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT q_id, neighbor_id, adc_dist,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, neighbor_id) AS rn
+        |  FROM score)
+        |SELECT q_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin,
+
     // the synthetic payloads make the expected pair set a pure function
     // of the group key (see TrainingData.multimodalImageDups): brightness
     // variants of one md5-keyed pattern aHash identically (hamming 0),

@@ -219,6 +219,19 @@ object TrainingData {
       "vec_id", "embedding", k = 10, nprobe = 4, cents)
   }
 
+  /** PQ-compressed ANN via asymmetric distance: 8 subspaces x 16 seeded
+    * codewords over the 64-dim embeddings (a 64-float vector becomes 8
+    * codes); 20 queries, top-10 by rounded ADC distance. The DuckDB
+    * oracle replays codebook build, encoding and the lookup-sum ranking
+    * exactly, so the row is fully hash-gated. */
+  def annPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding",
+      m = 8, codewords = 16)
+    Similarity.pqTopKWith(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10, cb)
+  }
+
   /** SemDeDup over the SAME trained quantizer as `ann_ivf_kmeans` (16
     * lists, 3 rounded Lloyd iterations): same-cluster vectors with
     * rounded cosine >= 0.3 are semantic duplicates; the lowest id in a

@@ -503,6 +503,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("pq: codebooks slice the seeds, encode is argmin per subspace, ADC ranks by lookup sum") {
+    // dim 2, m = 2 (scalar subspaces), 2 codewords from seeds 0=(1,0), 1=(0,1):
+    // sub0 codebook = [1.0, 0.0], sub1 codebook = [0.0, 1.0]
+    val cb = Similarity.pqCodebooks(clustered, "vec_id", "embedding",
+      m = 2, codewords = 2)
+    val rows = cb.collect().map(r => (r.getInt(0), r.getLong(1)) ->
+      r.getSeq[Double](2).toSeq).toMap
+    assert(rows.size == 4 && rows.values.forall(_.length == 1))
+    assert(rows((0, 0L)) == Seq(1.0) && rows((0, 1L)) == Seq(0.0))
+    assert(rows((1, 0L)) == Seq(0.0) && rows((1, 1L)) == Seq(1.0))
+
+    // x-cluster vectors sit near (1,0): sub0 -> code 0, sub1 -> code 0
+    val codes = Similarity.pqEncodeWith(clustered, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(Seq(0L, 2L, 4L, 6L).forall(codes(_) == Seq(0L, 0L)))
+    assert(Seq(1L, 3L, 5L, 7L).forall(codes(_) == Seq(1L, 1L)))
+
+    // ADC from query 0: every same-cluster vector shares its codes, so all
+    // distances collapse to the code-level distance — x-cluster mates rank
+    // first (distance 0 to its own codes), y-cluster after
+    val top = Similarity.pqTopKWith(clustered, clustered.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 7, cb)
+      .orderBy($"rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist")))
+    assert(top.length == 7)
+    assert(top.take(3).map(_._1).toSet == Set(2L, 4L, 6L)) // same codes, dist 0
+    assert(top.take(3).forall(_._2 == 0.0))
+    assert(top.drop(3).forall(_._2 > 0.0))
+  }
+
   test("semanticDedup keeps the lowest id per duplicate group, never pairs across clusters") {
     val cents = Similarity.kmeansCentroids(clustered, "vec_id", "embedding",
       k = 2, iters = 3)
