@@ -78,6 +78,7 @@ object SparkEntry {
     "sample_temperature" -> (TrainingData.sampleTemperature _),
     "dedup_semantic" -> (TrainingData.dedupSemantic _),
     "ann_pq_adc" -> (TrainingData.annPqAdc _),
+    "ann_ivfpq" -> (TrainingData.annIvfPq _),
     "dedup_url" -> (TrainingData.dedupUrl _),
     "text_quality_flags" -> (TrainingData.textQualityFlags _),
     "f3_tag_substitution" -> (Remaining.f3TagSubstitution _),

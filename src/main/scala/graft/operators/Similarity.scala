@@ -368,14 +368,87 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
 
+  /** IVF + PQ — the FAISS-style composition: the coarse quantizer PRUNES
+    * (a query scans only its `nprobe` nearest inverted lists) and PQ
+    * COMPRESSES (candidates are scored by ADC lookups, not full-vector
+    * math). Both the centroid table and the codebooks are KB-sized and
+    * collected to driver literals, so the entire fact side is ONE narrow
+    * projection pass — list assignment argmax + m encode argmins — with
+    * no join, shuffle or window touching the collection; the per-query
+    * work is a broadcast join against the probed lists.
+    *
+    * Same determinism discipline as the components: cosines and subspace
+    * distances round to 6 dp before every argmax/argmin/rank. */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nprobe: Int,
+                centroids: DataFrame, codebooks: DataFrame): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col("c_vec")).collect()
+      .map(r => (r.getLong(0), toDoubleArray(r.get(1))))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    val cbs = collectCodebooks(codebooks)
+    val subLen = cbs(0)(0).length
+    // ONE pass over the collection: list id + PQ codes, both from literals
+    val cand = vectors.select(
+      col(idCol).as("neighbor_id"),
+      nearestCentroid(col(vecCol), cents).as("list_id"),
+      array(cbs.indices.map { s =>
+        least(cbs(s).zipWithIndex.map { case (cw, c) =>
+          struct(subDist(col(vecCol), s * subLen, cw).as("d"),
+            lit(c.toLong).as("c"))
+        }: _*).getField("c")
+      }: _*).as("codes"))
+    // per query: nprobe nearest lists + the ADC table — probe selection is
+    // a sorted-literal-array slice, no window anywhere. struct(cos, -cid)
+    // sorted DESC orders by cosine desc then centroid id ASC on ties,
+    // matching ivfTopKWith's probe ranking.
+    val vnorm = l2Norm(col(vecCol))
+    val probeScores = cents.zipWithIndex.map { case (cv, cid) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(round(dot(col(vecCol), array(cv.map(lit): _*)) / (vnorm * cn), 6).as("cos"),
+        lit(-cid.toLong).as("negid"))
+    }
+    val dtab = array(cbs.indices.map { s =>
+      array(cbs(s).map(cw => subDist(col(vecCol), s * subLen, cw)): _*)
+    }: _*)
+    val probes = broadcast(queries
+      .select(col(idCol).as("q_id"), dtab.as("__dtab"),
+        explode(slice(sort_array(array(probeScores: _*), asc = false),
+          1, nprobe)).as("__probe"))
+      .select(col("q_id"), col("__dtab"),
+        (-col("__probe.negid")).as("list_id")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    probes.join(cand, Seq("list_id"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        round(aggregate(
+          zip_with(col("__dtab"), col("codes"),
+            (row, c) => element_at(row, (c + 1).cast("int"))),
+          lit(0.0), (acc, v) => acc + v), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+
   /** (sub, code_id, c_sub) -> per-subspace codeword arrays, ordered by
     * code id. Codebooks are KB-sized by construction. */
   private def collectCodebooks(codebooks: DataFrame): IndexedSeq[IndexedSeq[Array[Double]]] =
     codebooks.collect()
       .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("code_id"),
-        r.getAs[scala.collection.Seq[Double]]("c_sub").toArray))
+        toDoubleArray(r.get(2))))
       .groupBy(_._1).toIndexedSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)
+
+  /** Row.get of an array column yields a Seq of Float (raw embeddings) or
+    * Double (trained centroids) — normalize to doubles. */
+  private def toDoubleArray(a: Any): Array[Double] = a match {
+    case s: scala.collection.Seq[_] => s.iterator.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray
+    case other => sys.error(s"unexpected vector value: $other")
+  }
 
   /** Semantic dedup over the coarse quantizer (the SemDeDup recipe,
     * Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with

@@ -1307,6 +1307,61 @@ object Oracles {
         |SELECT q_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank
         |FROM rk WHERE rn <= 10""".stripMargin,
 
+    // IVF + PQ: 16 seeded coarse lists prune (nprobe 4), the ann_pq_adc
+    // codebook/encode/dist CTEs score the survivors
+    "ann_ivfpq" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT CAST(rn - 1 AS BIGINT) AS cid, e AS cvec, nrm AS cnrm FROM (
+        |    SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+        |  WHERE rn <= 16),
+        |vc AS (
+        |  SELECT a.vec_id, c.cid,
+        |    round(list_sum(list_transform(range(1, len(a.e) + 1),
+        |      j -> a.e[j] * c.cvec[j])) / (a.nrm * c.cnrm), 6) AS ccos
+        |  FROM v a CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc WHERE vec_id < 20) WHERE rn <= 4),
+        |subs AS (
+        |  SELECT vec_id, s, list_slice(e, s * 8 + 1, s * 8 + 8) AS sub
+        |  FROM v CROSS JOIN (SELECT unnest(range(8)) AS s)),
+        |cb AS (
+        |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+        |    AS BIGINT) AS code_id, sub AS c
+        |  FROM subs WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+        |dist AS (
+        |  SELECT a.vec_id, a.s, b.code_id,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (a.sub[i] - b.c[i]) * (a.sub[i] - b.c[i]))), 6) AS d
+        |  FROM subs a JOIN cb b ON a.s = b.s),
+        |codes AS (
+        |  SELECT vec_id, s, code_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY d, code_id) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |score AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id, round(sum(qd.d), 6) AS adc_dist
+        |  FROM probes p
+        |  JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.q_id
+        |  JOIN codes c ON c.vec_id = a.vec_id
+        |  JOIN dist qd ON qd.vec_id = p.q_id AND qd.s = c.s AND qd.code_id = c.code_id
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT q_id, neighbor_id, adc_dist,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, neighbor_id) AS rn
+        |  FROM score)
+        |SELECT q_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin,
+
     // the synthetic payloads make the expected pair set a pure function
     // of the group key (see TrainingData.multimodalImageDups): brightness
     // variants of one md5-keyed pattern aHash identically (hamming 0),

@@ -232,6 +232,19 @@ object TrainingData {
       "vec_id", "embedding", k = 10, cb)
   }
 
+  /** IVF + PQ composed — the FAISS-style scale path: 16 seeded coarse
+    * lists prune the scan (nprobe 4), 8x16 seeded PQ codebooks compress
+    * the candidates, ADC ranks them. The whole fact side is one literal
+    * projection pass; hash-gated like its components. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 16)
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding",
+      m = 8, codewords = 16)
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10, nprobe = 4, cents, cb)
+  }
+
   /** SemDeDup over the SAME trained quantizer as `ann_ivf_kmeans` (16
     * lists, 3 rounded Lloyd iterations): same-cluster vectors with
     * rounded cosine >= 0.3 are semantic duplicates; the lowest id in a

@@ -549,6 +549,31 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getBoolean(2))
     assert(all.forall(identity))
   }
+
+  test("ivfPqTopK: probing every list equals brute-force ADC; nprobe=1 stays in-list") {
+    val cents = Similarity.kmeansCentroids(clustered, "vec_id", "embedding",
+      k = 2, iters = 3)
+    val cb = Similarity.pqCodebooks(clustered, "vec_id", "embedding",
+      m = 2, codewords = 2)
+    val ivfpq = Similarity.ivfPqTopK(clustered,
+      clustered.filter($"vec_id" === 0), "vec_id", "embedding",
+      k = 7, nprobe = 2, cents, cb)
+      .orderBy($"rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist")))
+    val adc = Similarity.pqTopKWith(clustered, clustered.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 7, cb)
+      .orderBy($"rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist")))
+    assert(ivfpq.toSeq == adc.toSeq)
+    // nprobe=1: query 0 probes only its own (x-heavy) list -> just the
+    // three same-cluster mates come back, all at code distance 0
+    val pruned = Similarity.ivfPqTopK(clustered,
+      clustered.filter($"vec_id" === 0), "vec_id", "embedding",
+      k = 7, nprobe = 1, cents, cb)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist")))
+    assert(pruned.map(_._1).toSet == Set(2L, 4L, 6L))
+    assert(pruned.forall(_._2 == 0.0))
+  }
 }
 
 class ZScoreSpec extends SparkSpec {
