@@ -14,8 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Footer-schema memo: without an explicit schema every
+  // `spark.read.parquet` runs a small footer-inference job before the
+  // query proper, and the test tables are read thousands of times across
+  // a bench/verify run. The driver's tables are immutable for a run, so
+  // one inference per path is enough. (Mutable paths — the CLI warehouse —
+  // do not read through here.)
+  private val schemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemas.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** [[load]] plus small-input parallelization for compute-heavy callers.
     *

@@ -92,9 +92,6 @@ object LoadSamples {
         (if (ph == "ATTR2") col("attribute_2")
          else guarded(prefix, "ATTR2", col("attribute_2"))).as("attribute_2"),
         lit(nodeType).as("node_type"))
-      // no title column: wt_mrna_nodes drops it, so path-identical nodes
-      // from different platforms collapse here exactly like the reference
-      .distinct()
   }
 
   /** @param sampleMap lt_src_mrna_subj_samp_map: (site_id, subject_id,
@@ -132,7 +129,7 @@ object LoadSamples {
       nodePath(topNode, col("category_cd"), platformVal).as("leaf_node"),
       col("category_cd"), col("platform"), col("tissue_type"),
       col("attribute_1"), col("attribute_2"),
-      lit("LEAF").as("node_type")).distinct()
+      lit("LEAF").as("node_type"))
     val nodes = Seq(
         leaf,
         typedNodes(topNode, nodeValues, "PLATFORM", "PLATFORM", lit(true), platformVal),
@@ -140,13 +137,19 @@ object LoadSamples {
         typedNodes(topNode, nodeValues, "ATTR1", "ATTR1", col("attribute_1").isNotNull, platformVal),
         typedNodes(topNode, nodeValues, "ATTR2", "ATTR2", col("attribute_2").isNotNull, platformVal))
       .reduce(_ unionByName _)
+      // ONE distinct for all five branches: each branch carries a constant,
+      // branch-unique node_type literal, so no row can collide across
+      // branches and union-then-distinct equals distinct-per-branch —
+      // one shuffle instead of five. (No title column: wt_mrna_nodes drops
+      // it, so path-identical nodes from different platforms collapse here
+      // exactly like the reference.)
+      .distinct()
       .withColumn("concept_cd", substring(md5(col("leaf_node")), 1, 16))
       // five byType broadcasts consume this tiny frame (distinct attribute
       // tuples); without materialization each broadcast re-runs the whole
-      // union-of-five-distincts. Coalesce first: the union carries the five
-      // distincts' full shuffle parallelism (~5 x shuffle.partitions
-      // near-empty partitions), and checkpointing + five broadcast scans of
-      // a node-sized frame should cost 5 tasks, not 5 stages' worth.
+      // node build. Coalesce first so checkpointing + five broadcast scans
+      // of a node-sized frame cost single tasks, not a stage's worth of
+      // near-empty shuffle partitions.
       // localCheckpoint (not cache) so library callers don't accumulate
       // CacheManager entries; blocks are freed when the frame is collected.
       .coalesce(1)
