@@ -263,7 +263,7 @@ object Similarity {
     * literal arrays: a single codegen'd projection, the assignment hot
     * path of one Lloyd iteration. Cosines round to 6 dp before the argmax,
     * smallest centroid id wins ties — same tiebreak as [[ivfAssignWith]]. */
-  private def nearestCentroid(vecCol: Column, cents: Seq[Array[Double]]): Column = {
+  private[operators] def nearestCentroid(vecCol: Column, cents: Seq[Array[Double]]): Column = {
     val vnorm = l2Norm(vecCol)
     val scored = cents.zipWithIndex.map { case (c, cid) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
@@ -382,9 +382,7 @@ object Similarity {
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nprobe: Int,
                 centroids: DataFrame, codebooks: DataFrame): DataFrame = {
-    val cents = centroids.select(col("centroid_id"), col("c_vec")).collect()
-      .map(r => (r.getLong(0), toDoubleArray(r.get(1))))
-      .sortBy(_._1).map(_._2).toIndexedSeq
+    val cents = collectCentroids(centroids)
     val cbs = collectCodebooks(codebooks)
     val subLen = cbs(0)(0).length
     // ONE pass over the collection: list id + PQ codes, both from literals
@@ -429,6 +427,13 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
+
+  /** (centroid_id, c_vec) table -> driver-side literal arrays ordered by
+    * centroid id. Centroid tables are KB-sized by construction. */
+  private[operators] def collectCentroids(centroids: DataFrame): IndexedSeq[Array[Double]] =
+    centroids.select(col("centroid_id"), col("c_vec")).collect()
+      .map(r => (r.getLong(0), toDoubleArray(r.get(1))))
+      .sortBy(_._1).map(_._2).toIndexedSeq
 
   /** (sub, code_id, c_sub) -> per-subspace codeword arrays, ordered by
     * code id. Codebooks are KB-sized by construction. */
