@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
-      // read as epoch-nano longs (queries convert explicitly).
+      // some testdata vintages write events.ts as TIMESTAMP(NANOS), which
+      // Spark 4 rejects without this flag; harmless for micros files.
+      // Tables.load normalizes ts to epoch-nano longs either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,6 +30,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        e.printStackTrace()
       }
       // queries cache intermediate frames (dedup shingles, pipeline facts);
       // 50+ queries in one session would otherwise accumulate executor

@@ -26,8 +26,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val schema = schemas.computeIfAbsent(path, p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
+    val df = spark.read.schema(schema).parquet(path)
+    // every engine query treats events.ts as epoch-nano longs; normalize
+    // here so call sites are independent of the file's physical type
+    if (name == "events") withTsNanos(df) else df
   }
+
+  /** Normalize an `events.ts` column to epoch-NANO longs regardless of the
+    * physical parquet type. Driver vintages differ: TIMESTAMP(NANOS)
+    * arrives as LongType via `spark.sql.legacy.parquet.nanosAsLong`, while
+    * TIMESTAMP(MICROS) arrives as a timestamp type (NTZ under schema
+    * inference). Interval arithmetic downstream (session gaps, baseline
+    * diffs, hour buckets) stays integer either way — the cast to LTZ is
+    * exact under the UTC session timezone. */
+  def withTsNanos(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+    }
 
   /** [[load]] plus small-input parallelization for compute-heavy callers.
     *

@@ -174,7 +174,7 @@ object Remaining {
   /** W4 (streaming batch twin): tumbling 1-hour window aggregate over the
     * event stream — the batch form of EventStream.windowedCounts, so both
     * sides of the lambda-free architecture agree on window semantics.
-    * `ts` is epoch-nanos (TESTDATA nanosAsLong). */
+    * `ts` is epoch-nanos (Tables.load normalizes either physical type). */
   def w4WindowAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(expr("ts DIV 3600000000000").as("hour_bucket"),

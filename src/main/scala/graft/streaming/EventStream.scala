@@ -150,8 +150,14 @@ object EventStream {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // stream ONLY the events table — the sf dir holds every table's parquet
     val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
-    val q = windowedCounts(
-      stream.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long"))))
+    // ts arrives as epoch-nano longs (legacy nanosAsLong files) or as a
+    // native timestamp (micros files) depending on the writer vintage
+    val tsAsTimestamp = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros((col("ts") / 1000).cast("long"))
+      case _ => col("ts").cast("timestamp")
+    }
+    val q = windowedCounts(stream.withColumn("ts", tsAsTimestamp))
       .writeStream
       .outputMode(OutputMode.Append())
       .format("parquet")
