@@ -594,8 +594,9 @@ object GraftCli {
       .join(idMap, Seq("usubjid"))
 
     val prefix = topNode.stripSuffix("\\") + "\\"
+    // null-safe: NOT(NULL startsWith) would silently drop null-path rows
     def replaceSubtree(old: DataFrame, fresh: DataFrame, pathCol: String) =
-      old.filter(!col(pathCol).startsWith(prefix))
+      old.filter(not(coalesce(col(pathCol).startsWith(prefix), lit(false))))
         .unionByName(fresh, allowMissingColumns = true)
 
     import graft.functions.PathFunctions._
