@@ -23,11 +23,12 @@ object Bench {
       }
     val results = ordered.map { case (name, fn) =>
       // noop sink: full computation + column materialization, no pruning
-      // shortcuts from count(), nothing written. Best of 2 runs — single
-      // runs on a shared host show multi-x swings from neighbor load; when
-      // even the two samples disagree by >1.5x the host is loaded, so take
-      // a third and keep the min. A crashing query reports -1, never a
-      // fast fake timing.
+      // shortcuts from count(), nothing written. Sampling: single runs on a
+      // shared host swing multi-x under neighbor load (r6 printed 27 s for
+      // a 3.6 s query), so keep sampling — up to 5 runs — until the two
+      // FASTEST samples agree within 25%, then report the min. Agreement of
+      // the two fastest is evidence the min is the code's time, not the
+      // host's; a crashing query reports -1, never a fast fake timing.
       var failed = false
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -38,8 +39,10 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val two = Seq(once(), once())
-      val times = if (!failed && two.max > two.min * 1.5) two :+ once() else two
+      val times = scala.collection.mutable.ArrayBuffer(once(), once())
+      while (!failed && times.size < 5 && {
+        val s = times.sorted; s(1) > s(0) * 1.25
+      }) times += once()
       spark.catalog.clearCache() // bound memory across the suite
       name -> (if (failed) -1.0 else times.min)
     }

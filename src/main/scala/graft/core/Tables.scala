@@ -42,9 +42,16 @@ object Tables {
   def withTsNanos(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn("ts",
-        org.apache.spark.sql.functions.unix_micros(
-          org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+      case _ =>
+        // the NTZ->LTZ cast below is only exact under a UTC session zone;
+        // fail loudly instead of silently shifting epochs by a local offset
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.withTsNanos requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+            "the timestamp_ntz->ltz cast would shift normalized epochs by the zone offset")
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
     }
 
   /** [[load]] plus small-input parallelization for compute-heavy callers.

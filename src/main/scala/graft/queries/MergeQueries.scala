@@ -19,10 +19,10 @@ import graft.operators.MergeModes
   */
 object MergeQueries {
 
-  // loadParallel: fact-table scans must not serialize on a single-row-
-  // group test file (no-op at warehouse scale; see Tables.loadParallel)
+  // Plain load: merge-mode plans are join/anti-join shapes on pruned
+  // columns; the r6 blanket repartition only added an exchange.
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.loadParallel(s, dir, name)
+    Tables.load(s, dir, name)
 
   /** The warehouse fact table: one EAV-ish fact per order. */
   private def oldFacts(s: SparkSession, dir: String): DataFrame =

@@ -11,10 +11,13 @@ import graft.pipeline.AnnotationRegistry
   * TPC-H tables so DuckDB can recompute the whole flow independently. */
 object OmicsQueries {
 
-  // loadParallel: the omics melts/fact builds do real per-row work on the
-  // lineitem-played matrices; a single-row-group test file must not
-  // serialize them onto one core (no-op at warehouse scale)
+  // Plain load for the dim-sized inputs (part/nation/supplier/region);
+  // only the melted-matrix lineitem read keeps the parallelized path —
+  // it fans every row out to 7 string-cast metric columns.
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.loadParallel(s, dir, name)
 
   /** Staged annotation file: parts play probes. Nulls are seeded into
@@ -173,7 +176,7 @@ object OmicsQueries {
       lit("STD").as("source_cd"))
 
   private def acghMelted(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    tp(s, dir, "lineitem")
       .join(t(s, dir, "part").select(col("p_partkey"),
         concat(lit("R"), col("p_partkey").cast("string")).as("region_name")),
         col("l_partkey") === col("p_partkey"))

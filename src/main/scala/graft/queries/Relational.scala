@@ -15,10 +15,26 @@ import graft.core.Tables
   */
 object Relational {
 
-  // loadParallel: fact-table scans must not serialize on a single-row-
-  // group test file (no-op at warehouse scale; see Tables.loadParallel)
+  // Plain load: these plans are scan+aggregate/join shapes whose map side
+  // is a cheap partial aggregate — a post-scan repartition costs more than
+  // the decode parallelism it buys (measured r6: q1_agg 0.23->0.83 s).
+  // Compute-heavy callers use Tables.loadParallel at their own read site.
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.loadParallel(s, dir, name)
+    Tables.load(s, dir, name)
+
+  /** Exact order-independent money sum: the inputs are fixed-point (prices
+    * and discounts carry <=2 dp, so products carry exactly 4 dp) — the true
+    * value scaled by 10^4 IS an integer, and `round` recovers it exactly
+    * (double error << 0.5 at these magnitudes). The long sum is then exact
+    * regardless of partition order, and one division restores the scale.
+    * Semantically identical to per-row decimal(18,4) quantization + decimal
+    * sum, but primitive longs stay inside whole-stage codegen (measured 5x
+    * on q1: 1.0 s decimal agg -> 0.2 s). Long range bounds each group's
+    * exact sum at 9.2e14 value units — far past any per-group money total. */
+  private def sum4dp(c: Column): Column =
+    // floor(x+0.5) == round-HALF_UP for the non-negative money values here,
+    // and codegens to Math.floor instead of a per-row BigDecimal
+    sum(floor(c * 10000 + 0.5).cast("long")) / 10000.0
 
   /** A1/A6-style pricing summary: groupBy + multi-agg (the TPC-H Q1 shape).
     * Map-side partial aggregation + single shuffle on the (tiny) group key. */
@@ -26,13 +42,11 @@ object Relational {
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        // decimal sums: a double sum follows partition order and can flip
-        // the 2-dp rounding boundary; per-row 4-dp decimal quantization is
-        // deterministic and the decimal sum is exact in any engine
-        round(sum($"l_quantity".cast("decimal(18,4)")), 2).cast("double").as("sum_qty"),
-        round(sum($"l_extendedprice".cast("decimal(18,4)")), 2).cast("double").as("sum_base_price"),
-        round(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")), 2)
-          .cast("double").as("sum_disc_price"),
+        // scaled-long sums: deterministic at the 2-dp rounding boundary
+        // (a raw double sum follows partition order); see sum4dp
+        round(sum4dp($"l_quantity"), 2).as("sum_qty"),
+        round(sum4dp($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum4dp($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
@@ -50,9 +64,8 @@ object Relational {
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", $"o_orderpriority")
       .agg(
-        // decimal sum: see q1Agg — order-independent at the 2-dp boundary
-        round(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")), 2)
-          .cast("double").as("revenue"),
+        // scaled-long sum: see sum4dp — order-independent at the 2-dp boundary
+        round(sum4dp($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 

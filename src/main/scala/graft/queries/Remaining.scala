@@ -10,10 +10,10 @@ import graft.core.Tables
   * averaging over an inner-join chain), A11 (min-record dedup). */
 object Remaining {
 
-  // loadParallel: fact-table scans must not serialize on a single-row-
-  // group test file (no-op at warehouse scale; see Tables.loadParallel)
+  // Plain load: scan-dominant shapes — the r6 blanket repartition regressed
+  // them 1.4-2.7x (see Tables.loadParallel scaladoc for when it DOES pay).
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.loadParallel(s, dir, name)
+    Tables.load(s, dir, name)
 
   /** F3: `$$TAG` placeholder substitution in category codes
     * (TagReplacer.groovy:57-112): the tag resolves to another column's row

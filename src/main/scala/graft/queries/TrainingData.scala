@@ -196,15 +196,17 @@ object TrainingData {
   def dedupSegments(s: SparkSession, dir: String): DataFrame =
     Dedup.segmentDedup(tp(s, dir, "documents"), "doc_id", "text", segTokens = 10)
 
-  /** Smoothed TF-IDF top-5 terms per document. */
+  /** Smoothed TF-IDF top-5 terms per document. Plain load: the term
+    * explode's own shuffle redistributes the work; a pre-repartition of
+    * the full document strings costs more than it buys (measured r6). */
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     graft.operators.TermStats.tfidfTopTerms(
-      tp(s, dir, "documents"), "doc_id", "text", k = 5)
+      t(s, dir, "documents"), "doc_id", "text", k = 5)
 
   /** BM25 (Okapi k1=1.2, b=0.75) top-5 terms per document. */
   def textBm25(s: SparkSession, dir: String): DataFrame =
     graft.operators.TermStats.bm25TopTerms(
-      tp(s, dir, "documents"), "doc_id", "text", k = 5)
+      t(s, dir, "documents"), "doc_id", "text", k = 5)
 
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every

@@ -154,7 +154,11 @@ object EventStream {
     // native timestamp (micros files) depending on the writer vintage
     val tsAsTimestamp = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        timestamp_micros((col("ts") / 1000).cast("long"))
+        // integer DIV: `/` promotes the epoch-nano long (~1.7e18, past
+        // double's 2^53 exact range) to double, so the truncated micros
+        // could drift ~1us and land a boundary event in a different hour
+        // window than the batch twin's exact DIV arithmetic
+        timestamp_micros(expr("ts div 1000"))
       case _ => col("ts").cast("timestamp")
     }
     val q = windowedCounts(stream.withColumn("ts", tsAsTimestamp))
