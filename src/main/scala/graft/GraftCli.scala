@@ -368,40 +368,144 @@ object GraftCli {
       StructType(df.schema.filterNot(_.name == pc)))
   }
 
+  // ---- crash-safe multi-table publish: the batch manifest -------------
+  // Each table swap is atomic, but a batch (writeStar) swaps MANY tables;
+  // a kill between two swaps used to leave a mixed old/new star with
+  // nothing to finish the job (the reference gets batch atomicity from a
+  // DB transaction, AbstractDataProcessor.groovy:58-75). The manifest is
+  // written after ALL staging completes and removed after the LAST swap,
+  // so a manifest found on startup proves every table's new content still
+  // exists (already committed, or intact in its .tmp) — recovery simply
+  // ROLLS FORWARD by re-running the remaining swaps. Per-table recovery is
+  // idempotent; the one ambiguous shape — "partition dir present with no
+  // staged data": committed swap, or a pending DROP? — is resolved by
+  // recording data vs drop values separately at staging time.
+
+  private val ManifestName = "_publish.manifest"
+
+  private def encField(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def decField(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def writeManifest(wh: Path, writes: Seq[StagedWrite]): Unit = {
+    val lines = writes.map { w =>
+      val kind = w.partValues match {
+        case Some(_) => "part"
+        case None    => if (w.partitioned) "partAll" else "whole"
+      }
+      // which affected values actually staged data: absent ones are DROPs
+      val (dataVals, dropVals) = w.partValues.map { vs =>
+        val pc = PartitionedTables(w.name)
+        val tmp = wh.resolve(s"${w.name}.parquet.tmp")
+        vs.partition(v => Files.exists(tmp.resolve(s"$pc=${escapePartVal(v)}")))
+      }.getOrElse((Seq.empty, Seq.empty))
+      Seq(w.name, kind,
+        dataVals.map(encField).mkString(","),
+        dropVals.map(encField).mkString(","),
+        encField(w.fileSchema.json)).mkString("\t")
+    }
+    val tmp = wh.resolve(ManifestName + ".tmp")
+    Files.write(tmp,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, wh.resolve(ManifestName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Test hook: throw after N table commits to simulate a mid-batch kill. */
+  private[graft] var testFailAfterCommits: Option[Int] = None
+
   /** Promote staged writes. All staging (which is what reads the OLD
     * files) must be complete before the first commit of a batch. */
   private def commitStaged(spark: SparkSession, wh: Path,
-                           writes: Seq[StagedWrite]): Unit =
-    writes.foreach { w =>
-      val tmp = wh.resolve(s"${w.name}.parquet.tmp")
-      val dst = wh.resolve(s"${w.name}.parquet")
-      w.partValues match {
-        case None =>
-          val old = wh.resolve(s"${w.name}.parquet.old")
-          deleteRecursively(old) // stale leftover from a crash
-          val had = Files.exists(dst)
-          if (had) Files.move(dst, old)
-          Files.move(tmp, dst)
-          deleteRecursively(old)
-        case Some(vs) =>
-          val pc = PartitionedTables(w.name)
-          Files.createDirectories(dst)
-          listDir(dst).filter(_.getFileName.toString.startsWith("_old_"))
-            .foreach(deleteRecursively) // stale leftovers from a crash
-          vs.foreach { v =>
-            val dirName = s"$pc=${escapePartVal(v)}"
-            val from = tmp.resolve(dirName)
-            val to = dst.resolve(dirName)
-            val old = dst.resolve("_old_" + dirName)
-            val had = Files.exists(to)
-            if (had) Files.move(to, old)
-            if (Files.exists(from)) Files.move(from, to)
-            if (had) deleteRecursively(old)
-          }
-          deleteRecursively(tmp)
-      }
-      if (w.partitioned) ensureReadable(spark, wh, w.name, w.fileSchema)
+                           writes: Seq[StagedWrite]): Unit = {
+    writeManifest(wh, writes)
+    writes.zipWithIndex.foreach { case (w, i) =>
+      commitOne(spark, wh, w, dropValues = Seq.empty, recovery = false)
+      if (testFailAfterCommits.exists(_ == i + 1))
+        throw new IllegalStateException(s"test kill after ${i + 1} commits")
     }
+    Files.deleteIfExists(wh.resolve(ManifestName))
+  }
+
+  /** One table's swap — idempotent, so batch recovery can re-run it.
+    *
+    * Partition-drop semantics differ by mode: on FIRST commit a value with
+    * no staged dir is always a drop (staging just produced the tmp), but
+    * on RECOVERY a missing staged dir can also mean "this value's swap
+    * already committed before the kill" — only the manifest's recorded
+    * `dropValues` may delete then. */
+  private def commitOne(spark: SparkSession, wh: Path, w: StagedWrite,
+                        dropValues: Seq[String], recovery: Boolean): Unit = {
+    val tmp = wh.resolve(s"${w.name}.parquet.tmp")
+    val dst = wh.resolve(s"${w.name}.parquet")
+    w.partValues match {
+      case None =>
+        val old = wh.resolve(s"${w.name}.parquet.old")
+        if (Files.exists(tmp)) {
+          deleteRecursively(old) // stale leftover from a crash
+          if (Files.exists(dst)) Files.move(dst, old)
+          Files.move(tmp, dst)
+        }
+        // also finishes a kill that landed between the two moves above
+        deleteRecursively(old)
+      case Some(vs) =>
+        val pc = PartitionedTables(w.name)
+        Files.createDirectories(dst)
+        val batchUnfinished = Files.exists(tmp)
+        val drops = dropValues.toSet
+        vs.foreach { v =>
+          val dirName = s"$pc=${escapePartVal(v)}"
+          val from = tmp.resolve(dirName)
+          val to = dst.resolve(dirName)
+          val old = dst.resolve("_old_" + dirName)
+          if (Files.exists(from)) {
+            if (Files.exists(to)) {
+              // an `old` that coexists with `to` is stale (a finished or
+              // unrelated crash left it); the mid-swap shape is old
+              // WITHOUT to, handled by falling straight to the move below
+              deleteRecursively(old)
+              Files.move(to, old)
+            }
+            Files.move(from, to)
+          } else if (batchUnfinished && (if (recovery) drops.contains(v) else true)) {
+            // partition DROP: the value staged no rows
+            deleteRecursively(to)
+          }
+          deleteRecursively(old)
+        }
+        deleteRecursively(tmp)
+        // stale _old_ leftovers from kills outside this batch's value set
+        listDir(dst).filter(_.getFileName.toString.startsWith("_old_"))
+          .foreach(deleteRecursively)
+    }
+    if (w.partitioned) ensureReadable(spark, wh, w.name, w.fileSchema)
+  }
+
+  /** Complete an interrupted publish batch (idempotent roll-forward).
+    * Returns true when a manifest was found and recovered. Runs under the
+    * CLI process lock before any command touches the warehouse. */
+  private[graft] def recoverPublish(spark: SparkSession, wh: Path): Boolean = {
+    val mf = wh.resolve(ManifestName)
+    if (!Files.exists(mf)) return false
+    println(s"!!! unfinished publish found in $wh — completing the swap")
+    val lines = new String(Files.readAllBytes(mf),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    lines.foreach { ln =>
+      val f = ln.split("\t", -1)
+      val (name, kind) = (f(0), f(1))
+      def vals(s: String) =
+        if (s.isEmpty) Seq.empty[String] else s.split(",", -1).toSeq.map(decField)
+      val (dataVals, dropVals) = (vals(f(2)), vals(f(3)))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(decField(f(4)))
+        .asInstanceOf[StructType]
+      val w = StagedWrite(name,
+        if (kind == "part") Some(dataVals ++ dropVals) else None,
+        partitioned = kind != "whole", schema)
+      commitOne(spark, wh, w, dropValues = dropVals, recovery = true)
+    }
+    Files.deleteIfExists(mf)
+    true
+  }
 
   /** A partitioned table whose LAST partition was dropped (or that was
     * created empty) must stay readable by a plain parquet scan: leave a
@@ -1517,7 +1621,12 @@ object GraftCli {
       case Right(o) if o.showHelp => println(Usage); 0
       case Right(o) if o.moveStudy.isDefined || o.deleteStudyById.isDefined ||
           o.deleteStudyByPath.isDefined || o.dataDir.isDefined =>
-        withProcessLock(o.warehouse, o.forceStart)(dispatch(spark, o))
+        withProcessLock(o.warehouse, o.forceStart) {
+          // finish any swap a previous run was killed in the middle of,
+          // BEFORE any command reads or rewrites the star
+          recoverPublish(spark, o.warehouse)
+          dispatch(spark, o)
+        }
       case Right(_) => println(Usage); 1
     }
 

@@ -473,14 +473,30 @@ object Similarity {
     *
     * Thresholding happens on the 6-dp ROUNDED cosine so the keep set is
     * engine-portable (boundary pairs land identically in any engine). */
+  /** `maxClusterSize` caps the per-cluster pair fan-out: the within-list
+    * join is all-pairs, so one skewed or degenerate cluster — common on
+    * exactly the near-duplicate-heavy corpora SemDeDup targets — would
+    * otherwise go quadratic in that list. Lists above the cap are split
+    * into ceil(n/cap) deterministic md5 sub-lists and pairs form only
+    * within a sub-list (the published recipe likewise splits oversized
+    * clusters; missing the rare cross-sub duplicate is the accepted
+    * trade-off). The sub-split count rides a window over the SAME list_id
+    * partitioning the pair join clusters on, so it adds no exchange. */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
-                    centroids: DataFrame, threshold: Double): DataFrame = {
+                    centroids: DataFrame, threshold: Double,
+                    maxClusterSize: Int = 10000): DataFrame = {
     val assigned = ivfAssignWith(vectors, idCol, vecCol, centroids)
-    val a = assigned.select(col("list_id"), col(idCol).as("a_id"),
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("list_id"))
+    val subSplit = assigned.withColumn("__sub",
+      pmod(
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+        greatest(ceil(count(lit(1)).over(w) / lit(maxClusterSize.toDouble)), lit(1))
+          .cast("long")))
+    val a = subSplit.select(col("list_id"), col("__sub"), col(idCol).as("a_id"),
       col(vecCol).as("a_vec"), col("__norm").as("a_norm"))
-    val b = assigned.select(col("list_id"), col(idCol).as("b_id"),
+    val b = subSplit.select(col("list_id"), col("__sub"), col(idCol).as("b_id"),
       col(vecCol).as("b_vec"), col("__norm").as("b_norm"))
-    val dups = a.join(b, Seq("list_id"))
+    val dups = a.join(b, Seq("list_id", "__sub"))
       .filter(col("a_id") < col("b_id"))
       .filter(round(dot(col("a_vec"), col("b_vec")) /
         (col("a_norm") * col("b_norm")), 6) >= threshold)

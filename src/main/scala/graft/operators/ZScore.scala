@@ -62,14 +62,20 @@ object ZScore {
       .withColumn("raw_intensity", raw)
       .withColumn("log_intensity", logI)
 
-    val stats = withLogs
-      .groupBy(groupCols.map(col): _*)
-      .agg(
-        avg(col("log_intensity")).as("mean_intensity"),
-        percentile(col("log_intensity"), lit(0.5)).as("median_intensity"),
-        stddev_samp(col("log_intensity")).as("stddev_intensity"))
-
-    withLogs.join(stats, groupCols)
+    // Per-group stats as ONE window pass over the group partitioning:
+    // the aggregate-then-join-back shape evaluates the upstream plan
+    // twice (once under the partial agg, once as the join probe) — on a
+    // scan- or melt-fed input that doubles the expensive side. A
+    // partition-only window is one shuffle on the probe key and one pass;
+    // group sizes are bounded by the sample count, so the window buffer
+    // stays small at any corpus scale.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    withLogs.select(
+      col("*"),
+      avg(col("log_intensity")).over(w).as("mean_intensity"),
+      percentile(col("log_intensity"), lit(0.5)).over(w).as("median_intensity"),
+      stddev_samp(col("log_intensity")).over(w).as("stddev_intensity"))
       .withColumn("zscore", zscoreClamped(
         col("log_intensity"), col("median_intensity"), col("stddev_intensity")))
   }

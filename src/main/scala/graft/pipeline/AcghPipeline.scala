@@ -84,11 +84,9 @@ object AcghPipeline {
       .distinct()
     val fresh = wanted.join(
       slice.select(col("sourcesystem_cd")), Seq("sourcesystem_cd"), "left_anti")
-    val maxId = patients.agg(coalesce(max(col("patient_num")), lit(0L)))
-      .collect()(0).getLong(0)
     slice.unionByName(
-      graft.core.Ids.denseIds(fresh, Seq("sourcesystem_cd"), "patient_num",
-          startAt = maxId + 1)
+      graft.core.Ids.denseIdsAfter(fresh, Seq("sourcesystem_cd"), "patient_num",
+          patients.agg(coalesce(max(col("patient_num")), lit(0L))))
         .withColumn("sex_cd", lit("Unknown")),
       allowMissingColumns = true)
   }

@@ -84,11 +84,9 @@ object AnnotationRegistry {
       refreshed.select(col("platform"), col("probeset"),
         coalesce(col("organism"), lit(DefaultOrganism)).as("organism")),
       Seq("platform", "probeset", "organism"), "left_anti")
-    val maxId = refreshed.agg(coalesce(max(col("probeset_id")), lit(0L)))
-      .collect()(0).getLong(0)
-    val freshWithIds = graft.core.Ids.denseIds(
+    val freshWithIds = graft.core.Ids.denseIdsAfter(
       fresh, Seq("platform", "probeset", "organism"), "probeset_id",
-      startAt = maxId + 1)
+      refreshed.agg(coalesce(max(col("probeset_id")), lit(0L))))
       .select(col("probeset_id"), col("probeset"), col("platform"), col("organism"))
     val registry = refreshed
       .select(col("probeset_id"), col("probeset"), col("platform"), col("organism"))

@@ -88,21 +88,29 @@ object ChromRegion {
   def load(spark: SparkSession, staged: DataFrame, regions: DataFrame,
            gplInfo: DataFrame, bioMarkers: DataFrame,
            platformTitle: String = "", genomeRelease: String = ""): ChromRegionTables = {
-    // SELECT DISTINCT gpl_id INTO — the reference proc expects exactly one
-    val gplIds = staged.select(col("gpl_id")).distinct()
-      .collect().map(_.getString(0))
-    require(gplIds.length == 1,
-      s"lt_chromosomal_region must stage exactly one platform, got ${gplIds.length}")
-    val gplId = gplIds.head
+    // ONE driver round-trip for every scalar the proc reads up front: the
+    // staged platform set (SELECT DISTINCT gpl_id INTO — exactly one) and
+    // the staged organism (min for determinism — the reference's SELECT
+    // DISTINCT INTO is order-luck). Sequential sub-second collects are what
+    // dominate dimension-pipeline latency, not the data.
+    val scalars = staged.agg(
+      collect_set(col("gpl_id")).as("gpls"),
+      max(col("gpl_id").isNull).as("has_null_gpl"), // collect_set drops nulls
+      min(col("organism")).as("organism")).collect()(0)
+    val gplIds = scalars.getSeq[String](0)
+    val hasNullGpl = !scalars.isNullAt(1) && scalars.getBoolean(1)
+    val nPlatforms = gplIds.length + (if (hasNullGpl) 1 else 0)
+    require(nPlatforms == 1,
+      s"lt_chromosomal_region must stage exactly one platform, got $nPlatforms")
+    val gplId = gplIds.headOption.orNull
+    val organism = scalars.getString(2)
 
     // 1. previous definitions for the platform go (:59-96); null-keyed
     //    rows of OTHER platforms survive (=!= would drop them)
     val keptRegions = regions.filter(!(col("gpl_id") <=> lit(gplId)))
     val keptGpl = gplInfo.filter(!(col("platform") <=> lit(gplId)))
 
-    // 2. the platform row (:99-130); organism = the staged file's (min for
-    //    determinism — the reference's SELECT DISTINCT INTO is order-luck)
-    val organism = staged.agg(min(col("organism"))).collect()(0).getString(0)
+    // 2. the platform row (:99-130)
     import spark.implicits._
     val newGpl = keptGpl.unionByName(
       Seq((gplId, if (platformTitle.isEmpty) gplId else platformTitle,
@@ -138,11 +146,11 @@ object ChromRegion {
       .withColumn("gene_symbol", coalesce(col("gene_symbol"), col("bm_symbol2")))
       .drop("bm_gene_id2", "bm_org2", "bm_symbol2")
 
-    // 3. insert with deterministic region ids
-    val maxId = keptRegions.agg(coalesce(max(col("region_id")), lit(0L)))
-      .collect()(0).getLong(0)
-    val inserted = graft.core.Ids.denseIds(
-      backfilled, Seq("gpl_id", "region_name"), "region_id", startAt = maxId + 1)
+    // 3. insert with deterministic region ids; the max-id aggregate rides
+    //    inside denseIds' own counts job (no separate collect)
+    val inserted = graft.core.Ids.denseIdsAfter(
+      backfilled, Seq("gpl_id", "region_name"), "region_id",
+      keptRegions.agg(coalesce(max(col("region_id")), lit(0L))))
     ChromRegionTables(
       keptRegions.unionByName(inserted, allowMissingColumns = true), newGpl)
   }

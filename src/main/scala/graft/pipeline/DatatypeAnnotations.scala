@@ -35,8 +35,10 @@ object DatatypeAnnotations {
   private def dropPlatform(df: DataFrame, keyCol: String, gplId: String): DataFrame =
     df.filter(!(col(keyCol) <=> lit(gplId)))
 
-  private def maxId(df: DataFrame, idCol: String): Long =
-    df.agg(coalesce(max(col(idCol)), lit(0L))).collect()(0).getLong(0)
+  /** Max-id aggregate passed to [[graft.core.Ids.denseIdsAfter]] — rides
+    * inside denseIds' counts job, no separate driver collect. */
+  private def maxIdAgg(df: DataFrame, idCol: String): DataFrame =
+    df.agg(coalesce(max(col(idCol)), lit(0L)))
 
   // -------------------------------------------------------------- proteomics
 
@@ -136,8 +138,8 @@ object DatatypeAnnotations {
       .join(refreshed.select(col("probeset"), col("platform")),
         Seq("probeset", "platform"), "left_anti")
     val registry = refreshed.unionByName(
-      graft.core.Ids.denseIds(fresh, Seq("platform", "probeset", "organism"),
-          "probeset_id", startAt = maxId(refreshed, "probeset_id") + 1)
+      graft.core.Ids.denseIdsAfter(fresh, Seq("platform", "probeset", "organism"),
+          "probeset_id", maxIdAgg(refreshed, "probeset_id"))
         .select(col("probeset_id"), col("probeset"), col("platform"), col("organism")))
 
     val annotation = staged
@@ -183,8 +185,8 @@ object DatatypeAnnotations {
     val registry = antigens
       .select(col("antigen_id"), col("antigen_name"), col("platform"))
       .unionByName(
-        graft.core.Ids.denseIds(fresh, Seq("platform", "antigen_name"),
-            "antigen_id", startAt = maxId(antigens, "antigen_id") + 1)
+        graft.core.Ids.denseIdsAfter(fresh, Seq("platform", "antigen_name"),
+            "antigen_id", maxIdAgg(antigens, "antigen_id"))
           .select(col("antigen_id"), col("antigen_name"), col("platform")))
 
     val rows = staged

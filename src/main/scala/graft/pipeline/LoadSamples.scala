@@ -150,10 +150,13 @@ object LoadSamples {
       // node build. Coalesce first so checkpointing + five broadcast scans
       // of a node-sized frame cost single tasks, not a stage's worth of
       // near-empty shuffle partitions.
-      // localCheckpoint (not cache) so library callers don't accumulate
-      // CacheManager entries; blocks are freed when the frame is collected.
-      .coalesce(1)
-      .localCheckpoint(true)
+      // LAZY localCheckpoint (not cache) so library callers don't
+      // accumulate CacheManager entries (blocks free on GC) and the node
+      // build doesn't run a driver-blocking job at plan-BUILD time — the
+      // first consumer (the shared node broadcast) materializes it.
+      // No coalesce(1): it would collapse the distinct's reduce side onto
+      // one core and serialize the regex-heavy nodePath evaluation.
+      .localCheckpoint(false)
 
     // ONE broadcast of the whole node-sized frame, node_type filtered in
     // each join condition: the five typed joins then share a single
@@ -165,10 +168,33 @@ object LoadSamples {
         col("tissue_type"), col("attribute_1"), col("attribute_2"),
         col("concept_cd"), col("node_type")))
 
-    // 3. the mapping join chain (:596-856)
-    val a = sampleMap.alias("a")
-      .withColumn("usubjid", graft.functions.CleansingFunctions.usubjid(
-        lit(trialId), coalesce(col("site_id"), lit("")), col("subject_id")))
+    // 3. the mapping join chain (:596-856). The typed-join conditions need
+    // `when(instr(prefix, otherPh) > 1, attr)` guards per (placeholder,
+    // attribute) pair; computing them ONCE as projection columns — instead
+    // of embedding the instr/substr trees inside every join condition —
+    // keeps the join keys plain column references (clean equi-keys for the
+    // broadcast hash join) and cuts the Catalyst tree size roughly 4x,
+    // which is most of this pipeline's per-call planning latency.
+    val phAttrs = Seq(
+      "PLATFORM" -> "platform", "TISSUETYPE" -> "tissue_type",
+      "ATTR1" -> "attribute_1", "ATTR2" -> "attribute_2")
+    // ONE projection for usubjid + all 12 guard columns: every
+    // DataFrame operation re-analyzes the plan eagerly, so 13 chained
+    // withColumns would pay 13 analyzer passes over a growing tree —
+    // measurable per-call driver latency on a plan this size.
+    val guardCols = phAttrs.flatMap { case (ph, _) =>
+      val prefix = catPrefix(ph, col("category_cd"))
+      phAttrs.filter(_._1 != ph).map { case (otherPh, c) =>
+        when(instr(prefix, otherPh) > 1, col(c)).otherwise(lit(""))
+          .as(s"__g_${ph}_$c")
+      }
+    }
+    val a = sampleMap.alias("a").select(
+      col("*") +:
+        graft.functions.CleansingFunctions.usubjid(
+          lit(trialId), coalesce(col("site_id"), lit("")), col("subject_id"))
+          .as("usubjid") +:
+        guardCols: _*)
     val pd = patients.select(col("patient_num"), col("sourcesystem_cd"))
 
     val ln = nodesB.alias("ln")
@@ -184,21 +210,11 @@ object LoadSamples {
     def typedJoin(df: DataFrame, alias: String, t: String, ph: String,
                   selfAttr: String): DataFrame = {
       val n = nodesB.alias(alias)
-      val prefix = catPrefix(ph, a("category_cd"))
-      def g(otherPh: String, attr: Column): Column =
-        when(instr(prefix, otherPh) > 1, attr).otherwise(lit(""))
-      val selfCond = selfAttr match {
-        case "platform"    => a("platform") === col(s"$alias.platform")
-        case "tissue_type" => a("tissue_type") === col(s"$alias.tissue_type")
-        case "attribute_1" => a("attribute_1") === col(s"$alias.attribute_1")
-        case "attribute_2" => a("attribute_2") === col(s"$alias.attribute_2")
-      }
-      val conds = Seq(
-        "PLATFORM" -> "platform", "TISSUETYPE" -> "tissue_type",
-        "ATTR1" -> "attribute_1", "ATTR2" -> "attribute_2")
+      val selfCond = a(selfAttr) === col(s"$alias.$selfAttr")
+      val conds = phAttrs
         .filter(_._1 != ph)
-        .map { case (otherPh, c) =>
-          g(otherPh, a(c)) === coalesce(col(s"$alias.$c"), lit(""))
+        .map { case (_, c) =>
+          a(s"__g_${ph}_$c") === coalesce(col(s"$alias.$c"), lit(""))
         }
       val typed = col(s"$alias.node_type") === t
       df.join(n, conds.foldLeft(typed && selfCond)(_ && _), "left")

@@ -110,6 +110,8 @@ object Remaining {
       lit("GPL1").as("platform_name"), lit("Tissue").as("tissuetype"),
       lit(null).cast("string").as("attr1"), lit(null).cast("string").as("attr2"),
       lit("Biomarker_Data+PLATFORM+TISSUETYPE").as("category_cd"))
+    // plain load: the probe-averaging groupBy shuffles the melt
+    // immediately, so a pre-repartition would only add an exchange
     val melted = t(s, dir, "lineitem")
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey").cast("string").as("probeset_id"),

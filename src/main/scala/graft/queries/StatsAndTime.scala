@@ -13,19 +13,17 @@ import graft.functions.{StatAggregators, TimeFunctions}
   */
 object StatsAndTime {
 
-  // Plain load for the scan+aggregate shapes; the z-score pipeline keeps
-  // the parallelized read (real per-row log/stat work on every fact row).
+  // Plain load throughout: the z-score pipeline is now a single window
+  // pass whose first operator is a shuffle on the group key, so a
+  // pre-repartition would only add an exchange (same for the aggregates).
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
-
-  private def tp(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.loadParallel(s, dir, name)
 
   /** A7: the shared omics z-score pipeline (log2 -> per-group
     * avg/median/stddev -> clamped z-score) on lineitem prices per part. */
   def a7Zscore(s: SparkSession, dir: String): DataFrame =
     ZScore.pipeline(
-      tp(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey"),
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey"),
         col("l_linenumber"), col("l_extendedprice")),
       groupCols = Seq("l_partkey"), valueCol = "l_extendedprice",
       dataType = "R", logBase = 2.0)

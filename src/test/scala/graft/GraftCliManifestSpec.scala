@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Crash-safe multi-table publish: a kill between two table swaps of one
+  * batch must leave a manifest that the NEXT run rolls forward to a
+  * consistent star (the reference gets batch atomicity from a DB
+  * transaction, AbstractDataProcessor.groovy:58-75). */
+class GraftCliManifestSpec extends SparkSpec {
+
+  private def writeClinicalStudy(root: java.nio.file.Path, study: String,
+                                 trial: String): Unit = {
+    val dir = root.resolve(study).resolve("ClinicalDataToUpload")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("DEMO.txt"),
+      s"""STUDY_ID\tSUBJ_ID\tAge\tSex
+         |$trial\tP01\t61\tMale
+         |$trial\tP02\t54\tFemale
+         |""".stripMargin)
+    Files.writeString(dir.resolve("MAP_Mapping_File.txt"),
+      "filename\tcategory_cd\tcol_nbr\tdata_label\tdata_label_source\tvariable_type\tvalidation_rules\n" +
+      "DEMO.txt\t\t1\tSTUDY_ID\t\t\t\n" +
+      "DEMO.txt\t\t2\tSUBJ_ID\t\t\t\n" +
+      "DEMO.txt\tSubjects+Demographics\t3\tAge\t\t\t\n" +
+      "DEMO.txt\tSubjects+Demographics\t4\tSex\t\t\t\n")
+  }
+
+  test("a kill between two table swaps is rolled forward to a consistent star on next start") {
+    val wh = Files.createTempDirectory("graft-manifest-wh")
+    val rootA = Files.createTempDirectory("graft-manifest-a")
+    val rootB = Files.createTempDirectory("graft-manifest-b")
+    writeClinicalStudy(rootA, "Study A", "MTRIALA")
+    writeClinicalStudy(rootB, "Study B", "MTRIALB")
+    assert(GraftCli.run(spark, Seq("-o", wh.toString, rootA.toString)) == 0)
+    assert(GraftCli.run(spark, Seq("-o", wh.toString, rootB.toString)) == 0)
+    val factDirB = wh.resolve("observation_fact.parquet")
+      .resolve("sourcesystem_cd=MTRIALB")
+    assert(Files.isDirectory(factDirB), "precondition: study B's facts on disk")
+
+    // delete study B, but die after the FIRST of the batch's table swaps —
+    // the same on-disk state a mid-publish kill leaves
+    GraftCli.testFailAfterCommits = Some(1)
+    try intercept[IllegalStateException] {
+      GraftCli.run(spark, Seq("-o", wh.toString,
+        "--delete-study-by-id", "MTRIALB", "--force-start"))
+    } finally GraftCli.testFailAfterCommits = None
+
+    // the star is mixed: ontology partially rewritten, B's fact partition
+    // still present — and the manifest records the unfinished batch
+    assert(Files.exists(wh.resolve("_publish.manifest")))
+    assert(Files.isDirectory(factDirB),
+      "the kill landed before observation_fact's swap")
+
+    // next start: recovery completes the batch before any command runs
+    assert(GraftCli.recoverPublish(spark, wh))
+    assert(!Files.exists(wh.resolve("_publish.manifest")))
+    assert(!Files.isDirectory(factDirB), "B's fact partition dropped by recovery")
+
+    // consistent post-delete star: no trace of B, study A fully intact
+    assert(GraftCli.readTable(spark, wh, "i2b2")
+      .filter(col("sourcesystem_cd") === "MTRIALB").count() == 0)
+    assert(GraftCli.readTable(spark, wh, "patient_dimension")
+      .filter(col("sourcesystem_cd").startsWith("MTRIALB:")).count() == 0)
+    assert(GraftCli.readTable(spark, wh, "observation_fact")
+      .filter(col("sourcesystem_cd") === "MTRIALA").count() > 0)
+    assert(GraftCli.readTable(spark, wh, "patient_dimension")
+      .filter(col("sourcesystem_cd").startsWith("MTRIALA:")).count() == 2)
+    // no leftover tmp/old staging artifacts anywhere
+    val leftovers = java.nio.file.Files.walk(wh).iterator()
+    val bad = new scala.collection.mutable.ArrayBuffer[String]
+    leftovers.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".tmp") || n.endsWith(".old") || n.startsWith("_old_"))
+        bad += wh.relativize(p).toString
+    }
+    assert(bad.isEmpty, s"staging leftovers survived recovery: $bad")
+
+    // recovery is idempotent: nothing to do on a clean warehouse
+    assert(!GraftCli.recoverPublish(spark, wh))
+
+    // and a normal CLI start performs the same recovery implicitly: kill a
+    // study-A delete mid-batch, then re-run the SAME delete — the startup
+    // recovery first completes the old batch, the command then finishes
+    GraftCli.testFailAfterCommits = Some(1)
+    try intercept[IllegalStateException] {
+      GraftCli.run(spark, Seq("-o", wh.toString,
+        "--delete-study-by-id", "MTRIALA", "--force-start"))
+    } finally GraftCli.testFailAfterCommits = None
+    assert(Files.exists(wh.resolve("_publish.manifest")))
+    assert(GraftCli.run(spark, Seq("-o", wh.toString,
+      "--delete-study-by-id", "MTRIALA", "--force-start")) == 0)
+    assert(!Files.exists(wh.resolve("_publish.manifest")))
+    assert(GraftCli.readTable(spark, wh, "observation_fact").count() == 0)
+  }
+}

@@ -85,6 +85,44 @@ class IdsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == dense)
   }
+
+  test("denseIdsAfter folds the max-id aggregate into the counts round-trip") {
+    import org.apache.spark.sql.functions._
+    val existing = Seq(("x", 7L), ("y", 41L)).toDF("k", "id")
+    val fresh = Seq("c", "a", "b").toDF("k")
+    val ids = Ids.denseIdsAfter(fresh, Seq("k"), "id",
+      existing.agg(coalesce(max(col("id")), lit(0L)))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids == Map("a" -> 42L, "b" -> 43L, "c" -> 44L))
+    // empty input: no ids, schema intact
+    val none = Ids.denseIdsAfter(fresh.filter(lit(false)), Seq("k"), "id",
+      existing.agg(coalesce(max(col("id")), lit(0L))))
+    assert(none.columns.toSeq == Seq("k", "id") && none.count() == 0)
+  }
+
+  test("denseIds leaves no CacheManager entry behind (repeated crawl-style calls)") {
+    // the pre-r7 persist() registered a MEMORY_AND_DISK frame with the
+    // CacheManager on EVERY call and nothing released it until clearCache —
+    // a long CLI crawl (denseIds per study per table) accumulated executor
+    // memory. localCheckpoint never touches the CacheManager and its blocks
+    // release on GC. Other suites share this session (and may legitimately
+    // cache), so assert the mechanism per-call: the consumer plan reads the
+    // checkpointed RDD directly, never through an InMemoryTableScan.
+    val wasEmpty = spark.sharedState.cacheManager.isEmpty
+    (1 to 3).foreach { i =>
+      val df = Seq.tabulate(10)(j => s"k$i-$j").toDF("k")
+      val out = Ids.denseIds(df, Seq("k"), "id")
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("InMemoryTableScan"),
+        s"denseIds call $i registered a cache entry:\n${plan.take(1500)}")
+      assert(plan.contains("Scan ExistingRDD"),
+        s"denseIds call $i should read its checkpointed RDD:\n${plan.take(1500)}")
+    }
+    if (wasEmpty)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "denseIds must not accumulate CacheManager entries across calls")
+  }
 }
 
 class StudyGuardsSpec extends SparkSpec {

@@ -550,6 +550,41 @@ class SimilaritySpec extends SparkSpec {
     assert(all.forall(identity))
   }
 
+  test("semanticDedup caps skewed clusters: pair count stays bounded, keeps still deterministic") {
+    // one degenerate cluster: 40 near-identical vectors all land in one
+    // IVF list — exactly the shape that makes the pair join quadratic.
+    // Literal, well-separated centroids pin the assignment (trained
+    // centroids on degenerate data would tie-break arbitrarily).
+    val skewed = (0L until 40L).map(i =>
+      (i, Array(1.0f, (i % 4) * 1e-4f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("centroid_id", "c_vec")
+    // cap 10 -> ceil(40/10)=4 md5 sub-lists; the candidate pair count must
+    // stay <= sum over sub-lists of n_s*(n_s-1)/2 — far under the 780
+    // all-pairs of the uncapped join. Count the pairs the capped join
+    // actually forms by replaying its grouping arithmetic.
+    val assignedCounts = Similarity.semanticDedup(skewed, "vec_id", "embedding",
+      cents, threshold = 2.0, maxClusterSize = 10) // threshold 2.0: count only, keep all
+      .collect()
+    assert(assignedCounts.length == 40 && assignedCounts.forall(_.getBoolean(2)))
+    val subOf = (id: Long) => java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16) % 4
+    val subSizes = (0L until 40L).groupBy(subOf).values.map(_.size)
+    val boundedPairs = subSizes.map(n => n * (n - 1) / 2).sum
+    assert(boundedPairs < 780, s"sub-split must cut the all-pairs count, got $boundedPairs")
+    // dedup semantics survive the capping: every vector still resolves to
+    // keep=false iff a smaller-id sub-list mate clears the threshold
+    val kept = Similarity.semanticDedup(skewed, "vec_id", "embedding",
+      cents, threshold = 0.9, maxClusterSize = 10)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val expectKeep = (0L until 40L).groupBy(subOf).values
+      .flatMap(ids => ids.sorted.headOption).toSet
+    assert(kept.filter(_._2).keySet == expectKeep,
+      s"per-sub-list min ids must survive: ${kept.filter(_._2).keySet} vs $expectKeep")
+  }
+
   test("ivfPqTopK: probing every list equals brute-force ADC; nprobe=1 stays in-list") {
     val cents = Similarity.kmeansCentroids(clustered, "vec_id", "embedding",
       k = 2, iters = 3)
