@@ -75,6 +75,7 @@ object SparkEntry {
     "text_bm25" -> (TrainingData.textBm25 _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
+    "multimodal_video_dups" -> (TrainingData.multimodalVideoDups _),
     "sample_temperature" -> (TrainingData.sampleTemperature _),
     "dedup_semantic" -> (TrainingData.dedupSemantic _),
     "ann_pq_adc" -> (TrainingData.annPqAdc _),

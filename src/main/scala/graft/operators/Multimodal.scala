@@ -13,9 +13,13 @@ import org.apache.spark.sql.types._
   * libraries. AUDIO decodes for real too: javax.sound.sampled parses
   * WAV/AIFF/AU and converts the PCM family (signed/unsigned 8/16-bit,
   * U-law, A-law) — [[JavaSoundDecoder]] extracts an RMS energy envelope
-  * from the actual samples. Only VIDEO (and compressed audio like MP3,
-  * whose codecs are not in the JDK) goes through the clearly-marked stub
-  * (`FakeDecoder`); [[routingDecoder]] dispatches per modality.
+  * from the actual samples. VIDEO decodes for real where a pure JVM can:
+  * [[MjpegAviDecoder]] walks the RIFF/AVI chunk tree directly and decodes
+  * MJPEG frames (complete JPEGs) through ImageIO. Only inter-frame video
+  * codecs (H.264/VP9/...) and compressed audio (MP3/AAC/...), whose
+  * codecs are not in the JDK, go through the clearly-marked stub
+  * (`FakeDecoder`) — the declared permanent boundary (SURVEY §8);
+  * [[routingDecoder]] dispatches per modality.
   * Everything around the decoders is real and tested: the schema, the
   * batch iteration shape (mapPartitions over a typed Dataset — the Scala
   * twin of mapInPandas: one JVM-side batch per partition), the
@@ -196,8 +200,71 @@ object Multimodal {
     }
   }
 
-  /** Dispatch per modality: images and PCM audio decode for real; video
-    * (no codec in the JDK) falls back to the stub. */
+  /** REAL video decode for the one container+codec pair the JDK can carry
+    * end-to-end: AVI (a RIFF chunk tree, parsed here directly) holding
+    * MJPEG — every frame is a complete JPEG, which ImageIO decodes. This
+    * covers the archival/scientific MJPEG corpora a JVM-only deployment
+    * can actually read; inter-frame codecs (H.264/VP9...) have no JDK
+    * codec and remain [[FakeDecoder]]-routed by [[routingDecoder]] — the
+    * declared permanent boundary (SURVEY §8). Feature = RGB histogram of
+    * the FIRST decodable frame; n_frames counts all decodable frames. */
+  object MjpegAviDecoder extends Decoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val frames = decodedFrames(row.payload)
+      if (frames.isEmpty)
+        MediaFeatures(row.media_id, row.modality, new Array[Float](48), 0, ok = false)
+      else {
+        val first = ImageIoDecoder.decode(
+          row.copy(modality = "image", payload = frames.head))
+        MediaFeatures(row.media_id, row.modality, first.feature,
+          n_frames = frames.length, ok = first.ok)
+      }
+    }
+
+    /** Raw JPEG payloads of the video-stream chunks (`##dc`/`##db`) in a
+      * RIFF/AVI byte stream, in container order. Walks LIST/RIFF nodes
+      * recursively (the `movi` list may nest `rec ` groups); malformed
+      * input yields the frames parsed so far — never throws, one bad blob
+      * cannot kill a scan. */
+    def aviMjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def u32(off: Int): Long =
+        (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+          ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def walk(from: Int, until: Int): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val id = fourcc(off)
+          val size = u32(off + 4).toInt
+          val body = off + 8
+          val end = math.min(body + size, until)
+          if (id == "RIFF" || id == "LIST") {
+            if (body + 4 <= end) walk(body + 4, end) // skip the list type
+          } else if (id.endsWith("dc") || id.endsWith("db")) {
+            if (size > 0 && end <= bytes.length) out += bytes.slice(body, end)
+          }
+          off = body + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      try walk(0, bytes.length) catch { case _: Exception => () }
+      out.toSeq
+    }
+
+    private def decodedFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+      val bytes = Option(payload).getOrElse(Array.emptyByteArray)
+      if (bytes.isEmpty) Seq.empty
+      else aviMjpegFrames(bytes).filter { f =>
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)) != null
+        catch { case _: Exception => false }
+      }
+    }
+  }
+
+  /** Dispatch per modality: images, PCM audio and MJPEG/AVI video decode
+    * for real; inter-frame video codecs and compressed audio (no codec in
+    * the JDK) fall back to the stub. */
   def routingDecoder(videoFallback: Decoder = FakeDecoder): Decoder = new Decoder {
     def decode(row: MediaRow): MediaFeatures =
       if (row.modality == "image") ImageIoDecoder.decode(row)
@@ -205,6 +272,9 @@ object Multimodal {
         val real = JavaSoundDecoder.decode(row)
         // compressed audio the JDK can't parse still gets the stub's
         // deterministic byte features instead of an empty row
+        if (real.ok) real else videoFallback.decode(row).copy(ok = false)
+      } else if (row.modality == "video") {
+        val real = MjpegAviDecoder.decode(row)
         if (real.ok) real else videoFallback.decode(row).copy(ok = false)
       } else videoFallback.decode(row)
   }
@@ -297,6 +367,92 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Deterministic synthetic MJPEG-AVI payload: `nFrames` copies of the
+    * md5(`group`)-patterned frame (the [[syntheticPatternPng]] pattern,
+    * JPEG-encoded) inside a minimal RIFF tree (hdrl/avih + movi/00dc).
+    * Every frame of a group is byte-identical, so the first-frame aHash is
+    * bit-equal across the group's videos regardless of frame count — the
+    * decode→hash→banded-pair pipeline stays oracle-checkable as a pure
+    * function of the group key, while the parser and JPEG decode are real. */
+  def syntheticMjpegAvi(group: Long, nFrames: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(group.toString.getBytes("UTF-8"))
+    val bits = java.nio.ByteBuffer.wrap(md, 0, 8).getLong
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val cell = (y / 4) * 8 + (x / 4)
+        val v = if (((bits >>> (63 - cell)) & 1L) == 1L) 200 else 40
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", jb)
+    val jpeg = jb.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      ascii(id) ++ u32(body.length.toLong) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      ascii("LIST") ++ u32(body.length + 4L) ++ ascii(listType) ++ body
+    // minimal honest main header: µs/frame, flags zeroed, frame count,
+    // 32x32 — enough for a structural reader; our parser keys on movi
+    val avih = chunk("avih", u32(33333L) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++
+      u32(nFrames.toLong) ++ u32(0L) ++ u32(1L) ++ u32(0L) ++
+      u32(32L) ++ u32(32L) ++ Array.fill(16)(0.toByte))
+    val movi = list("movi",
+      Array.fill(nFrames)(chunk("00dc", jpeg)).flatten)
+    val body = ascii("AVI ") ++ list("hdrl", avih) ++ movi
+    out.write(ascii("RIFF"))
+    out.write(u32(body.length.toLong))
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** (media_id, ahash-of-first-frame, n_frames) over the video rows via
+    * the REAL RIFF walk + JPEG decode; videos with no decodable frame
+    * yield a null hash (dropped by the pairing step). One linear pass. */
+  def videoFrameHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video")
+      .map { r =>
+        val frames = MjpegAviDecoder.aviMjpegFrames(
+          Option(r.payload).getOrElse(Array.emptyByteArray))
+        (r.media_id,
+          frames.headOption.map(aHash64).orNull,
+          frames.length.toLong)
+      }
+      .toDF("media_id", "ahash", "n_frames")
+  }
+
+  /** Video near-dup pairs at hamming <= `maxHamming` over the first-frame
+    * perceptual hash, carrying each side's decoded frame count — the video
+    * twin of [[imageNearDupPairs]] on the same banded candidate plan. */
+  def videoNearDupPairs(media: Dataset[MediaRow],
+                        maxHamming: Int = 3): DataFrame = {
+    val hashes = videoFrameHashes(media)
+    val frames = hashes.select(col("media_id"), col("n_frames"))
+    Dedup.hammingPairs64(hashes.select(col("media_id"), col("ahash")),
+        "media_id", "ahash", maxHamming)
+      .join(broadcast(frames.withColumnRenamed("media_id", "doc_a")
+        .withColumnRenamed("n_frames", "frames_a")), "doc_a")
+      .join(broadcast(frames.withColumnRenamed("media_id", "doc_b")
+        .withColumnRenamed("n_frames", "frames_b")), "doc_b")
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"), col("frames_a"), col("frames_b"))
   }
 
   /** (media_id, ahash) over the image rows; undecodable payloads yield a

@@ -1372,6 +1372,20 @@ object Oracles {
         |  CAST(0 AS BIGINT) AS hamming
         |FROM ids a JOIN ids b
         |  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id""".stripMargin,
+
+    // the video twin: the Spark side REALLY walks the RIFF/AVI container
+    // and JPEG-decodes every frame; the synthetic corpus makes the pair
+    // set and each side's decoded frame count pure id arithmetic (group =
+    // id // 4 shares byte-identical frames; variant id % 4 carries 1..4
+    // frames), so the oracle gates the whole decode path arithmetically
+    "multimodal_video_dups" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(0 AS BIGINT) AS hamming,
+        |  CAST(a.doc_id % 4 + 1 AS BIGINT) AS frames_a,
+        |  CAST(b.doc_id % 4 + 1 AS BIGINT) AS frames_b
+        |FROM ids a JOIN ids b
+        |  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id""".stripMargin,
   )
 
   /** Replays `Similarity.kmeansCentroids` + `ivfTopKWith` exactly: the 16

@@ -277,6 +277,25 @@ object TrainingData {
     Multimodal.imageNearDupPairs(media, maxHamming = 3)
   }
 
+  /** Video near-dup through the REAL RIFF/AVI walk -> MJPEG frame decode
+    * -> first-frame aHash -> banded-pair pipeline, over deterministic
+    * synthetic MJPEG-AVI payloads: every group of 4 doc ids shares one
+    * md5-keyed frame pattern at 1..4 frame counts (frames byte-identical
+    * within a group, so first-frame hashes pair at hamming 0 and the
+    * decoded frame counts are a pure function of the id — both
+    * oracle-checkable arithmetically while the container parse and JPEG
+    * decode are real). */
+  def multimodalVideoDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = t(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 120).as[Long]
+      .map(id => Multimodal.MediaRow(id, "video", "video/x-msvideo", 32, 32,
+        ((id % 4) + 1) * 33L,
+        Multimodal.syntheticMjpegAvi(id / 4, (id % 4).toInt + 1)))
+    Multimodal.videoNearDupPairs(media, maxHamming = 3)
+  }
+
   /** URL-canonicalization dedup over DETERMINISTIC synthetic URL variants
     * (the driver's documents table has no url column): every group of 4
     * doc ids shares one page under scheme / www+trailing-slash / fragment /

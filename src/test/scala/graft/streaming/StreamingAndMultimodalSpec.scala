@@ -300,4 +300,53 @@ class MultimodalSpec extends SparkSpec {
     val df = Multimodal.repartitionByBytes(media.toDF(), targetBytesPerPartition = 4)
     assert(df.rdd.getNumPartitions >= 1)
   }
+
+  test("real MJPEG/AVI video decode: RIFF walk, frame count, routing, bad payloads") {
+    val avi = Multimodal.syntheticMjpegAvi(group = 5L, nFrames = 3)
+    // the parser finds exactly the movi 00dc chunks, all valid JPEGs
+    val frames = Multimodal.MjpegAviDecoder.aviMjpegFrames(avi)
+    assert(frames.length == 3)
+    assert(frames.forall(f =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)) != null))
+    // frames of one group are byte-identical -> equal first-frame hashes;
+    // the md5 pattern makes the aHash literally recover md5(group)'s bits
+    val h3 = Multimodal.aHash64(frames.head)
+    val h1 = Multimodal.aHash64(Multimodal.MjpegAviDecoder.aviMjpegFrames(
+      Multimodal.syntheticMjpegAvi(5L, 1)).head)
+    assert(h3 == h1)
+    assert(h3 != Multimodal.aHash64(Multimodal.MjpegAviDecoder.aviMjpegFrames(
+      Multimodal.syntheticMjpegAvi(6L, 1)).head))
+    // full decoder: first-frame histogram + all-frames count, ok=true
+    val feat = Multimodal.MjpegAviDecoder.decode(
+      Multimodal.MediaRow(9L, "video", "video/x-msvideo", 32, 32, 99L, avi))
+    assert(feat.ok && feat.n_frames == 3 && feat.feature.length == 48)
+    // routing: video now reaches the real decoder; junk payloads fall back
+    // to the deterministic stub with ok=false instead of throwing
+    val routed = Multimodal.routingDecoder().decode(
+      Multimodal.MediaRow(9L, "video", "video/x-msvideo", 32, 32, 99L, avi))
+    assert(routed.ok && routed.n_frames == 3)
+    val junk = Multimodal.routingDecoder().decode(
+      Multimodal.MediaRow(10L, "video", "video/mp4", 0, 0, 0L,
+        Array[Byte](1, 2, 3, 4, 5)))
+    assert(!junk.ok)
+    // truncated container: frames parsed so far, never a throw
+    assert(Multimodal.MjpegAviDecoder.aviMjpegFrames(avi.take(30)).isEmpty)
+  }
+
+  test("videoNearDupPairs: same-group videos pair at hamming 0 with true frame counts") {
+    val vids = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, "video", "video/x-msvideo", 32, 32, 33L,
+        Multimodal.syntheticMjpegAvi(0L, 1)),
+      Multimodal.MediaRow(1L, "video", "video/x-msvideo", 32, 32, 66L,
+        Multimodal.syntheticMjpegAvi(0L, 2)),
+      Multimodal.MediaRow(2L, "video", "video/x-msvideo", 32, 32, 33L,
+        Multimodal.syntheticMjpegAvi(1L, 4))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val pairs = Multimodal.videoNearDupPairs(vids, maxHamming = 3).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("media_a") == 0L && p.getAs[Long]("media_b") == 1L)
+    assert(p.getAs[Long]("hamming") == 0L)
+    assert(p.getAs[Long]("frames_a") == 1L && p.getAs[Long]("frames_b") == 2L)
+  }
 }
