@@ -320,6 +320,36 @@ object Similarity {
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, v) => acc + v), 6)
 
+  /** [[subDist]] against an ALREADY-SLICED double subvector column. */
+  private def subDistSliced(sub: Column, cw: Array[Double]): Column =
+    round(aggregate(
+      zip_with(sub, array(cw.map(lit): _*),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v), 6)
+
+  /** Per-subspace slice columns (`__s0..__s{m-1}`) plus the double-cast
+    * full vector (`__v`), staged as projections: the higher-order
+    * distance expressions are interpreted (no codegen CSE), so slicing
+    * inside each of the k' codeword distances would recompute cast+slice
+    * k' times per subspace per row. A projection per step evaluates each
+    * alias once; CollapseProject keeps the staging because every alias is
+    * referenced k' times. */
+  private def withSubspaceSlices(vectors: DataFrame, idCol: String,
+                                 vecCol: String, m: Int, subLen: Int): DataFrame =
+    vectors
+      .select(col(idCol),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .select(col(idCol) +: col("__v") +:
+        (0 until m).map(s => slice(col("__v"), s * subLen + 1, subLen).as(s"__s$s")): _*)
+
+  /** Argmin over a subspace's codewords given the sliced subvector:
+    * least (dist, code) struct — smallest distance, then smallest code
+    * id, same tiebreak as the oracle. */
+  private def codeArgmin(sub: Column, cws: IndexedSeq[Array[Double]]): Column =
+    least(cws.zipWithIndex.map { case (cw, c) =>
+      struct(subDistSliced(sub, cw).as("d"), lit(c.toLong).as("c"))
+    }: _*).getField("c")
+
   /** Encode every vector as its m nearest-codeword ids — a single
     * projection pass against driver-literal codebooks. Returns
     * (idCol, codes: array<long>). */
@@ -327,15 +357,10 @@ object Similarity {
                    codebooks: DataFrame): DataFrame = {
     val cbs = collectCodebooks(codebooks)
     val subLen = cbs(0)(0).length
-    val codeCols = cbs.indices.map { s =>
-      // argmin over codewords: least (dist, code) struct — smallest
-      // distance, then smallest code id, same tiebreak as the oracle
-      least(cbs(s).zipWithIndex.map { case (cw, c) =>
-        struct(subDist(col(vecCol), s * subLen, cw).as("d"),
-          lit(c.toLong).as("c"))
-      }: _*).getField("c")
-    }
-    vectors.select(col(idCol), array(codeCols: _*).as("codes"))
+    withSubspaceSlices(vectors, idCol, vecCol, cbs.length, subLen)
+      .select(col(idCol),
+        array(cbs.indices.map(s => codeArgmin(col(s"__s$s"), cbs(s))): _*)
+          .as("codes"))
   }
 
   /** ADC top-k: each query precomputes its m x k' distance table ONCE
@@ -385,16 +410,15 @@ object Similarity {
     val cents = collectCentroids(centroids)
     val cbs = collectCodebooks(codebooks)
     val subLen = cbs(0)(0).length
-    // ONE pass over the collection: list id + PQ codes, both from literals
-    val cand = vectors.select(
-      col(idCol).as("neighbor_id"),
-      nearestCentroid(col(vecCol), cents).as("list_id"),
-      array(cbs.indices.map { s =>
-        least(cbs(s).zipWithIndex.map { case (cw, c) =>
-          struct(subDist(col(vecCol), s * subLen, cw).as("d"),
-            lit(c.toLong).as("c"))
-        }: _*).getField("c")
-      }: _*).as("codes"))
+    // ONE pass over the collection: list id + PQ codes, both from
+    // literals; the cast vector and per-subspace slices are staged
+    // projections so the interpreted distance folds evaluate each once
+    val cand = withSubspaceSlices(vectors, idCol, vecCol, cbs.length, subLen)
+      .select(
+        col(idCol).as("neighbor_id"),
+        nearestCentroid(col("__v"), cents).as("list_id"),
+        array(cbs.indices.map(s => codeArgmin(col(s"__s$s"), cbs(s))): _*)
+          .as("codes"))
     // per query: nprobe nearest lists + the ADC table — probe selection is
     // a sorted-literal-array slice, no window anywhere. struct(cos, -cid)
     // sorted DESC orders by cosine desc then centroid id ASC on ties,

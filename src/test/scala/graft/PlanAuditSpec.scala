@@ -17,6 +17,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("a7_zscore: ONE scan, one group-partitioned window — no aggregate-join-back double pass") {
+    val df = SparkEntry.queries("a7_zscore")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the r6 shape aggregated stats then joined back, evaluating the scan
+    // (serial on a single-row-group file) TWICE; the window shape reads
+    // the facts once and shuffles once on the group key
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"zscore must scan its input exactly once:\n${plan.take(2000)}")
+    assert("Window \\[".r.findAllIn(plan).length == 1)
+    assert(!plan.contains("No Partition Defined"), "zscore window must be partitioned")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("ann_ivf: centroids broadcast, assignment aggregates without a pair window") {
     val df = SparkEntry.queries("ann_ivf")(spark, "/root/testdata/sf0.001")
     df.collect() // finalize the adaptive plan so exchanges are visible
