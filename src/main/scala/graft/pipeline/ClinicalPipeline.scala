@@ -301,24 +301,27 @@ object ClinicalPipeline {
           when(hasTerminator, lit("+$")).otherwise(lit(""))))
         .otherwise(col("category_cd")))
 
-    // 3. terminator rules (SQL:476-488)
-    val step3 = step2
-      .withColumn("visit_name",
+    // 3. terminator rules (SQL:476-488). Independent columns merge into
+    //    ONE withColumns projection: every chained withColumn re-analyzes
+    //    the whole (large) plan, and this chain runs on each pipeline call.
+    val step3 = step2.withColumns(Map(
+      "visit_name" ->
         when(hasTerminator && !col("category_cd").contains("VISITNAME"),
-          lit(null).cast("string")).otherwise(col("visit_name")))
-      .withColumn("data_label",
+          lit(null).cast("string")).otherwise(col("visit_name")),
+      "data_label" ->
         when(hasTerminator && !col("category_cd").contains("DATALABEL"),
-          lit(null).cast("string")).otherwise(col("data_label")))
+          lit(null).cast("string")).otherwise(col("data_label"))))
 
     // 4. label/category cleansing sweeps (SQL:434-459) + visit==label /
-    //    visit==value suppression (SQL:495-541)
+    //    visit==value suppression (SQL:495-541). The suppression must see
+    //    the CLEANSED label and TRIMMED visit, so it stays a second step.
     val step4 = step3
-      .withColumn("data_label", cleanseLabel(col("data_label")))
-      .withColumn("category_cd",
-        replace(replace(col("category_cd"), lit("%"), lit(" Pct")),
-          lit("&"), lit(" and ")))
-      .withColumn("visit_name",
-        trim(regexp_replace(col("visit_name"), " {2,}", " ")))
+      .withColumns(Map(
+        "data_label" -> cleanseLabel(col("data_label")),
+        "category_cd" ->
+          replace(replace(col("category_cd"), lit("%"), lit(" Pct")),
+            lit("&"), lit(" and ")),
+        "visit_name" -> trim(regexp_replace(col("visit_name"), " {2,}", " "))))
       .withColumn("visit_name",
         when(col("visit_name") === col("data_label") ||
           col("visit_name") === col("data_value"),
@@ -326,9 +329,9 @@ object ClinicalPipeline {
 
     // 5. group-scoped type inference (SQL:546-598); null-tolerant keys,
     //    the reference's coalesce(x,'@') trick (J1)
-    val keyed = step4
-      .withColumn("vkey", coalesce(col("visit_name"), lit("@")))
-      .withColumn("lkey", coalesce(col("data_label"), lit("@")))
+    val keyed = step4.withColumns(Map(
+      "vkey" -> coalesce(col("visit_name"), lit("@")),
+      "lkey" -> coalesce(col("data_label"), lit("@"))))
     val groups = keyed.groupBy(col("category_cd"), col("lkey"), col("vkey"))
       .agg(sum(isNumericInverted(col("data_value"))).as("nonnum"))
       .withColumn("valtype_cd", when(col("nonnum") === 0, lit("N")).otherwise(lit("T")))
@@ -365,27 +368,29 @@ object ClinicalPipeline {
     withType
       // the leaf with DATAVALUE still unsubstituted — UPDATE_VARIABLES
       // derives its per-variable match pattern from this (SQL:1174-1177)
-      .withColumn("leaf_template",
-        normalizePath(concat(lit(topNode + "\\"), substituted)))
-      .withColumn("leaf_node", normalizePath(concat(lit(topNode + "\\"), fullLeaf)))
+      .withColumns(Map(
+        "leaf_template" ->
+          normalizePath(concat(lit(topNode + "\\"), substituted)),
+        "leaf_node" -> normalizePath(concat(lit(topNode + "\\"), fullLeaf))))
       // 8. timestamp series (SQL:762-767): a baselined leaf's last
       //    component — the raw timestamp the $$-tag substituted in — is
       //    rendered as a timepoint label relative to the row's baseline,
       //    and the variable becomes a TIMEPOINT concept. An unparseable
       //    component keeps its leaf (the reference would abort the load;
       //    nulling the leaf would silently drop the row's facts)
-      .withColumn("__tp",
-        when(col("baseline_value").isNotNull,
-          graft.functions.TimeFunctions.timestampToTimepoint(
-            lastPathComponent(col("leaf_node")), col("baseline_value"))))
+      .withColumns(Map(
+        "__tp" ->
+          when(col("baseline_value").isNotNull,
+            graft.functions.TimeFunctions.timestampToTimepoint(
+              lastPathComponent(col("leaf_node")), col("baseline_value"))),
+        "valuetype_cd" ->
+          when(col("baseline_value").isNotNull, lit("TIMEPOINT"))
+            .otherwise(col("valuetype_cd"))))
       .withColumn("leaf_node",
         when(col("__tp").isNotNull,
           replaceLastPathComponent(col("leaf_node"), col("__tp")))
           .otherwise(col("leaf_node")))
       .drop("__tp")
-      .withColumn("valuetype_cd",
-        when(col("baseline_value").isNotNull, lit("TIMEPOINT"))
-          .otherwise(col("valuetype_cd")))
   }
 
   // ----------------------------------------------------------------- dedup
