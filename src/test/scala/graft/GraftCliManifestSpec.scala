@@ -93,4 +93,61 @@ class GraftCliManifestSpec extends SparkSpec {
     assert(!Files.exists(wh.resolve("_publish.manifest")))
     assert(GraftCli.readTable(spark, wh, "observation_fact").count() == 0)
   }
+
+  test("kill-point sweep: recovery restores a consistent star from EVERY commit index") {
+    val wh = Files.createTempDirectory("graft-sweep-wh")
+    val rootA = Files.createTempDirectory("graft-sweep-a")
+    writeClinicalStudy(rootA, "Study A", "STRIALA")
+    assert(GraftCli.run(spark, Seq("-o", wh.toString, rootA.toString)) == 0)
+    val aFacts = GraftCli.readTable(spark, wh, "observation_fact")
+      .filter(col("sourcesystem_cd") === "STRIALA").count()
+    assert(aFacts > 0)
+
+    // upload study B, then delete it with a kill after the k-th table
+    // swap, for EVERY k until the batch completes without firing — each
+    // kill index leaves a different mixed old/new star shape (whole-table
+    // swaps, partition drops, already-committed tables) and recovery must
+    // roll every one of them forward
+    var k = 1
+    var batchDone = false
+    while (!batchDone && k <= 30) {
+      val rootB = Files.createTempDirectory(s"graft-sweep-b$k")
+      writeClinicalStudy(rootB, "Study B", "STRIALB")
+      assert(GraftCli.run(spark, Seq("-o", wh.toString, rootB.toString)) == 0,
+        s"k=$k: re-upload of study B failed")
+      GraftCli.testFailAfterCommits = Some(k)
+      val killed =
+        try {
+          GraftCli.run(spark, Seq("-o", wh.toString,
+            "--delete-study-by-id", "STRIALB", "--force-start"))
+          false
+        } catch { case _: IllegalStateException => true }
+        finally GraftCli.testFailAfterCommits = None
+      if (!killed) {
+        batchDone = true // fewer than k tables in the batch: normal finish
+      } else {
+        assert(Files.exists(wh.resolve("_publish.manifest")), s"k=$k")
+        assert(GraftCli.recoverPublish(spark, wh), s"k=$k")
+      }
+      assert(!Files.exists(wh.resolve("_publish.manifest")), s"k=$k")
+      // post-delete consistency, identical for every kill index
+      assert(GraftCli.readTable(spark, wh, "observation_fact")
+        .filter(col("sourcesystem_cd") === "STRIALB").count() == 0, s"k=$k")
+      assert(GraftCli.readTable(spark, wh, "i2b2")
+        .filter(col("sourcesystem_cd") === "STRIALB").count() == 0, s"k=$k")
+      assert(GraftCli.readTable(spark, wh, "observation_fact")
+        .filter(col("sourcesystem_cd") === "STRIALA").count() == aFacts, s"k=$k")
+      val leftovers = scala.collection.mutable.ArrayBuffer.empty[String]
+      val walk = Files.walk(wh)
+      try walk.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".tmp") || n.endsWith(".old") || n.startsWith("_old_"))
+          leftovers += n
+      } finally walk.close()
+      assert(leftovers.isEmpty, s"k=$k: staging leftovers $leftovers")
+      k += 1
+    }
+    assert(batchDone, "sweep never reached a kill-free batch — raise the bound")
+    assert(k > 3, "batch had suspiciously few commits — sweep did not exercise recovery")
+  }
 }
