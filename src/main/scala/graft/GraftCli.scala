@@ -486,6 +486,10 @@ object GraftCli {
     * CLI process lock before any command touches the warehouse. */
   private[graft] def recoverPublish(spark: SparkSession, wh: Path): Boolean = {
     val mf = wh.resolve(ManifestName)
+    // a kill DURING manifest staging leaves only the tmp: no commit ran
+    // yet (the manifest lands before the first swap), so the star is the
+    // old one and the tmp is just litter
+    Files.deleteIfExists(wh.resolve(ManifestName + ".tmp"))
     if (!Files.exists(mf)) return false
     println(s"!!! unfinished publish found in $wh — completing the swap")
     val lines = new String(Files.readAllBytes(mf),
