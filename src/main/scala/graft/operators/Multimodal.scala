@@ -233,22 +233,31 @@ object Multimodal {
           ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
       def fourcc(off: Int): String =
         new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      def walk(from: Int, until: Int): Unit = {
+      def walk(from: Int, until: Int, depth: Int): Unit = {
         var off = from
-        while (off + 8 <= until) {
+        var done = false
+        while (!done && off + 8 <= until) {
           val id = fourcc(off)
-          val size = u32(off + 4).toInt
+          // chunk size stays a Long: a lying 32-bit length >= 2^31 must not
+          // wrap negative, or the word-aligned advance below could stall on
+          // the same offset forever (a hung task, not an exception)
+          val size = u32(off + 4)
           val body = off + 8
-          val end = math.min(body + size, until)
+          val end = math.min(body.toLong + size, until.toLong).toInt
           if (id == "RIFF" || id == "LIST") {
-            if (body + 4 <= end) walk(body + 4, end) // skip the list type
+            // real AVIs nest ~3 deep (RIFF/hdrl/movi/rec ); the cap turns a
+            // crafted million-level LIST tree into "no frames", not a
+            // StackOverflowError the Exception handler below can't catch
+            if (body + 4 <= end && depth < 64) walk(body + 4, end, depth + 1)
           } else if (id.endsWith("dc") || id.endsWith("db")) {
-            if (size > 0 && end <= bytes.length) out += bytes.slice(body, end)
+            if (size > 0 && end > body) out += bytes.slice(body, end)
           }
-          off = body + size + (size & 1) // chunks are word-aligned
+          val next = body.toLong + size + (size & 1L) // chunks are word-aligned
+          if (next > off && next <= Int.MaxValue) off = next.toInt
+          else done = true // malformed length that fails to advance → stop the walk
         }
       }
-      try walk(0, bytes.length) catch { case _: Exception => () }
+      try walk(0, bytes.length, 0) catch { case _: Exception => () }
       out.toSeq
     }
 
