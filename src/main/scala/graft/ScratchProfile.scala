@@ -51,15 +51,39 @@ object ScratchProfile {
     // warm the session
     spark.range(10).count()
 
+    import org.apache.spark.sql.functions._
+    import operators.Similarity
+    val e = core.Tables.load(spark, sfDir, "embeddings")
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, codewords = 16)
+
     (1 to 2).foreach { round =>
       println(s"--- round $round")
-      val df = time("acgh_facts build") {
-        queries.OmicsQueries.acghFacts(spark, sfDir)
+      time("encode native") {
+        Similarity.pqEncodeWith(e, "vec_id", "embedding", cb)
+          .write.format("noop").mode("overwrite").save()
       }
-      time("acgh_facts exec") {
-        df.write.format("noop").mode("overwrite").save()
+      time("encode fold") {
+        graft.operators.SimilarityProbe.encodeFold(e, "vec_id", "embedding", cb)
+          .write.format("noop").mode("overwrite").save()
       }
-      if (round == 2) println(df.queryExecution.executedPlan.toString.take(8000))
+      val full = Similarity.pqTopKWith(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 10, cb)
+      time("pqTopKWith full") {
+        full.write.format("noop").mode("overwrite").save()
+      }
+      time("pqTopKWith r7 fold") {
+        graft.operators.SimilarityProbe.pqTopKFold(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 10, cb)
+          .write.format("noop").mode("overwrite").save()
+      }
+      if (round == 2) {
+        // node names only: where codes/adc are computed relative to the join
+        val pl = full.queryExecution.executedPlan.toString
+        pl.linesIterator.foreach { l =>
+          val t = l.take(200)
+          if (!t.contains("lambdafunction")) println("[node] " + t)
+        }
+      }
     }
     spark.stop()
   }

@@ -114,10 +114,183 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Spark's `round(x, 6)` for doubles, replicated exactly (NaN/Infinity
+    * pass through; BigDecimal.valueOf + HALF_UP + doubleValue) so a native
+    * expression that rounds INSIDE its loop stays bit-identical to the
+    * `round(fold, 6)` composition it replaces. */
+  def round6(v: Double): Double =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private val round6Java: String => String = acc =>
+    s"""(Double.isNaN($acc) || Double.isInfinite($acc)) ? $acc :
+       |  java.math.BigDecimal.valueOf($acc)
+       |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()""".stripMargin
+
+  /** PQ encode: for each subspace s, the id of the codeword minimizing the
+    * 6-dp-ROUNDED squared L2 distance to the vector's s-th slice (smallest
+    * code id on ties). One native expression replaces m x k' interpreted
+    * `aggregate(zip_with(...))` folds plus the slice/cast staging
+    * projections — this runs once per COLLECTION row, the PQ hot path.
+    *
+    * Distance accumulation is ascending index and the rounding is
+    * [[round6]] (Spark's own double `round`), so codes are bit-identical
+    * to the fold composition (see SimilaritySpec's cross-check).
+    *
+    * Returns array<long> of length m, or null when the vector is shorter
+    * than m * subLen (the fold path yields nulls there too). */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val isFloat = elemPrim(child.dataType) == "Float"
+      val m = codebooks.length
+      val n = x.numElements()
+      val codes = new Array[Long](m)
+      var s = 0
+      while (s < m) {
+        val cws = codebooks(s)
+        val subLen = cws(0).length
+        val base = s * subLen
+        if (base + subLen > n) return null
+        var best = Double.PositiveInfinity
+        var bestC = 0L
+        var c = 0
+        while (c < cws.length) {
+          val cw = cws(c)
+          var acc = 0.0
+          var i = 0
+          while (i < subLen) {
+            val v = (if (isFloat) x.getFloat(base + i).toDouble
+                     else x.getDouble(base + i)) - cw(i)
+            acc += v * v
+            i += 1
+          }
+          val dr = round6(acc)
+          if (dr < best) { best = dr; bestC = c.toLong }
+          c += 1
+        }
+        codes(s) = bestC
+        s += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(codes)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val codes = ctx.freshName("codes")
+        val cws = ctx.freshName("cws")
+        val cw = ctx.freshName("cw")
+        val subLen = ctx.freshName("subLen")
+        val base = ctx.freshName("base")
+        val best = ctx.freshName("best")
+        val bestC = ctx.freshName("bestC")
+        val acc = ctx.freshName("acc")
+        val v = ctx.freshName("v")
+        val dr = ctx.freshName("dr")
+        val bad = ctx.freshName("bad")
+        val get = s"$x.get${elemPrim(child.dataType)}($base + $i)"
+        s"""
+           |int $n = $x.numElements();
+           |long[] $codes = new long[$cb.length];
+           |boolean $bad = false;
+           |for (int $s = 0; $s < $cb.length && !$bad; $s++) {
+           |  double[][] $cws = $cb[$s];
+           |  int $subLen = $cws[0].length;
+           |  int $base = $s * $subLen;
+           |  if ($base + $subLen > $n) { $bad = true; break; }
+           |  double $best = Double.POSITIVE_INFINITY;
+           |  long $bestC = 0L;
+           |  for (int $c = 0; $c < $cws.length; $c++) {
+           |    double[] $cw = $cws[$c];
+           |    double $acc = 0.0;
+           |    for (int $i = 0; $i < $subLen; $i++) {
+           |      double $v = ((double) $get) - $cw[$i];
+           |      $acc += $v * $v;
+           |    }
+           |    double $dr = ${round6Java(acc)};
+           |    if ($dr < $best) { $best = $dr; $bestC = (long) $c; }
+           |  }
+           |  $codes[$s] = $bestC;
+           |}
+           |if ($bad) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |    .UnsafeArrayData.fromPrimitiveArray($codes);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** ADC distance core: sum over s of dtab[s][codes[s]], ascending s —
+    * the per-(query, candidate) m-lookup sum. Replaces the interpreted
+    * `aggregate(zip_with(dtab, codes, element_at))` fold; callers keep the
+    * outer `round(_, 6)` so results are bit-identical. */
+  case class AdcLookupSum(left: Expression, right: Expression)
+      extends BinaryExpression with Serializable {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val dtab = a.asInstanceOf[ArrayData]
+      val codes = b.asInstanceOf[ArrayData]
+      val m = math.min(dtab.numElements(), codes.numElements())
+      var acc = 0.0
+      var s = 0
+      while (s < m) {
+        acc += dtab.getArray(s).getDouble(codes.getLong(s).toInt)
+        s += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (dtab, codes) => {
+        val m = ctx.freshName("m")
+        val s = ctx.freshName("s")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $m = Math.min($dtab.numElements(), $codes.numElements());
+           |double $acc = 0.0;
+           |for (int $s = 0; $s < $m; $s++) {
+           |  $acc += $dtab.getArray($s).getDouble((int) $codes.getLong($s));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 
   def l2NormNative(a: Column): Column =
     ColumnBridge.column(L2Norm(ColumnBridge.expression(a)))
+
+  def pqEncodeNative(vec: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec),
+      codebooks.map(_.toArray).toArray))
+
+  def adcNative(dtab: Column, codes: Column): Column =
+    ColumnBridge.column(AdcLookupSum(ColumnBridge.expression(dtab),
+      ColumnBridge.expression(codes)))
 }

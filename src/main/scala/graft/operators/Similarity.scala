@@ -14,8 +14,11 @@ import org.apache.spark.sql.expressions.Window
   *   equi-join on the bucket key; at 100 TB only same-bucket vectors are
   *   compared (multi-probe = repeat with several plane sets).
   *
-  * All math in double precision via sequential folds (aggregate over
-  * zip_with) — deterministic, engine-portable, codegen-friendly; no UDF.
+  * All math is double precision in ascending-index accumulation order —
+  * deterministic and engine-portable. The hot paths (dot product, PQ
+  * encode, ADC lookup-sum) are native codegen'd Catalyst expressions
+  * ([[graft.functions.VectorExpressions]]); the equivalent interpreted
+  * higher-order folds are kept as cross-check references for the specs.
   */
 object Similarity {
 
@@ -50,8 +53,12 @@ object Similarity {
     // whole-stage-codegen'd), so do 1 fold per pair instead of 3
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm")))
+    // the exchange materializes n_norm once per row (codegen would defer it
+    // into the per-query pair loop) and spreads the O(Q*N) pair stage
+    // across the session's shuffle parallelism regardless of file layout
     val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
       l2Norm(col(vecCol)).as("n_norm"))
+      .repartition(fanoutPartitions(vectors))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     q.join(c, col("q_id") =!= col("neighbor_id"))
@@ -313,15 +320,17 @@ object Similarity {
 
   /** Rounded squared L2 distance between a slice of `vec` and a literal
     * codeword, computed as an ascending-index diff-square fold — the
-    * exact expression an independent SQL engine replays. */
+    * exact expression an independent SQL engine replays. Used only on the
+    * tiny broadcast query side (the collection side encodes natively). */
   private def subDist(vec: Column, start: Int, cw: Array[Double]): Column =
     round(aggregate(
       zip_with(slice(vec, start + 1, cw.length), array(cw.map(lit): _*),
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, v) => acc + v), 6)
 
-  /** [[subDist]] against an ALREADY-SLICED double subvector column. */
-  private def subDistSliced(sub: Column, cw: Array[Double]): Column =
+  /** [[subDist]] against an ALREADY-SLICED double subvector column —
+    * interpreted cross-check reference for the native PQ encode. */
+  private[operators] def subDistSliced(sub: Column, cw: Array[Double]): Column =
     round(aggregate(
       zip_with(sub, array(cw.map(lit): _*),
         (x, y) => (x - y) * (x - y)),
@@ -334,8 +343,8 @@ object Similarity {
     * k' times per subspace per row. A projection per step evaluates each
     * alias once; CollapseProject keeps the staging because every alias is
     * referenced k' times. */
-  private def withSubspaceSlices(vectors: DataFrame, idCol: String,
-                                 vecCol: String, m: Int, subLen: Int): DataFrame =
+  private[operators] def withSubspaceSlices(vectors: DataFrame, idCol: String,
+                                            vecCol: String, m: Int, subLen: Int): DataFrame =
     vectors
       .select(col(idCol),
         transform(col(vecCol), _.cast("double")).as("__v"))
@@ -345,16 +354,28 @@ object Similarity {
   /** Argmin over a subspace's codewords given the sliced subvector:
     * least (dist, code) struct — smallest distance, then smallest code
     * id, same tiebreak as the oracle. */
-  private def codeArgmin(sub: Column, cws: IndexedSeq[Array[Double]]): Column =
+  private[operators] def codeArgmin(sub: Column, cws: IndexedSeq[Array[Double]]): Column =
     least(cws.zipWithIndex.map { case (cw, c) =>
       struct(subDistSliced(sub, cw).as("d"), lit(c.toLong).as("c"))
     }: _*).getField("c")
 
   /** Encode every vector as its m nearest-codeword ids — a single
-    * projection pass against driver-literal codebooks. Returns
-    * (idCol, codes: array<long>). */
+    * projection pass against driver-literal codebooks, with the whole
+    * m x k' x subLen argmin inside one codegen'd native expression
+    * (bit-identical to [[pqEncodeWithFold]], the interpreted reference).
+    * Returns (idCol, codes: array<long>). */
   def pqEncodeWith(vectors: DataFrame, idCol: String, vecCol: String,
                    codebooks: DataFrame): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    vectors.select(col(idCol),
+      graft.functions.VectorExpressions
+        .pqEncodeNative(col(vecCol), cbs.map(_.toSeq)).as("codes"))
+  }
+
+  /** The interpreted fold composition [[pqEncodeWith]] replaced — kept so
+    * the specs can pin native-vs-fold bit-equality. */
+  private[operators] def pqEncodeWithFold(vectors: DataFrame, idCol: String,
+                                          vecCol: String, codebooks: DataFrame): DataFrame = {
     val cbs = collectCodebooks(codebooks)
     val subLen = cbs(0)(0).length
     withSubspaceSlices(vectors, idCol, vecCol, cbs.length, subLen)
@@ -378,20 +399,32 @@ object Similarity {
       array(cbs(s).map(cw => subDist(col(vecCol), s * subLen, cw)): _*)
     }: _*)
     val q = broadcast(queries.select(col(idCol).as("q_id"), dtab.as("__dtab")))
+    // materialize codes BEFORE the Q-way pair fan-out: whole-stage codegen
+    // defers a deterministic projection to first use, which sits inside the
+    // broadcast join's per-build-row loop — without a boundary the encode
+    // re-runs once per (row x query) pair. The explicit exchange of the
+    // narrow encoded frame (id + m codes, ~1% of the vector bytes) also
+    // decouples pair-stage parallelism from the input file layout.
     val enc = pqEncodeWith(vectors, idCol, vecCol, codebooks)
       .select(col(idCol).as("neighbor_id"), col("codes"))
+      .repartition(fanoutPartitions(vectors))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id"))
     q.join(enc, col("q_id") =!= col("neighbor_id"))
       .withColumn("adc_dist",
-        round(aggregate(
-          zip_with(col("__dtab"), col("codes"),
-            (row, c) => element_at(row, (c + 1).cast("int"))),
-          lit(0.0), (acc, v) => acc + v), 6))
+        round(graft.functions.VectorExpressions
+          .adcNative(col("__dtab"), col("codes")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
+
+  /** The interpreted ADC fold [[pqTopKWith]]/[[ivfPqTopK]] replaced — kept
+    * so the specs can pin native-vs-fold bit-equality. */
+  private[operators] def adcDistFold(dtab: Column, codes: Column): Column =
+    round(aggregate(
+      zip_with(dtab, codes, (row, c) => element_at(row, (c + 1).cast("int"))),
+      lit(0.0), (acc, v) => acc + v), 6)
 
   /** IVF + PQ — the FAISS-style composition: the coarse quantizer PRUNES
     * (a query scans only its `nprobe` nearest inverted lists) and PQ
@@ -411,14 +444,20 @@ object Similarity {
     val cbs = collectCodebooks(codebooks)
     val subLen = cbs(0)(0).length
     // ONE pass over the collection: list id + PQ codes, both from
-    // literals; the cast vector and per-subspace slices are staged
-    // projections so the interpreted distance folds evaluate each once
-    val cand = withSubspaceSlices(vectors, idCol, vecCol, cbs.length, subLen)
+    // literals — the centroid argmax and the whole PQ encode are native
+    // codegen'd expressions straight off the raw float vector, so the
+    // fact side is a single WholeStageCodegen projection
+    // the explicit exchange materializes list_id + codes before the probe
+    // join — codegen's deferred evaluation would otherwise re-run the
+    // encode once per matched probe (see pqTopKWith) — and parallelizes
+    // the ADC stage independent of file splits
+    val cand = vectors
       .select(
         col(idCol).as("neighbor_id"),
-        nearestCentroid(col("__v"), cents).as("list_id"),
-        array(cbs.indices.map(s => codeArgmin(col(s"__s$s"), cbs(s))): _*)
-          .as("codes"))
+        nearestCentroid(col(vecCol), cents).as("list_id"),
+        graft.functions.VectorExpressions
+          .pqEncodeNative(col(vecCol), cbs.map(_.toSeq)).as("codes"))
+      .repartition(fanoutPartitions(vectors))
     // per query: nprobe nearest lists + the ADC table — probe selection is
     // a sorted-literal-array slice, no window anywhere. struct(cos, -cid)
     // sorted DESC orders by cosine desc then centroid id ASC on ties,
@@ -443,14 +482,20 @@ object Similarity {
     probes.join(cand, Seq("list_id"))
       .filter(col("q_id") =!= col("neighbor_id"))
       .withColumn("adc_dist",
-        round(aggregate(
-          zip_with(col("__dtab"), col("codes"),
-            (row, c) => element_at(row, (c + 1).cast("int"))),
-          lit(0.0), (acc, v) => acc + v), 6))
+        round(graft.functions.VectorExpressions
+          .adcNative(col("__dtab"), col("codes")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
+
+  /** Explicit partition count for a pre-pair-join exchange: the session's
+    * shuffle parallelism. A plain `repartition(col)` would let AQE coalesce
+    * the (tiny) encoded frame back to one partition — exactly the
+    * single-task pair stage the exchange exists to prevent. */
+  private def fanoutPartitions(df: DataFrame): Int =
+    try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    catch { case _: Exception => df.sparkSession.sparkContext.defaultParallelism }
 
   /** (centroid_id, c_vec) table -> driver-side literal arrays ordered by
     * centroid id. Centroid tables are KB-sized by construction. */

@@ -684,4 +684,80 @@ class VectorExpressionsSpec extends SparkSpec {
     val withNull = Seq((Array(1.0f), null: Array[Float])).toDF("a", "b")
     assert(withNull.select(Similarity.dot($"a", $"b")).collect()(0).isNullAt(0))
   }
+
+  // randomized embeddings (fixed seed) stressing rounding boundaries: the
+  // native PQ encode / ADC sum must be BIT-identical to the interpreted
+  // fold composition it replaced, or the DuckDB oracle hashes drift
+  private def randomVecs(n: Int, dim: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(20260814L)
+    (0L until n.toLong).map(i =>
+      (i, Array.fill(dim)((rnd.nextDouble() * 4 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("native pqEncode matches the interpreted fold bit-for-bit") {
+    val vecs = randomVecs(200, 8)
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 4, codewords = 16)
+    val nat = Similarity.pqEncodeWith(vecs, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val fold = Similarity.pqEncodeWithFold(vecs, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(nat.size == 200)
+    assert(nat == fold)
+  }
+
+  test("native ADC lookup-sum matches the interpreted fold bit-for-bit") {
+    val vecs = randomVecs(100, 8)
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 4, codewords = 8)
+    val nTop = Similarity.pqTopKWith(vecs, vecs.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 20, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(nTop.size == 60)
+    // replay with the fold on the full cross product and compare distances
+    val enc = Similarity.pqEncodeWith(vecs, "vec_id", "embedding", cb)
+    val cbs = cb.collect()
+    val subLen = 2
+    import org.apache.spark.sql.functions._
+    val dtab = array((0 until 4).map { s =>
+      val cws = cbs.filter(_.getInt(0) == s).sortBy(_.getLong(1))
+        .map(_.getSeq[Double](2).toArray)
+      array(cws.map { cw =>
+        round(aggregate(
+          zip_with(slice(transform($"embedding", _.cast("double")),
+            s * subLen + 1, subLen), array(cw.map(lit): _*),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6)
+      }: _*)
+    }: _*)
+    val q = vecs.filter($"vec_id" < 3).select($"vec_id".as("q_id"), dtab.as("dt"))
+    val foldDist = q.join(enc.select($"vec_id".as("neighbor_id"), $"codes"),
+        $"q_id" =!= $"neighbor_id")
+      .select($"q_id", $"neighbor_id",
+        Similarity.adcDistFold($"dt", $"codes").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    nTop.foreach { case (key, (d, _)) => assert(foldDist(key) == d) }
+  }
+
+  test("native pqEncode yields null for vectors shorter than m * subLen") {
+    val vecs = randomVecs(8, 8)
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 4, codewords = 4)
+    val short = Seq((99L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.pqEncodeWith(short, "vec_id", "embedding", cb).collect()
+    assert(r.length == 1 && r(0).isNullAt(1))
+  }
+
+  test("pqEncode and adc stay inside WholeStageCodegen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    randomVecs(20, 8).write.mode("overwrite").parquet(dir)
+    val fromFile = spark.read.parquet(dir)
+    val cb = Similarity.pqCodebooks(fromFile, "vec_id", "embedding",
+      m = 4, codewords = 4)
+    val plan = Similarity.pqEncodeWith(fromFile, "vec_id", "embedding", cb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_id") && plan.contains("pqencode"))
+  }
 }
