@@ -54,7 +54,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failures,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failures,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's bounded output-tail capture has repeatedly truncated the
+    // HEAD of this line (r6/r7 lost the alphabetically-first ~16 keys), so
+    // the full per-query JSON also lands in a committed file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -36,23 +36,24 @@ object Tables {
     * physical parquet type. Driver vintages differ: TIMESTAMP(NANOS)
     * arrives as LongType via `spark.sql.legacy.parquet.nanosAsLong`, while
     * TIMESTAMP(MICROS) arrives as a timestamp type (NTZ under schema
-    * inference). Interval arithmetic downstream (session gaps, baseline
-    * diffs, hour buckets) stays integer either way — the cast to LTZ is
-    * exact under the UTC session timezone. */
-  def withTsNanos(df: DataFrame): DataFrame =
+    * inference, whose wall time IS the UTC instant by the writer's
+    * convention). The NTZ branch converts with pure WALL-TIME arithmetic
+    * (`timestampdiff` from the NTZ epoch — `to_utc_timestamp`/LTZ casts
+    * all route through the session zone), so the normalized epoch is
+    * independent of `spark.sql.session.timeZone`: a non-UTC session no
+    * longer shifts (or crashes on) the result. LTZ input needs no zone at
+    * all — `unix_micros` reads the instant directly. */
+  def withTsNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ =>
-        // the NTZ->LTZ cast below is only exact under a UTC session zone;
-        // fail loudly instead of silently shifting epochs by a local offset
-        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
-          s"Tables.withTsNanos requires spark.sql.session.timeZone=UTC (got '$tz'): " +
-            "the timestamp_ntz->ltz cast would shift normalized epochs by the zone offset")
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
-          org.apache.spark.sql.functions.unix_micros(
-            org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * 1000L)
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
     }
+  }
 
   /** [[load]] plus small-input parallelization for compute-heavy callers.
     *

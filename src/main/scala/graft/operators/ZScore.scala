@@ -18,11 +18,20 @@ import org.apache.spark.sql.functions._
   * flavor logs the value directly. `zeroGuard`/`logRoundDp` select the
   * flavor; defaults are the mrna semantics.
   *
-  * Spark shape: one narrow projection, one groupBy on the probe key, one
-  * join back. The stats side is tiny relative to the fact side (one row
-  * per probe), so AQE broadcast-joins it — the facts are never shuffled
-  * twice. The reference's mid-pipeline index creation dissolves into the
-  * shuffle partitioning.
+  * Spark shape: one narrow projection, then ONE partition-only window
+  * pass over the probe-key partitioning (avg/percentile/stddev as window
+  * aggregates) — a single shuffle of the facts and a single evaluation of
+  * the upstream plan. The older aggregate-then-join-back shape evaluated
+  * the (scan- or melt-fed) input twice; do not reintroduce it. Group
+  * sizes are bounded by the sample count, so the window buffer stays
+  * small at any corpus scale (pinned by PlanAuditSpec's single-scan
+  * audit). The reference's mid-pipeline index creation dissolves into
+  * the shuffle partitioning.
+  *
+  * Null group keys: Window.partitionBy groups NULL keys into one
+  * partition (standard SQL window semantics), so rows with a null probe
+  * key get stats over the null group — the join-back shape silently
+  * dropped them. Pinned by a spec.
   */
 object ZScore {
 

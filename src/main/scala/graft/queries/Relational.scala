@@ -29,8 +29,13 @@ object Relational {
     * regardless of partition order, and one division restores the scale.
     * Semantically identical to per-row decimal(18,4) quantization + decimal
     * sum, but primitive longs stay inside whole-stage codegen (measured 5x
-    * on q1: 1.0 s decimal agg -> 0.2 s). Long range bounds each group's
-    * exact sum at 9.2e14 value units — far past any per-group money total. */
+    * on q1: 1.0 s decimal agg -> 0.2 s). Exactness bound: the long sum is
+    * exact to 9.2e18 scaled units, but the final /10000.0 passes through
+    * double, which is integer-exact only below 2^53 scaled units (~9e11
+    * value units per group — still far past any per-group money total).
+    * Beyond that the result stays deterministic (order-independent), but a
+    * 2-dp rounding decision at a half-ulp boundary could diverge from a
+    * true decimal sum. */
   private def sum4dp(c: Column): Column =
     // floor(x+0.5) == round-HALF_UP for the non-negative money values here,
     // and codegens to Math.floor instead of a per-row BigDecimal

@@ -51,6 +51,37 @@ class StudyDiscoverySpec extends SparkSpec {
   }
 }
 
+class TablesTsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withTsNanos normalizes NTZ independent of the session time zone") {
+    // driver convention: the NTZ wall time IS the UTC instant
+    val epochMicros = 1723600000000000L // 2024-08-14T01:46:40Z
+    val ntz = spark.sql(
+      s"SELECT timestamp_ntz '1970-01-01 00:00:00' + make_interval(0,0,0,0,0,0, $epochMicros / 1e6) AS ts")
+    val utcZone = spark.conf.get("spark.sql.session.timeZone")
+    val underUtc = Tables.withTsNanos(ntz).collect()(0).getLong(0)
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val shifted = Tables.withTsNanos(ntz).collect()(0).getLong(0)
+      assert(shifted == underUtc, "NTZ normalization must not follow the session zone")
+      assert(shifted == epochMicros * 1000L)
+    } finally spark.conf.set("spark.sql.session.timeZone", utcZone)
+  }
+
+  test("withTsNanos passes LongType through and reads LTZ instants directly") {
+    val asLong = Seq(42L).toDF("ts")
+    assert(Tables.withTsNanos(asLong).collect()(0).getLong(0) == 42L)
+    val ltz = spark.sql("SELECT timestamp '2024-08-14 00:00:00 UTC' AS ts")
+    val utcZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val nanos = Tables.withTsNanos(ltz).collect()(0).getLong(0)
+      assert(nanos == 1723593600000000000L)
+    } finally spark.conf.set("spark.sql.session.timeZone", utcZone)
+  }
+}
+
 class AuditSpec extends SparkSpec {
   import spark.implicits._
 

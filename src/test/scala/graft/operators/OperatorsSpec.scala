@@ -640,6 +640,22 @@ class ZScoreSpec extends SparkSpec {
     assert(plain == 2.0)
   }
 
+  test("null group keys form one window group and keep their rows (intended semantics)") {
+    // the window shape groups NULL keys together (SQL window semantics);
+    // the old aggregate-join-back shape silently DROPPED null-key rows.
+    // This pins the intended behavior: rows survive, stats come from the
+    // null group alone.
+    val df = Seq((Some("g1"), 2.0), (Some("g1"), 4.0),
+      (None, 10.0), (None, 30.0)).toDF("g", "v")
+    val z = ZScore.pipeline(df, Seq("g"), "v", dataType = "L")
+    val rows = z.collect()
+    assert(rows.length == 4, "null-key rows must not be dropped")
+    val nullGroup = rows.filter(_.isNullAt(0))
+    assert(nullGroup.length == 2)
+    // stats over {10, 30} only: mean 20, never polluted by g1's values
+    assert(nullGroup.forall(_.getAs[Double]("mean_intensity") == 20.0))
+  }
+
   test("log/raw intensity derivation for dataType L") {
     val df = Seq(("g", 3.0)).toDF("g", "v")
     val r = ZScore.pipeline(df, Seq("g"), "v", dataType = "L", logBase = 2.0).collect()(0)
