@@ -205,332 +205,11 @@ object GraftCli {
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(fields.map { case (n, t) => StructField(n, t) }))
 
-  /** Partition column per big table; tables not listed here are
-    * node/metadata-sized and whole-replaced. `patient_dimension`'s
-    * `trial` column is DERIVED at write time from the usubjid-shaped
-    * sourcesystem_cd (`TRIAL:SITE:SUBJ` — first ':'-component). */
-  val PartitionedTables: Map[String, String] = Map(
-    "observation_fact" -> "sourcesystem_cd",
-    "patient_dimension" -> "trial",
-    "patient_trial" -> "trial",
-    "de_subject_sample_mapping" -> "trial_name",
-    "de_subject_acgh_data" -> "trial_name",
-    "de_subject_microarray_data" -> "trial_name",
-    "de_subject_protein_data" -> "trial_name",
-    "de_subject_rbm_data" -> "trial_name",
-    "de_subject_mirna_data" -> "trial_name",
-    "de_subject_metabolomics_data" -> "trial_name",
-    "de_subject_rna_data" -> "trial_name",
-    "de_sample_snp_data" -> "trial_name",
-    "plink_data" -> "trial_name",
-    "de_variant_subject_idx" -> "dataset_id",
-    "de_variant_population_info" -> "dataset_id",
-    "de_variant_subject_detail" -> "dataset_id",
-    "de_variant_subject_summary" -> "dataset_id",
-    "de_variant_population_data" -> "dataset_id",
-    "probeset_deapp" -> "platform",
-    "de_mrna_annotation" -> "gpl_id",
-    "de_chromosomal_region" -> "gpl_id")
+  // The publish/recovery machinery (staging, manifest, commit,
+  // roll-forward, partition registry) lives in core.Publish; the CLI
+  // uses it via this import and re-exposes only the entry points below.
+  import graft.core.Publish._
 
-  // Hive-compatible partition-dir escaping (the char set Spark's writer
-  // escapes), so partition values like `GSE0:VCFTEST` round-trip between
-  // our dir bookkeeping and Spark's own `<col>=<value>` layout.
-  private val EscapedChars: Set[Char] =
-    (0.toChar to 31.toChar).toSet ++
-      Set('"', '#', '%', '\'', '*', '/', ':', '=', '?', '\\', '\u007F',
-        '{', '[', ']', '^')
-
-  private[graft] def escapePartVal(v: String): String =
-    if (v == null || v.isEmpty) "__HIVE_DEFAULT_PARTITION__"
-    else v.flatMap(c =>
-      if (EscapedChars(c)) f"%%${c.toInt}%02X" else c.toString)
-
-  private[graft] def unescapePartVal(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          s.substring(i + 1, i + 3).forall(h => Character.digit(h, 16) >= 0)) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** Files.list with the directory stream closed (a leaked stream holds a
-    * directory fd until GC — one per table per study over a long crawl). */
-  private def listDir(dir: Path): Seq[Path] =
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val s = Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toSeq
-      } finally s.close()
-    }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-      finally s.close()
-    }
-
-  /** Existing partition values of a partitioned table — one directory
-    * listing, never a data scan. */
-  def listPartitionValues(wh: Path, name: String): Seq[String] = {
-    val pc = PartitionedTables(name)
-    listDir(wh.resolve(s"$name.parquet"))
-      .map(_.getFileName.toString)
-      .filter(_.startsWith(pc + "="))
-      .map(d => unescapePartVal(d.substring(pc.length + 1)))
-      .filter(v => v != "__HIVE_DEFAULT_PARTITION__" && v != "__EMPTY__")
-  }
-
-  private final case class StagedWrite(name: String,
-      partValues: Option[Seq[String]],
-      partitioned: Boolean,
-      fileSchema: StructType)
-
-  /** Stage a whole-table replacement to `<name>.parquet.tmp`. */
-  private def stageWhole(df: DataFrame, wh: Path, name: String): StagedWrite = {
-    Files.createDirectories(wh)
-    df.write.mode("overwrite").parquet(wh.resolve(s"$name.parquet.tmp").toString)
-    StagedWrite(name, None, partitioned = false, df.schema)
-  }
-
-  private def withPartCol(df: DataFrame, name: String): DataFrame = {
-    val pc = PartitionedTables(name)
-    if (name == "patient_dimension")
-      // derive (or re-derive) the trial from the usubjid; rows read back
-      // from the table already carry it — coalesce keeps theirs
-      df.withColumn(pc,
-        if (df.columns.contains(pc))
-          coalesce(col(pc), substring_index(col("sourcesystem_cd"), ":", 1))
-        else substring_index(col("sourcesystem_cd"), ":", 1))
-    else df
-  }
-
-  /** In-file sort key per table: partitions are laid out sorted by their
-    * hot filter column, so parquet row-group min/max stats prune concept-
-    * keyed reads (the reference's per-partition work-table indexes,
-    * I2B2_PROCESS_MRNA_DATA.sql:277-279, as a lakehouse layout property).
-    * A local sort only — the partition filter already bounded the data. */
-  private val PartitionSortKeys: Map[String, String] = Map(
-    "observation_fact" -> "concept_cd",
-    "de_subject_acgh_data" -> "region_id",
-    "de_subject_microarray_data" -> "probeset_id",
-    "de_subject_protein_data" -> "probeset_id",
-    "de_subject_rbm_data" -> "probeset_id",
-    "de_subject_mirna_data" -> "probeset_id",
-    "de_subject_metabolomics_data" -> "probeset_id",
-    "de_subject_rna_data" -> "probeset_id",
-    "de_sample_snp_data" -> "snp_name",
-    "de_variant_subject_summary" -> "rs_id",
-    "de_variant_subject_detail" -> "rs_id")
-
-  /** Stage a replacement of ONLY the named partitions: rows outside them
-    * are dropped (the read side prunes to the affected partitions), and a
-    * value with no surviving rows becomes a partition DROP at commit. */
-  private def stagePart(df0: DataFrame, wh: Path, name: String,
-                        values: Seq[String]): StagedWrite = {
-    val pc = PartitionedTables(name)
-    val df = withPartCol(df0, name)
-    Files.createDirectories(wh)
-    val vs = values.distinct
-    val filtered =
-      if (vs.isEmpty) df.filter(lit(false)) else df.filter(col(pc).isInCollection(vs))
-    val laidOut = PartitionSortKeys.get(name)
-      .filter(df.columns.contains)
-      // sort key PREFIXED by the partition col so the writer's required
-      // partition ordering is already satisfied and the secondary order
-      // survives into the files
-      .map(k => filtered.sortWithinPartitions(col(pc), col(k)))
-      .getOrElse(filtered)
-    laidOut.write.mode("overwrite").partitionBy(pc)
-      .parquet(wh.resolve(s"$name.parquet.tmp").toString)
-    StagedWrite(name, Some(vs), partitioned = true,
-      StructType(df.schema.filterNot(_.name == pc)))
-  }
-
-  /** Stage a FULL rewrite of a partitioned table (library fallback — the
-    * per-study paths always know their affected partition values). */
-  private def stagePartAll(df0: DataFrame, wh: Path, name: String): StagedWrite = {
-    val pc = PartitionedTables(name)
-    val df = withPartCol(df0, name)
-    Files.createDirectories(wh)
-    df.write.mode("overwrite").partitionBy(pc)
-      .parquet(wh.resolve(s"$name.parquet.tmp").toString)
-    StagedWrite(name, None, partitioned = true,
-      StructType(df.schema.filterNot(_.name == pc)))
-  }
-
-  // ---- crash-safe multi-table publish: the batch manifest -------------
-  // Each table swap is atomic, but a batch (writeStar) swaps MANY tables;
-  // a kill between two swaps used to leave a mixed old/new star with
-  // nothing to finish the job (the reference gets batch atomicity from a
-  // DB transaction, AbstractDataProcessor.groovy:58-75). The manifest is
-  // written after ALL staging completes and removed after the LAST swap,
-  // so a manifest found on startup proves every table's new content still
-  // exists (already committed, or intact in its .tmp) — recovery simply
-  // ROLLS FORWARD by re-running the remaining swaps. Per-table recovery is
-  // idempotent; the one ambiguous shape — "partition dir present with no
-  // staged data": committed swap, or a pending DROP? — is resolved by
-  // recording data vs drop values separately at staging time.
-
-  private val ManifestName = "_publish.manifest"
-
-  private def encField(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-  private def decField(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-
-  private def writeManifest(wh: Path, writes: Seq[StagedWrite]): Unit = {
-    val lines = writes.map { w =>
-      val kind = w.partValues match {
-        case Some(_) => "part"
-        case None    => if (w.partitioned) "partAll" else "whole"
-      }
-      // which affected values actually staged data: absent ones are DROPs
-      val (dataVals, dropVals) = w.partValues.map { vs =>
-        val pc = PartitionedTables(w.name)
-        val tmp = wh.resolve(s"${w.name}.parquet.tmp")
-        vs.partition(v => Files.exists(tmp.resolve(s"$pc=${escapePartVal(v)}")))
-      }.getOrElse((Seq.empty, Seq.empty))
-      Seq(w.name, kind,
-        dataVals.map(encField).mkString(","),
-        dropVals.map(encField).mkString(","),
-        encField(w.fileSchema.json)).mkString("\t")
-    }
-    val tmp = wh.resolve(ManifestName + ".tmp")
-    Files.write(tmp,
-      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, wh.resolve(ManifestName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Test hook: throw after N table commits to simulate a mid-batch kill. */
-  private[graft] var testFailAfterCommits: Option[Int] = None
-
-  /** Promote staged writes. All staging (which is what reads the OLD
-    * files) must be complete before the first commit of a batch. */
-  private def commitStaged(spark: SparkSession, wh: Path,
-                           writes: Seq[StagedWrite]): Unit = {
-    writeManifest(wh, writes)
-    writes.zipWithIndex.foreach { case (w, i) =>
-      commitOne(spark, wh, w, dropValues = Seq.empty, recovery = false)
-      if (testFailAfterCommits.exists(_ == i + 1))
-        throw new IllegalStateException(s"test kill after ${i + 1} commits")
-    }
-    Files.deleteIfExists(wh.resolve(ManifestName))
-  }
-
-  /** One table's swap — idempotent, so batch recovery can re-run it.
-    *
-    * Partition-drop semantics differ by mode: on FIRST commit a value with
-    * no staged dir is always a drop (staging just produced the tmp), but
-    * on RECOVERY a missing staged dir can also mean "this value's swap
-    * already committed before the kill" — only the manifest's recorded
-    * `dropValues` may delete then. */
-  private def commitOne(spark: SparkSession, wh: Path, w: StagedWrite,
-                        dropValues: Seq[String], recovery: Boolean): Unit = {
-    val tmp = wh.resolve(s"${w.name}.parquet.tmp")
-    val dst = wh.resolve(s"${w.name}.parquet")
-    w.partValues match {
-      case None =>
-        val old = wh.resolve(s"${w.name}.parquet.old")
-        if (Files.exists(tmp)) {
-          deleteRecursively(old) // stale leftover from a crash
-          if (Files.exists(dst)) Files.move(dst, old)
-          Files.move(tmp, dst)
-        }
-        // also finishes a kill that landed between the two moves above
-        deleteRecursively(old)
-      case Some(vs) =>
-        val pc = PartitionedTables(w.name)
-        Files.createDirectories(dst)
-        val batchUnfinished = Files.exists(tmp)
-        val drops = dropValues.toSet
-        vs.foreach { v =>
-          val dirName = s"$pc=${escapePartVal(v)}"
-          val from = tmp.resolve(dirName)
-          val to = dst.resolve(dirName)
-          val old = dst.resolve("_old_" + dirName)
-          if (Files.exists(from)) {
-            if (Files.exists(to)) {
-              // an `old` that coexists with `to` is stale (a finished or
-              // unrelated crash left it); the mid-swap shape is old
-              // WITHOUT to, handled by falling straight to the move below
-              deleteRecursively(old)
-              Files.move(to, old)
-            }
-            Files.move(from, to)
-          } else if (batchUnfinished && (if (recovery) drops.contains(v) else true)) {
-            // partition DROP: the value staged no rows
-            deleteRecursively(to)
-          }
-          deleteRecursively(old)
-        }
-        deleteRecursively(tmp)
-        // stale _old_ leftovers from kills outside this batch's value set
-        listDir(dst).filter(_.getFileName.toString.startsWith("_old_"))
-          .foreach(deleteRecursively)
-    }
-    if (w.partitioned) ensureReadable(spark, wh, w.name, w.fileSchema)
-  }
-
-  /** Complete an interrupted publish batch (idempotent roll-forward).
-    * Returns true when a manifest was found and recovered. Runs under the
-    * CLI process lock before any command touches the warehouse. */
-  private[graft] def recoverPublish(spark: SparkSession, wh: Path): Boolean = {
-    val mf = wh.resolve(ManifestName)
-    // a kill DURING manifest staging leaves only the tmp: no commit ran
-    // yet (the manifest lands before the first swap), so the star is the
-    // old one and the tmp is just litter
-    Files.deleteIfExists(wh.resolve(ManifestName + ".tmp"))
-    if (!Files.exists(mf)) return false
-    println(s"!!! unfinished publish found in $wh — completing the swap")
-    val lines = new String(Files.readAllBytes(mf),
-      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
-    lines.foreach { ln =>
-      val f = ln.split("\t", -1)
-      val (name, kind) = (f(0), f(1))
-      def vals(s: String) =
-        if (s.isEmpty) Seq.empty[String] else s.split(",", -1).toSeq.map(decField)
-      val (dataVals, dropVals) = (vals(f(2)), vals(f(3)))
-      val schema = org.apache.spark.sql.types.DataType.fromJson(decField(f(4)))
-        .asInstanceOf[StructType]
-      val w = StagedWrite(name,
-        if (kind == "part") Some(dataVals ++ dropVals) else None,
-        partitioned = kind != "whole", schema)
-      commitOne(spark, wh, w, dropValues = dropVals, recovery = true)
-    }
-    Files.deleteIfExists(mf)
-    true
-  }
-
-  /** A partitioned table whose LAST partition was dropped (or that was
-    * created empty) must stay readable by a plain parquet scan: leave a
-    * zero-row schema marker partition. Removed again once real data
-    * partitions exist. */
-  private def ensureReadable(spark: SparkSession, wh: Path, name: String,
-                             fileSchema: StructType): Unit = {
-    val pc = PartitionedTables(name)
-    val dst = wh.resolve(s"$name.parquet")
-    val marker = dst.resolve(s"$pc=__EMPTY__")
-    val hasData = listDir(dst).exists { d =>
-      val n = d.getFileName.toString
-      n.startsWith(pc + "=") && n != s"$pc=__EMPTY__" &&
-        listDir(d).exists(_.getFileName.toString.endsWith(".parquet"))
-    }
-    if (!hasData)
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), fileSchema)
-        .write.mode("overwrite").parquet(marker.toString)
-    else if (Files.exists(marker)) deleteRecursively(marker)
-  }
 
   def readTable(spark: SparkSession, wh: Path, name: String): DataFrame =
     readTable2(spark, wh, name, CoreTables.toMap.apply(name))

@@ -40,11 +40,11 @@ class GraftCliManifestSpec extends SparkSpec {
 
     // delete study B, but die after the FIRST of the batch's table swaps —
     // the same on-disk state a mid-publish kill leaves
-    GraftCli.testFailAfterCommits = Some(1)
+    core.Publish.testFailAfterCommits = Some(1)
     try intercept[IllegalStateException] {
       GraftCli.run(spark, Seq("-o", wh.toString,
         "--delete-study-by-id", "MTRIALB", "--force-start"))
-    } finally GraftCli.testFailAfterCommits = None
+    } finally core.Publish.testFailAfterCommits = None
 
     // the star is mixed: ontology partially rewritten, B's fact partition
     // still present — and the manifest records the unfinished batch
@@ -53,7 +53,7 @@ class GraftCliManifestSpec extends SparkSpec {
       "the kill landed before observation_fact's swap")
 
     // next start: recovery completes the batch before any command runs
-    assert(GraftCli.recoverPublish(spark, wh))
+    assert(core.Publish.recoverPublish(spark, wh))
     assert(!Files.exists(wh.resolve("_publish.manifest")))
     assert(!Files.isDirectory(factDirB), "B's fact partition dropped by recovery")
 
@@ -77,16 +77,16 @@ class GraftCliManifestSpec extends SparkSpec {
     assert(bad.isEmpty, s"staging leftovers survived recovery: $bad")
 
     // recovery is idempotent: nothing to do on a clean warehouse
-    assert(!GraftCli.recoverPublish(spark, wh))
+    assert(!core.Publish.recoverPublish(spark, wh))
 
     // and a normal CLI start performs the same recovery implicitly: kill a
     // study-A delete mid-batch, then re-run the SAME delete — the startup
     // recovery first completes the old batch, the command then finishes
-    GraftCli.testFailAfterCommits = Some(1)
+    core.Publish.testFailAfterCommits = Some(1)
     try intercept[IllegalStateException] {
       GraftCli.run(spark, Seq("-o", wh.toString,
         "--delete-study-by-id", "MTRIALA", "--force-start"))
-    } finally GraftCli.testFailAfterCommits = None
+    } finally core.Publish.testFailAfterCommits = None
     assert(Files.exists(wh.resolve("_publish.manifest")))
     assert(GraftCli.run(spark, Seq("-o", wh.toString,
       "--delete-study-by-id", "MTRIALA", "--force-start")) == 0)
@@ -115,19 +115,19 @@ class GraftCliManifestSpec extends SparkSpec {
       writeClinicalStudy(rootB, "Study B", "STRIALB")
       assert(GraftCli.run(spark, Seq("-o", wh.toString, rootB.toString)) == 0,
         s"k=$k: re-upload of study B failed")
-      GraftCli.testFailAfterCommits = Some(k)
+      core.Publish.testFailAfterCommits = Some(k)
       val killed =
         try {
           GraftCli.run(spark, Seq("-o", wh.toString,
             "--delete-study-by-id", "STRIALB", "--force-start"))
           false
         } catch { case _: IllegalStateException => true }
-        finally GraftCli.testFailAfterCommits = None
+        finally core.Publish.testFailAfterCommits = None
       if (!killed) {
         batchDone = true // fewer than k tables in the batch: normal finish
       } else {
         assert(Files.exists(wh.resolve("_publish.manifest")), s"k=$k")
-        assert(GraftCli.recoverPublish(spark, wh), s"k=$k")
+        assert(core.Publish.recoverPublish(spark, wh), s"k=$k")
       }
       assert(!Files.exists(wh.resolve("_publish.manifest")), s"k=$k")
       // post-delete consistency, identical for every kill index

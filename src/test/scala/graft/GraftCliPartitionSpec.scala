@@ -106,7 +106,7 @@ class GraftCliPartitionSpec extends SparkSpec {
 
   test("partition value escaping round-trips Hive-special characters") {
     for (v <- Seq("GSE0:VCFTEST", "A B", "x=y", "a/b\\c", "100%", "plain"))
-      assert(GraftCli.unescapePartVal(GraftCli.escapePartVal(v)) == v)
-    assert(GraftCli.escapePartVal("GSE0:VCFTEST") == "GSE0%3AVCFTEST")
+      assert(core.Publish.unescapePartVal(core.Publish.escapePartVal(v)) == v)
+    assert(core.Publish.escapePartVal("GSE0:VCFTEST") == "GSE0%3AVCFTEST")
   }
 }
