@@ -44,6 +44,14 @@ object Bench {
         val s = times.sorted; s(1) > s(0) * 1.25
       }) times += once()
       spark.catalog.clearCache() // bound memory across the suite
+      // Broadcast blocks and shuffle files are only reclaimed when the
+      // ContextCleaner sees their references GC'd — across 97 queries the
+      // garbage piles up and later queries run 1.5-2.5x slower than in
+      // isolation (measured r8: dedup_semantic 3.96 s in-suite vs 1.54 s
+      // alone). An explicit GC per query keeps the cleaner current, so
+      // every query is measured against a clean executor, like the
+      // driver's per-query verify runs.
+      System.gc()
       name -> (if (failed) -1.0 else times.min)
     }
     // 3-dp seconds: per-query noise on a shared host is tens of percent,

@@ -903,6 +903,48 @@ object Oracles {
         |  GROUP BY 1, 2),
         |""".stripMargin + JaccardTail.replace("FROM sh ", "FROM shf ")),
 
+    // Two-stage composition: exact-dedup survivors feed the identical
+    // minhash chain; copy counts join back from the fingerprint groups.
+    "dedup_two_stage" ->
+      """WITH g AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f,
+        |    min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM documents GROUP BY 1),
+        |surv AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN g ON d.doc_id = g.keep_id),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM surv),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |mh AS (
+        |  SELECT doc_id, j, min(md5(j::VARCHAR || '|' || shingle)) AS minhash
+        |  FROM sh, unnest(range(0, 8)) s(j) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    md5(string_agg(minhash, '|' ORDER BY j)) AS band_key
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand ON a.doc_id = cand.da AND b.doc_id = cand.db
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT doc_a, doc_b,
+        |  round(c::DOUBLE / (sa.n + sb.n - c)::DOUBLE, 6) AS jaccard,
+        |  CAST(ga.n_copies AS BIGINT) AS copies_a,
+        |  CAST(gb.n_copies AS BIGINT) AS copies_b
+        |FROM common
+        |JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |JOIN g ga ON doc_a = ga.keep_id JOIN g gb ON doc_b = gb.keep_id
+        |WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.5""".stripMargin,
+
     "dedup_minhash_lsh" -> (ShingleCte +
       """, mh AS (
         |  SELECT doc_id, j, min(md5(j::VARCHAR || '|' || shingle)) AS minhash
