@@ -79,15 +79,19 @@ object ScaleProbe {
     if (!new java.io.File(s"$dstDir/lineitem.parquet").exists())
       replicate(spark, srcDir, dstDir, copies = 10)
 
-    // the round-7 slow tail plus one representative per heavy family
+    // the round-7 slow tail plus one representative per heavy family;
+    // SPARK_GRAFT_ALL=1 sweeps the whole query surface instead
     val targets = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSeq)
-      .getOrElse(Seq(
-        "ann_ivfpq", "ann_pq_adc", "ann_ivf_kmeans", "ann_cosine_topk",
-        "pipeline_clinical_e2e", "pipeline_omics_e2e", "acgh_facts",
-        "dedup_ngram_jaccard", "dedup_clusters", "dedup_minhash_lsh",
-        "dedup_semantic", "annotation_registry", "text_bm25", "w2_keep_one",
-        "pack_sequences", "w3_sessionize"))
+      .getOrElse(
+        if (sys.env.contains("SPARK_GRAFT_ALL"))
+          SparkEntry.queries.keys.toSeq.sorted
+        else Seq(
+          "ann_ivfpq", "ann_pq_adc", "ann_ivf_kmeans", "ann_cosine_topk",
+          "pipeline_clinical_e2e", "pipeline_omics_e2e", "acgh_facts",
+          "dedup_ngram_jaccard", "dedup_clusters", "dedup_minhash_lsh",
+          "dedup_semantic", "annotation_registry", "text_bm25", "w2_keep_one",
+          "pack_sequences", "w3_sessionize"))
 
     val results = targets.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -100,6 +104,7 @@ object ScaleProbe {
         val base = math.min(once(srcDir), once(srcDir))
         val big = math.min(once(dstDir), once(dstDir))
         spark.catalog.clearCache()
+        System.gc() // keep the ContextCleaner current (see Bench)
         val ratio = big / base
         println(f"[probe] $name%-24s sf0.1=$base%7.3f s  sf1=$big%8.3f s  ratio=$ratio%6.2f x")
         (name, base, big, ratio)

@@ -254,6 +254,36 @@ object Dedup {
         round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6))
   }
 
+  /** Exact-first two-stage dedup — the warehouse-standard composition
+    * (SCALE_PROBE.md): one md5-fingerprint groupBy keeps the smallest id
+    * of each identical-text group, then [[minhashLsh]] runs over
+    * survivors ONLY. On a replica-heavy corpus (the web-crawl norm) this
+    * keeps LSH band buckets free of exact-copy groups, so near-dup pair
+    * work scales with DISTINCT documents instead of C(copies, 2) per
+    * duplicated text (measured: 3.0 s vs 18.5 s on a corpus where every
+    * doc has 10 exact copies). Returns the verified near-dup pairs among
+    * survivors, each side carrying its exact-copy count so a downstream
+    * keep-one knows the total multiplicity it is collapsing. */
+  def twoStage(docs: DataFrame, idCol: String, textCol: String,
+               n: Int, numHashes: Int, rowsPerBand: Int,
+               threshold: Double): DataFrame = {
+    // (keep_id, n_copies) per fingerprint — evaluated as a plain md5
+    // groupBy at each use (lazy library discipline: no cache/persist on a
+    // caller's frame)
+    val groups = exact(docs, idCol, textCol)
+      .select(col("keep_id"), col("n_copies"))
+    val survivors = docs.join(
+      groups.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+    val pairs = minhashLsh(survivors, idCol, textCol,
+      n, numHashes, rowsPerBand, threshold)
+    // pairs is the tiny side — AQE broadcasts it into the copy-count joins
+    pairs
+      .join(groups.select(col("keep_id").as("doc_a"), col("n_copies").as("copies_a")), "doc_a")
+      .join(groups.select(col("keep_id").as("doc_b"), col("n_copies").as("copies_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("copies_a"), col("copies_b"))
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * verified PAIRS into keep-one-per-CLUSTER decisions (a pairs list
     * alone over-deletes: a~b and b~c must not delete both b and c against

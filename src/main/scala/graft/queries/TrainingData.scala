@@ -37,34 +37,10 @@ object TrainingData {
     Dedup.minhashLsh(tp(s, dir, "documents"), "doc_id", "text",
       n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
 
-  /** The two-stage composition SCALE_PROBE.md names as the warehouse
-    * standard: EXACT dedup first (one md5-fingerprint groupBy; the
-    * smallest doc id of each identical-text group survives), then
-    * MinHash-LSH near-dup detection over survivors only. On a
-    * replica-heavy corpus (the web-crawl norm) this keeps LSH band
-    * buckets free of exact-copy groups, so near-dup pair work scales
-    * with DISTINCT documents instead of C(copies, 2) per duplicated
-    * text. Output: verified near-dup pairs among survivors, each side
-    * carrying its exact-copy count so a downstream keep-one knows the
-    * total multiplicity it is collapsing. */
-  def dedupTwoStage(s: SparkSession, dir: String): DataFrame = {
-    val docs = tp(s, dir, "documents")
-    // (keep_id, n_copies) per fingerprint — the fact-sized side of the
-    // joins below, evaluated as a plain md5 groupBy each time (lazy
-    // library discipline: no cache/persist on a caller's frame)
-    val groups = Dedup.exact(docs, "doc_id", "text")
-      .select(col("keep_id"), col("n_copies"))
-    val survivors = docs.join(
-      groups.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-    val pairs = Dedup.minhashLsh(survivors, "doc_id", "text",
+  /** Exact-first near-dup composition: see [[Dedup.twoStage]]. */
+  def dedupTwoStage(s: SparkSession, dir: String): DataFrame =
+    Dedup.twoStage(tp(s, dir, "documents"), "doc_id", "text",
       n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
-    // pairs is the tiny side — AQE broadcasts it into the copy-count joins
-    pairs
-      .join(groups.select(col("keep_id").as("doc_a"), col("n_copies").as("copies_a")), "doc_a")
-      .join(groups.select(col("keep_id").as("doc_b"), col("n_copies").as("copies_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("jaccard"),
-        col("copies_a"), col("copies_b"))
-  }
 
   /** Pairs -> clusters: connected components over the verified MinHash-LSH
     * pair graph, min doc id as the deterministic cluster label. */

@@ -196,6 +196,27 @@ class DedupSpec extends SparkSpec {
     assert(got == dist.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
   }
 
+  test("twoStage: exact copies collapse before the near-dup stage") {
+    // 1 and 2 are exact copies; 3 is a near dup of 1 chosen to share an
+    // LSH band with it (md5 minhashes are deterministic, so the collision
+    // is stable). Only 1 survives the exact stage, so the result is the
+    // single pair (1, 3) with copies_a = 2 — and the (1,2)/(2,3) pairs a
+    // plain MinHash run would emit must NOT appear.
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "far away into the green forest tonight"
+    val twoDocs = Seq(
+      (1L, base),
+      (2L, base), // exact copy of 1
+      (3L, base.replaceFirst("the", "red")), // near dup, band-collides
+      (4L, "completely different words entirely here now ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.twoStage(twoDocs, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("copies_a"), r.getAs[Long]("copies_b"))).toSeq
+    assert(got == Seq((1L, 3L, 2L, 1L)))
+  }
+
   test("minhashLsh candidates recover the exact dup pair") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.9)
