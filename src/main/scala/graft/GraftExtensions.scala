@@ -48,5 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextHash.MinHashHex].getName, "graft_minhash"),
       (children: Seq[Expression]) => TextHash.MinHashHex(children(0),
         intArg(children(1), "graft_minhash"), intArg(children(2), "graft_minhash"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_u64"),
+      new ExpressionInfo(classOf[TextHash.MinHashU64].getName, "graft_minhash_u64"),
+      (children: Seq[Expression]) => TextHash.MinHashU64(children(0),
+        intArg(children(1), "graft_minhash_u64"),
+        intArg(children(2), "graft_minhash_u64"))))
   }
 }

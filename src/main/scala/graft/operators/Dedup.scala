@@ -171,57 +171,90 @@ object Dedup {
     *
     * A document's MinHash signature is a pure function of its text, so the
     * signature is ONE codegen'd scalar expression per row
-    * ([[graft.functions.TextHash.minhash]]) — candidate generation is scan
-    * -> project -> band explode -> band-key self-join, with NO full-corpus
-    * shingle explode and NO signature groupBy shuffle. Shingles are only
-    * ever exploded for the bucket SURVIVORS (the verify step), which is the
-    * LSH contract: the quadratic/bulky work is confined to candidates.
-    * The relational signature build ([[minhashSignatures]]) is kept as the
-    * spec's in-engine cross-check. */
+    * ([[graft.functions.TextHash.minhashU64]] — double-hashed: one md5 per
+    * shingle, seeds derived arithmetically, which is where the LSH
+    * queries' CPU went when every seed ran its own digest) — candidate
+    * generation is scan -> project -> band explode -> band-key self-join,
+    * with NO full-corpus shingle explode and NO signature groupBy shuffle.
+    * Shingles are only ever exploded for the bucket SURVIVORS (the verify
+    * step), which is the LSH contract: the quadratic/bulky work is
+    * confined to candidates. The md5-per-seed relational build
+    * ([[minhashSignatures]] / [[graft.functions.TextHash.minhash]]) is
+    * kept as the spec's in-engine cross-check of the signature shape. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, numHashes: Int, rowsPerBand: Int,
                  threshold: Double): DataFrame = {
     val nBands = numHashes / rowsPerBand
+    // no isNotNull filter on mh itself: that predicate pushes below this
+    // projection and re-evaluates the signature expression per corpus row
+    // inside the scan filter. Instead the band key is null when mh is null
+    // (shingle-less doc) and the cheap attribute filter after the explode
+    // drops those rows.
     val sig = docs.select(col(idCol).as("doc_id"),
-        graft.functions.TextHash.minhash(col(textCol), n, numHashes).as("mh"))
-      .filter(col("mh").isNotNull)
+      graft.functions.TextHash.minhashU64(col(textCol), n, numHashes).as("mh"))
     val bandCols = (0 until nBands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(j => col("mh").getItem(j))
-      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("band_key"))
+      struct(lit(b).as("band"),
+        when(col("mh").isNotNull, md5(concat_ws("|", slice: _*))).as("band_key"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .filter(col("band_key").isNotNull)
+    // candidate pairs per bucket via ONE groupBy on the bucket key, not a
+    // band-key self-join: Spark expands a DAG with two references into a
+    // tree, so each self-join side re-ran the full-corpus signature scan
+    // (measured as the two dominant jobs of this query — exchange reuse
+    // does not bridge differently-pruned subtrees). The groupBy shuffles
+    // the banded corpus once and emits each bucket's id pairs in place;
+    // ids sort ascending so doc_a < doc_b exactly like the join condition.
+    // Bucket sizes are duplicate-group sizes — the pairs they emit are the
+    // candidate set itself, so the per-bucket HOF does no extra work.
+    val cand = bands
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+      // consumed twice below (candidate-doc set + the verify semi-join);
+      // LAZY localCheckpoint so the second consumer reads the (tiny, LSH
+      // contract) pair list instead of re-running the corpus signature
+      // scan behind it; blocks auto-release with the frame (Ids pattern)
+      .localCheckpoint(false)
     // shrink the verify work to candidate docs BEFORE any shingle explode
     // (the LSH point: the quadratic step only ever sees bucket survivors)
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
     val candTexts = docs.join(broadcast(candDocs), Seq(idCol), "left_semi")
-    // TextHash.shingles yields DISTINCT shingles, so the per-doc size is
-    // a scalar projection — no explode, no shuffle. The only explode
-    // consumers are the two sides of the pair join over the (small)
-    // candidate set, cheap to recompute — NO cache, so the pipeline stays
-    // lazy and library callers leak nothing.
-    val sizes = candTexts.select(col(idCol).as("doc_id"),
-      size(graft.functions.TextHash.shingles(col(textCol), n)).as("n_shingles"))
-    val sh = docShingles(candTexts, idCol, textCol, n)
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, "shingle")
+    // per-doc shingle count folded INTO the exploded frame (shingles are
+    // DISTINCT per doc, so size-before-explode is the Jaccard set size):
+    // the pair aggregate carries both sides' sizes and the two join-backs
+    // of the old shape — each re-deriving candTexts — disappear
+    // explode_OUTER on purpose: plain explode makes Catalyst infer
+    // `size(arr) > 0 AND isnotnull(arr)` and push it below the semi-join,
+    // re-evaluating the shingle expression for EVERY corpus row (seen in
+    // the executed plan as wordshingles inside the parquet-scan filter) —
+    // the outer variant infers nothing, shingle-less docs surface one null
+    // row, and the cheap attribute filter below drops it post-explode
+    val sh = candTexts
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextHash.shingles(col(textCol), n).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).as("n_shingles"),
+        explode_outer(col("__sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val a = sh.select(col("doc_id").as("doc_a"),
+      col("n_shingles").as("size_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"),
+      col("n_shingles").as("size_b"), col("shingle"))
+    a.join(b, "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .agg(count(lit(1)).as("n_common"),
+        max(col("size_a")).as("size_a"), max(col("size_b")).as("size_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")).cast("double"))

@@ -920,11 +920,17 @@ object Oracles {
         |    i -> array_to_string(t[i:i+2], ' ')))) AS shingle
         |  FROM toks WHERE len(t) >= 3),
         |mh AS (
-        |  SELECT doc_id, j, min(md5(j::VARCHAR || '|' || shingle)) AS minhash
+        |  -- double-hashed MinHash (TextHash.minhashU64): one md5 per
+        |  -- shingle, seed j derived as (lower64 + j*upper64) mod 2^64 in
+        |  -- HUGEINT; ::VARCHAR of the HUGEINT == Long.toUnsignedString
+        |  SELECT doc_id, j,
+        |    min((md5_number_lower(shingle)::HUGEINT
+        |         + j * md5_number_upper(shingle)::HUGEINT)
+        |        % 18446744073709551616) AS minhash
         |  FROM sh, unnest(range(0, 8)) s(j) GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, j // 2 AS band,
-        |    md5(string_agg(minhash, '|' ORDER BY j)) AS band_key
+        |    md5(string_agg(minhash::VARCHAR, '|' ORDER BY j)) AS band_key
         |  FROM mh GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
@@ -947,11 +953,17 @@ object Oracles {
 
     "dedup_minhash_lsh" -> (ShingleCte +
       """, mh AS (
-        |  SELECT doc_id, j, min(md5(j::VARCHAR || '|' || shingle)) AS minhash
+        |  -- double-hashed MinHash (TextHash.minhashU64): one md5 per
+        |  -- shingle, seed j derived as (lower64 + j*upper64) mod 2^64 in
+        |  -- HUGEINT; ::VARCHAR of the HUGEINT == Long.toUnsignedString
+        |  SELECT doc_id, j,
+        |    min((md5_number_lower(shingle)::HUGEINT
+        |         + j * md5_number_upper(shingle)::HUGEINT)
+        |        % 18446744073709551616) AS minhash
         |  FROM sh, unnest(range(0, 8)) s(j) GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, j // 2 AS band,
-        |    md5(string_agg(minhash, '|' ORDER BY j)) AS band_key
+        |    md5(string_agg(minhash::VARCHAR, '|' ORDER BY j)) AS band_key
         |  FROM mh GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
@@ -970,11 +982,17 @@ object Oracles {
     // fixpoint on this graph).
     "dedup_clusters" -> (ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       """, mh AS (
-        |  SELECT doc_id, j, min(md5(j::VARCHAR || '|' || shingle)) AS minhash
+        |  -- double-hashed MinHash (TextHash.minhashU64): one md5 per
+        |  -- shingle, seed j derived as (lower64 + j*upper64) mod 2^64 in
+        |  -- HUGEINT; ::VARCHAR of the HUGEINT == Long.toUnsignedString
+        |  SELECT doc_id, j,
+        |    min((md5_number_lower(shingle)::HUGEINT
+        |         + j * md5_number_upper(shingle)::HUGEINT)
+        |        % 18446744073709551616) AS minhash
         |  FROM sh, unnest(range(0, 8)) s(j) GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, j // 2 AS band,
-        |    md5(string_agg(minhash, '|' ORDER BY j)) AS band_key
+        |    md5(string_agg(minhash::VARCHAR, '|' ORDER BY j)) AS band_key
         |  FROM mh GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db

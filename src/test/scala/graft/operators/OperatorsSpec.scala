@@ -245,6 +245,56 @@ class DedupSpec extends SparkSpec {
     assert(!native.contains(7L))
   }
 
+  test("double-hashed minhash matches DuckDB md5_number semantics (pinned vectors)") {
+    // expected values recomputed independently: h_j = (lower64 + j*upper64)
+    // mod 2^64 with lower/upper = little-endian uint64 halves of
+    // md5(shingle) — DuckDB's md5_number_lower/md5_number_upper, verified
+    // against duckdb 1.0.0 on these exact inputs
+    val r = Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.TextHash.minhashU64($"text", 3, 4).as("mh"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1).toList).toMap
+    assert(r(1L) == List("2456462632627010471", "12222221311869971373",
+      "3541235917403380659", "12756074632434801459"))
+    assert(r(2L) == List("2456462632627010471", "12222221311869971373",
+      "3541235917403380659", "13306994596646341561"))
+  }
+
+  test("double-hashed minhash matches a plain-Scala reference on edge cases") {
+    def ref(text: String, n: Int, k: Int): Option[List[String]] = {
+      val toks = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      if (toks.length < n) return None
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sh = toks.sliding(n).map(_.mkString(" ")).toList
+      val mins = Array.fill(k)(null: java.math.BigInteger)
+      val mod = java.math.BigInteger.ONE.shiftLeft(64)
+      sh.foreach { s =>
+        md.reset()
+        val d = md.digest(s.getBytes("UTF-8"))
+        def le(off: Int) = new java.math.BigInteger(1,
+          (off until off + 8).map(d(_)).reverse.toArray)
+        val (h1, h2) = (le(8), le(0))
+        (0 until k).foreach { j =>
+          val v = h1.add(h2.multiply(java.math.BigInteger.valueOf(j))).mod(mod)
+          if (mins(j) == null || v.compareTo(mins(j)) < 0) mins(j) = v
+        }
+      }
+      Some(mins.map(_.toString).toList)
+    }
+    val texts = Seq(
+      (5L, "  leading and \t trailing whitespace  "),
+      (6L, "unicode tokens 你好 世界 mixed in here ok"),
+      (7L, "x y"), // fewer tokens than n -> null
+      (8L, "a b a b a b a b")) // duplicate shingles -> same min
+    val native = texts.toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.TextHash.minhashU64($"text", 3, 8).as("mh"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[String](1).toList))).toMap
+    texts.foreach { case (id, t) => assert(native(id) == ref(t, 3, 8), s"doc $id") }
+  }
+
   test("simhash pairs: identical docs at hamming 0, distant docs not paired") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
