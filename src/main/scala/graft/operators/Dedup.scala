@@ -34,36 +34,52 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup: candidate pairs share >=1 shingle;
     * J(a,b) = |A n B| / (|A| + |B| - |A n B|) >= threshold.
-    * The self-join is on the shingle key — skew guard: very frequent
-    * shingles (stop-shingles) can be dropped via maxDocFreq, the standard
-    * trick to keep bucket sizes bounded at scale.
+    * Skew guard: very frequent shingles (stop-shingles) can be dropped via
+    * maxDocFreq, the standard trick to keep bucket sizes bounded at scale.
     *
-    * Deliberately STATELESS: the exploded shingles feed three consumers
-    * (sizes + both join sides), but re-tokenizing is a codegen-fused
-    * projection per consumer, measurably cheaper than materializing the
-    * corpus-sized shingle table through the block manager — and the
-    * operator leaves no CacheManager entries behind for library callers.
-    * The returned pair frame is lazy; [[clusters]] (the usual consumer)
+    * Shape: ONE shingle explode, ONE shuffle on the shingle key, then the
+    * per-shingle doc list drives both consumers — pair counts (per-bucket
+    * pair explosion, the same pairs the old a×b self-join emitted; the
+    * join form expanded the corpus-wide explode subtree once per side,
+    * 8 Generate nodes in the executed plan) and post-cap per-doc sizes.
+    * The two consumers share the one exchange (identical canonical
+    * subtree -> AQE reuse), so the corpus is exploded and shuffled once.
+    * Stateless: no cache entries left behind for library callers; the
+    * returned frame is lazy and [[clusters]] (the usual consumer)
     * checkpoints it once before iterating. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n)
-    val filtered = maxDocFreq match {
-      case Some(maxDf) =>
-        val df_ = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select(col("shingle"))
-        sh.join(df_, "shingle")
-      case None => sh
+    // explode_outer + attribute filter: plain explode makes Catalyst infer
+    // size/notnull predicates on the shingle EXPRESSION and push them into
+    // the scan filter, re-evaluating it per corpus row (see minhashLsh)
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextHash.shingles(col(textCol), n).as("__sh"))
+      .select(col("doc_id"), explode_outer(col("__sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    // shingles are DISTINCT per doc, so each doc appears at most once per
+    // list; document frequency IS the list size, so the maxDocFreq cap is
+    // a size filter on the same aggregate — no separate df join
+    val byShingle = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val capped = maxDocFreq match {
+      case Some(maxDf) => byShingle.filter(size(col("ids")) <= maxDf)
+      case None => byShingle
     }
-    val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val a = filtered.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = filtered.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, "shingle")
-      .filter(col("doc_a") < col("doc_b"))
+    val common = capped
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    val result = common
+    // per-doc surviving-shingle counts, recomputed from the same exchange
+    val sizes = capped
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -73,7 +89,6 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-    result
   }
 
   /** Cross-document segment dedup — the fixed-granularity approximation of
@@ -443,8 +458,12 @@ object Dedup {
     * UDF; halves keep the unsigned hex inside Long range. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame =
-    hammingPairs64(simhashHex(docs, idCol, textCol), "doc_id", "simhash",
-      maxHamming)
+    // unfiltered projection on purpose: simhashHex's isNotNull filter
+    // would push below the projection and run simhash64 a second time per
+    // corpus row; hammingPairs64 drops null hashes via its slice filter
+    hammingPairs64(docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextHash.simhash64(col(textCol)).as("simhash")),
+      "doc_id", "simhash", maxHamming)
 
   /** Banded near-dup PAIRS over ANY 64-bit hex hash column (SimHash for
     * text, aHash for images, …): the 64 bits band into four 16-bit
@@ -456,16 +475,32 @@ object Dedup {
     * (doc_a, doc_b, hamming) keyed by `idCol`'s values. */
   def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
                      maxHamming: Int = 3): DataFrame = {
+    // no isNotNull pre-filter: the predicate would push below the hash
+    // projection and re-evaluate the hash expression per row inside the
+    // upstream scan (for decode-backed hashes that is a second full decode
+    // pass); null hashes yield null slices, dropped after the explode
     val h = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h64"))
-      .filter(col("h64").isNotNull)
     val bands = h.select(col("doc_id"), col("h64"),
-      posexplode(array((0 until 4).map(b =>
-        substring(col("h64"), 1 + 4 * b, 4)): _*)).as(Seq("band", "slice")))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.slice") === col("y.slice") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.h64").as("h_a"),
-        col("y.doc_id").as("doc_b"), col("y.h64").as("h_b"))
+        posexplode(array((0 until 4).map(b =>
+          substring(col("h64"), 1 + 4 * b, 4)): _*)).as(Seq("band", "slice")))
+      .filter(col("slice").isNotNull)
+    // candidate pairs per slice bucket via ONE groupBy, not a self-join:
+    // Catalyst expands a twice-referenced subtree into two full copies, so
+    // the join form ran the whole hash computation (and any decode behind
+    // it) once per side. Members sort by (doc_id, h64) — ids are unique,
+    // so pair order is doc_a < doc_b exactly like the join condition, and
+    // each bucket's pair explosion IS the candidate set, no extra work.
+    val cand = bands
+      .groupBy(col("band"), col("slice"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("h64")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(
+            x.getField("doc_id").as("doc_a"), x.getField("h64").as("h_a"),
+            y.getField("doc_id").as("doc_b"), y.getField("h64").as("h_b"))))))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.h_a"), col("p.doc_b"), col("p.h_b"))
       .distinct()
     def half(c: Column, i: Int): Column =
       conv(substring(c, 1 + 8 * i, 8), 16, 10).cast("long")

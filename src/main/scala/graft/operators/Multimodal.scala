@@ -452,7 +452,12 @@ object Multimodal {
     * twin of [[imageNearDupPairs]] on the same banded candidate plan. */
   def videoNearDupPairs(media: Dataset[MediaRow],
                         maxHamming: Int = 3): DataFrame = {
-    val hashes = videoFrameHashes(media)
+    // LAZY localCheckpoint: the hash frame is consumed three times (band
+    // explode + both frame-count joins) and each reference would re-run
+    // the full video decode pass behind it; the checkpointed rows are
+    // (id, hash, count) — tiny at any corpus scale — and the blocks
+    // auto-release with the frame (the Ids pattern)
+    val hashes = videoFrameHashes(media).localCheckpoint(false)
     val frames = hashes.select(col("media_id"), col("n_frames"))
     Dedup.hammingPairs64(hashes.select(col("media_id"), col("ahash")),
         "media_id", "ahash", maxHamming)
