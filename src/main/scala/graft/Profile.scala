@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   private case class JobRec(jobId: Int, var stages: Int = 0, var tasks: Int = 0,
-                            var taskTimeMs: Long = 0L, var shuffleReadB: Long = 0L,
+                            var taskTimeMs: Long = 0L, var cpuMs: Long = 0L,
+                            var gcMs: Long = 0L, var shuffleReadB: Long = 0L,
                             var shuffleWriteB: Long = 0L,
                             var startMs: Long = 0L, var endMs: Long = 0L)
 
@@ -37,6 +38,8 @@ object Profile {
         r.stages += 1
         r.tasks += si.numTasks
         r.taskTimeMs += si.taskMetrics.executorRunTime
+        r.cpuMs += si.taskMetrics.executorCpuTime / 1000000L
+        r.gcMs += si.taskMetrics.jvmGCTime
         r.shuffleReadB += si.taskMetrics.shuffleReadMetrics.totalBytesRead
         r.shuffleWriteB += si.taskMetrics.shuffleWriteMetrics.bytesWritten
       }
@@ -87,6 +90,7 @@ object Profile {
       js.foreach { j =>
         println(f"   job ${j.jobId}%4d ${(j.endMs - j.startMs) / 1000.0}%7.3fs " +
           f"stages=${j.stages}%2d tasks=${j.tasks}%4d taskTime=${j.taskTimeMs / 1000.0}%8.3fs " +
+          f"cpu=${j.cpuMs / 1000.0}%7.3fs gc=${j.gcMs / 1000.0}%6.3fs " +
           f"shRead=${j.shuffleReadB / 1024}%8dKB shWrite=${j.shuffleWriteB / 1024}%8dKB")
       }
       spark.catalog.clearCache(); System.gc()

@@ -55,7 +55,17 @@ object ClinicalPipeline {
       explodeFile(studyId, mapping.forFile(fname), df)
     }.reduce(_ unionByName _)
 
-    val cleansed = cleanse(eav)
+    // ONE materialization barrier here — the reference's wt_clinical_data
+    // work table (SURVEY §4 UNLOGGED note). The shaping steps reference
+    // this frame through two aggregate+join-back patterns (single-visit
+    // counts, group type inference), and without a barrier Catalyst
+    // expands every reference into a full re-read + re-explode +
+    // re-cleanse of the upload files — the explode subtree appeared 4x in
+    // the executed plan and dominated the pipeline's CPU. LAZY
+    // localCheckpoint: materializes once on the first action, blocks
+    // auto-release with the frame (the Ids pattern), nothing for library
+    // callers to clean up.
+    val cleansed = cleanse(eav).localCheckpoint(false)
     val typed = inferAndShapePaths(cleansed, topNode, alwaysSetVisitName)
     // the deduped facts feed five downstream consumers (patients, concepts,
     // tree, fact join, counts) — cache once, the way the reference's wt_*
