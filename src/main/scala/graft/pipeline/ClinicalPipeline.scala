@@ -55,17 +55,18 @@ object ClinicalPipeline {
       explodeFile(studyId, mapping.forFile(fname), df)
     }.reduce(_ unionByName _)
 
-    // ONE materialization barrier here — the reference's wt_clinical_data
-    // work table (SURVEY §4 UNLOGGED note). The shaping steps reference
-    // this frame through two aggregate+join-back patterns (single-visit
-    // counts, group type inference), and without a barrier Catalyst
-    // expands every reference into a full re-read + re-explode +
-    // re-cleanse of the upload files — the explode subtree appeared 4x in
-    // the executed plan and dominated the pipeline's CPU. LAZY
-    // localCheckpoint: materializes once on the first action, blocks
-    // auto-release with the frame (the Ids pattern), nothing for library
-    // callers to clean up.
-    val cleansed = cleanse(eav).localCheckpoint(false)
+    // ONE materialization point — the reference's wt_clinical_data work
+    // table (SURVEY §4 UNLOGGED note): the shaping steps reference this
+    // frame through two aggregate+join-back fan-outs, and Catalyst expands
+    // each reference into a full re-read + re-explode + re-cleanse of the
+    // upload files (the explode subtree appeared 4x in the executed plan).
+    // cache(), NOT localCheckpoint: the InMemoryRelation keeps the logical
+    // plan's statistics (a checkpoint's bare RDD hides them and degraded
+    // the tiny join-backs to sort-merge joins, +2s end-to-end), and the
+    // BlockManager's per-partition locking dedupes computation even when
+    // AQE submits the downstream aggregate stages concurrently. Released
+    // with the caller's clearCache, same as the deduped cache below.
+    val cleansed = cleanse(eav).cache()
     val typed = inferAndShapePaths(cleansed, topNode, alwaysSetVisitName)
     // the deduped facts feed five downstream consumers (patients, concepts,
     // tree, fact join, counts) — cache once, the way the reference's wt_*
@@ -272,9 +273,10 @@ object ClinicalPipeline {
   def inferAndShapePaths(eavIn: DataFrame, topNode: String,
                          alwaysSetVisitName: Boolean): DataFrame = {
     // frames built outside explodeFile may predate the timestamp columns
-    val eav = Seq("baseline_value", "valuetype_cd").foldLeft(eavIn) { (d, c) =>
+    val eav0 = Seq("baseline_value", "valuetype_cd").foldLeft(eavIn) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string"))
     }
+    val eav = eav0
     val hasTerminator = col("category_cd").endsWith("+$")
 
     // 1. single-visit suppression across the mapping template (SQL:342-369).
@@ -346,8 +348,10 @@ object ClinicalPipeline {
       .agg(sum(isNumericInverted(col("data_value"))).as("nonnum"))
       .withColumn("valtype_cd", when(col("nonnum") === 0, lit("N")).otherwise(lit("T")))
       .drop("nonnum")
-    val withType = keyed.join(groups,
-      Seq("category_cd", "lkey", "vkey")) // small dim, AQE broadcasts
+    val withType = keyed.join(broadcast(groups),
+      Seq("category_cd", "lkey", "vkey")) // explicit: the work-table
+      // checkpoint upstream hides size statistics, and without the hint
+      // this degrades to a sort-merge join over two extra fact shuffles
       .drop("vkey", "lkey")
 
     // 6. category-path completion (SQL:600-632): terminator strips and

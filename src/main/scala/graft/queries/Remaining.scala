@@ -84,7 +84,11 @@ object Remaining {
     * the hash gate, not just its pieces. */
   def pipelineClinicalE2e(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ClinicalMapping._
-    val customer = t(s, dir, "customer")
+    // loadParallel, not plain load: the pipeline now materializes the
+    // cleansed EAV once (ClinicalPipeline.run's work-table checkpoint), so
+    // a single-split input would serialize the regex-heavy explode+cleanse
+    // into one task; spreading the scan lets that one pass use every core
+    val customer = Tables.loadParallel(s, dir, "customer")
     // customer columns: 1 c_custkey, 2 c_name, 3 c_nationkey, 4 c_acctbal,
     // 5 c_mktsegment
     val entries = Seq(

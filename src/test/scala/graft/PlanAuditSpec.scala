@@ -17,6 +17,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pair generation computes the per-doc hash/shingle expression exactly once") {
+    // Catalyst expands a twice-referenced frame into two full plan copies:
+    // a bucket-key SELF-JOIN (the old candidate generator) re-ran the
+    // signature scan per side, and an isNotNull pre-filter pushed a third
+    // evaluation into the scan filter. The groupBy form pins one.
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d x"), (3L, "q r s t u"))
+      .toDF("doc_id", "text")
+    val sim = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text")
+    sim.collect()
+    val simPlan = sim.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("simhash64\\(".r.findAllIn(simPlan).length == 1,
+      s"simhash64 must be computed exactly once:\n${simPlan.take(3000)}")
+
+    val ng = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text",
+      n = 3, threshold = 0.1, maxDocFreq = Some(100L))
+    ng.collect()
+    val ngPlan = ng.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("wordshingles\\(".r.findAllIn(ngPlan).length == 1,
+      s"the shingle explode must run exactly once:\n${ngPlan.take(3000)}")
+    // the pair explosion replaces the shingle-key self-join entirely
+    assert(!ngPlan.contains("SortMergeJoin") ||
+      "Generate".r.findAllIn(ngPlan).length <= 3,
+      "ngramJaccard regressed to the self-join shape")
+  }
+
   test("a7_zscore: ONE scan, one group-partitioned window — no aggregate-join-back double pass") {
     val df = SparkEntry.queries("a7_zscore")(spark, "/root/testdata/sf0.001")
     df.collect()
