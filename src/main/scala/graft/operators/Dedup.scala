@@ -445,9 +445,14 @@ object Dedup {
     * below ([[simhashHexRelational]]) shuffles 64x the token volume twice;
     * it is kept only as the independent cross-check of the expression. */
   def simhashHex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      graft.functions.TextHash.simhash64(col(textCol)).as("simhash"))
-      .filter(col("simhash").isNotNull)
+    // the token-less guard filters on a cheap `\S` probe of the TEXT, not
+    // on simhash IS NOT NULL: the latter pushes below the projection and
+    // evaluates the full hash expression a second time per row inside the
+    // scan filter. simhash64 is null exactly when the text has no Java-\s
+    // token, i.e. no \S character — the same ASCII whitespace class.
+    docs.filter(col(textCol).rlike("\\S"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextHash.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup PAIRS: band the 64-bit hash into four 16-bit slices;
     * by pigeonhole any pair within hamming distance 3 shares at least one

@@ -173,6 +173,11 @@ object TrainingData {
           col("n_chars")), 4))
       .filter(col("quality") >= 0.3)
       .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      // work-table cache (the clinical-pipeline pattern): q fans out to
+      // the exact-dedup aggregate and the survivor join, and each uncached
+      // reference re-runs the quality HOF chain — which the >= 0.3 filter
+      // additionally pushes into the scan filter, tripling the evaluation
+      .cache()
     // 2. exact dedup, min doc id survives
     val keep = Dedup.exact(q, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
