@@ -22,9 +22,14 @@ class PlanAuditSpec extends SparkSpec {
     // a bucket-key SELF-JOIN (the old candidate generator) re-ran the
     // signature scan per side, and an isNotNull pre-filter pushed a third
     // evaluation into the scan filter. The groupBy form pins one.
-    import spark.implicits._
-    val docs = Seq((1L, "a b c d e"), (2L, "a b c d x"), (3L, "q r s t u"))
-      .toDF("doc_id", "text")
+    // Parquet-backed input on purpose: a local Seq folds into a
+    // LocalRelation with the hash already evaluated at plan time, and the
+    // audit would count zero occurrences of an expression that "ran" on
+    // the driver.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
     val sim = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text")
     sim.collect()
     val simPlan = sim.queryExecution.executedPlan.toString
