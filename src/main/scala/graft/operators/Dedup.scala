@@ -79,11 +79,18 @@ object Dedup {
     val sizes = capped
       .select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    // shuffle_hash on the sizes side, explicitly: plan-time statistics of
+    // deep aggregate subtrees are fiction, and the static planner chose to
+    // BROADCAST the pair-count side — millions of rows on a replica-heavy
+    // corpus, found as a broadcast OOM by the sf1 scale probe. Neither
+    // side is broadcast-bounded at warehouse scale (pairs grow with dup
+    // density, sizes with the corpus), so the scale-safe shape is a
+    // shuffled join keyed on the doc id, hash side = the narrower sizes.
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .withColumnRenamed("n_shingles", "size_a").hint("shuffle_hash"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumnRenamed("n_shingles", "size_b").hint("shuffle_hash"), "doc_b")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")).cast("double"))
@@ -240,10 +247,14 @@ object Dedup {
       // scan behind it; blocks auto-release with the frame (Ids pattern)
       .localCheckpoint(false)
     // shrink the verify work to candidate docs BEFORE any shingle explode
-    // (the LSH point: the quadratic step only ever sees bucket survivors)
+    // (the LSH point: the quadratic step only ever sees bucket survivors).
+    // No broadcast HINT: the candidate set is usually tiny, but on a
+    // duplicate-heavy corpus it approaches the whole corpus and a forced
+    // broadcast OOMs (sf1 probe); AQE upgrades the semi-join to broadcast
+    // at runtime exactly when the materialized candidate list is small.
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    val candTexts = docs.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val candTexts = docs.join(candDocs, Seq(idCol), "left_semi")
     // per-doc shingle count folded INTO the exploded frame (shingles are
     // DISTINCT per doc, so size-before-explode is the Jaccard set size):
     // the pair aggregate carries both sides' sizes and the two join-backs
@@ -324,10 +335,16 @@ object Dedup {
       groups.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
     val pairs = minhashLsh(survivors, idCol, textCol,
       n, numHashes, rowsPerBand, threshold)
-    // pairs is the tiny side — AQE broadcasts it into the copy-count joins
+    // shuffle_hash on the per-doc groups side: the pair side is tiny after
+    // verification but plan-time stats cannot see that, and neither side
+    // is broadcast-bounded at warehouse scale (same rationale as the
+    // ngramJaccard size join-backs); AQE still localizes the shuffle when
+    // the runtime sizes allow
     pairs
-      .join(groups.select(col("keep_id").as("doc_a"), col("n_copies").as("copies_a")), "doc_a")
-      .join(groups.select(col("keep_id").as("doc_b"), col("n_copies").as("copies_b")), "doc_b")
+      .join(groups.select(col("keep_id").as("doc_a"), col("n_copies").as("copies_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(groups.select(col("keep_id").as("doc_b"), col("n_copies").as("copies_b"))
+        .hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         col("copies_a"), col("copies_b"))
   }

@@ -459,12 +459,15 @@ object Multimodal {
     // auto-release with the frame (the Ids pattern)
     val hashes = videoFrameHashes(media).localCheckpoint(false)
     val frames = hashes.select(col("media_id"), col("n_frames"))
+    // no broadcast hint on the per-video frame counts: bounded here, but
+    // corpus-sized in general — AQE broadcasts at runtime when the
+    // checkpointed hash frame is actually small
     Dedup.hammingPairs64(hashes.select(col("media_id"), col("ahash")),
         "media_id", "ahash", maxHamming)
-      .join(broadcast(frames.withColumnRenamed("media_id", "doc_a")
-        .withColumnRenamed("n_frames", "frames_a")), "doc_a")
-      .join(broadcast(frames.withColumnRenamed("media_id", "doc_b")
-        .withColumnRenamed("n_frames", "frames_b")), "doc_b")
+      .join(frames.withColumnRenamed("media_id", "doc_a")
+        .withColumnRenamed("n_frames", "frames_a"), "doc_a")
+      .join(frames.withColumnRenamed("media_id", "doc_b")
+        .withColumnRenamed("n_frames", "frames_b"), "doc_b")
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"), col("frames_a"), col("frames_b"))
   }
