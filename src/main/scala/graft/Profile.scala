@@ -49,12 +49,15 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // diagnostic: exclude optimizer rules to attribute planning cost
+    val spark = sys.env.get("SPARK_GRAFT_EXCLUDE_RULES")
+      .fold(builder)(r => builder.config("spark.sql.optimizer.excludedRules", r))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rec = new Recorder
@@ -68,6 +71,25 @@ object Profile {
       names.foreach { name =>
         println(s"==== $name")
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
+    // SPARK_GRAFT_PHASES=1: time the Catalyst phases (analysis/
+    // optimization/planning) per query instead of executing
+    if (sys.env.get("SPARK_GRAFT_PHASES").exists(_.nonEmpty)) {
+      names.foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val t0 = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis+optimize+plan
+        val total = (System.nanoTime() - t0) / 1e9
+        val phases = df.queryExecution.tracker.phases
+          .map { case (p, s) => f"$p=${(s.endTimeMs - s.startTimeMs) / 1000.0}%.3fs" }
+          .mkString(" ")
+        println(f"== $name%-28s driverPlan=$total%.3fs  $phases")
+        df.queryExecution.tracker.topRulesByTime(8).foreach { case (rule, summary) =>
+          println(f"   ${summary.totalTimeNs / 1e9}%7.3fs x${summary.numInvocations}%-5d $rule")
+        }
       }
       spark.stop()
       return
