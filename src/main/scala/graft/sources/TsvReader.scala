@@ -76,7 +76,11 @@ object TsvReader {
     import spark.implicits._
     val lines = spark.read.textFile(path)
       .filter(l => !l.startsWith("#") && l.trim.nonEmpty)
-    val headerLine = lines.first()
+    // first() on an empty Dataset throws a bare NoSuchElementException
+    // deep inside a load — name the actual problem instead
+    val headerLine = lines.take(1).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no header row (empty or all-comment file)"))
     val cols = mangle(headerLine.split("\t", -1).map(c => unquoteCell(c.trim)))
     val n = cols.size
 
