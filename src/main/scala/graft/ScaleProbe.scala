@@ -95,17 +95,29 @@ object ScaleProbe {
 
     val results = targets.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        // a probe FAILURE is a finding, not a reason to lose the rest of
+        // the sweep (the round-8 broadcast OOM aborted the whole run)
         def once(dir: String): Double = {
           val t0 = System.nanoTime()
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[probe] $name FAILED on $dir: ${e.getMessage}")
+              -1.0
+          }
         }
         // min of 2 runs each, sf0.1 first (warm the JIT on the small side)
-        val base = math.min(once(srcDir), once(srcDir))
-        val big = math.min(once(dstDir), once(dstDir))
+        def twice(dir: String): Double = {
+          val a = once(dir)
+          if (a < 0) a else { val b = once(dir); if (b < 0) a else math.min(a, b) }
+        }
+        val base = twice(srcDir)
+        val big = twice(dstDir)
         spark.catalog.clearCache()
         System.gc() // keep the ContextCleaner current (see Bench)
-        val ratio = big / base
+        val ratio = if (base > 0 && big > 0) big / base else -1.0
         println(f"[probe] $name%-24s sf0.1=$base%7.3f s  sf1=$big%8.3f s  ratio=$ratio%6.2f x")
         (name, base, big, ratio)
       }

@@ -121,8 +121,12 @@ object OmicsQueries {
       lit("GPL_A").as("gpl_id"),
       concat(lit("R"), col("p_partkey").cast("string")).as("region_name"),
       ((col("p_partkey") % 22) + 1).cast("string").as("chromosome"),
-      (col("p_partkey") * 1000).cast("int").as("start_bp"),
-      (col("p_partkey") * 1000 + 999).cast("int").as("end_bp"),
+      // % 1e6 is a no-op at every shipped SF (partkey <= 2e5 at sf0.1) —
+      // it exists so the sf1 probe's key-shifted partkeys (~7e12 after
+      // *1000) cannot overflow the INT base-pair domain under ANSI mode;
+      // the oracle carries the same modulo
+      ((col("p_partkey") % 1000000) * 1000).cast("int").as("start_bp"),
+      ((col("p_partkey") % 1000000) * 1000 + 999).cast("int").as("end_bp"),
       col("p_size").cast("int").as("num_probes"),
       col("p_brand").as("cytoband"),
       when(col("p_partkey") % 5 === 0, lit(null).cast("string"))

@@ -1763,8 +1763,8 @@ object Oracles {
       """WITH staged AS (
         |  SELECT 'GPL_A' AS gpl_id, 'R' || p_partkey AS region_name,
         |    CAST((p_partkey % 22) + 1 AS VARCHAR) AS chromosome,
-        |    CAST(p_partkey * 1000 AS INT) AS start_bp,
-        |    CAST(p_partkey * 1000 + 999 AS INT) AS end_bp,
+        |    CAST((p_partkey % 1000000) * 1000 AS INT) AS start_bp,
+        |    CAST((p_partkey % 1000000) * 1000 + 999 AS INT) AS end_bp,
         |    p_size AS num_probes, p_brand AS cytoband,
         |    CASE WHEN p_partkey % 5 = 0 THEN NULL
         |         ELSE 'G' || (p_partkey % 50) END AS gene_symbol,
