@@ -333,18 +333,27 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
     val survivors = docs.join(
       groups.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+    // EAGER checkpoint of the (tiny, post-verify) pair list — consumed by
+    // the pair-doc projection and the two copy-count joins below; without
+    // it each reference re-runs the whole LSH verify chain (clusters()
+    // applies the same barrier to the same frame)
     val pairs = minhashLsh(survivors, idCol, textCol,
-      n, numHashes, rowsPerBand, threshold)
-    // shuffle_hash on the per-doc groups side: the pair side is tiny after
-    // verification but plan-time stats cannot see that, and neither side
-    // is broadcast-bounded at warehouse scale (same rationale as the
-    // ngramJaccard size join-backs); AQE still localizes the shuffle when
-    // the runtime sizes allow
+        n, numHashes, rowsPerBand, threshold)
+      .localCheckpoint(true)
+    // copy counts restricted to docs that actually appear in a pair BEFORE
+    // the joins: the full `groups` frame is corpus-sized (one row per
+    // distinct text) and was re-evaluated once per copy join — a full
+    // md5-aggregate pass each (profiled as 3 identical corpus aggregates
+    // per run); the semi-reduced frame is pair-bounded, checkpoints in
+    // KBs, and AQE broadcasts it into both joins at any corpus scale
+    val pairDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("keep_id"))
+      .distinct()
+    val copyCounts = groups.join(pairDocs, Seq("keep_id"), "left_semi")
+      .localCheckpoint(true)
     pairs
-      .join(groups.select(col("keep_id").as("doc_a"), col("n_copies").as("copies_a"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(groups.select(col("keep_id").as("doc_b"), col("n_copies").as("copies_b"))
-        .hint("shuffle_hash"), "doc_b")
+      .join(copyCounts.select(col("keep_id").as("doc_a"), col("n_copies").as("copies_a")), "doc_a")
+      .join(copyCounts.select(col("keep_id").as("doc_b"), col("n_copies").as("copies_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         col("copies_a"), col("copies_b"))
   }
