@@ -34,22 +34,29 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup: candidate pairs share >=1 shingle;
     * J(a,b) = |A n B| / (|A| + |B| - |A n B|) >= threshold.
-    * Skew guard: very frequent shingles (stop-shingles) can be dropped via
-    * maxDocFreq, the standard trick to keep bucket sizes bounded at scale.
+    * Skew guard: very frequent shingles (stop-shingles) are dropped via
+    * maxDocFreq — the standard trick that keeps every posting list
+    * bounded at scale, and a REQUIREMENT here, not an option: a shingle
+    * shared by k docs costs a k-element aggregation buffer and C(k,2)
+    * candidate pairs, so an uncapped hot shingle (boilerplate lines at
+    * web-corpus scale) is quadratic death no matter how the pairs are
+    * generated. The default (10k docs) only drops shingles whose Jaccard
+    * signal is ~zero anyway; pass None ONLY for corpora with a known
+    * document-frequency bound.
     *
     * Shape: ONE shingle explode, ONE shuffle on the shingle key, then the
-    * per-shingle doc list drives both consumers — pair counts (per-bucket
-    * pair explosion, the same pairs the old a×b self-join emitted; the
-    * join form expanded the corpus-wide explode subtree once per side,
-    * 8 Generate nodes in the executed plan) and post-cap per-doc sizes.
-    * The two consumers share the one exchange (identical canonical
-    * subtree -> AQE reuse), so the corpus is exploded and shuffled once.
-    * Stateless: no cache entries left behind for library callers; the
-    * returned frame is lazy and [[clusters]] (the usual consumer)
-    * checkpoints it once before iterating. */
+    * per-shingle doc list drives both consumers — pair counts (streamed
+    * posexplode+slice-explode, O(k) per emitted row, vs the old one-array
+    * C(k,2) HOF that materialized a bucket's whole pair set in a single
+    * row) and post-cap per-doc sizes. The two consumers share the one
+    * exchange (identical canonical subtree -> AQE reuse), so the corpus
+    * is exploded and shuffled once. Stateless: no cache entries left
+    * behind for library callers; the returned frame is lazy and
+    * [[clusters]] (the usual consumer) checkpoints it once before
+    * iterating. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
-                   maxDocFreq: Option[Long] = None): DataFrame = {
+                   maxDocFreq: Option[Long] = Some(10000L)): DataFrame = {
     // explode_outer + attribute filter: plain explode makes Catalyst infer
     // size/notnull predicates on the shingle EXPRESSION and push them into
     // the scan filter, re-evaluating it per corpus row (see minhashLsh)
@@ -67,12 +74,16 @@ object Dedup {
       case Some(maxDf) => byShingle.filter(size(col("ids")) <= maxDf)
       case None => byShingle
     }
+    // pairs STREAM: posexplode picks each doc_a with its position, the
+    // second explode emits its greater-positioned partners — peak memory
+    // per generated row is one O(k) list slice, never the C(k,2) array
+    // the old flatten(transform(transform)) HOF built in a single row
+    // (2 GB array limit / OOM on a capped-but-large bucket)
     val common = capped
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     // per-doc surviving-shingle counts, recomputed from the same exchange
@@ -212,8 +223,15 @@ object Dedup {
     // inside the scan filter. Instead the band key is null when mh is null
     // (shingle-less doc) and the cheap attribute filter after the explode
     // drops those rows.
+    // signature frame materialized ONCE (lazy localCheckpoint, ~1 KB/doc:
+    // id + numHashes longs): the band-key self-join below reads blocks
+    // twice instead of re-running the full-corpus signature scan per side
+    // (the r7 defect — Catalyst expands a twice-referenced subtree into
+    // two full copies, and exchange reuse does not bridge
+    // differently-pruned subtrees)
     val sig = docs.select(col(idCol).as("doc_id"),
-      graft.functions.TextHash.minhashU64(col(textCol), n, numHashes).as("mh"))
+        graft.functions.TextHash.minhashU64(col(textCol), n, numHashes).as("mh"))
+      .localCheckpoint(false)
     val bandCols = (0 until nBands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(j => col("mh").getItem(j))
@@ -223,23 +241,20 @@ object Dedup {
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
       .filter(col("band_key").isNotNull)
-    // candidate pairs per bucket via ONE groupBy on the bucket key, not a
-    // band-key self-join: Spark expands a DAG with two references into a
-    // tree, so each self-join side re-ran the full-corpus signature scan
-    // (measured as the two dominant jobs of this query — exchange reuse
-    // does not bridge differently-pruned subtrees). The groupBy shuffles
-    // the banded corpus once and emits each bucket's id pairs in place;
-    // ids sort ascending so doc_a < doc_b exactly like the join condition.
-    // Bucket sizes are duplicate-group sizes — the pairs they emit are the
-    // candidate set itself, so the per-bucket HOF does no extra work.
-    val cand = bands
-      .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    // candidate pairs via a band-key SELF-JOIN over the checkpointed
+    // signatures, not a groupBy+collect_list per bucket: a degenerate
+    // band bucket (boilerplate texts with equal band keys — a certainty
+    // at web-corpus scale) would pile ALL member ids into ONE aggregation
+    // buffer and emit C(n,2) pairs from a single unsplittable task
+    // (straggler, then OOM; AQE cannot split an aggregate the way it
+    // splits a skewed join). The join streams the same pairs and AQE
+    // skew-splits a hot band key at runtime; band derivation from the
+    // checkpointed blocks is arithmetic on 8-element arrays, not a scan.
+    val bandA = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val bandB = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    val cand = bandA.join(bandB, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
       // consumed twice below (candidate-doc set + the verify semi-join);
       // LAZY localCheckpoint so the second consumer reads the (tiny, LSH
@@ -326,34 +341,31 @@ object Dedup {
   def twoStage(docs: DataFrame, idCol: String, textCol: String,
                n: Int, numHashes: Int, rowsPerBand: Int,
                threshold: Double): DataFrame = {
-    // (keep_id, n_copies) per fingerprint — evaluated as a plain md5
-    // groupBy at each use (lazy library discipline: no cache/persist on a
-    // caller's frame)
+    // (keep_id, n_copies) per fingerprint, materialized ONCE — lazy
+    // localCheckpoint (no Spark job runs until the caller's first action,
+    // so diagnostic paths that only want the plan stay free; blocks
+    // auto-release with the frame). Three consumers read it: the survivor
+    // semi-join and both copy-count joins — uncheckpointed, each was a
+    // full md5-aggregate corpus pass (profiled as 3 identical aggregates
+    // per run). The frame is narrow (id + count per DISTINCT text), so
+    // the checkpoint streams to block-manager disk at any corpus scale.
     val groups = exact(docs, idCol, textCol)
       .select(col("keep_id"), col("n_copies"))
+      .localCheckpoint(false)
     val survivors = docs.join(
       groups.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
-    // EAGER checkpoint of the (tiny, post-verify) pair list — consumed by
-    // the pair-doc projection and the two copy-count joins below; without
-    // it each reference re-runs the whole LSH verify chain (clusters()
-    // applies the same barrier to the same frame)
+    // lazy checkpoint of the (tiny, post-verify) pair list — consumed by
+    // the two copy-count joins below; without it each reference re-runs
+    // the whole LSH verify chain (clusters() applies the same barrier to
+    // the same frame). AQE broadcasts the materialized pair side into the
+    // copy joins at runtime, so the corpus-sized groups frame never
+    // shuffles for them.
     val pairs = minhashLsh(survivors, idCol, textCol,
         n, numHashes, rowsPerBand, threshold)
-      .localCheckpoint(true)
-    // copy counts restricted to docs that actually appear in a pair BEFORE
-    // the joins: the full `groups` frame is corpus-sized (one row per
-    // distinct text) and was re-evaluated once per copy join — a full
-    // md5-aggregate pass each (profiled as 3 identical corpus aggregates
-    // per run); the semi-reduced frame is pair-bounded, checkpoints in
-    // KBs, and AQE broadcasts it into both joins at any corpus scale
-    val pairDocs = pairs
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("keep_id"))
-      .distinct()
-    val copyCounts = groups.join(pairDocs, Seq("keep_id"), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     pairs
-      .join(copyCounts.select(col("keep_id").as("doc_a"), col("n_copies").as("copies_a")), "doc_a")
-      .join(copyCounts.select(col("keep_id").as("doc_b"), col("n_copies").as("copies_b")), "doc_b")
+      .join(groups.select(col("keep_id").as("doc_a"), col("n_copies").as("copies_a")), "doc_a")
+      .join(groups.select(col("keep_id").as("doc_b"), col("n_copies").as("copies_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         col("copies_a"), col("copies_b"))
   }
@@ -506,32 +518,37 @@ object Dedup {
     * (doc_a, doc_b, hamming) keyed by `idCol`'s values. */
   def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
                      maxHamming: Int = 3): DataFrame = {
-    // no isNotNull pre-filter: the predicate would push below the hash
-    // projection and re-evaluate the hash expression per row inside the
-    // upstream scan (for decode-backed hashes that is a second full decode
-    // pass); null hashes yield null slices, dropped after the explode
+    // Materialize the tiny (id, h64) frame ONCE — lazy localCheckpoint,
+    // the Ids pattern: blocks auto-release with the frame. Any decode work
+    // behind the hash column runs a single time into the checkpoint, so
+    // the self-join below costs block reads, not re-computation (Catalyst
+    // would otherwise expand the twice-referenced subtree into two full
+    // copies and run the decode once per side — the r7 shape). No
+    // isNotNull pre-filter before the checkpoint: the predicate would push
+    // below the hash projection and re-evaluate the hash expression per
+    // row inside the upstream scan; null hashes yield null slices, dropped
+    // after the band projection.
     val h = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h64"))
+      .localCheckpoint(false)
     val bands = h.select(col("doc_id"), col("h64"),
         posexplode(array((0 until 4).map(b =>
           substring(col("h64"), 1 + 4 * b, 4)): _*)).as(Seq("band", "slice")))
       .filter(col("slice").isNotNull)
-    // candidate pairs per slice bucket via ONE groupBy, not a self-join:
-    // Catalyst expands a twice-referenced subtree into two full copies, so
-    // the join form ran the whole hash computation (and any decode behind
-    // it) once per side. Members sort by (doc_id, h64) — ids are unique,
-    // so pair order is doc_a < doc_b exactly like the join condition, and
-    // each bucket's pair explosion IS the candidate set, no extra work.
-    val cand = bands
-      .groupBy(col("band"), col("slice"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("h64")))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(
-            x.getField("doc_id").as("doc_a"), x.getField("h64").as("h_a"),
-            y.getField("doc_id").as("doc_b"), y.getField("h64").as("h_b"))))))
-        .as("p"))
-      .select(col("p.doc_a"), col("p.h_a"), col("p.doc_b"), col("p.h_b"))
+    // candidate pairs via a slice-key SELF-JOIN over the checkpointed
+    // frame, not a groupBy+collect_list: a hot bucket (boilerplate texts
+    // sharing a band key, near-black images sharing an aHash slice — a
+    // certainty at web-corpus scale) would accumulate ALL member ids into
+    // ONE aggregation buffer and emit C(n,2) pairs from a single
+    // unsplittable task (straggler, then executor OOM — and AQE cannot
+    // split an aggregate). The join streams the same pairs, and AQE
+    // skew-splits a hot slice key across tasks at runtime.
+    val a = bands.select(col("doc_id").as("doc_a"), col("h64").as("h_a"),
+      col("band"), col("slice"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("h64").as("h_b"),
+      col("band"), col("slice"))
+    val cand = a.join(b, Seq("band", "slice"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("h_a"), col("doc_b"), col("h_b"))
       .distinct()
     def half(c: Column, i: Int): Column =
       conv(substring(c, 1 + 8 * i, 8), 16, 10).cast("long")

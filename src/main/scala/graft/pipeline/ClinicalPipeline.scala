@@ -348,10 +348,14 @@ object ClinicalPipeline {
       .agg(sum(isNumericInverted(col("data_value"))).as("nonnum"))
       .withColumn("valtype_cd", when(col("nonnum") === 0, lit("N")).otherwise(lit("T")))
       .drop("nonnum")
-    val withType = keyed.join(broadcast(groups),
-      Seq("category_cd", "lkey", "vkey")) // explicit: the work-table
-      // checkpoint upstream hides size statistics, and without the hint
-      // this degrades to a sort-merge join over two extra fact shuffles
+    // no broadcast hint: `groups` is a data-dependent aggregate (distinct
+    // category/label/visit combos — bounded by study design in practice
+    // but not provably), and forcing a broadcast of an unbounded set is
+    // the exact hazard class the dedup operators removed. The cached
+    // work-table upstream exposes InMemoryRelation statistics, and AQE
+    // upgrades the join to broadcast at runtime from the actual shuffle
+    // size whenever the group list is small.
+    val withType = keyed.join(groups, Seq("category_cd", "lkey", "vkey"))
       .drop("vkey", "lkey")
 
     // 6. category-path completion (SQL:600-632): terminator strips and

@@ -121,10 +121,12 @@ object OmicsQueries {
       lit("GPL_A").as("gpl_id"),
       concat(lit("R"), col("p_partkey").cast("string")).as("region_name"),
       ((col("p_partkey") % 22) + 1).cast("string").as("chromosome"),
-      // % 1e6 is a no-op at every shipped SF (partkey <= 2e5 at sf0.1) —
-      // it exists so the sf1 probe's key-shifted partkeys (~7e12 after
-      // *1000) cannot overflow the INT base-pair domain under ANSI mode;
-      // the oracle carries the same modulo
+      // % 1e6 bounds the synthetic base-pair domain. partkey <= SF*2e5,
+      // so the modulo is a no-op only for SF <= 5; above that (and for
+      // the sf1 probe's key-shifted partkeys, ~7e12 after the shift) it
+      // wraps — deliberately, so start_bp can never overflow the INT
+      // domain under ANSI mode at any SF. The oracle carries the same
+      // modulo, so parity holds on both sides of the bound.
       ((col("p_partkey") % 1000000) * 1000).cast("int").as("start_bp"),
       ((col("p_partkey") % 1000000) * 1000 + 999).cast("int").as("end_bp"),
       col("p_size").cast("int").as("num_probes"),

@@ -19,13 +19,16 @@ class PlanAuditSpec extends SparkSpec {
 
   test("pair generation computes the per-doc hash/shingle expression exactly once") {
     // Catalyst expands a twice-referenced frame into two full plan copies:
-    // a bucket-key SELF-JOIN (the old candidate generator) re-ran the
+    // a bucket-key self-join directly over the hash projection re-ran the
     // signature scan per side, and an isNotNull pre-filter pushed a third
-    // evaluation into the scan filter. The groupBy form pins one.
+    // evaluation into the scan filter. The r9 shape materializes the
+    // (id, hash) frame once (lazy localCheckpoint) and self-joins the
+    // CHECKPOINT — so the hash expression must not appear in the visible
+    // plan at all (it runs exactly once, inside the checkpointed RDD's
+    // lineage), and pair generation is a join AQE can skew-split instead
+    // of a collect_list bucket a hot key turns into one unsplittable task.
     // Parquet-backed input on purpose: a local Seq folds into a
-    // LocalRelation with the hash already evaluated at plan time, and the
-    // audit would count zero occurrences of an expression that "ran" on
-    // the driver.
+    // LocalRelation with the hash already evaluated at plan time.
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -34,8 +37,15 @@ class PlanAuditSpec extends SparkSpec {
     sim.collect()
     val simPlan = sim.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert("simhash64\\(".r.findAllIn(simPlan).length == 1,
-      s"simhash64 must be computed exactly once:\n${simPlan.take(3000)}")
+    assert("simhash64\\(".r.findAllIn(simPlan).length == 0,
+      s"simhash64 must run only inside the one-time checkpoint job:\n${simPlan.take(3000)}")
+    assert(simPlan.contains("Scan ExistingRDD"),
+      "simhashPairs lost its hash-frame checkpoint")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(simPlan).isDefined,
+      s"pair generation must be a join (AQE-splittable), not a bucket aggregate:\n${simPlan.take(3000)}")
+    assert(!simPlan.contains("collect_list"),
+      "pair generation regressed to the hot-bucket collect_list shape")
 
     val ng = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text",
       n = 3, threshold = 0.1, maxDocFreq = Some(100L))
@@ -44,10 +54,14 @@ class PlanAuditSpec extends SparkSpec {
       .split("== Initial Plan ==")(0)
     assert("wordshingles\\(".r.findAllIn(ngPlan).length == 1,
       s"the shingle explode must run exactly once:\n${ngPlan.take(3000)}")
-    // the pair explosion replaces the shingle-key self-join entirely
-    assert(!ngPlan.contains("SortMergeJoin") ||
-      "Generate".r.findAllIn(ngPlan).length <= 3,
-      "ngramJaccard regressed to the self-join shape")
+    // pairs stream out of the capped posting list via posexplode + slice
+    // explode (4 Generates total: shingle explode, the two pair explodes,
+    // the sizes-branch explode) — never the single-row C(k,2) array the
+    // old flatten(transform(transform)) built
+    assert("Generate".r.findAllIn(ngPlan).length <= 4,
+      "ngramJaccard pair explosion regressed from the streaming shape")
+    assert(!ngPlan.contains("flatten("),
+      "ngramJaccard rebuilt per-bucket pair arrays in a single row")
   }
 
   test("a7_zscore: ONE scan, one group-partitioned window — no aggregate-join-back double pass") {
