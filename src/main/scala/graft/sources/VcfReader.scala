@@ -34,30 +34,40 @@ object VcfReader {
       }
   }
 
-  /** Sample ids from the `#CHROM` header line (columns after FORMAT). */
+  /** Sample ids from the `#CHROM` header line (columns after FORMAT).
+    * A file without that header fails with an error naming the file —
+    * never a bare NoSuchElementException (fuzz contract, like TsvReader). */
   def samples(spark: SparkSession, path: String): Seq[String] = {
     import spark.implicits._
     val header = spark.read.textFile(path)
-      .filter(l => l.startsWith("#") && !l.startsWith("##")).first()
-    header.split("\t").drop(9).toSeq
+      .filter(l => l.startsWith("#") && !l.startsWith("##")).take(1)
+    require(header.nonEmpty, s"VCF file has no #CHROM header line: $path")
+    header(0).split("\t").drop(9).toSeq
   }
 
   /** Variants: one row per VCF data line with fixed columns + a
-    * `sample_values` array aligned with [[samples]]. */
+    * `sample_values` array aligned with [[samples]]. Fuzz contract: a
+    * malformed cell (non-numeric / overflowing POS) becomes null — under
+    * ANSI mode a plain cast would throw out of the scan task, so every
+    * data-driven cast in this reader is a try_cast or regex-guarded. */
   def variants(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val rows = spark.read.textFile(path).filter(l => !l.startsWith("#"))
+    // get(), not getItem(): a short (ragged) data line would otherwise
+    // throw INVALID_ARRAY_INDEX from the scan task under ANSI mode;
+    // get() nulls the missing fields instead (fuzz contract)
+    def f(i: Int): Column = get(col("c"), lit(i))
     rows.select(split(col("value"), "\t").as("c"))
       .select(
-        col("c").getItem(0).as("chrom"),
-        col("c").getItem(1).cast("long").as("pos"),
-        col("c").getItem(2).as("rs_id"),
-        col("c").getItem(3).as("ref"),
-        col("c").getItem(4).as("alt"),
-        col("c").getItem(5).as("qual"),
-        col("c").getItem(6).as("filter"),
-        col("c").getItem(7).as("info"),
-        col("c").getItem(8).as("format"),
+        f(0).as("chrom"),
+        expr("try_cast(c[1] AS bigint)").as("pos"),
+        f(2).as("rs_id"),
+        f(3).as("ref"),
+        f(4).as("alt"),
+        f(5).as("qual"),
+        f(6).as("filter"),
+        f(7).as("info"),
+        f(8).as("format"),
         slice(col("c"), lit(10), greatest(size(col("c")) - 9, lit(0))).as("sample_values"))
   }
 
@@ -72,8 +82,13 @@ object VcfReader {
     val withSample = variants
       .select(col("*"),
         posexplode(col("sample_values")).as(Seq("sample_idx", "sample_value")))
+      // try_element_at: a ragged data line with MORE sample cells than the
+      // header declares indexes past the id list — null id, not a throw;
+      // the filter then drops those identity-less cells (extra columns
+      // are ignored, the header is the authority on sample arity)
       .withColumn("sample_id",
-        element_at(array(sampleIds.map(lit): _*), col("sample_idx") + 1))
+        try_element_at(array(sampleIds.map(lit): _*), col("sample_idx") + 1))
+      .filter(col("sample_id").isNotNull)
       // GT located via FORMAT; a FORMAT without GT leaves gt null (the
       // reference builds NO sample data at all then — VcfFile.groovy:125)
       .withColumn("gt_idx",
@@ -95,11 +110,17 @@ object VcfReader {
       .drop("sample_values", "gt_idx", "alts")
   }
 
+  /** Bounded-digit guard before an int cast: an allele index beyond 9
+    * digits is garbage, and under ANSI mode an unguarded cast of it would
+    * throw from the scan task; the guard nulls it instead. */
+  private def safeIdx(c: Column): Column =
+    when(c.rlike("^[0-9]{1,9}$"), c.cast("int"))
+
   /** Allele index -> sequence: 0 = REF, n = nth ALT, "." = null. */
   private def alleleValue(idx: Column, ref: Column, alts: Column): Column =
     when(idx === "." || length(coalesce(idx, lit(""))) === 0, lit(null).cast("string"))
       .when(idx === "0", ref)
-      .otherwise(try_element_at(alts, idx.cast("int")))
+      .otherwise(try_element_at(alts, safeIdx(idx)))
 
   /** rs_id `;`-explode (one row per probeset id, VcfFile.groovy:58-64). */
   def explodeRsIds(df: DataFrame): DataFrame =
@@ -126,7 +147,9 @@ object VcfReader {
     val e = explodeRsIds(explodeSamples(variants, sampleIds))
       .filter(col("gt").isNotNull)
     val alts = split(col("alt"), ",")
-    def isNum(a: Column) = a.rlike("^[0-9]+$")
+    // bounded digits: an unbounded ^[0-9]+$ admits indices that overflow
+    // the ANSI int cast below and throw from the task (fuzz finding)
+    def isNum(a: Column) = a.rlike("^[0-9]{1,9}$")
     def vPart(a: Column): Column =
       when(a === "0", col("ref"))
         .when(isNum(a), coalesce(try_element_at(alts, a.cast("int")), lit("")))
@@ -163,13 +186,35 @@ object VcfReader {
     * Character/String in text_value (the processor's type switch at
     * :177-190 cases Flag together with Integer). */
   def explodeInfo(df: DataFrame, fields: Seq[InfoField]): DataFrame = {
-    val infoMap = expr("str_to_map(info, ';', '=')")
+    // a file with NO well-formed ##INFO declarations explodes an empty,
+    // VOID-typed array — analysis error; the correctly-shaped empty
+    // frame is the meaningful answer
+    if (fields.isEmpty)
+      return df.select(col("chrom"), col("pos"), col("rs_id"),
+        lit(null).cast("string").as("info_id"),
+        lit(null).cast("string").as("info_type"),
+        lit(null).cast("int").as("value_idx"),
+        lit(null).cast("string").as("value"),
+        lit(null).cast("long").as("int_value"),
+        lit(null).cast("double").as("float_value"),
+        lit(null).cast("string").as("text_value"))
+        .filter(lit(false))
+    // per-field regex extraction, NOT str_to_map: a duplicated key (e.g.
+    // the documented `DB;DB=0` flag form, or fuzz soup like `;=;`) makes
+    // str_to_map throw DUPLICATED_MAP_KEY from the scan task; the regex
+    // takes the first occurrence and ignores the rest. IDs are quoted —
+    // a declaration id containing regex metachars must match literally,
+    // never turn into a PatternSyntaxException at task time.
     val perField = fields.map { f =>
+      val q = java.util.regex.Pattern.quote(f.id)
+      val kv = regexp_extract(col("info"), s"(?:^|;)$q=([^;]*)", 1)
+      val hasKv = col("info").rlike(s"(?:^|;)$q=")
+      val bare = col("info").rlike(s"(?:^|;)$q(?:;|$$)")
+      val raw =
+        if (f.tpe == "Flag") when(hasKv, kv).otherwise(when(bare, lit("1")))
+        else when(hasKv, kv)
       struct(lit(f.id).as("info_id"), lit(f.tpe).as("info_type"),
-        (if (f.tpe == "Flag")
-          coalesce(infoMap.getItem(f.id),
-            when(col("info").rlike(s"(^|;)${f.id}(;|$$)"), lit("1")))
-        else infoMap.getItem(f.id)).as("raw"))
+        raw.as("raw"))
     }
     df.select(col("chrom"), col("pos"), col("rs_id"),
         explode(array(perField: _*)).as("f"))
@@ -177,10 +222,13 @@ object VcfReader {
         col("f.info_id"), col("f.info_type"), col("f.raw"))
       .filter(col("raw").isNotNull)
       .select(col("*"), posexplode(split(col("raw"), ",")).as(Seq("value_idx", "value")))
+      // try_cast: INFO values are user data — `DP=abc` must become a null
+      // int_value, not an ANSI CAST_INVALID_INPUT thrown from the scan
       .withColumn("int_value",
-        when(col("info_type").isin("Integer", "Flag"), col("value").cast("long")))
+        when(col("info_type").isin("Integer", "Flag"),
+          expr("try_cast(value AS bigint)")))
       .withColumn("float_value",
-        when(col("info_type") === "Float", col("value").cast("double")))
+        when(col("info_type") === "Float", expr("try_cast(value AS double)")))
       .withColumn("text_value",
         when(col("info_type").isin("Character", "String"), col("value")))
       .drop("raw")
