@@ -77,4 +77,53 @@ object TermStats {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
         col("bm25"), col("rank"))
   }
+
+  /** Unigram-LM cross-entropy / perplexity per document — the CCNet-style
+    * fluency signal every corpus pipeline runs (Wenzek et al. 2020 score
+    * with a KenLM; the unigram LM here is the engine-portable floor of
+    * that family, trained on the corpus itself in the same pass).
+    *
+    * Model: Laplace-smoothed unigram probabilities over the corpus token
+    * counts, P(t) = (cnt(t) + 1) / (T + V) with T total tokens and V the
+    * vocabulary size. Score: per-document mean negative log2 likelihood
+    * (cross-entropy, bits/token) and its 2^H perplexity. Gibberish and
+    * rare-token soup score high; repetitive boilerplate scores low — both
+    * tails are the filter targets.
+    *
+    * Determinism (the hash-gate discipline): each term's NLL is fixed to
+    * integer MICRO-BITS once — round(-log2(P) * 1e6) as BIGINT — so the
+    * per-document sum is an exact integer aggregate, immune to float
+    * summation order across partitions and engines. The per-token mean is
+    * ALSO rounded in integer micro-bits (nll_micro/dl can land on an
+    * exact .5 — e.g. 58903974/12 — where a 6-dp round of the chained
+    * double division flipped between engines; the integer round sees the
+    * exact half and both engines break it upward), then one exact
+    * division by 1e6 and one pow, mirrored literally by the oracle.
+    *
+    * 100 TB shape: ONE token explode feeding a map-side-combinable vocab
+    * aggregate; the two global scalars broadcast; the NLL join-back is
+    * vocabulary-keyed (AQE broadcasts the scored vocab when it fits, and
+    * skew-splits the join when a stop-word key is hot); the final per-doc
+    * aggregate is map-side combinable. No windows, no self-joins.
+    * Returns (doc_id, dl, nll_micro, cross_entropy, perplexity). */
+  def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docTerms(docs, idCol, textCol)
+    val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val globals = cnt.agg(sum(col("cnt")).as("t_tokens"),
+      count(lit(1)).as("v_size"))
+    val nll = round(-log2((col("cnt") + 1.0) /
+      (col("t_tokens") + col("v_size")).cast("double")) * 1e6)
+      .cast("long").as("nll_micro")
+    val scored = cnt.crossJoin(broadcast(globals))
+      .select(col("term"), nll)
+    terms.join(scored, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), sum(col("nll_micro")).as("nll_micro"))
+      .withColumn("cross_entropy",
+        round(col("nll_micro").cast("double") / col("dl")).cast("long")
+          / 1000000.0)
+      .withColumn("perplexity", round(pow(lit(2.0), col("cross_entropy")), 4))
+      .select(col("doc_id"), col("dl"), col("nll_micro"),
+        col("cross_entropy"), col("perplexity"))
+  }
 }

@@ -893,6 +893,29 @@ object Oracles {
         |      FROM scored)
         |SELECT doc_id, term, tf, df, dl, bm25, rank FROM r WHERE rank <= 5""".stripMargin,
 
+    // Laplace-smoothed unigram LM; per-term NLL fixed to integer
+    // micro-bits so the per-doc sum is exact in both engines
+    "text_perplexity" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |cnt AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+        |g AS (SELECT sum(cnt)::BIGINT AS t_tokens, count(*)::BIGINT AS v_size FROM cnt),
+        |scored AS (
+        |  SELECT term,
+        |    CAST(round(-log2((cnt + 1.0) / (t_tokens + v_size)) * 1e6) AS BIGINT)
+        |      AS nll_micro
+        |  FROM cnt CROSS JOIN g),
+        |d AS (
+        |  SELECT doc_id, count(*)::BIGINT AS dl, sum(nll_micro)::BIGINT AS nll_micro
+        |  FROM terms JOIN scored USING (term) GROUP BY 1)
+        |SELECT doc_id, dl, nll_micro,
+        |  CAST(round(nll_micro * 1.0 / dl) AS BIGINT) / 1000000.0 AS cross_entropy,
+        |  round(power(2.0,
+        |    CAST(round(nll_micro * 1.0 / dl) AS BIGINT) / 1000000.0), 4) AS perplexity
+        |FROM d""".stripMargin,
+
     // shf mirrors the Spark query's maxDocFreq=250 stop-shingle cap
     "dedup_ngram_jaccard" -> (ShingleCte +
       """, keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 250),

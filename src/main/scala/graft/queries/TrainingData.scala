@@ -218,6 +218,13 @@ object TrainingData {
     graft.operators.TermStats.bm25TopTerms(
       t(s, dir, "documents"), "doc_id", "text", k = 5)
 
+  /** Unigram-LM cross-entropy / perplexity per document (CCNet-style
+    * fluency signal); integer micro-bit NLLs make the per-doc sums exact,
+    * so the row is fully hash-gated. */
+  def textPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TermStats.unigramLogLoss(
+      t(s, dir, "documents"), "doc_id", "text")
+
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every
     * iteration, which makes the trained centroids engine-portable — the

@@ -471,6 +471,32 @@ class TermStatsSpec extends SparkSpec {
     assert(r3.getAs[Double]("bm25") == expected)
     assert(r3.getAs[Long]("dl") == 1L)
   }
+
+  test("unigram perplexity: exact micro-bit NLLs, rare-token docs score higher") {
+    // corpus: T = 7 tokens, V = 3 terms; P(t) = (cnt+1)/(T+V) = (cnt+1)/10
+    val out = TermStats.unigramLogLoss(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("dl"), r.getAs[Long]("nll_micro"),
+          r.getAs[Double]("cross_entropy"), r.getAs[Double]("perplexity")))).toMap
+    def nll(cnt: Long): Long =
+      BigDecimal(-math.log((cnt + 1.0) / 10.0) / math.log(2.0) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val nShared = nll(3) // cnt(shared)=3
+    val nPair = nll(2)
+    val nOnly = nll(2)   // cnt(only)=2 (twice in doc 1)
+    def ce(sum: Long, dl: Long): Double =
+      BigDecimal(sum.toDouble / dl)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong / 1000000.0
+    def ppl(c: Double): Double =
+      BigDecimal(math.pow(2.0, c))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sum1 = nShared + nPair + 2 * nOnly
+    assert(out(1L) == ((4L, sum1, ce(sum1, 4), ppl(ce(sum1, 4)))))
+    val sum3 = nShared
+    assert(out(3L) == ((1L, sum3, ce(sum3, 1), ppl(ce(sum3, 1)))))
+    // doc 3 is all stop-word: lowest cross-entropy of the three
+    assert(out(3L)._3 < out(2L)._3 && out(2L)._3 <= out(1L)._3)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
