@@ -75,6 +75,7 @@ object SparkEntry {
     "text_tfidf" -> (TrainingData.textTfidf _),
     "text_bm25" -> (TrainingData.textBm25 _),
     "text_perplexity" -> (TrainingData.textPerplexity _),
+    "sample_dsir" -> (TrainingData.sampleDsir _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
     "multimodal_video_dups" -> (TrainingData.multimodalVideoDups _),

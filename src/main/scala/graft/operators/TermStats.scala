@@ -106,6 +106,81 @@ object TermStats {
     * skew-splits the join when a stop-word key is hot); the final per-doc
     * aggregate is map-side combinable. No windows, no self-joins.
     * Returns (doc_id, dl, nll_micro, cross_entropy, perplexity). */
+  /** DSIR hashed n-gram importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score how
+    * much more likely each raw document is under a TARGET distribution
+    * than under the RAW corpus distribution, using hashed unigram+bigram
+    * bag-of-words models. Here the target subset is defined by a boolean
+    * column the caller supplies (e.g. `gopherFlags(...).col("passes")` —
+    * "select raw docs that look like the quality-filtered subset"), so
+    * target fitting and scoring happen in the same corpus pass.
+    *
+    * Model: features = lowercased whitespace unigrams + adjacent bigrams,
+    * hashed into `buckets` counts via the first 4 hex chars of md5 (the
+    * paper's hashed n-gram generative model). Both models are
+    * Laplace-smoothed over the SAME bucket space:
+    * P_m(b) = (cnt_m(b) + 1) / (T_m + B). Importance weight
+    * log w(x) = sum over features of [log2 P_tgt(b) - log2 P_raw(b)];
+    * `keep` = log w > 0 (the doc is likelier under the target — the
+    * deterministic log-likelihood-ratio gate; full Gumbel resampling is a
+    * seeded md5 rank away via Sampling.deterministicShuffle).
+    *
+    * Determinism: each bucket's two log-probs are fixed to integer
+    * MICRO-BITS independently (the [[unigramLogLoss]] discipline), so the
+    * per-doc weight is an exact integer sum — engine-portable and
+    * summation-order-free; the DuckDB oracle replays hash, counts and
+    * rounding bit-for-bit.
+    *
+    * 100 TB shape: ONE feature explode over the corpus (the target flag
+    * rides each row, so raw and target counts come out of the SAME
+    * map-side-combinable aggregate — conditional sum, no second corpus
+    * pass); the scored bucket table is exactly `buckets` rows (broadcast
+    * join-back); the per-doc aggregate is map-side combinable. No windows,
+    * no self-joins, no global sort.
+    * Returns (doc_id, n_feats, logw_micro, keep); docs with zero tokens
+    * drop (nothing to score). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    // adjacent bigrams WITH multiplicity (bag model — shingles() dedups,
+    // so build inline); sequence needs the size>=2 guard: Spark's
+    // sequence(1, 0) counts DOWN, it is not empty
+    val bigrams = when(size(col("__t")) >= 2,
+      transform(sequence(lit(1), size(col("__t")) - 1),
+        i => concat(element_at(col("__t"), i), lit(" "),
+          element_at(col("__t"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("__tgt"), toks.as("__t"))
+      .select(col("doc_id"), col("__tgt"),
+        explode(concat(col("__t"), bigrams)).as("feat"))
+      .select(col("doc_id"), col("__tgt"),
+        (conv(substring(md5(col("feat")), 1, 4), 16, 10).cast("int")
+          % buckets).as("bucket"))
+    // cnt is referenced twice (globals + scored): without materialization
+    // Catalyst duplicates the subtree and the corpus explode runs three
+    // times instead of twice. Lazy localCheckpoint — at most `buckets`
+    // rows, and no Spark job until the caller's first action.
+    val cnt = feats.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cnt_raw"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("cnt_tgt"))
+      .localCheckpoint(false)
+    val globals = cnt.agg(sum(col("cnt_raw")).as("t_raw"),
+      sum(col("cnt_tgt")).as("t_tgt"))
+    def lpMicro(c: Column, t: Column): Column =
+      round(log2((c + 1.0) / (t + lit(buckets)).cast("double")) * 1e6)
+        .cast("long")
+    val scored = cnt.crossJoin(broadcast(globals))
+      .select(col("bucket"),
+        (lpMicro(col("cnt_tgt"), col("t_tgt")) -
+          lpMicro(col("cnt_raw"), col("t_raw"))).as("delta_micro"))
+    feats.join(broadcast(scored), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("delta_micro")).as("logw_micro"))
+      .withColumn("keep", col("logw_micro") > 0L)
+      .select(col("doc_id"), col("n_feats"), col("logw_micro"), col("keep"))
+  }
+
   def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = docTerms(docs, idCol, textCol)
     val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))

@@ -916,6 +916,55 @@ object Oracles {
         |    CAST(round(nll_micro * 1.0 / dl) AS BIGINT) / 1000000.0), 4) AS perplexity
         |FROM d""".stripMargin,
 
+    // DSIR hashed-ngram importance weights; target = gopher-quality
+    // passes (replayed inline); both LMs' log-probs fixed to integer
+    // micro-bits per bucket so per-doc weights are exact integer sums
+    "sample_dsir" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS qt
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id,
+        |    (CAST(len(qt) AS BIGINT) >= 10 AND CAST(len(qt) AS BIGINT) <= 100000
+        |     AND round(CAST(coalesce(list_sum(list_transform(qt, x -> len(x))), 0)
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) >= 2.0
+        |     AND round(CAST(coalesce(list_sum(list_transform(qt, x -> len(x))), 0)
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) <= 10.0
+        |     AND round(CAST(len(text) - len(regexp_replace(text, '[#@~^|\\]', '', 'g'))
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) <= 0.1
+        |     AND round(CAST(len(list_filter(qt, x -> regexp_matches(x, '[a-zA-Z]')))
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) >= 0.8) AS tgt
+        |  FROM q),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |fb AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(unnest(list_concat(t,
+        |      list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i + 1])))), 1, 4)) AS INTEGER) % 1024 AS bucket
+        |  FROM toks),
+        |j AS (SELECT fb.doc_id, fb.bucket, flags.tgt
+        |      FROM fb JOIN flags USING (doc_id)),
+        |cnt AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_raw,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_tgt
+        |  FROM j GROUP BY 1),
+        |g AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS t_raw,
+        |             CAST(sum(cnt_tgt) AS BIGINT) AS t_tgt FROM cnt),
+        |sc AS (
+        |  SELECT bucket,
+        |    CAST(round(log2((cnt_tgt + 1.0) / (t_tgt + 1024)) * 1e6) AS BIGINT)
+        |    - CAST(round(log2((cnt_raw + 1.0) / (t_raw + 1024)) * 1e6) AS BIGINT)
+        |      AS delta_micro
+        |  FROM cnt CROSS JOIN g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  CAST(sum(delta_micro) AS BIGINT) AS logw_micro,
+        |  CAST(sum(delta_micro) AS BIGINT) > 0 AS keep
+        |FROM j JOIN sc USING (bucket) GROUP BY 1""".stripMargin,
+
     // shf mirrors the Spark query's maxDocFreq=250 stop-shingle cap
     "dedup_ngram_jaccard" -> (ShingleCte +
       """, keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 250),

@@ -225,6 +225,18 @@ object TrainingData {
     graft.operators.TermStats.unigramLogLoss(
       t(s, dir, "documents"), "doc_id", "text")
 
+  /** DSIR importance weights over the documents corpus: the target
+    * distribution is the Gopher-quality-passing subset, so the query
+    * composes two gated operators (gopherFlags -> dsirWeights) in one
+    * corpus pass; integer micro-bit log-ratios keep it hash-gated. */
+  def sampleDsir(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val flagged = graft.operators.TextAnalysis.gopherFlags(
+      t(s, dir, "documents"), "text")
+    graft.operators.TermStats.dsirWeights(
+      flagged, "doc_id", "text", col("passes"))
+  }
+
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every
     * iteration, which makes the trained centroids engine-portable — the

@@ -497,6 +497,57 @@ class TermStatsSpec extends SparkSpec {
     // doc 3 is all stop-word: lowest cross-entropy of the three
     assert(out(3L)._3 < out(2L)._3 && out(2L)._3 <= out(1L)._3)
   }
+
+  test("dsir: weights match a driver-side exact recompute; LLR gate sane") {
+    val corpus = Seq(
+      (1L, "the quick brown fox", true),
+      (2L, "the quick quick fox", true),
+      (3L, "zzz qqq xxx", false),
+      (4L, "the quick brown fox", false),
+      (5L, "  ", false))
+    // buckets=16: with the default 1024 the Laplace denominators swamp a
+    // 26-token toy corpus and every weight is negative by construction
+    val out = TermStats.dsirWeights(
+      corpus.toDF("doc_id", "text", "tgt"), "doc_id", "text", col("tgt"),
+      buckets = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("logw_micro"),
+          r.getAs[Boolean]("keep")))).toMap
+    // exact recompute: same features, same md5 buckets, same micro-bit
+    // rounding — any engine drift fails the equality below
+    def feats(text: String): Seq[String] = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(f: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 16
+    }
+    val docFeats = corpus.map { case (id, text, tgt) =>
+      (id, feats(text).map(bucket), tgt) }
+    val cntRaw = docFeats.flatMap(_._2).groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val cntTgt = docFeats.filter(_._3).flatMap(_._2).groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val tRaw = cntRaw.values.sum
+    val tTgt = cntTgt.values.sum
+    def lpMicro(c: Long, t: Long): Long =
+      BigDecimal(math.log((c + 1.0) / (t + 16.0)) / math.log(2.0) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def delta(b: Int): Long =
+      lpMicro(cntTgt.getOrElse(b, 0L), tTgt) - lpMicro(cntRaw(b), tRaw)
+    docFeats.filter(_._2.nonEmpty).foreach { case (id, bs, _) =>
+      val w = bs.map(delta).sum
+      assert(out(id) == ((bs.size.toLong, w, w > 0L)), s"doc $id")
+    }
+    // whitespace-only doc has no features and drops out
+    assert(!out.contains(5L))
+    // identical text scores identically whether or not it is in the target
+    assert(out(4L)._2 == out(1L)._2)
+    // LLR ordering: in-distribution text above off-distribution; the gate
+    // fires for at least one target-like doc
+    assert(out(4L)._2 > out(3L)._2)
+    assert(out(2L)._3 && !out(3L)._3)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
