@@ -76,6 +76,7 @@ object SparkEntry {
     "text_bm25" -> (TrainingData.textBm25 _),
     "text_perplexity" -> (TrainingData.textPerplexity _),
     "sample_dsir" -> (TrainingData.sampleDsir _),
+    "text_bigram_lm" -> (TrainingData.textBigramLm _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
     "multimodal_video_dups" -> (TrainingData.multimodalVideoDups _),

@@ -201,4 +201,94 @@ object TermStats {
       .select(col("doc_id"), col("dl"), col("nll_micro"),
         col("cross_entropy"), col("perplexity"))
   }
+
+  /** Stupid Backoff bigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the web-scale LM that
+    * drops normalization for a fixed backoff factor because at corpus
+    * scale counts beat smoothing). The model trains on the TARGET subset
+    * (rows where `isTarget`, e.g. the Gopher-quality slice) and scores
+    * EVERY document, so out-of-model bigrams genuinely exercise backoff:
+    *
+    *   S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})   if bigram seen
+    *                    = 0.4 * (c(w_i)+1) / (T+V+1)     otherwise
+    *
+    * (the unigram floor is Laplace-smoothed over the target vocabulary so
+    * fully-OOV words stay finite). Score = per-doc mean NLL in bits over
+    * the n-1 bigram positions, plus the backoff count as its own column —
+    * a high backoff fraction is itself a distribution-shift signal.
+    *
+    * Determinism: each position's NLL is fixed to integer MICRO-BITS
+    * (the [[unigramLogLoss]] discipline — integer-ratio log2s and one
+    * 0.4 product are bit-identical across engines), the per-doc sum is an
+    * exact integer aggregate, and the mean rounds in integer micro-bits.
+    *
+    * 100 TB shape: model = two map-side-combinable aggregates over the
+    * target subset's ONE bigram explode (unigram counts lazily
+    * checkpointed — vocabulary-sized, far below corpus size — because
+    * the global scalars AND the backoff join both read them); scoring =
+    * ONE bigram explode over the full corpus, two vocabulary-keyed LEFT
+    * joins (bigram table, then unigram backoff — shuffle joins AQE can
+    * skew-split; neither side is forced broadcast because bigram
+    * vocabulary grows with the corpus), one map-side-combinable per-doc
+    * aggregate. No windows, no self-joins.
+    * Returns (doc_id, n_bigrams, n_backoff, nll_micro, cross_entropy,
+    * perplexity); docs with fewer than 2 tokens drop. */
+  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+                         isTarget: Column, alpha: Double = 0.4): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    def bigramsOf(t: Column): Column =
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("__tgt"),
+      toks.as("__t"))
+    // model: target-subset counts. One bigram explode; unigram counts are
+    // the same frame aggregated on w1 PLUS the per-doc last token (a
+    // bigram explode undercounts each doc's final word by one), which is
+    // exactly c(w) over target tokens.
+    val tgtPairs = base.filter(col("__tgt"))
+      .select(explode(bigramsOf(col("__t"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCnt = tgtPairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bi"))
+    val uniCnt = base.filter(col("__tgt"))
+      .select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_uni"))
+      // referenced twice (globals + backoff join): vocabulary-sized, so
+      // materialize lazily instead of re-running the target explode
+      .localCheckpoint(false)
+    val globals = uniCnt.agg(sum(col("c_uni")).as("t_tokens"),
+      count(lit(1)).as("v_size"))
+    // the seen-bigram denominator c(w1) must be the TOKEN count, not
+    // sum(c_bi) over w1 — a bigram sum undercounts every doc-final word
+    val scoreBase = base
+      .select(col("doc_id"), explode(bigramsOf(col("__t"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val joined = scoreBase
+      .join(biCnt, Seq("w1", "w2"), "left")
+      .join(uniCnt.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c_uni", "c_prev"), Seq("w1"), "left")
+      .join(uniCnt.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c_uni", "c_next"), Seq("w2"), "left")
+      .crossJoin(broadcast(globals))
+    val seen = col("c_bi").isNotNull
+    val nllSeen = round(-log2(col("c_bi").cast("double") / col("c_prev")) * 1e6)
+    val nllBack = round(-log2(lit(alpha) *
+      ((coalesce(col("c_next"), lit(0L)) + 1.0) /
+        (col("t_tokens") + col("v_size") + 1L).cast("double"))) * 1e6)
+    joined
+      .select(col("doc_id"), seen.as("__seen"),
+        when(seen, nllSeen).otherwise(nllBack).cast("long").as("__nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__seen"), 0L).otherwise(1L)).as("n_backoff"),
+        sum(col("__nll")).as("nll_micro"))
+      .withColumn("cross_entropy",
+        round(col("nll_micro").cast("double") / col("n_bigrams")).cast("long")
+          / 1000000.0)
+      .withColumn("perplexity", round(pow(lit(2.0), col("cross_entropy")), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        col("nll_micro"), col("cross_entropy"), col("perplexity"))
+  }
 }

@@ -965,6 +965,68 @@ object Oracles {
         |  CAST(sum(delta_micro) AS BIGINT) > 0 AS keep
         |FROM j JOIN sc USING (bucket) GROUP BY 1""".stripMargin,
 
+    // Stupid Backoff bigram LM trained on the gopher-quality subset,
+    // scoring every doc; per-position NLL fixed to integer micro-bits
+    "text_bigram_lm" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS qt
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id,
+        |    (CAST(len(qt) AS BIGINT) >= 10 AND CAST(len(qt) AS BIGINT) <= 100000
+        |     AND round(CAST(coalesce(list_sum(list_transform(qt, x -> len(x))), 0)
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) >= 2.0
+        |     AND round(CAST(coalesce(list_sum(list_transform(qt, x -> len(x))), 0)
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) <= 10.0
+        |     AND round(CAST(len(text) - len(regexp_replace(text, '[#@~^|\\]', '', 'g'))
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) <= 0.1
+        |     AND round(CAST(len(list_filter(qt, x -> regexp_matches(x, '[a-zA-Z]')))
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) >= 0.8) AS tgt
+        |  FROM q),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]}), recursive := true)
+        |  FROM toks),
+        |bic AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bi
+        |  FROM bg JOIN flags USING (doc_id) WHERE tgt GROUP BY 1, 2),
+        |unic AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c_uni
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        |  JOIN flags USING (doc_id) WHERE tgt GROUP BY 1),
+        |g AS (SELECT CAST(sum(c_uni) AS BIGINT) AS t_tokens,
+        |             CAST(count(*) AS BIGINT) AS v_size FROM unic),
+        |nll AS (
+        |  SELECT bg.doc_id, bic.c_bi IS NOT NULL AS seen,
+        |    CASE WHEN bic.c_bi IS NOT NULL THEN
+        |      CAST(round(-log2(bic.c_bi * 1.0 / u1.c_uni) * 1e6) AS BIGINT)
+        |    ELSE
+        |      CAST(round(-log2(0.4 * ((coalesce(u2.c_uni, 0) + 1.0)
+        |        / (g.t_tokens + g.v_size + 1))) * 1e6) AS BIGINT)
+        |    END AS nll_micro
+        |  FROM bg
+        |  LEFT JOIN bic ON bg.w1 = bic.w1 AND bg.w2 = bic.w2
+        |  LEFT JOIN unic u1 ON bg.w1 = u1.w
+        |  LEFT JOIN unic u2 ON bg.w2 = u2.w
+        |  CROSS JOIN g),
+        |d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_backoff,
+        |    CAST(sum(nll_micro) AS BIGINT) AS nll_micro
+        |  FROM nll GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_backoff, nll_micro,
+        |  CAST(round(nll_micro * 1.0 / n_bigrams) AS BIGINT) / 1000000.0
+        |    AS cross_entropy,
+        |  round(power(2.0,
+        |    CAST(round(nll_micro * 1.0 / n_bigrams) AS BIGINT) / 1000000.0), 4)
+        |    AS perplexity
+        |FROM d""".stripMargin,
+
     // shf mirrors the Spark query's maxDocFreq=250 stop-shingle cap
     "dedup_ngram_jaccard" -> (ShingleCte +
       """, keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 250),

@@ -237,6 +237,17 @@ object TrainingData {
       flagged, "doc_id", "text", col("passes"))
   }
 
+  /** Stupid Backoff bigram LM over the documents corpus: the model trains
+    * on the Gopher-quality subset and scores every doc, so unseen-bigram
+    * backoff genuinely fires; integer micro-bit NLLs keep it hash-gated. */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val flagged = graft.operators.TextAnalysis.gopherFlags(
+      t(s, dir, "documents"), "text")
+    graft.operators.TermStats.stupidBackoffScore(
+      flagged, "doc_id", "text", col("passes"))
+  }
+
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every
     * iteration, which makes the trained centroids engine-portable — the

@@ -548,6 +548,38 @@ class TermStatsSpec extends SparkSpec {
     assert(out(4L)._2 > out(3L)._2)
     assert(out(2L)._3 && !out(3L)._3)
   }
+
+  test("stupid backoff: seen bigrams use c_bi/c_prev, unseen back off; exact") {
+    val corpus = Seq(
+      (1L, "a b a b c", true),
+      (2L, "a b x", false),
+      (3L, "c a", true),
+      (4L, "z", false),
+      (5L, "  ", false))
+    val out = TermStats.stupidBackoffScore(
+      corpus.toDF("doc_id", "text", "tgt"), "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_backoff"),
+          r.getAs[Long]("nll_micro")))).toMap
+    // model over docs 1+3: uni a=3 b=2 c=2 (T=7, V=3);
+    // bi (a,b)=2 (b,a)=1 (b,c)=1 (c,a)=1
+    def micro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def seenNll(cBi: Long, cPrev: Long): Long =
+      micro(-math.log(cBi.toDouble / cPrev) / math.log(2.0))
+    def backNll(cNext: Long): Long =
+      micro(-math.log(0.4 * ((cNext + 1.0) / 11.0)) / math.log(2.0))
+    // doc 1: (a,b) (b,a) (a,b) (b,c) — all seen
+    val d1 = 2 * seenNll(2, 3) + seenNll(1, 2) + seenNll(1, 2)
+    assert(out(1L) == ((4L, 0L, d1)))
+    // doc 2: (a,b) seen; (b,x) unseen, x fully OOV
+    val d2 = seenNll(2, 3) + backNll(0)
+    assert(out(2L) == ((2L, 1L, d2)))
+    // doc 3: (c,a) seen
+    assert(out(3L) == ((1L, 0L, seenNll(1, 2))))
+    // single-token and whitespace-only docs have no bigram positions
+    assert(!out.contains(4L) && !out.contains(5L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
