@@ -78,34 +78,6 @@ object TermStats {
         col("bm25"), col("rank"))
   }
 
-  /** Unigram-LM cross-entropy / perplexity per document — the CCNet-style
-    * fluency signal every corpus pipeline runs (Wenzek et al. 2020 score
-    * with a KenLM; the unigram LM here is the engine-portable floor of
-    * that family, trained on the corpus itself in the same pass).
-    *
-    * Model: Laplace-smoothed unigram probabilities over the corpus token
-    * counts, P(t) = (cnt(t) + 1) / (T + V) with T total tokens and V the
-    * vocabulary size. Score: per-document mean negative log2 likelihood
-    * (cross-entropy, bits/token) and its 2^H perplexity. Gibberish and
-    * rare-token soup score high; repetitive boilerplate scores low — both
-    * tails are the filter targets.
-    *
-    * Determinism (the hash-gate discipline): each term's NLL is fixed to
-    * integer MICRO-BITS once — round(-log2(P) * 1e6) as BIGINT — so the
-    * per-document sum is an exact integer aggregate, immune to float
-    * summation order across partitions and engines. The per-token mean is
-    * ALSO rounded in integer micro-bits (nll_micro/dl can land on an
-    * exact .5 — e.g. 58903974/12 — where a 6-dp round of the chained
-    * double division flipped between engines; the integer round sees the
-    * exact half and both engines break it upward), then one exact
-    * division by 1e6 and one pow, mirrored literally by the oracle.
-    *
-    * 100 TB shape: ONE token explode feeding a map-side-combinable vocab
-    * aggregate; the two global scalars broadcast; the NLL join-back is
-    * vocabulary-keyed (AQE broadcasts the scored vocab when it fits, and
-    * skew-splits the join when a stop-word key is hot); the final per-doc
-    * aggregate is map-side combinable. No windows, no self-joins.
-    * Returns (doc_id, dl, nll_micro, cross_entropy, perplexity). */
   /** DSIR hashed n-gram importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score how
     * much more likely each raw document is under a TARGET distribution
@@ -140,7 +112,14 @@ object TermStats {
     * Returns (doc_id, n_feats, logw_micro, keep); docs with zero tokens
     * drop (nothing to score). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column, buckets: Int = 1024): DataFrame = {
+                  isTarget: Column, buckets: Int = 1024): DataFrame =
+    dsirScore(docs, idCol, textCol,
+      dsirModel(docs, idCol, textCol, isTarget, buckets), buckets)
+
+  /** Exploded (doc_id [, __tgt], bucket) hashed unigram+bigram features —
+    * the shared first stage of [[dsirModel]] and [[dsirScore]]. */
+  private def dsirFeats(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Option[Column], buckets: Int): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     // adjacent bigrams WITH multiplicity (bag model — shingles() dedups,
     // so build inline); sequence needs the size>=2 guard: Spark's
@@ -150,16 +129,26 @@ object TermStats {
         i => concat(element_at(col("__t"), i), lit(" "),
           element_at(col("__t"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    val feats = docs
-      .select(col(idCol).as("doc_id"), isTarget.as("__tgt"), toks.as("__t"))
-      .select(col("doc_id"), col("__tgt"),
-        explode(concat(col("__t"), bigrams)).as("feat"))
-      .select(col("doc_id"), col("__tgt"),
-        (conv(substring(md5(col("feat")), 1, 4), 16, 10).cast("int")
-          % buckets).as("bucket"))
+    val tagged = isTarget.map(t => Seq(t.as("__tgt"))).getOrElse(Nil)
+    docs
+      .select(Seq(col(idCol).as("doc_id")) ++ tagged ++ Seq(toks.as("__t")): _*)
+      .withColumn("feat", explode(concat(col("__t"), bigrams)))
+      .withColumn("bucket",
+        conv(substring(md5(col("feat")), 1, 4), 16, 10).cast("int") % buckets)
+      .drop("__t", "feat")
+  }
+
+  /** Fit the DSIR bucket model: (bucket, delta_micro) with at most
+    * `buckets` rows — delta_micro = micro-bit log P_tgt - log P_raw for
+    * every feature hashing to that bucket. A static frame this small is
+    * exactly what a stream-static join wants: fit on the batch corpus,
+    * score live documents with [[dsirScore]] unchanged. */
+  def dsirModel(docs: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val feats = dsirFeats(docs, idCol, textCol, Some(isTarget), buckets)
     // cnt is referenced twice (globals + scored): without materialization
-    // Catalyst duplicates the subtree and the corpus explode runs three
-    // times instead of twice. Lazy localCheckpoint — at most `buckets`
+    // Catalyst duplicates the subtree and the corpus explode runs twice
+    // for the model alone. Lazy localCheckpoint — at most `buckets`
     // rows, and no Spark job until the caller's first action.
     val cnt = feats.groupBy(col("bucket")).agg(
       count(lit(1)).as("cnt_raw"),
@@ -170,20 +159,59 @@ object TermStats {
     def lpMicro(c: Column, t: Column): Column =
       round(log2((c + 1.0) / (t + lit(buckets)).cast("double")) * 1e6)
         .cast("long")
-    val scored = cnt.crossJoin(broadcast(globals))
+    cnt.crossJoin(broadcast(globals))
       .select(col("bucket"),
         (lpMicro(col("cnt_tgt"), col("t_tgt")) -
           lpMicro(col("cnt_raw"), col("t_raw"))).as("delta_micro"))
-    feats.join(broadcast(scored), "bucket")
+  }
+
+  /** Score documents against a fitted [[dsirModel]]. `docs` may be a
+    * STREAMING frame: every step is stateless (explode + broadcast
+    * stream-static join) except the final per-doc aggregate, which
+    * Structured Streaming runs as a standard stateful aggregation. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                model: DataFrame, buckets: Int = 1024): DataFrame =
+    dsirFeats(docs, idCol, textCol, None, buckets)
+      .join(broadcast(model), "bucket")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("delta_micro")).as("logw_micro"))
       .withColumn("keep", col("logw_micro") > 0L)
       .select(col("doc_id"), col("n_feats"), col("logw_micro"), col("keep"))
-  }
 
+  /** Unigram-LM cross-entropy / perplexity per document — the CCNet-style
+    * fluency signal every corpus pipeline runs (Wenzek et al. 2020 score
+    * with a KenLM; the unigram LM here is the engine-portable floor of
+    * that family, trained on the corpus itself in the same pass).
+    *
+    * Model: Laplace-smoothed unigram probabilities over the corpus token
+    * counts, P(t) = (cnt(t) + 1) / (T + V) with T total tokens and V the
+    * vocabulary size. Score: per-document mean negative log2 likelihood
+    * (cross-entropy, bits/token) and its 2^H perplexity. Gibberish and
+    * rare-token soup score high; repetitive boilerplate scores low — both
+    * tails are the filter targets.
+    *
+    * Determinism (the hash-gate discipline): each term's NLL is fixed to
+    * integer MICRO-BITS once — round(-log2(P) * 1e6) as BIGINT — so the
+    * per-document sum is an exact integer aggregate, immune to float
+    * summation order across partitions and engines. The per-token mean is
+    * ALSO rounded in integer micro-bits (nll_micro/dl can land on an
+    * exact .5 — e.g. 58903974/12 — where a 6-dp round of the chained
+    * double division flipped between engines; the integer round sees the
+    * exact half and both engines break it upward), then one exact
+    * division by 1e6 and one pow, mirrored literally by the oracle.
+    *
+    * 100 TB shape: ONE token explode feeding a map-side-combinable vocab
+    * aggregate; the two global scalars broadcast; the NLL join-back is
+    * vocabulary-keyed (AQE broadcasts the scored vocab when it fits, and
+    * skew-splits the join when a stop-word key is hot); the final per-doc
+    * aggregate is map-side combinable. No windows, no self-joins.
+    * Returns (doc_id, dl, nll_micro, cross_entropy, perplexity). */
   def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = docTerms(docs, idCol, textCol)
+    // referenced twice (globals + scored): vocabulary-sized, so
+    // materialize lazily instead of re-running the corpus explode
     val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val globals = cnt.agg(sum(col("cnt")).as("t_tokens"),
       count(lit(1)).as("v_size"))
     val nll = round(-log2((col("cnt") + 1.0) /
@@ -234,36 +262,56 @@ object TermStats {
     * Returns (doc_id, n_bigrams, n_backoff, nll_micro, cross_entropy,
     * perplexity); docs with fewer than 2 tokens drop. */
   def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
-                         isTarget: Column, alpha: Double = 0.4): DataFrame = {
+                         isTarget: Column, alpha: Double = 0.4): DataFrame =
+    bigramLmScore(docs, idCol, textCol,
+      bigramLmModel(docs.filter(isTarget), idCol, textCol), alpha)
+
+  /** A fitted bigram LM: bigram counts (w1, w2, c_bi), unigram counts
+    * (w, c_uni), and the (t_tokens, v_size) scalar frame. All three are
+    * static model tables a streaming [[bigramLmScore]] joins against. */
+  final case class BigramLm(bigrams: DataFrame, unigrams: DataFrame,
+                            globals: DataFrame)
+
+  private def bigramsOf(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Fit bigram + unigram counts over `docs` (pre-filter to the target
+    * subset; [[stupidBackoffScore]] does). The unigram table is lazily
+    * checkpointed — vocabulary-sized, and read by the globals aggregate
+    * plus both backoff joins. */
+  def bigramLmModel(docs: DataFrame, idCol: String, textCol: String): BigramLm = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
-    def bigramsOf(t: Column): Column =
-      when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("__tgt"),
-      toks.as("__t"))
-    // model: target-subset counts. One bigram explode; unigram counts are
-    // the same frame aggregated on w1 PLUS the per-doc last token (a
-    // bigram explode undercounts each doc's final word by one), which is
-    // exactly c(w) over target tokens.
-    val tgtPairs = base.filter(col("__tgt"))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+    val biCnt = base
       .select(explode(bigramsOf(col("__t"))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val biCnt = tgtPairs.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c_bi"))
-    val uniCnt = base.filter(col("__tgt"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bi"))
+    // unigram counts must be the TOKEN counts, not sum(c_bi) over w1 —
+    // a bigram sum undercounts every doc-final word
+    val uniCnt = base
       .select(explode(col("__t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_uni"))
-      // referenced twice (globals + backoff join): vocabulary-sized, so
-      // materialize lazily instead of re-running the target explode
       .localCheckpoint(false)
     val globals = uniCnt.agg(sum(col("c_uni")).as("t_tokens"),
       count(lit(1)).as("v_size"))
-    // the seen-bigram denominator c(w1) must be the TOKEN count, not
-    // sum(c_bi) over w1 — a bigram sum undercounts every doc-final word
-    val scoreBase = base
-      .select(col("doc_id"), explode(bigramsOf(col("__t"))).as("bg"))
+    BigramLm(biCnt, uniCnt, globals)
+  }
+
+  /** Score documents against a fitted [[BigramLm]]. `docs` may be a
+    * STREAMING frame: the explode and the three model joins are
+    * stateless stream-static operations; the final per-doc aggregate is
+    * a standard stateful streaming aggregation. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    model: BigramLm, alpha: Double = 0.4): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val biCnt = model.bigrams
+    val uniCnt = model.unigrams
+    val globals = model.globals
+    val scoreBase = docs
+      .select(col(idCol).as("doc_id"), explode(bigramsOf(toks)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val joined = scoreBase
       .join(biCnt, Seq("w1", "w2"), "left")

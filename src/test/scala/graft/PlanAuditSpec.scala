@@ -235,4 +235,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pPlan.contains("No Partition Defined"),
       "pack_sequences leaked a global window")
   }
+
+  test("LM scorers: bounded corpus passes, no windows, no cartesians") {
+    val dir = "/root/testdata/sf0.001"
+    // probe side + model side = at most 2 parquet scans in the final
+    // plan (the model count frames are lazily checkpointed; a third scan
+    // means twice-referenced-frame plan duplication came back)
+    for ((name, maxScans) <- Seq(("text_perplexity", 2),
+        ("sample_dsir", 2), ("text_bigram_lm", 2))) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans <= maxScans, s"$name: $scans parquet scans (max $maxScans)")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: global scalars must broadcast, not cartesian")
+      assert(!plan.contains("No Partition Defined"), s"$name leaked a window")
+      assert(plan.contains("partial_count"), s"$name lost map-side partials")
+    }
+  }
 }

@@ -101,6 +101,65 @@ class EventStreamSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("LM scoring against batch-fitted models runs unchanged on a stream") {
+    // the production shape: fit DSIR / bigram-LM model tables on the
+    // batch corpus, score live documents via stream-static joins with the
+    // SAME score functions the batch oracle gates. Streamed results must
+    // equal the batch run on the identical corpus.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TermStats
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", true),
+      (2L, "the quick brown cat naps under the warm sun today", true),
+      (3L, "zz qq xx vv kk jj pp ww", false),
+      (4L, "the quick brown fox naps under the lazy sun", false))
+    val batch = corpus.toDF("doc_id", "text", "tgt")
+
+    // DSIR: model on batch, score a stream of the same docs
+    val dsirModel = TermStats.dsirModel(batch, "doc_id", "text", col("tgt"),
+      buckets = 64).localCheckpoint(true)
+    val dsirBatch = TermStats.dsirScore(batch, "doc_id", "text", dsirModel,
+      buckets = 64).collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("logw_micro")))).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = TermStats.dsirScore(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dsirModel, buckets = 64)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("complete").start()
+    mem.addData(corpus.map(c => (c._1, c._2)): _*)
+    q.processAllAvailable()
+    val dsirStream = spark.table("dsir_stream").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("logw_micro")))).toMap
+    assert(dsirStream == dsirBatch)
+    q.stop()
+
+    // bigram LM: model tables on the target slice, stream the full corpus
+    val lm = TermStats.bigramLmModel(
+      batch.filter(col("tgt")), "doc_id", "text")
+    val lmFixed = TermStats.BigramLm(lm.bigrams.localCheckpoint(true),
+      lm.unigrams.localCheckpoint(true), lm.globals.localCheckpoint(true))
+    val lmBatch = TermStats.bigramLmScore(batch, "doc_id", "text", lmFixed)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_backoff"),
+          r.getAs[Long]("nll_micro")))).toMap
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = TermStats.bigramLmScore(mem2.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", lmFixed)
+      .writeStream.format("memory").queryName("bigram_stream")
+      .outputMode("complete").start()
+    mem2.addData(corpus.map(c => (c._1, c._2)): _*)
+    q2.processAllAvailable()
+    val lmStream = spark.table("bigram_stream").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_backoff"),
+          r.getAs[Long]("nll_micro")))).toMap
+    assert(lmStream == lmBatch)
+    // the off-distribution doc actually exercised backoff on the stream
+    assert(lmStream(3L)._2 == lmStream(3L)._1)
+    q2.stop()
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
