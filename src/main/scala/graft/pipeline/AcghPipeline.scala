@@ -138,13 +138,13 @@ object AcghPipeline {
         col("assay_id"),
         col("patient_id"),
         lit(trialId).as("trial_name"),
-        col("chip").cast("double").as("chip"),
-        col("segmented").cast("double").as("segmented"),
-        col("flag").cast("int").as("flag"),
-        col("probloss").cast("double").as("probloss"),
-        col("probnorm").cast("double").as("probnorm"),
-        col("probgain").cast("double").as("probgain"),
-        col("probamp").cast("double").as("probamp"))
+        col("chip").try_cast("double").as("chip"),
+        col("segmented").try_cast("double").as("segmented"),
+        col("flag").try_cast("int").as("flag"),
+        col("probloss").try_cast("double").as("probloss"),
+        col("probnorm").try_cast("double").as("probnorm"),
+        col("probgain").try_cast("double").as("probgain"),
+        col("probamp").try_cast("double").as("probamp"))
       .distinct()
 
     AcghTables(ls, mapping, ls.sampleFacts, regionFacts)

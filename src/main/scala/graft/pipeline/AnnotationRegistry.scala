@@ -100,7 +100,7 @@ object AnnotationRegistry {
           coalesce(stagedDistinct("organism"), lit(DefaultOrganism)) ===
             coalesce(registry("organism"), lit(DefaultOrganism)))
       .select(col("gpl_id"), col("probe_id"), col("gene_symbol"),
-        col("gene_id").cast("long").as("gene_id"), col("probeset_id"),
+        col("gene_id").try_cast("long").as("gene_id"), col("probeset_id"),
         coalesce(stagedDistinct("organism"), lit(DefaultOrganism)).as("organism"))
       .distinct()
 
@@ -109,9 +109,9 @@ object AnnotationRegistry {
     val idBySymbol = genes
       .groupBy(col("bio_marker_name").as("bm_symbol"),
         upper(col("organism")).as("bm_org"))
-      .agg(min(col("primary_external_id").cast("long")).as("bm_gene_id"))
+      .agg(min(col("primary_external_id").try_cast("long")).as("bm_gene_id"))
     val symbolById = genes
-      .groupBy(col("primary_external_id").cast("long").as("bm_gene_id2"),
+      .groupBy(col("primary_external_id").try_cast("long").as("bm_gene_id2"),
         upper(col("organism")).as("bm_org2"))
       .agg(min(col("bio_marker_name")).as("bm_symbol2"))
 

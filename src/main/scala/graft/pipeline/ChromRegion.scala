@@ -48,12 +48,14 @@ object ChromRegion {
       lit(gplId).as("gpl_id"),
       s(1).as("region_name"),
       s(2).as("chromosome"),
-      s(3).cast("int").as("start_bp"),
-      s(4).cast("int").as("end_bp"),
-      s(5).cast("int").as("num_probes"),
+      // try_cast: user platform cells — malformed coordinates null out
+      // instead of throwing from the scan under ANSI (fuzz discipline)
+      s(3).try_cast("int").as("start_bp"),
+      s(4).try_cast("int").as("end_bp"),
+      s(5).try_cast("int").as("num_probes"),
       s(6).as("cytoband"),
       when(length(coalesce(s(7), lit(""))) > 0, s(7)).as("gene_symbol"),
-      when(length(coalesce(s(8), lit(""))) > 0, s(8)).cast("long").as("gene_id"),
+      when(length(coalesce(s(8), lit(""))) > 0, s(8)).try_cast("long").as("gene_id"),
       coalesce(when(length(coalesce(s(9), lit(""))) > 0, s(9)),
         lit(meta.getOrElse("SPECIES", null)).cast("string")).as("organism"))
     (meta, staged)
@@ -123,7 +125,7 @@ object ChromRegion {
     val idBySymbol = genes
       .groupBy(col("bio_marker_name").as("bm_symbol"),
         upper(col("organism")).as("bm_org"))
-      .agg(min(col("primary_external_id").cast("long")).as("bm_gene_id"))
+      .agg(min(col("primary_external_id").try_cast("long")).as("bm_gene_id"))
     val withIds = staged
       .join(broadcast(idBySymbol),
         col("gene_id").isNull && col("gene_symbol").isNotNull &&
@@ -135,7 +137,7 @@ object ChromRegion {
     // 5. gene_symbol backfill (:202-229) — sees step 4's ids, like the
     //    reference's sequential UPDATEs
     val symbolById = genes
-      .groupBy(col("primary_external_id").cast("long").as("bm_gene_id2"),
+      .groupBy(col("primary_external_id").try_cast("long").as("bm_gene_id2"),
         upper(col("organism")).as("bm_org2"))
       .agg(min(col("bio_marker_name")).as("bm_symbol2"))
     val backfilled = withIds

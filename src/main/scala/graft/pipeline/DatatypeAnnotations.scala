@@ -88,7 +88,7 @@ object DatatypeAnnotations {
       .unionByName(fresh)
     val idBySymbol = bioMarkers
       .groupBy(col("bio_marker_name").as("bm_symbol"))
-      .agg(min(col("primary_external_id").cast("long")).as("bm_gene_id"))
+      .agg(min(col("primary_external_id").try_cast("long")).as("bm_gene_id"))
     all
       .join(broadcast(idBySymbol),
         all("gene_id").isNull && all("gene_symbol") === col("bm_symbol"), "left")
@@ -195,7 +195,7 @@ object DatatypeAnnotations {
           staged("gpl_id") === registry("platform"))
       .select(col("gpl_id"), col("antigen_id").as("id"),
         staged("antigen_name"), col("uniprotid").as("uniprot_id"),
-        col("gene_symbol"), col("gene_id").cast("long").as("gene_id"))
+        col("gene_symbol"), col("gene_id").try_cast("long").as("gene_id"))
       .distinct()
 
     // backfills from 'RBM'-typed markers, organism deliberately unmatched
@@ -203,7 +203,7 @@ object DatatypeAnnotations {
     val idBySymbol = rbmMarkers
       .groupBy(col("bio_marker_name").as("bm_symbol"))
       // the reference takes min() of the VARCHAR id then casts (:103)
-      .agg(min(col("primary_external_id")).cast("long").as("bm_gene_id"))
+      .agg(min(col("primary_external_id")).try_cast("long").as("bm_gene_id"))
     val symbolById = rbmMarkers
       .groupBy(col("primary_external_id").as("bm_gene_id2"))
       .agg(min(col("bio_marker_name")).as("bm_symbol2"))

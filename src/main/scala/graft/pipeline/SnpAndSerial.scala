@@ -36,6 +36,8 @@ object SnpAndSerial {
     paths.map { p =>
       val df = TsvReader.read(spark, p)
       val c = df.columns
+      require(c.length >= 3,
+        s"SNP calls file $p needs 3 columns, got ${c.length}")
       df.select(
         col(c(0)).as("gsm_num"),
         col(c(1)).as("snp_name"),
@@ -51,12 +53,16 @@ object SnpAndSerial {
     paths.map { p =>
       val df = TsvReader.read(spark, p)
       val c = df.columns
+      require(c.length >= 5,
+        s"SNP copy-number file $p needs 5 columns, got ${c.length}")
       df.select(
         col(c(0)).as("gsm_num"),
         col(c(1)).as("snp_name"),
         col(c(2)).as("chrom"),
-        col(c(3)).cast("long").as("chrom_pos"),
-        col(c(4)).cast("double").as("copy_number"))
+        // try_cast: malformed positions/values null out instead of
+        // throwing from the scan under ANSI (fuzz discipline)
+        col(c(3)).try_cast("long").as("chrom_pos"),
+        col(c(4)).try_cast("double").as("copy_number"))
     }.reduceOption(_ unionByName _)
       .getOrElse(emptyFrame(spark, CopyNumberSchema))
 

@@ -17,13 +17,20 @@ object OmicsSources {
   def meltMatrix(matrix: DataFrame, idCol: String = "ID_REF",
                  dataType: String = "R"): DataFrame = {
     val sampleCols = matrix.columns.filterNot(_ == idCol)
+    require(sampleCols.nonEmpty,
+      s"matrix has no sample columns besides '$idCol' (stack needs >= 1)")
+    // sample ids are user-authored header cells: escape the SQL literal
+    // quote and the identifier backtick or the generated stack() breaks
     val stackArgs = sampleCols
-      .map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+      .map(c => s"'${c.replace("'", "''")}', " +
+        s"cast(`${c.replace("`", "``")}` as string)").mkString(", ")
     matrix
       .select(col(idCol).as("probeset_id"),
         expr(s"stack(${sampleCols.length}, $stackArgs) as (sample_id, raw_value)"))
       .filter(length(coalesce(col("raw_value"), lit(""))) > 0)
-      .withColumn("intensity_value", col("raw_value").cast("double"))
+      // try_cast: a non-numeric cell nulls ITS intensity (the raw value
+      // survives for audit) instead of throwing from the scan under ANSI
+      .withColumn("intensity_value", col("raw_value").try_cast("double"))
       .withColumn("data_type", lit(dataType))
   }
 
@@ -58,7 +65,7 @@ object OmicsSources {
       .filter(length(coalesce(col("probeset_id"), lit(""))) > 0 &&
         length(coalesce(col("sample_id"), lit(""))) > 0 &&
         length(coalesce(col("raw_value"), lit(""))) > 0)
-      .withColumn("intensity_value", col("raw_value").cast("double"))
+      .withColumn("intensity_value", col("raw_value").try_cast("double"))
       .withColumn("data_type", lit(dataType))
   }
 
