@@ -77,6 +77,7 @@ object SparkEntry {
     "text_perplexity" -> (TrainingData.textPerplexity _),
     "sample_dsir" -> (TrainingData.sampleDsir _),
     "text_bigram_lm" -> (TrainingData.textBigramLm _),
+    "sketch_hll_distinct" -> (TrainingData.sketchHllDistinct _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
     "multimodal_video_dups" -> (TrainingData.multimodalVideoDups _),

@@ -1027,6 +1027,41 @@ object Oracles {
         |    AS perplexity
         |FROM d""".stripMargin,
 
+    // deterministic HyperLogLog replay: md5 buckets, string-rank rho,
+    // exact integer register sums; every float op mirrors the Spark side
+    "sketch_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 4096 AS bucket,
+        |    regexp_replace(substr(md5(text), 5, 12), '^0+', '') AS stripped
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, bucket,
+        |    CASE WHEN len(stripped) = 0 THEN 49
+        |      ELSE (12 - len(stripped)) * 4
+        |        + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+        |               WHEN substr(stripped, 1, 1) IN ('2', '3') THEN 2
+        |               WHEN substr(stripped, 1, 1) IN ('4', '5', '6', '7') THEN 1
+        |               ELSE 0 END + 1 END AS rho
+        |  FROM h),
+        |regs AS (SELECT lang, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS m_used,
+        |    CAST(sum(1::BIGINT << (50 - mj)) AS BIGINT) AS s_present
+        |  FROM regs GROUP BY 1),
+        |e AS (
+        |  SELECT lang, m_used, 4096 - m_used AS v_empty,
+        |    s_present + (4096 - m_used) * (1::BIGINT << 50) AS reg_sum
+        |  FROM agg),
+        |est AS (
+        |  SELECT *, 0.7213 / (1.0 + 1.079 / 4096.0) * 4096 * 4096
+        |    / (reg_sum / (1::BIGINT << 50)) AS est_raw FROM e)
+        |SELECT lang, m_used, reg_sum,
+        |  round(CASE WHEN est_raw <= 2.5 * 4096 AND v_empty > 0
+        |    THEN 4096 * ln(4096.0 / v_empty) ELSE est_raw END, 4)
+        |    AS est_distinct
+        |FROM est""".stripMargin,
+
     // shf mirrors the Spark query's maxDocFreq=250 stop-shingle cap
     "dedup_ngram_jaccard" -> (ShingleCte +
       """, keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 250),

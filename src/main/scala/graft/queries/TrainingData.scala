@@ -248,6 +248,14 @@ object TrainingData {
       flagged, "doc_id", "text", col("passes"))
   }
 
+  /** Deterministic HyperLogLog distinct-text sketch per language —
+    * engine-portable registers (md5 buckets, string-rank rho, exact
+    * integer register sums), so the DuckDB oracle replays the sketch
+    * value-for-value including the float estimate. */
+  def sketchHllDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllDistinct(
+      t(s, dir, "documents"), Seq("lang"), "text")
+
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every
     * iteration, which makes the trained centroids engine-portable — the

@@ -582,6 +582,83 @@ class TermStatsSpec extends SparkSpec {
   }
 }
 
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // driver-side exact replay of the register + estimate math
+  private def expected(values: Seq[String]): (Long, Long, Double) = {
+    val regs = values.map { v =>
+      val hex = md5hex(v)
+      val bucket = Integer.parseInt(hex.substring(0, 4), 16) % 4096
+      val stripped = hex.substring(4, 16).dropWhile(_ == '0')
+      val rho =
+        if (stripped.isEmpty) 49
+        else {
+          val clz4 = stripped.head match {
+            case '1' => 3
+            case '2' | '3' => 2
+            case '4' | '5' | '6' | '7' => 1
+            case _ => 0
+          }
+          (12 - stripped.length) * 4 + clz4 + 1
+        }
+      bucket -> rho
+    }.groupBy(_._1).map { case (b, v) => b -> v.map(_._2).max }
+    val mUsed = regs.size.toLong
+    val vEmpty = 4096L - mUsed
+    val regSum = regs.values.map(mj => 1L << (50 - mj)).sum +
+      vEmpty * (1L << 50)
+    val estRaw = 0.7213 / (1.0 + 1.079 / 4096.0) * 4096 * 4096 /
+      (regSum.toDouble / (1L << 50))
+    val est =
+      if (estRaw <= 2.5 * 4096 && vEmpty > 0)
+        4096 * math.log(4096.0 / vEmpty)
+      else estRaw
+    (mUsed, regSum,
+      BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("hll: registers and estimate replay exactly; repartition-invariant") {
+    val values = (0 until 600).map(i => s"doc-$i")
+    val df = values.map(v => ("en", v)).toDF("lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllDistinct(d, Seq("lang"), "text").collect().map(r =>
+        (r.getAs[Long]("m_used"), r.getAs[Long]("reg_sum"),
+          r.getAs[Double]("est_distinct"))).head
+    val got = run(df)
+    assert(got == expected(values))
+    // registers are max-merged: ANY partitioning gives identical output
+    assert(run(df.repartition(7)) == got)
+    // duplicates change nothing — the sketch counts distincts
+    assert(run(df.unionAll(df.limit(200))) == got)
+  }
+
+  test("hll: estimate lands within 5% of the true distinct count") {
+    val n = 5000
+    val df = (0 until n).map(i => ("en", s"value-$i")).toDF("lang", "text")
+    val est = Sketches.hllDistinct(df, Seq("lang"), "text")
+      .collect().head.getAs[Double]("est_distinct")
+    assert(math.abs(est - n) / n < 0.05, s"estimate $est vs $n")
+  }
+
+  test("hll: incremental merge equals the one-shot sketch") {
+    val a = (0 until 300).map(i => ("en", s"d$i")).toDF("lang", "text")
+    val b = (200 until 500).map(i => ("en", s"d$i")).toDF("lang", "text")
+    val merged = Sketches.hllEstimate(
+      Sketches.hllMergeRegisters(
+        Sketches.hllRegisters(a, Seq("lang"), "text"),
+        Sketches.hllRegisters(b, Seq("lang"), "text")),
+      Seq("lang")).collect().head
+    val oneShot = Sketches.hllDistinct(
+      a.unionAll(b), Seq("lang"), "text").collect().head
+    assert(merged == oneShot)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
