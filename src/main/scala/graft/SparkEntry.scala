@@ -78,6 +78,7 @@ object SparkEntry {
     "sample_dsir" -> (TrainingData.sampleDsir _),
     "text_bigram_lm" -> (TrainingData.textBigramLm _),
     "sketch_hll_distinct" -> (TrainingData.sketchHllDistinct _),
+    "sketch_kmv_distinct" -> (TrainingData.sketchKmvDistinct _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
     "multimodal_video_dups" -> (TrainingData.multimodalVideoDups _),

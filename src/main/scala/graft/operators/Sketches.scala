@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Distinct-count sketches for corpus-scale analytics — HyperLogLog
@@ -94,4 +94,73 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   p: Int = 12): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /** KMV (bottom-k minimum values, Bar-Yossef et al. 2002) distinct
+    * sketch as a BOUNDED custom typed Aggregator — the buffer holds at
+    * most k sorted distinct md5 hex strings (k x 32 bytes), partial
+    * buffers merge map-side, and NOTHING group-sized is ever collected
+    * (contrast the window/rank formulation, which sorts each whole
+    * group). Because md5 is fixed and bottom-k-of-distinct is a pure set
+    * function, the result is partitioning- and order-invariant, and the
+    * kept hashes double as a deterministic uniform sample of the group's
+    * DISTINCT values (hash-order sampling) — the estimate and HLL
+    * cross-check each other.
+    *
+    * Estimate: exact n when the group has fewer than k distincts
+    * (the sketch IS the distinct set), else (k-1) / frac(kth smallest)
+    * with frac = first 52 hash bits / 2^52 — integer-derived, every
+    * float op mirrored by the oracle. */
+  final case class Kmv(hashes: Seq[String])
+
+  private final class BottomKAgg(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, scala.collection.mutable.ArrayBuffer[String], Kmv] {
+    import scala.collection.mutable.ArrayBuffer
+    def zero: ArrayBuffer[String] = ArrayBuffer.empty
+    private def insert(b: ArrayBuffer[String], v: String): ArrayBuffer[String] = {
+      // sorted-unique capped insert; hex strings compare numerically
+      var lo = 0; var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b(mid) < v) lo = mid + 1 else hi = mid
+      }
+      if (lo < b.length && b(lo) == v) b        // duplicate
+      else if (b.length < k) { b.insert(lo, v); b }
+      else if (lo < k) { b.insert(lo, v); b.remove(k); b }
+      else b                                     // above the cap
+    }
+    def reduce(b: ArrayBuffer[String], a: String): ArrayBuffer[String] =
+      insert(b, a)
+    def merge(b1: ArrayBuffer[String],
+              b2: ArrayBuffer[String]): ArrayBuffer[String] = {
+      var i = 0
+      while (i < b2.length) { insert(b1, b2(i)); i += 1 }
+      b1
+    }
+    def finish(b: ArrayBuffer[String]): Kmv = Kmv(b.toSeq)
+    def bufferEncoder = Encoders.kryo[ArrayBuffer[String]]
+    def outputEncoder = Encoders.product[Kmv]
+  }
+
+  /** KMV distinct estimate per group: (groupCols..., n_kept, kth_hash,
+    * est_distinct). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 256): DataFrame = {
+    require(k >= 16, s"k must be >= 16, got $k")
+    val bottomK = udaf(new BottomKAgg(k))
+    val hashes = col("__kmv").getField("hashes")
+    df.select(groupCols.map(col) :+
+        md5(col(valueCol).cast("string")).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(bottomK(col("__h")).as("__kmv"))
+      .withColumn("n_kept", size(hashes).cast("long"))
+      .withColumn("kth_hash", element_at(hashes, -1))
+      .withColumn("est_distinct",
+        round(when(col("n_kept") < k, col("n_kept") * lit(1.0))
+          .otherwise(lit(k - 1) /
+            (conv(substring(col("kth_hash"), 1, 13), 16, 10).cast("long")
+              / lit(1L << 52))), 4))
+      .select(groupCols.map(col) ++
+        Seq(col("n_kept"), col("kth_hash"), col("est_distinct")): _*)
+  }
 }

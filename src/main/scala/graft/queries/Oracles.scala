@@ -1062,6 +1062,23 @@ object Oracles {
         |    AS est_distinct
         |FROM est""".stripMargin,
 
+    // KMV bottom-k replay: k smallest distinct md5s by rank; estimate
+    // from the kth hash's 52-bit prefix, float ops mirrored
+    "sketch_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+        |r AS (SELECT lang, h,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |      FROM h),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |    max(h) AS kth_hash
+        |  FROM r WHERE rn <= 256 GROUP BY 1)
+        |SELECT lang, n_kept, kth_hash,
+        |  round(CASE WHEN n_kept < 256 THEN n_kept * 1.0
+        |    ELSE 255 / (CAST(('0x' || substr(kth_hash, 1, 13)) AS BIGINT)
+        |                / (1::BIGINT << 52)) END, 4) AS est_distinct
+        |FROM agg""".stripMargin,
+
     // shf mirrors the Spark query's maxDocFreq=250 stop-shingle cap
     "dedup_ngram_jaccard" -> (ShingleCte +
       """, keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 250),

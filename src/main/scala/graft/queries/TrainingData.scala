@@ -256,6 +256,13 @@ object TrainingData {
     graft.operators.Sketches.hllDistinct(
       t(s, dir, "documents"), Seq("lang"), "text")
 
+  /** KMV bottom-k distinct-text sketch per language — the bounded custom
+    * Aggregator path; hash-gated including the float estimate (the
+    * DuckDB oracle replays the bottom-k set by rank). */
+  def sketchKmvDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvDistinct(
+      t(s, dir, "documents"), Seq("lang"), "text")
+
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every
     * iteration, which makes the trained centroids engine-portable — the

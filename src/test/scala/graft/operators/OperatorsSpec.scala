@@ -645,6 +645,40 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.05, s"estimate $est vs $n")
   }
 
+  test("kmv: bottom-k set replays exactly; order/partition/dup-invariant") {
+    val values = (0 until 900).map(i => s"doc-$i")
+    val df = values.map(v => ("en", v)).toDF("lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvDistinct(d, Seq("lang"), "text", k = 64).collect().map(r =>
+        (r.getAs[Long]("n_kept"), r.getAs[String]("kth_hash"),
+          r.getAs[Double]("est_distinct"))).head
+    val got = run(df)
+    // driver-side exact replay
+    val sorted = values.map(md5hex).distinct.sorted.take(64)
+    val kth = sorted.last
+    val frac = java.lang.Long.parseLong(kth.substring(0, 13), 16).toDouble /
+      (1L << 52)
+    val est = BigDecimal(63 / frac)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((64L, kth, est)))
+    assert(run(df.repartition(11)) == got)
+    assert(run(df.unionAll(df.limit(333))) == got)
+    // under-k group: the sketch IS the distinct set, estimate exact
+    val tiny = Seq(("de", "a"), ("de", "b"), ("de", "a")).toDF("lang", "text")
+    val t = Sketches.kmvDistinct(tiny, Seq("lang"), "text", k = 64)
+      .collect().head
+    assert(t.getAs[Long]("n_kept") == 2L &&
+      t.getAs[Double]("est_distinct") == 2.0)
+  }
+
+  test("kmv: estimate lands within 15% of truth at k=256") {
+    val n = 5000
+    val df = (0 until n).map(i => ("en", s"value-$i")).toDF("lang", "text")
+    val est = Sketches.kmvDistinct(df, Seq("lang"), "text")
+      .collect().head.getAs[Double]("est_distinct")
+    assert(math.abs(est - n) / n < 0.15, s"estimate $est vs $n")
+  }
+
   test("hll: incremental merge equals the one-shot sketch") {
     val a = (0 until 300).map(i => ("en", s"d$i")).toDF("lang", "text")
     val b = (200 until 500).map(i => ("en", s"d$i")).toDF("lang", "text")
