@@ -79,6 +79,8 @@ object SparkEntry {
     "text_bigram_lm" -> (TrainingData.textBigramLm _),
     "sketch_hll_distinct" -> (TrainingData.sketchHllDistinct _),
     "sketch_kmv_distinct" -> (TrainingData.sketchKmvDistinct _),
+    "asof_click_view" -> (StatsAndTime.asofClickView _),
+    "range_points_regions" -> (OmicsQueries.rangePointsRegions _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
     "multimodal_video_dups" -> (TrainingData.multimodalVideoDups _),

@@ -111,6 +111,30 @@ object OmicsQueries {
   def loadSamplesFacts(s: SparkSession, dir: String): DataFrame =
     loadSamples(s, dir).sampleFacts
 
+  /** Range join (variant-in-region): synthetic positions from orders
+    * against synthetic regions from part, the same
+    * deterministic-synthesis convention as [[chromStaged]]; binned
+    * equi-join via [[graft.operators.RangeJoin.pointInInterval]] (no
+    * per-key cartesian), aggregated per region. */
+  def rangePointsRegions(s: SparkSession, dir: String): DataFrame = {
+    val points = t(s, dir, "orders").select(
+      ((col("o_orderkey") % 22) + 1).as("chrom"),
+      ((col("o_custkey") * 37 + col("o_orderkey")) % 10000000L).as("pos"),
+      col("o_orderkey").as("point_id"))
+    val intervals = t(s, dir, "part").select(
+      ((col("p_partkey") % 22) + 1).as("chrom"),
+      ((col("p_partkey") % 9973) * 1000).as("lo"),
+      ((col("p_partkey") % 9973) * 1000 + 500 + (col("p_partkey") % 5000))
+        .as("hi"),
+      concat(lit("R"), col("p_partkey").cast("string")).as("region_name"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, intervals, Seq("chrom"), "pos", "lo", "hi",
+        binWidth = 1000L)
+      .groupBy(col("region_name"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+  }
+
   // ---- I2B2_LOAD_CHROM_REGION inputs: parts play staged regions (nulls
   // ---- seeded into gene_symbol/gene_id to exercise both backfills),
   // ---- nations play the pre-existing registry (even keys = the reloaded

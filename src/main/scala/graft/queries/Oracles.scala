@@ -1062,6 +1062,55 @@ object Oracles {
         |    AS est_distinct
         |FROM est""".stripMargin,
 
+    // range-join replay: plain BETWEEN join (DuckDB's IEJoin handles it
+    // natively; the Spark side bins to keep an equi-join)
+    "range_points_regions" ->
+      """WITH points AS (
+        |  SELECT (o_orderkey % 22) + 1 AS chrom,
+        |    (o_custkey * 37 + o_orderkey) % 10000000 AS pos,
+        |    o_orderkey AS point_id
+        |  FROM orders),
+        |intervals AS (
+        |  SELECT (p_partkey % 22) + 1 AS chrom,
+        |    (p_partkey % 9973) * 1000 AS lo,
+        |    (p_partkey % 9973) * 1000 + 500 + (p_partkey % 5000) AS hi,
+        |    'R' || p_partkey AS region_name
+        |  FROM part)
+        |SELECT region_name, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(min(pos) AS BIGINT) AS min_pos,
+        |  CAST(max(pos) AS BIGINT) AS max_pos
+        |FROM points JOIN intervals
+        |  ON points.chrom = intervals.chrom
+        |  AND points.pos BETWEEN intervals.lo AND intervals.hi
+        |GROUP BY 1""".stripMargin,
+
+    // as-of replay: union both sides, carry the last view forward per
+    // user (views sort before clicks at equal ts; ties break on vid —
+    // the same order the Spark struct compare yields)
+    "asof_click_view" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) AS vts, event_id AS vid,
+        |             value AS vval
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_ns(ts) AS cts, event_id AS cid
+        |      FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, vts AS uts, 0 AS side, vid, vts, vval,
+        |    NULL::BIGINT AS cid
+        |  FROM v
+        |  UNION ALL
+        |  SELECT user_id, cts, 1, NULL, NULL, NULL, cid FROM c),
+        |w AS (
+        |  SELECT user_id, uts, side, cid,
+        |    last_value(vid IGNORE NULLS) OVER win AS view_event_id,
+        |    last_value(vts IGNORE NULLS) OVER win AS view_ts,
+        |    last_value(vval IGNORE NULLS) OVER win AS view_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY uts, side, vid
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, uts AS ts, cid AS event_id,
+        |  view_ts, view_event_id, view_value
+        |FROM w WHERE side = 1""".stripMargin,
+
     // KMV bottom-k replay: k smallest distinct md5s by rank; estimate
     // from the kth hash's 52-bit prefix, float ops mirrored
     "sketch_kmv_distinct" ->

@@ -114,4 +114,18 @@ object StatsAndTime {
       .groupBy(col("user_id"))
       .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
+
+  /** As-of join: every click matched to the user's most recent view at
+    * or before it ([[graft.operators.TimeJoins.asofBackward]]) — one
+    * union + one key shuffle + one per-user window, no range probe. */
+  def asofClickView(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    graft.operators.TimeJoins.asofBackward(
+      left = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      right = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      rightPrefix = "view_")
+  }
 }

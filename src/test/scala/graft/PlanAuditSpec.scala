@@ -255,4 +255,27 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("partial_count"), s"$name lost map-side partials")
     }
   }
+
+  test("asof/range joins: equi-join shapes, no nested-loop or cartesian") {
+    val dir = "/root/testdata/sf0.001"
+    val asof = SparkEntry.queries("asof_click_view")(spark, dir)
+    asof.collect()
+    val aPlan = asof.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // union + ONE key shuffle + per-key window: no join operator at all
+    assert(!aPlan.contains("Join"), "asof must be union+window, not a join")
+    assert(!aPlan.contains("No Partition Defined"), "asof leaked a global window")
+    assert("Exchange hashpartitioning".r.findAllIn(aPlan).length <= 1,
+      "asof should shuffle once on the key")
+
+    val range = SparkEntry.queries("range_points_regions")(spark, dir)
+    range.collect()
+    val rPlan = range.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the binning rewrite must keep a hash-joinable equi-join — a
+    // BroadcastNestedLoopJoin here means the BETWEEN leaked into the join
+    assert(!rPlan.contains("BroadcastNestedLoopJoin") &&
+      !rPlan.contains("CartesianProduct"),
+      s"range join fell back to nested loop:\n${rPlan.take(1200)}")
+  }
 }

@@ -582,6 +582,85 @@ class TermStatsSpec extends SparkSpec {
   }
 }
 
+class TimeJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val right = Seq(
+    (1L, 100L, 10L, 1.0),
+    (1L, 200L, 11L, 2.0),
+    (1L, 200L, 12L, 3.0), // tie at ts=200: event 12 wins (greater id)
+    (2L, 500L, 20L, 5.0)).toDF("user_id", "ts", "event_id", "value")
+  private val left = Seq(
+    (1L, 150L, 900L),  // between 100 and 200 -> match 10
+    (1L, 200L, 901L),  // AT 200 -> equal-ts match, tie to 12
+    (1L, 999L, 902L),  // after all -> 12
+    (2L, 499L, 903L),  // before any -> no match
+    (3L, 100L, 904L))  // key with no right side -> no match
+    .toDF("user_id", "ts", "event_id")
+
+  test("asof backward: most-recent-at-or-before, deterministic ties, null misses") {
+    val out = TimeJoins.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+        rightPrefix = "r_")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("r_event_id")),
+          Option(r.getAs[java.lang.Double]("r_value"))))).toMap
+    assert(out(900L) == ((Some(10L), Some(1.0))))
+    assert(out(901L) == ((Some(12L), Some(3.0))))
+    assert(out(902L) == ((Some(12L), Some(3.0))))
+    assert(out(903L) == ((None, None)))
+    assert(out(904L) == ((None, None)))
+  }
+
+  test("asof backward: tolerance nulls out stale matches; repartition-invariant") {
+    val out = TimeJoins.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+        tolerance = Some(60L), rightPrefix = "r_")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("r_event_id"))).toMap
+    assert(out(900L) == Some(10L))   // gap 50 <= 60
+    assert(out(901L) == Some(12L))   // gap 0
+    assert(out(902L) == None)        // gap 799 > 60
+    val a = TimeJoins.asofBackward(left, right, Seq("user_id"), "ts", "ts")
+      .collect().toSet
+    val b = TimeJoins.asofBackward(left.repartition(5), right.repartition(3),
+      Seq("user_id"), "ts", "ts").collect().toSet
+    assert(a == b)
+  }
+}
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("point-in-interval: binned equi-join equals brute-force BETWEEN, once per pair") {
+    val points = Seq((1L, 0L, 1L), (1L, 999L, 2L), (1L, 1000L, 3L),
+      (1L, 5500L, 4L), (2L, 100L, 5L), (3L, 100L, 6L))
+      .toDF("k", "pos", "pid")
+    val intervals = Seq(
+      (1L, 0L, 999L, "a"),        // exactly one bin
+      (1L, 500L, 5500L, "b"),     // spans 6 bins, inclusive ends
+      (1L, 7000L, 7001L, "c"),    // matches nothing
+      (2L, 0L, 200L, "d"),
+      (1L, 10L, 5L, "bad"))       // lo > hi: dropped
+      .toDF("k", "lo", "hi", "name")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "pos", "lo", "hi", binWidth = 1000L)
+      .select("pid", "name").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq
+    // brute force on the driver
+    val p = Seq((1L, 0L, 1L), (1L, 999L, 2L), (1L, 1000L, 3L),
+      (1L, 5500L, 4L), (2L, 100L, 5L), (3L, 100L, 6L))
+    val i = Seq((1L, 0L, 999L, "a"), (1L, 500L, 5500L, "b"),
+      (1L, 7000L, 7001L, "c"), (2L, 0L, 200L, "d"))
+    val want = (for {
+      (pk, pos, pid) <- p
+      (ik, lo, hi, name) <- i
+      if pk == ik && pos >= lo && pos <= hi
+    } yield (pid, name)).sorted
+    assert(got == want)
+    // each matching pair appears exactly once (the point's single bin)
+    assert(got.distinct == got)
+  }
+}
+
 class SketchesSpec extends SparkSpec {
   import spark.implicits._
 
