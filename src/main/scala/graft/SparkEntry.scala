@@ -81,6 +81,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> (TrainingData.sketchKmvDistinct _),
     "asof_click_view" -> (StatsAndTime.asofClickView _),
     "range_points_regions" -> (OmicsQueries.rangePointsRegions _),
+    "sketch_cm_tokens" -> (TrainingData.sketchCmTokens _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
     "multimodal_video_dups" -> (TrainingData.multimodalVideoDups _),

@@ -142,6 +142,55 @@ object Sketches {
     def outputEncoder = Encoders.product[Kmv]
   }
 
+  /** Count-Min sketch (Cormode, Muthukrishnan 2005): frequency counters
+    * for heavy-hitter estimation without a vocabulary-sized aggregate.
+    * `depth` independent md5-salted hash rows of `width` counters;
+    * counters are SUMS, so the sketch is summation-order-invariant,
+    * partial-aggregates map-side, and two sketches merge by adding
+    * counters. Returns (row, bucket, cnt) — at most depth x width rows
+    * regardless of corpus size. */
+  def cmSketch(df: DataFrame, valueCol: String, depth: Int = 4,
+               width: Int = 8192): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth in [1,8], got $depth")
+    require(width >= 16, s"width >= 16, got $width")
+    val rows = (0 until depth).map(j =>
+      struct(lit(j).as("row"), cmBucket(col(valueCol), j, width).as("bucket")))
+    df.select(explode(array(rows: _*)).as("rb"))
+      .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The row-j bucket of a value: first 8 md5 hex chars of "j|value",
+    * mod width — 32 bits, engine-portable. */
+  private def cmBucket(v: org.apache.spark.sql.Column, j: Int,
+                       width: Int): org.apache.spark.sql.Column =
+    (conv(substring(md5(concat(lit(s"$j|"), v.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % width).cast("int")
+
+  /** Merge Count-Min counter tables from independent runs: counters add. */
+  def cmMergeCounters(counters: DataFrame*): DataFrame =
+    counters.reduce(_ unionByName _)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate the frequency of each probe value: the classic
+    * min-over-rows upper bound (est >= true count always; over-estimates
+    * shrink as width grows). `probes` is a small frame with `probeCol`;
+    * the counter table broadcasts (depth x width rows). */
+  def cmEstimate(counters: DataFrame, probes: DataFrame, probeCol: String,
+                 depth: Int = 4, width: Int = 8192): DataFrame = {
+    val rows = (0 until depth).map(j =>
+      struct(lit(j).as("row"), cmBucket(col(probeCol), j, width).as("bucket")))
+    probes
+      .select(col(probeCol), explode(array(rows: _*)).as("rb"))
+      .select(col(probeCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("row", "bucket"), "left")
+      .groupBy(col(probeCol))
+      // a probe hashing to a counter no value touched reads 0, not null
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   /** KMV distinct estimate per group: (groupCols..., n_kept, kth_hash,
     * est_distinct). */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,

@@ -1062,6 +1062,30 @@ object Oracles {
         |    AS est_distinct
         |FROM est""".stripMargin,
 
+    // Count-Min replay: md5-salted buckets, counter sums, min-over-rows
+    "sketch_cm_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |rb AS (
+        |  SELECT j AS row,
+        |    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || term),
+        |      1, 8)) AS BIGINT) % 8192 AS INTEGER) AS bucket
+        |  FROM toks CROSS JOIN js),
+        |cnt AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM rb GROUP BY 1, 2),
+        |probes AS (SELECT unnest(['the', 'a', 'of', 'and', 'to', 'in',
+        |  'is', 'it', 'zzz-unseen']) AS term),
+        |pe AS (
+        |  SELECT term, j AS row,
+        |    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || term),
+        |      1, 8)) AS BIGINT) % 8192 AS INTEGER) AS bucket
+        |  FROM probes CROSS JOIN js)
+        |SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+        |FROM pe LEFT JOIN cnt USING (row, bucket) GROUP BY 1""".stripMargin,
+
     // range-join replay: plain BETWEEN join (DuckDB's IEJoin handles it
     // natively; the Spark side bins to keep an equi-join)
     "range_points_regions" ->

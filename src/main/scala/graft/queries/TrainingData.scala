@@ -263,6 +263,21 @@ object TrainingData {
     graft.operators.Sketches.kmvDistinct(
       t(s, dir, "documents"), Seq("lang"), "text")
 
+  /** Count-Min token-frequency sketch over the documents corpus with a
+    * fixed probe list (stop words + an unseen control); hash-gated —
+    * counters and min-over-rows estimates replay in DuckDB. */
+  def sketchCmTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, explode, lower}
+    val toks = t(s, dir, "documents").select(
+      explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+        .as("term"))
+    val counters = graft.operators.Sketches.cmSketch(toks, "term")
+    val probes = Seq("the", "a", "of", "and", "to", "in", "is", "it",
+      "zzz-unseen").toDF("term")
+    graft.operators.Sketches.cmEstimate(counters, probes, "term")
+  }
+
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every
     * iteration, which makes the trained centroids engine-portable — the

@@ -758,6 +758,40 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.15, s"estimate $est vs $n")
   }
 
+  test("cm: estimates replay exactly, upper-bound truth, merge adds") {
+    val freq = Map("alpha" -> 40, "beta" -> 15, "gamma" -> 3)
+    val values = freq.toSeq.flatMap { case (v, n) => Seq.fill(n)(v) }
+    val df = values.map(Tuple1(_)).toDF("term")
+    val counters = Sketches.cmSketch(df, "term", depth = 4, width = 64)
+    val probes = Seq("alpha", "beta", "gamma", "never-seen").map(Tuple1(_))
+      .toDF("term")
+    val est = Sketches.cmEstimate(counters, probes, "term",
+        depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_count")).toMap
+    // driver-side exact replay of buckets + counters + min
+    def bucket(j: Int, v: String): Int =
+      (java.lang.Long.parseLong(md5hex(s"$j|$v").substring(0, 8), 16) % 64)
+        .toInt
+    val counts = values.flatMap(v => (0 until 4).map(j => (j, bucket(j, v))))
+      .groupBy(identity).map { case (k, s) => k -> s.size.toLong }
+    def replay(v: String): Long =
+      (0 until 4).map(j => counts.getOrElse((j, bucket(j, v)), 0L)).min
+    for (p <- Seq("alpha", "beta", "gamma", "never-seen")) {
+      assert(est(p) == replay(p), s"probe $p")
+      assert(est(p) >= freq.getOrElse(p, 0).toLong, s"CM must upper-bound $p")
+    }
+    // merging two half-sketches equals sketching the whole
+    val (h1, h2) = values.splitAt(25)
+    val merged = Sketches.cmMergeCounters(
+        Sketches.cmSketch(h1.map(Tuple1(_)).toDF("term"), "term", 4, 64),
+        Sketches.cmSketch(h2.map(Tuple1(_)).toDF("term"), "term", 4, 64))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("cnt"))
+      .toMap
+    val whole = counters.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("cnt")).toMap
+    assert(merged == whole)
+  }
+
   test("hll: incremental merge equals the one-shot sketch") {
     val a = (0 until 300).map(i => ("en", s"d$i")).toDF("lang", "text")
     val b = (200 until 500).map(i => ("en", s"d$i")).toDF("lang", "text")
