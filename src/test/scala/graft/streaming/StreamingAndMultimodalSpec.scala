@@ -160,6 +160,30 @@ class EventStreamSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("HLL registers are a standard streaming aggregate; stream == batch") {
+    // register max is a plain streaming max-aggregate, so the SAME
+    // hllRegisters call sketches a live stream; estimates come from the
+    // batch-side hllEstimate over the sink — the incremental-ingest shape
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val docs = (0 until 400).map(i => ("en", s"doc-$i"))
+    val mem = MemoryStream[(String, String)]
+    val q = Sketches.hllRegisters(mem.toDF().toDF("lang", "text"),
+        Seq("lang"), "text")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    mem.addData(docs.take(150): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(150): _*)   // second micro-batch updates maxes
+    q.processAllAvailable()
+    val streamed = Sketches.hllEstimate(
+      spark.table("hll_stream"), Seq("lang")).collect().head
+    val batch = Sketches.hllDistinct(
+      docs.toDF("lang", "text"), Seq("lang"), "text").collect().head
+    assert(streamed == batch)
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
