@@ -310,8 +310,12 @@ object TermStats {
     val biCnt = model.bigrams
     val uniCnt = model.unigrams
     val globals = model.globals
+    // materialize the token array in its own projection FIRST: inlining
+    // the tokens expression into bigramsOf re-runs split+filter at every
+    // element_at access inside the transform lambda (measured 5x CPU)
     val scoreBase = docs
-      .select(col(idCol).as("doc_id"), explode(bigramsOf(toks)).as("bg"))
+      .select(col(idCol).as("doc_id"), toks.as("__t"))
+      .select(col("doc_id"), explode(bigramsOf(col("__t"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val joined = scoreBase
       .join(biCnt, Seq("w1", "w2"), "left")
