@@ -256,6 +256,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sketches: one corpus scan each, bounded state, map-side partials") {
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("sketch_hll_distinct", "sketch_kmv_distinct",
+        "sketch_cm_tokens")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans == 1, s"$name: $scans corpus scans (sketches need one)")
+      assert(!plan.contains("No Partition Defined"), s"$name leaked a window")
+      assert(!plan.contains("CartesianProduct"), s"$name grew a cartesian")
+    }
+  }
+
   test("asof/range joins: equi-join shapes, no nested-loop or cartesian") {
     val dir = "/root/testdata/sf0.001"
     val asof = SparkEntry.queries("asof_click_view")(spark, dir)
