@@ -168,6 +168,65 @@ object Sketches {
     (conv(substring(md5(concat(lit(s"$j|"), v.cast("string"))), 1, 8), 16, 10)
       .cast("long") % width).cast("int")
 
+  /** Bloom filter (Bloom 1970) as a relational bit array: `mBits` bits
+    * stored as 64-bit words, `k` md5-salted probes per value. Building is
+    * ONE corpus scan into a bit_or aggregate — OR is
+    * commutative/associative/idempotent, so the sketch is
+    * order/partition/duplicate-invariant and filters from independent
+    * runs merge by OR ([[bloomMergeBits]]). The word table is bounded at
+    * mBits/64 rows (2048 longs = 16 KB at the default), broadcastable —
+    * the scale path for membership tests too big to broadcast exactly
+    * (benchmark decontamination against a huge benchmark set, seen-URL
+    * suppression). False-positive rate ~ (1 - e^(-kn/m))^k; never a
+    * false negative. Engine-portable: same md5 positions, same integer
+    * shifts — the DuckDB oracle replays the words bit-for-bit. */
+  def bloomBits(df: DataFrame, valueCol: String, mBits: Int = 131072,
+                k: Int = 5): DataFrame = {
+    require(mBits % 64 == 0 && mBits >= 64, s"mBits must be a multiple of 64")
+    require(k >= 1 && k <= 8, s"k in [1,8], got $k")
+    // 63 bits per word: bit 63 would be 1<<63, which overflows a SIGNED
+    // BIGINT shift in engines that check (DuckDB) while Spark wraps —
+    // capping the shift at 62 keeps the words bit-identical everywhere
+    df.select(posExprs(col(valueCol), mBits, k).as("__pos"))
+      .select(explode(col("__pos")).as("pos"))
+      .select((col("pos") / 63).cast("int").as("word"),
+        expr("shiftleft(cast(1 as bigint), pos % 63)").as("bit"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(bit)").as("bits"))
+  }
+
+  private def posExprs(v: org.apache.spark.sql.Column, mBits: Int,
+                       k: Int): org.apache.spark.sql.Column =
+    array((0 until k).map(i =>
+      (conv(substring(md5(concat(lit(s"$i|"), v.cast("string"))), 1, 8),
+        16, 10).cast("long") % mBits).cast("int")): _*)
+
+  /** Merge Bloom word tables from independent runs: bits OR. */
+  def bloomMergeBits(bits: DataFrame*): DataFrame =
+    bits.reduce(_ unionByName _)
+      .groupBy(col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+
+  /** Membership test: `maybe_member` is true iff ALL k probed bits are
+    * set (no false negatives; false positives at the designed rate).
+    * The word table broadcasts. */
+  def bloomContains(bits: DataFrame, probes: DataFrame, probeCol: String,
+                    mBits: Int = 131072, k: Int = 5): DataFrame = {
+    val pCols = probes.columns.map(col).toSeq
+    probes
+      .select(pCols :+ posExprs(col(probeCol), mBits, k).as("__pos"): _*)
+      .select(pCols :+ explode(col("__pos")).as("pos"): _*)
+      .select(pCols ++ Seq((col("pos") / 63).cast("int").as("word"),
+        (col("pos") % 63).as("bit")): _*)
+      .join(broadcast(bits), Seq("word"), "left")
+      .withColumn("__hit",
+        when(col("bits").isNotNull &&
+          expr("(bits >> bit) & 1") === 1L, 1L).otherwise(0L))
+      .groupBy(pCols: _*)
+      .agg(sum(col("__hit")).as("bits_set"))
+      .withColumn("maybe_member", col("bits_set") === k)
+  }
+
   /** Merge Count-Min counter tables from independent runs: counters add. */
   def cmMergeCounters(counters: DataFrame*): DataFrame =
     counters.reduce(_ unionByName _)

@@ -1062,6 +1062,39 @@ object Oracles {
         |    AS est_distinct
         |FROM est""".stripMargin,
 
+    // Bloom replay: md5-salted bit positions, bit_or words, all-k test
+    "sketch_bloom_contains" ->
+      """WITH bitsrc AS (
+        |  SELECT unnest(list_transform([0, 1, 2, 3, 4], i ->
+        |    CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || text),
+        |      1, 8)) AS BIGINT) % 131072 AS INTEGER))) AS pos
+        |  FROM documents),
+        |words AS (
+        |  SELECT CAST(pos // 63 AS INTEGER) AS word,
+        |    bit_or(1::BIGINT << (pos % 63)) AS bits
+        |  FROM bitsrc GROUP BY 1),
+        |probes AS (
+        |  SELECT doc_id, 'present' AS kind, text AS probe
+        |  FROM documents WHERE doc_id % 499 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'control', 'unseen-' || doc_id
+        |  FROM documents WHERE doc_id % 499 = 0),
+        |pp AS (
+        |  SELECT doc_id, kind,
+        |    unnest(list_transform([0, 1, 2, 3, 4], i ->
+        |      CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || probe),
+        |        1, 8)) AS BIGINT) % 131072 AS INTEGER))) AS pos
+        |  FROM probes),
+        |hits AS (
+        |  SELECT doc_id, kind,
+        |    CASE WHEN bits IS NOT NULL AND ((bits >> (pos % 63)) & 1) = 1
+        |      THEN 1 ELSE 0 END AS hit
+        |  FROM pp LEFT JOIN words
+        |    ON CAST(pp.pos // 63 AS INTEGER) = words.word)
+        |SELECT doc_id, kind, CAST(sum(hit) AS BIGINT) AS bits_set,
+        |  sum(hit) = 5 AS maybe_member
+        |FROM hits GROUP BY 1, 2""".stripMargin,
+
     // Count-Min replay: md5-salted buckets, counter sums, min-over-rows
     "sketch_cm_tokens" ->
       """WITH toks AS (

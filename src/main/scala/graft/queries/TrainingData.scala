@@ -278,6 +278,22 @@ object TrainingData {
     graft.operators.Sketches.cmEstimate(counters, probes, "term")
   }
 
+  /** Bloom membership over document texts: every ~499th doc probes as
+    * 'present' (must hit — no false negatives) beside an 'unseen'
+    * control; hash-gated — words and bit tests replay in DuckDB. */
+  def sketchBloomContains(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = t(s, dir, "documents")
+    val bits = graft.operators.Sketches.bloomBits(docs, "text")
+    val sel = docs.filter(col("doc_id") % 499 === 0)
+    val probes = sel.select(col("doc_id"), lit("present").as("kind"),
+        col("text").as("probe"))
+      .unionByName(sel.select(col("doc_id"), lit("control").as("kind"),
+        concat(lit("unseen-"), col("doc_id").cast("string")).as("probe")))
+    graft.operators.Sketches.bloomContains(bits, probes, "probe")
+      .drop("probe")
+  }
+
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every
     * iteration, which makes the trained centroids engine-portable — the

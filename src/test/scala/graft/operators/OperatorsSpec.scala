@@ -792,6 +792,44 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("bloom: no false negatives, exact word replay, merge ORs") {
+    val members = (0 until 500).map(i => s"member-$i")
+    val df = members.map(Tuple1(_)).toDF("text")
+    val bits = Sketches.bloomBits(df, "text", mBits = 4096, k = 5)
+    // driver-side exact replay of the word table
+    val positions = members.flatMap(v => (0 until 5).map(i =>
+      (java.lang.Long.parseLong(md5hex(s"$i|$v").substring(0, 8), 16)
+        % 4096).toInt))
+    val wantWords = positions.groupBy(_ / 63)
+      .map { case (w, ps) =>
+        w -> ps.map(p => 1L << (p % 63)).reduce(_ | _) }
+    val gotWords = bits.collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("bits")).toMap
+    assert(gotWords == wantWords)
+    // membership: every member hits all 5 bits (no false negatives),
+    // regardless of how the build frame was partitioned
+    val probes = (members.take(50).map(v => (v, "present")) ++
+      (0 until 50).map(i => (s"absent-$i", "control")))
+      .toDF("probe", "kind")
+    val got = Sketches.bloomContains(
+        Sketches.bloomBits(df.repartition(7), "text", 4096, 5),
+        probes, "probe", 4096, 5)
+      .collect().map(r => r.getAs[String]("probe") ->
+        ((r.getAs[Long]("bits_set"), r.getAs[Boolean]("maybe_member")))).toMap
+    members.take(50).foreach(v => assert(got(v) == ((5L, true)), v))
+    // at 2500 set bits of 4096 the FP rate is high but not 100%: at
+    // least one control must miss, and misses have bits_set < 5
+    val misses = (0 until 50).map(i => got(s"absent-$i")).filterNot(_._2)
+    assert(misses.nonEmpty && misses.forall(_._1 < 5L))
+    // merging two half-filters ORs to the one-shot word table
+    val (h1, h2) = members.splitAt(250)
+    val merged = Sketches.bloomMergeBits(
+        Sketches.bloomBits(h1.map(Tuple1(_)).toDF("text"), "text", 4096, 5),
+        Sketches.bloomBits(h2.map(Tuple1(_)).toDF("text"), "text", 4096, 5))
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("bits")).toMap
+    assert(merged == wantWords)
+  }
+
   test("hll: incremental merge equals the one-shot sketch") {
     val a = (0 until 300).map(i => ("en", s"d$i")).toDF("lang", "text")
     val b = (200 until 500).map(i => ("en", s"d$i")).toDF("lang", "text")
