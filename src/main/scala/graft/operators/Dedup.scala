@@ -44,6 +44,14 @@ object Dedup {
     * signal is ~zero anyway; pass None ONLY for corpora with a known
     * document-frequency bound.
     *
+    * @note BEHAVIOR CHANGE (round 9): `maxDocFreq` defaulted to `None`
+    *       before; it now defaults to `Some(10000L)`. Under the cap,
+    *       both the candidate pair set AND the Jaccard denominators
+    *       (per-doc sizes are counted over the SURVIVING shingles, so
+    *       |A|, |B| shrink with the dropped stop-shingles) can differ
+    *       from the uncapped run. Callers that need the old semantics
+    *       must now pass `maxDocFreq = None` explicitly.
+    *
     * Shape: ONE shingle explode, ONE shuffle on the shingle key, then the
     * per-shingle doc list drives both consumers — pair counts (streamed
     * posexplode+slice-explode, O(k) per emitted row, vs the old one-array

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Point-in-interval range join via binning — the equi-join formulation
   * of `p.key = i.key AND p.pos BETWEEN i.lo AND i.hi` (variant-in-region,
@@ -17,26 +18,66 @@ import org.apache.spark.sql.functions._
   * the already-bin-matched residue. A (point, interval) pair co-occurs
   * in exactly one bin (the point's), so no dedup pass is needed.
   *
-  * Pick `binWidth` near the typical interval span: the interval explode
-  * stays O(few) rows per interval while bins stay selective. A corrupt
-  * interval spanning the whole domain would explode domain/binWidth
-  * rows — bound it upstream (the reader fuzz discipline nulls malformed
-  * coordinates, and `lo <= hi` is enforced here by filter). */
+  * Bins are EXACT integer division (`div`, truncation toward zero —
+  * matched by DuckDB's `//`), never `floor(col / width)`: IEEE double
+  * division rounds above 2^53, so an epoch-nanos point and its
+  * interval's endpoints could each round a bin off by one and a
+  * BETWEEN-satisfying pair would silently miss the equi-join. Truncation
+  * (vs floor) only shifts bin ALIGNMENT around zero; correctness needs
+  * monotonicity, which truncation preserves. Coordinate columns must be
+  * integral for the same reason (enforced).
+  *
+  * `binWidth` defaults to the intervals' median span (one cheap
+  * aggregate): the explode stays O(1) rows per typical interval while
+  * bins stay selective. A corrupt interval spanning far more than
+  * `maxBinsPerInterval` bins (the whole-domain degenerate) raises a
+  * named error instead of exploding domain/binWidth rows. */
 object RangeJoin {
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       keyCols: Seq[String], pointCol: String,
                       loCol: String, hiCol: String,
-                      binWidth: Long): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val pb = points.withColumn("__bin", floor(col(pointCol) / binWidth))
-    val ib = intervals
+                      binWidth: Option[Long] = None,
+                      maxBinsPerInterval: Long = 4096L): DataFrame = {
+    Seq(points -> pointCol, intervals -> loCol, intervals -> hiCol).foreach {
+      case (df, c) =>
+        val dt = df.schema(c).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+          s"range join coordinates must be integral (exact bins); `$c` is $dt")
+    }
+    val valid = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
-      .withColumn("__bin", explode(sequence(
-        floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    val w = binWidth.getOrElse(derivedWidth(valid, loCol, hiCol))
+    require(w > 0, s"binWidth must be positive, got $w")
+    val loBin = expr(s"`$loCol` div ${w}L")
+    val hiBin = expr(s"`$hiCol` div ${w}L")
+    // the guard lives INSIDE the sequence bound so column pruning can
+    // never drop it: a too-wide interval errors by name, it does not
+    // silently explode (or silently truncate) its bin range
+    val hiGuarded = when(hiBin - loBin < lit(maxBinsPerInterval), hiBin)
+      .otherwise(raise_error(concat(
+        lit(s"range join: interval spans >= $maxBinsPerInterval bins at " +
+          s"binWidth=$w (corrupt whole-domain interval?): lo="),
+        col(loCol).cast("string"), lit(" hi="), col(hiCol).cast("string")))
+        .cast("long"))
+    val pb = points.withColumn("__bin", expr(s"`$pointCol` div ${w}L"))
+    val ib = valid.withColumn("__bin", explode(sequence(loBin, hiGuarded)))
     pb.join(ib, keyCols :+ "__bin")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
+  }
+
+  /** Median interval span + 1 from one aggregate over the (already
+    * filtered) intervals — the width the scaladoc's O(1)-bins-per-interval
+    * reasoning wants. Only performance depends on the estimate, never the
+    * result set, so `approx_percentile` is fine here. */
+  private def derivedWidth(valid: DataFrame, loCol: String,
+                           hiCol: String): Long = {
+    val row = valid
+      .agg(expr(s"approx_percentile(cast(`$hiCol` - `$loCol` + 1 as bigint), 0.5)")
+        .as("m"))
+      .collect().head
+    if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
   }
 }

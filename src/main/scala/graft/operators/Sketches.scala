@@ -174,7 +174,8 @@ object Sketches {
     * commutative/associative/idempotent, so the sketch is
     * order/partition/duplicate-invariant and filters from independent
     * runs merge by OR ([[bloomMergeBits]]). The word table is bounded at
-    * mBits/64 rows (2048 longs = 16 KB at the default), broadcastable —
+    * ceil(mBits/63) rows (63 usable bits per word — see below; 2081
+    * longs ~= 17 KB at the default), broadcastable —
     * the scale path for membership tests too big to broadcast exactly
     * (benchmark decontamination against a huge benchmark set, seen-URL
     * suppression). False-positive rate ~ (1 - e^(-kn/m))^k; never a
@@ -209,19 +210,24 @@ object Sketches {
 
   /** Membership test: `maybe_member` is true iff ALL k probed bits are
     * set (no false negatives; false positives at the designed rate).
-    * The word table broadcasts. */
+    * The word table broadcasts. Scratch columns are `__`-prefixed like
+    * the rest of the file, so a probe frame may carry its own
+    * `pos`/`word`/`bit`/`bits` columns without ambiguous-reference
+    * errors; `bits_set`/`maybe_member` are the OUTPUT columns and remain
+    * reserved. */
   def bloomContains(bits: DataFrame, probes: DataFrame, probeCol: String,
                     mBits: Int = 131072, k: Int = 5): DataFrame = {
     val pCols = probes.columns.map(col).toSeq
+    val words = bits.select(col("word").as("__word"), col("bits").as("__bits"))
     probes
       .select(pCols :+ posExprs(col(probeCol), mBits, k).as("__pos"): _*)
-      .select(pCols :+ explode(col("__pos")).as("pos"): _*)
-      .select(pCols ++ Seq((col("pos") / 63).cast("int").as("word"),
-        (col("pos") % 63).as("bit")): _*)
-      .join(broadcast(bits), Seq("word"), "left")
+      .select(pCols :+ explode(col("__pos")).as("__p"): _*)
+      .select(pCols ++ Seq((col("__p") / 63).cast("int").as("__word"),
+        (col("__p") % 63).as("__bit")): _*)
+      .join(broadcast(words), Seq("__word"), "left")
       .withColumn("__hit",
-        when(col("bits").isNotNull &&
-          expr("(bits >> bit) & 1") === 1L, 1L).otherwise(0L))
+        when(col("__bits").isNotNull &&
+          expr("(__bits >> __bit) & 1") === 1L, 1L).otherwise(0L))
       .groupBy(pCols: _*)
       .agg(sum(col("__hit")).as("bits_set"))
       .withColumn("maybe_member", col("bits_set") === k)
@@ -241,13 +247,18 @@ object Sketches {
                  depth: Int = 4, width: Int = 8192): DataFrame = {
     val rows = (0 until depth).map(j =>
       struct(lit(j).as("row"), cmBucket(col(probeCol), j, width).as("bucket")))
+    // scratch columns __-prefixed so a probe frame named row/bucket/cnt
+    // cannot collide with the sketch internals
+    val cnts = counters.select(col("row").as("__row"),
+      col("bucket").as("__bucket"), col("cnt").as("__cnt"))
     probes
-      .select(col(probeCol), explode(array(rows: _*)).as("rb"))
-      .select(col(probeCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
-      .join(broadcast(counters), Seq("row", "bucket"), "left")
+      .select(col(probeCol), explode(array(rows: _*)).as("__rb"))
+      .select(col(probeCol), col("__rb.row").as("__row"),
+        col("__rb.bucket").as("__bucket"))
+      .join(broadcast(cnts), Seq("__row", "__bucket"), "left")
       .groupBy(col(probeCol))
       // a probe hashing to a counter no value touched reads 0, not null
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as("est_count"))
   }
 
   /** KMV distinct estimate per group: (groupCols..., n_kept, kth_hash,

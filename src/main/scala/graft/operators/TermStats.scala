@@ -138,11 +138,17 @@ object TermStats {
       .drop("__t", "feat")
   }
 
-  /** Fit the DSIR bucket model: (bucket, delta_micro) with at most
+  /** Fit the DSIR bucket model: (bucket, delta_micro) with EXACTLY
     * `buckets` rows — delta_micro = micro-bit log P_tgt - log P_raw for
-    * every feature hashing to that bucket. A static frame this small is
-    * exactly what a stream-static join wants: fit on the batch corpus,
-    * score live documents with [[dsirScore]] unchanged. */
+    * every feature hashing to that bucket. The model is DENSE over the
+    * whole bucket domain: buckets no training feature hashed to carry
+    * cnt = 0, i.e. the Laplace-smoothed unseen-bucket log-ratio
+    * round(log2(1/(t_tgt+B))*1e6) - round(log2(1/(t_raw+B))*1e6) — so
+    * scoring a NEW document whose feature hashes to a bucket unseen in
+    * training gets the defined smoothed weight instead of silently
+    * dropping the feature. A static frame this small is exactly what a
+    * stream-static join wants: fit on the batch corpus, score live
+    * documents with [[dsirScore]] unchanged. */
   def dsirModel(docs: DataFrame, idCol: String, textCol: String,
                 isTarget: Column, buckets: Int = 1024): DataFrame = {
     val feats = dsirFeats(docs, idCol, textCol, Some(isTarget), buckets)
@@ -156,10 +162,16 @@ object TermStats {
       .localCheckpoint(false)
     val globals = cnt.agg(sum(col("cnt_raw")).as("t_raw"),
       sum(col("cnt_tgt")).as("t_tgt"))
+    // densify to the full domain (`buckets` rows total; absent -> 0, the
+    // smoothing's defined unseen case). Tiny frames — driver-free join.
+    val dense = docs.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+      .join(cnt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cnt_raw", "cnt_tgt"))
     def lpMicro(c: Column, t: Column): Column =
       round(log2((c + 1.0) / (t + lit(buckets)).cast("double")) * 1e6)
         .cast("long")
-    cnt.crossJoin(broadcast(globals))
+    dense.crossJoin(broadcast(globals))
       .select(col("bucket"),
         (lpMicro(col("cnt_tgt"), col("t_tgt")) -
           lpMicro(col("cnt_raw"), col("t_raw"))).as("delta_micro"))
@@ -168,7 +180,10 @@ object TermStats {
   /** Score documents against a fitted [[dsirModel]]. `docs` may be a
     * STREAMING frame: every step is stateless (explode + broadcast
     * stream-static join) except the final per-doc aggregate, which
-    * Structured Streaming runs as a standard stateful aggregation. */
+    * Structured Streaming runs as a standard stateful aggregation.
+    * The model is dense over the bucket domain (see [[dsirModel]]), so
+    * the inner join is total: every feature of a new/streaming document
+    * scores, including those hashing to buckets unseen in training. */
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
                 model: DataFrame, buckets: Int = 1024): DataFrame =
     dsirFeats(docs, idCol, textCol, None, buckets)

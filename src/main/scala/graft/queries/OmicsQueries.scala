@@ -127,9 +127,10 @@ object OmicsQueries {
       ((col("p_partkey") % 9973) * 1000 + 500 + (col("p_partkey") % 5000))
         .as("hi"),
       concat(lit("R"), col("p_partkey").cast("string")).as("region_name"))
+    // binWidth derived from the median interval span (~3 kb here) — the
+    // round-10 auto-width path, exercised by the oracle gate
     graft.operators.RangeJoin
-      .pointInInterval(points, intervals, Seq("chrom"), "pos", "lo", "hi",
-        binWidth = 1000L)
+      .pointInInterval(points, intervals, Seq("chrom"), "pos", "lo", "hi")
       .groupBy(col("region_name"))
       .agg(count(lit(1)).as("n_points"),
         min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))

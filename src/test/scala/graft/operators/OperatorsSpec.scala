@@ -549,6 +549,36 @@ class TermStatsSpec extends SparkSpec {
     assert(out(2L)._3 && !out(3L)._3)
   }
 
+  test("dsir model is dense: unseen-in-training buckets score the smoothed delta") {
+    val corpus = Seq((1L, "alpha beta", true), (2L, "gamma", false))
+    val buckets = 64
+    def bucket(f: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % buckets
+    }
+    val trainFeats = Seq("alpha", "beta", "alpha beta", "gamma")
+    val trained = trainFeats.map(bucket).toSet
+    // a single-token probe whose bucket no training feature hashed to
+    val probeWord = (0 until 10000).map(i => s"w$i")
+      .find(w => !trained.contains(bucket(w))).get
+    val model = TermStats.dsirModel(
+      corpus.toDF("doc_id", "text", "tgt"), "doc_id", "text", col("tgt"),
+      buckets = buckets)
+    assert(model.count() == buckets.toLong, "model must cover every bucket")
+    val scored = TermStats.dsirScore(
+      Seq((99L, probeWord)).toDF("doc_id", "text"), "doc_id", "text",
+      model, buckets = buckets)
+      .collect().head
+    // tRaw = 4 train features, tTgt = 3; unseen delta = lp(0,3)-lp(0,4)
+    def lpMicro(c: Long, t: Long): Long =
+      BigDecimal(math.log((c + 1.0) / (t + buckets.toDouble)) / math.log(2.0) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = lpMicro(0L, 3L) - lpMicro(0L, 4L)
+    assert(scored.getAs[Long]("n_feats") == 1L, "unseen feature must not drop")
+    assert(scored.getAs[Long]("logw_micro") == want)
+  }
+
   test("stupid backoff: seen bigrams use c_bi/c_prev, unseen back off; exact") {
     val corpus = Seq(
       (1L, "a b a b c", true),
@@ -642,7 +672,7 @@ class RangeJoinSpec extends SparkSpec {
       (1L, 10L, 5L, "bad"))       // lo > hi: dropped
       .toDF("k", "lo", "hi", "name")
     val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
-        "pos", "lo", "hi", binWidth = 1000L)
+        "pos", "lo", "hi", binWidth = Some(1000L))
       .select("pid", "name").collect().map(r => (r.getLong(0), r.getString(1)))
       .sorted.toSeq
     // brute force on the driver
@@ -658,6 +688,70 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == want)
     // each matching pair appears exactly once (the point's single bin)
     assert(got.distinct == got)
+  }
+
+  test("bins are exact above 2^53 (float division would round a pair away)") {
+    // base just above 2^53: binWidth 3 puts base+4 in bin (base+4) div 3;
+    // floor((base+4)/3.0) computes on doubles that can't represent odd
+    // longs here, so the float bin of point vs interval endpoints can
+    // disagree — the div formulation must keep the BETWEEN pair
+    val base = (1L << 53) + 1L
+    val points = Seq((1L, base + 4L, 1L), (1L, base + 6L, 2L))
+      .toDF("k", "pos", "pid")
+    val intervals = Seq((1L, base + 3L, base + 5L, "w"))
+      .toDF("k", "lo", "hi", "name")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "pos", "lo", "hi", binWidth = Some(3L))
+      .select("pid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("negative coordinates: truncation bins stay monotone, pairs exact") {
+    val points = Seq((1L, -15L, 1L), (1L, -1L, 2L), (1L, 3L, 3L))
+      .toDF("k", "pos", "pid")
+    val intervals = Seq((1L, -20L, -10L, "a"), (1L, -5L, 5L, "b"))
+      .toDF("k", "lo", "hi", "name")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "pos", "lo", "hi", binWidth = Some(10L))
+      .select("pid", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "b")))
+  }
+
+  test("derived bin width: median span, result identical to explicit width") {
+    val points = (0L until 200L).map(p => (1L, p * 37L % 5000L, p))
+      .toDF("k", "pos", "pid")
+    val intervals = (0L until 40L).map(i => (1L, i * 100L, i * 100L + 150L, s"i$i"))
+      .toDF("k", "lo", "hi", "name")
+    val auto = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "pos", "lo", "hi").select("pid", "name").collect().toSet
+    val fixed = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "pos", "lo", "hi", binWidth = Some(151L))
+      .select("pid", "name").collect().toSet
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
+  test("degenerate whole-domain interval raises a named error, not an explode") {
+    val points = Seq((1L, 5L, 1L)).toDF("k", "pos", "pid")
+    val intervals = Seq((1L, 0L, 100L, "ok"), (1L, 0L, Long.MaxValue / 2, "bad"))
+      .toDF("k", "lo", "hi", "name")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "pos", "lo", "hi", binWidth = Some(10L)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("range join: interval spans")),
+      s"wanted the named guard error, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("non-integral coordinate column is rejected by name") {
+    val points = Seq((1L, 1.5, 1L)).toDF("k", "pos", "pid")
+    val intervals = Seq((1L, 0L, 100L, "a")).toDF("k", "lo", "hi", "name")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, Seq("k"), "pos", "lo", "hi")
+    }
+    assert(e.getMessage.contains("`pos`") || e.getMessage.contains("pos"))
   }
 }
 
@@ -828,6 +922,28 @@ class SketchesSpec extends SparkSpec {
         Sketches.bloomBits(h2.map(Tuple1(_)).toDF("text"), "text", 4096, 5))
       .collect().map(r => r.getInt(0) -> r.getAs[Long]("bits")).toMap
     assert(merged == wantWords)
+  }
+
+  test("bloom/cm probes may carry pos/word/bit/row/bucket/cnt columns (scratch is __-prefixed)") {
+    val df = (0 until 100).map(i => Tuple1(s"v-$i")).toDF("text")
+    val bits = Sketches.bloomBits(df, "text", mBits = 4096, k = 5)
+    // a probe frame whose own columns shadow every former scratch name
+    val probes = Seq(("v-1", 1L, 2L, 3L, 4L), ("nope", 9L, 9L, 9L, 9L))
+      .toDF("probe", "pos", "word", "bit", "bits")
+    val got = Sketches.bloomContains(bits, probes, "probe", 4096, 5)
+      .collect().map(r => r.getAs[String]("probe") ->
+        r.getAs[Boolean]("maybe_member")).toMap
+    assert(got("v-1"))
+    assert(probes.columns.forall(c =>
+      Sketches.bloomContains(bits, probes, "probe", 4096, 5).columns.contains(c)))
+
+    val counters = Sketches.cmSketch(df, "text", depth = 4, width = 512)
+    val cmProbes = Seq(("v-1", 0, 0, 0L), ("nope", 9, 9, 9L))
+      .toDF("probe", "row", "bucket", "cnt")
+    val est = Sketches.cmEstimate(counters, cmProbes, "probe", 4, 512)
+      .collect().map(r => r.getAs[String]("probe") ->
+        r.getAs[Long]("est_count")).toMap
+    assert(est("v-1") >= 1L)
   }
 
   test("hll: incremental merge equals the one-shot sketch") {
