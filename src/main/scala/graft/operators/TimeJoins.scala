@@ -1,19 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Temporal joins Spark lacks as built-ins, composed from one
-  * shuffle+sort each — the union + carry-forward-window formulation
-  * rather than a per-row range probe.
+/** Temporal joins Spark lacks as built-ins, composed from union +
+  * carry-forward-window passes rather than per-row range probes.
   *
   * 100 TB shape: both sides union into ONE frame tagged by side, shuffle
-  * ONCE on the join key, and a key-partitioned window (never global)
-  * carries the latest right payload forward; the match for every left
-  * row falls out of the same sorted pass. Contrast the naive
-  * left-join-then-filter-then-argmax, which shuffles twice and
-  * materializes every (left, candidate) pair — quadratic under hot keys.
+  * ONCE, and a partitioned window (never global) carries the latest right
+  * payload forward; the match for every left row falls out of the same
+  * sorted pass. Contrast the naive left-join-then-filter-then-argmax,
+  * which shuffles twice and materializes every (left, candidate) pair —
+  * quadratic under hot keys.
+  *
+  * Skew: a `Window.partitionBy(key)` makes each key ONE window partition,
+  * and unlike a skewed join AQE can never split a window partition — at
+  * web/tick scale one hot key (a popular instrument, user, or null-ish
+  * key holding 10% of the data) is an unsplittable sorted straggler.
+  * `chunkWidth` turns the carry-forward into the two-pass TIME-CHUNKED
+  * form: the big window partitions by (key, `ts div chunkWidth`), so a
+  * hot key spreads over its time chunks, and each chunk's carried-in
+  * value arrives as a synthetic first-of-chunk row derived from a tiny
+  * per-(key, chunk) boundary frame — no join operator, no per-key window
+  * over anything bigger than the chunk list. Pick the width so a chunk of
+  * the hottest key fits one task comfortably (e.g. an hour of the
+  * hottest instrument's ticks) — results are IDENTICAL for any width.
   */
 object TimeJoins {
 
@@ -24,43 +37,114 @@ object TimeJoins {
     *
     * Determinism: equal-timestamp right rows resolve by the right
     * payload's remaining columns in order (the first tiebreak column is
-    * whatever follows `rightTs` in `right`), so reruns, repartitions and
-    * the DuckDB oracle agree exactly. A right row AT the left timestamp
-    * matches (<=, the standard as-of contract).
+    * whatever follows `rightTs` in `right`), so reruns, repartitions,
+    * any `chunkWidth` and the DuckDB oracle agree exactly. A right row
+    * AT the left timestamp matches (<=, the standard as-of contract).
     *
-    * @param tolerance max allowed `leftTs - rightTs` (same units as the
-    *                  ts columns — epoch nanos for the events table);
-    *                  older matches null out. */
+    * Timestamp columns must be integral (epoch nanos for the events
+    * table) or TIMESTAMP (ordered/chunked/guarded via exact
+    * `unix_micros`); floats are rejected — above 2^53 a double tick
+    * cannot even represent adjacent nanos.
+    *
+    * @param tolerance  max allowed `leftTs - rightTs` (ts units for
+    *                   integral ts columns, MICROSECONDS for timestamp
+    *                   columns); older matches null out.
+    * @param chunkWidth time-chunk width in the same units as `tolerance`
+    *                   for the skew-proof two-pass form; None keeps the
+    *                   single per-key window (fine when no key can
+    *                   dominate a task — small key cardinality bounds,
+    *                   dimension-sized rights). Integer `div` chunking is
+    *                   exact at any long magnitude (no float floor) and
+    *                   truncation-toward-zero only shifts alignment at
+    *                   zero, never ordering. */
   def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                    leftTs: String, rightTs: String,
                    tolerance: Option[Long] = None,
-                   rightPrefix: String = "asof_"): DataFrame = {
+                   rightPrefix: String = "asof_",
+                   chunkWidth: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "asofBackward needs at least one key column")
+    chunkWidth.foreach(w => require(w > 0, s"chunkWidth must be positive: $w"))
     val rCols = right.columns.filterNot(keyCols.contains).toSeq
     val lCols = left.columns.filterNot(keyCols.contains).toSeq
     val rOrdered = rCols.filterNot(_ == rightTs)
+    def tsNum(c: Column, dt: DataType, name: String): Column = dt match {
+      case TimestampType => unix_micros(c)
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case other => throw new IllegalArgumentException(
+        s"as-of timestamp column `$name` must be integral or TIMESTAMP, got $other")
+    }
     // right payload rides ONE struct: ts first, then the remaining right
     // columns — the struct compare IS the deterministic tie order
     val rStruct = struct((col(rightTs) +: rOrdered.map(col)): _*)
     val rSide = right.select(keyCols.map(col) ++ Seq(
-      col(rightTs).as("__ts"), lit(0).as("__side"), rStruct.as("__r")): _*)
+      tsNum(col(rightTs), right.schema(rightTs).dataType, rightTs).as("__tsn"),
+      lit(0).as("__side"), rStruct.as("__r")): _*)
     val lSide = left.select(keyCols.map(col) ++ Seq(
-      col(leftTs).as("__ts"), lit(1).as("__side"),
+      tsNum(col(leftTs), left.schema(leftTs).dataType, leftTs).as("__tsn"),
+      lit(1).as("__side"),
       lit(null).cast(rSide.schema("__r").dataType).as("__r"),
       struct(lCols.map(col): _*).as("__l")): _*)
+    val rStructType = rSide.schema("__r").dataType
+    val lStructType = lSide.schema("__l").dataType
     val unioned = rSide
-      .withColumn("__l", lit(null).cast(lSide.schema("__l").dataType))
+      .withColumn("__l", lit(null).cast(lStructType))
       .unionByName(lSide)
+
     // right rows sort BEFORE left rows at the same timestamp (side 0 < 1)
     // so an equal-ts right row is visible to the left row's carry-forward
-    val win = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__r"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (win, framed) = chunkWidth match {
+      case None =>
+        (Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__tsn"), col("__side"), col("__r")),
+          unioned)
+      case Some(w) =>
+        val chunk = expr(s"__tsn div ${w}L")
+        // pass 1 inputs, per (key, chunk): the chunk's LAST right payload
+        // is max(__r) — the struct compare is exactly the window's tie
+        // order with ts leading. Map-side-combinable aggregates over each
+        // source (the sides are re-read rather than the unioned frame
+        // referenced twice: scans are pushed-down-cheap, duplicated
+        // SHUFFLES are not).
+        val bnd = rSide.withColumn("__chunk", chunk)
+          .groupBy((keyCols :+ "__chunk").map(col): _*)
+          .agg(max(col("__r")).as("__last"))
+        val lch = lSide.withColumn("__chunk", chunk)
+          .select((keyCols :+ "__chunk").map(col): _*).distinct()
+          .withColumn("__last", lit(null).cast(rStructType))
+        // pass 2, tiny frame (one row per key x chunk): each chunk's
+        // carried-in value = the last boundary payload of any EARLIER
+        // chunk. The only per-key window in the plan runs over this
+        // chunk list, bounded by time-range/chunkWidth, never by data.
+        val carryW = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val synth = bnd.unionByName(lch)
+          .groupBy((keyCols :+ "__chunk").map(col): _*)
+          .agg(max(col("__last")).as("__last"))
+          .withColumn("__cin", last(col("__last"), ignoreNulls = true).over(carryW))
+          .filter(col("__cin").isNotNull)
+          .select(keyCols.map(col) ++ Seq(
+            lit(null).cast("long").as("__tsn"), lit(-1).as("__side"),
+            col("__cin").as("__r"), lit(null).cast(lStructType).as("__l"),
+            col("__chunk")): _*)
+        // synthetic carry rows sort first IN THEIR CHUNK via the priority
+        // term (their payload ts belongs to an earlier chunk, so ts-order
+        // alone could not place them), then the chunk-local pass is the
+        // ordinary carry-forward. Union, not join: no join operator, the
+        // one big shuffle is the (key, chunk) window partitioning.
+        (Window.partitionBy((keyCols :+ "__chunk").map(col): _*)
+          .orderBy(when(col("__side") === -1, 0).otherwise(1),
+            col("__tsn"), col("__side"), col("__r")),
+          unioned.withColumn("__chunk", chunk).unionByName(synth))
+    }
+
     val guarded = tolerance.fold(col("__m"))(tol =>
       when(col("__m").isNotNull &&
-        col("__ts") - col("__m").getField(rightTs) <= tol, col("__m")))
-    unioned
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(win))
+        col("__tsn") - tsNum(col("__m").getField(rightTs),
+          right.schema(rightTs).dataType, rightTs) <= tol, col("__m")))
+    framed
+      .withColumn("__m", last(col("__r"), ignoreNulls = true)
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("__side") === 1)
       .withColumn("__m", guarded)
       .select(keyCols.map(col) ++

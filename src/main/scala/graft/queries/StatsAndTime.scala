@@ -126,6 +126,10 @@ object StatsAndTime {
       right = e.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("event_id"), col("value")),
       keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-      rightPrefix = "view_")
+      rightPrefix = "view_",
+      // day-wide time chunks (ts is epoch nanos): the skew-proof two-pass
+      // carry-forward — a hot user splits across ~30 window partitions
+      // here instead of one; results identical for any width
+      chunkWidth = Some(86400L * 1000000000L))
   }
 }

@@ -144,6 +144,58 @@ object EventStream {
       }
   }
 
+  /** One tagged as-of input row: side 0 = right (score/view row carrying
+    * `value`), side 1 = left (click to enrich; `value` ignored). ts in
+    * the events table's epoch-nano longs. */
+  final case class AsofEvent(user_id: Long, ts: Long, side: Int,
+                             event_id: Long, value: Double)
+  final case class AsofRight(ts: Long, event_id: Long, value: Double)
+  final case class AsofOut(user_id: Long, ts: Long, event_id: Long,
+                           view_ts: Option[Long], view_event_id: Option[Long],
+                           view_value: Option[Double])
+
+  /** Streaming backward as-of — the event-time twin of
+    * [[graft.operators.TimeJoins.asofBackward]]: enrich each left event
+    * with the latest right row at-or-before its timestamp on the same
+    * key. State per key is ONE right payload (the latest by the batch
+    * operator's exact tie order: ts, then event_id, then value), so
+    * state size is keys x one row, not history.
+    *
+    * Parity contract (the stream==batch spec): identical output to the
+    * batch operator as long as event time does not regress ACROSS
+    * micro-batches; rows may arrive in any order WITHIN a batch (each
+    * batch is sorted before folding, and a stale right row never
+    * overwrites newer state). A right row late by more than one batch
+    * cannot retro-correct already-emitted left rows — the standard
+    * append-mode relaxation; production callers bound it with a
+    * watermark upstream exactly like [[dedupStream]]. */
+  def asofStream(tagged: Dataset[AsofEvent]): Dataset[AsofOut] = {
+    import tagged.sparkSession.implicits._
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofRight, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[AsofRight]) =>
+          def newer(c: AsofRight, e: AsofEvent): Boolean =
+            c.ts < e.ts || (c.ts == e.ts && (c.event_id < e.event_id ||
+              (c.event_id == e.event_id && c.value < e.value)))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          // the batch window's exact order: ts, then side (right before
+          // left at equal ts), then the right payload tie order
+          rows.toSeq.sortBy(e => (e.ts, e.side, e.event_id, e.value))
+            .foreach { e =>
+              if (e.side == 0) {
+                if (cur.forall(newer(_, e)))
+                  cur = Some(AsofRight(e.ts, e.event_id, e.value))
+              } else out += AsofOut(userId, e.ts, e.event_id,
+                cur.map(_.ts), cur.map(_.event_id), cur.map(_.value))
+            }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Batch-mode smoke: run the windowed aggregation over the parquet
     * events table read as a one-shot stream (Trigger.AvailableNow). */
   def runBatchOverParquet(spark: SparkSession, sfDir: String, outDir: String): Unit = {

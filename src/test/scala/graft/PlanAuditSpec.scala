@@ -277,11 +277,19 @@ class PlanAuditSpec extends SparkSpec {
     asof.collect()
     val aPlan = asof.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    // union + ONE key shuffle + per-key window: no join operator at all
+    // chunked two-pass carry-forward, still join-free: the carry-in rows
+    // arrive by UNION, so the plan has no join operator and no global
+    // window. Shuffle budget: ONE (key, chunk) exchange carries the full
+    // union; the other <=3 are tiny per-(key, chunk) partials (right
+    // boundary agg, left chunk distinct, carry merge + per-key window
+    // over the chunk LIST). A hot key spreads over its time chunks —
+    // the one window AQE could never split is gone.
     assert(!aPlan.contains("Join"), "asof must be union+window, not a join")
     assert(!aPlan.contains("No Partition Defined"), "asof leaked a global window")
-    assert("Exchange hashpartitioning".r.findAllIn(aPlan).length <= 1,
-      "asof should shuffle once on the key")
+    assert(aPlan.contains("__chunk"),
+      "asof_click_view must run the skew-proof chunked form")
+    assert("Exchange hashpartitioning".r.findAllIn(aPlan).length <= 4,
+      "asof chunked form: 1 full-data + 3 boundary-frame exchanges")
 
     val range = SparkEntry.queries("range_points_regions")(spark, dir)
     range.collect()

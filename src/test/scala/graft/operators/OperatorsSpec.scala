@@ -628,32 +628,83 @@ class TimeJoinsSpec extends SparkSpec {
     (3L, 100L, 904L))  // key with no right side -> no match
     .toDF("user_id", "ts", "event_id")
 
+  // every contract assertion runs in BOTH forms: the per-key window and
+  // the skew-proof time-chunked two-pass (width 100 splits the fixture's
+  // ts range into several chunks, incl. chunks with only left rows)
+  private val modes: Seq[(String, Option[Long])] =
+    Seq("keyed" -> None, "chunked" -> Some(100L))
+
   test("asof backward: most-recent-at-or-before, deterministic ties, null misses") {
-    val out = TimeJoins.asofBackward(left, right, Seq("user_id"), "ts", "ts",
-        rightPrefix = "r_")
-      .collect().map(r => r.getAs[Long]("event_id") ->
-        ((Option(r.getAs[java.lang.Long]("r_event_id")),
-          Option(r.getAs[java.lang.Double]("r_value"))))).toMap
-    assert(out(900L) == ((Some(10L), Some(1.0))))
-    assert(out(901L) == ((Some(12L), Some(3.0))))
-    assert(out(902L) == ((Some(12L), Some(3.0))))
-    assert(out(903L) == ((None, None)))
-    assert(out(904L) == ((None, None)))
+    for ((mode, cw) <- modes) {
+      val out = TimeJoins.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+          rightPrefix = "r_", chunkWidth = cw)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          ((Option(r.getAs[java.lang.Long]("r_event_id")),
+            Option(r.getAs[java.lang.Double]("r_value"))))).toMap
+      assert(out(900L) == ((Some(10L), Some(1.0))), mode)
+      assert(out(901L) == ((Some(12L), Some(3.0))), mode)
+      assert(out(902L) == ((Some(12L), Some(3.0))), mode)   // carry across chunks
+      assert(out(903L) == ((None, None)), mode)
+      assert(out(904L) == ((None, None)), mode)
+    }
   }
 
   test("asof backward: tolerance nulls out stale matches; repartition-invariant") {
-    val out = TimeJoins.asofBackward(left, right, Seq("user_id"), "ts", "ts",
-        tolerance = Some(60L), rightPrefix = "r_")
-      .collect().map(r => r.getAs[Long]("event_id") ->
-        Option(r.getAs[java.lang.Long]("r_event_id"))).toMap
-    assert(out(900L) == Some(10L))   // gap 50 <= 60
-    assert(out(901L) == Some(12L))   // gap 0
-    assert(out(902L) == None)        // gap 799 > 60
-    val a = TimeJoins.asofBackward(left, right, Seq("user_id"), "ts", "ts")
+    for ((mode, cw) <- modes) {
+      val out = TimeJoins.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+          tolerance = Some(60L), rightPrefix = "r_", chunkWidth = cw)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("r_event_id"))).toMap
+      assert(out(900L) == Some(10L), mode)   // gap 50 <= 60
+      assert(out(901L) == Some(12L), mode)   // gap 0
+      assert(out(902L) == None, mode)        // gap 799 > 60 (chunk-carried)
+      val a = TimeJoins.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+        chunkWidth = cw).collect().toSet
+      val b = TimeJoins.asofBackward(left.repartition(5), right.repartition(3),
+        Seq("user_id"), "ts", "ts", chunkWidth = cw).collect().toSet
+      assert(a == b, mode)
+    }
+  }
+
+  test("asof chunked == keyed on randomized data with a hot key and chunk gaps") {
+    val rnd = new scala.util.Random(7)
+    // 85% of rows on key 1 (the hot key), ts clustered so many chunks are
+    // left-only or right-only; duplicate timestamps included
+    def rows(n: Int, side: String) = (0 until n).map { i =>
+      val k = if (rnd.nextInt(100) < 85) 1L else 1L + rnd.nextInt(4)
+      val ts = rnd.nextInt(40) * 25L + rnd.nextInt(3) // duplicates + gaps
+      (k, ts, i.toLong, s"$side$i")
+    }
+    val r = rows(400, "r").toDF("user_id", "ts", "event_id", "payload")
+    val l = rows(400, "l").toDF("user_id", "ts", "event_id", "payload")
+    val keyed = TimeJoins.asofBackward(l, r, Seq("user_id"), "ts", "ts")
       .collect().toSet
-    val b = TimeJoins.asofBackward(left.repartition(5), right.repartition(3),
-      Seq("user_id"), "ts", "ts").collect().toSet
-    assert(a == b)
+    for (w <- Seq(7L, 100L, 1000L)) {
+      val chunked = TimeJoins.asofBackward(l, r, Seq("user_id"), "ts", "ts",
+        chunkWidth = Some(w)).collect().toSet
+      assert(chunked == keyed, s"chunkWidth=$w diverged from keyed")
+    }
+  }
+
+  test("asof chunked: negative timestamps (div truncation) and equal-ts chunk edges") {
+    val r = Seq((1L, -250L, 1L, 1.0), (1L, -100L, 2L, 2.0), (1L, 0L, 3L, 3.0),
+      (1L, 100L, 4L, 4.0)).toDF("user_id", "ts", "event_id", "value")
+    val l = Seq((1L, -251L, 90L), (1L, -250L, 91L), (1L, -99L, 92L),
+      (1L, 0L, 93L), (1L, 99L, 94L), (1L, 100L, 95L), (1L, 301L, 96L))
+      .toDF("user_id", "ts", "event_id")
+    for (cw <- Seq(None, Some(100L)): Seq[Option[Long]]) {
+      val out = TimeJoins.asofBackward(l, r, Seq("user_id"), "ts", "ts",
+          rightPrefix = "r_", chunkWidth = cw)
+        .collect().map(x => x.getAs[Long]("event_id") ->
+          Option(x.getAs[java.lang.Long]("r_event_id"))).toMap
+      assert(out(90L) == None, cw)
+      assert(out(91L) == Some(1L), cw)      // equal-ts match at chunk edge
+      assert(out(92L) == Some(2L), cw)
+      assert(out(93L) == Some(3L), cw)
+      assert(out(94L) == Some(3L), cw)      // carried into chunk [0,100)
+      assert(out(95L) == Some(4L), cw)
+      assert(out(96L) == Some(4L), cw)      // across an empty chunk
+    }
   }
 }
 

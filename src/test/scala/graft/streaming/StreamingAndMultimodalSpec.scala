@@ -184,6 +184,62 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming as-of == batch as-of over event-time-ordered micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // three users incl. a hot one; equal-ts ties; shuffled WITHIN batches,
+    // event-time ordered ACROSS batches (the documented parity contract)
+    val all = Seq(
+      // batch 1: ts 0..99
+      Seq(
+        EventStream.AsofEvent(1L, 10L, 0, 100L, 1.0),
+        EventStream.AsofEvent(1L, 10L, 0, 101L, 2.0),  // tie: 101 wins
+        EventStream.AsofEvent(1L, 5L, 1, 900L, 0.0),   // before any right
+        EventStream.AsofEvent(1L, 10L, 1, 901L, 0.0),  // equal-ts match
+        EventStream.AsofEvent(2L, 50L, 0, 102L, 3.0),
+        EventStream.AsofEvent(3L, 60L, 1, 902L, 0.0)), // key with no rights
+      // batch 2: ts 100..199 (stale right 103 must not clobber state)
+      Seq(
+        EventStream.AsofEvent(1L, 150L, 1, 903L, 0.0),
+        EventStream.AsofEvent(2L, 120L, 1, 904L, 0.0),
+        EventStream.AsofEvent(2L, 110L, 0, 103L, 4.0)),
+      // batch 3: carry across a silent batch for user 1
+      Seq(
+        EventStream.AsofEvent(1L, 300L, 1, 905L, 0.0),
+        EventStream.AsofEvent(2L, 300L, 0, 104L, 5.0),
+        EventStream.AsofEvent(2L, 301L, 1, 906L, 0.0)))
+    val mem = MemoryStream[EventStream.AsofEvent]
+    val q = EventStream.asofStream(mem.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    all.foreach { batch =>
+      mem.addData(scala.util.Random.shuffle(batch))
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("asof_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+    q.stop()
+
+    val flat = all.flatten
+    val left = flat.filter(_.side == 1)
+      .map(e => (e.user_id, e.ts, e.event_id))
+      .toDF("user_id", "ts", "event_id")
+    val right = flat.filter(_.side == 0)
+      .map(e => (e.user_id, e.ts, e.event_id, e.value))
+      .toDF("user_id", "ts", "event_id", "value")
+    for (cw <- Seq(None, Some(100L)): Seq[Option[Long]]) {
+      val batch = graft.operators.TimeJoins.asofBackward(
+          left, right, Seq("user_id"), "ts", "ts",
+          rightPrefix = "view_", chunkWidth = cw)
+        .select("user_id", "ts", "event_id", "view_ts", "view_event_id",
+          "view_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+      assert(streamed == batch, s"stream != batch (chunkWidth=$cw)")
+    }
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
