@@ -82,6 +82,7 @@ object SparkEntry {
     "asof_click_view" -> (StatsAndTime.asofClickView _),
     "range_points_regions" -> (OmicsQueries.rangePointsRegions _),
     "sketch_cm_tokens" -> (TrainingData.sketchCmTokens _),
+    "sketch_quantile" -> (TrainingData.sketchQuantile _),
     "sketch_bloom_contains" -> (TrainingData.sketchBloomContains _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),

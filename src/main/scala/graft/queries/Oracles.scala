@@ -1096,6 +1096,43 @@ object Oracles {
         |FROM hits GROUP BY 1, 2""".stripMargin,
 
     // Count-Min replay: md5-salted buckets, counter sums, min-over-rows
+    // base-2 sub-bucketed quantile sketch: exact integer bucketing
+    // (bin-string log2, shifts, //), cumulative ranks, and the one-IEEE-
+    // division interpolation — replayed bit-for-bit
+    "sketch_quantile" ->
+      """WITH v AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS v FROM documents),
+        |b0 AS (
+        |  SELECT lang, v, abs(v) AS a,
+        |    CASE WHEN abs(v) < 128 THEN 0
+        |         ELSE length(bin(abs(v))) - 1 - 7 END AS sh
+        |  FROM v WHERE v IS NOT NULL),
+        |b1 AS (
+        |  SELECT lang, v, (1::BIGINT << sh) AS w,
+        |    ((a // (1::BIGINT << sh)) << sh) AS l
+        |  FROM b0),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN v >= 0 THEN l ELSE -(l + w - 1) END AS blo,
+        |    w AS bw, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b1 GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT lang, blo, bw, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY blo, bw
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cume,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM g),
+        |x AS (
+        |  SELECT c.*, q,
+        |    greatest(1::BIGINT, CAST(ceil(q * n) AS BIGINT)) AS tgt
+        |  FROM c CROSS JOIN
+        |    (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q) qs)
+        |SELECT lang, q, n, blo AS lo,
+        |  round(blo + (bw - 1)::DOUBLE * (tgt - (cume - cnt) - 1)::DOUBLE
+        |    / greatest(cnt - 1, 1)::DOUBLE, 4) AS est
+        |FROM x WHERE cume - cnt < tgt AND tgt <= cume""".stripMargin,
+
     "sketch_cm_tokens" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),

@@ -263,6 +263,19 @@ object TrainingData {
     graft.operators.Sketches.kmvDistinct(
       t(s, dir, "documents"), Seq("lang"), "text")
 
+  /** Quantile sketch over per-language document lengths: the base-2
+    * sub-bucketed histogram (exact integer bucketing — see
+    * Sketches.qsketchBuckets), hash-gated INCLUDING the interpolated
+    * float quantiles; the DuckDB oracle replays bucketing, cumulation
+    * and interpolation bit-for-bit. */
+  def sketchQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, length}
+    graft.operators.Sketches.qsketchQuantilesOf(
+      t(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("text_len")),
+      Seq("lang"), "text_len", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+  }
+
   /** Count-Min token-frequency sketch over the documents corpus with a
     * fixed probe list (stop words + an unseen control); hash-gated —
     * counters and min-over-rows estimates replay in DuckDB. */

@@ -259,7 +259,7 @@ class PlanAuditSpec extends SparkSpec {
   test("sketches: one corpus scan each, bounded state, map-side partials") {
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("sketch_hll_distinct", "sketch_kmv_distinct",
-        "sketch_cm_tokens")) {
+        "sketch_cm_tokens", "sketch_quantile")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString

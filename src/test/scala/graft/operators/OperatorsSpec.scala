@@ -997,6 +997,87 @@ class SketchesSpec extends SparkSpec {
     assert(est("v-1") >= 1L)
   }
 
+  test("qsketch: exact integer bucketing replays driver-side; small values exact") {
+    // driver-side replica of the bucketing contract
+    def bucket(v: Long): (Long, Long) = {
+      val a = math.abs(v)
+      if (a < 128L) (v, 1L)
+      else {
+        val sh = (63 - java.lang.Long.numberOfLeadingZeros(a)) - 7
+        val w = 1L << sh
+        val l = (a >> sh) << sh
+        if (v >= 0) (l, w) else (-(l + w - 1), w)
+      }
+    }
+    val values = Seq(0L, 1L, 127L, 128L, 129L, 255L, 256L, 300L, 301L,
+      -1L, -127L, -128L, -300L, 999999L, (1L << 53) + 12345L,
+      -((1L << 53) + 12345L), Long.MaxValue)
+    val got = Sketches.qsketchBuckets(
+        values.map(v => ("g", v)).toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => ((r.getAs[Long]("blo"), r.getAs[Long]("bw")),
+        r.getAs[Long]("cnt"))).toMap
+    val want = values.map(bucket).groupBy(identity)
+      .map { case (b, v) => b -> v.size.toLong }
+    assert(got == want)
+    // small magnitudes are their own exact bucket; sign mirroring holds
+    assert(got(((127L, 1L))) == 1L && got(((-127L, 1L))) == 1L)
+    // every value lands INSIDE its bucket
+    values.foreach { v =>
+      val (lo, w) = bucket(v)
+      assert(lo <= v && v <= lo + w - 1, s"$v outside [$lo, ${lo + w - 1}]")
+    }
+  }
+
+  test("qsketch: merge == one-shot; repartition/order-invariant; bounded rows") {
+    val rnd = new scala.util.Random(11)
+    val xs = (0 until 4000).map(_ => ("a", rnd.nextLong() % 1000000L)) ++
+      (0 until 1000).map(i => ("b", i.toLong * 37L))
+    val df = xs.toDF("g", "v")
+    val one = Sketches.qsketchBuckets(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val (h1, h2) = xs.splitAt(2500)
+    val merged = Sketches.qsketchMerge(
+        Sketches.qsketchBuckets(h1.toDF("g", "v").repartition(5), Seq("g"), "v"),
+        Sketches.qsketchBuckets(h2.toDF("g", "v").repartition(3), Seq("g"), "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(merged == one)
+    // quantiles of the merged sketch == quantiles of the one-shot sketch
+    val qs = Seq(0.1, 0.5, 0.9)
+    val qOne = Sketches.qsketchQuantilesOf(df, Seq("g"), "v", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(4)).toMap
+    val qMerged = Sketches.qsketchQuantiles(
+        Sketches.qsketchMerge(
+          Sketches.qsketchBuckets(h1.toDF("g", "v"), Seq("g"), "v"),
+          Sketches.qsketchBuckets(h2.toDF("g", "v"), Seq("g"), "v")),
+        Seq("g"), qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(4)).toMap
+    assert(qOne == qMerged)
+    // bounded state: far fewer bucket rows than values
+    assert(one.count(_._1 == "a") < 1500, "bucket table must compress")
+  }
+
+  test("qsketch: quantile relative error <= 2^-7 vs exact at 5k+ values") {
+    val rnd = new scala.util.Random(3)
+    // uniform + heavy-tail mix, 6000 values, incl. negatives
+    val xs = (0 until 3000).map(_ => rnd.nextInt(200000).toLong - 50000L) ++
+      (0 until 3000).map(_ => math.round(math.exp(rnd.nextDouble() * 14)))
+    val sorted = xs.sorted
+    val n = xs.size
+    val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val got = Sketches.qsketchQuantilesOf(
+        xs.map(v => ("g", v)).toDF("g", "v"), Seq("g"), "v", qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+    qs.foreach { q =>
+      val t = math.max(1, math.ceil(q * n).toLong).toInt
+      val exact = sorted(t - 1)
+      val err = math.abs(got(q) - exact)
+      // documented bound: the estimate lands in the true value's bucket,
+      // bucket width < 2^-subBits of its magnitude (exact below 2^7)
+      val bound = math.max(math.abs(exact.toDouble) / 128.0, 1.0)
+      assert(err <= bound, s"q=$q est=${got(q)} exact=$exact err=$err > $bound")
+    }
+  }
+
   test("hll: incremental merge equals the one-shot sketch") {
     val a = (0 until 300).map(i => ("en", s"d$i")).toDF("lang", "text")
     val b = (200 until 500).map(i => ("en", s"d$i")).toDF("lang", "text")
