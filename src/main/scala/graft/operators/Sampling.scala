@@ -80,6 +80,51 @@ object Sampling {
       .withColumn(rateCol, rateExpr)
   }
 
+  /** Deterministic weighted sampling without replacement — the
+    * importance-RESAMPLING step that consumes DSIR-style weights (Xie et
+    * al. 2023 select by sampling proportional to w(x), not by
+    * thresholding): keep the `ceil(rate * n)` rows winning an
+    * exponential race, P(kept) ∝ weight, reproducible across engines
+    * and runs.
+    *
+    * Race key (Gumbel/exponential-race, log form): with u =
+    * (md5-52-bit-prefix + 0.5) / 2^52 ∈ (0,1) strictly,
+    * key = ln(-ln u) - ln(weight), smallest keys win — order-equivalent
+    * to the textbook -ln(u)/w but SAFE to micro-round: in ratio form a
+    * tiny weight amplifies the libm ulp of ln into the rounding
+    * threshold, in log form engine drift stays ~1e-14 absolute against
+    * the 0.5 micro-unit boundary. Key is fixed to integer micro-units
+    * with the id as total-order tiebreak, so the DuckDB oracle replays
+    * the race exactly.
+    *
+    * 100 TB shape: the race key is a pure projection; ranks come from
+    * the distributed dense-id machinery (range partition +
+    * per-partition offsets — no single-task global window, no
+    * driver-side top-k of k rows). Project `df` down to (id, weight)
+    * before sampling and join survivors back if the payload is wide —
+    * the rank pass materializes its input once (localCheckpoint), which
+    * is the price of an exact global k.
+    *
+    * Rows with null or non-positive weight never sample (zero mass) and
+    * are dropped before the race. Returns the surviving rows with
+    * `raceCol` (the integer race key) and `rankCol` (1..k). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     rate: Double, raceCol: String = "race_micro",
+                     rankCol: String = "sample_rank"): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, s"rate must be in (0,1], got $rate")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + 0.5) / (1L << 52).toDouble
+    val keyed = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn(raceCol,
+        round((log(-log(u)) - log(col(weightCol))) * 1e6).cast("long"))
+    val ranked = graft.core.Ids.denseIds(keyed, Seq(raceCol, idCol), rankCol)
+    // n reads off the already-materialized rank pass (max rank == count)
+    val nRow = ranked.agg(max(col(rankCol))).collect().head
+    if (nRow.isNullAt(0)) ranked // empty input
+    else ranked.filter(col(rankCol) <= math.ceil(rate * nRow.getLong(0)).toLong)
+  }
+
   /** Deterministic pseudorandom shuffle — the training-set ORDERING step
     * (corpus builds fix a shuffle seed so epochs are reproducible and
     * resumable): rank every row by md5(seed | id). Engine-portable (md5,

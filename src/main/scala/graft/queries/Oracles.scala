@@ -965,6 +965,71 @@ object Oracles {
         |  CAST(sum(delta_micro) AS BIGINT) > 0 AS keep
         |FROM j JOIN sc USING (bucket) GROUP BY 1""".stripMargin,
 
+    // DSIR weights -> deterministic exponential race (log-form Gumbel):
+    // same model replay as sample_dsir, then w = 2^clamp(logw, +-20),
+    // key = ln(-ln u) - ln w in integer micro-units, doc_id tiebreak,
+    // keep the ceil(0.2 n) smallest
+    "sample_weighted" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS qt
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id,
+        |    (CAST(len(qt) AS BIGINT) >= 10 AND CAST(len(qt) AS BIGINT) <= 100000
+        |     AND round(CAST(coalesce(list_sum(list_transform(qt, x -> len(x))), 0)
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) >= 2.0
+        |     AND round(CAST(coalesce(list_sum(list_transform(qt, x -> len(x))), 0)
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) <= 10.0
+        |     AND round(CAST(len(text) - len(regexp_replace(text, '[#@~^|\\]', '', 'g'))
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) <= 0.1
+        |     AND round(CAST(len(list_filter(qt, x -> regexp_matches(x, '[a-zA-Z]')))
+        |           AS BIGINT)::DOUBLE / greatest(len(qt), 1), 4) >= 0.8) AS tgt
+        |  FROM q),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |fb AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(unnest(list_concat(t,
+        |      list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i + 1])))), 1, 4)) AS INTEGER) % 1024 AS bucket
+        |  FROM toks),
+        |j AS (SELECT fb.doc_id, fb.bucket, flags.tgt
+        |      FROM fb JOIN flags USING (doc_id)),
+        |cnt AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_raw,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_tgt
+        |  FROM j GROUP BY 1),
+        |g AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS t_raw,
+        |             CAST(sum(cnt_tgt) AS BIGINT) AS t_tgt FROM cnt),
+        |sc AS (
+        |  SELECT bucket,
+        |    CAST(round(log2((cnt_tgt + 1.0) / (t_tgt + 1024)) * 1e6) AS BIGINT)
+        |    - CAST(round(log2((cnt_raw + 1.0) / (t_raw + 1024)) * 1e6) AS BIGINT)
+        |      AS delta_micro
+        |  FROM cnt CROSS JOIN g),
+        |scored AS (
+        |  SELECT doc_id, CAST(sum(delta_micro) AS BIGINT) AS logw_micro
+        |  FROM j JOIN sc USING (bucket) GROUP BY 1),
+        |race AS (
+        |  SELECT doc_id, logw_micro,
+        |    CAST(round((ln(-ln((CAST(CAST(('0x' ||
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |        AS DOUBLE) + 0.5) / 4503599627370496.0))
+        |      - ln(pow(2.0, greatest(least(logw_micro::DOUBLE / 1e6, 20.0),
+        |          -20.0)))) * 1e6) AS BIGINT) AS race_micro
+        |  FROM scored),
+        |rk AS (
+        |  SELECT doc_id, logw_micro, race_micro,
+        |    CAST(row_number() OVER (ORDER BY race_micro, doc_id) AS BIGINT)
+        |      AS sample_rank,
+        |    count(*) OVER () AS n
+        |  FROM race)
+        |SELECT doc_id, logw_micro, race_micro, sample_rank
+        |FROM rk WHERE sample_rank <= CAST(ceil(0.2 * n) AS BIGINT)""".stripMargin,
+
     // Stupid Backoff bigram LM trained on the gopher-quality subset,
     // scoring every doc; per-position NLL fixed to integer micro-bits
     "text_bigram_lm" ->

@@ -237,6 +237,24 @@ object TrainingData {
       flagged, "doc_id", "text", col("passes"))
   }
 
+  /** Weighted resampling that CONSUMES the DSIR importance weights (the
+    * Xie et al. pipeline's resample step): w = 2^clamp(logw, ±20), then
+    * the deterministic exponential race keeps ceil(0.2 * n) docs.
+    * Hash-gated — the DuckDB oracle replays model, weights and race. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val flagged = graft.operators.TextAnalysis.gopherFlags(
+      t(s, dir, "documents"), "text")
+    val scored = graft.operators.TermStats.dsirWeights(
+      flagged, "doc_id", "text", col("passes"))
+    val weighted = scored.withColumn("w", pow(lit(2.0),
+      greatest(least(col("logw_micro").cast("double") / 1e6, lit(20.0)),
+        lit(-20.0))))
+    graft.operators.Sampling.weightedSample(weighted, "doc_id", "w", 0.2)
+      .select(col("doc_id"), col("logw_micro"), col("race_micro"),
+        col("sample_rank"))
+  }
+
   /** Stupid Backoff bigram LM over the documents corpus: the model trains
     * on the Gopher-quality subset and scores every doc, so unseen-bigram
     * backoff genuinely fires; integer micro-bit NLLs keep it hash-gated. */

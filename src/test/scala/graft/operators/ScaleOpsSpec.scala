@@ -212,6 +212,43 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("No Partition Defined"))
   }
 
+  test("weighted sample: exact race replay, proportional-ish rates, invariances") {
+    import graft.operators.Sampling
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // driver-side exact replay of the race key
+    def race(id: Long, w: Double): Long = {
+      val x = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 13), 16)
+      val u = (x.toDouble + 0.5) / (1L << 52).toDouble
+      BigDecimal((math.log(-math.log(u)) - math.log(w)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // weights: ids 1..300 get w=8, 301..900 get w=1, plus dead rows
+    val rows = (1L to 900L).map(i => (i, if (i <= 300) 8.0 else 1.0)) ++
+      Seq((901L, 0.0), (902L, -1.0))
+    val df = rows.toDF("doc_id", "w") // null weight via union below
+      .unionByName(Seq((903L, Option.empty[Double])).toDF("doc_id", "w"))
+    val out = Sampling.weightedSample(df, "doc_id", "w", rate = 0.25)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("race_micro"),
+        r.getAs[Long]("sample_rank"))).sortBy(_._3)
+    // exact: the 225 smallest (race, id) among the 900 live rows
+    val want = (1L to 900L).map(i =>
+        (i, race(i, if (i <= 300) 8.0 else 1.0)))
+      .sortBy { case (id, rm) => (rm, id) }.take(225)
+      .zipWithIndex.map { case ((id, rm), ix) => (id, rm, ix + 1L) }
+    assert(out.toSeq == want)
+    // dead rows never sample
+    assert(!out.exists(r => r._1 >= 901L))
+    // weight-8 docs (1/3 of rows) dominate the kept set
+    val heavy = out.count(_._1 <= 300L)
+    assert(heavy > 120, s"w=8 docs under-sampled: $heavy of 225")
+    // repartition invariance
+    val again = Sampling.weightedSample(df.repartition(7), "doc_id", "w", 0.25)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("sample_rank"))).toSet
+    assert(again == out.map(r => (r._1, r._3)).toSet)
+  }
+
   test("pack sequences matches the single-window form; no global window in plan") {
     val docs = (0L until 997L).map(i => (i, 100L + i % 700)).toDF("doc_id", "n_toks")
     val packed = Sampling.packSequences(docs, Seq("doc_id"), "n_toks", budget = 4096)
