@@ -292,6 +292,13 @@ object ClinicalPipeline {
       "\\$\\$\\{([^}]+)\\}", "\\$\\$$1")
     val visitCounts = eav.groupBy(tplKey.as("__tpl_key"))
       .agg(countDistinct(upper(col("visit_name"))).as("__nvisits"))
+    // broadcast bound: one row per DISTINCT category template, i.e. per
+    // mapping-file entry (CATEGORY_CD lines the study author wrote) —
+    // hundreds at most, never fact-sized; the aggregate above collapses
+    // the fact volume before the hint applies. Forced rather than left
+    // to AQE because plan-time stats over the deep cleansed-EAV subtree
+    // under-estimate nothing here but a static SortMergeJoin would
+    // re-shuffle the full facts on a key the next stage never reuses.
     val step1 = eav
       .withColumn("__tpl_key", tplKey)
       .join(broadcast(visitCounts), Seq("__tpl_key"), "left")
@@ -487,6 +494,12 @@ object ClinicalPipeline {
       .select(col("m_path"), col("c_metadataxml"))
     i2b2.join(visuals, i2b2("c_fullname") === visuals("v_path"), "left")
       .drop("v_path")
+      // broadcast bound: one row per LEAF CONCEPT (distinct leaf_node
+      // path) — ontology-tree-sized like the i2b2 frame itself (tens of
+      // thousands for the widest study), never fact-sized; the groupBy
+      // above collapses fact volume first. Both sides here are
+      // dimension-scale; the hint only spares AQE a stats guess over the
+      // deep aggregate subtree.
       .join(broadcast(leafMeta), i2b2("c_fullname") === leafMeta("m_path"), "left")
       .drop("m_path")
       // only the study subtree belongs to the trial: folders ABOVE the
