@@ -81,6 +81,7 @@ object SparkEntry {
     "sketch_hll_distinct" -> (TrainingData.sketchHllDistinct _),
     "sketch_kmv_distinct" -> (TrainingData.sketchKmvDistinct _),
     "asof_click_view" -> (StatsAndTime.asofClickView _),
+    "asof_next_view" -> (StatsAndTime.asofNextView _),
     "range_points_regions" -> (OmicsQueries.rangePointsRegions _),
     "sketch_cm_tokens" -> (TrainingData.sketchCmTokens _),
     "sketch_quantile" -> (TrainingData.sketchQuantile _),

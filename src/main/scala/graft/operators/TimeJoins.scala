@@ -152,4 +152,33 @@ object TimeJoins {
         (rightTs +: rOrdered).map(c =>
           col("__m").getField(c).as(rightPrefix + c)): _*)
   }
+
+  /** Forward as-of join: for each left row, the single right row with the
+    * smallest `rightTs` >= `leftTs` within the same key (match-NEXT — the
+    * time-to-event / next-fill lookup). Implemented as [[asofBackward]]
+    * over NEGATED timestamps, so it inherits the whole machinery: the
+    * union+carry-forward shape, determinism, `tolerance` (here the max
+    * allowed `rightTs - leftTs`) and the skew-proof `chunkWidth` form.
+    * Equal-timestamp right rows resolve to the GREATEST remaining right
+    * payload, the same tie rule as backward. Timestamp columns must be
+    * integral (epoch nanos/micros/millis — negation of a TIMESTAMP type
+    * is not defined; convert first). Unmatched left rows keep null right
+    * columns. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTs: String, rightTs: String,
+                  tolerance: Option[Long] = None,
+                  rightPrefix: String = "asof_",
+                  chunkWidth: Option[Long] = None): DataFrame = {
+    Seq(left.schema(leftTs).dataType, right.schema(rightTs).dataType)
+      .foreach(dt => require(
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"asofForward needs integral timestamps (got $dt); negate-able"))
+    val out = asofBackward(
+      left.withColumn(leftTs, -col(leftTs).cast("long")),
+      right.withColumn(rightTs, -col(rightTs).cast("long")),
+      keyCols, leftTs, rightTs, tolerance, rightPrefix, chunkWidth)
+    out
+      .withColumn(leftTs, -col(leftTs))
+      .withColumn(rightPrefix + rightTs, -col(rightPrefix + rightTs))
+  }
 }

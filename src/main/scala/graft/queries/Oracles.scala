@@ -1270,6 +1270,37 @@ object Oracles {
         |  view_ts, view_event_id, view_value
         |FROM w WHERE side = 1""".stripMargin,
 
+    // forward as-of replay: the same union + carry-forward with ts DESC
+    // (the engine negates timestamps and reuses the backward machinery);
+    // equal-ts ties to the greatest vid, 3-day tolerance nulls far matches
+    "asof_next_view" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) AS vts, event_id AS vid,
+        |             value AS vval
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_ns(ts) AS cts, event_id AS cid
+        |      FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, vts AS uts, 0 AS side, vid, vts, vval,
+        |    NULL::BIGINT AS cid
+        |  FROM v
+        |  UNION ALL
+        |  SELECT user_id, cts, 1, NULL, NULL, NULL, cid FROM c),
+        |w AS (
+        |  SELECT user_id, uts, side, cid,
+        |    last_value(vid IGNORE NULLS) OVER win AS nvid,
+        |    last_value(vts IGNORE NULLS) OVER win AS nvts,
+        |    last_value(vval IGNORE NULLS) OVER win AS nvval
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY uts DESC, side, vid
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, uts AS ts, cid AS event_id,
+        |  CASE WHEN nvts - uts <= 259200000000000 THEN nvts END AS view_ts,
+        |  CASE WHEN nvts - uts <= 259200000000000 THEN nvid
+        |    END AS view_event_id,
+        |  CASE WHEN nvts - uts <= 259200000000000 THEN nvval
+        |    END AS view_value
+        |FROM w WHERE side = 1""".stripMargin,
+
     // KMV bottom-k replay: k smallest distinct md5s by rank; estimate
     // from the kth hash's 52-bit prefix, float ops mirrored
     "sketch_kmv_distinct" ->

@@ -132,4 +132,20 @@ object StatsAndTime {
       // here instead of one; results identical for any width
       chunkWidth = Some(86400L * 1000000000L))
   }
+
+  /** Forward as-of: each click matched to the NEXT view within 3 days —
+    * the time-to-event lookup, exercising the tolerance path through the
+    * oracle gate; chunked like its backward twin. */
+  def asofNextView(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    graft.operators.TimeJoins.asofForward(
+      left = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      right = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      tolerance = Some(3L * 86400L * 1000000000L),
+      rightPrefix = "view_",
+      chunkWidth = Some(86400L * 1000000000L))
+  }
 }

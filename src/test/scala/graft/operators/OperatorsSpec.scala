@@ -686,6 +686,32 @@ class TimeJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asof forward: earliest-at-or-after, tie to greatest payload, tolerance") {
+    for ((mode, cw) <- modes) {
+      val out = TimeJoins.asofForward(left, right, Seq("user_id"), "ts", "ts",
+          rightPrefix = "n_", chunkWidth = cw)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          ((Option(r.getAs[java.lang.Long]("n_event_id")),
+            Option(r.getAs[java.lang.Long]("n_ts"))))).toMap
+      assert(out(900L) == ((Some(12L), Some(200L))), mode) // next at 200, tie->12
+      assert(out(901L) == ((Some(12L), Some(200L))), mode) // AT 200 matches
+      assert(out(902L) == ((None, None)), mode)            // nothing after 999
+      assert(out(903L) == ((Some(20L), Some(500L))), mode) // next at 500
+      assert(out(904L) == ((None, None)), mode)            // key without rights
+      // tolerance: 903 (gap 1) survives a 1-tick budget, 900 (gap 50) not
+      val tol = TimeJoins.asofForward(left, right, Seq("user_id"), "ts", "ts",
+          tolerance = Some(1L), rightPrefix = "n_", chunkWidth = cw)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("n_event_id"))).toMap
+      assert(tol(903L) == Some(20L) && tol(900L) == None, mode)
+      // ts columns come back un-negated
+      val lTs = TimeJoins.asofForward(left, right, Seq("user_id"), "ts", "ts",
+          chunkWidth = cw)
+        .collect().map(_.getAs[Long]("ts")).toSet
+      assert(lTs == Set(150L, 200L, 999L, 499L, 100L), mode)
+    }
+  }
+
   test("asof chunked: negative timestamps (div truncation) and equal-ts chunk edges") {
     val r = Seq((1L, -250L, 1L, 1.0), (1L, -100L, 2L, 2.0), (1L, 0L, 3L, 3.0),
       (1L, 100L, 4L, 4.0)).toDF("user_id", "ts", "event_id", "value")
