@@ -184,6 +184,33 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("quantile-sketch buckets are a standard streaming aggregate; stream == batch") {
+    // bucket counts are a plain streaming count-aggregate, so the SAME
+    // qsketchBuckets call sketches a live stream; quantiles come from the
+    // batch-side qsketchQuantiles over the sink — incremental ingest
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(23)
+    val vals = (0 until 600).map(_ => ("g", rnd.nextLong() % 100000L))
+    val mem = MemoryStream[(String, Long)]
+    val q = Sketches.qsketchBuckets(mem.toDF().toDF("g", "v"), Seq("g"), "v")
+      .writeStream.format("memory").queryName("qs_stream")
+      .outputMode("complete").start()
+    mem.addData(vals.take(250): _*)
+    q.processAllAvailable()
+    mem.addData(vals.drop(250): _*)
+    q.processAllAvailable()
+    val qs = Seq(0.25, 0.5, 0.9)
+    val streamed = Sketches.qsketchQuantiles(
+        spark.table("qs_stream"), Seq("g"), qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+    val batch = Sketches.qsketchQuantilesOf(
+        vals.toDF("g", "v"), Seq("g"), "v", qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+    assert(streamed == batch)
+    q.stop()
+  }
+
   test("streaming as-of == batch as-of over event-time-ordered micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // three users incl. a hot one; equal-ts ties; shuffled WITHIN batches,
