@@ -84,7 +84,6 @@ object TimeJoins {
       lit(1).as("__side"),
       lit(null).cast(rSide.schema("__r").dataType).as("__r"),
       struct(lCols.map(col): _*).as("__l")): _*)
-    val rStructType = rSide.schema("__r").dataType
     val lStructType = lSide.schema("__l").dataType
     val unioned = rSide
       .withColumn("__l", lit(null).cast(lStructType))
@@ -99,18 +98,13 @@ object TimeJoins {
           unioned)
       case Some(w) =>
         val chunk = expr(s"__tsn div ${w}L")
-        // pass 1 inputs, per (key, chunk): the chunk's LAST right payload
-        // is max(__r) — the struct compare is exactly the window's tie
-        // order with ts leading. Map-side-combinable aggregates over each
-        // source (the sides are re-read rather than the unioned frame
-        // referenced twice: scans are pushed-down-cheap, duplicated
-        // SHUFFLES are not).
-        val bnd = rSide.withColumn("__chunk", chunk)
-          .groupBy((keyCols :+ "__chunk").map(col): _*)
-          .agg(max(col("__r")).as("__last"))
-        val lch = lSide.withColumn("__chunk", chunk)
-          .select((keyCols :+ "__chunk").map(col): _*).distinct()
-          .withColumn("__last", lit(null).cast(rStructType))
+        // pass 1, ONE map-side-combinable aggregate over the union: per
+        // (key, chunk), the chunk's LAST right payload is max(__r) — the
+        // struct compare is exactly the window's tie order with ts
+        // leading, and left rows carry null __r, so the same aggregate
+        // also enumerates left-only chunks (max -> null). Re-computing
+        // the union here duplicates only pushed-down-cheap SCANS, never
+        // a shuffle — the agg ships (key, chunk) partials.
         // pass 2, tiny frame (one row per key x chunk): each chunk's
         // carried-in value = the last boundary payload of any EARLIER
         // chunk. The only per-key window in the plan runs over this
@@ -118,9 +112,9 @@ object TimeJoins {
         val carryW = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("__chunk"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val synth = bnd.unionByName(lch)
+        val synth = unioned.withColumn("__chunk", chunk)
           .groupBy((keyCols :+ "__chunk").map(col): _*)
-          .agg(max(col("__last")).as("__last"))
+          .agg(max(col("__r")).as("__last"))
           .withColumn("__cin", last(col("__last"), ignoreNulls = true).over(carryW))
           .filter(col("__cin").isNotNull)
           .select(keyCols.map(col) ++ Seq(
