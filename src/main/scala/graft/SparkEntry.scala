@@ -83,6 +83,7 @@ object SparkEntry {
     "asof_click_view" -> (StatsAndTime.asofClickView _),
     "asof_next_view" -> (StatsAndTime.asofNextView _),
     "range_points_regions" -> (OmicsQueries.rangePointsRegions _),
+    "range_interval_overlap" -> (OmicsQueries.rangeIntervalOverlap _),
     "sketch_cm_tokens" -> (TrainingData.sketchCmTokens _),
     "sketch_quantile" -> (TrainingData.sketchQuantile _),
     "sketch_bloom_contains" -> (TrainingData.sketchBloomContains _),

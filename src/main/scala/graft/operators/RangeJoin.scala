@@ -68,6 +68,60 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval-overlap join — the interval x interval companion of
+    * [[pointInInterval]]: `a.key = b.key AND a.lo <= b.hi AND
+    * b.lo <= a.hi` (region-overlap of variants/annotations, meeting
+    * conflicts, session intersections) as a binned equi-join.
+    *
+    * Both sides explode into their covered bins and join on
+    * (keys..., bin); because an overlapping pair co-occurs in EVERY
+    * shared bin, each pair is kept only in its OWNERSHIP bin — the bin
+    * of `greatest(a.lo, b.lo)`, the overlap's start, which both sides
+    * provably cover — so the result has each pair exactly once with no
+    * distinct pass. Left/right column name collisions are rejected
+    * (prefix upstream); the width/guard semantics are
+    * [[pointInInterval]]'s, with the default width derived from the
+    * LEFT side's median span. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      keyCols: Seq[String],
+                      leftLo: String, leftHi: String,
+                      rightLo: String, rightHi: String,
+                      binWidth: Option[Long] = None,
+                      maxBinsPerInterval: Long = 4096L): DataFrame = {
+    Seq(left -> leftLo, left -> leftHi, right -> rightLo, right -> rightHi)
+      .foreach { case (df, c) =>
+        val dt = df.schema(c).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+          s"range join coordinates must be integral (exact bins); `$c` is $dt")
+      }
+    val dup = left.columns.toSet.intersect(right.columns.toSet) -- keyCols
+    require(dup.isEmpty,
+      s"intervalOverlap: non-key columns collide (${dup.mkString(", ")}); " +
+        "rename/prefix one side")
+    def valid(df: DataFrame, lo: String, hi: String) =
+      df.filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+    val lv = valid(left, leftLo, leftHi)
+    val w = binWidth.getOrElse(derivedWidth(lv, leftLo, leftHi))
+    require(w > 0, s"binWidth must be positive, got $w")
+    def binned(df: DataFrame, lo: String, hi: String) = {
+      val loBin = expr(s"`$lo` div ${w}L")
+      val hiBin = expr(s"`$hi` div ${w}L")
+      val hiGuarded = when(hiBin - loBin < lit(maxBinsPerInterval), hiBin)
+        .otherwise(raise_error(concat(
+          lit(s"range join: interval spans >= $maxBinsPerInterval bins at " +
+            s"binWidth=$w (corrupt whole-domain interval?): lo="),
+          col(lo).cast("string"), lit(" hi="), col(hi).cast("string")))
+          .cast("long"))
+      df.withColumn("__bin", explode(sequence(loBin, hiGuarded)))
+    }
+    binned(lv, leftLo, leftHi)
+      .join(binned(valid(right, rightLo, rightHi), rightLo, rightHi),
+        keyCols :+ "__bin")
+      .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi) &&
+        col("__bin") === expr(s"greatest(`$leftLo`, `$rightLo`) div ${w}L"))
+      .drop("__bin")
+  }
+
   /** Median interval span + 1 from one aggregate over the (already
     * filtered) intervals — the width the scaladoc's O(1)-bins-per-interval
     * reasoning wants. Only performance depends on the estimate, never the

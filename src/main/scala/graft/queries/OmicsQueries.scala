@@ -136,6 +136,30 @@ object OmicsQueries {
         min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
   }
 
+  /** Interval x interval overlap join (region-overlap): parts play
+    * annotation regions, orders play query windows; each overlapping
+    * pair counted exactly once via the ownership-bin rule. */
+  def rangeIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val regions = t(s, dir, "part").select(
+      ((col("p_partkey") % 22) + 1).as("chrom"),
+      ((col("p_partkey") % 9973) * 1000).as("a_lo"),
+      ((col("p_partkey") % 9973) * 1000 + 500 + (col("p_partkey") % 5000))
+        .as("a_hi"),
+      concat(lit("R"), col("p_partkey").cast("string")).as("region_name"))
+    val windows = t(s, dir, "orders").select(
+      ((col("o_orderkey") % 22) + 1).as("chrom"),
+      ((col("o_custkey") * 37 + col("o_orderkey")) % 10000000L).as("b_lo"),
+      (((col("o_custkey") * 37 + col("o_orderkey")) % 10000000L) + 200
+        + (col("o_orderkey") % 3000)).as("b_hi"),
+      col("o_orderkey").as("query_id"))
+    graft.operators.RangeJoin
+      .intervalOverlap(regions, windows, Seq("chrom"),
+        "a_lo", "a_hi", "b_lo", "b_hi")
+      .groupBy(col("region_name"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        min(col("b_lo")).as("min_qlo"), max(col("b_hi")).as("max_qhi"))
+  }
+
   // ---- I2B2_LOAD_CHROM_REGION inputs: parts play staged regions (nulls
   // ---- seeded into gene_symbol/gene_id to exercise both backfills),
   // ---- nations play the pre-existing registry (even keys = the reloaded

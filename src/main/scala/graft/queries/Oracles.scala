@@ -1223,6 +1223,29 @@ object Oracles {
 
     // range-join replay: plain BETWEEN join (DuckDB's IEJoin handles it
     // natively; the Spark side bins to keep an equi-join)
+    // interval x interval overlap: the engine's binned ownership-bin
+    // equi-join vs DuckDB's native inequality join — results must match
+    "range_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT (p_partkey % 22) + 1 AS chrom,
+        |    (p_partkey % 9973) * 1000 AS a_lo,
+        |    (p_partkey % 9973) * 1000 + 500 + (p_partkey % 5000) AS a_hi,
+        |    'R' || p_partkey AS region_name
+        |  FROM part),
+        |b AS (
+        |  SELECT (o_orderkey % 22) + 1 AS chrom,
+        |    (o_custkey * 37 + o_orderkey) % 10000000 AS b_lo,
+        |    (o_custkey * 37 + o_orderkey) % 10000000 + 200
+        |      + (o_orderkey % 3000) AS b_hi,
+        |    o_orderkey AS query_id
+        |  FROM orders)
+        |SELECT region_name, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(min(b_lo) AS BIGINT) AS min_qlo,
+        |  CAST(max(b_hi) AS BIGINT) AS max_qhi
+        |FROM a JOIN b ON a.chrom = b.chrom
+        |  AND a_lo <= b_hi AND b_lo <= a_hi
+        |GROUP BY 1""".stripMargin,
+
     "range_points_regions" ->
       """WITH points AS (
         |  SELECT (o_orderkey % 22) + 1 AS chrom,

@@ -822,6 +822,39 @@ class RangeJoinSpec extends SparkSpec {
       s"wanted the named guard error, got: ${msgs(e).mkString(" | ")}")
   }
 
+  test("interval overlap: equals brute force, exactly once per pair, any width") {
+    val rnd = new scala.util.Random(17)
+    val as = (0 until 120).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (1L + rnd.nextInt(3), lo, lo + rnd.nextInt(800), i.toLong)
+    }
+    val bs = (0 until 150).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (1L + rnd.nextInt(3), lo, lo + rnd.nextInt(400), 1000L + i)
+    }
+    val want = (for {
+      (ka, alo, ahi, aid) <- as
+      (kb, blo, bhi, bid) <- bs
+      if ka == kb && alo <= bhi && blo <= ahi
+    } yield (aid, bid)).sorted
+    val aDf = as.toDF("k", "a_lo", "a_hi", "aid")
+    val bDf = bs.toDF("k", "b_lo", "b_hi", "bid")
+    for (w <- Seq(None, Some(64L), Some(1000L), Some(100000L)): Seq[Option[Long]]) {
+      val got = RangeJoin.intervalOverlap(aDf, bDf, Seq("k"),
+          "a_lo", "a_hi", "b_lo", "b_hi", binWidth = w)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want, s"width=$w")
+      assert(got.distinct == got, s"width=$w emitted a pair twice")
+    }
+    // colliding non-key columns rejected by name
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(aDf, aDf, Seq("k"),
+        "a_lo", "a_hi", "a_lo", "a_hi")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("non-integral coordinate column is rejected by name") {
     val points = Seq((1L, 1.5, 1L)).toDF("k", "pos", "pid")
     val intervals = Seq((1L, 0L, 100L, "a")).toDF("k", "lo", "hi", "name")
