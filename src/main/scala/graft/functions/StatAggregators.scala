@@ -17,9 +17,12 @@ import scala.collection.mutable.ArrayBuffer
   * Both collect the group's values (the reference does the same — its
   * median state is an array). Intended for bounded groups (per-variable /
   * per-probe stats: group size = #samples or #subjects, never #facts).
-  * For unbounded groups use approx_percentile instead; at 100 TB the
-  * per-group arrays here stay small because the grouping key is the
-  * variable, and partial aggregation merges buffers, not rows.
+  * For unbounded groups use [[graft.operators.Sketches.qsketchBuckets]]
+  * (bounded-state, mergeable, oracle-replayable quantiles — prefer it
+  * over approx_percentile, whose state is opaque binary and not
+  * cross-engine mergeable); at 100 TB the per-group arrays here stay
+  * small because the grouping key is the variable, and partial
+  * aggregation merges buffers, not rows.
   */
 object StatAggregators {
 
