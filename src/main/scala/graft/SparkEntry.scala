@@ -77,6 +77,7 @@ object SparkEntry {
     "text_perplexity" -> (TrainingData.textPerplexity _),
     "sample_dsir" -> (TrainingData.sampleDsir _),
     "sample_weighted" -> (TrainingData.sampleWeighted _),
+    "sample_split" -> (TrainingData.sampleSplit _),
     "text_bigram_lm" -> (TrainingData.textBigramLm _),
     "sketch_hll_distinct" -> (TrainingData.sketchHllDistinct _),
     "sketch_kmv_distinct" -> (TrainingData.sketchKmvDistinct _),

@@ -80,6 +80,32 @@ object Sampling {
       .withColumn(rateCol, rateExpr)
   }
 
+  /** Deterministic dataset split (train/val/test): each row gets the
+    * label of the md5-16-bit band its id falls in, with band widths
+    * proportional to `fractions` (cumulative cutoffs on the same
+    * 1/65536 grid as [[sampleCond]]). A pure projection — stable across
+    * runs, partitionings and engines, so the split is reproducible and
+    * leakage-checkable by anyone recomputing the hash; fractions must
+    * cover the space (sum to 1 within the grid's resolution), and the
+    * LAST label absorbs the rounding remainder so every row is labeled. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         fractions: Seq[(String, Double)],
+                         labelCol: String = "split"): DataFrame = {
+    require(fractions.size >= 2, "need at least two split labels")
+    require(fractions.forall(_._2 > 0), s"fractions must be positive: $fractions")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $total")
+    val hex = substring(md5(col(idCol).cast("string")), 1, 4)
+    val cutoffs = fractions.init.scanLeft(0.0)(_ + _._2).tail
+      .map(c => f"${math.round(c * 65536).toInt}%04x")
+    val label = fractions.init.zip(cutoffs).foldRight(
+      lit(fractions.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), cut), els) => when(hex < cut, name).otherwise(els)
+    }
+    df.withColumn(labelCol, label)
+  }
+
   /** Deterministic weighted sampling without replacement — the
     * importance-RESAMPLING step that consumes DSIR-style weights (Xie et
     * al. 2023 select by sampling proportional to w(x), not by

@@ -1583,6 +1583,18 @@ object Oracles {
 
     // stratified sampling mirrors the md5-prefix cutoffs exactly:
     // round(rate * 65536) as 4 hex digits, string-compared
+    // md5-band split: cutoffs are the 16-bit grid points of the
+    // cumulative fractions (0.8 -> 0xcccd, 0.9 -> 0xe666), the same
+    // formula the engine compiles
+    "sample_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CASE

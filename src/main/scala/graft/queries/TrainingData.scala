@@ -141,6 +141,13 @@ object TrainingData {
       t(s, dir, "documents").select(col("doc_id"), col("lang")),
       "doc_id", "lang", alpha = 0.5, targetFraction = 0.5)
 
+  /** Deterministic 80/10/10 train/val/test split: md5-band assignment,
+    * a pure projection — stable, engine-portable, leakage-checkable. */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicSplit(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
   /** Deterministic epoch shuffle: stable pseudorandom order by
     * md5('epoch0' | doc_id), position from the distributed dense-id path. */
   def sampleShuffle(s: SparkSession, dir: String): DataFrame =

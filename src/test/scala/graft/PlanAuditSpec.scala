@@ -291,14 +291,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(aPlan).length <= 4,
       "asof chunked form: 1 full-data + 3 boundary-frame exchanges")
 
-    val range = SparkEntry.queries("range_points_regions")(spark, dir)
-    range.collect()
-    val rPlan = range.queryExecution.executedPlan.toString
+    // the forward twin shares the machinery; same join-free chunked shape
+    val fwd = SparkEntry.queries("asof_next_view")(spark, dir)
+    fwd.collect()
+    val fPlan = fwd.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    // the binning rewrite must keep a hash-joinable equi-join — a
-    // BroadcastNestedLoopJoin here means the BETWEEN leaked into the join
-    assert(!rPlan.contains("BroadcastNestedLoopJoin") &&
-      !rPlan.contains("CartesianProduct"),
-      s"range join fell back to nested loop:\n${rPlan.take(1200)}")
+    assert(!fPlan.contains("Join") && fPlan.contains("__chunk") &&
+      !fPlan.contains("No Partition Defined"),
+      "asof_next_view must run the join-free chunked form")
+
+    for (name <- Seq("range_points_regions", "range_interval_overlap")) {
+      val range = SparkEntry.queries(name)(spark, dir)
+      range.collect()
+      val rPlan = range.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // the binning rewrite must keep a hash-joinable equi-join — a
+      // BroadcastNestedLoopJoin here means the predicate leaked into the
+      // join
+      assert(!rPlan.contains("BroadcastNestedLoopJoin") &&
+        !rPlan.contains("CartesianProduct"),
+        s"$name fell back to nested loop:\n${rPlan.take(1200)}")
+    }
   }
 }

@@ -212,6 +212,37 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("No Partition Defined"))
   }
 
+  test("deterministic split: exact band replay, full cover, disjoint, stable") {
+    import graft.operators.Sampling
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = (1L to 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Sampling.deterministicSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    // every row labeled; driver-side exact band replay
+    assert(out.size == 2000)
+    (1L to 2000L).foreach { i =>
+      val h = md5hex(i.toString).substring(0, 4)
+      val want = if (h < "cccd") "train" else if (h < "e666") "val" else "test"
+      assert(out(i) == want, s"doc $i band $h")
+    }
+    // band proportions land near the fractions
+    val counts = out.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(math.abs(counts("train") - 1600) < 80, counts.toString)
+    assert(math.abs(counts("val") - 200) < 50, counts.toString)
+    // repartitioning never moves a row between splits
+    val again = Sampling.deterministicSplit(docs.repartition(7), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(again == out)
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("weighted sample: exact race replay, proportional-ish rates, invariances") {
     import graft.operators.Sampling
     def md5hex(s: String): String =
