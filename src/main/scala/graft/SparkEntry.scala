@@ -83,6 +83,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> (TrainingData.sketchKmvDistinct _),
     "asof_click_view" -> (StatsAndTime.asofClickView _),
     "asof_next_view" -> (StatsAndTime.asofNextView _),
+    "asof_nearest_view" -> (StatsAndTime.asofNearestView _),
     "range_points_regions" -> (OmicsQueries.rangePointsRegions _),
     "range_interval_overlap" -> (OmicsQueries.rangeIntervalOverlap _),
     "sketch_cm_tokens" -> (TrainingData.sketchCmTokens _),

@@ -175,4 +175,46 @@ object TimeJoins {
       .withColumn(leftTs, -col(leftTs))
       .withColumn(rightPrefix + rightTs, -col(rightPrefix + rightTs))
   }
+
+  /** Nearest as-of join: for each left row, the right row with the
+    * smallest |rightTs - leftTs| within the same key (sensor/tick
+    * alignment); equal gaps resolve to the AT-OR-BEFORE match. Composed
+    * as the backward pass feeding the forward pass — the backward
+    * output is exactly one row per left row, so its match columns ride
+    * along as ordinary left payload through the forward pass and the
+    * closer candidate is a projection at the end: NO join of the two
+    * result sets, two shuffles total (one per direction, each
+    * skew-proofable via `chunkWidth`).
+    *
+    * Output adds `rightPrefix + c` for each right column plus
+    * `rightPrefix + "from"` ("before" | "after" | null) naming the
+    * winning direction. `tolerance` bounds the winning |gap|.
+    * Integral timestamps only (the forward leg negates). */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTs: String, rightTs: String,
+                  tolerance: Option[Long] = None,
+                  rightPrefix: String = "asof_",
+                  chunkWidth: Option[Long] = None): DataFrame = {
+    val rCols = right.columns.filterNot(keyCols.contains).toSeq
+    val rOut = rightTs +: rCols.filterNot(_ == rightTs)
+    val b = asofBackward(left, right, keyCols, leftTs, rightTs,
+      tolerance = None, rightPrefix = "__b_", chunkWidth = chunkWidth)
+    val both = asofForward(b, right, keyCols, leftTs, rightTs,
+      tolerance = None, rightPrefix = "__f_", chunkWidth = chunkWidth)
+    val gapB = col(leftTs).cast("long") - col("__b_" + rightTs)
+    val gapF = col("__f_" + rightTs) - col(leftTs).cast("long")
+    val pickB = col("__b_" + rightTs).isNotNull &&
+      (col("__f_" + rightTs).isNull || gapB <= gapF)
+    val gap = when(pickB, gapB).otherwise(gapF)
+    val inTol = tolerance.fold(lit(true))(t => gap <= t)
+    val keep = keyCols ++ left.columns.filterNot(keyCols.contains)
+    both.select(keep.map(col) ++
+      rOut.map(c => when(inTol,
+        when(pickB, col("__b_" + c)).otherwise(col("__f_" + c)))
+        .as(rightPrefix + c)) :+
+      when(inTol && col("__b_" + rightTs).isNotNull || inTol &&
+          col("__f_" + rightTs).isNotNull,
+        when(pickB, "before").otherwise("after"))
+        .as(rightPrefix + "from"): _*)
+  }
 }

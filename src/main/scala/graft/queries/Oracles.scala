@@ -1324,6 +1324,48 @@ object Oracles {
         |    END AS view_value
         |FROM w WHERE side = 1""".stripMargin,
 
+    // nearest as-of: BOTH carry-forward windows (asc = at-or-before,
+    // desc = at-or-after) over one union, then pick the smaller gap,
+    // ties to before — the engine's two-pass composition replayed
+    "asof_nearest_view" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) AS vts, event_id AS vid,
+        |             value AS vval
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_ns(ts) AS cts, event_id AS cid
+        |      FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, vts AS uts, 0 AS side, vid, vts, vval,
+        |    NULL::BIGINT AS cid
+        |  FROM v
+        |  UNION ALL
+        |  SELECT user_id, cts, 1, NULL, NULL, NULL, cid FROM c),
+        |w AS (
+        |  SELECT user_id, uts, side, cid,
+        |    last_value(vid IGNORE NULLS) OVER wb AS bvid,
+        |    last_value(vts IGNORE NULLS) OVER wb AS bvts,
+        |    last_value(vval IGNORE NULLS) OVER wb AS bvval,
+        |    last_value(vid IGNORE NULLS) OVER wf AS fvid,
+        |    last_value(vts IGNORE NULLS) OVER wf AS fvts,
+        |    last_value(vval IGNORE NULLS) OVER wf AS fvval
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY uts, side, vid
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY user_id ORDER BY uts DESC, side, vid
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT user_id, uts, cid,
+        |    (bvts IS NOT NULL AND (fvts IS NULL OR uts - bvts <= fvts - uts))
+        |      AS pick_b,
+        |    bvid, bvts, bvval, fvid, fvts, fvval
+        |  FROM w WHERE side = 1)
+        |SELECT user_id, uts AS ts, cid AS event_id,
+        |  CASE WHEN pick_b THEN bvts ELSE fvts END AS view_ts,
+        |  CASE WHEN pick_b THEN bvid ELSE fvid END AS view_event_id,
+        |  CASE WHEN pick_b THEN bvval ELSE fvval END AS view_value,
+        |  CASE WHEN bvts IS NULL AND fvts IS NULL THEN NULL
+        |       WHEN pick_b THEN 'before' ELSE 'after' END AS view_from
+        |FROM p""".stripMargin,
+
     // KMV bottom-k replay: k smallest distinct md5s by rank; estimate
     // from the kth hash's 52-bit prefix, float ops mirrored
     "sketch_kmv_distinct" ->

@@ -148,4 +148,18 @@ object StatsAndTime {
       rightPrefix = "view_",
       chunkWidth = Some(86400L * 1000000000L))
   }
+
+  /** Nearest as-of: each click aligned to its closest view in either
+    * direction (gap ties resolve to at-or-before); chunked both legs. */
+  def asofNearestView(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    graft.operators.TimeJoins.asofNearest(
+      left = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      right = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      rightPrefix = "view_",
+      chunkWidth = Some(86400L * 1000000000L))
+  }
 }

@@ -712,6 +712,36 @@ class TimeJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asof nearest: min |gap|, tie to before, tolerance bounds the winner") {
+    for ((mode, cw) <- modes) {
+      val out = TimeJoins.asofNearest(left, right, Seq("user_id"), "ts", "ts",
+          rightPrefix = "n_", chunkWidth = cw)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          ((Option(r.getAs[java.lang.Long]("n_event_id")),
+            Option(r.getAs[String]("n_from"))))).toMap
+      // 900 @150: before 100 (gap 50) vs after 200 (gap 50) -> tie -> before
+      assert(out(900L) == ((Some(10L), Some("before"))), mode)
+      // 901 @200: exact hit, gap 0 both ways -> before, tie-max 12
+      assert(out(901L) == ((Some(12L), Some("before"))), mode)
+      // 902 @999: nothing after, before 200 wins
+      assert(out(902L) == ((Some(12L), Some("before"))), mode)
+      // 903 @499: nothing before, after 500 (gap 1)
+      assert(out(903L) == ((Some(20L), Some("after"))), mode)
+      // 904: no right side at all
+      assert(out(904L) == ((None, None)), mode)
+      // tolerance 10: only 901 (0) and 903 (1) survive
+      val tol = TimeJoins.asofNearest(left, right, Seq("user_id"), "ts", "ts",
+          tolerance = Some(10L), rightPrefix = "n_", chunkWidth = cw)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("n_event_id"))).toMap
+      assert(tol(901L) == Some(12L) && tol(903L) == Some(20L), mode)
+      assert(tol(900L) == None && tol(902L) == None, mode)
+      // exactly one output row per left row (no join fan-out)
+      assert(TimeJoins.asofNearest(left, right, Seq("user_id"), "ts", "ts",
+        chunkWidth = cw).count() == left.count(), mode)
+    }
+  }
+
   test("asof chunked: negative timestamps (div truncation) and equal-ts chunk edges") {
     val r = Seq((1L, -250L, 1L, 1.0), (1L, -100L, 2L, 2.0), (1L, 0L, 3L, 3.0),
       (1L, 100L, 4L, 4.0)).toDF("user_id", "ts", "event_id", "value")
