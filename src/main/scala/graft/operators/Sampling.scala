@@ -131,19 +131,26 @@ object Sampling {
     * the rank pass materializes its input once (localCheckpoint), which
     * is the price of an exact global k.
     *
-    * Rows with null or non-positive weight never sample (zero mass) and
-    * are dropped before the race. Returns the surviving rows with
-    * `raceCol` (the integer race key) and `rankCol` (1..k). */
+    * Rows with null, NaN or non-positive weight never sample (zero
+    * mass) and are dropped before the race; an INFINITE weight wins
+    * with certainty (ln clamps at +-700, past every finite double, so
+    * the key stays integral instead of tripping the ANSI NaN/overflow
+    * cast). Returns the surviving rows with `raceCol` (the integer race
+    * key) and `rankCol` (1..k). */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      rate: Double, raceCol: String = "race_micro",
                      rankCol: String = "sample_rank"): DataFrame = {
     require(rate > 0.0 && rate <= 1.0, s"rate must be in (0,1], got $rate")
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
       .cast("long").cast("double") + 0.5) / (1L << 52).toDouble
+    // the clamp is a no-op for every finite weight (|ln w| < 710), so
+    // it never perturbs the oracle replay — it only keeps +-Infinity
+    // weights integral
+    val lnW = greatest(least(log(col(weightCol)), lit(700.0)), lit(-700.0))
     val keyed = df
-      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn(raceCol,
-        round((log(-log(u)) - log(col(weightCol))) * 1e6).cast("long"))
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        !isnan(col(weightCol).cast("double")))
+      .withColumn(raceCol, round((log(-log(u)) - lnW) * 1e6).cast("long"))
     val ranked = graft.core.Ids.denseIds(keyed, Seq(raceCol, idCol), rankCol)
     // n reads off the already-materialized rank pass (max rank == count)
     val nRow = ranked.agg(max(col(rankCol))).collect().head

@@ -278,6 +278,12 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.weightedSample(df.repartition(7), "doc_id", "w", 0.25)
       .collect().map(r => (r.getLong(0), r.getAs[Long]("sample_rank"))).toSet
     assert(again == out.map(r => (r._1, r._3)).toSet)
+    // an infinite weight wins with certainty; NaN weights drop silently
+    val extreme = Seq((1L, 1.0), (2L, Double.PositiveInfinity),
+      (3L, Double.NaN), (4L, 1.0), (5L, 1.0)).toDF("doc_id", "w")
+    val kept = Sampling.weightedSample(extreme, "doc_id", "w", 0.25)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("sample_rank")))
+    assert(kept.toSeq == Seq((2L, 1L))) // ceil(0.25 * 4 live) = 1, inf first
   }
 
   test("pack sequences matches the single-window form; no global window in plan") {
