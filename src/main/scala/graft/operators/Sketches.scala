@@ -288,12 +288,15 @@ object Sketches {
     * runs merge losslessly via [[qsketchMerge]].
     *
     * Values must cast to BIGINT (fix scale upstream for decimals);
-    * Long.MinValue and nulls drop. */
+    * nulls, NaNs, Long.MinValue and out-of-range doubles DROP (try_cast
+    * — the reader-fuzz discipline: malformed cells never throw from
+    * scan tasks under ANSI mode). */
   def qsketchBuckets(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      subBits: Int = 7): DataFrame = {
     require(subBits >= 2 && subBits <= 16, s"subBits in [2,16], got $subBits")
     val small = 1L << subBits
-    df.select(groupCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+    df.select(groupCols.map(col) :+
+        expr(s"try_cast(`$valueCol` as bigint)").as("__v"): _*)
       .filter(col("__v").isNotNull && col("__v") =!= Long.MinValue)
       .withColumn("__a", abs(col("__v")))
       // e = floor(log2 a) via the binary string length: exact at any

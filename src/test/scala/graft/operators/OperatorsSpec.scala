@@ -1115,6 +1115,12 @@ class SketchesSpec extends SparkSpec {
       val (lo, w) = bucket(v)
       assert(lo <= v && v <= lo + w - 1, s"$v outside [$lo, ${lo + w - 1}]")
     }
+    // malformed doubles (NaN, +-Inf, past long range) DROP, never throw
+    val dirty = Seq(1.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1e300, 5.0).map(("g", _)).toDF("g", "v")
+    val cnt = Sketches.qsketchBuckets(dirty, Seq("g"), "v")
+      .agg(sum(col("cnt"))).collect().head.getLong(0)
+    assert(cnt == 2L)
   }
 
   test("qsketch: merge == one-shot; repartition/order-invariant; bounded rows") {
