@@ -208,13 +208,13 @@ object TimeJoins {
     val gap = when(pickB, gapB).otherwise(gapF)
     val inTol = tolerance.fold(lit(true))(t => gap <= t)
     val keep = keyCols ++ left.columns.filterNot(keyCols.contains)
+    val matched = col("__b_" + rightTs).isNotNull ||
+      col("__f_" + rightTs).isNotNull
     both.select(keep.map(col) ++
       rOut.map(c => when(inTol,
         when(pickB, col("__b_" + c)).otherwise(col("__f_" + c)))
         .as(rightPrefix + c)) :+
-      when(inTol && col("__b_" + rightTs).isNotNull || inTol &&
-          col("__f_" + rightTs).isNotNull,
-        when(pickB, "before").otherwise("after"))
+      when(inTol && matched, when(pickB, "before").otherwise("after"))
         .as(rightPrefix + "from"): _*)
   }
 }
