@@ -294,20 +294,20 @@ object Sketches {
   def qsketchBuckets(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      subBits: Int = 7): DataFrame = {
     require(subBits >= 2 && subBits <= 16, s"subBits in [2,16], got $subBits")
-    val small = 1L << subBits
+    // bucket bounds come from the native codegen expressions
+    // (Long.numberOfLeadingZeros + shifts — zero allocation inside
+    // whole-stage codegen); the CONTRACT they implement is the
+    // string-formulated floor(log2) both engines share, which the DuckDB
+    // oracle still replays bit-for-bit and the spec cross-checks
+    // driver-side at every magnitude
     df.select(groupCols.map(col) :+
         expr(s"try_cast(`$valueCol` as bigint)").as("__v"): _*)
       .filter(col("__v").isNotNull && col("__v") =!= Long.MinValue)
-      .withColumn("__a", abs(col("__v")))
-      // e = floor(log2 a) via the binary string length: exact at any
-      // magnitude (floor(log2(double)) flips at 2^k boundaries)
-      .withColumn("__sh", when(col("__a") < small, lit(0))
-        .otherwise(length(conv(col("__a").cast("string"), 10, 2)) - 1 - subBits))
-      .withColumn("__w", expr("shiftleft(cast(1 as bigint), __sh)"))
-      .withColumn("__lo", expr("shiftleft(__a div __w, __sh)"))
-      .withColumn("blo", when(col("__v") >= 0, col("__lo"))
-        .otherwise(-(col("__lo") + col("__w") - lit(1L))))
-      .groupBy((groupCols :+ "blo").map(col) :+ col("__w").as("bw"): _*)
+      .groupBy(groupCols.map(col) :+
+        graft.functions.SketchExpressions.qsketchLo(col("__v"), subBits)
+          .as("blo") :+
+        graft.functions.SketchExpressions.qsketchWidth(col("__v"), subBits)
+          .as("bw"): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 

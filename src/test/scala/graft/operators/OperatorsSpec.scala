@@ -1121,6 +1121,29 @@ class SketchesSpec extends SparkSpec {
     val cnt = Sketches.qsketchBuckets(dirty, Seq("g"), "v")
       .agg(sum(col("cnt"))).collect().head.getLong(0)
     assert(cnt == 2L)
+
+    // the native codegen expressions == the engine-portable STRING
+    // formulation (conv-to-binary log2) at random magnitudes — the
+    // contract the DuckDB oracle replays
+    val rnd = new scala.util.Random(5)
+    val vs = (values ++ (0 until 500).map(_ => rnd.nextLong()))
+      .filterNot(_ == Long.MinValue).map(Tuple1(_)).toDF("v")
+    val sqlForm =
+      """named_struct(
+        |  'slo', if(v >= 0,
+        |    shiftleft(abs(v) div shiftleft(cast(1 as bigint), sh), sh),
+        |    -(shiftleft(abs(v) div shiftleft(cast(1 as bigint), sh), sh)
+        |      + shiftleft(cast(1 as bigint), sh) - 1)),
+        |  'sw', shiftleft(cast(1 as bigint), sh))""".stripMargin
+    val mismatch = vs
+      .withColumn("sh", when(abs(col("v")) < 128, lit(0))
+        .otherwise(length(conv(abs(col("v")).cast("string"), 10, 2)) - 1 - 7))
+      .withColumn("s", expr(sqlForm))
+      .withColumn("nlo", graft.functions.SketchExpressions.qsketchLo(col("v"), 7))
+      .withColumn("nw", graft.functions.SketchExpressions.qsketchWidth(col("v"), 7))
+      .filter(col("s.slo") =!= col("nlo") || col("s.sw") =!= col("nw"))
+      .count()
+    assert(mismatch == 0L, "native bucketing diverged from the string contract")
   }
 
   test("qsketch: merge == one-shot; repartition/order-invariant; bounded rows") {
