@@ -87,6 +87,8 @@ object SparkEntry {
     "range_points_regions" -> (OmicsQueries.rangePointsRegions _),
     "range_interval_overlap" -> (OmicsQueries.rangeIntervalOverlap _),
     "sketch_cm_tokens" -> (TrainingData.sketchCmTokens _),
+    "sketch_heavy_hitters" -> (TrainingData.sketchHeavyHitters _),
+    "sketch_kmv_jaccard" -> (TrainingData.sketchKmvJaccard _),
     "sketch_quantile" -> (TrainingData.sketchQuantile _),
     "sketch_bloom_contains" -> (TrainingData.sketchBloomContains _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),

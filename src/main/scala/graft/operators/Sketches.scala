@@ -355,25 +355,149 @@ object Sketches {
     qsketchQuantiles(qsketchBuckets(df, groupCols, valueCol, subBits),
       groupCols, qs)
 
-  /** KMV distinct estimate per group: (groupCols..., n_kept, kth_hash,
-    * est_distinct). */
-  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  k: Int = 256): DataFrame = {
+  /** The raw per-group bottom-k sketch: (groupCols..., hashes) with
+    * `hashes` the sorted bottom-k distinct md5 hex strings of the
+    * group's values. The shared substrate for [[kmvDistinct]] and
+    * [[kmvOverlap]] — one bounded aggregate, map-side combinable. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Int = 256): DataFrame = {
     require(k >= 16, s"k must be >= 16, got $k")
     val bottomK = udaf(new BottomKAgg(k))
-    val hashes = col("__kmv").getField("hashes")
     df.select(groupCols.map(col) :+
         md5(col(valueCol).cast("string")).as("__h"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(bottomK(col("__h")).as("__kmv"))
-      .withColumn("n_kept", size(hashes).cast("long"))
-      .withColumn("kth_hash", element_at(hashes, -1))
-      .withColumn("est_distinct",
-        round(when(col("n_kept") < k, col("n_kept") * lit(1.0))
-          .otherwise(lit(k - 1) /
-            (conv(substring(col("kth_hash"), 1, 13), 16, 10).cast("long")
-              / lit(1L << 52))), 4))
-      .select(groupCols.map(col) ++
-        Seq(col("n_kept"), col("kth_hash"), col("est_distinct")): _*)
+      .select(groupCols.map(col) :+
+        col("__kmv").getField("hashes").as("hashes"): _*)
+  }
+
+  /** The (n_kept, kth_hash, est_distinct) estimate columns shared by the
+    * per-group and union sketches: exact n below k, else
+    * (k-1)/frac(kth smallest). */
+  private def kmvEstimate(hashes: org.apache.spark.sql.Column,
+                          k: Int): Seq[org.apache.spark.sql.Column] = {
+    val nKept = size(hashes).cast("long")
+    val kth = element_at(hashes, -1)
+    Seq(nKept.as("n_kept"), kth.as("kth_hash"),
+      round(when(nKept < k, nKept * lit(1.0))
+        .otherwise(lit(k - 1) /
+          (conv(substring(kth, 1, 13), 16, 10).cast("long")
+            / lit(1L << 52))), 4).as("est_distinct"))
+  }
+
+  /** KMV distinct estimate per group: (groupCols..., n_kept, kth_hash,
+    * est_distinct). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 256): DataFrame =
+    kmvSketch(df, groupCols, valueCol, k)
+      .select(groupCols.map(col) ++ kmvEstimate(col("hashes"), k): _*)
+
+  /** Pairwise set-overlap estimates between the groups of one column —
+    * corpus-overlap / contamination triage (how much does slice A share
+    * with slice B?) WITHOUT ever joining the underlying data: each group
+    * is reduced to its bounded KMV sketch first, and every pair estimate
+    * is a pure array fold over two <=k-hash sketches.
+    *
+    * The union sketch K(A union B) is the bottom-k of the two sketches'
+    * hash union (valid because the k smallest hashes of A union B are
+    * each among the k smallest of their own side), and for any hash in
+    * it, membership in A equals membership in K_A — so
+    * `both_cnt = |K(A u B) n A n B|` is exact, and
+    * `est_jaccard = both_cnt / |K(A u B)|` is the standard KMV Jaccard
+    * estimator (exact when the union has fewer than k distincts).
+    * est_intersection = est_jaccard * est_union.
+    *
+    * 100 TB shape: ONE bounded aggregate over the data (the sketch),
+    * then a groups^2-row broadcast self-join of sketch rows — the
+    * pair stage never touches the corpus, so 50 corpus slices cost 1225
+    * pair rows of k-array arithmetic, not 1225 data joins. Deterministic
+    * (md5) and engine-portable: the DuckDB oracle replays sketches,
+    * union ranks and every estimate bit-for-bit.
+    *
+    * Returns one row per unordered group pair (groupCol_a < groupCol_b):
+    * (groupCol_a, groupCol_b, n_kept, kth_hash, both_cnt, est_union,
+    * est_jaccard, est_intersection). */
+  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
+                 k: Int = 256): DataFrame = {
+    val sk = kmvSketch(df, Seq(groupCol), valueCol, k)
+    val a = sk.select(col(groupCol).as(s"${groupCol}_a"),
+      col("hashes").as("__ha"))
+    val b = sk.select(col(groupCol).as(s"${groupCol}_b"),
+      col("hashes").as("__hb"))
+    val ku = slice(array_sort(array_union(col("__ha"), col("__hb"))), 1, k)
+    a.join(broadcast(b), col(s"${groupCol}_a") < col(s"${groupCol}_b"))
+      // __ku is referenced three times below, so CollapseProject keeps it
+      // a real projected column — the sort/union runs once per pair
+      .withColumn("__ku", ku)
+      .withColumn("both_cnt", size(filter(col("__ku"), h =>
+        array_contains(col("__ha"), h) && array_contains(col("__hb"), h)))
+        .cast("long"))
+      .select(Seq(col(s"${groupCol}_a"), col(s"${groupCol}_b")) ++
+        kmvEstimate(col("__ku"), k) :+ col("both_cnt"): _*)
+      .withColumnRenamed("est_distinct", "est_union")
+      .withColumn("est_jaccard",
+        round(col("both_cnt") * lit(1.0) / col("n_kept"), 4))
+      .withColumn("est_intersection",
+        round(col("est_jaccard") * col("est_union"), 4))
+  }
+
+  /** EXACT heavy hitters (all values with count >= ceil(minShare * n))
+    * without a vocabulary-sized shuffle: the classic two-pass CM filter.
+    *
+    * Pass 1 builds the bounded Count-Min counter table (depth x width
+    * rows, map-side combinable) and collects it — the sketch, never the
+    * data. The exact row count n is sum(cnt)/depth (each row increments
+    * exactly one counter per hash row), so the threshold needs no extra
+    * scan. Hot buckets (cnt >= threshold) become a depth x width BIT
+    * MAP embedded as a literal — at the default 4 x 8192 that is 524
+    * longs, ~4 KB of task binary.
+    *
+    * Pass 2 re-scans and keeps a row only if ALL depth of its buckets
+    * are hot — a pure codegen'd filter, no join. CM estimates are upper
+    * bounds (est >= true count), so every true heavy hitter survives
+    * (no false negatives); false positives are removed by the exact
+    * count + final HAVING. The result is therefore EXACT and identical
+    * to a plain groupBy/HAVING — but the shuffle after the filter
+    * carries only candidate rows. At 100 TB a token count shuffles a
+    * web-scale long-tail vocabulary; here the tail dies map-side and
+    * only near-threshold values shuffle at all.
+    *
+    * Returns (valueCol, exact_count), one row per heavy hitter. Nulls
+    * are not candidates. Degenerate thresholds (minShare so low every
+    * bucket is hot) fall back to plain-groupBy behavior — correct,
+    * just unpruned. */
+  def cmHeavyHitters(df: DataFrame, valueCol: String, minShare: Double,
+                     depth: Int = 4, width: Int = 8192): DataFrame = {
+    require(minShare > 0.0 && minShare < 1.0,
+      s"minShare must be in (0,1), got $minShare")
+    val rows = df.filter(col(valueCol).isNotNull)
+    // bounded driver collect: the counter table, <= depth*width rows
+    val counters = cmSketch(rows, valueCol, depth, width)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val total = counters.map(_._3).sum / depth
+    val threshold = math.max(1L, math.ceil(minShare * total).toLong)
+    // 63 usable bits per word, same layout rationale as bloomBits
+    val wordsPerRow = (width + 62) / 63
+    val words = Array.fill(depth * wordsPerRow)(0L)
+    counters.foreach { case (j, bucket, cnt) =>
+      if (cnt >= threshold)
+        words(j * wordsPerRow + bucket / 63) |= (1L << (bucket % 63))
+    }
+    val wlit = typedLit(words.toSeq)
+    val withBuckets = rows.select(col(valueCol) +:
+      (0 until depth).map(j =>
+        cmBucket(col(valueCol), j, width).as(s"__b$j")): _*)
+    val probed = (0 until depth).foldLeft(withBuckets) { (d, j) =>
+      d.withColumn(s"__w$j",
+          element_at(wlit, expr(s"cast(__b$j div 63 as int) + ${j * wordsPerRow + 1}")))
+        .withColumn(s"__s$j", expr(s"cast(__b$j % 63 as int)"))
+    }
+    val hot = (0 until depth)
+      .map(j => expr(s"((__w$j >> __s$j) & 1) = 1"))
+      .reduce(_ && _)
+    probed.filter(hot)
+      .groupBy(col(valueCol))
+      .agg(count(lit(1)).as("exact_count"))
+      .filter(col("exact_count") >= threshold)
   }
 }

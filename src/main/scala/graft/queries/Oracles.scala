@@ -1198,6 +1198,50 @@ object Oracles {
         |    / greatest(cnt - 1, 1)::DOUBLE, 4) AS est
         |FROM x WHERE cume - cnt < tgt AND tgt <= cume""".stripMargin,
 
+    // the CM filter is exact by construction (no false negatives +
+    // exact recount), so the oracle is the PLAIN groupBy/HAVING with no
+    // sketch internals — any CM bug that loses a heavy hitter fails here
+    "sketch_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+        |FROM toks GROUP BY 1
+        |HAVING count(*) >= greatest(1,
+        |  CAST(ceil(0.02 * (SELECT n FROM tot)) AS BIGINT))""".stripMargin,
+
+    // replays the union-of-sketches rank math: bottom-64 of each pair's
+    // distinct-hash union with per-side membership flags
+    "sketch_kmv_jaccard" ->
+      """WITH h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+        |langs AS (SELECT DISTINCT lang FROM documents),
+        |pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+        |          FROM langs a JOIN langs b ON a.lang < b.lang),
+        |uh AS (
+        |  SELECT p.lang_a, p.lang_b, h.h,
+        |    max(CASE WHEN h.lang = p.lang_a THEN 1 ELSE 0 END) AS ina,
+        |    max(CASE WHEN h.lang = p.lang_b THEN 1 ELSE 0 END) AS inb
+        |  FROM pairs p JOIN h ON h.lang IN (p.lang_a, p.lang_b)
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang_a, lang_b
+        |        ORDER BY h) AS rn FROM uh),
+        |agg AS (
+        |  SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_kept,
+        |    max(h) AS kth_hash, CAST(sum(ina * inb) AS BIGINT) AS both_cnt
+        |  FROM r WHERE rn <= 64 GROUP BY 1, 2),
+        |est AS (
+        |  SELECT *,
+        |    round(CASE WHEN n_kept < 64 THEN n_kept * 1.0
+        |      ELSE 63 / (CAST(('0x' || substr(kth_hash, 1, 13)) AS BIGINT)
+        |                 / (1::BIGINT << 52)) END, 4) AS est_union,
+        |    round(both_cnt * 1.0 / n_kept, 4) AS est_jaccard
+        |  FROM agg)
+        |SELECT lang_a, lang_b, n_kept, kth_hash, both_cnt, est_union,
+        |  est_jaccard, round(est_jaccard * est_union, 4) AS est_intersection
+        |FROM est""".stripMargin,
+
     "sketch_cm_tokens" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),

@@ -332,6 +332,29 @@ object TrainingData {
       .drop("probe")
   }
 
+  /** EXACT heavy-hitter tokens (count >= 2% of all tokens) through the
+    * two-pass Count-Min filter: the tail dies map-side against the
+    * hot-bucket bitmap before any shuffle, and the final exact count +
+    * HAVING makes the result identical to a plain groupBy — so the
+    * DuckDB oracle is the plain groupBy/HAVING, no sketch internals. */
+  def sketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, lower}
+    val toks = t(s, dir, "documents").select(
+      explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+        .as("term"))
+    graft.operators.Sketches.cmHeavyHitters(toks, "term", minShare = 0.02)
+  }
+
+  /** Pairwise corpus overlap between language slices (distinct-text
+    * Jaccard/intersection) from per-group KMV sketches — no data-level
+    * join; k=64 so the union sketches saturate and the kth-hash
+    * estimator genuinely fires at gate scale. Hash-gated including the
+    * float estimates: the DuckDB oracle replays sketch ranks, union
+    * bottom-k and both-side membership bit-for-bit. */
+  def sketchKmvJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvOverlap(
+      t(s, dir, "documents"), "lang", "text", k = 64)
+
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every
     * iteration, which makes the trained centroids engine-portable — the

@@ -269,6 +269,34 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("No Partition Defined"), s"$name leaked a window")
       assert(!plan.contains("CartesianProduct"), s"$name grew a cartesian")
     }
+
+    // the two-pass CM heavy-hitter filter: pass 2 is a literal-bitmap
+    // FILTER + exact count — one scan in the final plan (pass 1 already
+    // ran at build time to collect the counters), and never a join
+    val hh = SparkEntry.queries("sketch_heavy_hitters")(spark, dir)
+    hh.collect()
+    val hhPlan = hh.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(hhPlan).length == 1,
+      "heavy hitters pass 2 must be one corpus scan")
+    assert(!hhPlan.contains("Join"),
+      "heavy hitters pass 2 must filter against the literal bitmap, not join")
+    assert(hhPlan.contains("partial_count"),
+      "heavy hitters lost map-side partials")
+
+    // kmv overlap: one corpus scan into the bounded sketch aggregate;
+    // the pair stage is a BROADCAST join of sketch rows, never data
+    val ko = SparkEntry.queries("sketch_kmv_jaccard")(spark, dir)
+    ko.collect()
+    val koPlan = ko.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(koPlan).length <= 2,
+      "kmv overlap: sketch built from at most the two sketch-side scans")
+    assert(koPlan.contains("BroadcastNestedLoopJoin") ||
+      koPlan.contains("BroadcastHashJoin"),
+      "kmv overlap pair stage must broadcast the sketch rows")
+    assert(!koPlan.contains("CartesianProduct"),
+      "kmv overlap must not cartesian the data")
   }
 
   test("asof/range joins: equi-join shapes, no nested-loop or cartesian") {

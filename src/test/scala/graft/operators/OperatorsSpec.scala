@@ -1208,6 +1208,92 @@ class SketchesSpec extends SparkSpec {
       a.unionAll(b), Seq("lang"), "text").collect().head
     assert(merged == oneShot)
   }
+
+  test("cm heavy hitters: exact vs brute force on a long tail; tail pruned") {
+    // 5 hot values x500 + 5000 singletons: threshold 0.02*7500 = 150
+    val values = (0 until 5).flatMap(i => Seq.fill(500)(s"hot-$i")) ++
+      (0 until 5000).map(i => s"rare-$i")
+    val df = values.map(Tuple1(_)).toDF("term")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.cmHeavyHitters(d, "term", minShare = 0.02)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val got = run(df)
+    val brute = values.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 150L).toSeq.sorted
+    assert(got == brute)
+    assert(run(df.repartition(13)) == got)
+    // the CM pre-filter genuinely prunes: at width 8192 over a 5005-term
+    // vocab, almost no singleton's FOUR buckets are all hot — the exact
+    // count aggregate sees a candidate set, not the vocabulary
+    val counters = Sketches.cmSketch(df, "term", 4, 8192)
+    val candidates = Sketches.cmEstimate(counters,
+        values.distinct.map(Tuple1(_)).toDF("term"), "term")
+      .filter(col("est_count") >= 150L).count()
+    assert(candidates < 100L,
+      s"CM filter should prune the 5005-term vocab, kept $candidates")
+  }
+
+  test("cm heavy hitters: threshold edge is >= ceil; no join in the plan") {
+    // total 19, ceil(0.5*19) = 10: 'a' (10) is in, 'b' (9) is out
+    val df = (Seq.fill(10)("a") ++ Seq.fill(9)("b")).map(Tuple1(_))
+      .toDF("term")
+    val hh = Sketches.cmHeavyHitters(df, "term", minShare = 0.5)
+    assert(hh.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 10L)))
+    // the pass-2 filter is a literal-bitmap predicate, never a join
+    assert(!hh.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
+  test("kmv overlap: exact below k; jaccard 0/1 edges") {
+    val df = (Seq("a", "b", "c", "d").map(("g1", _)) ++
+      Seq("c", "d", "e").map(("g2", _)) ++
+      Seq("c", "d", "e").map(("g3", _)) ++
+      Seq("x", "y").map(("g4", _))).toDF("lang", "text")
+    val got = Sketches.kmvOverlap(df, "lang", "text", k = 16)
+      .collect().map(r => (r.getAs[String]("lang_a"), r.getAs[String]("lang_b")) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("both_cnt"),
+          r.getAs[Double]("est_union"), r.getAs[Double]("est_jaccard"),
+          r.getAs[Double]("est_intersection"))).toMap
+    assert(got.size == 6)
+    // |g1 u g2| = 5, |g1 n g2| = 2 — everything exact below k
+    assert(got(("g1", "g2")) == ((5L, 2L, 5.0, 0.4, 2.0)))
+    // identical sets: jaccard exactly 1, intersection = union
+    assert(got(("g2", "g3")) == ((3L, 3L, 3.0, 1.0, 3.0)))
+    // disjoint sets: jaccard exactly 0
+    assert(got(("g1", "g4")) == ((6L, 0L, 6.0, 0.0, 0.0)))
+  }
+
+  test("kmv overlap: saturated sketches replay exactly; match union sketch") {
+    // 900 + 900 values sharing 300: both sketches saturate at k=64
+    val aVals = (0 until 900).map(i => s"doc-$i")
+    val bVals = (600 until 1500).map(i => s"doc-$i")
+    val df = (aVals.map(("a", _)) ++ bVals.map(("b", _))).toDF("lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvOverlap(d, "lang", "text", k = 64).collect().map(r =>
+        (r.getAs[Long]("n_kept"), r.getAs[String]("kth_hash"),
+          r.getAs[Long]("both_cnt"), r.getAs[Double]("est_union"),
+          r.getAs[Double]("est_jaccard"))).head
+    val got = run(df)
+    // driver-side exact replay: bottom-64 of the union's distinct hashes,
+    // membership per side read off the ORIGINAL sets
+    val aH = aVals.map(md5hex).toSet
+    val bH = bVals.map(md5hex).toSet
+    val ku = (aH ++ bH).toSeq.sorted.take(64)
+    val kth = ku.last
+    val both = ku.count(h => aH(h) && bH(h)).toLong
+    val frac = java.lang.Long.parseLong(kth.substring(0, 13), 16).toDouble /
+      (1L << 52)
+    def r4(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((64L, kth, both, r4(63 / frac), r4(both * 1.0 / 64))))
+    assert(run(df.repartition(9)) == got)
+    // the pair's union sketch IS the sketch of the union: est_union must
+    // equal kmvDistinct over the concatenated data
+    val unionEst = Sketches.kmvDistinct(
+      df.drop("lang").withColumn("lang", lit("u")), Seq("lang"), "text",
+      k = 64).collect().head.getAs[Double]("est_distinct")
+    assert(got._4 == unionEst)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
