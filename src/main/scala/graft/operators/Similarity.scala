@@ -81,6 +81,31 @@ object Similarity {
     }
   }
 
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions with
+    * the SAME deterministic md5 Rademacher signs as [[hyperplaneSigns]]:
+    * proj[j] = round(dot(vec, signs_j) / sqrt(outDim), 6). Dense +/-1
+    * entries satisfy the JL lemma (Achlioptas 2003) — pairwise distances
+    * and cosines are preserved to ~1/sqrt(outDim) — so downstream
+    * LSH / brute-force / IVF stages run on outDim floats per row instead
+    * of `dim`.
+    *
+    * 100 TB shape: the projection is ONE narrow map pass — outDim native
+    * codegen'd dot products per row against literal planes, no shuffle,
+    * no state. Projecting 1024-dim embeddings to 64 before the pair
+    * stage cuts every downstream distance fold and shuffle payload 16x;
+    * the 6-dp rounding makes the projected vectors engine-portable (the
+    * DuckDB oracle replays signs and sequential-order dots exactly). */
+  def randomProjection(df: DataFrame, vecCol: String, outDim: Int,
+                       dim: Int, outCol: String = "proj"): DataFrame = {
+    require(outDim >= 1 && outDim <= dim,
+      s"outDim must be in [1, dim=$dim], got $outDim")
+    val planes = hyperplaneSigns(outDim, dim)
+    val scale = math.sqrt(outDim.toDouble)
+    df.withColumn(outCol, array(planes.zipWithIndex.map { case (p, j) =>
+      round(dot(col(vecCol), array(p.map(lit): _*)) / scale, 6)
+    }: _*))
+  }
+
   /** LSH bucket id: bit j set iff dot(vec, plane_j) > 0. */
   def lshBucket(vecCol: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>

@@ -1810,6 +1810,22 @@ object Oracles {
         |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
         |FROM rk WHERE rn <= 10""".stripMargin),
 
+    // sequential-order list_sum matches the native dot's ascending-index
+    // accumulation (same contract EmbCosine relies on); signs replay the
+    // md5 Rademacher convention of hyperplaneSigns
+    "embed_project" ->
+      """WITH signs AS (
+        |  SELECT j, i,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |           substring(md5(j::VARCHAR || '_' || (i - 1)::VARCHAR), 1, 1)) - 1 < 8
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM unnest(range(0, 16)) p(j), unnest(range(1, 65)) d(i)),
+        |sl AS (SELECT j, list(s ORDER BY i) AS sl FROM signs GROUP BY 1)
+        |SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |  round(list_sum(list_transform(range(1, 65),
+        |    i -> embedding[i]::DOUBLE * sl[i])) / sqrt(16), 6) AS comp
+        |FROM embeddings CROSS JOIN sl""".stripMargin,
+
     "ann_lsh_buckets" ->
       """WITH signs AS (
         |  SELECT j, i,

@@ -355,6 +355,20 @@ object TrainingData {
     graft.operators.Sketches.kmvOverlap(
       t(s, dir, "documents"), "lang", "text", k = 64)
 
+  /** Johnson-Lindenstrauss projection of the 64-dim embeddings to 16
+    * dims (md5 Rademacher signs, native dots, one narrow pass) — the
+    * dimensionality-reduction step ahead of ANN/LSH at scale. Exploded
+    * to (vec_id, j, comp) scalars and hash-gated: the DuckDB oracle
+    * replays signs and sequential-order dot sums exactly. */
+  def embedProject(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    graft.operators.Similarity.randomProjection(
+        t(s, dir, "embeddings"), "embedding", outDim = 16, dim = 64)
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        col("col").as("comp"))
+  }
+
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every
     * iteration, which makes the trained centroids engine-portable — the

@@ -1503,6 +1503,47 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.map(_._1).toSet == Set(2L, 4L, 6L))
     assert(pruned.forall(_._2 == 0.0))
   }
+
+  test("random projection: driver replay, no shuffle, cosine preserved") {
+    // deterministic synthetic vectors, 32-dim -> 8-dim
+    val dim = 32
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjection(vecs, "embedding",
+      outDim = 8, dim = dim)
+    // shape + driver-side exact replay of the sign dot for one row
+    val planes = Similarity.hyperplaneSigns(8, dim)
+    val got = proj.filter($"vec_id" === 3).select($"proj").collect()
+      .head.getSeq[Double](0)
+    val raw = vecs.filter($"vec_id" === 3).select($"embedding").collect()
+      .head.getSeq[Float](0)
+    val want = planes.map { p =>
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += raw(d).toDouble * p(d); d += 1 }
+      BigDecimal(s / math.sqrt(8.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == want)
+    // one narrow map pass: no exchange in the plan
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"),
+      "projection must not shuffle")
+    // JL: cosines in the projected space track the originals (loose
+    // bound — the guarantee is ~1/sqrt(outDim))
+    def cosines(d: org.apache.spark.sql.DataFrame, c: String) = d.as("a")
+      .join(d.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        Similarity.cosine(col(s"a.$c"), col(s"b.$c")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val orig = cosines(vecs, "embedding")
+    val after = cosines(proj, "proj")
+    val errs = orig.map { case (k, v) => math.abs(after(k) - v) }
+    assert(errs.max < 0.75 && errs.sum / errs.size < 0.25,
+      s"projected cosines drifted: mean ${errs.sum / errs.size} max ${errs.max}")
+  }
 }
 
 class ZScoreSpec extends SparkSpec {
