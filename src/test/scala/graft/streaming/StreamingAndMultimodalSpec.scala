@@ -211,6 +211,37 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("CM counters are a standard streaming aggregate; stream == batch") {
+    // counter sums are a plain streaming count-aggregate, so the SAME
+    // cmSketch call sketches a live stream; heavy-hitter candidacy and
+    // point estimates come from batch-side probes over the sink — the
+    // incremental-ingest shape (build the day's sketch on the stream,
+    // mine it offline)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val toks = (0 until 300).map(i => s"hot-${i % 3}") ++
+      (0 until 200).map(i => s"rare-$i")
+    val mem = MemoryStream[String]
+    val q = Sketches.cmSketch(mem.toDF().toDF("term"), "term",
+        depth = 4, width = 256)
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    mem.addData(toks.take(200): _*)
+    q.processAllAvailable()
+    mem.addData(toks.drop(200): _*)
+    q.processAllAvailable()
+    val probes = Seq("hot-0", "hot-1", "rare-5", "never").map(Tuple1(_))
+      .toDF("term")
+    def est(counters: org.apache.spark.sql.DataFrame) =
+      Sketches.cmEstimate(counters, probes, "term", depth = 4, width = 256)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = est(spark.table("cm_stream"))
+    val batch = est(Sketches.cmSketch(toks.map(Tuple1(_)).toDF("term"),
+      "term", depth = 4, width = 256))
+    assert(streamed == batch)
+    q.stop()
+  }
+
   test("streaming as-of == batch as-of over event-time-ordered micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // three users incl. a hot one; equal-ts ties; shuffled WITHIN batches,
