@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (TrainingData.dedupMinhashLsh _),
     "dedup_two_stage" -> (TrainingData.dedupTwoStage _),
+    "dedup_incremental" -> (TrainingData.dedupIncremental _),
     "dedup_simhash" -> (TrainingData.dedupSimhash _),
     "dedup_simhash_pairs" -> (TrainingData.dedupSimhashPairs _),
     "dedup_clusters" -> (TrainingData.dedupClusters _),

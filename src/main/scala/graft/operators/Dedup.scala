@@ -222,33 +222,60 @@ object Dedup {
     * confined to candidates. The md5-per-seed relational build
     * ([[minhashSignatures]] / [[graft.functions.TextHash.minhash]]) is
     * kept as the spec's in-engine cross-check of the signature shape. */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int, numHashes: Int, rowsPerBand: Int,
-                 threshold: Double): DataFrame = {
+  /** (doc_id, band, band_key) per document — the LSH candidate key
+    * projection shared by [[minhashLsh]] and [[incrementalDedup]].
+    *
+    * No isNotNull filter on mh itself: that predicate pushes below the
+    * projection and re-evaluates the signature expression per corpus row
+    * inside the scan filter. Instead the band key is null when mh is null
+    * (shingle-less doc) and the cheap attribute filter after the explode
+    * drops those rows.
+    *
+    * `checkpointSig` materializes the signature frame ONCE (lazy
+    * localCheckpoint, ~1 KB/doc: id + numHashes longs) for callers that
+    * consume the bands TWICE (the self-join in [[minhashLsh]] — the r7
+    * defect: Catalyst expands a twice-referenced subtree into two full
+    * copies, and exchange reuse does not bridge differently-pruned
+    * subtrees). Single-consumer callers skip it. */
+  private def bandFrame(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int, rowsPerBand: Int,
+                        checkpointSig: Boolean): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    // no isNotNull filter on mh itself: that predicate pushes below this
-    // projection and re-evaluates the signature expression per corpus row
-    // inside the scan filter. Instead the band key is null when mh is null
-    // (shingle-less doc) and the cheap attribute filter after the explode
-    // drops those rows.
-    // signature frame materialized ONCE (lazy localCheckpoint, ~1 KB/doc:
-    // id + numHashes longs): the band-key self-join below reads blocks
-    // twice instead of re-running the full-corpus signature scan per side
-    // (the r7 defect — Catalyst expands a twice-referenced subtree into
-    // two full copies, and exchange reuse does not bridge
-    // differently-pruned subtrees)
-    val sig = docs.select(col(idCol).as("doc_id"),
-        graft.functions.TextHash.minhashU64(col(textCol), n, numHashes).as("mh"))
-      .localCheckpoint(false)
+    val sigRaw = docs.select(col(idCol).as("doc_id"),
+      graft.functions.TextHash.minhashU64(col(textCol), n, numHashes).as("mh"))
+    val sig = if (checkpointSig) sigRaw.localCheckpoint(false) else sigRaw
     val bandCols = (0 until nBands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(j => col("mh").getItem(j))
       struct(lit(b).as("band"),
         when(col("mh").isNotNull, md5(concat_ws("|", slice: _*))).as("band_key"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
       .filter(col("band_key").isNotNull)
+  }
+
+  /** (doc_id, n_shingles, shingle) with the per-doc DISTINCT-shingle
+    * count folded into the exploded frame (size-before-explode IS the
+    * Jaccard set size), shared by the verify stages.
+    * explode_OUTER on purpose: plain explode makes Catalyst infer
+    * `size(arr) > 0 AND isnotnull(arr)` and push it below an upstream
+    * semi-join, re-evaluating the shingle expression for EVERY corpus row
+    * — the outer variant infers nothing, shingle-less docs surface one
+    * null row, and the cheap attribute filter drops it post-explode. */
+  private def shingleSizes(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextHash.shingles(col(textCol), n).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).as("n_shingles"),
+        explode_outer(col("__sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int, numHashes: Int, rowsPerBand: Int,
+                 threshold: Double): DataFrame = {
+    val bands = bandFrame(docs, idCol, textCol, n, numHashes, rowsPerBand,
+      checkpointSig = true)
     // candidate pairs via a band-key SELF-JOIN over the checkpointed
     // signatures, not a groupBy+collect_list per bucket: a degenerate
     // band bucket (boilerplate texts with equal band keys — a certainty
@@ -278,22 +305,11 @@ object Dedup {
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
     val candTexts = docs.join(candDocs, Seq(idCol), "left_semi")
-    // per-doc shingle count folded INTO the exploded frame (shingles are
-    // DISTINCT per doc, so size-before-explode is the Jaccard set size):
-    // the pair aggregate carries both sides' sizes and the two join-backs
-    // of the old shape — each re-deriving candTexts — disappear
-    // explode_OUTER on purpose: plain explode makes Catalyst infer
-    // `size(arr) > 0 AND isnotnull(arr)` and push it below the semi-join,
-    // re-evaluating the shingle expression for EVERY corpus row (seen in
-    // the executed plan as wordshingles inside the parquet-scan filter) —
-    // the outer variant infers nothing, shingle-less docs surface one null
-    // row, and the cheap attribute filter below drops it post-explode
-    val sh = candTexts
-      .select(col(idCol).as("doc_id"),
-        graft.functions.TextHash.shingles(col(textCol), n).as("__sh"))
-      .select(col("doc_id"), size(col("__sh")).as("n_shingles"),
-        explode_outer(col("__sh")).as("shingle"))
-      .filter(col("shingle").isNotNull)
+    // per-doc shingle count folded INTO the exploded frame: the pair
+    // aggregate carries both sides' sizes and the two join-backs of the
+    // old shape — each re-deriving candTexts — disappear (explode_outer
+    // rationale at [[shingleSizes]])
+    val sh = shingleSizes(candTexts, idCol, textCol, n)
     val a = sh.select(col("doc_id").as("doc_a"),
       col("n_shingles").as("size_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"),
@@ -309,6 +325,98 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental curation: screen a NEW batch of documents against an
+    * already-curated HISTORY — the daily-ingest shape of a corpus
+    * pipeline. The self-join dedup family answers "which docs duplicate
+    * each other"; this answers "which NEW docs duplicate what we already
+    * kept", and NOTHING ever pairs history with itself.
+    *
+    * Verdict per batch doc:
+    *   - "exact": whitespace-normalized fingerprint matches a history doc
+    *     (matched_id = the smallest such history id, jaccard null);
+    *   - "near": a MinHash band collision with history verified at
+    *     jaccard >= threshold (matched_id = smallest verified history id,
+    *     jaccard = that pair's value, rounded 6 dp). Exact dups are not
+    *     re-screened — the near stage sees survivors only, as in
+    *     [[twoStage]];
+    *   - "keep": neither; matched_id and jaccard null.
+    *
+    * 100 TB shape: history is touched by exactly two bounded projections
+    * — the fingerprint aggregate (one row per distinct text) and the band
+    * projection (nBands rows/doc), BOTH pure functions of the text that a
+    * production ledger would precompute and store, turning every later
+    * batch into joins against small cached tables. Candidate generation
+    * is the asymmetric batch-bands x history-bands equi-join: pair volume
+    * scales with batch size x collision rate, never with |history|^2, and
+    * AQE skew-splits a hot band key as in [[minhashLsh]]. Shingle
+    * verification touches only collision survivors on BOTH sides (the
+    * LSH contract). */
+  def incrementalDedup(history: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int, numHashes: Int, rowsPerBand: Int,
+                       threshold: Double): DataFrame = {
+    val hExact = history
+      .select(col(idCol).as("__h_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .groupBy(col("__fp")).agg(min(col("__h_id")).as("__h_exact"))
+    val screened = batch
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .join(hExact, Seq("__fp"), "left")
+      .select(col("doc_id"), col("__h_exact"))
+      // two consumers (survivor filter + final assembly): materialize the
+      // batch-sized (id, match) frame once, not the fingerprint join twice
+      .localCheckpoint(false)
+    val batchLive = batch.join(
+      screened.filter(col("__h_exact").isNull).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+    val bBands = bandFrame(batchLive, idCol, textCol, n, numHashes,
+        rowsPerBand, checkpointSig = false)
+      .select(col("doc_id").as("__b_id"), col("band"), col("band_key"))
+    val hBands = bandFrame(history, idCol, textCol, n, numHashes,
+        rowsPerBand, checkpointSig = false)
+      .select(col("doc_id").as("__h_id"), col("band"), col("band_key"))
+    // three consumers (two candidate-doc sets + the verify semi-join):
+    // checkpoint the (tiny, LSH contract) pair list
+    val cand = bBands.join(hBands, Seq("band", "band_key"))
+      .select(col("__b_id"), col("__h_id")).distinct()
+      .localCheckpoint(false)
+
+    val shB = shingleSizes(batchLive.join(
+        cand.select(col("__b_id").as(idCol)).distinct(), Seq(idCol), "left_semi"),
+      idCol, textCol, n)
+    val shH = shingleSizes(history.join(
+        cand.select(col("__h_id").as(idCol)).distinct(), Seq(idCol), "left_semi"),
+      idCol, textCol, n)
+    val near = shB.select(col("doc_id").as("__b_id"),
+        col("n_shingles").as("__size_b"), col("shingle"))
+      .join(shH.select(col("doc_id").as("__h_id"),
+        col("n_shingles").as("__size_h"), col("shingle")), "shingle")
+      .join(cand, Seq("__b_id", "__h_id"), "left_semi")
+      .groupBy(col("__b_id"), col("__h_id"))
+      .agg(count(lit(1)).as("__c"),
+        max(col("__size_b")).as("__size_b"),
+        max(col("__size_h")).as("__size_h"))
+      .withColumn("__j", col("__c").cast("double") /
+        (col("__size_b") + col("__size_h") - col("__c")).cast("double"))
+      .filter(col("__j") >= threshold)
+      // deterministic match: the SMALLEST verified history id carries its
+      // jaccard (struct min orders by the leading field)
+      .groupBy(col("__b_id"))
+      .agg(min(struct(col("__h_id"), col("__j"))).as("__m"))
+      .select(col("__b_id"), col("__m").getField("__h_id").as("__h_near"),
+        round(col("__m").getField("__j"), 6).as("__j_near"))
+
+    screened.join(near, col("doc_id") === col("__b_id"), "left")
+      .select(col("doc_id"),
+        when(col("__h_exact").isNotNull, lit("exact"))
+          .when(col("__h_near").isNotNull, lit("near"))
+          .otherwise(lit("keep")).as("verdict"),
+        coalesce(col("__h_exact"), col("__h_near")).as("matched_id"),
+        col("__j_near").as("jaccard"))
   }
 
   /** Benchmark decontamination: per corpus document, how many of its word

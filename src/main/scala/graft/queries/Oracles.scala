@@ -1485,6 +1485,88 @@ object Oracles {
         |JOIN g ga ON doc_a = ga.keep_id JOIN g gb ON doc_b = gb.keep_id
         |WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.5""".stripMargin,
 
+    // asymmetric batch-vs-history screen: exact fingerprint first, then
+    // MinHash bands of the SURVIVING batch docs against history bands,
+    // shingle-verified; matched_id = smallest matching history id (for
+    // near: row_number over h_id mirrors Spark's struct-min)
+    "dedup_incremental" ->
+      """WITH hist AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        |bat AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        |hfp AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |    min(doc_id) AS h_exact
+        |  FROM hist GROUP BY 1),
+        |scr AS (
+        |  SELECT b.doc_id, h.h_exact
+        |  FROM bat b LEFT JOIN hfp h
+        |    ON md5(lower(trim(regexp_replace(b.text, '\s+', ' ', 'g')))) = h.fp),
+        |liveb AS (
+        |  SELECT b.* FROM bat b JOIN scr ON b.doc_id = scr.doc_id
+        |  WHERE scr.h_exact IS NULL),
+        |tok_h AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) AS t FROM hist),
+        |sh_h AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        |  FROM tok_h WHERE len(t) >= 3),
+        |tok_b AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) AS t FROM liveb),
+        |sh_b AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        |  FROM tok_b WHERE len(t) >= 3),
+        |mh_h AS (
+        |  SELECT doc_id, j,
+        |    min((md5_number_lower(shingle)::HUGEINT
+        |         + j * md5_number_upper(shingle)::HUGEINT)
+        |        % 18446744073709551616) AS minhash
+        |  FROM sh_h, unnest(range(0, 8)) s(j) GROUP BY 1, 2),
+        |mh_b AS (
+        |  SELECT doc_id, j,
+        |    min((md5_number_lower(shingle)::HUGEINT
+        |         + j * md5_number_upper(shingle)::HUGEINT)
+        |        % 18446744073709551616) AS minhash
+        |  FROM sh_b, unnest(range(0, 8)) s(j) GROUP BY 1, 2),
+        |bands_h AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    md5(string_agg(minhash::VARCHAR, '|' ORDER BY j)) AS band_key
+        |  FROM mh_h GROUP BY 1, 2),
+        |bands_b AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    md5(string_agg(minhash::VARCHAR, '|' ORDER BY j)) AS band_key
+        |  FROM mh_b GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT b.doc_id AS b_id, h.doc_id AS h_id
+        |  FROM bands_b b JOIN bands_h h
+        |    ON b.band = h.band AND b.band_key = h.band_key),
+        |common AS (
+        |  SELECT b.doc_id AS b_id, h.doc_id AS h_id, count(*) AS c
+        |  FROM sh_b b JOIN sh_h h ON b.shingle = h.shingle
+        |  JOIN cand ON b.doc_id = cand.b_id AND h.doc_id = cand.h_id
+        |  GROUP BY 1, 2),
+        |sizes_h AS (SELECT doc_id, count(*) AS n FROM sh_h GROUP BY 1),
+        |sizes_b AS (SELECT doc_id, count(*) AS n FROM sh_b GROUP BY 1),
+        |near0 AS (
+        |  SELECT c.b_id, c.h_id,
+        |    c.c::DOUBLE / (sb.n + sh2.n - c.c)::DOUBLE AS j
+        |  FROM common c
+        |  JOIN sizes_b sb ON c.b_id = sb.doc_id
+        |  JOIN sizes_h sh2 ON c.h_id = sh2.doc_id
+        |  WHERE c.c::DOUBLE / (sb.n + sh2.n - c.c)::DOUBLE >= 0.5),
+        |near AS (
+        |  SELECT b_id, h_id AS h_near, round(j, 6) AS j_near
+        |  FROM near0
+        |  QUALIFY row_number() OVER (PARTITION BY b_id ORDER BY h_id) = 1)
+        |SELECT scr.doc_id,
+        |  CASE WHEN scr.h_exact IS NOT NULL THEN 'exact'
+        |       WHEN near.h_near IS NOT NULL THEN 'near'
+        |       ELSE 'keep' END AS verdict,
+        |  coalesce(scr.h_exact, near.h_near) AS matched_id,
+        |  near.j_near AS jaccard
+        |FROM scr LEFT JOIN near ON scr.doc_id = near.b_id""".stripMargin,
+
     "dedup_minhash_lsh" -> (ShingleCte +
       """, mh AS (
         |  -- double-hashed MinHash (TextHash.minhashU64): one md5 per

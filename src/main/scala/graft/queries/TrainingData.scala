@@ -37,6 +37,18 @@ object TrainingData {
     Dedup.minhashLsh(tp(s, dir, "documents"), "doc_id", "text",
       n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
 
+  /** Incremental curation: docs with doc_id % 3 == 0 arrive as the new
+    * batch, the rest are the already-kept history; same LSH parameters
+    * as the self-join queries. See [[Dedup.incrementalDedup]]. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = tp(s, dir, "documents")
+    Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2,
+      threshold = 0.5)
+  }
+
   /** Exact-first near-dup composition: see [[Dedup.twoStage]]. */
   def dedupTwoStage(s: SparkSession, dir: String): DataFrame =
     Dedup.twoStage(tp(s, dir, "documents"), "doc_id", "text",

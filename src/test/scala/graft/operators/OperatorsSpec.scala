@@ -217,6 +217,55 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 2L, 1L)))
   }
 
+  test("incrementalDedup: exact beats near, smallest history id wins, keep otherwise") {
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // same text, higher id
+      (2L, "completely different words entirely here now ok"),
+      (5L, "unrelated history content about nothing in particular at all"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // fingerprint normalization: extra whitespace still matches exactly
+      (10L, "the quick  brown fox jumps over the lazy dog"),
+      (11L, "completely different words entirely here now yes"), // near of 2
+      (12L, "a brand new document sharing nothing with the history corpus"))
+      .toDF("doc_id", "text")
+    def run(h: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalDedup(h, b, "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("verdict"), Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val got = run(history, batch)
+    assert(got.size == 3)
+    // exact: the SMALLEST matching history id, no jaccard
+    assert(got(10L) == (("exact", Some(1L), None)))
+    val (v11, m11, j11) = got(11L)
+    assert(v11 == "near" && m11.contains(2L) && j11.exists(_ >= 0.5))
+    assert(got(12L) == (("keep", None, None)))
+    // partition-invariant
+    assert(run(history.repartition(7), batch.repartition(3)) == got)
+  }
+
+  test("incrementalDedup is asymmetric: history and in-batch pairs never flag") {
+    // two history docs near-dup EACH OTHER, and two batch docs near-dup
+    // each other — neither pairing is this operator's business: verdicts
+    // only relate batch docs to history
+    val history = Seq(
+      (1L, "shared history boilerplate sentence with many common words"),
+      (2L, "shared history boilerplate sentence with many common terms"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "novel batch content first variant of the same new idea here"),
+      (11L, "novel batch content second variant of the same new idea here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(history, batch, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(got == Map(10L -> "keep", 11L -> "keep"))
+  }
+
   test("minhashLsh candidates recover the exact dup pair") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.9)
