@@ -79,6 +79,7 @@ object SparkEntry {
     "sample_dsir" -> (TrainingData.sampleDsir _),
     "sample_weighted" -> (TrainingData.sampleWeighted _),
     "sample_split" -> (TrainingData.sampleSplit _),
+    "topk_per_group" -> (TrainingData.topkPerGroup _),
     "text_bigram_lm" -> (TrainingData.textBigramLm _),
     "sketch_hll_distinct" -> (TrainingData.sketchHllDistinct _),
     "sketch_kmv_distinct" -> (TrainingData.sketchKmvDistinct _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "sketch_heavy_hitters" -> (TrainingData.sketchHeavyHitters _),
     "sketch_kmv_jaccard" -> (TrainingData.sketchKmvJaccard _),
     "sketch_quantile" -> (TrainingData.sketchQuantile _),
+    "sketch_quantile_gate" -> (TrainingData.sketchQuantileGate _),
     "sketch_bloom_contains" -> (TrainingData.sketchBloomContains _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "embed_project" -> (TrainingData.embedProject _),

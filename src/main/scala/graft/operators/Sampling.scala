@@ -172,6 +172,117 @@ object Sampling {
       Seq("__sk"), "shuffle_pos")
       .drop("__sk")
 
+  /** One kept entry of [[topKPerGroup]]'s bounded buffer: score in race
+    * order plus the row id (stringified — the engine-portable tiebreak). */
+  final case class TopKRow(score: Double, id: String)
+  final case class TopKRows(items: Seq[TopKRow])
+
+  private final class TopKAgg(k: Int, desc: Boolean)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      TopKRow, scala.collection.mutable.ArrayBuffer[String], TopKRows] {
+    import scala.collection.mutable.ArrayBuffer
+    // Each buffer entry packs (score, id) into ONE sortable string: 16
+    // hex chars of the IEEE-754 total-order key (sign bit flipped so
+    // lexicographic == numeric, complemented when descending) + "|" + id.
+    // Plain string order IS (score [desc|asc], id asc) — and the buffer
+    // stays an ArrayBuffer[String] of JDK-only classes, which Kryo
+    // serializes under any classloader layout (an app case class inside
+    // the buffer trips FieldSerializer in un-forked/embedded JVMs
+    // without the java.nio add-opens).
+    private def pack(v: TopKRow): String = {
+      // SQL compares -0.0 == 0.0 (ties fall to the id); IEEE total order
+      // does not — normalize so the packed key agrees with the oracle
+      val score = if (v.score == 0.0) 0.0 else v.score
+      val bits = java.lang.Double.doubleToLongBits(score)
+      val sortable = if (bits < 0) ~bits else bits ^ Long.MinValue
+      val key = if (desc) ~sortable else sortable
+      f"$key%016x|${v.id}"
+    }
+    private def unpack(e: String): TopKRow = {
+      val key = java.lang.Long.parseUnsignedLong(e.substring(0, 16), 16)
+      val sortable = if (desc) ~key else key
+      val bits =
+        if (sortable < 0) sortable ^ Long.MinValue else ~sortable
+      TopKRow(java.lang.Double.longBitsToDouble(bits), e.substring(17))
+    }
+    def zero: ArrayBuffer[String] = ArrayBuffer.empty
+    // capped rank-ordered insert; duplicates of the same (score, id) are
+    // KEPT (row semantics — identical to row_number over identical rows)
+    private def insert(b: ArrayBuffer[String], v: String): ArrayBuffer[String] = {
+      var lo = 0; var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b(mid) < v) lo = mid + 1 else hi = mid
+      }
+      if (lo >= k) b
+      else {
+        b.insert(lo, v)
+        if (b.length > k) b.remove(k)
+        b
+      }
+    }
+    def reduce(b: ArrayBuffer[String], a: TopKRow): ArrayBuffer[String] =
+      insert(b, pack(a))
+    def merge(b1: ArrayBuffer[String],
+              b2: ArrayBuffer[String]): ArrayBuffer[String] = {
+      var i = 0
+      while (i < b2.length) { insert(b1, b2(i)); i += 1 }
+      b1
+    }
+    def finish(b: ArrayBuffer[String]): TopKRows =
+      TopKRows(b.toSeq.map(unpack))
+    def bufferEncoder =
+      org.apache.spark.sql.Encoders.kryo[ArrayBuffer[String]]
+    def outputEncoder = org.apache.spark.sql.Encoders.product[TopKRows]
+  }
+
+  /** Bounded top-k rows per group — the selection step of a curation
+    * pipeline (best documents per domain, hardest examples per bucket)
+    * WITHOUT the row_number window. A window's PARTITION BY makes each
+    * group ONE unsplittable sorted partition — the same hazard class the
+    * chunked as-of join removes, and AQE can split a skewed join but
+    * never a window partition — so at corpus scale one hot group (half
+    * the corpus in `lang = 'en'`) is a guaranteed straggler. Here each
+    * partial buffer holds at most k (score, id) pairs, partials merge
+    * map-side (ObjectHashAggregate — no sort, no group-sized state), and
+    * the output is <= groups x k rows, broadcastable for the payload
+    * join-back.
+    *
+    * Result contract (deterministic, engine-portable): identical to
+    * row_number() OVER (PARTITION BY groupCols ORDER BY score
+    * [DESC|ASC], CAST(id AS string)) filtered to rank <= k. Null/NaN
+    * scores and null ids never qualify. Scores compare as doubles, so
+    * integral score columns above 2^53 lose tie precision — the same
+    * declared boundary as the as-of join's float-timestamp rejection.
+    *
+    * Returns (groupCols..., rankCol 1..k, idCol, orderCol) with id and
+    * score cast back to their input types; join back on (groupCols,
+    * idCol) for the full payload — the survivor side is tiny. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                   idCol: String, k: Int, descending: Boolean = true,
+                   rankCol: String = "rank"): DataFrame = {
+    require(groupCols.nonEmpty, "topKPerGroup needs at least one group column")
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
+    val scoreT = df.schema(orderCol).dataType
+    require(scoreT.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"order column `$orderCol` must be numeric, got $scoreT")
+    val idT = df.schema(idCol).dataType
+    val topk = udaf(new TopKAgg(k, descending))
+    df.filter(col(orderCol).isNotNull && col(idCol).isNotNull &&
+        !isnan(col(orderCol).cast("double")))
+      .select(groupCols.map(col) ++ Seq(
+        col(orderCol).cast("double").as("__score"),
+        col(idCol).cast("string").as("__id")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(topk(col("__score"), col("__id")).as("__tk"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__tk").getField("items")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as(rankCol),
+        col("col").getField("id").cast(idT).as(idCol),
+        col("col").getField("score").cast(scoreT).as(orderCol)): _*)
+  }
+
   /** Assign each document to a fixed-token-budget pack: documents are laid
     * out in `sortCols` order and pack_id = floor(tokens-before-this-doc /
     * budget) — contiguous, deterministic, and independent of partitioning

@@ -1030,6 +1030,19 @@ object Oracles {
         |SELECT doc_id, logw_micro, race_micro, sample_rank
         |FROM rk WHERE sample_rank <= CAST(ceil(0.2 * n) AS BIGINT)""".stripMargin,
 
+    // bounded top-k per group: result contract IS the row_number window
+    // (score DESC, stringified-id tiebreak) — the Spark side merely
+    // computes it with a k-capped aggregate instead of a window
+    "topk_per_group" ->
+      """SELECT lang, source, rank, doc_id, n_chars FROM (
+        |  SELECT lang, source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR)) AS BIGINT)
+        |      AS rank
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL) t
+        |WHERE rank <= 5""".stripMargin,
+
     // Stupid Backoff bigram LM trained on the gopher-quality subset,
     // scoring every doc; per-position NLL fixed to integer micro-bits
     "text_bigram_lm" ->
@@ -1197,6 +1210,47 @@ object Oracles {
         |  round(blo + (bw - 1)::DOUBLE * (tgt - (cume - cnt) - 1)::DOUBLE
         |    / greatest(cnt - 1, 1)::DOUBLE, 4) AS est
         |FROM x WHERE cume - cnt < tgt AND tgt <= cume""".stripMargin,
+
+    // same bucketing/interpolation replay as sketch_quantile (q = 0.5
+    // over n_chars), then the gate: keep docs at or above their
+    // language's sketched median, grouped back per language
+    "sketch_quantile_gate" ->
+      """WITH v AS (
+        |  SELECT lang, n_chars AS v FROM documents),
+        |b0 AS (
+        |  SELECT lang, v, abs(v) AS a,
+        |    CASE WHEN abs(v) < 128 THEN 0
+        |         ELSE length(bin(abs(v))) - 1 - 7 END AS sh
+        |  FROM v WHERE v IS NOT NULL),
+        |b1 AS (
+        |  SELECT lang, v, (1::BIGINT << sh) AS w,
+        |    ((a // (1::BIGINT << sh)) << sh) AS l
+        |  FROM b0),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN v >= 0 THEN l ELSE -(l + w - 1) END AS blo,
+        |    w AS bw, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b1 GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT lang, blo, bw, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY blo, bw
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cume,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM g),
+        |q50 AS (
+        |  SELECT lang,
+        |    round(blo + (bw - 1)::DOUBLE * (tgt - (cume - cnt) - 1)::DOUBLE
+        |      / greatest(cnt - 1, 1)::DOUBLE, 4) AS p50
+        |  FROM (SELECT c.*,
+        |          greatest(1::BIGINT, CAST(ceil(0.5 * n) AS BIGINT)) AS tgt
+        |        FROM c) x
+        |  WHERE cume - cnt < tgt AND tgt <= cume)
+        |SELECT d.lang, p50, CAST(count(*) AS BIGINT) AS kept,
+        |  CAST(min(n_chars) AS BIGINT) AS min_kept
+        |FROM documents d JOIN q50 ON d.lang = q50.lang
+        |WHERE n_chars::DOUBLE >= p50
+        |GROUP BY 1, 2""".stripMargin,
 
     // the CM filter is exact by construction (no false negatives +
     // exact recount), so the oracle is the PLAIN groupBy/HAVING with no

@@ -274,6 +274,16 @@ object TrainingData {
         col("sample_rank"))
   }
 
+  /** Bounded top-k selection per (lang, source): the longest 5 documents
+    * of every corpus slice via the k-capped typed Aggregator — identical
+    * result to the row_number window the DuckDB oracle runs, but the plan
+    * is a map-side-combinable ObjectHashAggregate, never a per-group
+    * sorted window partition. */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.topKPerGroup(
+      t(s, dir, "documents"), Seq("lang", "source"), "n_chars", "doc_id",
+      k = 5)
+
   /** Stupid Backoff bigram LM over the documents corpus: the model trains
     * on the Gopher-quality subset and scores every doc, so unseen-bigram
     * backoff genuinely fires; integer micro-bit NLLs keep it hash-gated. */
@@ -311,6 +321,25 @@ object TrainingData {
       t(s, dir, "documents")
         .select(col("lang"), length(col("text")).cast("long").as("text_len")),
       Seq("lang"), "text_len", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+  }
+
+  /** Corpus quality gating BY the sketched quantile — the downstream
+    * consumer the quantile sketch exists for (keep each language's
+    * longer-than-median documents): the bounded per-lang p50 table
+    * broadcasts back onto the corpus as a pure filter, so the gate adds
+    * zero corpus shuffles. Hash-gated including the float threshold —
+    * the DuckDB oracle replays bucketing, interpolation and the gate. */
+  def sketchQuantileGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = t(s, dir, "documents")
+    val p50 = graft.operators.Sketches.qsketchQuantilesOf(
+        docs, Seq("lang"), "n_chars", Seq(0.5))
+      .select(col("lang"), col("est").as("p50"))
+    docs.join(broadcast(p50), Seq("lang"))
+      .filter(col("n_chars").cast("double") >= col("p50"))
+      .groupBy(col("lang"), col("p50"))
+      .agg(count(lit(1)).as("kept"), min(col("n_chars")).as("min_kept"))
+      .select(col("lang"), col("p50"), col("kept"), col("min_kept"))
   }
 
   /** Count-Min token-frequency sketch over the documents corpus with a

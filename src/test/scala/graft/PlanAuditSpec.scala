@@ -299,6 +299,21 @@ class PlanAuditSpec extends SparkSpec {
       "kmv overlap must not cartesian the data")
   }
 
+  test("topk_per_group: one scan into a bounded object-hash aggregate, no window") {
+    val df = SparkEntry.queries("topk_per_group")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      "topk_per_group reads the corpus once")
+    assert(plan.contains("ObjectHashAggregate"),
+      "topk_per_group must aggregate with the k-capped buffer")
+    assert(!plan.contains("Window ["),
+      "topk_per_group must never plan a window (unsplittable hot group)")
+    assert(!plan.contains("Sort ") || !plan.contains("global=true"),
+      "topk_per_group must not globally sort the corpus")
+  }
+
   test("asof/range joins: equi-join shapes, no nested-loop or cartesian") {
     val dir = "/root/testdata/sf0.001"
     val asof = SparkEntry.queries("asof_click_view")(spark, dir)

@@ -309,6 +309,51 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window [") ||
       !plan.contains("No Partition Defined"), "global window leaked into packSequences")
   }
+
+  test("topKPerGroup equals the row_number window; bounded plan, no window") {
+    // hot group (g0: 800 rows, heavy ties), cold groups, short group
+    // (< k), plus rows that must never qualify
+    val rows = (1L to 800L).map(i => ("g0", i, (i % 13).toDouble)) ++
+      (1L to 40L).map(i => ("g1", i, i.toDouble)) ++
+      Seq(("g2", 1L, 5.0), ("g2", 2L, 5.0)) ++        // all-ties, < k
+      Seq(("g3", 1L, -0.0), ("g3", 2L, 0.0)) ++       // -0.0 == 0.0: id ties
+      Seq(("gx", 3L, Double.NaN))                      // NaN score drops
+    val df = rows.toDF("g", "doc_id", "score")
+      .unionByName(Seq(("gn", Option.empty[Long], Option(1.0)),
+        ("gn", Option(1L), Option.empty[Double])).toDF("g", "doc_id", "score"))
+    val k = 5
+    val got = Sampling.topKPerGroup(df, Seq("g"), "score", "doc_id", k)
+    // oracle: the exact contract — row_number over (score desc, string id)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+      .orderBy($"score".desc, $"doc_id".cast("string"))
+    val want = df.filter($"score".isNotNull && !isnan($"score") &&
+        $"doc_id".isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select("g", "rank", "doc_id", "score")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    assert(got.count() == k + k + 2 + 2)               // g2/g3 keep both rows
+    // the -0.0 tie resolved by id, and -0.0 surfaces as a plain zero
+    val g3 = got.filter($"g" === "g3").orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(g3 == Seq((1L, 1L, 0.0), (2L, 2L, 0.0)))
+    // output types survive the double round-trip
+    assert(got.schema("doc_id").dataType.typeName == "long")
+    // repartition invariance (merge path exercised across 7 partials)
+    val again = Sampling.topKPerGroup(
+      df.repartition(7), Seq("g"), "score", "doc_id", k)
+    assert(again.except(got).count() == 0 && got.except(again).count() == 0)
+    // ascending variant = bottom-k
+    val asc = Sampling.topKPerGroup(df, Seq("g"), "score", "doc_id", 2,
+        descending = false)
+      .filter($"g" === "g1").collect().map(_.getLong(2)).sorted
+    assert(asc.toSeq == Seq(1L, 2L))
+    // plan: a bounded object-hash aggregate, never a window partition
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate in:\n$plan")
+    assert(!plan.contains("Window ["), s"window leaked into topKPerGroup:\n$plan")
+  }
 }
 
 class ChunkingSpec extends SparkSpec {
