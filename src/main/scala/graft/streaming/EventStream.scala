@@ -196,6 +196,34 @@ object EventStream {
       }
   }
 
+  /** Incremental dedup at ingest — the streaming twin of
+    * [[graft.operators.Dedup.incrementalDedup]]: each micro-batch of
+    * newly arrived documents screens against the STATIC curated history
+    * inside foreachBatch (Spark's documented shape for multi-pass
+    * per-batch logic no single streaming plan can express — the operator
+    * runs an exact-fingerprint pass, two band joins and shingle
+    * verification, with batch-only localCheckpoints). Verdicts depend
+    * only on (document, history) — the screen is asymmetric by design,
+    * nothing pairs batch docs with each other — so the union of
+    * micro-batch outputs is EXACTLY the batch operator over the same
+    * rows regardless of micro-batch boundaries (the parity spec's
+    * contract). State never grows: history stays a static frame with
+    * its own (cacheable) plan; the stream side is only ever one
+    * micro-batch. */
+  def screenStream(docs: DataFrame, history: DataFrame, idCol: String,
+                   textCol: String, n: Int, numHashes: Int,
+                   rowsPerBand: Int, threshold: Double)
+                  (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.incrementalDedup(
+          history, b.toDF(), idCol, textCol, n, numHashes, rowsPerBand,
+          threshold))
+      }
+      .start()
+
   /** Batch-mode smoke: run the windowed aggregation over the parquet
     * events table read as a one-shot stream (Trigger.AvailableNow). */
   def runBatchOverParquet(spark: SparkSession, sfDir: String, outDir: String): Unit = {

@@ -298,6 +298,74 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("topKPerGroup runs unchanged on a stream; stream == batch") {
+    // the k-capped buffer is ordinary aggregate state, so the SAME
+    // operator call sketches a live stream in complete mode — the
+    // leaderboard-at-ingest shape; ties exercise the string-id order
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 400).map(i => ("g" + (i % 3), i.toLong, ((i * 7) % 23).toDouble))
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = graft.operators.Sampling.topKPerGroup(
+        mem.toDF().toDF("g", "doc_id", "score"), Seq("g"), "score",
+        "doc_id", 4)
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").start()
+    mem.addData(rows.take(150): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(150): _*)
+    q.processAllAvailable()
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val streamed = spark.table("topk_stream").collect().map(shape).toSet
+    q.stop()
+    val batch = graft.operators.Sampling.topKPerGroup(
+        rows.toDF("g", "doc_id", "score"), Seq("g"), "score", "doc_id", 4)
+      .collect().map(shape).toSet
+    assert(streamed == batch && streamed.size == 12)
+  }
+
+  test("incremental dedup screens a stream; union of micro-batches == batch") {
+    // the screen is asymmetric (batch docs never pair with each other),
+    // so verdicts depend only on (doc, history) and the union of
+    // micro-batch outputs must equal the one-shot batch screen exactly,
+    // however the arrivals are split
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different historical content about spark plans"))
+      .toDF("doc_id", "text")
+    val arriving = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact
+      (11L, "the quick brown fox jumps over the lazy dog tonight"), // near
+      (12L, "a genuinely novel document unlike anything in history"),
+      (13L, "completely different historical content about spark plans"),
+      (14L, "another fresh document with its own unique words entirely"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Option[Long], Option[Double])]
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.screenStream(mem.toDF().toDF("doc_id", "text"),
+        history, "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2,
+        threshold = 0.5) { out =>
+      got.synchronized { got ++= out.collect().map(key) }
+    }
+    mem.addData(arriving.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(arriving.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.Dedup.incrementalDedup(history,
+        arriving.toDF("doc_id", "text"), "doc_id", "text", 3, 8, 2, 0.5)
+      .collect().map(key)
+    assert(got.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+    val verdicts = got.map(r => r._1 -> r._2).toMap
+    assert(verdicts(10L) == "exact" && verdicts(13L) == "exact")
+    assert(verdicts(12L) == "keep" && verdicts(14L) == "keep")
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
