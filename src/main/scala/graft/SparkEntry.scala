@@ -96,6 +96,7 @@ object SparkEntry {
     "sketch_bloom_contains" -> (TrainingData.sketchBloomContains _),
     "ann_ivf_kmeans" -> (TrainingData.annIvfKmeans _),
     "embed_project" -> (TrainingData.embedProject _),
+    "ann_projected" -> (TrainingData.annProjected _),
     "multimodal_image_dups" -> (TrainingData.multimodalImageDups _),
     "multimodal_video_dups" -> (TrainingData.multimodalVideoDups _),
     "sample_temperature" -> (TrainingData.sampleTemperature _),

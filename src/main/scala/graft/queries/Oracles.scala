@@ -1962,6 +1962,39 @@ object Oracles {
         |    i -> embedding[i]::DOUBLE * sl[i])) / sqrt(16), 6) AS comp
         |FROM embeddings CROSS JOIN sl""".stripMargin,
 
+    // JL projection (the embed_project replay) feeding brute-force
+    // cosine top-k in 16-dim projected space; 6-dp-rounded components
+    // make every downstream float replay exactly
+    "ann_projected" ->
+      """WITH signs AS (
+        |  SELECT j, i,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |           substring(md5(j::VARCHAR || '_' || (i - 1)::VARCHAR), 1, 1)) - 1 < 8
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM unnest(range(0, 16)) p(j), unnest(range(1, 65)) d(i)),
+        |sl AS (SELECT j, list(s ORDER BY i) AS sl FROM signs GROUP BY 1),
+        |proj AS (
+        |  SELECT vec_id, list(comp ORDER BY j) AS p FROM (
+        |    SELECT vec_id, j,
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> embedding[i]::DOUBLE * sl[i])) / sqrt(16), 6) AS comp
+        |    FROM embeddings CROSS JOIN sl) GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, 17),
+        |        i -> a.p[i] * b.p[i])) /
+        |      (sqrt(list_sum(list_transform(a.p, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(b.p, x -> x * x)))), 6) AS cosine
+        |  FROM proj a JOIN proj b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 20),
+        |rk AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM pairs)
+        |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin,
+
     "ann_lsh_buckets" ->
       """WITH signs AS (
         |  SELECT j, i,

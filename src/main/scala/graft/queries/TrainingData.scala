@@ -410,6 +410,21 @@ object TrainingData {
         col("col").as("comp"))
   }
 
+  /** ANN in JL-projected space — the composition randomProjection exists
+    * for: project 64 -> 16 ONCE (a shuffle-free map pass shared by both
+    * sides), then brute-force cosine top-k over the 16-dim vectors, so
+    * every pair fold and the broadcast query payload shrink 4x.
+    * Hash-gated including the cosines: projected components round to
+    * 6 dp, so the DuckDB oracle replays projection, sequential-order
+    * dot/norm sums and ranks bit-for-bit. */
+  def annProjected(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.operators.Similarity.randomProjection(
+        t(s, dir, "embeddings"), "embedding", outDim = 16, dim = 64)
+      .select(col("vec_id"), col("proj"))
+    Similarity.bruteForceTopK(p, p.filter(col("vec_id") < 20),
+      "vec_id", "proj", k = 10)
+  }
+
   /** IVF over k-means-TRAINED centroids (3 Lloyd iterations over the
     * seeded quantizer). Centroid components round to 6 dp after every
     * iteration, which makes the trained centroids engine-portable — the
