@@ -317,6 +317,8 @@ class SamplingSpec extends SparkSpec {
       (1L to 40L).map(i => ("g1", i, i.toDouble)) ++
       Seq(("g2", 1L, 5.0), ("g2", 2L, 5.0)) ++        // all-ties, < k
       Seq(("g3", 1L, -0.0), ("g3", 2L, 0.0)) ++       // -0.0 == 0.0: id ties
+      Seq(("g4", 1L, Double.PositiveInfinity),         // infinities order
+        ("g4", 2L, 1.0), ("g4", 3L, Double.NegativeInfinity)) ++
       Seq(("gx", 3L, Double.NaN))                      // NaN score drops
     val df = rows.toDF("g", "doc_id", "score")
       .unionByName(Seq(("gn", Option.empty[Long], Option(1.0)),
@@ -332,11 +334,15 @@ class SamplingSpec extends SparkSpec {
       .filter($"rank" <= k)
       .select("g", "rank", "doc_id", "score")
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
-    assert(got.count() == k + k + 2 + 2)               // g2/g3 keep both rows
+    assert(got.count() == k + k + 2 + 2 + 3)           // g2/g3/g4 keep all
     // the -0.0 tie resolved by id, and -0.0 surfaces as a plain zero
     val g3 = got.filter($"g" === "g3").orderBy("rank").collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(g3 == Seq((1L, 1L, 0.0), (2L, 2L, 0.0)))
+    // infinities rank like any score: +Inf first, -Inf last
+    val g4 = got.filter($"g" === "g4").orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(g4 == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
     // output types survive the double round-trip
     assert(got.schema("doc_id").dataType.typeName == "long")
     // repartition invariance (merge path exercised across 7 partials)
