@@ -137,26 +137,48 @@ object Sampling {
     * the key stays integral instead of tripping the ANSI NaN/overflow
     * cast). Returns the surviving rows with `raceCol` (the integer race
     * key) and `rankCol` (1..k). */
+  /** The shared race-key projection of [[weightedSample]] and
+    * [[weightedSamplePerGroup]]: drop zero-mass rows, key survivors with
+    * the integer-micro log-form exponential race. The ±700 clamp is a
+    * no-op for every finite weight (|ln w| < 710) — it only keeps
+    * ±Infinity weights integral instead of tripping the ANSI cast. */
+  private def raceKeyed(df: DataFrame, idCol: String, weightCol: String,
+                        raceCol: String): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + 0.5) / (1L << 52).toDouble
+    val lnW = greatest(least(log(col(weightCol)), lit(700.0)), lit(-700.0))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        !isnan(col(weightCol).cast("double")))
+      .withColumn(raceCol, round((log(-log(u)) - lnW) * 1e6).cast("long"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      rate: Double, raceCol: String = "race_micro",
                      rankCol: String = "sample_rank"): DataFrame = {
     require(rate > 0.0 && rate <= 1.0, s"rate must be in (0,1], got $rate")
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
-      .cast("long").cast("double") + 0.5) / (1L << 52).toDouble
-    // the clamp is a no-op for every finite weight (|ln w| < 710), so
-    // it never perturbs the oracle replay — it only keeps +-Infinity
-    // weights integral
-    val lnW = greatest(least(log(col(weightCol)), lit(700.0)), lit(-700.0))
-    val keyed = df
-      .filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
-        !isnan(col(weightCol).cast("double")))
-      .withColumn(raceCol, round((log(-log(u)) - lnW) * 1e6).cast("long"))
+    val keyed = raceKeyed(df, idCol, weightCol, raceCol)
     val ranked = graft.core.Ids.denseIds(keyed, Seq(raceCol, idCol), rankCol)
     // n reads off the already-materialized rank pass (max rank == count)
     val nRow = ranked.agg(max(col(rankCol))).collect().head
     if (nRow.isNullAt(0)) ranked // empty input
     else ranked.filter(col(rankCol) <= math.ceil(rate * nRow.getLong(0)).toLong)
   }
+
+  /** Per-group weighted sampling without replacement — exactly k race
+    * winners PER GROUP (the per-stratum form of [[weightedSample]]: keep
+    * the 10 highest-importance documents of every language/domain). Same
+    * deterministic log-form exponential race, P(kept) ∝ weight — but
+    * ranks come from [[topKPerGroup]]'s k-capped aggregate instead of
+    * the global dense-id pass, so there is NO global materialization, no
+    * window, and no rank barrier: one map-side-combinable aggregate,
+    * output groups x k rows. Groups with fewer than k live rows keep
+    * them all. Returns (groupCols..., rankCol 1..k, idCol, raceCol). */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+                             idCol: String, weightCol: String, k: Int,
+                             raceCol: String = "race_micro",
+                             rankCol: String = "sample_rank"): DataFrame =
+    topKPerGroup(raceKeyed(df, idCol, weightCol, raceCol),
+      groupCols, raceCol, idCol, k, descending = false, rankCol = rankCol)
 
   /** Deterministic pseudorandom shuffle — the training-set ORDERING step
     * (corpus builds fix a shuffle seed so epochs are reproducible and

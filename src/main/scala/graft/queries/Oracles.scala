@@ -1030,6 +1030,27 @@ object Oracles {
         |SELECT doc_id, logw_micro, race_micro, sample_rank
         |FROM rk WHERE sample_rank <= CAST(ceil(0.2 * n) AS BIGINT)""".stripMargin,
 
+    // per-group weighted sampling: the sample_weighted race key with
+    // weight = n_chars, ranked per lang (race asc, stringified-id
+    // tiebreak — the topKPerGroup contract), exactly 10 winners per lang
+    "sample_weighted_group" ->
+      """WITH race AS (
+        |  SELECT lang, doc_id,
+        |    CAST(round((ln(-ln((CAST(CAST(('0x' ||
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |        AS DOUBLE) + 0.5) / 4503599627370496.0))
+        |      - greatest(least(ln(n_chars::DOUBLE), 700.0), -700.0))
+        |      * 1e6) AS BIGINT) AS race_micro
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |rk AS (
+        |  SELECT lang, doc_id, race_micro,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY race_micro, CAST(doc_id AS VARCHAR)) AS BIGINT)
+        |      AS sample_rank
+        |  FROM race)
+        |SELECT lang, sample_rank, doc_id, race_micro
+        |FROM rk WHERE sample_rank <= 10""".stripMargin,
+
     // bounded top-k per group: result contract IS the row_number window
     // (score DESC, stringified-id tiebreak) — the Spark side merely
     // computes it with a k-capped aggregate instead of a window

@@ -284,6 +284,14 @@ object TrainingData {
       t(s, dir, "documents"), Seq("lang", "source"), "n_chars", "doc_id",
       k = 5)
 
+  /** Per-language weighted sampling: exactly 10 exponential-race winners
+    * per lang with P(kept) ∝ n_chars — the per-stratum composition of
+    * the race key and the k-capped top-k aggregate (no global rank pass,
+    * no window). Hash-gated: DuckDB replays race and ranks. */
+  def sampleWeightedGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSamplePerGroup(
+      t(s, dir, "documents"), Seq("lang"), "doc_id", "n_chars", k = 10)
+
   /** Stupid Backoff bigram LM over the documents corpus: the model trains
     * on the Gopher-quality subset and scores every doc, so unseen-bigram
     * backoff genuinely fires; integer micro-bit NLLs keep it hash-gated. */

@@ -310,6 +310,28 @@ class SamplingSpec extends SparkSpec {
       !plan.contains("No Partition Defined"), "global window leaked into packSequences")
   }
 
+  test("weightedSamplePerGroup: k race winners per group, window-order exact") {
+    val rows = (1L to 300L).map(i =>
+      ("g" + (i % 4), i, if (i % 7 == 0) 50.0 else 1.0)) ++
+      Seq(("g0", 999L, 0.0), ("g1", 998L, Double.NaN)) // dead rows
+    val df = rows.toDF("g", "doc_id", "w")
+    val out = Sampling.weightedSamplePerGroup(df, Seq("g"), "doc_id", "w", k = 5)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 4 && counts.values.forall(_ == 5))
+    assert(out.filter($"doc_id" >= 998L).count() == 0)
+    // the k winners are EXACTLY the per-group window over the same race
+    // keys (weightedSample at rate 1 keeps every live row + its key)
+    val keyed = Sampling.weightedSample(df, "doc_id", "w", rate = 1.0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+      .orderBy($"race_micro", $"doc_id".cast("string"))
+    val want = keyed
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter($"sample_rank" <= 5)
+      .select("g", "sample_rank", "doc_id", "race_micro")
+    assert(out.except(want).count() == 0 && want.except(out).count() == 0)
+  }
+
   test("topKPerGroup equals the row_number window; bounded plan, no window") {
     // hot group (g0: 800 rows, heavy ties), cold groups, short group
     // (< k), plus rows that must never qualify
