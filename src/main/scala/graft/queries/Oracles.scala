@@ -1030,6 +1030,66 @@ object Oracles {
         |SELECT doc_id, logw_micro, race_micro, sample_rank
         |FROM rk WHERE sample_rank <= CAST(ceil(0.2 * n) AS BIGINT)""".stripMargin,
 
+    // the round-10 curation chain end-to-end: quantile-gate replay ->
+    // exact-fingerprint keep-one -> per-lang race ranks (the
+    // sample_weighted_group contract over the gated unique survivors)
+    "pipeline_curation_e2e" ->
+      """WITH v AS (
+        |  SELECT lang, n_chars AS v FROM documents),
+        |b0 AS (
+        |  SELECT lang, v, abs(v) AS a,
+        |    CASE WHEN abs(v) < 128 THEN 0
+        |         ELSE length(bin(abs(v))) - 1 - 7 END AS sh
+        |  FROM v WHERE v IS NOT NULL),
+        |b1 AS (
+        |  SELECT lang, v, (1::BIGINT << sh) AS w,
+        |    ((a // (1::BIGINT << sh)) << sh) AS l
+        |  FROM b0),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN v >= 0 THEN l ELSE -(l + w - 1) END AS blo,
+        |    w AS bw, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b1 GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT lang, blo, bw, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY blo, bw
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cume,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM g),
+        |q50 AS (
+        |  SELECT lang,
+        |    round(blo + (bw - 1)::DOUBLE * (tgt - (cume - cnt) - 1)::DOUBLE
+        |      / greatest(cnt - 1, 1)::DOUBLE, 4) AS p50
+        |  FROM (SELECT c.*,
+        |          greatest(1::BIGINT, CAST(ceil(0.5 * n) AS BIGINT)) AS tgt
+        |        FROM c) x
+        |  WHERE cume - cnt < tgt AND tgt <= cume),
+        |gated AS (
+        |  SELECT d.lang, d.doc_id, d.text, d.n_chars
+        |  FROM documents d JOIN q50 ON d.lang = q50.lang
+        |  WHERE n_chars::DOUBLE >= p50),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM gated
+        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))),
+        |uniq AS (SELECT gated.* FROM gated JOIN keep USING (doc_id)),
+        |race AS (
+        |  SELECT lang, doc_id,
+        |    CAST(round((ln(-ln((CAST(CAST(('0x' ||
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |        AS DOUBLE) + 0.5) / 4503599627370496.0))
+        |      - greatest(least(ln(n_chars::DOUBLE), 700.0), -700.0))
+        |      * 1e6) AS BIGINT) AS race_micro
+        |  FROM uniq WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |rk AS (
+        |  SELECT lang, doc_id, race_micro,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY race_micro, CAST(doc_id AS VARCHAR)) AS BIGINT)
+        |      AS sample_rank
+        |  FROM race)
+        |SELECT lang, sample_rank, doc_id, race_micro
+        |FROM rk WHERE sample_rank <= 10""".stripMargin,
+
     // per-group weighted sampling: the sample_weighted race key with
     // weight = n_chars, ranked per lang (race asc, stringified-id
     // tiebreak — the topKPerGroup contract), exactly 10 winners per lang

@@ -284,6 +284,26 @@ object TrainingData {
       t(s, dir, "documents"), Seq("lang", "source"), "n_chars", "doc_id",
       k = 5)
 
+  /** End-to-end curation over the round-10 family: sketched-quantile
+    * gate (per-lang p50 on length, broadcast back as a pure filter) ->
+    * exact-dedup keep-one -> per-lang weighted resample (10 race
+    * winners, P ∝ n_chars, via the k-capped aggregate). The corpus
+    * shuffles ONCE (the fingerprint groupBy); everything else is a
+    * bounded broadcast or map-side aggregate. Hash-gated end-to-end. */
+  def pipelineCurationE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val p50 = graft.operators.Sketches.qsketchQuantilesOf(
+        docs, Seq("lang"), "n_chars", Seq(0.5))
+      .select(col("lang"), col("est").as("p50"))
+    val gated = docs.join(broadcast(p50), Seq("lang"))
+      .filter(col("n_chars").cast("double") >= col("p50"))
+    val keep = graft.operators.Dedup.exact(gated, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val unique = gated.join(keep, Seq("doc_id"), "left_semi")
+    graft.operators.Sampling.weightedSamplePerGroup(
+      unique, Seq("lang"), "doc_id", "n_chars", k = 10)
+  }
+
   /** Per-language weighted sampling: exactly 10 exponential-race winners
     * per lang with P(kept) ∝ n_chars — the per-stratum composition of
     * the race key and the k-capped top-k aggregate (no global rank pass,
