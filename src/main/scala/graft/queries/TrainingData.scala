@@ -287,9 +287,16 @@ object TrainingData {
   /** End-to-end curation over the round-10 family: sketched-quantile
     * gate (per-lang p50 on length, broadcast back as a pure filter) ->
     * exact-dedup keep-one -> per-lang weighted resample (10 race
-    * winners, P ∝ n_chars, via the k-capped aggregate). The corpus
-    * shuffles ONCE (the fingerprint groupBy); everything else is a
-    * bounded broadcast or map-side aggregate. Hash-gated end-to-end. */
+    * winners, P ∝ n_chars, via the k-capped aggregate).
+    *
+    * The corpus crosses ONE corpus-volume exchange, the fingerprint
+    * keep-one: min(struct(doc_id, payload)) carries the survivor's
+    * columns THROUGH the aggregate, so there is no corpus-sized keep-id
+    * frame and no survivor join-back (Dedup.exact + left_semi would be
+    * a second corpus shuffle — the keep frame is one row per distinct
+    * text, which at 100 TB broadcasts never). Everything else is a
+    * bounded broadcast (p50 table) or a map-side-combinable bounded
+    * aggregate (sketch partials, race top-k). Hash-gated end-to-end. */
   def pipelineCurationE2e(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val p50 = graft.operators.Sketches.qsketchQuantilesOf(
@@ -297,9 +304,12 @@ object TrainingData {
       .select(col("lang"), col("est").as("p50"))
     val gated = docs.join(broadcast(p50), Seq("lang"))
       .filter(col("n_chars").cast("double") >= col("p50"))
-    val keep = graft.operators.Dedup.exact(gated, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-    val unique = gated.join(keep, Seq("doc_id"), "left_semi")
+    val unique = gated
+      .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("__fp"),
+        struct(col("doc_id"), col("lang"), col("n_chars")).as("__row"))
+      .groupBy(col("__fp"))
+      .agg(min(col("__row")).as("__k")) // doc_id leads: min IS the keep row
+      .select(col("__k.doc_id"), col("__k.lang"), col("__k.n_chars"))
     graft.operators.Sampling.weightedSamplePerGroup(
       unique, Seq("lang"), "doc_id", "n_chars", k = 10)
   }

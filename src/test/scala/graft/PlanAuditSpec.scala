@@ -314,6 +314,27 @@ class PlanAuditSpec extends SparkSpec {
       "topk_per_group must not globally sort the corpus")
   }
 
+  test("pipeline_curation_e2e: two scans, broadcast-only joins, no window") {
+    val df = SparkEntry.queries("pipeline_curation_e2e")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // sketch pass + gated corpus pass — the engine minimum (the p50
+    // table must complete before the gate filters)
+    assert("Scan parquet".r.findAllIn(plan).length == 2,
+      s"curation E2E must read documents exactly twice:\n$plan")
+    // the only joins are the broadcast p50 gate; the keep-one carries
+    // payload through min(struct), so there is NO survivor join-back
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "curation E2E grew a corpus-side shuffle join (survivor join-back?)")
+    // the only windows are qsketchQuantiles' per-lang passes over the
+    // BOUNDED bucket table (~14.6k rows/group by construction) — never
+    // a global window, never a corpus-sized partition
+    assert(!plan.contains("No Partition Defined"),
+      "curation E2E leaked a global window")
+  }
+
   test("asof/range joins: equi-join shapes, no nested-loop or cartesian") {
     val dir = "/root/testdata/sf0.001"
     val asof = SparkEntry.queries("asof_click_view")(spark, dir)
