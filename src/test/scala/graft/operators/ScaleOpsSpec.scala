@@ -330,6 +330,14 @@ class SamplingSpec extends SparkSpec {
       .filter($"sample_rank" <= 5)
       .select("g", "sample_rank", "doc_id", "race_micro")
     assert(out.except(want).count() == 0 && want.except(out).count() == 0)
+    // an infinite weight's clamped race key stays integral and wins its
+    // group with certainty; NaN weights never sample
+    val extreme = Seq(("e", 1L, 1.0), ("e", 2L, Double.PositiveInfinity),
+      ("e", 3L, Double.NaN), ("e", 4L, 2.0)).toDF("g", "doc_id", "w")
+    val winners = Sampling.weightedSamplePerGroup(
+        extreme, Seq("g"), "doc_id", "w", k = 2)
+      .orderBy("sample_rank").collect().map(_.getLong(2)).toSeq
+    assert(winners.head == 2L && winners.size == 2 && !winners.contains(3L))
   }
 
   test("topKPerGroup equals the row_number window; bounded plan, no window") {
