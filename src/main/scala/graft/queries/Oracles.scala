@@ -1221,6 +1221,79 @@ object Oracles {
         |    AS est_distinct
         |FROM est""".stripMargin,
 
+    // the HLL MERGE gate: the Spark side builds per-day register tables
+    // and merges them; the merge is lossless (union + max), so the
+    // oracle is the WHOLE-CORPUS replay — any merge bug breaks the hash
+    "sketch_hll_merged" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 4096 AS bucket,
+        |    regexp_replace(substr(md5(text), 5, 12), '^0+', '') AS stripped
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, bucket,
+        |    CASE WHEN len(stripped) = 0 THEN 49
+        |      ELSE (12 - len(stripped)) * 4
+        |        + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+        |               WHEN substr(stripped, 1, 1) IN ('2', '3') THEN 2
+        |               WHEN substr(stripped, 1, 1) IN ('4', '5', '6', '7') THEN 1
+        |               ELSE 0 END + 1 END AS rho
+        |  FROM h),
+        |regs AS (SELECT lang, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS m_used,
+        |    CAST(sum(1::BIGINT << (50 - mj)) AS BIGINT) AS s_present
+        |  FROM regs GROUP BY 1),
+        |e AS (
+        |  SELECT lang, m_used, 4096 - m_used AS v_empty,
+        |    s_present + (4096 - m_used) * (1::BIGINT << 50) AS reg_sum
+        |  FROM agg),
+        |est AS (
+        |  SELECT *, 0.7213 / (1.0 + 1.079 / 4096.0) * 4096 * 4096
+        |    / (reg_sum / (1::BIGINT << 50)) AS est_raw FROM e)
+        |SELECT lang, m_used, reg_sum,
+        |  round(CASE WHEN est_raw <= 2.5 * 4096 AND v_empty > 0
+        |    THEN 4096 * ln(4096.0 / v_empty) ELSE est_raw END, 4)
+        |    AS est_distinct
+        |FROM est""".stripMargin,
+
+    // the quantile-sketch merge gate: same lossless-merge argument, so
+    // the oracle is the whole-corpus bucket/interpolation replay over
+    // n_chars at q in (0.5, 0.9)
+    "sketch_quantile_merged" ->
+      """WITH v AS (
+        |  SELECT lang, n_chars AS v FROM documents),
+        |b0 AS (
+        |  SELECT lang, v, abs(v) AS a,
+        |    CASE WHEN abs(v) < 128 THEN 0
+        |         ELSE length(bin(abs(v))) - 1 - 7 END AS sh
+        |  FROM v WHERE v IS NOT NULL),
+        |b1 AS (
+        |  SELECT lang, v, (1::BIGINT << sh) AS w,
+        |    ((a // (1::BIGINT << sh)) << sh) AS l
+        |  FROM b0),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN v >= 0 THEN l ELSE -(l + w - 1) END AS blo,
+        |    w AS bw, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b1 GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT lang, blo, bw, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY blo, bw
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cume,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM g),
+        |x AS (
+        |  SELECT c.*, q,
+        |    greatest(1::BIGINT, CAST(ceil(q * n) AS BIGINT)) AS tgt
+        |  FROM c CROSS JOIN
+        |    (SELECT unnest([0.5, 0.9]::DOUBLE[]) AS q) qs)
+        |SELECT lang, q, n, blo AS lo,
+        |  round(blo + (bw - 1)::DOUBLE * (tgt - (cume - cnt) - 1)::DOUBLE
+        |    / greatest(cnt - 1, 1)::DOUBLE, 4) AS est
+        |FROM x WHERE cume - cnt < tgt AND tgt <= cume""".stripMargin,
+
     // Bloom replay: md5-salted bit positions, bit_or words, all-k test
     "sketch_bloom_contains" ->
       """WITH bitsrc AS (

@@ -341,6 +341,38 @@ object TrainingData {
     graft.operators.Sketches.hllDistinct(
       t(s, dir, "documents"), Seq("lang"), "text")
 
+  /** Sketch MERGE gated end-to-end: the corpus splits into two "ingest
+    * days" (doc_id parity), each day builds its own HLL register table,
+    * the tables merge (union + max — lossless by construction), and the
+    * MERGED estimate gates against the whole-corpus oracle: any merge
+    * bug (lost register, wrong max, bucket drift) breaks the hash. This
+    * is the multi-run shape the engine-portable sketches exist for —
+    * daily sketches folded into a corpus view without re-scanning
+    * history. */
+  def sketchHllMerged(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val day1 = graft.operators.Sketches.hllRegisters(
+      docs.filter(col("doc_id") % 2 === 0), Seq("lang"), "text")
+    val day2 = graft.operators.Sketches.hllRegisters(
+      docs.filter(col("doc_id") % 2 === 1), Seq("lang"), "text")
+    graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllMergeRegisters(day1, day2), Seq("lang"))
+  }
+
+  /** The quantile-sketch twin of [[sketchHllMerged]]: per-day bucket
+    * tables merge by union + sum, and the merged interpolated quantiles
+    * gate against the whole-corpus replay. */
+  def sketchQuantileMerged(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val d1 = graft.operators.Sketches.qsketchBuckets(
+      docs.filter(col("doc_id") % 2 === 0), Seq("lang"), "n_chars")
+    val d2 = graft.operators.Sketches.qsketchBuckets(
+      docs.filter(col("doc_id") % 2 === 1), Seq("lang"), "n_chars")
+    graft.operators.Sketches.qsketchQuantiles(
+      graft.operators.Sketches.qsketchMerge(d1, d2), Seq("lang"),
+      Seq(0.5, 0.9))
+  }
+
   /** KMV bottom-k distinct-text sketch per language — the bounded custom
     * Aggregator path; hash-gated including the float estimate (the
     * DuckDB oracle replays the bottom-k set by rank). */
