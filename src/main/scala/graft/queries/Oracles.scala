@@ -2423,6 +2423,15 @@ object Oracles {
         |    FROM vc) WHERE rn = 1)""".stripMargin
   }
 
+  /** The CM/Bloom merge-gate twins reuse the whole-corpus replays
+    * VERBATIM: counter merge is addition and bit merge is OR, both
+    * lossless, so the merged sketch must equal the one-shot sketch
+    * bit-for-bit — same argument as sketch_hll_merged /
+    * sketch_quantile_merged (those carry their own copies). */
+  val mergeGates: Map[String, String] = Map(
+    "sketch_cm_merged" -> trainingData("sketch_cm_tokens"),
+    "sketch_bloom_merged" -> trainingData("sketch_bloom_contains"))
+
   val statsAndTime: Map[String, String] = Map(
     "a7_zscore" ->
       """WITH logs AS (

@@ -443,6 +443,44 @@ object TrainingData {
       .drop("probe")
   }
 
+  /** The Count-Min member of the merge-gate family ([[sketchHllMerged]]):
+    * per-day token counters merge by ADDING, so probe estimates off the
+    * merged sketch gate against the whole-corpus replay. */
+  def sketchCmMerged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, explode, lower}
+    val docs = t(s, dir, "documents")
+    def toks(parity: Int) = docs.filter(col("doc_id") % 2 === parity)
+      .select(explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+        .as("term"))
+    val merged = graft.operators.Sketches.cmMergeCounters(
+      graft.operators.Sketches.cmSketch(toks(0), "term"),
+      graft.operators.Sketches.cmSketch(toks(1), "term"))
+    val probes = Seq("the", "a", "of", "and", "to", "in", "is", "it",
+      "zzz-unseen").toDF("term")
+    graft.operators.Sketches.cmEstimate(merged, probes, "term")
+  }
+
+  /** The Bloom member of the merge-gate family: per-day bit words merge
+    * by OR, so membership tests off the merged filter gate against the
+    * whole-corpus replay (false negatives stay impossible). */
+  def sketchBloomMerged(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = t(s, dir, "documents")
+    val merged = graft.operators.Sketches.bloomMergeBits(
+      graft.operators.Sketches.bloomBits(
+        docs.filter(col("doc_id") % 2 === 0), "text"),
+      graft.operators.Sketches.bloomBits(
+        docs.filter(col("doc_id") % 2 === 1), "text"))
+    val sel = docs.filter(col("doc_id") % 499 === 0)
+    val probes = sel.select(col("doc_id"), lit("present").as("kind"),
+        col("text").as("probe"))
+      .unionByName(sel.select(col("doc_id"), lit("control").as("kind"),
+        concat(lit("unseen-"), col("doc_id").cast("string")).as("probe")))
+    graft.operators.Sketches.bloomContains(merged, probes, "probe")
+      .drop("probe")
+  }
+
   /** EXACT heavy-hitter tokens (count >= 2% of all tokens) through the
     * two-pass Count-Min filter: the tail dies map-side against the
     * hot-bucket bitmap before any shuffle, and the final exact count +
