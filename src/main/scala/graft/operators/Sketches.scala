@@ -145,28 +145,43 @@ object Sketches {
 
   /** Count-Min sketch (Cormode, Muthukrishnan 2005): frequency counters
     * for heavy-hitter estimation without a vocabulary-sized aggregate.
-    * `depth` independent md5-salted hash rows of `width` counters;
-    * counters are SUMS, so the sketch is summation-order-invariant,
-    * partial-aggregates map-side, and two sketches merge by adding
-    * counters. Returns (row, bucket, cnt) — at most depth x width rows
-    * regardless of corpus size. */
+    * The `depth` hash rows are SLICES of one md5 digest — 16 bits (4 hex
+    * chars) per row, exactly uniform because `width` must divide 2^16 —
+    * so each value hashes ONCE however deep the sketch is (the salted
+    * md5-per-row form pays depth digests per value on every build and
+    * probe pass; at web scale that is the dominant cost of the sketch).
+    * The upper-bound property needs no independence between rows, and
+    * distinct digest bits are as independent as distinct salted digests
+    * for estimate quality. Counters are SUMS, so the sketch is
+    * summation-order-invariant, partial-aggregates map-side, and two
+    * sketches merge by adding counters. Returns (row, bucket, cnt) — at
+    * most depth x width rows regardless of corpus size. */
   def cmSketch(df: DataFrame, valueCol: String, depth: Int = 4,
                width: Int = 8192): DataFrame = {
-    require(depth >= 1 && depth <= 8, s"depth in [1,8], got $depth")
-    require(width >= 16, s"width >= 16, got $width")
+    requireCmShape(depth, width)
     val rows = (0 until depth).map(j =>
-      struct(lit(j).as("row"), cmBucket(col(valueCol), j, width).as("bucket")))
-    df.select(explode(array(rows: _*)).as("rb"))
+      struct(lit(j).as("row"), cmBucket(col("__cmh"), j, width).as("bucket")))
+    // the digest is a projected column, so it evaluates once per value
+    // (not once per depth row — see the HOF/CSE materialization rule)
+    df.select(md5(col(valueCol).cast("string")).as("__cmh"))
+      .select(explode(array(rows: _*)).as("rb"))
       .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** The row-j bucket of a value: first 8 md5 hex chars of "j|value",
-    * mod width — 32 bits, engine-portable. */
-  private def cmBucket(v: org.apache.spark.sql.Column, j: Int,
+  private def requireCmShape(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 8, s"depth in [1,8], got $depth")
+    require(width >= 16 && width <= 65536 && 65536 % width == 0,
+      s"width must be a power-of-two divisor of 65536 (16-bit slices stay exactly uniform), got $width")
+  }
+
+  /** The row-j bucket from a value's md5 hex: hex chars [4j+1, 4j+4]
+    * (16 independent digest bits per row; depth <= 8 fits the 32-char
+    * digest), mod width — exact because width divides 2^16. */
+  private def cmBucket(hexCol: org.apache.spark.sql.Column, j: Int,
                        width: Int): org.apache.spark.sql.Column =
-    (conv(substring(md5(concat(lit(s"$j|"), v.cast("string"))), 1, 8), 16, 10)
+    (conv(substring(hexCol, 4 * j + 1, 4), 16, 10)
       .cast("long") % width).cast("int")
 
   /** Bloom filter (Bloom 1970) as a relational bit array: `mBits` bits
@@ -246,13 +261,15 @@ object Sketches {
     * the counter table broadcasts (depth x width rows). */
   def cmEstimate(counters: DataFrame, probes: DataFrame, probeCol: String,
                  depth: Int = 4, width: Int = 8192): DataFrame = {
+    requireCmShape(depth, width)
     val rows = (0 until depth).map(j =>
-      struct(lit(j).as("row"), cmBucket(col(probeCol), j, width).as("bucket")))
+      struct(lit(j).as("row"), cmBucket(col("__cmh"), j, width).as("bucket")))
     // scratch columns __-prefixed so a probe frame named row/bucket/cnt
     // cannot collide with the sketch internals
     val cnts = counters.select(col("row").as("__row"),
       col("bucket").as("__bucket"), col("cnt").as("__cnt"))
     probes
+      .withColumn("__cmh", md5(col(probeCol).cast("string")))
       .select(col(probeCol), explode(array(rows: _*)).as("__rb"))
       .select(col(probeCol), col("__rb.row").as("__row"),
         col("__rb.bucket").as("__bucket"))
@@ -484,9 +501,12 @@ object Sketches {
         words(j * wordsPerRow + bucket / 63) |= (1L << (bucket % 63))
     }
     val wlit = typedLit(words.toSeq)
-    val withBuckets = rows.select(col(valueCol) +:
-      (0 until depth).map(j =>
-        cmBucket(col(valueCol), j, width).as(s"__b$j")): _*)
+    // one digest per row (projected column), depth slice reads off it
+    val withBuckets = rows
+      .select(col(valueCol), md5(col(valueCol).cast("string")).as("__cmh"))
+      .select(col(valueCol) +:
+        (0 until depth).map(j =>
+          cmBucket(col("__cmh"), j, width).as(s"__b$j")): _*)
     val probed = (0 until depth).foldLeft(withBuckets) { (d, j) =>
       d.withColumn(s"__w$j",
           element_at(wlit, expr(s"cast(__b$j div 63 as int) + ${j * wordsPerRow + 1}")))

@@ -1327,7 +1327,7 @@ object Oracles {
         |  sum(hit) = 5 AS maybe_member
         |FROM hits GROUP BY 1, 2""".stripMargin,
 
-    // Count-Min replay: md5-salted buckets, counter sums, min-over-rows
+    // Count-Min replay: 16-bit digest-slice buckets, counter sums, min-over-rows
     // base-2 sub-bucketed quantile sketch: exact integer bucketing
     // (bin-string log2, shifts, //), cumulative ranks, and the one-IEEE-
     // division interpolation — replayed bit-for-bit
@@ -1458,8 +1458,8 @@ object Oracles {
         |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
         |rb AS (
         |  SELECT j AS row,
-        |    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || term),
-        |      1, 8)) AS BIGINT) % 8192 AS INTEGER) AS bucket
+        |    CAST(CAST(('0x' || substr(md5(term), j * 4 + 1, 4))
+        |      AS BIGINT) % 8192 AS INTEGER) AS bucket
         |  FROM toks CROSS JOIN js),
         |cnt AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
         |        FROM rb GROUP BY 1, 2),
@@ -1467,8 +1467,8 @@ object Oracles {
         |  'is', 'it', 'zzz-unseen']) AS term),
         |pe AS (
         |  SELECT term, j AS row,
-        |    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || term),
-        |      1, 8)) AS BIGINT) % 8192 AS INTEGER) AS bucket
+        |    CAST(CAST(('0x' || substr(md5(term), j * 4 + 1, 4))
+        |      AS BIGINT) % 8192 AS INTEGER) AS bucket
         |  FROM probes CROSS JOIN js)
         |SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
         |FROM pe LEFT JOIN cnt USING (row, bucket) GROUP BY 1""".stripMargin,

@@ -1051,10 +1051,11 @@ class SketchesSpec extends SparkSpec {
     val est = Sketches.cmEstimate(counters, probes, "term",
         depth = 4, width = 64)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("est_count")).toMap
-    // driver-side exact replay of buckets + counters + min
+    // driver-side exact replay of buckets + counters + min: row j reads
+    // hex chars [4j, 4j+4) of ONE digest (16 bits, uniform mod 64)
     def bucket(j: Int, v: String): Int =
-      (java.lang.Long.parseLong(md5hex(s"$j|$v").substring(0, 8), 16) % 64)
-        .toInt
+      (java.lang.Long.parseLong(md5hex(v).substring(4 * j, 4 * j + 4), 16)
+        % 64).toInt
     val counts = values.flatMap(v => (0 until 4).map(j => (j, bucket(j, v))))
       .groupBy(identity).map { case (k, s) => k -> s.size.toLong }
     def replay(v: String): Long =
