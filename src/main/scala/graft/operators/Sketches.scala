@@ -185,7 +185,8 @@ object Sketches {
       .cast("long") % width).cast("int")
 
   /** Bloom filter (Bloom 1970) as a relational bit array: `mBits` bits
-    * stored as 64-bit words, `k` md5-salted probes per value. Building is
+    * stored as 64-bit words, `k` double-hashed probes from ONE md5 digest
+    * per value (see [[posExprs]]). Building is
     * ONE corpus scan into a bit_or aggregate — OR is
     * commutative/associative/idempotent, so the sketch is
     * order/partition/duplicate-invariant and filters from independent
@@ -199,12 +200,14 @@ object Sketches {
     * shifts — the DuckDB oracle replays the words bit-for-bit. */
   def bloomBits(df: DataFrame, valueCol: String, mBits: Int = 131072,
                 k: Int = 5): DataFrame = {
-    require(mBits % 64 == 0 && mBits >= 64, s"mBits must be a multiple of 64")
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
     require(k >= 1 && k <= 8, s"k in [1,8], got $k")
     // 63 bits per word: bit 63 would be 1<<63, which overflows a SIGNED
     // BIGINT shift in engines that check (DuckDB) while Spark wraps —
     // capping the shift at 62 keeps the words bit-identical everywhere
-    df.select(posExprs(col(valueCol), mBits, k).as("__pos"))
+    df.select(md5(col(valueCol).cast("string")).as("__bh"))
+      .select(posExprs(col("__bh"), mBits, k).as("__pos"))
       .select(explode(col("__pos")).as("pos"))
       .select((col("pos") / 63).cast("int").as("word"),
         expr("shiftleft(cast(1 as bigint), pos % 63)").as("bit"))
@@ -212,11 +215,20 @@ object Sketches {
       .agg(expr("bit_or(bit)").as("bits"))
   }
 
-  private def posExprs(v: org.apache.spark.sql.Column, mBits: Int,
-                       k: Int): org.apache.spark.sql.Column =
+  /** The k probe positions from a value's md5 hex via double hashing
+    * (Kirsch, Mitzenmacher 2006 — preserves the Bloom FP bound):
+    * pos_i = (h1 + i*h2) mod m with h1 = first 8 hex chars, h2 = next 8
+    * forced odd. ONE digest per value however large k is (the salted
+    * md5-per-probe form pays k digests on every build and probe pass),
+    * and h1 uniform mod a power-of-two m keeps every position exactly
+    * uniform. Max magnitude h1 + 7*h2 < 2^36 — no BIGINT overflow. */
+  private def posExprs(hexCol: org.apache.spark.sql.Column, mBits: Int,
+                       k: Int): org.apache.spark.sql.Column = {
+    val h1 = conv(substring(hexCol, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(hexCol, 9, 8), 16, 10).cast("long") * 2 + 1
     array((0 until k).map(i =>
-      (conv(substring(md5(concat(lit(s"$i|"), v.cast("string"))), 1, 8),
-        16, 10).cast("long") % mBits).cast("int")): _*)
+      ((h1 + lit(i.toLong) * h2) % mBits).cast("int")): _*)
+  }
 
   /** Merge Bloom word tables from independent runs: bits OR. */
   def bloomMergeBits(bits: DataFrame*): DataFrame =
@@ -236,7 +248,8 @@ object Sketches {
     val pCols = probes.columns.map(col).toSeq
     val words = bits.select(col("word").as("__word"), col("bits").as("__bits"))
     probes
-      .select(pCols :+ posExprs(col(probeCol), mBits, k).as("__pos"): _*)
+      .select(pCols :+ md5(col(probeCol).cast("string")).as("__bh"): _*)
+      .select(pCols :+ posExprs(col("__bh"), mBits, k).as("__pos"): _*)
       .select(pCols :+ explode(col("__pos")).as("__p"): _*)
       .select(pCols ++ Seq((col("__p") / 63).cast("int").as("__word"),
         (col("__p") % 63).as("__bit")): _*)

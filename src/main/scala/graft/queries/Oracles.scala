@@ -1294,12 +1294,13 @@ object Oracles {
         |    / greatest(cnt - 1, 1)::DOUBLE, 4) AS est
         |FROM x WHERE cume - cnt < tgt AND tgt <= cume""".stripMargin,
 
-    // Bloom replay: md5-salted bit positions, bit_or words, all-k test
+    // Bloom replay: double-hashed positions (h1 + i*h2 from one digest), bit_or words, all-k test
     "sketch_bloom_contains" ->
       """WITH bitsrc AS (
         |  SELECT unnest(list_transform([0, 1, 2, 3, 4], i ->
-        |    CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || text),
-        |      1, 8)) AS BIGINT) % 131072 AS INTEGER))) AS pos
+        |    CAST((CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+        |      + i * (CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT)
+        |             * 2 + 1)) % 131072 AS INTEGER))) AS pos
         |  FROM documents),
         |words AS (
         |  SELECT CAST(pos // 63 AS INTEGER) AS word,
@@ -1314,8 +1315,9 @@ object Oracles {
         |pp AS (
         |  SELECT doc_id, kind,
         |    unnest(list_transform([0, 1, 2, 3, 4], i ->
-        |      CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || probe),
-        |        1, 8)) AS BIGINT) % 131072 AS INTEGER))) AS pos
+        |      CAST((CAST(('0x' || substr(md5(probe), 1, 8)) AS BIGINT)
+        |        + i * (CAST(('0x' || substr(md5(probe), 9, 8)) AS BIGINT)
+        |               * 2 + 1)) % 131072 AS INTEGER))) AS pos
         |  FROM probes),
         |hits AS (
         |  SELECT doc_id, kind,

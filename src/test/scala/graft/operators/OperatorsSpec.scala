@@ -1080,10 +1080,14 @@ class SketchesSpec extends SparkSpec {
     val members = (0 until 500).map(i => s"member-$i")
     val df = members.map(Tuple1(_)).toDF("text")
     val bits = Sketches.bloomBits(df, "text", mBits = 4096, k = 5)
-    // driver-side exact replay of the word table
-    val positions = members.flatMap(v => (0 until 5).map(i =>
-      (java.lang.Long.parseLong(md5hex(s"$i|$v").substring(0, 8), 16)
-        % 4096).toInt))
+    // driver-side exact replay of the word table: double-hashed
+    // positions (h1 + i*h2, h2 odd) from ONE digest per value
+    val positions = members.flatMap { v =>
+      val hex = md5hex(v)
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16) * 2 + 1
+      (0 until 5).map(i => ((h1 + i * h2) % 4096).toInt)
+    }
     val wantWords = positions.groupBy(_ / 63)
       .map { case (w, ps) =>
         w -> ps.map(p => 1L << (p % 63)).reduce(_ | _) }
