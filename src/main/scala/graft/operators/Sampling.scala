@@ -97,8 +97,26 @@ object Sampling {
     require(math.abs(total - 1.0) < 1e-9,
       s"fractions must sum to 1, got $total")
     val hex = substring(md5(col(idCol).cast("string")), 1, 4)
-    val cutoffs = fractions.init.scanLeft(0.0)(_ + _._2).tail
-      .map(c => f"${math.round(c * 65536).toInt}%04x")
+    // Each cutoff must stay a 4-char hex string: a cumulative fraction
+    // rounding to 65536 would emit the 5-char "10000", which the
+    // fixed-width comparison misorders ("1abc" > "10000"), silently
+    // starving every later label; a cutoff rounding to 0 (or colliding
+    // with its neighbour) makes a label silently empty. Reject fractions
+    // below the 1/65536 grid resolution instead.
+    val cutInts = fractions.init.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * 65536).toInt)
+    cutInts.zip(fractions.init.map(_._1)).foreach { case (ci, name) =>
+      require(ci >= 1 && ci <= 65535,
+        s"cumulative cutoff after '$name' rounds to $ci/65536 — every " +
+          "cutoff must land in [1, 65535]; fractions this close to 0 or 1 " +
+          "are below the 1/65536 md5-band grid resolution")
+    }
+    require(cutInts.size < 2 ||
+        cutInts.sliding(2).forall(p => p(1) > p(0)),
+      s"cutoffs must be strictly increasing on the 1/65536 grid, got " +
+        s"${cutInts.mkString(",")} — a fraction below the grid resolution " +
+        "would leave its label silently empty")
+    val cutoffs = cutInts.map(ci => f"$ci%04x")
     val label = fractions.init.zip(cutoffs).foldRight(
       lit(fractions.last._1): org.apache.spark.sql.Column) {
       case (((name, _), cut), els) => when(hex < cut, name).otherwise(els)
@@ -228,13 +246,37 @@ object Sampling {
       TopKRow(java.lang.Double.longBitsToDouble(bits), e.substring(17))
     }
     def zero: ArrayBuffer[String] = ArrayBuffer.empty
+    // The declared contract orders tie ids by UTF-8 BINARY collation (the
+    // row_number window and the DuckDB oracle both compare bytes), but
+    // JVM `<` compares UTF-16 code units, which rank U+E000..U+FFFF above
+    // supplementary characters. Compare in code-point order instead —
+    // identical to UTF-8 byte order — via the classic surrogate fixup
+    // (chars >= U+E000 shift down 0x800, surrogates shift up 0x2000), no
+    // per-comparison byte-array allocation. The 16-hex-char score prefix
+    // is ASCII, so the fixup only ever engages inside the id suffix.
+    private def utf8Lt(a: String, b: String): Boolean = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        var ca = a.charAt(i).toInt; var cb = b.charAt(i).toInt
+        if (ca != cb) {
+          if (ca >= 0xd800 && cb >= 0xd800) {
+            ca = if (ca >= 0xe000) ca - 0x800 else ca + 0x2000
+            cb = if (cb >= 0xe000) cb - 0x800 else cb + 0x2000
+          }
+          return ca < cb
+        }
+        i += 1
+      }
+      a.length < b.length
+    }
     // capped rank-ordered insert; duplicates of the same (score, id) are
     // KEPT (row semantics — identical to row_number over identical rows)
     private def insert(b: ArrayBuffer[String], v: String): ArrayBuffer[String] = {
       var lo = 0; var hi = b.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (b(mid) < v) lo = mid + 1 else hi = mid
+        if (utf8Lt(b(mid), v)) lo = mid + 1 else hi = mid
       }
       if (lo >= k) b
       else {

@@ -242,7 +242,16 @@ object Sketches {
     * the rest of the file, so a probe frame may carry its own
     * `pos`/`word`/`bit`/`bits` columns without ambiguous-reference
     * errors; `bits_set`/`maybe_member` are the OUTPUT columns and remain
-    * reserved. */
+    * reserved.
+    *
+    * Output is one row per DISTINCT probe tuple. `bits_set` counts the
+    * probe INDICES 0..k-1 whose bit is set (count-distinct over the
+    * posexplode index), not a sum of hit rows — so fully-duplicated
+    * probe rows, which collapse into one group, cannot inflate the count
+    * to 2k and flip `maybe_member` false for a present value (that would
+    * be a false negative, violating the Bloom contract). Two indices
+    * colliding onto one set position still count as two, matching the
+    * per-index semantics of the all-k test. */
   def bloomContains(bits: DataFrame, probes: DataFrame, probeCol: String,
                     mBits: Int = 131072, k: Int = 5): DataFrame = {
     val pCols = probes.columns.map(col).toSeq
@@ -250,15 +259,16 @@ object Sketches {
     probes
       .select(pCols :+ md5(col(probeCol).cast("string")).as("__bh"): _*)
       .select(pCols :+ posExprs(col("__bh"), mBits, k).as("__pos"): _*)
-      .select(pCols :+ explode(col("__pos")).as("__p"): _*)
-      .select(pCols ++ Seq((col("__p") / 63).cast("int").as("__word"),
+      .select(pCols ++ Seq(posexplode(col("__pos")).as(Seq("__i", "__p"))): _*)
+      .select(pCols ++ Seq(col("__i"),
+        (col("__p") / 63).cast("int").as("__word"),
         (col("__p") % 63).as("__bit")): _*)
       .join(broadcast(words), Seq("__word"), "left")
       .withColumn("__hit",
         when(col("__bits").isNotNull &&
-          expr("(__bits >> __bit) & 1") === 1L, 1L).otherwise(0L))
+          expr("(__bits >> __bit) & 1") === 1L, col("__i")))
       .groupBy(pCols: _*)
-      .agg(sum(col("__hit")).as("bits_set"))
+      .agg(countDistinct(col("__hit")).as("bits_set"))
       .withColumn("maybe_member", col("bits_set") === k)
   }
 

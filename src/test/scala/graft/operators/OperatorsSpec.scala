@@ -1116,6 +1116,18 @@ class SketchesSpec extends SparkSpec {
         Sketches.bloomBits(h2.map(Tuple1(_)).toDF("text"), "text", 4096, 5))
       .collect().map(r => r.getInt(0) -> r.getAs[Long]("bits")).toMap
     assert(merged == wantWords)
+    // fully-duplicated probe rows collapse into one group — bits_set
+    // must still read k (distinct probe indices, not summed hit rows),
+    // so a present value can never report maybe_member=false
+    val dupProbes = Seq("member-1", "member-1", "member-1",
+      "absent-x", "absent-x").map(Tuple1(_)).toDF("probe")
+    val dupGot = Sketches.bloomContains(
+        Sketches.bloomBits(df, "text", 4096, 5), dupProbes, "probe", 4096, 5)
+      .collect().map(r => r.getAs[String]("probe") ->
+        ((r.getAs[Long]("bits_set"), r.getAs[Boolean]("maybe_member")))).toMap
+    assert(dupGot.size == 2)
+    assert(dupGot("member-1") == ((5L, true)), dupGot.toString)
+    assert(dupGot("absent-x")._1 <= 5L)
   }
 
   test("bloom/cm probes may carry pos/word/bit/row/bucket/cnt columns (scratch is __-prefixed)") {

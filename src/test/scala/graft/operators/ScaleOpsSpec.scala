@@ -241,6 +241,30 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.deterministicSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
     }
+    // fractions below the 1/65536 grid resolution rejected, never
+    // silently misordered: a tail fraction whose preceding cumulative
+    // cutoff rounds to 65536 would emit the 5-char hex "10000" (which
+    // the 4-char comparison misorders), a head fraction rounding to 0
+    // would leave its label empty, and two cutoffs colliding on the
+    // grid would empty the middle label
+    intercept[IllegalArgumentException] {      // cutoff rounds to 65536
+      Sampling.deterministicSplit(docs, "doc_id",
+        Seq("a" -> (1.0 - 5e-6), "b" -> 5e-6))
+    }
+    intercept[IllegalArgumentException] {      // cutoff rounds to 0
+      Sampling.deterministicSplit(docs, "doc_id",
+        Seq("a" -> 5e-6, "b" -> (1.0 - 5e-6)))
+    }
+    intercept[IllegalArgumentException] {      // adjacent cutoffs collide
+      Sampling.deterministicSplit(docs, "doc_id",
+        Seq("a" -> 0.5, "b" -> 5e-6, "c" -> (0.5 - 5e-6)))
+    }
+    // the smallest representable fraction still works and labels rows
+    val tiny = Sampling.deterministicSplit(docs, "doc_id",
+        Seq("a" -> (1.0 / 65536), "b" -> (1.0 - 1.0 / 65536)))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny.values.sum == 2000 && tiny.getOrElse("b", 0L) > 1900)
   }
 
   test("weighted sample: exact race replay, proportional-ish rates, invariances") {
@@ -389,6 +413,29 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"),
       s"expected ObjectHashAggregate in:\n$plan")
     assert(!plan.contains("Window ["), s"window leaked into topKPerGroup:\n$plan")
+  }
+
+  test("topKPerGroup tie ids compare in UTF-8 byte order, not UTF-16 code units") {
+    import graft.operators.Sampling
+    // JVM UTF-16 code-unit order ranks U+E000..U+FFFF ABOVE supplementary
+    // characters (whose high surrogates sit at 0xD800..0xDBFF); UTF-8
+    // byte order — the declared contract, and what both Spark's string
+    // ordering and the DuckDB oracle use — ranks them BELOW. On an exact
+    // score tie the k-capped aggregate must agree with the row_number
+    // window bit for bit.
+    val bmpPrivate = "\uE000"             // U+E000, 3 UTF-8 bytes
+    val emoji = new String(Character.toChars(0x1f600)) // U+1F600, 4 bytes
+    val df = Seq(("g", bmpPrivate, 1.0), ("g", emoji, 1.0),
+      ("g", "ascii", 1.0)).toDF("g", "doc_id", "score")
+    val got = Sampling.topKPerGroup(df, Seq("g"), "score", "doc_id", 2)
+      .orderBy("rank").collect().map(_.getString(2)).toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+      .orderBy($"score".desc, $"doc_id")
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 2).orderBy("rank")
+      .collect().map(_.getString(1)).toSeq
+    assert(want == Seq("ascii", bmpPrivate), want.map(_.codePoints.toArray.toSeq))
+    assert(got == want, s"got ${got.map(_.codePoints.toArray.toSeq)}")
   }
 }
 
