@@ -490,6 +490,102 @@ object Multimodal {
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
 
+  /** Amplitude-invariant 64-bit audio fingerprint from the 16-bucket RMS
+    * envelope ([[JavaSoundDecoder]]'s feature): each bucket normalizes by
+    * the PEAK bucket and quantizes to a nibble (round(norm * 15)), 16
+    * nibbles packing to the same 16-hex-char currency as [[aHash64]] /
+    * text SimHash, so [[Dedup.hammingPairs64]] pairs audio on the
+    * identical banded plan. Normalizing by the peak makes the
+    * fingerprint invariant to uniform gain (a re-levelled copy of a
+    * clip fingerprints identically — the audio analogue of aHash's
+    * brightness invariance) and to waveform inversion (RMS is sign-
+    * blind). Silence (peak 0) and empty envelopes return null — no
+    * shape to fingerprint — and are dropped by the pairing step. */
+  def audioHash64(envelope: Array[Float]): String = {
+    if (envelope == null || envelope.length != 16) return null
+    var peak = 0.0f
+    var i = 0
+    while (i < 16) { if (envelope(i) > peak) peak = envelope(i); i += 1 }
+    if (!(peak > 0.0f)) return null
+    var bits = 0L
+    i = 0
+    while (i < 16) {
+      val nib = math.round(envelope(i) / peak * 15.0f).toLong
+      bits |= nib << (60 - 4 * i)
+      i += 1
+    }
+    f"$bits%016x"
+  }
+
+  /** (media_id, ahash) over the audio rows via the REAL javax.sound
+    * decode; undecodable or silent payloads yield a null hash (dropped by
+    * the pairing step). One linear decode pass. */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "audio")
+      .map { r =>
+        val f = JavaSoundDecoder.decode(r)
+        (r.media_id, if (f.ok) audioHash64(f.feature) else null)
+      }
+      .toDF("media_id", "ahash")
+  }
+
+  /** Audio near-dup pairs at hamming <= `maxHamming` over the
+    * gain-invariant envelope fingerprint — completes the multimodal
+    * dedup family beside [[imageNearDupPairs]] / [[videoNearDupPairs]]
+    * on the same banded candidate plan (no all-pairs of clips). */
+  def audioNearDupPairs(media: Dataset[MediaRow],
+                        maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(audioHashes(media), "media_id", "ahash", maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
+  /** Deterministic synthetic WAV payload (PCM mono 16-bit 8 kHz, 1600
+    * samples = 200 ms): 16 envelope buckets of 100 samples each, bucket b
+    * a ±(a_b * amplitudeStep * 1000) square wave with a_b in 1..8 drawn
+    * from md5(`group`)'s byte b. A square wave's RMS is its amplitude
+    * EXACTLY in IEEE arithmetic (integer squares < 2^53 sum and divide
+    * exactly; sqrt of a perfect square is exact; /32768 is a power-of-two
+    * scale), so the peak-normalized ratio a_b/a_max — and therefore
+    * [[audioHash64]] — is bit-identical across the four amplitude
+    * variants (hamming 0), while two groups' md5-drawn envelopes differ
+    * in many nibbles. That makes the whole decode→fingerprint→banded-pair
+    * pipeline oracle-checkable: the expected pairs are a pure function of
+    * the group key, exactly like [[syntheticPatternPng]]. Max sample
+    * 8*4*1000 = 32000 < 32767 — no clipping at any step. */
+  def syntheticWavPcm(group: Long, amplitudeStep: Int): Array[Byte] = {
+    require(amplitudeStep >= 1 && amplitudeStep <= 4,
+      s"amplitudeStep in [1,4], got $amplitudeStep")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(group.toString.getBytes("UTF-8"))
+    val n = 1600
+    val data = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var b = 0
+    while (b < 16) {
+      val a = 1 + ((md(b) & 0x7F) % 8)
+      val s = (a * amplitudeStep * 1000).toShort
+      var i = 0
+      while (i < 100) {
+        data.putShort(if (i % 2 == 0) s else (-s).toShort)
+        i += 1
+      }
+      b += 1
+    }
+    val body = data.array()
+    val out = java.nio.ByteBuffer.allocate(44 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + body.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)          // PCM, mono
+      .putInt(8000).putInt(16000)       // sample rate, byte rate
+      .putShort(2).putShort(16)         // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(body.length)
+      .put(body)
+    out.array()
+  }
+
   /** Media-aware repartitioning: blobs are MBs, rows are not the right
     * unit — size partitions by a byte budget so executor memory holds a
     * bounded number of frames in flight. */

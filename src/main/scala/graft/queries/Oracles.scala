@@ -2333,6 +2333,18 @@ object Oracles {
         |  CAST(b.doc_id % 4 + 1 AS BIGINT) AS frames_b
         |FROM ids a JOIN ids b
         |  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id""".stripMargin,
+
+    // the audio twin: the Spark side REALLY decodes PCM via javax.sound
+    // and fingerprints the RMS envelope; the synthetic WAVs make the
+    // peak-normalized fingerprint exactly gain-invariant (square-wave RMS
+    // is IEEE-exact), so amplitude variants of one md5-keyed envelope
+    // pair at hamming 0 and the pair set is pure id arithmetic
+    "multimodal_audio_dups" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM ids a JOIN ids b
+        |  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id""".stripMargin,
   )
 
   /** Replays `Similarity.kmeansCentroids` + `ivfTopKWith` exactly: the 16

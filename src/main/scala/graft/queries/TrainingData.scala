@@ -621,6 +621,26 @@ object TrainingData {
     Multimodal.videoNearDupPairs(media, maxHamming = 3)
   }
 
+  /** Audio near-dup through the REAL javax.sound decode -> RMS envelope
+    * -> gain-invariant fingerprint -> banded-pair pipeline, over
+    * deterministic synthetic WAV payloads: every group of 4 doc ids
+    * carries the same md5-keyed square-wave envelope at 4 amplitude
+    * steps. The peak-normalized fingerprint is EXACTLY invariant to the
+    * uniform gain (see [[graft.operators.Multimodal.syntheticWavPcm]]),
+    * so intra-group pairs come out at hamming 0, cross-group envelopes
+    * differ in many nibbles, and the oracle reproduces the pair set
+    * arithmetically from the group key — completing the multimodal dedup
+    * family (image / video / audio) under the gate. */
+  def multimodalAudioDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = t(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 200).as[Long]
+      .map(id => Multimodal.MediaRow(id, "audio", "audio/wav", 0, 0, 200,
+        Multimodal.syntheticWavPcm(id / 4, (id % 4).toInt + 1)))
+    Multimodal.audioNearDupPairs(media, maxHamming = 3)
+  }
+
   /** URL-canonicalization dedup over DETERMINISTIC synthetic URL variants
     * (the driver's documents table has no url column): every group of 4
     * doc ids shares one page under scheme / www+trailing-slash / fragment /

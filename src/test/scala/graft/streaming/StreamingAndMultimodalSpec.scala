@@ -614,4 +614,74 @@ class MultimodalSpec extends SparkSpec {
     assert(p.getAs[Long]("hamming") == 0L)
     assert(p.getAs[Long]("frames_a") == 1L && p.getAs[Long]("frames_b") == 2L)
   }
+
+  test("audioHash64: gain- and inversion-invariant, silence/undecodable null") {
+    // the four amplitude steps of one group fingerprint bit-identically
+    val hashes = (1 to 4).map { step =>
+      val f = Multimodal.JavaSoundDecoder.decode(Multimodal.MediaRow(
+        step.toLong, "audio", "audio/wav", 0, 0, 200,
+        Multimodal.syntheticWavPcm(7L, step)))
+      assert(f.ok && f.n_frames == 1600)
+      Multimodal.audioHash64(f.feature)
+    }
+    assert(hashes.distinct.size == 1 && hashes.head.length == 16)
+    // a different group lands far away (many differing nibbles)
+    val other = Multimodal.audioHash64(Multimodal.JavaSoundDecoder.decode(
+      Multimodal.MediaRow(9L, "audio", "audio/wav", 0, 0, 200,
+        Multimodal.syntheticWavPcm(8L, 1))).feature)
+    def ham(a: String, b: String): Int = java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(a, 16) ^
+        java.lang.Long.parseUnsignedLong(b, 16))
+    assert(ham(hashes.head, other) > 3, s"${hashes.head} vs $other")
+    // inversion (negated waveform) is RMS-blind: same fingerprint
+    val wav = Multimodal.syntheticWavPcm(7L, 2)
+    val inv = wav.clone()
+    var off = 44
+    while (off < inv.length) { // negate each LE 16-bit sample in place
+      val s = ((inv(off) & 0xFF) | (inv(off + 1) << 8)).toShort
+      val n = (-s).toShort
+      inv(off) = (n & 0xFF).toByte
+      inv(off + 1) = ((n >> 8) & 0xFF).toByte
+      off += 2
+    }
+    val invHash = Multimodal.audioHash64(Multimodal.JavaSoundDecoder.decode(
+      Multimodal.MediaRow(1L, "audio", "audio/wav", 0, 0, 200, inv)).feature)
+    assert(invHash == hashes.head)
+    // silence has no shape; empty/short envelopes refuse
+    assert(Multimodal.audioHash64(new Array[Float](16)) == null)
+    assert(Multimodal.audioHash64(Array.emptyFloatArray) == null)
+    assert(Multimodal.audioHash64(null) == null)
+    // the 50 groups the multimodal_audio_dups oracle relies on (doc_id <
+    // 200, id/4) stay pairwise OUTSIDE the hamming-3 pairing radius —
+    // deterministic, so this check is conclusive for the gate
+    val groupHashes = (0L until 50L).map(g =>
+      java.lang.Long.parseUnsignedLong(Multimodal.audioHash64(
+        Multimodal.JavaSoundDecoder.decode(Multimodal.MediaRow(
+          g, "audio", "audio/wav", 0, 0, 200,
+          Multimodal.syntheticWavPcm(g, 1))).feature), 16))
+    for (i <- groupHashes.indices; j <- 0 until i)
+      assert(java.lang.Long.bitCount(groupHashes(i) ^ groupHashes(j)) > 3,
+        s"groups $j/$i too close")
+  }
+
+  test("audioNearDupPairs: same-group amplitude variants pair; bad clips drop") {
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "audio", "audio/wav", 0, 0, 200,
+        Multimodal.syntheticWavPcm(0L, 1)),
+      Multimodal.MediaRow(1L, "audio", "audio/wav", 0, 0, 200,
+        Multimodal.syntheticWavPcm(0L, 4)),
+      Multimodal.MediaRow(2L, "audio", "audio/wav", 0, 0, 200,
+        Multimodal.syntheticWavPcm(1L, 1)),
+      Multimodal.MediaRow(3L, "audio", "audio/mpeg", 0, 0, 200,
+        Array[Byte](1, 2, 3)), // no JDK codec -> dropped, not thrown
+      Multimodal.MediaRow(4L, "image", "image/png", 0, 0, 0,
+        Multimodal.syntheticPatternPng(0L, 0))) // wrong modality ignored
+    val media = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 3).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("media_a") == 0L &&
+      pairs.head.getAs[Long]("media_b") == 1L &&
+      pairs.head.getAs[Long]("hamming") == 0L)
+  }
 }
