@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, DedupLedger}
+
+/** The incremental-curation ops driver — the training-data counterpart of
+  * [[GraftCli]]: screen a new batch of documents against the curated
+  * corpus through the persisted dedup ledger, write verdicts, and grow
+  * both the corpus and the ledger with the kept docs so the NEXT batch
+  * consumes what this one wrote.
+  *
+  * One invocation = one ingest cycle:
+  *   1. bootstrap the ledger from the corpus if none exists yet
+  *      (one-time full pass; every later cycle skips it);
+  *   2. screen the batch via [[Dedup.incrementalDedupLedgered]] — the
+  *      ledger replaces the per-run history fingerprint/MinHash rescan;
+  *   3. write (doc_id, verdict, matched_id, jaccard) to `--out`;
+  *   4. append the KEPT batch docs to the corpus directory and their
+  *      ledger rows under this cycle's `--ingest` partition label.
+  *
+  * The corpus directory is plain parquet (appendable); the ledger is
+  * Hive-partitioned by ingest label ([[DedupLedger]]), so a bad ingest
+  * day is one partition to drop from both. */
+object CurateCli {
+
+  final case class Options(
+      corpus: String = null, batch: String = null,
+      ledger: String = null, out: String = null,
+      ingest: String = null,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
+      showHelp: Boolean = false)
+
+  val Usage: String =
+    """usage: graft-curate --corpus <dir> --batch <parquet> --ledger <dir>
+      |                    --out <dir> --ingest <label> [options]
+      | --corpus <dir>        Curated corpus (parquet; kept docs appended)
+      | --batch <parquet>     New documents to screen
+      | --ledger <dir>        Dedup ledger (bootstrapped if absent)
+      | --out <dir>           Verdict output (doc_id, verdict, matched_id, jaccard)
+      | --ingest <label>      Partition label for this cycle's ledger rows
+      | --id-col <name>       Document id column        (default doc_id)
+      | --text-col <name>     Document text column      (default text)
+      | --ngram <n>           Shingle size              (default 3)
+      | --hashes <k>          MinHash signature length  (default 8)
+      | --rows-per-band <r>   LSH rows per band         (default 2)
+      | --threshold <t>       Jaccard verify threshold  (default 0.5)
+      | -h,--help             Show usage
+      |""".stripMargin
+
+  def parse(args: Seq[String]): Either[String, Options] = {
+    var o = Options()
+    var rest = args.toList
+    while (rest.nonEmpty) rest match {
+      case ("-h" | "--help") :: t => o = o.copy(showHelp = true); rest = t
+      case "--corpus" :: v :: t => o = o.copy(corpus = v); rest = t
+      case "--batch" :: v :: t => o = o.copy(batch = v); rest = t
+      case "--ledger" :: v :: t => o = o.copy(ledger = v); rest = t
+      case "--out" :: v :: t => o = o.copy(out = v); rest = t
+      case "--ingest" :: v :: t => o = o.copy(ingest = v); rest = t
+      case "--id-col" :: v :: t => o = o.copy(idCol = v); rest = t
+      case "--text-col" :: v :: t => o = o.copy(textCol = v); rest = t
+      case "--ngram" :: v :: t => o = o.copy(n = v.toInt); rest = t
+      case "--hashes" :: v :: t => o = o.copy(numHashes = v.toInt); rest = t
+      case "--rows-per-band" :: v :: t =>
+        o = o.copy(rowsPerBand = v.toInt); rest = t
+      case "--threshold" :: v :: t =>
+        o = o.copy(threshold = v.toDouble); rest = t
+      case bad :: _ => return Left(s"unknown option: $bad")
+    }
+    if (o.showHelp) Right(o)
+    else if (o.corpus == null || o.batch == null || o.ledger == null ||
+        o.out == null || o.ingest == null)
+      Left("--corpus, --batch, --ledger, --out and --ingest are required")
+    else Right(o)
+  }
+
+  /** One ingest cycle; returns (kept, exact, near) counts. Separated from
+    * [[main]] so the spec drives full cycles against temp dirs. */
+  def runCycle(spark: SparkSession, o: Options): (Long, Long, Long) = {
+    val corpus = spark.read.parquet(o.corpus)
+    if (!DedupLedger.exists(o.ledger))
+      DedupLedger.write(corpus, o.idCol, o.textCol, o.n, o.numHashes,
+        o.rowsPerBand, o.ledger, ingest = "bootstrap", overwrite = true)
+    val (fp, bands) = DedupLedger.read(spark, o.ledger, o.n, o.numHashes,
+      o.rowsPerBand)
+    val batch = spark.read.parquet(o.batch)
+    Dedup.incrementalDedupLedgered(corpus, fp, bands, batch,
+        o.idCol, o.textCol, o.n, o.numHashes, o.rowsPerBand, o.threshold)
+      .write.mode("overwrite").parquet(o.out)
+    // decide kept docs off the WRITTEN verdicts (one screen, two sinks)
+    val verdicts = spark.read.parquet(o.out)
+    val kept = batch.join(
+      verdicts.filter(col("verdict") === "keep")
+        .select(col("doc_id").as(o.idCol)), Seq(o.idCol), "left_semi")
+      // two consumers below (corpus append + ledger append) and the
+      // semi-join must not observe the corpus append mid-write
+      .localCheckpoint()
+    kept.write.mode("append").parquet(o.corpus)
+    DedupLedger.write(kept, o.idCol, o.textCol, o.n, o.numHashes,
+      o.rowsPerBand, o.ledger, ingest = o.ingest)
+    val counts = verdicts.groupBy(col("verdict")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (counts.getOrElse("keep", 0L), counts.getOrElse("exact", 0L),
+      counts.getOrElse("near", 0L))
+  }
+
+  def main(args: Array[String]): Unit = {
+    parse(args.toSeq) match {
+      case Left(err) =>
+        System.err.println(err); System.err.println(Usage); sys.exit(2)
+      case Right(o) if o.showHelp => println(Usage)
+      case Right(o) =>
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
+            s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+          .appName("graft-curate")
+          .config("spark.sql.extensions", "graft.GraftExtensions")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .getOrCreate()
+        try {
+          val (kept, exact, near) = runCycle(spark, o)
+          println(s"kept=$kept exact=$exact near=$near")
+        } finally spark.stop()
+    }
+  }
+}

@@ -237,7 +237,8 @@ object Dedup {
     * defect: Catalyst expands a twice-referenced subtree into two full
     * copies, and exchange reuse does not bridge differently-pruned
     * subtrees). Single-consumer callers skip it. */
-  private def bandFrame(docs: DataFrame, idCol: String, textCol: String,
+  private[operators] def bandFrame(docs: DataFrame, idCol: String,
+                        textCol: String,
                         n: Int, numHashes: Int, rowsPerBand: Int,
                         checkpointSig: Boolean): DataFrame = {
     val nBands = numHashes / rowsPerBand
@@ -345,9 +346,11 @@ object Dedup {
     *
     * 100 TB shape: history is touched by exactly two bounded projections
     * — the fingerprint aggregate (one row per distinct text) and the band
-    * projection (nBands rows/doc), BOTH pure functions of the text that a
-    * production ledger would precompute and store, turning every later
-    * batch into joins against small cached tables. Candidate generation
+    * projection (nBands rows/doc), BOTH pure functions of the text. This
+    * convenience form recomputes them per run; production persists them
+    * once via [[DedupLedger]] and screens through
+    * [[incrementalDedupLedgered]], where per-batch cost never rescans
+    * history. Candidate generation
     * is the asymmetric batch-bands x history-bands equi-join: pair volume
     * scales with batch size x collision rate, never with |history|^2, and
     * AQE skew-splits a hot band key as in [[minhashLsh]]. Shingle
@@ -356,10 +359,31 @@ object Dedup {
   def incrementalDedup(history: DataFrame, batch: DataFrame,
                        idCol: String, textCol: String,
                        n: Int, numHashes: Int, rowsPerBand: Int,
+                       threshold: Double): DataFrame =
+    incrementalDedupLedgered(history,
+      DedupLedger.fingerprints(history, idCol, textCol),
+      DedupLedger.bands(history, idCol, textCol, n, numHashes, rowsPerBand),
+      batch, idCol, textCol, n, numHashes, rowsPerBand, threshold)
+
+  /** [[incrementalDedup]] with the history-side derivations supplied as
+    * LEDGER frames instead of recomputed: `ledgerFp` = (doc_id, fp) and
+    * `ledgerBands` = (doc_id, band, band_key) as built by [[DedupLedger]]
+    * — pure functions of each kept document's text, so ledger-fed and
+    * recomputed screens are verdict-identical (spec-asserted, and the
+    * `dedup_incremental_ledger` gate hash-matches the recompute oracle).
+    *
+    * This is the shape that matters at 100 TB: the recompute form pays a
+    * full shingle+MinHash pass over the ENTIRE history every batch; here
+    * history text is touched only for band-collision SURVIVORS (the LSH
+    * contract), so per-batch cost tracks the batch and the collision
+    * rate, never |history|. */
+  def incrementalDedupLedgered(history: DataFrame, ledgerFp: DataFrame,
+                       ledgerBands: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int, numHashes: Int, rowsPerBand: Int,
                        threshold: Double): DataFrame = {
-    val hExact = history
-      .select(col(idCol).as("__h_id"),
-        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val hExact = ledgerFp
+      .select(col("doc_id").as("__h_id"), col("fp").as("__fp"))
       .groupBy(col("__fp")).agg(min(col("__h_id")).as("__h_exact"))
     val screened = batch
       .select(col(idCol).as("doc_id"),
@@ -376,8 +400,7 @@ object Dedup {
     val bBands = bandFrame(batchLive, idCol, textCol, n, numHashes,
         rowsPerBand, checkpointSig = false)
       .select(col("doc_id").as("__b_id"), col("band"), col("band_key"))
-    val hBands = bandFrame(history, idCol, textCol, n, numHashes,
-        rowsPerBand, checkpointSig = false)
+    val hBands = ledgerBands
       .select(col("doc_id").as("__h_id"), col("band"), col("band_key"))
     // three consumers (two candidate-doc sets + the verify semi-join):
     // checkpoint the (tiny, LSH contract) pair list

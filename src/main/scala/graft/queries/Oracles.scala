@@ -2444,7 +2444,11 @@ object Oracles {
     * sketch_quantile_merged (those carry their own copies). */
   val mergeGates: Map[String, String] = Map(
     "sketch_cm_merged" -> trainingData("sketch_cm_tokens"),
-    "sketch_bloom_merged" -> trainingData("sketch_bloom_contains"))
+    "sketch_bloom_merged" -> trainingData("sketch_bloom_contains"),
+    // the ledger-fed screen persists and re-reads the history
+    // fingerprint/band rows — pure functions of the text — so its
+    // verdicts must equal the recompute form bit-for-bit
+    "dedup_incremental_ledger" -> trainingData("dedup_incremental"))
 
   val statsAndTime: Map[String, String] = Map(
     "a7_zscore" ->

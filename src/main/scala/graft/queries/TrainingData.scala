@@ -49,6 +49,32 @@ object TrainingData {
       threshold = 0.5)
   }
 
+  /** The ledger-fed twin of [[dedupIncremental]]: the history side's
+    * fingerprints and MinHash band rows are WRITTEN to a parquet ledger
+    * ([[Dedup]][[graft.operators.DedupLedger]], Hive-partitioned by
+    * ingest label) and read back, then the screen runs through
+    * [[Dedup.incrementalDedupLedgered]] — gating the full
+    * persist-and-consume path against the same recompute oracle
+    * (verdicts are a pure function of the texts, so ledger-fed and
+    * recomputed forms hash-match). This is the production shape: at
+    * 100 TB the per-batch screen reads two narrow ledger tables instead
+    * of re-shingling all of history. */
+  def dedupIncrementalLedger(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupLedger
+    val docs = tp(s, dir, "documents")
+    val hist = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val ledger = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_dedup_ledger").getAbsolutePath
+    DedupLedger.write(hist, "doc_id", "text", n = 3, numHashes = 8,
+      rowsPerBand = 2, path = ledger, ingest = "history", overwrite = true)
+    val (fp, bands) = DedupLedger.read(s, ledger, n = 3, numHashes = 8,
+      rowsPerBand = 2)
+    Dedup.incrementalDedupLedgered(hist, fp, bands, batch,
+      "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2,
+      threshold = 0.5)
+  }
+
   /** Exact-first near-dup composition: see [[Dedup.twoStage]]. */
   def dedupTwoStage(s: SparkSession, dir: String): DataFrame =
     Dedup.twoStage(tp(s, dir, "documents"), "doc_id", "text",

@@ -224,6 +224,28 @@ object EventStream {
       }
       .start()
 
+  /** [[screenStream]] fed from a persisted
+    * [[graft.operators.DedupLedger]] instead of recomputing history
+    * fingerprints and band rows every micro-batch — the production
+    * at-ingest shape: the ledger frames are static parquet scans (pure
+    * functions of history text, so verdicts are identical to the
+    * recompute form), `history` supplies text for band-collision
+    * survivors only, and per-micro-batch cost tracks the micro-batch. */
+  def screenStreamLedgered(docs: DataFrame, history: DataFrame,
+                   ledgerFp: DataFrame, ledgerBands: DataFrame,
+                   idCol: String, textCol: String, n: Int, numHashes: Int,
+                   rowsPerBand: Int, threshold: Double)
+                  (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.incrementalDedupLedgered(
+          history, ledgerFp, ledgerBands, b.toDF(), idCol, textCol,
+          n, numHashes, rowsPerBand, threshold))
+      }
+      .start()
+
   /** Batch-mode smoke: run the windowed aggregation over the parquet
     * events table read as a one-shot stream (Trigger.AvailableNow). */
   def runBatchOverParquet(spark: SparkSession, sfDir: String, outDir: String): Unit = {

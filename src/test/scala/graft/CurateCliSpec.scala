@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CurateCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two ingest cycles: cycle 2 consumes the ledger cycle 1 wrote") {
+    val root = java.nio.file.Files.createTempDirectory("curate").toString
+    val corpusDir = s"$root/corpus"
+    val ledgerDir = s"$root/ledger"
+
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different historical content about spark plans"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),   // exact
+      (11L, "a genuinely novel document unlike anything in history today"), // keep
+      (12L, "another fresh document with its own unique words entirely")) // keep
+      .toDF("doc_id", "text").write.parquet(s"$root/batch1")
+    Seq(
+      (20L, "a genuinely novel document unlike anything in history today"), // exact vs KEPT 11
+      (21L, "completely different historical content about spark plans"), // exact vs corpus 2
+      (22L, "a genuinely novel document unlike anything in history tonight"), // near vs KEPT 11
+      (23L, "a third wave document sharing nothing with prior cycles"))    // keep
+      .toDF("doc_id", "text").write.parquet(s"$root/batch2")
+
+    def opts(batch: String, ingest: String) = CurateCli.Options(
+      corpus = corpusDir, batch = s"$root/$batch", ledger = ledgerDir,
+      out = s"$root/out_$ingest", ingest = ingest)
+
+    val (kept1, exact1, near1) = CurateCli.runCycle(spark, opts("batch1", "day1"))
+    assert((kept1, exact1, near1) == ((2L, 1L, 0L)))
+    // the corpus and ledger both grew by the kept docs
+    assert(spark.read.parquet(corpusDir).count() == 4)
+    assert(spark.read.parquet(s"$ledgerDir/fp")
+      .filter($"ingest" === "day1").count() == 2)
+
+    val (kept2, exact2, near2) = CurateCli.runCycle(spark, opts("batch2", "day2"))
+    assert((kept2, exact2, near2) == ((1L, 2L, 1L)))
+    val v2 = spark.read.parquet(s"$root/out_day2")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // 20 matched the doc cycle 1 KEPT — proof cycle 2 read what 1 wrote
+    assert(v2(20L) == (("exact", Some(11L))))
+    assert(v2(21L) == (("exact", Some(2L))))
+    assert(v2(22L)._1 == "near" && v2(22L)._2 == Some(11L))
+    assert(v2(23L) == (("keep", None)))
+
+    // the ledger-fed cycle-2 verdicts equal a from-scratch recompute over
+    // the grown corpus (minus batch2's own appended rows)
+    val corpusBefore2 = spark.read.parquet(corpusDir)
+      .filter($"doc_id" < 20L)
+    val recompute = graft.operators.Dedup.incrementalDedup(corpusBefore2,
+        spark.read.parquet(s"$root/batch2"), "doc_id", "text", 3, 8, 2, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(v2 == recompute)
+
+    // three ingest partitions: bootstrap + the two cycles
+    assert(spark.read.parquet(s"$ledgerDir/fp")
+      .select($"ingest").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("bootstrap", "day1", "day2"))
+  }
+
+  test("option parsing: required args, unknowns, help") {
+    assert(CurateCli.parse(Seq("--corpus", "c")).isLeft)
+    assert(CurateCli.parse(Seq("--bogus")).isLeft)
+    assert(CurateCli.parse(Seq("-h")).exists(_.showHelp))
+    val o = CurateCli.parse(Seq("--corpus", "c", "--batch", "b",
+      "--ledger", "l", "--out", "o", "--ingest", "day1",
+      "--threshold", "0.7", "--hashes", "16")).toOption.get
+    assert(o.threshold == 0.7 && o.numHashes == 16 && o.n == 3)
+  }
+}

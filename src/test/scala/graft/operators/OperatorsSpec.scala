@@ -266,6 +266,52 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(10L -> "keep", 11L -> "keep"))
   }
 
+  test("ledger-fed screen == recompute; params guarded; ingest partitions append") {
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different historical content about spark plans"),
+      (3L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),   // exact
+      (11L, "the quick brown fox jumps over the lazy dog tonight"), // near
+      (12L, "a genuinely novel document unlike anything in history"),
+      (13L, "")) // shingle-less
+      .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))
+    val dir = java.nio.file.Files.createTempDirectory("ledger").toString
+    DedupLedger.write(history, "doc_id", "text", n = 3, numHashes = 8,
+      rowsPerBand = 2, path = dir, ingest = "day0", overwrite = true)
+    val (fp, bands) = DedupLedger.read(spark, dir, 3, 8, 2)
+    val ledgered = Dedup.incrementalDedupLedgered(history, fp, bands, batch,
+      "doc_id", "text", 3, 8, 2, 0.5).collect().map(key).sortBy(_._1).toSeq
+    val recomputed = Dedup.incrementalDedup(history, batch,
+      "doc_id", "text", 3, 8, 2, 0.5).collect().map(key).sortBy(_._1).toSeq
+    assert(ledgered == recomputed)
+    assert(ledgered.map(r => r._1 -> r._2).toMap ==
+      Map(10L -> "exact", 11L -> "near", 12L -> "keep", 13L -> "keep"))
+    // appends add an ingest partition; reads see both days
+    val day1 = Seq((20L, "a genuinely novel document unlike anything in history"))
+      .toDF("doc_id", "text")
+    DedupLedger.write(day1, "doc_id", "text", 3, 8, 2, dir, ingest = "day1")
+    val (fp2, bands2) = DedupLedger.read(spark, dir, 3, 8, 2)
+    assert(fp2.count() == 4 && fp2.filter($"doc_id" === 20L).count() == 1)
+    assert(bands2.filter($"doc_id" === 20L).count() == 4) // 8 hashes / 2
+    // ...and partition pruning is available on the ingest label
+    val pruned = spark.read.parquet(s"$dir/fp").filter($"ingest" === "day1")
+    assert(pruned.count() == 1)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(ingest"))
+    // a ledger built with other LSH parameters refuses both read + append
+    intercept[IllegalArgumentException] { DedupLedger.read(spark, dir, 4, 8, 2) }
+    intercept[IllegalArgumentException] {
+      DedupLedger.write(day1, "doc_id", "text", 3, 16, 4, dir, ingest = "day2")
+    }
+  }
+
   test("minhashLsh candidates recover the exact dup pair") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.9)

@@ -364,6 +364,29 @@ class EventStreamSpec extends SparkSpec {
     val verdicts = got.map(r => r._1 -> r._2).toMap
     assert(verdicts(10L) == "exact" && verdicts(13L) == "exact")
     assert(verdicts(12L) == "keep" && verdicts(14L) == "keep")
+
+    // the ledger-fed twin screens the SAME stream off persisted history
+    // fingerprints/bands and must emit identical verdicts
+    val dir = java.nio.file.Files.createTempDirectory("stream_ledger").toString
+    graft.operators.DedupLedger.write(history, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2, path = dir,
+      ingest = "history", overwrite = true)
+    val (fp, bands) = graft.operators.DedupLedger.read(spark, dir, 3, 8, 2)
+    val got2 = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Option[Long], Option[Double])]
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStream.screenStreamLedgered(
+        mem2.toDF().toDF("doc_id", "text"), history, fp, bands,
+        "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2,
+        threshold = 0.5) { out =>
+      got2.synchronized { got2 ++= out.collect().map(key) }
+    }
+    mem2.addData(arriving.take(3): _*)
+    q2.processAllAvailable()
+    mem2.addData(arriving.drop(3): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
   }
 
   test("stateful sessionization closes sessions on gap") {
