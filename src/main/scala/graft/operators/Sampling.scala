@@ -141,13 +141,20 @@ object Sampling {
     * with the id as total-order tiebreak, so the DuckDB oracle replays
     * the race exactly.
     *
-    * 100 TB shape: the race key is a pure projection; ranks come from
-    * the distributed dense-id machinery (range partition +
-    * per-partition offsets — no single-task global window, no
-    * driver-side top-k of k rows). Project `df` down to (id, weight)
-    * before sampling and join survivors back if the payload is wide —
-    * the rank pass materializes its input once (localCheckpoint), which
-    * is the price of an exact global k.
+    * 100 TB shape: the race key is a pure projection, and the global
+    * rank pass is SKETCH-THRESHOLDED: one bounded map-combinable
+    * aggregate (the [[Sketches.qsketchBuckets]] histogram of the race
+    * keys — exact counts, ~14.6k rows max) yields both n and an upper
+    * bound on the k-th smallest key; a pure filter cuts the corpus to
+    * the candidates at-or-below that bound, and only the candidate set
+    * (≈ k + one bucket's slack, at 2^-7 relative bucket resolution)
+    * pays the exact dense-rank materialization (range partition +
+    * per-partition offsets — no single-task global window). The bound
+    * is an upper bound by construction — bucket counts are exact, so
+    * every one of the k smallest keys is ≤ it — which makes the
+    * threshold pass a PRUNE, never a change: the output is identical
+    * to ranking the whole corpus. Project `df` down to (id, weight)
+    * before sampling and join survivors back if the payload is wide.
     *
     * Rows with null, NaN or non-positive weight never sample (zero
     * mass) and are dropped before the race; an INFINITE weight wins
@@ -160,7 +167,7 @@ object Sampling {
     * the integer-micro log-form exponential race. The ±700 clamp is a
     * no-op for every finite weight (|ln w| < 710) — it only keeps
     * ±Infinity weights integral instead of tripping the ANSI cast. */
-  private def raceKeyed(df: DataFrame, idCol: String, weightCol: String,
+  private[graft] def raceKeyed(df: DataFrame, idCol: String, weightCol: String,
                         raceCol: String): DataFrame = {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
       .cast("long").cast("double") + 0.5) / (1L << 52).toDouble
@@ -174,12 +181,55 @@ object Sampling {
                      rate: Double, raceCol: String = "race_micro",
                      rankCol: String = "sample_rank"): DataFrame = {
     require(rate > 0.0 && rate <= 1.0, s"rate must be in (0,1], got $rate")
-    val keyed = raceKeyed(df, idCol, weightCol, raceCol)
-    val ranked = graft.core.Ids.denseIds(keyed, Seq(raceCol, idCol), rankCol)
-    // n reads off the already-materialized rank pass (max rank == count)
-    val nRow = ranked.agg(max(col(rankCol))).collect().head
-    if (nRow.isNullAt(0)) ranked // empty input
-    else ranked.filter(col(rankCol) <= math.ceil(rate * nRow.getLong(0)).toLong)
+    // ONE linear materialization of the raced rows (no sort, no shuffle —
+    // narrow if the caller projected as documented): the histogram pass
+    // and the candidate filter both read these blocks, so the upstream
+    // weight pipeline (often a multi-scan DSIR fit) runs exactly once.
+    // Unlike the pre-r11 shape, the full corpus never enters the range
+    // exchange behind the exact rank — only the candidate set does.
+    val keyed = raceKeyed(df, idCol, weightCol, raceCol).localCheckpoint(false)
+    val (n, bound) = raceBound(keyed, raceCol, rate)
+    if (n == 0L) // empty input: schema only
+      graft.core.Ids.denseIds(keyed, Seq(raceCol, idCol), rankCol)
+    else {
+      val k = math.ceil(rate * n).toLong
+      // the bound admits >= k rows by construction, so ranks 1..k inside
+      // the candidate set ARE the global ranks 1..k — the filter prunes,
+      // the result is identical to ranking the whole corpus
+      val cand = keyed.filter(col(raceCol) <= bound)
+      graft.core.Ids.denseIds(cand, Seq(raceCol, idCol), rankCol)
+        .filter(col(rankCol) <= k)
+    }
+  }
+
+  /** The sketch-threshold pass of [[weightedSample]]: one bounded
+    * [[Sketches.qsketchBuckets]] aggregate over the race keys returns
+    * (n, an inclusive upper bound on the ceil(rate*n)-th smallest key).
+    * Bucket counts are EXACT (the sketch approximates positions within
+    * a bucket, never membership), so filtering to keys <= bound keeps a
+    * superset of the k winners: at most one bucket's worth of extra
+    * rows (2^-7 relative width) ever reaches the exact rank pass.
+    * Package-visible so the spec can pin the candidate-set bound. */
+  private[graft] def raceBound(keyed: DataFrame, raceCol: String,
+                                   rate: Double): (Long, Long) = {
+    val buckets = Sketches.qsketchBuckets(keyed, Seq.empty, raceCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // every race key is finite and non-null (raceKeyed drops zero-mass
+    // rows; the ±700 clamp keeps infinite weights integral), so the
+    // bucket counts sum to exactly n
+    val n = buckets.iterator.map(_._3).sum
+    if (n == 0L) return (0L, Long.MaxValue)
+    val k = math.ceil(rate * n).toLong
+    var cum = 0L
+    var bound = Long.MaxValue
+    var i = 0
+    while (i < buckets.length && cum < k) {
+      cum += buckets(i)._3
+      if (cum >= k) bound = buckets(i)._1 + buckets(i)._2 - 1L
+      i += 1
+    }
+    (n, bound)
   }
 
   /** Per-group weighted sampling without replacement — exactly k race

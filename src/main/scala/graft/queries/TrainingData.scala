@@ -276,8 +276,11 @@ object TrainingData {
     * corpus pass; integer micro-bit log-ratios keep it hash-gated. */
   def sampleDsir(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // tp: the DSIR fit tokenizes + hashes every unigram/bigram of the
+    // corpus twice — exactly the compute-heavy shape the parallel read
+    // exists for (a one-row-group file otherwise pins it to one core)
     val flagged = graft.operators.TextAnalysis.gopherFlags(
-      t(s, dir, "documents"), "text")
+      tp(s, dir, "documents"), "text")
     graft.operators.TermStats.dsirWeights(
       flagged, "doc_id", "text", col("passes"))
   }
@@ -288,8 +291,9 @@ object TrainingData {
     * Hash-gated — the DuckDB oracle replays model, weights and race. */
   def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // tp: same compute-heavy DSIR fit as sample_dsir (see above)
     val flagged = graft.operators.TextAnalysis.gopherFlags(
-      t(s, dir, "documents"), "text")
+      tp(s, dir, "documents"), "text")
     val scored = graft.operators.TermStats.dsirWeights(
       flagged, "doc_id", "text", col("passes"))
     val weighted = scored.withColumn("w", pow(lit(2.0),

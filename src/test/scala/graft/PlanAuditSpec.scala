@@ -236,6 +236,32 @@ class PlanAuditSpec extends SparkSpec {
       "pack_sequences leaked a global window")
   }
 
+  test("sample_weighted: sketch threshold bounds the rank-pass input") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.col
+    // the corpus-shaped form of the sample_weighted query: a weight
+    // proportional to document length at the query's 0.2 rate
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("double").as("w"))
+    val keyed = Sampling.raceKeyed(docs, "doc_id", "w", "race_micro")
+    val n = keyed.count()
+    val (n2, bound) = Sampling.raceBound(keyed, "race_micro", 0.2)
+    assert(n2 == n, "bucket counts must sum to the live-row count exactly")
+    val k = math.ceil(0.2 * n).toLong
+    val cand = keyed.filter(col("race_micro") <= bound).count()
+    // the k winners always pass the bound; the slack is one histogram
+    // bucket, never the corpus — if this grows to O(n) the full-corpus
+    // localCheckpoint of the pre-r11 shape is back
+    assert(cand >= k, s"bound must admit every winner: $cand < $k")
+    assert(cand < k + (n / 8).max(8L),
+      s"rank pass saw $cand of $n rows for k=$k — threshold stopped pruning")
+    // ...and pruning is invisible in the result: identical to ranking all
+    val got = Sampling.weightedSample(docs, "doc_id", "w", 0.2)
+    val all = graft.core.Ids.denseIds(keyed, Seq("race_micro", "doc_id"),
+      "sample_rank").filter(col("sample_rank") <= k)
+    assert(got.except(all).count() == 0 && all.except(got).count() == 0)
+  }
+
   test("LM scorers: bounded corpus passes, no windows, no cartesians") {
     val dir = "/root/testdata/sf0.001"
     // probe side + model side = at most 2 parquet scans in the final

@@ -308,6 +308,16 @@ class SamplingSpec extends SparkSpec {
     val kept = Sampling.weightedSample(extreme, "doc_id", "w", 0.25)
       .collect().map(r => (r.getLong(0), r.getAs[Long]("sample_rank")))
     assert(kept.toSeq == Seq((2L, 1L))) // ceil(0.25 * 4 live) = 1, inf first
+    // the sketch threshold PRUNES, never changes: the bound admits the
+    // 225 winners plus at most a bucket's slack — far fewer than the 900
+    // live rows reach the exact rank pass
+    val keyed = Sampling.raceKeyed(df, "doc_id", "w", "race_micro")
+    val (nLive, bound) = Sampling.raceBound(keyed, "race_micro", 0.25)
+    assert(nLive == 900L)
+    val candidates = keyed.filter($"race_micro" <= bound).count()
+    assert(candidates >= 225L, s"bound must admit every winner: $candidates")
+    assert(candidates < 450L,
+      s"rank pass saw $candidates of 900 rows — the threshold stopped pruning")
   }
 
   test("pack sequences matches the single-window form; no global window in plan") {
