@@ -168,13 +168,30 @@ object EventStream {
     * overwrites newer state). A right row late by more than one batch
     * cannot retro-correct already-emitted left rows — the standard
     * append-mode relaxation; production callers bound it with a
-    * watermark upstream exactly like [[dedupStream]]. */
-  def asofStream(tagged: Dataset[AsofEvent]): Dataset[AsofOut] = {
+    * watermark upstream exactly like [[dedupStream]].
+    *
+    * State eviction: one payload per key still accumulates one entry per
+    * DISTINCT key forever — unbounded over an unbounded key domain
+    * (session ids, request ids). `idleTtl` bounds it: a key with no
+    * traffic for that long drops its payload (processing-time timeout,
+    * the [[org.apache.spark.sql.streaming.GroupState]] TTL mechanism),
+    * and a later left on that key reads null — exactly what the batch
+    * operator answers when its right history is likewise age-trimmed.
+    * Pick idleTtl >= the upstream watermark delay so eviction never
+    * races legitimately-late rows. */
+  def asofStream(tagged: Dataset[AsofEvent],
+                 idleTtl: Option[java.time.Duration] = None): Dataset[AsofOut] = {
     import tagged.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     tagged
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsofRight, AsofOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[AsofRight]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
         case (userId, rows, state: GroupState[AsofRight]) =>
           def newer(c: AsofRight, e: AsofEvent): Boolean =
             c.ts < e.ts || (c.ts == e.ts && (c.event_id < e.event_id ||
@@ -192,6 +209,172 @@ object EventStream {
                 cur.map(_.ts), cur.map(_.event_id), cur.map(_.value))
             }
           cur.foreach(state.update)
+          idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          out.iterator
+      }
+  }
+
+  /** Pending-left buffer of [[asofForwardStream]]: lefts that have not
+    * yet seen a right row at-or-after their timestamp. */
+  final case class AsofPendingLefts(lefts: Seq[AsofEvent])
+
+  /** Streaming forward as-of — the event-time twin of
+    * [[graft.operators.TimeJoins.asofForward]] (time-to-next-event:
+    * enrich each left with the EARLIEST right at-or-after it). The
+    * forward direction inverts the state problem: a left's match may not
+    * have arrived yet, so state per key is the BUFFER of pending lefts,
+    * and every right arrival resolves the whole buffer at once (all
+    * pending lefts have ts <= the right's ts under monotone event time)
+    * — state is bounded by the lefts between consecutive rights, never
+    * by history.
+    *
+    * Tie rules are the batch operator's exactly: a right at the same
+    * instant as a left matches it, and equal-timestamp rights resolve to
+    * the greatest (event_id, value) payload. With `tolerance`, a pending
+    * left whose gap to the arriving right exceeds it emits UNMATCHED
+    * (null right columns) — the same row the batch operator emits.
+    * Without tolerance a left with no future right ever stays pending
+    * (a forward join cannot prove a non-match until input ends); bound
+    * that with a tolerance, exactly as a production time-to-event query
+    * must anyway.
+    *
+    * Parity contract: identical to the batch operator when event time
+    * does not regress across micro-batches and equal-timestamp rows
+    * share a batch; arrival order within a batch is free. */
+  def asofForwardStream(tagged: Dataset[AsofEvent],
+                        tolerance: Option[Long] = None): Dataset[AsofOut] = {
+    import tagged.sparkSession.implicits._
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofPendingLefts, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[AsofPendingLefts]) =>
+          val pending = scala.collection.mutable.ArrayBuffer.empty[AsofEvent]
+          state.getOption.foreach(pending ++= _.lefts)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          // event order, lefts BEFORE rights at equal ts (at-or-after
+          // includes the same instant), equal-ts rights ascending so the
+          // LAST — the greatest payload, the batch tie-winner — is the
+          // one remembered when the group resolves
+          val evs = rows.toSeq.sortBy(e => (e.ts, -e.side, e.event_id, e.value))
+          var i = 0
+          while (i < evs.length) {
+            val e = evs(i)
+            if (e.side == 1) { pending += e; i += 1 }
+            else {
+              // consume the whole equal-ts right group; winner = last
+              var win = e
+              while (i + 1 < evs.length && evs(i + 1).side == 0 &&
+                evs(i + 1).ts == e.ts) { i += 1; win = evs(i) }
+              pending.foreach { l =>
+                val matches = tolerance.forall(t => win.ts - l.ts <= t)
+                out += (if (matches)
+                  AsofOut(userId, l.ts, l.event_id,
+                    Some(win.ts), Some(win.event_id), Some(win.value))
+                else AsofOut(userId, l.ts, l.event_id, None, None, None))
+              }
+              pending.clear()
+              i += 1
+            }
+          }
+          if (pending.isEmpty) state.remove()
+          else state.update(AsofPendingLefts(pending.toSeq))
+          out.iterator
+      }
+  }
+
+  /** One resolved row of [[asofNearestStream]]: the closest right row in
+    * either direction, `from` naming the winning side like the batch
+    * operator's `asof_from`. */
+  final case class AsofNearOut(user_id: Long, ts: Long, event_id: Long,
+                               near_ts: Option[Long],
+                               near_event_id: Option[Long],
+                               near_value: Option[Double],
+                               from: Option[String])
+
+  /** [[asofNearestStream]] state: the latest right payload (the backward
+    * candidate for future lefts) plus the lefts awaiting their forward
+    * candidate. */
+  final case class AsofNearState(latest: Option[AsofRight],
+                                 pending: Seq[(AsofEvent, Option[AsofRight])])
+
+  /** Streaming nearest as-of — the event-time twin of
+    * [[graft.operators.TimeJoins.asofNearest]] (sensor/tick alignment:
+    * the right row with the smallest |gap|, equal gaps to the
+    * at-or-before side). COMPOSES the two machines above, exactly like
+    * the batch operator composes its passes: the backward half is
+    * [[asofStream]]'s one-payload-per-key state (each left snapshots the
+    * latest right at-or-before on arrival), the forward half is
+    * [[asofForwardStream]]'s pending buffer (the next right to arrive IS
+    * the earliest at-or-after, so it resolves every pending left in one
+    * step). A left whose backward gap is 0 resolves instantly — no
+    * future right can beat it (ties go to "before").
+    *
+    * `tolerance` bounds the WINNING gap, after direction choice — the
+    * batch rule: if the closer side is out of tolerance the row emits
+    * unmatched even when the farther side would have qualified. Without
+    * a right ever arriving after a left, that left stays pending (same
+    * boundary as the forward twin). Parity contract as
+    * [[asofForwardStream]]. */
+  def asofNearestStream(tagged: Dataset[AsofEvent],
+                        tolerance: Option[Long] = None): Dataset[AsofNearOut] = {
+    import tagged.sparkSession.implicits._
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofNearState, AsofNearOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[AsofNearState]) =>
+          def newer(c: AsofRight, e: AsofEvent): Boolean =
+            c.ts < e.ts || (c.ts == e.ts && (c.event_id < e.event_id ||
+              (c.event_id == e.event_id && c.value < e.value)))
+          val st = state.getOption.getOrElse(AsofNearState(None, Nil))
+          var latest = st.latest
+          val pending =
+            scala.collection.mutable.ArrayBuffer.empty[(AsofEvent, Option[AsofRight])]
+          pending ++= st.pending
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofNearOut]
+
+          def emit(l: AsofEvent, b: Option[AsofRight],
+                   f: Option[AsofRight]): Unit = {
+            val gapB = b.map(r => l.ts - r.ts)
+            val gapF = f.map(r => r.ts - l.ts)
+            val pickB = b.isDefined && (f.isEmpty || gapB.get <= gapF.get)
+            val (win, gap, side) =
+              if (pickB) (b, gapB, "before") else (f, gapF, "after")
+            val ok = win.isDefined && tolerance.forall(t => gap.get <= t)
+            out += (if (ok)
+              AsofNearOut(userId, l.ts, l.event_id, win.map(_.ts),
+                win.map(_.event_id), win.map(_.value), Some(side))
+            else AsofNearOut(userId, l.ts, l.event_id, None, None, None, None))
+          }
+
+          // rights BEFORE lefts at equal ts (backward includes the same
+          // instant and gap 0 is unbeatable); an equal-ts right GROUP is
+          // adjacent in this order and resolves the buffer as one unit
+          // against its payload-greatest member — the batch tie-winner
+          // in both directions
+          val evs = rows.toSeq.sortBy(e => (e.ts, e.side, e.event_id, e.value))
+          var i = 0
+          while (i < evs.length) {
+            val e = evs(i)
+            if (e.side == 0) {
+              var win = e
+              while (i + 1 < evs.length && evs(i + 1).side == 0 &&
+                evs(i + 1).ts == e.ts) { i += 1; win = evs(i) }
+              val f = AsofRight(win.ts, win.event_id, win.value)
+              pending.foreach { case (l, b) => emit(l, b, Some(f)) }
+              pending.clear()
+              if (latest.forall(newer(_, win))) latest = Some(f)
+              i += 1
+            } else {
+              if (latest.exists(_.ts == e.ts)) // gap 0: ties go before
+                emit(e, latest, None)
+              else pending += ((e, latest))
+              i += 1
+            }
+          }
+          if (latest.isEmpty && pending.isEmpty) state.remove()
+          else state.update(AsofNearState(latest, pending.toSeq))
           out.iterator
       }
   }

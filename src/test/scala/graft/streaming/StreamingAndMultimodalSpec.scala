@@ -298,6 +298,123 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming forward/nearest as-of == batch twins, incl. tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.AsofEvent
+    val all = Seq(
+      Seq( // batch 1: ts 0..99
+        AsofEvent(1L, 5L, 1, 900L, 0.0),   // left before any right
+        AsofEvent(1L, 10L, 0, 100L, 1.0),
+        AsofEvent(1L, 10L, 0, 101L, 2.0),  // equal-ts rights: 101 wins
+        AsofEvent(1L, 10L, 1, 901L, 0.0),  // left at the same instant
+        AsofEvent(2L, 50L, 1, 902L, 0.0)), // pending across batches
+      Seq( // batch 2
+        AsofEvent(2L, 120L, 0, 102L, 3.0), // resolves 902 forward
+        AsofEvent(1L, 150L, 1, 903L, 0.0),
+        AsofEvent(2L, 160L, 1, 904L, 0.0)),
+      Seq( // batch 3
+        AsofEvent(1L, 400L, 0, 103L, 4.0), // resolves 903 (gap 250)
+        AsofEvent(2L, 161L, 0, 104L, 5.0),
+        AsofEvent(2L, 161L, 1, 905L, 0.0))) // gap 0 at the same instant
+    val flat = all.flatten
+    val left = flat.filter(_.side == 1)
+      .map(e => (e.user_id, e.ts, e.event_id))
+      .toDF("user_id", "ts", "event_id")
+    val right = flat.filter(_.side == 0)
+      .map(e => (e.user_id, e.ts, e.event_id, e.value))
+      .toDF("user_id", "ts", "event_id", "value")
+
+    for (tol <- Seq(None, Some(100L)): Seq[Option[Long]]) {
+      val memF = MemoryStream[AsofEvent]
+      val qn = s"asof_fwd_${tol.getOrElse(0L)}"
+      val qf = EventStream.asofForwardStream(memF.toDS(), tol)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      all.foreach { b =>
+        memF.addData(scala.util.Random.shuffle(b)); qf.processAllAvailable()
+      }
+      val streamed = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+      qf.stop()
+      val batch = graft.operators.TimeJoins.asofForward(
+          left, right, Seq("user_id"), "ts", "ts", tolerance = tol,
+          rightPrefix = "view_")
+        .select("user_id", "ts", "event_id", "view_ts", "view_event_id",
+          "view_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+      assert(streamed == batch, s"forward stream != batch (tol=$tol)")
+    }
+
+    for (tol <- Seq(None, Some(50L)): Seq[Option[Long]]) {
+      val memN = MemoryStream[AsofEvent]
+      val qn = s"asof_near_${tol.getOrElse(0L)}"
+      val q = EventStream.asofNearestStream(memN.toDS(), tol)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      all.foreach { b =>
+        memN.addData(scala.util.Random.shuffle(b)); q.processAllAvailable()
+      }
+      val streamed = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+          Option(r.get(6)))).toSet
+      q.stop()
+      val batch = graft.operators.TimeJoins.asofNearest(
+          left, right, Seq("user_id"), "ts", "ts", tolerance = tol,
+          rightPrefix = "near_")
+        .select("user_id", "ts", "event_id", "near_ts", "near_event_id",
+          "near_value", "near_from")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+          Option(r.get(6)))).toSet
+      assert(streamed == batch, s"nearest stream != batch (tol=$tol)")
+      // direction labels behave: gap-0 and backward ties say "before"
+      if (tol.isEmpty) {
+        val from = spark.table(qn).collect()
+          .map(r => r.getLong(2) -> Option(r.get(6))).toMap
+        assert(from(901L) == Some("before") && from(905L) == Some("before"))
+        assert(from(900L) == Some("after") && from(902L) == Some("after"))
+        assert(from(903L) == Some("before") && from(904L) == Some("after"))
+      }
+    }
+  }
+
+  test("asofStream idle TTL evicts the per-key payload") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.AsofEvent
+    val mem = MemoryStream[AsofEvent]
+    val q = EventStream.asofStream(mem.toDS(),
+        idleTtl = Some(java.time.Duration.ofMillis(300)))
+      .writeStream.format("memory").queryName("asof_ttl")
+      .outputMode("append").start()
+    // a processing-time timeout makes the engine schedule no-data batches
+    // continuously, so processAllAvailable can spin — poll the sink with
+    // a deadline instead
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("asof_ttl").count() < n) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $n rows")
+        Thread.sleep(100)
+      }
+    }
+    mem.addData(AsofEvent(1L, 10L, 0, 100L, 1.0),
+      AsofEvent(1L, 20L, 1, 900L, 0.0))
+    awaitRows(1)
+    Thread.sleep(1000) // past the TTL; a later batch fires the timeout
+    mem.addData(AsofEvent(1L, 40L, 1, 901L, 0.0))
+    awaitRows(2)
+    val rows = spark.table("asof_ttl").collect()
+      .map(r => r.getLong(2) -> Option(r.get(4))).toMap
+    q.stop()
+    assert(rows(900L) == Some(100L))     // matched while state lived
+    assert(rows(901L).isEmpty,           // payload evicted after idle TTL
+      s"expected evicted state, got ${rows(901L)}")
+  }
+
   test("topKPerGroup runs unchanged on a stream; stream == batch") {
     // the k-capped buffer is ordinary aggregate state, so the SAME
     // operator call sketches a live stream in complete mode — the
