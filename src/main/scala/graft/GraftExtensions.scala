@@ -54,5 +54,83 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => TextHash.MinHashU64(children(0),
         intArg(children(1), "graft_minhash_u64"),
         intArg(children(2), "graft_minhash_u64"))))
+
+    // The scale-native scalar probes, composed from codegen'd Catalyst
+    // built-ins (no new Expression classes; the Column API cannot be
+    // used here — Spark 4 Column trees are ColumnNodes, which never
+    // resolve when returned from an injectFunction builder) and exposed
+    // to SQL so a SQL-only user can replay the sketch/sampling operators:
+    // probe a CM counter table, test a Bloom word table, or run the
+    // deterministic exponential race — each bit-identical to the
+    // DataFrame operators in graft.operators (spec-asserted SQL==Column).
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+
+    def md5hex(v: Expression): Expression = Md5(Cast(v, StringType))
+    def hexSlice(hex: Expression, pos: Int, len: Int): Expression =
+      Cast(Conv(Substring(hex, Literal(pos), Literal(len)),
+        Literal(16), Literal(10)), LongType)
+
+    // graft_race_key(id, weight) -> bigint: Sampling.raceKey — NULL for
+    // null/NaN/non-positive weights (zero mass), else the exact
+    // integer-micro key weightedSample races on
+    ext.injectFunction((
+      new FunctionIdentifier("graft_race_key"),
+      new ExpressionInfo(graft.operators.Sampling.getClass.getName, "graft_race_key"),
+      (children: Seq[Expression]) => {
+        val id = children(0)
+        val w = children(1)
+        val u = Divide(
+          Add(Cast(hexSlice(md5hex(id), 1, 13), DoubleType), Literal(0.5)),
+          Literal((1L << 52).toDouble))
+        val lnW = Greatest(Seq(Least(Seq(Log(w), Literal(700.0))),
+          Literal(-700.0)))
+        val key = Cast(Round(Multiply(Subtract(Log(UnaryMinus(Log(u))), lnW),
+          Literal(1e6)), Literal(0)), LongType)
+        val live = And(And(IsNotNull(w), Not(IsNaN(Cast(w, DoubleType)))),
+          GreaterThan(w, Literal(0)))
+        CaseWhen(Seq(live -> key), None)
+      }))
+
+    // graft_cm_buckets(value, depth, width) -> array<struct<row,bucket>>:
+    // the per-value probe coordinates of the Count-Min sketch (16-bit
+    // slices of ONE md5 digest) — explode + join cnt-table + min(cnt)
+    // in plain SQL is exactly Sketches.cmEstimate
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cm_buckets"),
+      new ExpressionInfo(graft.operators.Sketches.getClass.getName, "graft_cm_buckets"),
+      (children: Seq[Expression]) => {
+        val depth = intArg(children(1), "graft_cm_buckets")
+        val width = intArg(children(2), "graft_cm_buckets")
+        graft.operators.Sketches.requireCmShape(depth, width)
+        val hex = md5hex(children(0))
+        CreateArray((0 until depth).map { j =>
+          val bucket = Cast(Remainder(hexSlice(hex, 4 * j + 1, 4),
+            Literal(width.toLong)), IntegerType)
+          CreateNamedStruct(Seq(Literal("row"), Literal(j),
+            Literal("bucket"), bucket))
+        })
+      }))
+
+    // graft_bloom_positions(value, mBits, k) -> array<int>: the k
+    // double-hashed bit positions of the Bloom filter (Kirsch-
+    // Mitzenmacher from ONE digest) — explode + join word-table +
+    // all-bits-set in plain SQL is exactly Sketches.bloomContains
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_positions"),
+      new ExpressionInfo(graft.operators.Sketches.getClass.getName, "graft_bloom_positions"),
+      (children: Seq[Expression]) => {
+        val mBits = intArg(children(1), "graft_bloom_positions")
+        val k = intArg(children(2), "graft_bloom_positions")
+        require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+          s"graft_bloom_positions: mBits must be a power of two >= 64, got $mBits")
+        require(k >= 1 && k <= 8, s"graft_bloom_positions: k in [1,8], got $k")
+        val hex = md5hex(children(0))
+        val h1 = hexSlice(hex, 1, 8)
+        val h2 = Add(Multiply(hexSlice(hex, 9, 8), Literal(2L)), Literal(1L))
+        CreateArray((0 until k).map(i => Cast(
+          Remainder(Add(h1, Multiply(Literal(i.toLong), h2)),
+            Literal(mBits.toLong)), IntegerType)))
+      }))
   }
 }

@@ -167,15 +167,25 @@ object Sampling {
     * the integer-micro log-form exponential race. The ±700 clamp is a
     * no-op for every finite weight (|ln w| < 710) — it only keeps
     * ±Infinity weights integral instead of tripping the ANSI cast. */
-  private[graft] def raceKeyed(df: DataFrame, idCol: String, weightCol: String,
-                        raceCol: String): DataFrame = {
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+  /** The integer-micro race key as a standalone Column expression — the
+    * scalar heart of [[raceKeyed]], also registered for SQL as
+    * `graft_race_key(id, weight)` (see [[graft.GraftExtensions]]). Null,
+    * NaN and non-positive weights yield NULL (zero mass — the SQL
+    * contract mirroring [[raceKeyed]]'s filter); positive weights get
+    * the exact key the DataFrame path computes. */
+  def raceKey(id: Column, weight: Column): Column = {
+    val u = (conv(substring(md5(id.cast("string")), 1, 13), 16, 10)
       .cast("long").cast("double") + 0.5) / (1L << 52).toDouble
-    val lnW = greatest(least(log(col(weightCol)), lit(700.0)), lit(-700.0))
+    val lnW = greatest(least(log(weight), lit(700.0)), lit(-700.0))
+    when(weight.isNotNull && !isnan(weight.cast("double")) && weight > 0,
+      round((log(-log(u)) - lnW) * 1e6).cast("long"))
+  }
+
+  private[graft] def raceKeyed(df: DataFrame, idCol: String, weightCol: String,
+                        raceCol: String): DataFrame =
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
         !isnan(col(weightCol).cast("double")))
-      .withColumn(raceCol, round((log(-log(u)) - lnW) * 1e6).cast("long"))
-  }
+      .withColumn(raceCol, raceKey(col(idCol), col(weightCol)))
 
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      rate: Double, raceCol: String = "race_micro",

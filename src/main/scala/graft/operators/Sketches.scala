@@ -170,7 +170,7 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  private def requireCmShape(depth: Int, width: Int): Unit = {
+  private[graft] def requireCmShape(depth: Int, width: Int): Unit = {
     require(depth >= 1 && depth <= 8, s"depth in [1,8], got $depth")
     require(width >= 16 && width <= 65536 && 65536 % width == 0,
       s"width must be a power-of-two divisor of 65536 (16-bit slices stay exactly uniform), got $width")
@@ -179,7 +179,7 @@ object Sketches {
   /** The row-j bucket from a value's md5 hex: hex chars [4j+1, 4j+4]
     * (16 independent digest bits per row; depth <= 8 fits the 32-char
     * digest), mod width — exact because width divides 2^16. */
-  private def cmBucket(hexCol: org.apache.spark.sql.Column, j: Int,
+  private[graft] def cmBucket(hexCol: org.apache.spark.sql.Column, j: Int,
                        width: Int): org.apache.spark.sql.Column =
     (conv(substring(hexCol, 4 * j + 1, 4), 16, 10)
       .cast("long") % width).cast("int")
@@ -222,7 +222,7 @@ object Sketches {
     * md5-per-probe form pays k digests on every build and probe pass),
     * and h1 uniform mod a power-of-two m keeps every position exactly
     * uniform. Max magnitude h1 + 7*h2 < 2^36 — no BIGINT overflow. */
-  private def posExprs(hexCol: org.apache.spark.sql.Column, mBits: Int,
+  private[graft] def posExprs(hexCol: org.apache.spark.sql.Column, mBits: Int,
                        k: Int): org.apache.spark.sql.Column = {
     val h1 = conv(substring(hexCol, 1, 8), 16, 10).cast("long")
     val h2 = conv(substring(hexCol, 9, 8), 16, 10).cast("long") * 2 + 1

@@ -169,4 +169,78 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](r.fieldIndex("sg")) == viaColumn.getSeq[String](1))
     assert(r.getSeq[String](r.fieldIndex("mh")) == viaColumn.getSeq[String](2))
   }
+
+  test("graft_race_key: SQL == Column, zero-mass weights yield null") {
+    val df = Seq((1L, Option(2.5)), (2L, Option(0.0)),
+      (3L, Option(Double.NaN)), (4L, Option(8.0)), (5L, Option.empty[Double]))
+      .toDF("doc_id", "w")
+    df.createOrReplaceTempView("rk")
+    val viaSql = spark.sql(
+        "SELECT doc_id, graft_race_key(doc_id, w) AS k FROM rk")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val viaColumn = df.select($"doc_id",
+        graft.operators.Sampling.raceKey($"doc_id", $"w").as("k"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(viaSql == viaColumn)
+    assert(viaSql(1L).isDefined && viaSql(4L).isDefined)
+    assert(viaSql(2L).isEmpty && viaSql(3L).isEmpty && viaSql(5L).isEmpty)
+    // ...and the keys ARE what weightedSample races on
+    val raced = graft.operators.Sampling.weightedSample(df, "doc_id", "w", 1.0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("race_micro")).toMap
+    assert(raced == viaSql.collect { case (id, Some(k)) => id -> k })
+  }
+
+  test("graft_cm_buckets / graft_bloom_positions: plain-SQL probe == operator") {
+    import graft.operators.Sketches
+    val vals = (0 until 300).map(i => s"tok-${i % 40}") // skewed tokens
+    val df = vals.map(Tuple1(_)).toDF("term")
+    val probes = Seq("tok-1", "tok-7", "unseen-x").toDF("term")
+    probes.createOrReplaceTempView("gx_probes")
+
+    // CM: explode the SQL probe coordinates, join the counter table,
+    // min-over-rows — the textbook estimate, equal to Sketches.cmEstimate
+    Sketches.cmSketch(df, "term", depth = 4, width = 512)
+      .createOrReplaceTempView("gx_cm")
+    val viaSql = spark.sql(
+      """SELECT term, min(coalesce(cnt, 0L)) AS est_count
+        |FROM (SELECT term, b.row AS row, b.bucket AS bucket
+        |      FROM (SELECT term,
+        |              explode(graft_cm_buckets(term, 4, 512)) AS b
+        |            FROM gx_probes))
+        |LEFT JOIN gx_cm USING (row, bucket)
+        |GROUP BY term""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaOp = Sketches.cmEstimate(
+        Sketches.cmSketch(df, "term", 4, 512), probes, "term", 4, 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaOp)
+    assert(viaSql("tok-1") >= 8L && viaSql("unseen-x") >= 0L)
+
+    // Bloom: posexplode the SQL positions, join the word table, all-k
+    // test with the duplicate-safe distinct-index count — equal to
+    // Sketches.bloomContains
+    Sketches.bloomBits(df, "term", mBits = 4096, k = 5)
+      .createOrReplaceTempView("gx_bloom")
+    val bSql = spark.sql(
+      """SELECT term,
+        |  count(DISTINCT CASE WHEN bits IS NOT NULL
+        |    AND (bits >> (pos % 63)) & 1 = 1 THEN i END) AS bits_set,
+        |  count(DISTINCT CASE WHEN bits IS NOT NULL
+        |    AND (bits >> (pos % 63)) & 1 = 1 THEN i END) = 5 AS maybe_member
+        |FROM (SELECT term, p.i, p.pos,
+        |        CAST(p.pos / 63 AS int) AS word
+        |      FROM gx_probes
+        |      LATERAL VIEW posexplode(graft_bloom_positions(term, 4096, 5))
+        |        p AS i, pos)
+        |LEFT JOIN gx_bloom USING (word)
+        |GROUP BY term""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    val bOp = Sketches.bloomContains(
+        Sketches.bloomBits(df, "term", 4096, 5), probes, "term", 4096, 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("bits_set"), r.getAs[Boolean]("maybe_member")))).toMap
+    assert(bSql == bOp)
+    assert(bSql("tok-1") == ((5L, true)) && bSql("tok-7") == ((5L, true)))
+  }
 }
