@@ -78,12 +78,22 @@ object CurateCli {
   }
 
   /** One ingest cycle; returns (kept, exact, near) counts. Separated from
-    * [[main]] so the spec drives full cycles against temp dirs. */
+    * [[main]] so the spec drives full cycles against temp dirs.
+    *
+    * Crash-safety: the cycle's three writes (verdicts, corpus append,
+    * ledger append) are not one transaction, so every cycle OPENS with
+    * [[DedupLedger.reconcile]] — a narrow anti-join that re-appends
+    * ledger rows for any corpus doc a previous torn cycle left
+    * unledgered (bootstrap is the degenerate case: everything heals).
+    * The corpus append itself is idempotent: kept docs already present
+    * in the corpus (a rerun after a crash between the corpus append and
+    * the ledger append) are anti-joined away before appending. */
   def runCycle(spark: SparkSession, o: Options): (Long, Long, Long) = {
     val corpus = spark.read.parquet(o.corpus)
-    if (!DedupLedger.exists(o.ledger))
-      DedupLedger.write(corpus, o.idCol, o.textCol, o.n, o.numHashes,
-        o.rowsPerBand, o.ledger, ingest = "bootstrap", overwrite = true)
+    DedupLedger.reconcile(corpus, o.idCol, o.textCol, o.n, o.numHashes,
+      o.rowsPerBand, o.ledger,
+      ingest = if (DedupLedger.exists(o.ledger)) s"${o.ingest}_healed"
+               else "bootstrap")
     val (fp, bands) = DedupLedger.read(spark, o.ledger, o.n, o.numHashes,
       o.rowsPerBand)
     val batch = spark.read.parquet(o.batch)
@@ -95,6 +105,9 @@ object CurateCli {
     val kept = batch.join(
       verdicts.filter(col("verdict") === "keep")
         .select(col("doc_id").as(o.idCol)), Seq(o.idCol), "left_semi")
+      // rerun-idempotent: drop kept docs a crashed prior attempt of THIS
+      // cycle already appended to the corpus
+      .join(corpus.select(col(o.idCol)), Seq(o.idCol), "left_anti")
       // two consumers below (corpus append + ledger append) and the
       // semi-join must not observe the corpus append mid-write
       .localCheckpoint()

@@ -70,14 +70,48 @@ object DedupLedger {
         s"ledger at $path was built with '$existing'; refusing to append " +
           s"rows built with '$line' — rebuild with overwrite = true")
     }
-    fingerprints(docs, idCol, textCol)
-      .withColumn("ingest", lit(ingest))
-      .write.mode(mode).partitionBy("ingest").parquet(s"$path/fp")
+    // bands BEFORE fp: a crash between the two writes then leaves a doc
+    // with bands but no fingerprint row, and [[reconcile]] — which keys
+    // on fp presence — re-appends it. (The reverse order would leave
+    // fp-present/bands-torn docs indistinguishable from legitimately
+    // shingle-less ones.) Duplicate ledger rows from a healed torn write
+    // are harmless by construction: the exact stage takes min() per fp
+    // and the candidate stage distinct()s pairs.
     bands(docs, idCol, textCol, n, numHashes, rowsPerBand)
       .withColumn("ingest", lit(ingest))
       .write.mode(mode).partitionBy("ingest").parquet(s"$path/bands")
+    fingerprints(docs, idCol, textCol)
+      .withColumn("ingest", lit(ingest))
+      .write.mode(mode).partitionBy("ingest").parquet(s"$path/fp")
     pf.getParentFile.mkdirs()
     java.nio.file.Files.write(pf.toPath, (line + "\n").getBytes("UTF-8"))
+  }
+
+  /** Self-heal the ledger against its corpus: any corpus doc with no
+    * fingerprint row (a torn ingest — crash between the corpus append
+    * and the ledger append, or between the ledger's two table writes)
+    * gets its rows re-appended under the `ingest` label. Cost is one
+    * narrow anti-join (corpus ids vs ledger ids) plus the recompute for
+    * the healed docs ONLY — so calling it at the top of every cycle is
+    * cheap insurance, which is what [[graft.CurateCli.runCycle]] does.
+    * Returns the number of healed docs (0 on a consistent ledger). */
+  def reconcile(corpus: DataFrame, idCol: String, textCol: String,
+                n: Int, numHashes: Int, rowsPerBand: Int,
+                path: String, ingest: String = "reconciled"): Long = {
+    val spark = corpus.sparkSession
+    if (!exists(path)) { // bootstrap counts as healing everything
+      write(corpus, idCol, textCol, n, numHashes, rowsPerBand, path,
+        ingest, overwrite = true)
+      return corpus.count()
+    }
+    val (fp, _) = read(spark, path, n, numHashes, rowsPerBand)
+    val missing = corpus.join(
+        fp.select(col("doc_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .localCheckpoint() // consumed by the count and both ledger writes
+    val healed = missing.count()
+    if (healed > 0)
+      write(missing, idCol, textCol, n, numHashes, rowsPerBand, path, ingest)
+    healed
   }
 
   /** Read the ledger back as the two frames

@@ -66,6 +66,53 @@ class CurateCliSpec extends SparkSpec {
       .toSeq == Seq("bootstrap", "day1", "day2"))
   }
 
+  test("torn cycles self-heal: ledger reconcile + idempotent corpus append") {
+    val root = java.nio.file.Files.createTempDirectory("curate_torn").toString
+    val corpusDir = s"$root/corpus"
+    val ledgerDir = s"$root/ledger"
+    Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    def opts(batch: String, ingest: String) = CurateCli.Options(
+      corpus = corpusDir, batch = s"$root/$batch", ledger = ledgerDir,
+      out = s"$root/out_$ingest", ingest = ingest)
+
+    // clean cycle 1 bootstraps the ledger
+    Seq((10L, "a first-wave document with plainly original content today"))
+      .toDF("doc_id", "text").write.parquet(s"$root/batch1")
+    assert(CurateCli.runCycle(spark, opts("batch1", "day1")) == ((1L, 0L, 0L)))
+
+    // TORN cycle: a doc lands in the corpus but never in the ledger
+    // (crash between the corpus append and the ledger append)
+    Seq((30L, "an orphaned document the ledger never heard about today"))
+      .toDF("doc_id", "text").write.mode("append").parquet(corpusDir)
+
+    // cycle 2 must heal first: a batch dup of the orphan flags exact
+    Seq(
+      (40L, "an orphaned document the ledger never heard about today"),
+      (50L, "a genuinely fresh second-wave document kept this cycle"))
+      .toDF("doc_id", "text").write.parquet(s"$root/batch2")
+    assert(CurateCli.runCycle(spark, opts("batch2", "day2")) == ((1L, 1L, 0L)))
+    val v2 = spark.read.parquet(s"$root/out_day2").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(v2(40L) == (("exact", Some(30L))), v2.toString) // healed match
+    assert(v2(50L)._1 == "keep")
+    // the healed rows landed under their own ingest partition
+    assert(spark.read.parquet(s"$ledgerDir/fp")
+      .filter($"ingest" === "day2_healed").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq == Seq(30L))
+
+    // RERUN of cycle 2 (crash-after-corpus-append rerun): the corpus
+    // must not grow again and the rerun verdicts are self-consistent
+    val before = spark.read.parquet(corpusDir).count()
+    CurateCli.runCycle(spark, opts("batch2", "day2"))
+    assert(spark.read.parquet(corpusDir).count() == before,
+      "rerun duplicated kept docs into the corpus")
+    val v2b = spark.read.parquet(s"$root/out_day2").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2b(50L) == "exact") // now exact vs its own kept copy
+  }
+
   test("option parsing: required args, unknowns, help") {
     assert(CurateCli.parse(Seq("--corpus", "c")).isLeft)
     assert(CurateCli.parse(Seq("--bogus")).isLeft)
