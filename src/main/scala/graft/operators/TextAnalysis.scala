@@ -159,6 +159,60 @@ object TextAnalysis {
         col("passes")): _*)
   }
 
+  /** C4/RefinedWeb-style LINE-level quality flags (Raffel et al. 2020
+    * §2.2 — the other canonical web-cleaning rule set beside
+    * [[gopherFlags]]'s document-level Gopher rules; every modern corpus
+    * build runs both): pages split into non-empty trimmed lines, then
+    *
+    *  - `terminal_line_frac` — share of lines ending in terminal
+    *    punctuation (C4 keeps only such lines);
+    *  - `short_line_frac` — share of lines under `shortLineWords` words
+    *    (C4 drops pages made of fragments);
+    *  - `has_curly` — any `{` on the page (C4's code-page drop);
+    *  - `has_lorem` — case-insensitive "lorem ipsum" (placeholder text);
+    *  - `n_js_lines` — lines mentioning "javascript" (C4 drops them);
+    *
+    * plus the conjunction `passes`. All ratios derive from integer line
+    * counts and round to 4 dp BEFORE thresholding, so the flags reproduce
+    * bit-identically in the DuckDB oracle. One projection pass — the line
+    * array is computed once per row; no explode, no shuffle, composes
+    * with any other per-doc signal at 100 TB. */
+  def c4Flags(df: DataFrame, textCol: String,
+              minLines: Long = 1, minTerminalFrac: Double = 0.0,
+              maxShortFrac: Double = 1.0,
+              shortLineWords: Int = 3): DataFrame = {
+    require(shortLineWords >= 1, s"shortLineWords >= 1, got $shortLineWords")
+    val passthrough = df.columns.map(col).toSeq
+    val nL = col("n_lines")
+    df
+      .withColumn("__lines",
+        filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => length(l) > 0))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("__term",
+        size(filter(col("__lines"), l => l.rlike("[.!?\"']$"))).cast("long"))
+      .withColumn("__short",
+        size(filter(col("__lines"),
+          l => size(tokens(l)) < shortLineWords)).cast("long"))
+      .withColumn("terminal_line_frac",
+        round(col("__term").cast("double") / greatest(nL, lit(1L)), 4))
+      .withColumn("short_line_frac",
+        round(col("__short").cast("double") / greatest(nL, lit(1L)), 4))
+      .withColumn("has_curly", col(textCol).contains("{"))
+      .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("n_js_lines",
+        size(filter(col("__lines"),
+          l => lower(l).contains("javascript"))).cast("long"))
+      .withColumn("passes",
+        nL >= minLines &&
+          col("terminal_line_frac") >= minTerminalFrac &&
+          col("short_line_frac") <= maxShortFrac &&
+          !col("has_curly") && !col("has_lorem") && col("n_js_lines") === 0L)
+      .select(passthrough ++ Seq(nL, col("terminal_line_frac"),
+        col("short_line_frac"), col("has_curly"), col("has_lorem"),
+        col("n_js_lines"), col("passes")): _*)
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercased text
     * (content-defined fingerprinting; 16-hex prefix as a compact key). */
   def fingerprint(text: Column): Column =

@@ -821,6 +821,46 @@ object Oracles {
         |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM c GROUP BY 1""".stripMargin,
 
+    // C4-style line-level flags over the synthetic page layout (id
+    // arithmetic both engines replay); line ratios from integer counts,
+    // rounded to 4 dp BEFORE thresholding on both sides
+    "text_c4_flags" ->
+      """WITH pages AS (
+        |  SELECT doc_id, concat_ws(chr(10), text,
+        |    'this is sentence number ' || CAST(doc_id AS VARCHAR) || '.',
+        |    CASE WHEN doc_id % 3 = 0 THEN 'too short' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'function() { return 1; }' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'Lorem Ipsum dolor sit amet.' END,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN 'please enable javascript to continue.' END) AS page
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, page,
+        |    list_filter(list_transform(string_split(page, chr(10)),
+        |      x -> trim(x)), x -> len(x) > 0) AS lines
+        |  FROM pages),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    round(len(list_filter(lines,
+        |        x -> regexp_matches(x, '[.!?"'']$')))::DOUBLE
+        |      / greatest(len(lines), 1), 4) AS terminal_line_frac,
+        |    round(len(list_filter(lines,
+        |        x -> len(list_filter(string_split_regex(x, '\s+'),
+        |               w -> len(w) > 0)) < 3))::DOUBLE
+        |      / greatest(len(lines), 1), 4) AS short_line_frac,
+        |    contains(page, '{') AS has_curly,
+        |    contains(lower(page), 'lorem ipsum') AS has_lorem,
+        |    CAST(len(list_filter(lines,
+        |      x -> contains(lower(x), 'javascript'))) AS BIGINT) AS n_js_lines
+        |  FROM l)
+        |SELECT doc_id, n_lines, terminal_line_frac, short_line_frac,
+        |  has_curly, has_lorem, n_js_lines,
+        |  (n_lines >= 2 AND terminal_line_frac >= 0.3
+        |   AND short_line_frac <= 0.4 AND NOT has_curly AND NOT has_lorem
+        |   AND n_js_lines = 0) AS passes
+        |FROM m""".stripMargin,
+
     // Gopher-style quality flags; integer-derived ratios rounded to 4 dp
     // BEFORE thresholding on both sides
     "text_quality_flags" ->

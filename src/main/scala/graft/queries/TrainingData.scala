@@ -687,6 +687,30 @@ object TrainingData {
     Dedup.urlDedup(d.select(col("doc_id"), url.as("url")), "doc_id", "url")
   }
 
+  /** C4-style LINE-level quality flags over DETERMINISTIC synthetic page
+    * structure (the driver's documents carry no newlines or punctuation,
+    * so — like [[textContacts]] / [[dedupUrl]] — the page layout derives
+    * from id arithmetic both engines replay): every doc gains a
+    * terminal-punctuated sentence line; every 3rd a two-word fragment,
+    * every 7th a curly-brace code line, every 11th a lorem-ipsum line,
+    * every 13th a javascript notice. Thresholds minLines=2,
+    * terminalFrac>=0.3, shortFrac<=0.4 make all five rules decide real
+    * rows. See [[TextAnalysis.c4Flags]]. */
+  def textC4Flags(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val page = concat_ws("\n",
+      col("text"),
+      concat(lit("this is sentence number "), id.cast("string"), lit(".")),
+      when(id % 3 === 0, lit("too short")),
+      when(id % 7 === 0, lit("function() { return 1; }")),
+      when(id % 11 === 0, lit("Lorem Ipsum dolor sit amet.")),
+      when(id % 13 === 0, lit("please enable javascript to continue.")))
+    TextAnalysis.c4Flags(
+      t(s, dir, "documents").select(id, page.as("page")), "page",
+      minLines = 2, minTerminalFrac = 0.3, maxShortFrac = 0.4)
+      .drop("page")
+  }
+
   /** Gopher-style quality-filter flags over the corpus (thresholds scaled
     * to the synthetic docs); every ratio is integer-derived and rounded
     * before thresholding, so the oracle reproduces the flags exactly. */

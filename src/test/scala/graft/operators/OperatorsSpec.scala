@@ -495,6 +495,40 @@ class DedupSpec extends SparkSpec {
       BigDecimal(8.0 / 15.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("c4Flags: line rules exact — terminal/short fracs, curly, lorem, js") {
+    val d = Seq(
+      (1L, "A clean page begins here.\nIt has a second sentence!\n" +
+        "And a third one ends with a question?"),           // passes
+      (2L, "no punctuation on this line\nNor on this one"),  // terminal 0
+      (3L, "A sentence that ends fine.\nok\n\n  \nAnother fine sentence."),
+      (4L, "Some page with code.\nif (x) { return; }\nMore prose here."),
+      (5L, "Lorem Ipsum dolor sit amet.\nA real sentence follows it."),
+      (6L, "Please enable JavaScript to view.\nActual content lives here."),
+      (7L, "")                                               // empty page
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Flags(d, "text", minLines = 2,
+        minTerminalFrac = 0.5, maxShortFrac = 0.4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("passes"))
+    assert(out(1L).getAs[Long]("n_lines") == 3L)
+    assert(out(1L).getAs[Double]("terminal_line_frac") == 1.0)
+    assert(!out(2L).getAs[Boolean]("passes") &&
+      out(2L).getAs[Double]("terminal_line_frac") == 0.0)
+    // blank/whitespace lines drop before any ratio; "ok" is a short line
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_lines") == 3L)
+    assert(r3.getAs[Double]("short_line_frac") ==
+      BigDecimal(1.0 / 3.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!out(4L).getAs[Boolean]("passes") &&
+      out(4L).getAs[Boolean]("has_curly"))
+    assert(!out(5L).getAs[Boolean]("passes") &&
+      out(5L).getAs[Boolean]("has_lorem"))
+    assert(!out(6L).getAs[Boolean]("passes") &&
+      out(6L).getAs[Long]("n_js_lines") == 1L)
+    assert(!out(7L).getAs[Boolean]("passes") &&
+      out(7L).getAs[Long]("n_lines") == 0L)
+  }
+
   test("segmentDedup: repeated segments survive only in the owner doc") {
     // 2-token segments; 'a b' and 'c d' repeat across docs, 'x y' unique
     val d = Seq(
