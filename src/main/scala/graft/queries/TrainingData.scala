@@ -105,6 +105,17 @@ object TrainingData {
           col("n_chars")), 4).as("quality"),
         TextAnalysis.fingerprintPrefix(col("text")).as("fp16"))
 
+  /** SQ8 asymmetric-dot ANN over the embeddings (see
+    * [[Similarity.sqQuantize]]/[[Similarity.sqTopK]]): int8 codes + one
+    * 6-dp scale per vector, full-precision broadcast queries, top-10 by
+    * rounded inner product. Hash-gated — DuckDB replays quantization,
+    * clamping, sequential dot and ranks bit-for-bit. */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.sqTopK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10)
+  }
+
   def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),

@@ -1458,6 +1458,61 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("SQ8: exact quantization replay, clamp, zero vector, topk == brute adot") {
+    val data = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f, 0.1f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),    // zero vector
+      (2L, Array(-2.0f, 1.0f, 0.5f, -0.25f)),
+      (3L, Array(0.003f, 0.381f, -0.254f, 0.127f)))
+      .toDF("vec_id", "embedding")
+    val enc = Similarity.sqQuantize(data, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Int](2).toSeq))).toMap
+    // driver-side exact replay of scale + clamped codes
+    def replay(v: Array[Float]): (Double, Seq[Int]) = {
+      val scale = BigDecimal(v.map(x => math.abs(x.toDouble)).max / 127.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (scale == 0.0) (0.0, v.toSeq.map(_ => 0))
+      else (scale, v.toSeq.map(x => math.min(127L, math.max(-127L,
+        BigDecimal(x.toDouble / scale)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toInt))
+    }
+    Seq(0L, 2L, 3L).foreach { id =>
+      val v = data.filter($"vec_id" === id)
+        .collect()(0).getSeq[Float](1).toArray
+      assert(enc(id) == replay(v), s"vec $id")
+    }
+    assert(enc(1L) == ((0.0, Seq(0, 0, 0, 0))))
+    // the max component always lands exactly on +-127 (clamp holds even
+    // when the 6-dp scale rounds below maxabs/127)
+    assert(enc(2L)._2.min == -127 && enc(0L)._2.max == 127)
+    // topk equals a brute-force replay of the asymmetric dot
+    val got = Similarity.sqTopK(data, data.filter($"vec_id" < 2),
+        "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val vecsById = data.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val brute = (for {
+      q <- Seq(0L, 1L); n <- Seq(0L, 1L, 2L, 3L) if n != q
+      (scale, codes) = replay(vecsById(n))
+      adot = BigDecimal(scale * codes.zip(vecsById(q))
+        .foldLeft(0.0) { case (acc, (c, x)) => acc + c * x.toDouble })
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    } yield (q, n, adot))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex
+          .map { case ((q, n, d), i) => (q, n, d, i + 1L) }
+      }.sorted
+    assert(got == brute)
+    // repartition invariance
+    val again = Similarity.sqTopK(data.repartition(5),
+        data.filter($"vec_id" < 2), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(again == got)
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak") {
     val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
       "vec_id", "embedding", k = 3)
