@@ -213,6 +213,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(uPlan).length <= 1)
   }
 
+  test("text_c4_flags is a shuffle-free projection; ann_sq8 broadcast-bounded") {
+    // C4 line flags: the line array computes once per row, no explode,
+    // no exchange — the filter composes into any corpus scan for free
+    val c4 = SparkEntry.queries("text_c4_flags")(spark, "/root/testdata/sf0.001")
+    val cPlan = c4.queryExecution.executedPlan.toString
+    assert(!cPlan.contains("Exchange") && !cPlan.contains("Window ["),
+      s"c4 flags must stay scan+project:\n${cPlan.take(1500)}")
+
+    // SQ8: queries broadcast; the encoded collection is materialized by
+    // ONE round-robin exchange before the pair loop (never per-pair
+    // re-encode); no cartesian
+    val sq = SparkEntry.queries("ann_sq8")(spark, "/root/testdata/sf0.001")
+    sq.collect()
+    val sPlan = sq.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(sPlan.contains("BroadcastNestedLoopJoin") ||
+      sPlan.contains("BroadcastHashJoin"), s"query side must broadcast:\n${sPlan.take(1500)}")
+    assert(!sPlan.contains("CartesianProduct"))
+    assert("(?i)roundrobinpartitioning".r.findAllIn(sPlan).length == 1,
+      s"the encode must materialize exactly once before the pair stage:\n${sPlan.take(1500)}")
+  }
+
   test("sample_stratified is a pure filter; pack_sequences has no global window") {
     val sample = SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.001")
     val sPlan = sample.queryExecution.executedPlan.toString
