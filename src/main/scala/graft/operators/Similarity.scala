@@ -573,6 +573,60 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
 
+  /** IVF + SQ8 — the most-deployed production composition at the
+    * memory-bound tier: the coarse quantizer PRUNES (each query scans
+    * only its `nprobe` nearest inverted lists, like [[ivfPqTopK]]) and
+    * SQ8 COMPRESSES candidates to int8 codes + one scale with NO
+    * codebook to train — simpler ops than IVF-PQ at 4x (vs 32x)
+    * compression, the usual first stop before PQ is warranted. The
+    * whole collection side is ONE projection pass (centroid argmax +
+    * [[sqQuantize]]'s scale/codes) behind a single round-robin
+    * materialization; per-query work is a broadcast join against the
+    * probed lists, one asymmetric dot per candidate. Same determinism
+    * discipline as every component — 6-dp rounds before argmax/rank, so
+    * the whole path hash-gates. Codes are staged as doubles for the
+    * native dot; the int8 domain (the clamp) is what bounds storage. */
+  def ivfSqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nprobe: Int,
+                centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val cand = vectors
+      .select(col(idCol).as("neighbor_id"),
+        nearestCentroid(col(vecCol), cents).as("list_id"),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("scale",
+        round(array_max(transform(col("__v"), x => abs(x))) / 127.0, 6))
+      .select(col("neighbor_id"), col("list_id"), col("scale"),
+        when(col("scale") > 0,
+          transform(col("__v"), x =>
+            least(lit(127L), greatest(lit(-127L),
+              round(x / col("scale"), 0).cast("long"))).cast("double")))
+          .otherwise(transform(col("__v"), _ => lit(0.0))).as("__codes"))
+      .repartition(fanoutPartitions(vectors))
+    val vnorm = l2Norm(col(vecCol))
+    val probeScores = cents.zipWithIndex.map { case (cv, cid) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(round(dot(col(vecCol), array(cv.map(lit): _*)) / (vnorm * cn), 6)
+        .as("cos"), lit(-cid.toLong).as("negid"))
+    }
+    val probes = broadcast(queries
+      .select(col(idCol).as("q_id"),
+        transform(col(vecCol), _.cast("double")).as("q_vec"),
+        explode(slice(sort_array(array(probeScores: _*), asc = false),
+          1, nprobe)).as("__probe"))
+      .select(col("q_id"), col("q_vec"),
+        (-col("__probe.negid")).as("list_id")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adot").desc, col("neighbor_id"))
+    probes.join(cand, Seq("list_id"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("adot",
+        round(col("scale") * dot(col("__codes"), col("q_vec")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("adot"), col("rank"))
+  }
+
   /** Explicit partition count for a pre-pair-join exchange: the session's
     * shuffle parallelism. A plain `repartition(col)` would let AQE coalesce
     * the (tiny) encoded frame back to one partition — exactly the

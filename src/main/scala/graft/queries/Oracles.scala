@@ -2378,6 +2378,57 @@ object Oracles {
         |SELECT q_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank
         |FROM rk WHERE rn <= 10""".stripMargin,
 
+    // IVF + SQ8: the ann_ivfpq assign/probe machinery with the ann_sq8
+    // quantizer — per-vector 6-dp scale, clamped codes, asymmetric dot by
+    // sequential-order list_sum, rank DESC with neighbor-id ties
+    "ann_ivfsq" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT CAST(rn - 1 AS BIGINT) AS cid, e AS cvec, nrm AS cnrm FROM (
+        |    SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+        |  WHERE rn <= 16),
+        |vc AS (
+        |  SELECT a.vec_id, c.cid,
+        |    round(list_sum(list_transform(range(1, len(a.e) + 1),
+        |      j -> a.e[j] * c.cvec[j])) / (a.nrm * c.cnrm), 6) AS ccos
+        |  FROM v a CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc WHERE vec_id < 20) WHERE rn <= 4),
+        |sc AS (
+        |  SELECT vec_id,
+        |    round(list_max(list_transform(e, x -> abs(x)))::DOUBLE / 127, 6) AS scale
+        |  FROM v),
+        |enc AS (
+        |  SELECT v.vec_id, sc.scale,
+        |    CASE WHEN sc.scale > 0 THEN list_transform(v.e,
+        |      x -> least(127, greatest(-127, round(x / sc.scale)))::DOUBLE)
+        |    ELSE list_transform(v.e, x -> 0::DOUBLE) END AS codes
+        |  FROM v JOIN sc ON v.vec_id = sc.vec_id),
+        |score AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id,
+        |    round(c.scale * list_sum(list_transform(
+        |      range(1, len(c.codes) + 1),
+        |      j -> c.codes[j] * q.e[j])), 6) AS adot
+        |  FROM probes p
+        |  JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.q_id
+        |  JOIN enc c ON c.vec_id = a.vec_id
+        |  JOIN v q ON q.vec_id = p.q_id),
+        |rk AS (
+        |  SELECT q_id, neighbor_id, adot,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, neighbor_id) AS rn
+        |  FROM score)
+        |SELECT q_id, neighbor_id, adot, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin,
+
     // the synthetic payloads make the expected pair set a pure function
     // of the group key (see TrainingData.multimodalImageDups): brightness
     // variants of one md5-keyed pattern aHash identically (hamming 0),

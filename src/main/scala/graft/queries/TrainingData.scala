@@ -116,6 +116,16 @@ object TrainingData {
       "vec_id", "embedding", k = 10)
   }
 
+  /** IVF + SQ8 composed (see [[Similarity.ivfSqTopK]]): 16 seeded coarse
+    * lists prune (nprobe 4), SQ8 compresses, asymmetric inner product
+    * ranks. Hash-gated like its components. */
+  def annIvfSq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 16)
+    Similarity.ivfSqTopK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10, nprobe = 4, cents)
+  }
+
   def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),

@@ -1513,6 +1513,33 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("IVF+SQ8: probing every list == plain SQ8 topk; nprobe prunes") {
+    val data = (0L until 40L).map(i =>
+        (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat / 4f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(data, "vec_id", "embedding", 4)
+    val queries = data.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    // nprobe == numLists: nothing prunes, so the composition must equal
+    // the exhaustive SQ8 scan bit-for-bit (same quantizer, same ranks)
+    val full = rows(Similarity.ivfSqTopK(data, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4, cents))
+    val plain = rows(Similarity.sqTopK(data, queries,
+      "vec_id", "embedding", k = 5))
+    assert(full == plain)
+    // nprobe = 1 genuinely prunes: still ranked output, never more than
+    // k per query, and every kept dot also appears in the full scan's
+    // candidate space (same quantizer — only the candidate set shrank)
+    val pruned = rows(Similarity.ivfSqTopK(data, queries,
+      "vec_id", "embedding", k = 5, nprobe = 1, cents))
+    assert(pruned.nonEmpty && pruned.size <= 15)
+    val fullPairs = rows(Similarity.sqTopK(data, queries,
+      "vec_id", "embedding", k = 40)).map(r => (r._1, r._2, r._3))
+    assert(pruned.forall(p => fullPairs.contains((p._1, p._2, p._3))))
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak") {
     val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
       "vec_id", "embedding", k = 3)
