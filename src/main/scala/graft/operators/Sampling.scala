@@ -80,6 +80,45 @@ object Sampling {
       .withColumn(rateCol, rateExpr)
   }
 
+  /** Epoch-mix repetition — the UPSAMPLING half of a data recipe
+    * ([[temperatureSample]] can only downsample: its rates clamp at 1,
+    * but real mixes run "2.5 epochs of the curated set against 1 of the
+    * crawl"): each source s gets `factors(s)` epochs, so every row emits
+    * floor(f) copies plus one more where its salted md5 band falls below
+    * frac(f). Expected copies per row is exactly f, and the fractional
+    * epoch is the same deterministic 1/65536 md5-band filter as
+    * [[sampleCond]] (salted with "#epoch" so it never correlates with a
+    * sampling decision on the same ids) — reproducible across engines,
+    * runs and partitionings. Factors below 1 downsample by the same
+    * rule; factor 0 drops the source. Output repeats each surviving row
+    * with `copyCol` = 1..n, so a downstream [[deterministicShuffle]]
+    * can spread the copies.
+    *
+    * 100 TB shape: a pure projection + explode — no shuffle, no state;
+    * the output volume multiplier IS the point (the trainer reads one
+    * mixed stream instead of fronting a mixing service). */
+  def epochMix(df: DataFrame, idCol: String, sourceCol: String,
+               factors: Map[String, Double], defaultFactor: Double = 1.0,
+               copyCol: String = "epoch_copy"): DataFrame = {
+    (factors.values.toSeq :+ defaultFactor).foreach(f =>
+      require(f >= 0 && f < 1000, s"epoch factors must be in [0, 1000): $f"))
+    val salted = concat(col(idCol).cast("string"), lit("#epoch"))
+    def copiesOf(f: Double): Column = {
+      val base = math.floor(f).toLong
+      lit(base) + when(sampleCond(salted, f - base), 1L).otherwise(0L)
+    }
+    val nCopies = factors.toSeq.sortBy(_._1).foldRight(copiesOf(defaultFactor)) {
+      case ((src, f), els) => when(col(sourceCol) === src, copiesOf(f)).otherwise(els)
+    }
+    df.withColumn("__n", nCopies)
+      // plain explode drops n = 0 rows; the guarded branch keeps ANSI
+      // sequence() from seeing a descending (1, 0) range
+      .withColumn(copyCol,
+        explode(when(col("__n") >= 1L, sequence(lit(1L), col("__n")))
+          .otherwise(array().cast("array<long>"))))
+      .drop("__n")
+  }
+
   /** Deterministic dataset split (train/val/test): each row gets the
     * label of the md5-16-bit band its id falls in, with band widths
     * proportional to `fractions` (cumulative cutoffs on the same

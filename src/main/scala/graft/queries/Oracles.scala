@@ -2022,6 +2022,27 @@ object Oracles {
     // rates round to 6 dp BEFORE the 16-bit cutoff on both sides; a rate
     // clamped at 1.0 keeps everything (its %04x cutoff would be 5 chars
     // and string-compare wrongly against 'f...' prefixes)
+    // epoch-mix repetition: floor(f) copies + one more where the salted
+    // md5 band clears frac(f) (cutoffs: 0.5 -> '8000', 0.25 -> '4000'),
+    // repeats exploded with copy index — replayed row-for-row
+    "sample_epoch_mix" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang
+        |      WHEN 'zh' THEN 2 + CASE WHEN substr(md5(
+        |        CAST(doc_id AS VARCHAR) || '#epoch'), 1, 4) < '8000'
+        |        THEN 1 ELSE 0 END
+        |      WHEN 'fr' THEN 2
+        |      WHEN 'de' THEN CASE WHEN substr(md5(
+        |        CAST(doc_id AS VARCHAR) || '#epoch'), 1, 4) < '4000'
+        |        THEN 1 ELSE 0 END
+        |      WHEN 'es' THEN 0
+        |      ELSE 1 END AS n
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch_copy
+        |FROM c WHERE n >= 1""".stripMargin,
+
     "sample_temperature" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
         |           FROM documents GROUP BY 1),

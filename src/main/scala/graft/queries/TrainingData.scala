@@ -105,6 +105,17 @@ object TrainingData {
           col("n_chars")), 4).as("quality"),
         TextAnalysis.fingerprintPrefix(col("text")).as("fp16"))
 
+  /** Epoch-mix repetition over the corpus by language — the data-recipe
+    * upsampling step ([[Sampling.epochMix]]): zh runs 2.5 epochs, fr
+    * exactly 2, de a 0.25 fractional epoch, es drops, everything else 1.
+    * Hash-gated: DuckDB replays the salted md5 band and the repeat
+    * explosion row-for-row. */
+  def sampleEpochMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochMix(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang",
+      factors = Map("zh" -> 2.5, "fr" -> 2.0, "de" -> 0.25, "es" -> 0.0))
+
   /** SQ8 asymmetric-dot ANN over the embeddings (see
     * [[Similarity.sqQuantize]]/[[Similarity.sqTopK]]): int8 codes + one
     * 6-dp scale per vector, full-precision broadcast queries, top-10 by

@@ -212,6 +212,59 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("No Partition Defined"))
   }
 
+  test("epochMix: exact per-row replay, integer/fractional/zero factors") {
+    import graft.operators.Sampling
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = (1L to 1200L).map(i =>
+      (i, Seq("en", "zh", "fr", "de", "es")((i % 5).toInt)))
+      .toDF("doc_id", "lang")
+    val out = Sampling.epochMix(docs, "doc_id", "lang",
+        factors = Map("zh" -> 2.5, "fr" -> 2.0, "de" -> 0.25, "es" -> 0.0))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val counts = out.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sorted.toSeq).toMap
+    // exact driver replay of the salted band
+    def extra(id: Long, frac: Double): Long =
+      if (md5hex(s"$id#epoch").substring(0, 4) <
+        f"${math.round(frac * 65536).toInt}%04x") 1L else 0L
+    (1L to 1200L).foreach { i =>
+      val lang = Seq("en", "zh", "fr", "de", "es")((i % 5).toInt)
+      val want = lang match {
+        case "zh" => 2L + extra(i, 0.5)
+        case "fr" => 2L
+        case "de" => extra(i, 0.25)
+        case "es" => 0L
+        case _    => 1L
+      }
+      val got = counts.get((i, lang)).map(_.size.toLong).getOrElse(0L)
+      assert(got == want, s"doc $i ($lang): $got copies, want $want")
+      if (want > 0)
+        assert(counts((i, lang)) == (1L to want), s"copy indices for $i")
+    }
+    // realized mix lands near the factors (240 rows per lang)
+    val byLang = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang("en") == 240 && byLang("fr") == 480)
+    assert(math.abs(byLang("zh") - 600) < 60, byLang.toString)
+    assert(math.abs(byLang("de") - 60) < 30, byLang.toString)
+    assert(!byLang.contains("es"))
+    // partitioning never changes the mix
+    val again = Sampling.epochMix(docs.repartition(7), "doc_id", "lang",
+        factors = Map("zh" -> 2.5, "fr" -> 2.0, "de" -> 0.25, "es" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(again.toSeq == out.sorted.toSeq)
+    // a pure projection + explode: no exchange anywhere
+    val plan = Sampling.epochMix(docs, "doc_id", "lang",
+        factors = Map("zh" -> 2.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"epochMix grew a shuffle:\n$plan")
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(docs, "doc_id", "lang", Map("zh" -> -0.1))
+    }
+  }
+
   test("deterministic split: exact band replay, full cover, disjoint, stable") {
     import graft.operators.Sampling
     def md5hex(s: String): String =
