@@ -236,18 +236,36 @@ object EventStream {
     * Without tolerance a left with no future right ever stays pending
     * (a forward join cannot prove a non-match until input ends); bound
     * that with a tolerance, exactly as a production time-to-event query
-    * must anyway.
+    * must anyway — and bound the BUFFER with `idleTtl`: a key idle past
+    * it resolves its pending lefts as unmatched and drops its state
+    * (processing-time timeout, same mechanism as [[asofStream]]).
     *
     * Parity contract: identical to the batch operator when event time
     * does not regress across micro-batches and equal-timestamp rows
     * share a batch; arrival order within a batch is free. */
   def asofForwardStream(tagged: Dataset[AsofEvent],
-                        tolerance: Option[Long] = None): Dataset[AsofOut] = {
+                        tolerance: Option[Long] = None,
+                        idleTtl: Option[java.time.Duration] = None): Dataset[AsofOut] = {
     import tagged.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     tagged
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsofPendingLefts, AsofOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
+        // idle-TTL: a key whose rights stopped arriving RESOLVES its
+        // pending lefts as unmatched (the row the batch operator emits
+        // when no right falls inside tolerance) instead of buffering
+        // forever — best-effort by construction: a right arriving after
+        // the timeout cannot retro-match, the same relaxation as every
+        // late-data bound in this file
+        case (userId, _, state: GroupState[AsofPendingLefts])
+            if state.hasTimedOut =>
+          val out = state.getOption.map(_.lefts).getOrElse(Nil).map(l =>
+            AsofOut(userId, l.ts, l.event_id, None, None, None))
+          state.remove()
+          out.iterator
         case (userId, rows, state: GroupState[AsofPendingLefts]) =>
           val pending = scala.collection.mutable.ArrayBuffer.empty[AsofEvent]
           state.getOption.foreach(pending ++= _.lefts)
@@ -278,7 +296,10 @@ object EventStream {
             }
           }
           if (pending.isEmpty) state.remove()
-          else state.update(AsofPendingLefts(pending.toSeq))
+          else {
+            state.update(AsofPendingLefts(pending.toSeq))
+            idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          }
           out.iterator
       }
   }
@@ -317,12 +338,31 @@ object EventStream {
     * boundary as the forward twin). Parity contract as
     * [[asofForwardStream]]. */
   def asofNearestStream(tagged: Dataset[AsofEvent],
-                        tolerance: Option[Long] = None): Dataset[AsofNearOut] = {
+                        tolerance: Option[Long] = None,
+                        idleTtl: Option[java.time.Duration] = None): Dataset[AsofNearOut] = {
     import tagged.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     tagged
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsofNearState, AsofNearOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
+        // idle-TTL: pending lefts resolve with their backward candidate
+        // alone — exactly the row the batch operator emits when no right
+        // ever follows — and the key's state drops; best-effort like
+        // every late-data bound here
+        case (userId, _, state: GroupState[AsofNearState])
+            if state.hasTimedOut =>
+          val st = state.getOption.getOrElse(AsofNearState(None, Nil))
+          val out = st.pending.map { case (l, b) =>
+            val ok = b.isDefined && tolerance.forall(t => l.ts - b.get.ts <= t)
+            if (ok) AsofNearOut(userId, l.ts, l.event_id, b.map(_.ts),
+              b.map(_.event_id), b.map(_.value), Some("before"))
+            else AsofNearOut(userId, l.ts, l.event_id, None, None, None, None)
+          }
+          state.remove()
+          out.iterator
         case (userId, rows, state: GroupState[AsofNearState]) =>
           def newer(c: AsofRight, e: AsofEvent): Boolean =
             c.ts < e.ts || (c.ts == e.ts && (c.event_id < e.event_id ||
@@ -374,7 +414,10 @@ object EventStream {
             }
           }
           if (latest.isEmpty && pending.isEmpty) state.remove()
-          else state.update(AsofNearState(latest, pending.toSeq))
+          else {
+            state.update(AsofNearState(latest, pending.toSeq))
+            idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          }
           out.iterator
       }
   }

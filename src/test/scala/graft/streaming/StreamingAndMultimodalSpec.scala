@@ -415,6 +415,44 @@ class EventStreamSpec extends SparkSpec {
       s"expected evicted state, got ${rows(901L)}")
   }
 
+  test("forward/nearest idle TTL resolves stranded pending lefts") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.AsofEvent
+    def awaitRows(table: String, n: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table(table).count() < n) {
+        assert(System.nanoTime() < deadline, s"timed out waiting on $table")
+        Thread.sleep(100)
+      }
+    }
+    // forward: a left no right ever follows emits UNMATCHED at timeout
+    val memF = MemoryStream[AsofEvent]
+    val qf = EventStream.asofForwardStream(memF.toDS(),
+        tolerance = Some(100L),
+        idleTtl = Some(java.time.Duration.ofMillis(300)))
+      .writeStream.format("memory").queryName("fwd_ttl")
+      .outputMode("append").start()
+    memF.addData(AsofEvent(1L, 10L, 1, 900L, 0.0))
+    awaitRows("fwd_ttl", 1)
+    val fr = spark.table("fwd_ttl").collect()(0)
+    qf.stop()
+    assert(fr.getLong(2) == 900L && fr.isNullAt(3))
+    // nearest: a stranded pending left resolves with its BACKWARD
+    // candidate — the row the batch operator emits when no right follows
+    val memN = MemoryStream[AsofEvent]
+    val qn = EventStream.asofNearestStream(memN.toDS(),
+        idleTtl = Some(java.time.Duration.ofMillis(300)))
+      .writeStream.format("memory").queryName("near_ttl")
+      .outputMode("append").start()
+    memN.addData(AsofEvent(1L, 10L, 0, 100L, 1.0),
+      AsofEvent(1L, 20L, 1, 901L, 0.0))
+    awaitRows("near_ttl", 1)
+    val nr = spark.table("near_ttl").collect()(0)
+    qn.stop()
+    assert(nr.getLong(2) == 901L && nr.getLong(3) == 10L &&
+      nr.getString(6) == "before")
+  }
+
   test("topKPerGroup runs unchanged on a stream; stream == batch") {
     // the k-capped buffer is ordinary aggregate state, so the SAME
     // operator call sketches a live stream in complete mode — the
