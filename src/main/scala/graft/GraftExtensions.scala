@@ -112,6 +112,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         })
       }))
 
+    // graft_qsketch_lo / graft_qsketch_width (value, subBits): the exact
+    // integer base-2 sub-bucket of the quantile sketch — groupBy(lo,
+    // width) + count in plain SQL is exactly Sketches.qsketchBuckets
+    ext.injectFunction((
+      new FunctionIdentifier("graft_qsketch_lo"),
+      new ExpressionInfo(
+        classOf[graft.functions.SketchExpressions.QsketchLo].getName,
+        "graft_qsketch_lo"),
+      (children: Seq[Expression]) =>
+        graft.functions.SketchExpressions.QsketchLo(children(0),
+          intArg(children(1), "graft_qsketch_lo"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_qsketch_width"),
+      new ExpressionInfo(
+        classOf[graft.functions.SketchExpressions.QsketchWidth].getName,
+        "graft_qsketch_width"),
+      (children: Seq[Expression]) =>
+        graft.functions.SketchExpressions.QsketchWidth(children(0),
+          intArg(children(1), "graft_qsketch_width"))))
+
     // graft_bloom_positions(value, mBits, k) -> array<int>: the k
     // double-hashed bit positions of the Bloom filter (Kirsch-
     // Mitzenmacher from ONE digest) — explode + join word-table +

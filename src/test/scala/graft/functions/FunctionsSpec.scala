@@ -242,5 +242,17 @@ class GraftExtensionsSpec extends SparkSpec {
         ((r.getAs[Long]("bits_set"), r.getAs[Boolean]("maybe_member")))).toMap
     assert(bSql == bOp)
     assert(bSql("tok-1") == ((5L, true)) && bSql("tok-7") == ((5L, true)))
+
+    // qsketch buckets: plain-SQL groupBy(lo, width) == Sketches.qsketchBuckets
+    val nums = (1 to 500).map(i => Tuple1((i * i).toLong)).toDF("v")
+    nums.createOrReplaceTempView("gx_nums")
+    val qSql = spark.sql(
+      """SELECT graft_qsketch_lo(v, 7) AS blo,
+        |  graft_qsketch_width(v, 7) AS bw, count(1) AS cnt
+        |FROM gx_nums GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val qOp = Sketches.qsketchBuckets(nums, Seq.empty, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(qSql == qOp)
   }
 }
