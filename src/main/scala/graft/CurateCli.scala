@@ -31,6 +31,7 @@ object CurateCli {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5,
+      forceStart: Boolean = false,
       showHelp: Boolean = false)
 
   val Usage: String =
@@ -47,6 +48,7 @@ object CurateCli {
       | --hashes <k>          MinHash signature length  (default 8)
       | --rows-per-band <r>   LSH rows per band         (default 2)
       | --threshold <t>       Jaccard verify threshold  (default 0.5)
+      | --force-start         Remove a leftover ledger lock before starting
       | -h,--help             Show usage
       |""".stripMargin
 
@@ -68,6 +70,7 @@ object CurateCli {
         o = o.copy(rowsPerBand = v.toInt); rest = t
       case "--threshold" :: v :: t =>
         o = o.copy(threshold = v.toDouble); rest = t
+      case "--force-start" :: t => o = o.copy(forceStart = true); rest = t
       case bad :: _ => return Left(s"unknown option: $bad")
     }
     if (o.showHelp) Right(o)
@@ -75,6 +78,32 @@ object CurateCli {
         o.out == null || o.ingest == null)
       Left("--corpus, --batch, --ledger, --out and --ingest are required")
     else Right(o)
+  }
+
+  /** Refuse to run two curation cycles against one ledger at once — the
+    * same create-file lock discipline as [[GraftCli]]'s warehouse lock
+    * (no staleness heuristic; a crashed run leaves the file and the
+    * message tells the operator what to remove). The reconcile heals a
+    * crashed cycle's DATA; the lock prevents the one thing it cannot:
+    * two concurrent cycles interleaving their corpus/ledger appends.
+    * Scoped to the ledger directory, the unit concurrency corrupts. */
+  def withLedgerLock[A](ledger: String, force: Boolean = false)
+                       (body: => A): Either[String, A] = {
+    val dir = java.nio.file.Paths.get(ledger)
+    java.nio.file.Files.createDirectories(dir)
+    val lock = dir.resolve(".graft-curate.lock")
+    if (force) java.nio.file.Files.deleteIfExists(lock)
+    val acquired =
+      try { java.nio.file.Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!acquired)
+      Left("Probably another graft-curate instance is already running " +
+        "against this ledger. If a previous run finished incorrectly, " +
+        s"check that no other instance is running and remove " +
+        s"${lock.toAbsolutePath} (or pass --force-start).")
+    else
+      try Right(body)
+      finally java.nio.file.Files.deleteIfExists(lock)
   }
 
   /** One ingest cycle; returns (kept, exact, near) counts. Separated from
@@ -138,8 +167,11 @@ object CurateCli {
           .config("spark.sql.legacy.parquet.nanosAsLong", "true")
           .getOrCreate()
         try {
-          val (kept, exact, near) = runCycle(spark, o)
-          println(s"kept=$kept exact=$exact near=$near")
+          withLedgerLock(o.ledger, o.forceStart)(runCycle(spark, o)) match {
+            case Left(err) => System.err.println(err); sys.exit(3)
+            case Right((kept, exact, near)) =>
+              println(s"kept=$kept exact=$exact near=$near")
+          }
         } finally spark.stop()
     }
   }

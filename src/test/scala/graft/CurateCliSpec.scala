@@ -119,7 +119,30 @@ class CurateCliSpec extends SparkSpec {
     assert(CurateCli.parse(Seq("-h")).exists(_.showHelp))
     val o = CurateCli.parse(Seq("--corpus", "c", "--batch", "b",
       "--ledger", "l", "--out", "o", "--ingest", "day1",
-      "--threshold", "0.7", "--hashes", "16")).toOption.get
-    assert(o.threshold == 0.7 && o.numHashes == 16 && o.n == 3)
+      "--threshold", "0.7", "--hashes", "16", "--force-start")).toOption.get
+    assert(o.threshold == 0.7 && o.numHashes == 16 && o.n == 3 && o.forceStart)
+  }
+
+  test("ledger lock: second holder refused, force clears, lock released") {
+    val dir = java.nio.file.Files.createTempDirectory("curate_lock").toString
+    val inner = CurateCli.withLedgerLock(dir) {
+      // a concurrent acquisition while held is refused with guidance
+      val nested = CurateCli.withLedgerLock(dir)(42)
+      assert(nested.isLeft && nested.swap.toOption.get.contains("--force-start"))
+      "done"
+    }
+    assert(inner == Right("done"))
+    // released on exit: a fresh acquisition works
+    assert(CurateCli.withLedgerLock(dir)(1) == Right(1))
+    // a leftover lock (crashed run) blocks until forced
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir).resolve(".graft-curate.lock"))
+    assert(CurateCli.withLedgerLock(dir)(1).isLeft)
+    assert(CurateCli.withLedgerLock(dir, force = true)(1) == Right(1))
+    // ...and the body's exception still releases the lock
+    intercept[RuntimeException] {
+      CurateCli.withLedgerLock(dir)(throw new RuntimeException("boom"))
+    }
+    assert(CurateCli.withLedgerLock(dir)(2) == Right(2))
   }
 }

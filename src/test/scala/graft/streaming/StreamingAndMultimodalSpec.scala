@@ -479,6 +479,32 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 12)
   }
 
+  test("epochMix runs unchanged on a stream; stream == batch") {
+    // a pure projection + explode needs no state: the same call compiles
+    // to a streaming plan and the union of micro-batches equals the batch
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 300L).map(i =>
+      (i, Seq("en", "zh", "fr")((i % 3).toInt)))
+    val factors = Map("zh" -> 2.5, "fr" -> 0.0)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Sampling.epochMix(
+        mem.toDF().toDF("doc_id", "lang"), "doc_id", "lang", factors)
+      .writeStream.format("memory").queryName("epoch_stream")
+      .outputMode("append").start()
+    mem.addData(rows.take(100): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(100): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("epoch_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    q.stop()
+    val batch = graft.operators.Sampling.epochMix(
+        rows.toDF("doc_id", "lang"), "doc_id", "lang", factors)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("incremental dedup screens a stream; union of micro-batches == batch") {
     // the screen is asymmetric (batch docs never pair with each other),
     // so verdicts depend only on (doc, history) and the union of
