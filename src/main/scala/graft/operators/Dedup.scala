@@ -467,6 +467,39 @@ object Dedup {
         round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6))
   }
 
+  /** Span-level decontamination — the output a span-REMOVAL pass
+    * consumes (the GPT-3-style discipline: cut the leaked window out of
+    * the training document, don't drop the document): for each corpus
+    * document, every POSITION (1-based token index of the shingle start)
+    * whose n-gram also occurs in the benchmark set. Where
+    * [[contamination]] counts distinct leaked shingles per doc, this
+    * keeps positional occurrences — a shingle leaking twice is two spans
+    * to cut.
+    *
+    * Same 100 TB shape as [[contamination]]: the benchmark's DISTINCT
+    * shingle set broadcasts, the corpus explodes positional shingles in
+    * one pass (the token array projected once per row), matches come
+    * back map-side; output is bounded by actual leakage, not corpus
+    * size. Returns (doc_id, span_start, shingle). */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchSh = broadcast(
+      docShingles(benchmark, idCol, textCol, n)
+        .select(col("shingle")).distinct())
+    val toks = TextAnalysis.tokens(col(textCol))
+    corpus
+      .select(col(idCol).as("doc_id"), toks.as("__t"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => array_join(slice(col("__t"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("span_start"),
+        col("col").as("shingle"))
+      .join(benchSh, Seq("shingle"), "left_semi")
+      .select(col("doc_id"), col("span_start"), col("shingle"))
+  }
+
   /** Exact-first two-stage dedup — the warehouse-standard composition
     * (SCALE_PROBE.md): one md5-fingerprint groupBy keeps the smallest id
     * of each identical-text group, then [[minhashLsh]] runs over

@@ -2113,6 +2113,22 @@ object Oracles {
         |        / count(*)::DOUBLE, 6) AS contamination
         |FROM corpus c LEFT JOIN bench b USING (shingle)
         |GROUP BY 1""".stripMargin),
+    // POSITIONAL shingles (duplicates kept — each occurrence is its own
+    // span to cut); 1-based token index matches t[i:i+2]
+    "decontaminate_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i AS span_start, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM tok, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM pos WHERE doc_id < 25)
+        |SELECT p.doc_id, CAST(p.span_start AS BIGINT) AS span_start, p.shingle
+        |FROM pos p JOIN bench b USING (shingle)
+        |WHERE p.doc_id >= 25 AND p.doc_id < 1000""".stripMargin,
+
     "text_chunks" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
         |     c AS (SELECT doc_id, text,

@@ -761,6 +761,19 @@ object TrainingData {
       "doc_id", "text", n = 3)
   }
 
+  /** Span-level decontamination over the same benchmark split as
+    * [[decontaminate]], corpus bounded to doc_id < 1000 to keep the gate
+    * lean: every (doc, 1-based token position) whose 3-gram leaks from
+    * the benchmark — the rows a span-removal pass cuts. See
+    * [[Dedup.contaminationSpans]]. */
+  def decontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = tp(s, dir, "documents")
+    Dedup.contaminationSpans(
+      docs.filter(col("doc_id") >= 25 && col("doc_id") < 1000),
+      docs.filter(col("doc_id") < 25),
+      "doc_id", "text", n = 3)
+  }
+
   /** Overlapping 256-char chunks with a 64-char overlap — the long-doc
     * split that precedes tokenization; one row per (doc, chunk index). */
   def textChunks(s: SparkSession, dir: String): DataFrame =

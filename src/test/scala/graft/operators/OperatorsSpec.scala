@@ -140,6 +140,26 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("contaminationSpans: exact 1-based positions, repeats kept, short docs empty") {
+    val bench = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // the leaked 3-gram occurs TWICE (positions 2 and 6) -> two spans
+      (10L, "zero alpha beta gamma four alpha beta gamma"),
+      (11L, "nothing shared with the benchmark set here"),
+      (12L, "too short")) // < n tokens: no shingles, no rows
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(got == Seq(
+      (10L, 2L, "alpha beta gamma"),
+      (10L, 6L, "alpha beta gamma")))
+    // broadcast shape like contamination: no corpus self-join
+    val plan = Dedup.contaminationSpans(corpus, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
   test("ngramJaccard finds exact and near duplicates") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
