@@ -413,7 +413,10 @@ object Sampling {
     *
     * Result contract (deterministic, engine-portable): identical to
     * row_number() OVER (PARTITION BY groupCols ORDER BY score
-    * [DESC|ASC], CAST(id AS string)) filtered to rank <= k. Null/NaN
+    * [DESC|ASC], CAST(id AS string)) filtered to rank <= k — or, with
+    * `numericIdOrder = true` (integral id columns only), ties break on
+    * the id's NATIVE numeric order (ORDER BY score, id), the contract
+    * every ANN rank window uses. Null/NaN
     * scores and null ids never qualify. Scores compare as doubles, so
     * integral score columns above 2^53 lose tie precision — the same
     * declared boundary as the as-of join's float-timestamp rejection.
@@ -423,26 +426,44 @@ object Sampling {
     * idCol) for the full payload — the survivor side is tiny. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
                    idCol: String, k: Int, descending: Boolean = true,
-                   rankCol: String = "rank"): DataFrame = {
+                   rankCol: String = "rank",
+                   numericIdOrder: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "topKPerGroup needs at least one group column")
     require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
     val scoreT = df.schema(orderCol).dataType
     require(scoreT.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"order column `$orderCol` must be numeric, got $scoreT")
     val idT = df.schema(idCol).dataType
+    val integralIdTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(!numericIdOrder || integralIdTypes.contains(idT),
+      s"numericIdOrder needs an integral id column, got $idT")
+    // The aggregate's tiebreak is lexicographic on the id STRING. For the
+    // numeric contract, encode the long id order-preservingly: flip the
+    // sign bit (XOR Long.MinValue) and render 16 fixed-width hex chars —
+    // lexicographic hex order IS signed numeric order. Decoded on output.
+    val idEnc: Column =
+      if (numericIdOrder)
+        lpad(hex(col(idCol).cast("long").bitwiseXOR(Long.MinValue)), 16, "0")
+      else col(idCol).cast("string")
+    def idDec(c: Column): Column =
+      if (numericIdOrder)
+        conv(c, 16, -10).cast("long").bitwiseXOR(Long.MinValue).cast(idT)
+      else c.cast(idT)
     val topk = udaf(new TopKAgg(k, descending))
     df.filter(col(orderCol).isNotNull && col(idCol).isNotNull &&
         !isnan(col(orderCol).cast("double")))
       .select(groupCols.map(col) ++ Seq(
         col(orderCol).cast("double").as("__score"),
-        col(idCol).cast("string").as("__id")): _*)
+        idEnc.as("__id")): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(topk(col("__score"), col("__id")).as("__tk"))
       .select(groupCols.map(col) :+
         posexplode(col("__tk").getField("items")): _*)
       .select(groupCols.map(col) ++ Seq(
         (col("pos") + 1).cast("long").as(rankCol),
-        col("col").getField("id").cast(idT).as(idCol),
+        idDec(col("col").getField("id")).as(idCol),
         col("col").getField("score").cast(scoreT).as(orderCol)): _*)
   }
 

@@ -44,6 +44,22 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Per-query top-k over a scored pair frame (q_id, neighbor_id,
+    * scoreCol, ...) via the k-capped [[Sampling.topKPerGroup]] aggregate —
+    * NOT a row_number window. A window's PARTITION BY q_id puts every
+    * candidate for one query into ONE unsplittable sorted task, so a hot
+    * query over a 100x collection is a guaranteed straggler; the
+    * aggregate keeps at most k (score, id) pairs per partial buffer,
+    * merges map-side, and splits the candidate scan across however many
+    * tasks the scan has. Result contract is bit-identical to
+    * row_number() OVER (PARTITION BY q_id ORDER BY score [DESC|ASC],
+    * neighbor_id) — numeric id tiebreak, matching every ANN oracle. */
+  private def rankTopK(pairs: DataFrame, scoreCol: String, k: Int,
+                       ascending: Boolean = false): DataFrame =
+    Sampling.topKPerGroup(pairs, Seq("q_id"), scoreCol, "neighbor_id", k,
+        descending = !ascending, numericIdOrder = true)
+      .select(col("q_id"), col("neighbor_id"), col(scoreCol), col("rank"))
+
   /** Brute-force cosine top-k. `queries`/`vectors` both carry (idCol,
     * vecCol); ranks are assigned on the ROUNDED cosine with id tiebreak so
     * results are reproducible across engines and runs. */
@@ -59,14 +75,11 @@ object Similarity {
     val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
       l2Norm(col(vecCol)).as("n_norm"))
       .repartition(fanoutPartitions(vectors))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(c, col("q_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankTopK(
+      q.join(c, col("q_id") =!= col("neighbor_id"))
+        .withColumn("cosine",
+          round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6)),
+      "cosine", k)
   }
 
   /** Deterministic +/-1 hyperplanes: sign(j, d) = +1 iff the first hex
@@ -122,14 +135,11 @@ object Similarity {
       lshBucket(col(vecCol), planes).as("bucket")))
     val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
       lshBucket(col(vecCol), planes).as("bucket"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(c, Seq("bucket"))
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("q_vec"), col("n_vec")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankTopK(
+      q.join(c, Seq("bucket"))
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .withColumn("cosine", round(cosine(col("q_vec"), col("n_vec")), 6)),
+      "cosine", k)
   }
 
   /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
@@ -192,31 +202,29 @@ object Similarity {
                   centroids: DataFrame): DataFrame = {
     val cents = broadcast(centroids
       .select(col("centroid_id"), col("c_vec"), l2Norm(col("c_vec")).as("c_norm")))
-    // queries pick their nprobe nearest lists (tiny frame; window is fine)
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_cos").desc, col("centroid_id"))
-    val probes = broadcast(queries
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        l2Norm(col(vecCol)).as("q_norm"))
-      .join(cents)
-      .withColumn("c_cos",
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
-      .withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nprobe)
+    // queries pick their nprobe nearest lists — the same k-capped
+    // aggregate as the candidate rank (ORDER BY c_cos DESC, centroid_id);
+    // the probe list drops the query payload, so join q_vec/q_norm back
+    // on q_id (both frames are query-sized and broadcast)
+    val qf = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"))
+    val probeSel = Sampling.topKPerGroup(
+      qf.join(cents)
+        .withColumn("c_cos",
+          round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6)),
+      Seq("q_id"), "c_cos", "centroid_id", nprobe, numericIdOrder = true)
+    val probes = broadcast(probeSel.join(qf, Seq("q_id"))
       .select(col("q_id"), col("q_vec"), col("q_norm"),
         col("centroid_id").as("list_id")))
     val assigned = ivfAssignWith(vectors, idCol, vecCol, centroids)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         col("__norm").as("n_norm"), col("list_id"))
-    val wRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    probes.join(assigned, Seq("list_id"))
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankTopK(
+      probes.join(assigned, Seq("list_id"))
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .withColumn("cosine",
+          round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6)),
+      "cosine", k)
   }
 
   /** Spherical k-means (Lloyd's) coarse-quantizer trainer for IVF.
@@ -354,14 +362,11 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("scale"),
         transform(col("codes"), _.cast("double")).as("__codes"))
       .repartition(fanoutPartitions(vectors))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adot").desc, col("neighbor_id"))
-    q.join(enc, col("q_id") =!= col("neighbor_id"))
-      .withColumn("adot",
-        round(col("scale") * dot(col("__codes"), col("q_vec")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("adot"), col("rank"))
+    rankTopK(
+      q.join(enc, col("q_id") =!= col("neighbor_id"))
+        .withColumn("adot",
+          round(col("scale") * dot(col("__codes"), col("q_vec")), 6)),
+      "adot", k)
   }
 
   /** Product quantization (Jégou et al. 2011, "Product Quantization for
@@ -492,15 +497,12 @@ object Similarity {
     val enc = pqEncodeWith(vectors, idCol, vecCol, codebooks)
       .select(col(idCol).as("neighbor_id"), col("codes"))
       .repartition(fanoutPartitions(vectors))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id"))
-    q.join(enc, col("q_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist",
-        round(graft.functions.VectorExpressions
-          .adcNative(col("__dtab"), col("codes")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+    rankTopK(
+      q.join(enc, col("q_id") =!= col("neighbor_id"))
+        .withColumn("adc_dist",
+          round(graft.functions.VectorExpressions
+            .adcNative(col("__dtab"), col("codes")), 6)),
+      "adc_dist", k, ascending = true)
   }
 
   /** The interpreted ADC fold [[pqTopKWith]]/[[ivfPqTopK]] replaced — kept
@@ -561,16 +563,13 @@ object Similarity {
           1, nprobe)).as("__probe"))
       .select(col("q_id"), col("__dtab"),
         (-col("__probe.negid")).as("list_id")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id"))
-    probes.join(cand, Seq("list_id"))
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist",
-        round(graft.functions.VectorExpressions
-          .adcNative(col("__dtab"), col("codes")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+    rankTopK(
+      probes.join(cand, Seq("list_id"))
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .withColumn("adc_dist",
+          round(graft.functions.VectorExpressions
+            .adcNative(col("__dtab"), col("codes")), 6)),
+      "adc_dist", k, ascending = true)
   }
 
   /** IVF + SQ8 — the most-deployed production composition at the
@@ -616,15 +615,12 @@ object Similarity {
           1, nprobe)).as("__probe"))
       .select(col("q_id"), col("q_vec"),
         (-col("__probe.negid")).as("list_id")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adot").desc, col("neighbor_id"))
-    probes.join(cand, Seq("list_id"))
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("adot",
-        round(col("scale") * dot(col("__codes"), col("q_vec")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("adot"), col("rank"))
+    rankTopK(
+      probes.join(cand, Seq("list_id"))
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .withColumn("adot",
+          round(col("scale") * dot(col("__codes"), col("q_vec")), 6)),
+      "adot", k)
   }
 
   /** Explicit partition count for a pre-pair-join exchange: the session's

@@ -87,18 +87,35 @@ class PlanAuditSpec extends SparkSpec {
     // both centroid scorings are broadcast joins (the bounded-centroid
     // cross join plans as BroadcastNestedLoopJoin; the candidate join as a
     // broadcast hash join) — NO shuffle of the vector side for scoring.
-    // The only true Window operators are the tiny probe rank and the
-    // final per-query rank ("WindowGroupLimit" nodes are the rank<=k
-    // pushdown, not extra windows).
+    // Since round 12 BOTH ranks (probe selection and the per-query top-k)
+    // run through the k-capped aggregate: zero Window operators anywhere.
     assert("Broadcast(NestedLoop|Hash)Join".r.findAllIn(plan).length >= 2,
       plan.take(2000))
-    assert("Window \\[".r.findAllIn(plan).length <= 2)
+    assert("Window \\[".r.findAllIn(plan).length == 0)
     // the vector assignment is an aggregate WITH a map-side partial
     // (partial_max argmax — SortAggregate because the carried embedding
     // array forces sort-based buffers), not a row_number over the
     // vectors-x-centroids pairs
     assert(plan.contains("partial_max"))
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("every ann_* plan ranks through the k-capped aggregate — zero Window operators") {
+    // a Window's PARTITION BY q_id is one unsplittable sorted task per
+    // query at any scale; the round-12 contract is that NO ANN plan
+    // contains one — probe selection and the final top-k both run
+    // through the bounded ObjectHashAggregate (r11 VERDICT top item)
+    for (name <- SparkEntry.queries.keys.filter(_.startsWith("ann_")).toSeq.sorted) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert("Window \\[".r.findAllIn(plan).length == 0,
+        s"$name still plans a rank window:\n${plan.take(1500)}")
+      // every rank-producing ANN query must rank via the bounded
+      // aggregate (ann_lsh_buckets is a rankless bucket histogram)
+      if (df.columns.contains("rank"))
+        assert(plan.contains("ObjectHashAggregate"),
+          s"$name lost the bounded top-k aggregate:\n${plan.take(1500)}")
+    }
   }
 
   test("p3/p5 explodes stay shuffle-free projections") {

@@ -500,6 +500,35 @@ class SamplingSpec extends SparkSpec {
     assert(want == Seq("ascii", bmpPrivate), want.map(_.codePoints.toArray.toSeq))
     assert(got == want, s"got ${got.map(_.codePoints.toArray.toSeq)}")
   }
+
+  test("topKPerGroup numericIdOrder ties on the NATIVE long order, default on the string form") {
+    import graft.operators.Sampling
+    // ids 9 and 10 on an exact score tie: string order ranks "10" < "9",
+    // numeric order 9 < 10 — the ANN contract (ORDER BY score, id).
+    // Include negatives to exercise the sign-bit-flip hex encoding.
+    val df = Seq(("g", 9L, 1.0), ("g", 10L, 1.0), ("g", -3L, 0.5))
+      .toDF("g", "vec_id", "score")
+    val numeric = Sampling.topKPerGroup(df, Seq("g"), "score", "vec_id", 3,
+        numericIdOrder = true)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(numeric == Seq(9L, 10L, -3L), s"numeric tiebreak broke: $numeric")
+    val stringy = Sampling.topKPerGroup(df, Seq("g"), "score", "vec_id", 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(stringy == Seq(10L, 9L, -3L), s"string tiebreak broke: $stringy")
+    // full-range round trip: Long.MinValue/MaxValue survive encode+decode
+    val edges = Seq(("g", Long.MinValue, 2.0), ("g", Long.MaxValue, 1.0))
+      .toDF("g", "vec_id", "score")
+    val back = Sampling.topKPerGroup(edges, Seq("g"), "score", "vec_id", 2,
+        numericIdOrder = true)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(back == Seq(Long.MinValue, Long.MaxValue), s"edge ids mangled: $back")
+    // non-integral ids are a declared boundary
+    val strIds = Seq(("g", "a", 1.0)).toDF("g", "doc_id", "score")
+    intercept[IllegalArgumentException] {
+      Sampling.topKPerGroup(strIds, Seq("g"), "score", "doc_id", 1,
+        numericIdOrder = true)
+    }
+  }
 }
 
 class ChunkingSpec extends SparkSpec {
