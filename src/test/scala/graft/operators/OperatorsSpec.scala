@@ -1042,6 +1042,34 @@ class RangeJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("`pos`") || e.getMessage.contains("pos"))
   }
+
+  test("stale memoized width after an in-place rewrite: documented error + clearWidthMemo recovery") {
+    // the width memo keys on the interval frame's CANONICAL PLAN — an
+    // in-place parquet rewrite keeps the plan, so the stale (too small)
+    // width can push a legitimately wide interval past maxBinsPerInterval;
+    // the error must name the recovery and the recovery must work
+    val dir = java.nio.file.Files.createTempDirectory("rj-memo").toString
+    val points = Seq((1L, 50L, 1L)).toDF("k", "pos", "pid")
+    Seq((1L, 0L, 1L, "n1"), (1L, 2L, 3L, "n2"), (1L, 4L, 5L, "n3"))
+      .toDF("k", "lo", "hi", "name")
+      .write.mode("overwrite").parquet(dir)
+    def intervals = spark.read.parquet(dir)
+    def joined = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "pos", "lo", "hi", maxBinsPerInterval = 64L)
+    RangeJoin.clearWidthMemo()
+    assert(joined.count() == 0) // derives width 2, memoizes on the plan
+    // rewrite in place: one interval now spans 200 bins at the stale width
+    Seq((1L, 0L, 399L, "wide")).toDF("k", "lo", "hi", "name")
+      .write.mode("overwrite").parquet(dir)
+    spark.catalog.clearCache()
+    val e = intercept[Exception] { joined.count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("clearWidthMemo")),
+      s"degenerate-interval error must name the recovery: ${e.getMessage}")
+    RangeJoin.clearWidthMemo()
+    assert(joined.count() == 1) // freshly derived width: wide interval fits
+  }
 }
 
 class SketchesSpec extends SparkSpec {
