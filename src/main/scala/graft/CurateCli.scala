@@ -32,6 +32,9 @@ object CurateCli {
       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5,
       forceStart: Boolean = false,
+      compact: Boolean = false,
+      compactInto: String = "compacted",
+      keepLabels: Seq[String] = Nil,
       showHelp: Boolean = false)
 
   val Usage: String =
@@ -49,6 +52,11 @@ object CurateCli {
       | --rows-per-band <r>   LSH rows per band         (default 2)
       | --threshold <t>       Jaccard verify threshold  (default 0.5)
       | --force-start         Remove a leftover ledger lock before starting
+      | --compact             Compact the ledger's ingest partitions instead
+      |                       of running a cycle (only --ledger required)
+      | --compact-into <l>    Partition label for folded rows (default compacted)
+      | --keep-label <l>      Ingest label to keep out of the fold (repeatable;
+      |                       retention: keep recent days individually)
       | -h,--help             Show usage
       |""".stripMargin
 
@@ -71,9 +79,17 @@ object CurateCli {
       case "--threshold" :: v :: t =>
         o = o.copy(threshold = v.toDouble); rest = t
       case "--force-start" :: t => o = o.copy(forceStart = true); rest = t
+      case "--compact" :: t => o = o.copy(compact = true); rest = t
+      case "--compact-into" :: v :: t => o = o.copy(compactInto = v); rest = t
+      case "--keep-label" :: v :: t =>
+        o = o.copy(keepLabels = o.keepLabels :+ v); rest = t
       case bad :: _ => return Left(s"unknown option: $bad")
     }
     if (o.showHelp) Right(o)
+    else if (o.compact) {
+      if (o.ledger == null) Left("--compact requires --ledger")
+      else Right(o)
+    }
     else if (o.corpus == null || o.batch == null || o.ledger == null ||
         o.out == null || o.ingest == null)
       Left("--corpus, --batch, --ledger, --out and --ingest are required")
@@ -118,6 +134,9 @@ object CurateCli {
     * in the corpus (a rerun after a crash between the corpus append and
     * the ledger append) are anti-joined away before appending. */
   def runCycle(spark: SparkSession, o: Options): (Long, Long, Long) = {
+    // finish any compaction a previous --compact run left mid-swap
+    // BEFORE touching the ledger trees (cheap no-op when clean)
+    DedupLedger.recoverCompact(spark, o.ledger)
     val corpus = spark.read.parquet(o.corpus)
     DedupLedger.reconcile(corpus, o.idCol, o.textCol, o.n, o.numHashes,
       o.rowsPerBand, o.ledger,
@@ -126,7 +145,18 @@ object CurateCli {
     val (fp, bands) = DedupLedger.read(spark, o.ledger, o.n, o.numHashes,
       o.rowsPerBand)
     val batch = spark.read.parquet(o.batch)
-    Dedup.incrementalDedupLedgered(corpus, fp, bands, batch,
+    // A recovery rerun (crash after the corpus append) sees THIS batch's
+    // kept docs already in the corpus — and, post-reconcile, in the
+    // ledger. Exclude the batch's own ids from the history side so the
+    // rerun's verdicts reproduce the original cycle's (a doc never
+    // screens against itself); without this a rerun reports every
+    // previously-kept doc as 'exact' with matched_id = its own id.
+    val batchIds = batch.select(col(o.idCol)).distinct()
+    val history = corpus.join(batchIds, Seq(o.idCol), "left_anti")
+    val ledgerIds = batchIds.select(col(o.idCol).as("doc_id"))
+    Dedup.incrementalDedupLedgered(history,
+        fp.join(ledgerIds, Seq("doc_id"), "left_anti"),
+        bands.join(ledgerIds, Seq("doc_id"), "left_anti"), batch,
         o.idCol, o.textCol, o.n, o.numHashes, o.rowsPerBand, o.threshold)
       .write.mode("overwrite").parquet(o.out)
     // decide kept docs off the WRITTEN verdicts (one screen, two sinks)
@@ -167,7 +197,19 @@ object CurateCli {
           .config("spark.sql.legacy.parquet.nanosAsLong", "true")
           .getOrCreate()
         try {
-          withLedgerLock(o.ledger, o.forceStart)(runCycle(spark, o)) match {
+          if (o.compact) {
+            withLedgerLock(o.ledger, o.forceStart) {
+              val before = DedupLedger.ingestLabels(spark, o.ledger).size
+              DedupLedger.compact(spark, o.ledger, o.n, o.numHashes,
+                o.rowsPerBand, o.compactInto, o.keepLabels.toSet)
+              val after = DedupLedger.ingestLabels(spark, o.ledger).size
+              (before, after)
+            } match {
+              case Left(err) => System.err.println(err); sys.exit(3)
+              case Right((before, after)) =>
+                println(s"compacted ingest partitions: $before -> $after")
+            }
+          } else withLedgerLock(o.ledger, o.forceStart)(runCycle(spark, o)) match {
             case Left(err) => System.err.println(err); sys.exit(3)
             case Right((kept, exact, near)) =>
               println(s"kept=$kept exact=$exact near=$near")

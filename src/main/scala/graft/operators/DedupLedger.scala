@@ -43,7 +43,32 @@ object DedupLedger {
     Dedup.bandFrame(docs, idCol, textCol, n, numHashes, rowsPerBand,
       checkpointSig = false)
 
-  private def paramsFile(path: String) = new java.io.File(path, "_params")
+  // The marker resolves through the Hadoop FileSystem of the ledger
+  // path's URI — the SAME filesystem the parquet writes use — so an
+  // hdfs:// or s3a:// ledger validates against a marker next to its
+  // data, not a bogus local path (local paths behave as before).
+  private def markerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_params")
+
+  private def markerFs(path: String) =
+    markerPath(path).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def readMarker(path: String): String = {
+    val in = markerFs(path).open(markerPath(path))
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+    finally in.close()
+  }
+
+  private def writeMarker(path: String, line: String): Unit = {
+    val out = markerFs(path).create(markerPath(path), true)
+    try out.write((line + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def markerExists(path: String): Boolean =
+    markerFs(path).isFile(markerPath(path))
 
   private def paramsLine(n: Int, numHashes: Int, rowsPerBand: Int) =
     s"n=$n numHashes=$numHashes rowsPerBand=$rowsPerBand"
@@ -61,11 +86,9 @@ object DedupLedger {
     require(ingest.nonEmpty && !ingest.contains("/"),
       s"ingest label must be a plain partition value, got '$ingest'")
     val mode = if (overwrite) "overwrite" else "append"
-    val pf = paramsFile(path)
     val line = paramsLine(n, numHashes, rowsPerBand)
-    if (pf.isFile && !overwrite) {
-      val existing = new String(
-        java.nio.file.Files.readAllBytes(pf.toPath), "UTF-8").trim
+    if (markerExists(path) && !overwrite) {
+      val existing = readMarker(path)
       require(existing == line,
         s"ledger at $path was built with '$existing'; refusing to append " +
           s"rows built with '$line' — rebuild with overwrite = true")
@@ -83,8 +106,7 @@ object DedupLedger {
     fingerprints(docs, idCol, textCol)
       .withColumn("ingest", lit(ingest))
       .write.mode(mode).partitionBy("ingest").parquet(s"$path/fp")
-    pf.getParentFile.mkdirs()
-    java.nio.file.Files.write(pf.toPath, (line + "\n").getBytes("UTF-8"))
+    writeMarker(path, line)
   }
 
   /** Self-heal the ledger against its corpus: any corpus doc with no
@@ -121,10 +143,8 @@ object DedupLedger {
     * kept a history doc. */
   def read(spark: SparkSession, path: String,
            n: Int, numHashes: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
-    val pf = paramsFile(path)
-    require(pf.isFile, s"no ledger at $path (missing ${pf.getName})")
-    val existing = new String(
-      java.nio.file.Files.readAllBytes(pf.toPath), "UTF-8").trim
+    require(markerExists(path), s"no ledger at $path (missing _params)")
+    val existing = readMarker(path)
     val line = paramsLine(n, numHashes, rowsPerBand)
     require(existing == line,
       s"ledger at $path was built with '$existing', screen asked for '$line'")
@@ -134,5 +154,138 @@ object DedupLedger {
   }
 
   /** Does a ledger exist at `path`? (The CLI bootstraps one when not.) */
-  def exists(path: String): Boolean = paramsFile(path).isFile
+  def exists(path: String): Boolean = markerExists(path)
+
+  /** The ingest partition labels currently present (from the fp table's
+    * Hive directory layout — both tables are written together). */
+  def ingestLabels(spark: SparkSession, path: String): Seq[String] = {
+    val fsys = markerFs(path)
+    val fpDir = new org.apache.hadoop.fs.Path(path, "fp")
+    if (!fsys.exists(fpDir)) Seq.empty
+    else fsys.listStatus(fpDir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("ingest="))
+      .map(d => graft.core.Publish.unescapePartVal(d.stripPrefix("ingest=")))
+      .sorted
+  }
+
+  /** Test hook (mirrors [[graft.core.Publish.testFailAfterCommits]]):
+    * throw after N filesystem mutations of the compaction commit path to
+    * simulate a mid-swap kill. Reset by [[compact]] at entry. */
+  private[graft] var testFailAfterSwapOps: Option[Int] = None
+  private val swapOpCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def swapStep(): Unit = testFailAfterSwapOps.foreach { nOps =>
+    if (swapOpCounter.incrementAndGet() > nOps)
+      throw new IllegalStateException(s"test kill after $nOps swap ops")
+  }
+
+  private def compactingMarker(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_compacting")
+  private def tmpRoot(path: String) =
+    new org.apache.hadoop.fs.Path(path, ".compact-tmp")
+  private def oldRoot(path: String) =
+    new org.apache.hadoop.fs.Path(path, ".compact-old")
+
+  /** Compact the ledger's ingest partitions: every label NOT in
+    * `keepLabels` is rewritten into the single `into` partition; kept
+    * labels carry over unchanged. Daily batch screens append one ingest
+    * partition each, so at production cadence the two ledger tables
+    * small-file into hundreds of directories — compaction folds the old
+    * tail into one partition (retention: pass the recent labels you
+    * still want individually replayable/backout-able as `keepLabels`).
+    *
+    * Verdict-preserving by construction: the row SET is unchanged up to
+    * the ingest label (plus a distinct() that collapses duplicate rows
+    * left by healed torn writes — harmless either way, since the exact
+    * stage takes min() per fp and the candidate stage distinct()s
+    * pairs). `_params` is re-validated against the caller's LSH
+    * parameters before anything is written.
+    *
+    * Crash-safe like the warehouse publish: both tables stage under
+    * `.compact-tmp/` first, a `_compacting` marker commits the swap, the
+    * live trees swap via two renames each, and the marker is removed
+    * after cleanup. A kill at ANY point either leaves the old ledger
+    * live (marker absent — stale tmp is deleted on the next attempt) or
+    * is rolled FORWARD by [[recoverCompact]], which both this method and
+    * the curate cycle run first. */
+  def compact(spark: SparkSession, path: String,
+              n: Int, numHashes: Int, rowsPerBand: Int,
+              into: String = "compacted",
+              keepLabels: Set[String] = Set.empty): Unit = {
+    require(into.nonEmpty && !into.contains("/"),
+      s"compaction label must be a plain partition value, got '$into'")
+    recoverCompact(spark, path)
+    val line = paramsLine(n, numHashes, rowsPerBand)
+    val existing = readMarker(path)
+    require(existing == line,
+      s"ledger at $path was built with '$existing', compact asked for '$line'")
+    val fold = ingestLabels(spark, path).toSet -- keepLabels
+    // nothing to fold: no labels, or only the previous compaction output
+    if (fold.isEmpty || (fold.size == 1 && fold.contains(into))) return
+    val fsys = markerFs(path)
+    fsys.delete(tmpRoot(path), true)
+    val relabel = when(col("ingest").isin(fold.toSeq: _*), lit(into))
+      .otherwise(col("ingest"))
+    // distinct over the relabeled rows: folding cannot create duplicates
+    // that were not already logically present (healed torn writes)
+    spark.read.parquet(s"$path/bands")
+      .select(col("doc_id"), col("band"), col("band_key"), relabel.as("ingest"))
+      .distinct()
+      .write.partitionBy("ingest")
+      .parquet(new org.apache.hadoop.fs.Path(tmpRoot(path), "bands").toString)
+    spark.read.parquet(s"$path/fp")
+      .select(col("doc_id"), col("fp"), relabel.as("ingest"))
+      .distinct()
+      .write.partitionBy("ingest")
+      .parquet(new org.apache.hadoop.fs.Path(tmpRoot(path), "fp").toString)
+    // the marker is the commit point: from here a crash rolls FORWARD
+    swapOpCounter.set(0)
+    swapStep()
+    val out = fsys.create(compactingMarker(path), true)
+    try out.write("1\n".getBytes("UTF-8")) finally out.close()
+    swapStaged(fsys, path)
+  }
+
+  /** Finish (roll forward) an interrupted [[compact]]. Idempotent and
+    * cheap on a clean ledger; [[compact]] and the curate cycle call it
+    * first, mirroring the warehouse publish recovery. Returns true if an
+    * unfinished compaction was completed. */
+  def recoverCompact(spark: SparkSession, path: String): Boolean = {
+    val fsys = markerFs(path)
+    if (!fsys.exists(compactingMarker(path))) {
+      // crash during staging: live trees untouched, tmp is garbage
+      fsys.delete(tmpRoot(path), true)
+      fsys.delete(oldRoot(path), true)
+      false
+    } else {
+      swapStaged(fsys, path)
+      true
+    }
+  }
+
+  /** The swap itself, resumable from any kill point: per table, if a
+    * staged tree exists it becomes live (parking any current live tree
+    * under `.compact-old/` first); then old trees, tmp root and the
+    * `_compacting` marker are removed. */
+  private def swapStaged(fsys: org.apache.hadoop.fs.FileSystem,
+                         path: String): Unit = {
+    fsys.mkdirs(oldRoot(path))
+    for (t <- Seq("bands", "fp")) {
+      val live = new org.apache.hadoop.fs.Path(path, t)
+      val tmp = new org.apache.hadoop.fs.Path(tmpRoot(path), t)
+      val old = new org.apache.hadoop.fs.Path(oldRoot(path), t)
+      if (fsys.exists(tmp)) {
+        if (fsys.exists(live)) {
+          swapStep(); fsys.delete(old, true)
+          swapStep(); fsys.rename(live, old)
+        }
+        swapStep(); fsys.rename(tmp, live)
+      }
+      // tmp absent: this table already swapped in a previous attempt
+    }
+    swapStep(); fsys.delete(oldRoot(path), true)
+    swapStep(); fsys.delete(tmpRoot(path), true)
+    swapStep(); fsys.delete(compactingMarker(path), false)
+  }
 }

@@ -103,14 +103,19 @@ class CurateCliSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSeq == Seq(30L))
 
     // RERUN of cycle 2 (crash-after-corpus-append rerun): the corpus
-    // must not grow again and the rerun verdicts are self-consistent
+    // must not grow again AND the rerun's verdicts must REPRODUCE the
+    // original cycle's — the batch's own ids are excluded from the
+    // history side, so a previously-kept doc does not self-match as
+    // 'exact' with matched_id = its own id
     val before = spark.read.parquet(corpusDir).count()
     CurateCli.runCycle(spark, opts("batch2", "day2"))
     assert(spark.read.parquet(corpusDir).count() == before,
       "rerun duplicated kept docs into the corpus")
     val v2b = spark.read.parquet(s"$root/out_day2").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(v2b(50L) == "exact") // now exact vs its own kept copy
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(v2b(50L) == (("keep", None)), v2b.toString) // NOT a self-match
+    assert(v2b(40L) == (("exact", Some(30L))))         // real dup still flags
   }
 
   test("option parsing: required args, unknowns, help") {
@@ -144,5 +149,130 @@ class CurateCliSpec extends SparkSpec {
       CurateCli.withLedgerLock(dir)(throw new RuntimeException("boom"))
     }
     assert(CurateCli.withLedgerLock(dir)(2) == Right(2))
+  }
+
+  // --- ledger compaction -------------------------------------------------
+
+  /** Three-cycle fixture: corpus + ledger with partitions
+    * bootstrap/day1/day2, plus a probe batch whose screen exercises all
+    * three verdicts. Returns (corpusDir, ledgerDir, probeDir). */
+  private def compactFixture(root: String): (String, String, String) = {
+    val corpusDir = s"$root/corpus"; val ledgerDir = s"$root/ledger"
+    Seq((1L, "seed corpus document with some stable historical words here"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    Seq((10L, "first day document entirely novel content about minhash bands today"))
+      .toDF("doc_id", "text").write.parquet(s"$root/b1")
+    Seq((20L, "second day document with fresh material on parquet compaction"))
+      .toDF("doc_id", "text").write.parquet(s"$root/b2")
+    def opts(b: String, ing: String) = CurateCli.Options(corpus = corpusDir,
+      batch = s"$root/$b", ledger = ledgerDir, out = s"$root/out_$ing",
+      ingest = ing)
+    assert(CurateCli.runCycle(spark, opts("b1", "day1")) == ((1L, 0L, 0L)))
+    assert(CurateCli.runCycle(spark, opts("b2", "day2")) == ((1L, 0L, 0L)))
+    Seq(
+      (30L, "first day document entirely novel content about minhash bands today"), // exact vs 10
+      (31L, "second day document with fresh material on parquet compactions"), // near vs 20
+      (32L, "a wholly unrelated probe document nothing resembles anywhere"))   // keep
+      .toDF("doc_id", "text").write.parquet(s"$root/probe")
+    (corpusDir, ledgerDir, s"$root/probe")
+  }
+
+  private def screenVerdicts(corpusDir: String, ledgerDir: String,
+                             probeDir: String): Map[Long, (String, Option[Long])] = {
+    val (fp, bands) = graft.operators.DedupLedger.read(spark, ledgerDir, 3, 8, 2)
+    graft.operators.Dedup.incrementalDedupLedgered(
+        spark.read.parquet(corpusDir), fp, bands,
+        spark.read.parquet(probeDir), "doc_id", "text", 3, 8, 2, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+  }
+
+  test("compacted ledger yields identical verdicts; partitions fold respecting keep-labels") {
+    val root = java.nio.file.Files.createTempDirectory("curate_cmp").toString
+    val (corpusDir, ledgerDir, probeDir) = compactFixture(root)
+    import graft.operators.DedupLedger
+    assert(DedupLedger.ingestLabels(spark, ledgerDir)
+      == Seq("bootstrap", "day1", "day2"))
+    val before = screenVerdicts(corpusDir, ledgerDir, probeDir)
+    assert(before(30L)._1 == "exact" && before(31L)._1 == "near" &&
+      before(32L) == (("keep", None)), before.toString)
+
+    // fold bootstrap+day1, keep day2 individually replayable
+    DedupLedger.compact(spark, ledgerDir, 3, 8, 2,
+      keepLabels = Set("day2"))
+    assert(DedupLedger.ingestLabels(spark, ledgerDir)
+      == Seq("compacted", "day2"))
+    assert(screenVerdicts(corpusDir, ledgerDir, probeDir) == before,
+      "compaction changed screen verdicts")
+
+    // full fold (retention horizon passed): one partition, same verdicts
+    DedupLedger.compact(spark, ledgerDir, 3, 8, 2)
+    assert(DedupLedger.ingestLabels(spark, ledgerDir) == Seq("compacted"))
+    assert(screenVerdicts(corpusDir, ledgerDir, probeDir) == before)
+
+    // param mismatch is refused before any write
+    intercept[IllegalArgumentException] {
+      DedupLedger.compact(spark, ledgerDir, 4, 8, 2)
+    }
+
+    // and the CLI flag drives the same path (fresh fixture)
+    val root2 = java.nio.file.Files.createTempDirectory("curate_cmp2").toString
+    val (c2, l2, p2) = compactFixture(root2)
+    val before2 = screenVerdicts(c2, l2, p2)
+    val o = CurateCli.parse(Seq("--compact", "--ledger", l2,
+      "--keep-label", "day2")).toOption.get
+    assert(o.compact && o.keepLabels == Seq("day2"))
+    CurateCli.withLedgerLock(o.ledger) {
+      graft.operators.DedupLedger.compact(spark, o.ledger, o.n, o.numHashes,
+        o.rowsPerBand, o.compactInto, o.keepLabels.toSet)
+    }
+    assert(graft.operators.DedupLedger.ingestLabels(spark, l2)
+      == Seq("compacted", "day2"))
+    assert(screenVerdicts(c2, l2, p2) == before2)
+  }
+
+  test("compaction kill-point sweep: every interrupted swap recovers to identical verdicts") {
+    val root = java.nio.file.Files.createTempDirectory("curate_kill").toString
+    val (corpusDir, ledgerDir, probeDir) = compactFixture(root)
+    import graft.operators.DedupLedger
+    val want = screenVerdicts(corpusDir, ledgerDir, probeDir)
+
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
+    }
+
+    var k = 1
+    var clean = false
+    while (!clean && k <= 20) {
+      val lk = java.nio.file.Files
+        .createTempDirectory(s"curate_kill_l$k").resolve("ledger")
+      copyTree(java.nio.file.Paths.get(ledgerDir), lk)
+      DedupLedger.testFailAfterSwapOps = Some(k)
+      val killed =
+        try { DedupLedger.compact(spark, lk.toString, 3, 8, 2); false }
+        catch { case _: IllegalStateException => true }
+        finally DedupLedger.testFailAfterSwapOps = None
+      if (!killed) clean = true
+      else {
+        // next cycle's opening recovery (runCycle calls this first)
+        DedupLedger.recoverCompact(spark, lk.toString)
+      }
+      // post-recovery the ledger reads cleanly and screens identically,
+      // whatever the kill index left behind
+      assert(screenVerdicts(corpusDir, lk.toString, probeDir) == want,
+        s"k=$k verdicts diverged")
+      // and no staging debris survives
+      assert(!java.nio.file.Files.exists(lk.resolve("_compacting")), s"k=$k")
+      assert(!java.nio.file.Files.exists(lk.resolve(".compact-tmp")), s"k=$k")
+      assert(!java.nio.file.Files.exists(lk.resolve(".compact-old")), s"k=$k")
+      k += 1
+    }
+    assert(clean, "sweep never reached a kill-free compaction — raise the bound")
+    assert(k >= 4, s"sweep exercised too few kill points (clean at k=${k - 1})")
   }
 }
