@@ -2043,6 +2043,41 @@ object Oracles {
         |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch_copy
         |FROM c WHERE n >= 1""".stripMargin,
 
+    // composed upsampling recipe: the epoch-mix band + repeat explosion,
+    // the shuffle rank keyed on doc_id#epoch_copy (repeat copies land in
+    // DISTINCT positions), and the pack prefix sum over the SHUFFLED
+    // order — replayed stage-for-stage
+    "pipeline_recipe_e2e" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE lang
+        |      WHEN 'zh' THEN 2 + CASE WHEN substr(md5(
+        |        CAST(doc_id AS VARCHAR) || '#epoch'), 1, 4) < '8000'
+        |        THEN 1 ELSE 0 END
+        |      WHEN 'fr' THEN 2
+        |      WHEN 'de' THEN CASE WHEN substr(md5(
+        |        CAST(doc_id AS VARCHAR) || '#epoch'), 1, 4) < '4000'
+        |        THEN 1 ELSE 0 END
+        |      WHEN 'es' THEN 0
+        |      ELSE 1 END AS n
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch_copy
+        |  FROM c WHERE n >= 1),
+        |sh AS (
+        |  SELECT doc_id, epoch_copy,
+        |    CAST(ceil(n_chars::DOUBLE / 4.0) AS BIGINT) AS n_tokens,
+        |    CAST(row_number() OVER (ORDER BY md5('epoch1|' ||
+        |      CAST(doc_id AS VARCHAR) || '#' || CAST(epoch_copy AS VARCHAR)))
+        |      AS BIGINT) AS shuffle_pos
+        |  FROM m)
+        |SELECT doc_id, epoch_copy, shuffle_pos, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (ORDER BY shuffle_pos
+        |                ROWS UNBOUNDED PRECEDING)
+        |              - n_tokens)::DOUBLE / 2048.0) AS BIGINT) AS pack_id
+        |FROM sh""".stripMargin,
+
     "sample_temperature" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
         |           FROM documents GROUP BY 1),

@@ -802,4 +802,30 @@ object TrainingData {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.estBpeTokens(col("n_chars")).as("n_tokens")),
       Seq("doc_id"), "n_tokens", budget = 2048L)
+
+  /** The UPSAMPLING half of a data recipe END-TO-END: epoch-mix
+    * repetition -> deterministic shuffle -> token-budget packing. Each
+    * stage is the operator its standalone query gates; the composition
+    * is the order-sensitive part a trainer depends on — a doc's repeat
+    * copies must land in DISTINCT shuffle positions (the shuffle keys on
+    * doc_id#epoch_copy, not doc_id) so packs never concatenate the same
+    * text back-to-back, and the pack prefix sums run over the SHUFFLED
+    * order. All three stages stay distributed: the mix is a projection +
+    * explode, the shuffle and the pack both ride the range-partition +
+    * broadcast-offset dense-id machinery — no global window anywhere. */
+  def pipelineRecipeE2e(s: SparkSession, dir: String): DataFrame = {
+    val mixed = Sampling.epochMix(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+      "doc_id", "lang",
+      factors = Map("zh" -> 2.5, "fr" -> 2.0, "de" -> 0.25, "es" -> 0.0))
+      .withColumn("mix_id",
+        concat_ws("#", col("doc_id").cast("string"),
+          col("epoch_copy").cast("string")))
+    val shuffled = Sampling.deterministicShuffle(mixed, "mix_id", "epoch1")
+      .withColumn("n_tokens", TextAnalysis.estBpeTokens(col("n_chars")))
+    Sampling.packSequences(shuffled, Seq("shuffle_pos"), "n_tokens",
+        budget = 2048L)
+      .select(col("doc_id"), col("epoch_copy"), col("shuffle_pos"),
+        col("n_tokens"), col("pack_id"))
+  }
 }

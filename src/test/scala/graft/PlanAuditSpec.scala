@@ -273,6 +273,16 @@ class PlanAuditSpec extends SparkSpec {
     // a single-partition global window would print 'No Partition Defined'
     assert(!pPlan.contains("No Partition Defined"),
       "pack_sequences leaked a global window")
+
+    // the composed recipe (mix -> shuffle -> pack) chains TWO dense-id
+    // passes; both must stay per-range-partition — no global window
+    val recipe = SparkEntry.queries("pipeline_recipe_e2e")(spark,
+      "/root/testdata/sf0.001")
+    recipe.collect()
+    val rPlan = recipe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!rPlan.contains("No Partition Defined"),
+      "pipeline_recipe_e2e leaked a global window")
   }
 
   test("sample_weighted: sketch threshold bounds the rank-pass input") {
