@@ -255,4 +255,49 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(qSql == qOp)
   }
+
+  test("sketch_quantile_gate replays in PURE SQL: buckets, interpolation and gate == Column") {
+    // the documented fold/probe recipe for SQL-only users: the bucket
+    // exprs (graft_qsketch_lo/width) feed a per-group cumulation window,
+    // the target rank t = max(1, ceil(q*n)) picks the covering bucket,
+    // and the linear interpolation across [blo, blo+bw-1] is one rounded
+    // IEEE division — line-for-line Sketches.qsketchQuantiles, with the
+    // same gate join the sketch_quantile_gate query runs. Windows here
+    // ride the BOUNDED bucket table (never the corpus), and the corpus
+    // passes exactly twice (buckets + gate), same as the Column plan.
+    val dir = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .createOrReplaceTempView("gx_docs")
+    val sql = spark.sql(
+      """WITH b AS (
+        |  SELECT lang, graft_qsketch_lo(v, 7) AS blo,
+        |    graft_qsketch_width(v, 7) AS bw, count(1) AS cnt
+        |  FROM (SELECT lang, try_cast(n_chars AS BIGINT) AS v FROM gx_docs)
+        |  WHERE v IS NOT NULL AND v != -9223372036854775808
+        |  GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT lang, blo, bw, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY blo, bw
+        |                   ROWS UNBOUNDED PRECEDING) AS cume,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM b),
+        |p AS (
+        |  SELECT lang,
+        |    round(cast(blo AS DOUBLE) + cast(bw - 1 AS DOUBLE) *
+        |      cast(t - (cume - cnt) - 1 AS DOUBLE) /
+        |      cast(greatest(cnt - 1, cast(1 AS BIGINT)) AS DOUBLE), 4) AS p50
+        |  FROM (SELECT *, greatest(cast(1 AS BIGINT), ceil(0.5 * n)) AS t
+        |        FROM c)
+        |  WHERE cume - cnt < t AND t <= cume)
+        |SELECT d.lang, p.p50, count(1) AS kept, min(d.n_chars) AS min_kept
+        |FROM gx_docs d JOIN p ON d.lang = p.lang
+        |WHERE cast(d.n_chars AS DOUBLE) >= p.p50
+        |GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val viaColumn = graft.SparkEntry.queries("sketch_quantile_gate")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(sql == viaColumn, s"SQL replay diverged:\nsql=$sql\ncol=$viaColumn")
+  }
 }
