@@ -35,6 +35,8 @@ object CurateCli {
       compact: Boolean = false,
       compactInto: String = "compacted",
       keepLabels: Seq[String] = Nil,
+      stream: Boolean = false,
+      checkpoint: String = null,
       showHelp: Boolean = false)
 
   val Usage: String =
@@ -57,6 +59,11 @@ object CurateCli {
       | --compact-into <l>    Partition label for folded rows (default compacted)
       | --keep-label <l>      Ingest label to keep out of the fold (repeatable;
       |                       retention: keep recent days individually)
+      | --stream              Treat --batch as a file-source directory and
+      |                       screen each arriving parquet file as a
+      |                       micro-batch (AvailableNow; restart-safe via
+      |                       the checkpoint)
+      | --checkpoint <dir>    Stream checkpoint dir (default <out>/_checkpoint)
       | -h,--help             Show usage
       |""".stripMargin
 
@@ -83,6 +90,8 @@ object CurateCli {
       case "--compact-into" :: v :: t => o = o.copy(compactInto = v); rest = t
       case "--keep-label" :: v :: t =>
         o = o.copy(keepLabels = o.keepLabels :+ v); rest = t
+      case "--stream" :: t => o = o.copy(stream = true); rest = t
+      case "--checkpoint" :: v :: t => o = o.copy(checkpoint = v); rest = t
       case bad :: _ => return Left(s"unknown option: $bad")
     }
     if (o.showHelp) Right(o)
@@ -133,22 +142,36 @@ object CurateCli {
     * The corpus append itself is idempotent: kept docs already present
     * in the corpus (a rerun after a crash between the corpus append and
     * the ledger append) are anti-joined away before appending. */
-  def runCycle(spark: SparkSession, o: Options): (Long, Long, Long) = {
+  def runCycle(spark: SparkSession, o: Options): (Long, Long, Long) =
+    screenAndCommit(spark, o, spark.read.parquet(o.batch), o.ingest, o.out)
+
+  /** Test hook: throw once between the corpus append and the ledger
+    * write — the torn-cycle window the reconcile heals — to drive the
+    * streaming mid-kill spec through the REAL crash seam. */
+  private[graft] var testFailBeforeLedgerWriteOnce: Boolean = false
+
+  /** Screen ONE batch frame and commit its three writes (verdicts,
+    * corpus append, ledger append) — the unit [[runCycle]] runs once per
+    * invocation and [[runStream]] runs once per micro-batch. */
+  private[graft] def screenAndCommit(spark: SparkSession, o: Options,
+                                     batch: org.apache.spark.sql.DataFrame,
+                                     ingest: String,
+                                     outDir: String): (Long, Long, Long) = {
     // finish any compaction a previous --compact run left mid-swap
     // BEFORE touching the ledger trees (cheap no-op when clean)
     DedupLedger.recoverCompact(spark, o.ledger)
     val corpus = spark.read.parquet(o.corpus)
     DedupLedger.reconcile(corpus, o.idCol, o.textCol, o.n, o.numHashes,
       o.rowsPerBand, o.ledger,
-      ingest = if (DedupLedger.exists(o.ledger)) s"${o.ingest}_healed"
+      ingest = if (DedupLedger.exists(o.ledger)) s"${ingest}_healed"
                else "bootstrap")
     val (fp, bands) = DedupLedger.read(spark, o.ledger, o.n, o.numHashes,
       o.rowsPerBand)
-    val batch = spark.read.parquet(o.batch)
-    // A recovery rerun (crash after the corpus append) sees THIS batch's
-    // kept docs already in the corpus — and, post-reconcile, in the
-    // ledger. Exclude the batch's own ids from the history side so the
-    // rerun's verdicts reproduce the original cycle's (a doc never
+    // A recovery rerun (crash after the corpus append — or a streaming
+    // restart redelivering the last uncommitted micro-batch) sees THIS
+    // batch's kept docs already in the corpus — and, post-reconcile, in
+    // the ledger. Exclude the batch's own ids from the history side so
+    // the rerun's verdicts reproduce the original cycle's (a doc never
     // screens against itself); without this a rerun reports every
     // previously-kept doc as 'exact' with matched_id = its own id.
     val batchIds = batch.select(col(o.idCol)).distinct()
@@ -158,9 +181,9 @@ object CurateCli {
         fp.join(ledgerIds, Seq("doc_id"), "left_anti"),
         bands.join(ledgerIds, Seq("doc_id"), "left_anti"), batch,
         o.idCol, o.textCol, o.n, o.numHashes, o.rowsPerBand, o.threshold)
-      .write.mode("overwrite").parquet(o.out)
+      .write.mode("overwrite").parquet(outDir)
     // decide kept docs off the WRITTEN verdicts (one screen, two sinks)
-    val verdicts = spark.read.parquet(o.out)
+    val verdicts = spark.read.parquet(outDir)
     val kept = batch.join(
       verdicts.filter(col("verdict") === "keep")
         .select(col("doc_id").as(o.idCol)), Seq(o.idCol), "left_semi")
@@ -171,12 +194,50 @@ object CurateCli {
       // semi-join must not observe the corpus append mid-write
       .localCheckpoint()
     kept.write.mode("append").parquet(o.corpus)
+    if (testFailBeforeLedgerWriteOnce) {
+      testFailBeforeLedgerWriteOnce = false
+      throw new IllegalStateException(
+        "test kill between corpus append and ledger write")
+    }
     DedupLedger.write(kept, o.idCol, o.textCol, o.n, o.numHashes,
-      o.rowsPerBand, o.ledger, ingest = o.ingest)
+      o.rowsPerBand, o.ledger, ingest = ingest)
     val counts = verdicts.groupBy(col("verdict")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     (counts.getOrElse("keep", 0L), counts.getOrElse("exact", 0L),
       counts.getOrElse("near", 0L))
+  }
+
+  /** The at-ingest STREAMING cycle: `--batch` is a directory new parquet
+    * files land in; every micro-batch runs the SAME screen-and-commit
+    * unit as a batch cycle (so stream == batch verdict-for-verdict),
+    * with its ledger rows under `<ingest>_b<batchId>` and its verdicts
+    * under `<out>/batch=<batchId>`.
+    *
+    * Restart discipline: the file-source checkpoint redelivers the last
+    * uncommitted micro-batch after a kill; the cycle's own recovery
+    * (reconcile + corpus-append anti-join + batch-id history exclusion)
+    * makes the redo idempotent — same verdicts, no duplicate corpus or
+    * ledger rows. The ledger lock is held for the stream's lifetime. */
+  def runStream(spark: SparkSession, o: Options, checkpoint: String,
+                maxFilesPerTrigger: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(o.batch).schema
+    var reader = spark.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    reader.parquet(o.batch)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         bid: Long) =>
+          val (k, e, nr) = screenAndCommit(spark, o, b.toDF(),
+            s"${o.ingest}_b$bid", s"${o.out}/batch=$bid")
+          println(s"batch=$bid kept=$k exact=$e near=$nr")
+      }
+      .start()
   }
 
   def main(args: Array[String]): Unit = {
@@ -208,6 +269,14 @@ object CurateCli {
               case Left(err) => System.err.println(err); sys.exit(3)
               case Right((before, after)) =>
                 println(s"compacted ingest partitions: $before -> $after")
+            }
+          } else if (o.stream) {
+            withLedgerLock(o.ledger, o.forceStart) {
+              val chk = Option(o.checkpoint).getOrElse(s"${o.out}/_checkpoint")
+              runStream(spark, o, chk).awaitTermination()
+            } match {
+              case Left(err) => System.err.println(err); sys.exit(3)
+              case Right(_) => println("stream drained")
             }
           } else withLedgerLock(o.ledger, o.forceStart)(runCycle(spark, o)) match {
             case Left(err) => System.err.println(err); sys.exit(3)

@@ -151,6 +151,94 @@ class CurateCliSpec extends SparkSpec {
     assert(CurateCli.withLedgerLock(dir)(2) == Right(2))
   }
 
+  test("--stream: per-file micro-batches screen like cycles; a mid-stream kill replays clean") {
+    val root = java.nio.file.Files.createTempDirectory("curate_stream").toString
+    val corpusDir = s"$root/corpus"; val batchDir = s"$root/inbox"
+    Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(batchDir))
+    // file 1: one exact dup of the corpus, one novel keeper
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "a genuinely novel streaming document kept in micro-batch one"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/f1")
+    // stage as single files so maxFilesPerTrigger=1 => one file per batch
+    def stageFile(from: String, name: String): Unit = {
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(from))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(src,
+        java.nio.file.Paths.get(batchDir).resolve(name))
+    }
+    stageFile(s"$root/f1", "f1.parquet")
+    val o = CurateCli.Options(corpus = corpusDir, batch = batchDir,
+      ledger = s"$root/ledger", out = s"$root/out", ingest = "stream1")
+    val chk = s"$root/chk"
+
+    val q1 = CurateCli.runStream(spark, o, chk, maxFilesPerTrigger = 1)
+    q1.awaitTermination()
+    val v0 = spark.read.parquet(s"$root/out/batch=0").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v0 == Map(10L -> "exact", 11L -> "keep"), v0.toString)
+    assert(spark.read.parquet(corpusDir).count() == 2)
+
+    // file 2 arrives: an exact dup OF THE STREAMED KEEPER (proof each
+    // micro-batch consumes what the previous one committed), a near-dup,
+    // and a keeper — and the cycle is KILLED between its corpus append
+    // and its ledger write (the torn window)
+    Seq(
+      (20L, "a genuinely novel streaming document kept in micro-batch one"),
+      (21L, "a genuinely novel streaming document kept in micro-batch two"),
+      (22L, "wholly unrelated follow-up content arriving in the second file"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$root/f2")
+    stageFile(s"$root/f2", "f2.parquet")
+    CurateCli.testFailBeforeLedgerWriteOnce = true
+    val q2 = CurateCli.runStream(spark, o, chk, maxFilesPerTrigger = 1)
+    val killed =
+      try { q2.awaitTermination(); false }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          var c: Throwable = e; var hit = false
+          while (c != null) {
+            hit ||= c.getMessage != null &&
+              c.getMessage.contains("test kill between corpus append")
+            c = c.getCause
+          }
+          assert(hit, s"unexpected stream failure: $e"); true
+      } finally CurateCli.testFailBeforeLedgerWriteOnce = false
+    assert(killed, "the kill hook never fired")
+    // the kill landed AFTER the corpus append: the kept doc (22) is in
+    // the corpus but its ledger rows are missing — the torn window
+    assert(spark.read.parquet(corpusDir).count() == 3)
+
+    // restart with the same checkpoint: the file source REDELIVERS the
+    // uncommitted micro-batch; reconcile heals the ledger and the redo's
+    // verdicts reproduce the original screen (no self-matches)
+    val q3 = CurateCli.runStream(spark, o, chk, maxFilesPerTrigger = 1)
+    q3.awaitTermination()
+    val v1 = spark.read.parquet(s"$root/out/batch=1").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(v1(20L) == (("exact", Some(11L))), v1.toString)
+    assert(v1(21L)._1 == "near" && v1(21L)._2 == Some(11L), v1.toString)
+    assert(v1(22L) == (("keep", None)), v1.toString)
+    // no duplicate corpus rows from the replay; ledger healed + complete
+    assert(spark.read.parquet(corpusDir).count() == 3)
+    val ledgerIds = spark.read.parquet(s"$root/ledger/fp")
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ledgerIds == Set(1L, 11L, 22L), ledgerIds.toString)
+    // stream == batch: a fresh BATCH screen of file 2 against the
+    // pre-file-2 state gives the same verdicts (parity of the unit)
+    // (10/11 were already committed, so only batch=1 is comparable; its
+    // oracle is the incrementalDedup recompute over corpus-before-f2)
+    val recompute = graft.operators.Dedup.incrementalDedup(
+        spark.read.parquet(corpusDir).filter($"doc_id" < 20L),
+        spark.read.parquet(s"$root/f2"), "doc_id", "text", 3, 8, 2, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(v1 == recompute, s"stream diverged from batch:\n$v1\n$recompute")
+  }
+
   // --- ledger compaction -------------------------------------------------
 
   /** Three-cycle fixture: corpus + ledger with partitions
