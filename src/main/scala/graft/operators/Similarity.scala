@@ -196,31 +196,38 @@ object Similarity {
     ivfTopKWith(vectors, queries, idCol, vecCol, k, nprobe,
       seedCentroids(vectors, idCol, vecCol, numLists))
 
-  /** IVF search against an external centroid table — see [[ivfAssignWith]]. */
+  /** IVF search against an external centroid table — the same
+    * driver-literal centroid discipline as [[ivfPqTopK]]/[[ivfSqTopK]]
+    * (centroid tables are KB-sized by contract): the collection side is
+    * ONE codegen'd projection (the [[nearestCentroid]] argmax — no
+    * centroid join, no aggregate, no shuffle for assignment), probe
+    * selection is a sorted-literal-array slice (cos DESC, centroid ASC —
+    * [[ivfAssignWith]]'s tiebreak) and the final rank rides the k-capped
+    * aggregate. Zero Window operators, one exchange (the pair fan-out). */
   def ivfTopKWith(vectors: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, nprobe: Int,
                   centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids
-      .select(col("centroid_id"), col("c_vec"), l2Norm(col("c_vec")).as("c_norm")))
-    // queries pick their nprobe nearest lists — the same k-capped
-    // aggregate as the candidate rank (ORDER BY c_cos DESC, centroid_id);
-    // the probe list drops the query payload, so join q_vec/q_norm back
-    // on q_id (both frames are query-sized and broadcast)
-    val qf = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_norm"))
-    val probeSel = Sampling.topKPerGroup(
-      qf.join(cents)
-        .withColumn("c_cos",
-          round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6)),
-      Seq("q_id"), "c_cos", "centroid_id", nprobe, numericIdOrder = true)
-    val probes = broadcast(probeSel.join(qf, Seq("q_id"))
+    val cents = collectCentroids(centroids)
+    val cand = vectors
+      .select(col(idCol).as("neighbor_id"),
+        nearestCentroid(col(vecCol), cents).as("list_id"),
+        col(vecCol).as("n_vec"), l2Norm(col(vecCol)).as("n_norm"))
+      .repartition(fanoutPartitions(vectors))
+    val vnorm = l2Norm(col(vecCol))
+    val probeScores = cents.zipWithIndex.map { case (cv, cid) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(round(dot(col(vecCol), array(cv.map(lit): _*)) / (vnorm * cn), 6)
+        .as("cos"), lit(-cid.toLong).as("negid"))
+    }
+    val probes = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        vnorm.as("q_norm"),
+        explode(slice(sort_array(array(probeScores: _*), asc = false),
+          1, nprobe)).as("__probe"))
       .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("centroid_id").as("list_id")))
-    val assigned = ivfAssignWith(vectors, idCol, vecCol, centroids)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
-        col("__norm").as("n_norm"), col("list_id"))
+        (-col("__probe.negid")).as("list_id")))
     rankTopK(
-      probes.join(assigned, Seq("list_id"))
+      probes.join(cand, Seq("list_id"))
         .filter(col("q_id") =!= col("neighbor_id"))
         .withColumn("cosine",
           round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6)),

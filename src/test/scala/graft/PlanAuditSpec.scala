@@ -79,24 +79,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("ann_ivf: centroids broadcast, assignment aggregates without a pair window") {
+  test("ann_ivf: literal-centroid assignment projection, probe join broadcast, no window") {
     val df = SparkEntry.queries("ann_ivf")(spark, "/root/testdata/sf0.001")
     df.collect() // finalize the adaptive plan so exchanges are visible
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0) // AQE repeats the pre-adaptive plan below
-    // both centroid scorings are broadcast joins (the bounded-centroid
-    // cross join plans as BroadcastNestedLoopJoin; the candidate join as a
-    // broadcast hash join) — NO shuffle of the vector side for scoring.
-    // Since round 12 BOTH ranks (probe selection and the per-query top-k)
-    // run through the k-capped aggregate: zero Window operators anywhere.
-    assert("Broadcast(NestedLoop|Hash)Join".r.findAllIn(plan).length >= 2,
-      plan.take(2000))
+    // since round 12 the centroids are driver literals (KB by contract,
+    // like ivfPqTopK/ivfSqTopK): list assignment is a codegen'd argmax
+    // PROJECTION over the scan — no centroid join, no aggregate, no
+    // shuffle for assignment; the only join is the broadcast probe join,
+    // the only exchange the pair fan-out, and BOTH ranks (probe slice,
+    // per-query top-k) avoid Window operators entirely
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert("Window \\[".r.findAllIn(plan).length == 0)
-    // the vector assignment is an aggregate WITH a map-side partial
-    // (partial_max argmax — SortAggregate because the carried embedding
-    // array forces sort-based buffers), not a row_number over the
-    // vectors-x-centroids pairs
-    assert(plan.contains("partial_max"))
+    assert(!plan.contains("partial_max"),
+      "assignment regressed to the centroid-join aggregate")
+    assert("(?i)roundrobinpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly the pair fan-out exchange:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct"))
   }
 

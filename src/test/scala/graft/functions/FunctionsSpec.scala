@@ -300,4 +300,77 @@ class GraftExtensionsSpec extends SparkSpec {
         ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
     assert(sql == viaColumn, s"SQL replay diverged:\nsql=$sql\ncol=$viaColumn")
   }
+
+  test("HLL and KMV distinct estimates replay in PURE SQL == Column") {
+    // the estimate (fold/probe) layer of the cardinality sketches as a
+    // documented SQL recipe. Float literals carry the D suffix — Spark
+    // SQL parses bare decimals as DECIMAL, whose division semantics
+    // would drift from the Column API's doubles.
+    val dir = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .createOrReplaceTempView("gx_docs")
+    val hllSql = spark.sql(
+      """WITH s AS (
+        |  SELECT lang,
+        |    cast(conv(substring(hex, 1, 4), 16, 10) AS INT) % 4096 AS bucket,
+        |    regexp_replace(substring(hex, 5, 12), '^0+', '') AS stripped
+        |  FROM (SELECT lang, md5(cast(text AS STRING)) AS hex FROM gx_docs)),
+        |regs AS (
+        |  SELECT lang, bucket, max(
+        |    CASE WHEN length(stripped) = 0 THEN 49
+        |    ELSE (12 - length(stripped)) * 4 +
+        |      CASE WHEN substring(stripped, 1, 1) = '1' THEN 3
+        |           WHEN substring(stripped, 1, 1) IN ('2','3') THEN 2
+        |           WHEN substring(stripped, 1, 1) IN ('4','5','6','7') THEN 1
+        |           ELSE 0 END + 1 END) AS mj
+        |  FROM s GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang, count(1) AS m_used,
+        |    sum(shiftleft(cast(1 AS BIGINT), 50 - mj)) AS s_present
+        |  FROM regs GROUP BY 1),
+        |e AS (
+        |  SELECT lang, m_used,
+        |    s_present + (4096L - m_used) * shiftleft(cast(1 AS BIGINT), 50)
+        |      AS reg_sum,
+        |    4096L - m_used AS v_empty
+        |  FROM agg)
+        |SELECT lang, m_used, reg_sum,
+        |  round(CASE WHEN est_raw <= 2.5D * 4096 AND v_empty > 0
+        |    THEN 4096 * ln(cast(4096 AS DOUBLE) / v_empty)
+        |    ELSE est_raw END, 4) AS est_distinct
+        |FROM (SELECT *,
+        |    0.7213D / (1.0D + 1.079D / 4096.0D) * 4096 * 4096 /
+        |      (reg_sum / shiftleft(cast(1 AS BIGINT), 50)) AS est_raw
+        |  FROM e)""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val hllCol = graft.operators.Sketches.hllDistinct(
+        spark.read.parquet(s"$dir/documents.parquet"), Seq("lang"), "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(hllSql == hllCol, s"HLL SQL replay diverged:\n$hllSql\n$hllCol")
+
+    // KMV: the bounded bottom-k aggregate replays as the k-slice of the
+    // sorted distinct hash set; the estimate is the same integer-derived
+    // fraction fold
+    val kmvSql = spark.sql(
+      """WITH s AS (
+        |  SELECT lang, slice(array_sort(collect_set(
+        |    md5(cast(text AS STRING)))), 1, 256) AS hashes
+        |  FROM gx_docs GROUP BY lang)
+        |SELECT lang, cast(size(hashes) AS BIGINT) AS n_kept,
+        |  element_at(hashes, -1) AS kth_hash,
+        |  round(CASE WHEN size(hashes) < 256 THEN size(hashes) * 1.0D
+        |    ELSE 255 / (cast(conv(substring(element_at(hashes, -1), 1, 13),
+        |      16, 10) AS BIGINT) / 4503599627370496L) END, 4)
+        |    AS est_distinct
+        |FROM s""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    val kmvCol = graft.operators.Sketches.kmvDistinct(
+        spark.read.parquet(s"$dir/documents.parquet"), Seq("lang"), "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(kmvSql == kmvCol, s"KMV SQL replay diverged:\n$kmvSql\n$kmvCol")
+  }
 }
