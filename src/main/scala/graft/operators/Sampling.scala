@@ -509,4 +509,112 @@ object Sampling {
           .cast("double") / budget))
       .drop("__pid", "__cume", "__off", "__tok")
   }
+
+  /** PER-GROUP distributed running total — [[packSequences]]' two-phase
+    * prefix-sum machinery generalized to grouped cumulative sums:
+    * `outCol` = the exact sum of `valueCol` over all SAME-GROUP rows at
+    * or before this row in `sortCols` order.
+    *
+    * Scale shape: the textbook form is `sum() OVER (PARTITION BY group
+    * ORDER BY sort)`, and a HOT group (half the corpus in lang = 'en')
+    * is one unsplittable sorted window partition — the same hazard
+    * class topKPerGroup and the chunked as-of join remove. Here the
+    * data range-partitions on (group, sort) — a hot group SPLITS across
+    * partitions — the running sum is per (partition, group), only the
+    * per-(partition, group) TOTALS reach the driver (≤ numPartitions +
+    * activeGroups - 1 rows: ranges are contiguous), and the group's
+    * cross-partition offsets broadcast back. Exact long arithmetic,
+    * partitioning-invariant given unique (groupCols, sortCols).
+    *
+    * Intended for BOUNDED group domains (languages, sources, splits —
+    * the hot-group regime); a guard refuses > 100k distinct groups,
+    * where the plain per-group window splits fine anyway and this
+    * two-phase form would collect a group-sized offset table. */
+  def groupedRunningTotal(df: DataFrame, groupCols: Seq[String],
+                          sortCols: Seq[String], valueCol: String,
+                          outCol: String = "running_total"): DataFrame = {
+    require(groupCols.nonEmpty && sortCols.nonEmpty,
+      "groupedRunningTotal needs group and sort columns")
+    val spark = df.sparkSession
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val keys = (groupCols ++ sortCols).map(col)
+    val w = Window.partitionBy((col("__pid") +: groupCols.map(col)): _*)
+      .orderBy(sortCols.map(col): _*)
+    val sorted = df
+      .withColumn("__val", col(valueCol).cast("long"))
+      .repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__cume", sum(col("__val")).over(w))
+      // two consumers (offset totals + final result), and the range
+      // partitioner's boundary sampling is only stable within one
+      // materialization
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = sorted
+      .groupBy((col("__pid") +: groupCols.map(col)): _*)
+      .agg(max(col("__cume")).as("__t"))
+      .collect()
+    require(totals.length <= 100000 + n,
+      s"groupedRunningTotal collected ${totals.length} (partition, group) " +
+        "totals — group domain too large for the two-phase form; use a " +
+        "per-group window (many small groups split fine)")
+    // per group, offsets accumulate over partitions in ascending order
+    val offsets = totals
+      .map(r => (r.getInt(0), groupCols.map(g => r.getAs[Any](g)),
+        r.getAs[Long]("__t")))
+      .groupBy(_._2).iterator.flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, gvals, t) =>
+          val o = (pid, gvals, acc); acc += t; o
+        }
+      }.toSeq
+    val offRows = offsets.map { case (pid, gvals, off) =>
+      org.apache.spark.sql.Row.fromSeq(pid +: gvals :+ off)
+    }
+    val gSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        groupCols.map(g => df.schema(g)) :+
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType))
+    import scala.jdk.CollectionConverters._
+    val offDf = broadcast(spark.createDataFrame(offRows.asJava, gSchema))
+    sorted.join(offDf, "__pid" +: groupCols)
+      .withColumn(outCol, col("__off") + col("__cume"))
+      .drop("__pid", "__cume", "__off", "__val")
+  }
+
+  /** Token-budget corpus mixing — the SELECTION half of a data recipe
+    * with explicit per-source token budgets ("train on 50B tokens of
+    * code, 30B of en web, everything of wiki"): each group's documents
+    * are taken in deterministic pseudorandom order (md5(seed | id), the
+    * [[deterministicShuffle]] key) until the group's token budget is
+    * reached; the straddling document is INCLUDED (budget exhausts
+    * AFTER it — [[packSequences]]' tokens-before convention), so every
+    * budget is met, never undershot. Emits the surviving rows plus
+    * `tokens_before` (the group's exact token count ahead of this doc —
+    * the replayable admission evidence).
+    *
+    * Engine-portable and partitioning-invariant: the order key is md5,
+    * the running total is [[groupedRunningTotal]]'s exact long
+    * arithmetic, and an independent SQL engine replays admission
+    * row-for-row. One corpus exchange (the range partition); no
+    * per-group window. */
+  def tokenBudgetMix(df: DataFrame, idCol: String, groupCol: String,
+                     tokensCol: String, budgets: Map[String, Long],
+                     defaultBudget: Long, seed: String): DataFrame = {
+    (budgets.values.toSeq :+ defaultBudget).foreach(b =>
+      require(b >= 0, s"token budgets must be non-negative: $b"))
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultBudget)) { case ((g, b), els) =>
+        when(col(groupCol) === g, lit(b)).otherwise(els)
+      }
+    groupedRunningTotal(
+      df.withColumn("__sk",
+        md5(concat_ws("|", lit(seed), col(idCol).cast("string")))),
+      Seq(groupCol), Seq("__sk"), tokensCol, "__rt")
+      .withColumn("tokens_before", col("__rt") - col(tokensCol).cast("long"))
+      .filter(col("tokens_before") < budget)
+      .drop("__sk", "__rt")
+  }
 }

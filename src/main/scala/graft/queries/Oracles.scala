@@ -2043,6 +2043,27 @@ object Oracles {
         |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch_copy
         |FROM c WHERE n >= 1""".stripMargin,
 
+    // token-budget mixing: per-lang running est-BPE token totals in
+    // md5-shuffle order; a doc is admitted iff its group's total BEFORE
+    // it is under the lang's budget (straddler included)
+    "sample_budget_mix" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(ceil(n_chars::DOUBLE / 4.0) AS BIGINT) AS n_tokens,
+        |    md5('mix0|' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY sk
+        |                        ROWS UNBOUNDED PRECEDING) - n_tokens
+        |      AS tokens_before
+        |  FROM s)
+        |SELECT doc_id, lang, n_tokens, tokens_before
+        |FROM c
+        |WHERE tokens_before < CASE lang WHEN 'en' THEN 8000
+        |                                WHEN 'zh' THEN 3000
+        |                                ELSE 1000000000 END""".stripMargin,
+
     // composed upsampling recipe: the epoch-mix band + repeat explosion,
     // the shuffle rank keyed on doc_id#epoch_copy (repeat copies land in
     // DISTINCT positions), and the pack prefix sum over the SHUFFLED

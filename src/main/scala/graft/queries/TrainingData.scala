@@ -803,6 +803,20 @@ object TrainingData {
         TextAnalysis.estBpeTokens(col("n_chars")).as("n_tokens")),
       Seq("doc_id"), "n_tokens", budget = 2048L)
 
+  /** Per-language token-budget corpus mixing ([[Sampling.tokenBudgetMix]]):
+    * documents admitted in deterministic md5 shuffle order until each
+    * language's est-BPE token budget is met (straddler included), en/zh
+    * capped, everything else effectively uncapped. Hash-gated including
+    * the exact tokens_before admission evidence — DuckDB replays the
+    * shuffle key, the per-lang running sum and the admission filter. */
+  def sampleBudgetMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudgetMix(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.estBpeTokens(col("n_chars")).as("n_tokens")),
+      "doc_id", "lang", "n_tokens",
+      budgets = Map("en" -> 8000L, "zh" -> 3000L),
+      defaultBudget = 1000000000L, seed = "mix0")
+
   /** The UPSAMPLING half of a data recipe END-TO-END: epoch-mix
     * repetition -> deterministic shuffle -> token-budget packing. Each
     * stage is the operator its standalone query gates; the composition

@@ -501,6 +501,64 @@ class SamplingSpec extends SparkSpec {
     assert(got == want, s"got ${got.map(_.codePoints.toArray.toSeq)}")
   }
 
+  test("groupedRunningTotal == per-group window; hot group splits; budget mix admits exactly") {
+    import graft.operators.Sampling
+    // skewed frame: one hot group (en, 4000 rows) + small groups
+    val docs = (0L until 4500L).map { i =>
+      val g = if (i < 4000) "en" else if (i < 4300) "zh" else "fr"
+      (i, g, (i % 37) + 1)
+    }.toDF("doc_id", "lang", "n_tokens")
+    val got = Sampling.groupedRunningTotal(docs.repartition(7),
+        Seq("lang"), Seq("doc_id"), "n_tokens", "rt")
+      .select("doc_id", "rt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = docs.withColumn("rt", sum($"n_tokens".cast("long")).over(w))
+      .select("doc_id", "rt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "grouped prefix sum diverged from the window form")
+    // a 300-group frame stays WELL under the bounded-domain guard
+    assert(Sampling.groupedRunningTotal(
+      (0L until 300L).map(i => (i, s"g$i", 1L)).toDF("id", "g", "v"),
+      Seq("g"), Seq("id"), "v").count() == 300)
+  }
+
+  test("tokenBudgetMix: per-group budgets met, straddler included, partition-invariant") {
+    import graft.operators.Sampling
+    val docs = (0L until 2000L).map { i =>
+      (i, if (i % 3 == 0) "en" else "zh", (i % 29) + 1)
+    }.toDF("doc_id", "lang", "n_tokens")
+    val mix = Sampling.tokenBudgetMix(docs, "doc_id", "lang", "n_tokens",
+      budgets = Map("en" -> 500L, "zh" -> 300L), defaultBudget = 0L,
+      seed = "s1")
+    val rows = mix.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("tokens_before")))
+    // every admitted doc's tokens_before is under its budget, and the
+    // admitted set covers the budget (last admitted doc straddles)
+    val byLang = rows.groupBy(_._2)
+    for ((lang, rs) <- byLang) {
+      val budget = if (lang == "en") 500L else 300L
+      assert(rs.forall(_._4 < budget), s"$lang admitted past the budget")
+      val total = rs.map(_._3).sum
+      assert(total >= budget, s"$lang budget undershot: $total < $budget")
+      val maxBefore = rs.map(r => r._4 + r._3).max
+      assert(maxBefore == total, s"$lang prefix sums inconsistent")
+    }
+    // byte-identical admission on a different partitioning
+    val again = Sampling.tokenBudgetMix(docs.repartition(13), "doc_id",
+        "lang", "n_tokens", budgets = Map("en" -> 500L, "zh" -> 300L),
+        defaultBudget = 0L, seed = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_._1).toSet)
+    // a different seed is a different admission order
+    val other = Sampling.tokenBudgetMix(docs, "doc_id", "lang", "n_tokens",
+        budgets = Map("en" -> 500L, "zh" -> 300L), defaultBudget = 0L,
+        seed = "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != rows.map(_._1).toSet)
+  }
+
   test("topKPerGroup numericIdOrder ties on the NATIVE long order, default on the string form") {
     import graft.operators.Sampling
     // ids 9 and 10 on an exact score tie: string order ranks "10" < "9",
