@@ -282,6 +282,19 @@ class PlanAuditSpec extends SparkSpec {
       .split("== Initial Plan ==")(0)
     assert(!rPlan.contains("No Partition Defined"),
       "pipeline_recipe_e2e leaked a global window")
+
+    // token-budget mixing: the per-lang running total must ride the
+    // two-phase (__pid, group) form — a window partitioned by the raw
+    // lang column would be one unsplittable task per language
+    val mix = SparkEntry.queries("sample_budget_mix")(spark,
+      "/root/testdata/sf0.001")
+    mix.collect()
+    val mPlan = mix.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!mPlan.contains("No Partition Defined"),
+      "sample_budget_mix leaked a global window")
+    assert("Window \\[[^\\]]*__pid".r.findFirstIn(mPlan).isDefined,
+      s"running total must partition by (__pid, group):\n${mPlan.take(1500)}")
   }
 
   test("sample_weighted: sketch threshold bounds the rank-pass input") {
