@@ -114,21 +114,28 @@ object CurateCli {
     * Scoped to the ledger directory, the unit concurrency corrupts. */
   def withLedgerLock[A](ledger: String, force: Boolean = false)
                        (body: => A): Either[String, A] = {
-    val dir = java.nio.file.Paths.get(ledger)
-    java.nio.file.Files.createDirectories(dir)
-    val lock = dir.resolve(".graft-curate.lock")
-    if (force) java.nio.file.Files.deleteIfExists(lock)
+    // the lock resolves through the Hadoop FileSystem of the ledger
+    // URI — the same filesystem the ledger parquet uses — so a remote
+    // (hdfs://, s3a://) ledger is locked next to its data, not on a
+    // bogus local path that would never exclude runs on other hosts
+    // (create(overwrite = false) is the HDFS-atomic create; object
+    // stores make it best-effort, like every file-based lock on them)
+    val lockPath = new org.apache.hadoop.fs.Path(ledger, ".graft-curate.lock")
+    val fs = lockPath.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ledger))
+    if (force) fs.delete(lockPath, false)
     val acquired =
-      try { java.nio.file.Files.createFile(lock); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      try { fs.create(lockPath, false).close(); true }
+      catch { case _: java.io.IOException => false }
     if (!acquired)
       Left("Probably another graft-curate instance is already running " +
         "against this ledger. If a previous run finished incorrectly, " +
         s"check that no other instance is running and remove " +
-        s"${lock.toAbsolutePath} (or pass --force-start).")
+        s"$lockPath (or pass --force-start).")
     else
       try Right(body)
-      finally java.nio.file.Files.deleteIfExists(lock)
+      finally fs.delete(lockPath, false)
   }
 
   /** One ingest cycle; returns (kept, exact, near) counts. Separated from

@@ -690,18 +690,29 @@ object Similarity {
     * into ceil(n/cap) deterministic md5 sub-lists and pairs form only
     * within a sub-list (the published recipe likewise splits oversized
     * clusters; missing the rare cross-sub duplicate is the accepted
-    * trade-off). The sub-split count rides a window over the SAME list_id
-    * partitioning the pair join clusters on, so it adds no exchange. */
+    * trade-off). Cluster sizes come from a groupBy(list_id) aggregate
+    * joined back (the count table is centroid-bounded, so AQE
+    * broadcasts it) — NOT a count-over-window, whose PARTITION BY
+    * list_id would buffer a pathological hot cluster in one task, the
+    * exact skew this cap exists for. */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double,
                     maxClusterSize: Int = 10000): DataFrame = {
+    // FIVE consumers reach this frame after expansion (the size
+    // aggregate, both pair sides' joins, the final verdict join) and
+    // Catalyst expands each reference into its own centroid-scoring
+    // pass — one lazy checkpoint makes the assignment run once
     val assigned = ivfAssignWith(vectors, idCol, vecCol, centroids)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("list_id"))
-    val subSplit = assigned.withColumn("__sub",
-      pmod(
-        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
-        greatest(ceil(count(lit(1)).over(w) / lit(maxClusterSize.toDouble)), lit(1))
-          .cast("long")))
+      .localCheckpoint(false)
+    val listSizes = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("__list_n"))
+    val subSplit = assigned.join(listSizes, Seq("list_id"))
+      .withColumn("__sub",
+        pmod(
+          conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+          greatest(ceil(col("__list_n") / lit(maxClusterSize.toDouble)), lit(1))
+            .cast("long")))
+      .drop("__list_n")
     val a = subSplit.select(col("list_id"), col("__sub"), col(idCol).as("a_id"),
       col(vecCol).as("a_vec"), col("__norm").as("a_norm"))
     val b = subSplit.select(col("list_id"), col("__sub"), col(idCol).as("b_id"),
