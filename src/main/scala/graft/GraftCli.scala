@@ -147,6 +147,16 @@ object GraftCli {
         case "--delete-study-by-path" :: v :: t =>
           o = o.copy(deleteStudyByPath = Some(v)); rest = t
         case ("-o" | "--output") :: v :: t =>
+          // the warehouse publish (staging dirs, atomic renames, the
+          // manifest) runs on java.nio — a URI scheme here would
+          // silently become a local ./hdfs:/... directory; fail early
+          // with the boundary instead (the curate ledger, by contrast,
+          // IS scheme-aware via Hadoop FS)
+          if (v.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+            return Left(s"-o expects a LOCAL warehouse directory; got a " +
+              s"URI ($v). The publish path's staging/rename/manifest " +
+              "discipline is java.nio-based by design — mount remote " +
+              "storage or use a local path.")
           o = o.copy(warehouse = Paths.get(v)); rest = t
         case "--parent-node" :: v :: t => o = o.copy(parentNode = v); rest = t
         case bad :: _ if bad.startsWith("-") => return Left(s"unknown option: $bad")

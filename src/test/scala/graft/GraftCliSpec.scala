@@ -172,6 +172,10 @@ class GraftCliSpec extends SparkSpec {
     // below for the remaining datatype uploads)
     assert(GraftCli.parseArgs(Seq("--bogus")).isLeft)
     assert(GraftCli.parseArgs(Seq("-m", "a")).isLeft)
+    // a URI warehouse is refused with the local-path boundary named
+    // (java.nio publish would silently create a local ./hdfs:/ dir)
+    val uriErr = GraftCli.parseArgs(Seq("-o", "hdfs://nn/warehouse"))
+    assert(uriErr.isLeft && uriErr.swap.toOption.get.contains("LOCAL"))
     val parsed = GraftCli.parseArgs(Seq("-n", "-s", "--secure-study",
       "--keep-security", "--check-duplicates", "--use-first-gene-id",
       "--always-set-visit-name", "-m", "x;y", "d")).toOption.get
