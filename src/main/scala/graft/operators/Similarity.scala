@@ -376,6 +376,37 @@ object Similarity {
       "adot", k)
   }
 
+  /** Two-tier search — the standard production ANN composition: a CHEAP
+    * compressed first pass (the SQ8 asymmetric dot, 4x fewer candidate
+    * bytes) produces a per-query shortlist of `shortlist` ids, and only
+    * those pay the exact full-precision cosine before the final top-k.
+    * Recall loss is bounded by the shortlist depth (shortlist >> k);
+    * ordering inside the final k is EXACT cosine, so downstream
+    * consumers see the same scores as brute force for the survivors.
+    *
+    * 100 TB shape: the collection-sized work is the SQ8 scan (already
+    * the memory-bound optimum); the re-rank touches queries x shortlist
+    * rows — the shortlist side is tiny and AQE broadcasts it into the
+    * vector join, so full-precision vectors are read once, never
+    * shuffled. Both ranks ride the k-capped aggregate (no windows).
+    * Same determinism discipline: 6-dp rounds before every rank. */
+  def sqRerankTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val short = sqTopK(vectors, queries, idCol, vecCol, shortlist)
+      .select(col("q_id"), col("neighbor_id"))
+    val v = vectors.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("n_vec"), l2Norm(col(vecCol)).as("n_norm"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm")))
+    rankTopK(
+      short.join(v, Seq("neighbor_id"))
+        .join(q, Seq("q_id"))
+        .withColumn("cosine",
+          round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6)),
+      "cosine", k)
+  }
+
   /** Product quantization (Jégou et al. 2011, "Product Quantization for
     * Nearest Neighbor Search"): the vector splits into `m` subvectors,
     * each encoded as the id of its nearest codeword in a per-subspace

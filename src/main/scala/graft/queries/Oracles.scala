@@ -2235,6 +2235,49 @@ object Oracles {
         |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
         |FROM rk WHERE rn <= 10""".stripMargin),
 
+    // two-tier search replay: the ann_sq8 shortlist (top-50 by the
+    // quantized asymmetric dot) re-ranked by EXACT cosine to top-10
+    "ann_rerank" -> (
+      """WITH sc AS (
+        |  SELECT vec_id, embedding,
+        |    round(list_max(list_transform(embedding,
+        |      x -> abs(x::DOUBLE)))::DOUBLE / 127, 6) AS scale
+        |  FROM embeddings),
+        |enc AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale > 0 THEN list_transform(embedding,
+        |      x -> least(127, greatest(-127, round(x::DOUBLE / scale)))::BIGINT)
+        |    ELSE list_transform(embedding, x -> 0::BIGINT) END AS codes
+        |  FROM sc),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    round(c.scale * list_sum(list_transform(
+        |      range(1, len(c.codes) + 1),
+        |      j -> c.codes[j]::DOUBLE * q.embedding[j]::DOUBLE)), 6) AS adot
+        |  FROM embeddings q JOIN enc c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20),
+        |short AS (
+        |  SELECT q_id, neighbor_id FROM (
+        |    SELECT q_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY adot DESC, neighbor_id) AS rn
+        |    FROM pairs) t WHERE rn <= 50),
+        |rr AS (
+        |  SELECT s.q_id, s.neighbor_id,
+        |    round(""".stripMargin + EmbCosine.replace("a.embedding", "qa.embedding")
+        .replace("b.embedding", "nb.embedding") +
+      """, 6) AS cosine
+        |  FROM short s
+        |  JOIN embeddings qa ON qa.vec_id = s.q_id
+        |  JOIN embeddings nb ON nb.vec_id = s.neighbor_id),
+        |rk AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM rr)
+        |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin),
+
     // SQ8 replay: per-vector 6-dp scale, clamped half-away-from-zero int8
     // codes, asymmetric dot by sequential-order list_sum (the native
     // dot's ascending-index accumulation), rank ties on neighbor id

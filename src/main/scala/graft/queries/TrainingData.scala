@@ -150,6 +150,15 @@ object TrainingData {
       "vec_id", "embedding", k = 10, nprobe = 4, cents)
   }
 
+  /** Two-tier search ([[Similarity.sqRerankTopK]]): SQ8 shortlist of 50,
+    * exact-cosine re-rank to top-10. Hash-gated — DuckDB replays the
+    * quantized shortlist and the exact re-rank stage-for-stage. */
+  def annRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.sqRerankTopK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10, shortlist = 50)
+  }
+
   def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),

@@ -1595,6 +1595,34 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq(3L, 2L, 1L)) // colinear first, diagonal, orthogonal
   }
 
+  test("sqRerankTopK with a full-collection shortlist equals brute force bit-for-bit") {
+    val queries = vecs.filter($"vec_id" === 0)
+    // shortlist covering everything => the exact re-rank IS brute force
+    val rr = Similarity.sqRerankTopK(vecs, queries, "vec_id", "embedding",
+        k = 3, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val bf = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding",
+        k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(rr == bf, s"re-rank diverged from brute force:\n$rr\n$bf")
+    // a pruning shortlist still returns exact-cosine scores for survivors
+    val pruned = Similarity.sqRerankTopK(vecs, queries, "vec_id",
+        "embedding", k = 2, shortlist = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(pruned.keySet.subsetOf(Set(1L, 2L, 3L)))
+    assert(pruned.forall { case (n, c) =>
+      bf.exists(t => t._2 == n && t._3 == c) ||
+        Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 4)
+          .collect().exists(r => r.getLong(1) == n && r.getDouble(2) == c)
+    })
+    intercept[IllegalArgumentException] {
+      Similarity.sqRerankTopK(vecs, queries, "vec_id", "embedding",
+        k = 5, shortlist = 3)
+    }
+  }
+
   test("ivfAssign puts every vector in exactly one list, nearest centroid wins") {
     // centroids = 2 lowest ids: c0=(1,0), c1=(0,1)
     val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", numLists = 2)
