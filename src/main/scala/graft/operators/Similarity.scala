@@ -757,6 +757,34 @@ object Similarity {
       .select(col(idCol), col("list_id"), col("b_id").isNull.as("keep"))
   }
 
+  /** Cluster-balanced sampling — the diversity-coreset selection step
+    * (cover the embedding space, don't oversample its dense modes):
+    * every vector assigns to its nearest centroid ([[ivfAssignWith]]'s
+    * argmax, rounded cosines) and each cluster keeps its `perList` race
+    * winners by the deterministic md5 key (salted with `seed` — a
+    * different seed is a different sample; the same seed reproduces
+    * bit-for-bit in any engine). Returns (list_id, pick 1..perList,
+    * idCol, race).
+    *
+    * 100 TB shape: assignment is one broadcast-centroid pass; the
+    * per-cluster selection is the k-capped aggregate — partial buffers
+    * bound state at perList rows per task per cluster, so a hot cluster
+    * splits across tasks instead of becoming one sorted window
+    * partition. Output is clusters x perList rows, broadcastable. */
+  def clusterBalancedSample(vectors: DataFrame, idCol: String,
+                            vecCol: String, centroids: DataFrame,
+                            perList: Int, seed: String): DataFrame = {
+    require(perList >= 1, s"perList must be positive: $perList")
+    val raced = ivfAssignWith(vectors, idCol, vecCol, centroids)
+      .select(col(idCol), col("list_id"),
+        conv(substring(md5(concat_ws("|", lit(seed),
+          col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+          .as("race"))
+    Sampling.topKPerGroup(raced, Seq("list_id"), "race", idCol, perList,
+        descending = false, rankCol = "pick", numericIdOrder = true)
+      .select(col("list_id"), col("pick"), col(idCol), col("race"))
+  }
+
   /** Embedding near-dup: same-block pairs above a cosine threshold.
     * Blocking key bounds the pair blow-up (label here; LSH bucket at scale). */
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,

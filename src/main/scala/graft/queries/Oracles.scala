@@ -2375,6 +2375,36 @@ object Oracles {
     // Mirrors Similarity.ivfTopK: 16 lowest-id seed centroids, argmax
     // assignment on the ROUNDED cosine with centroid-id tiebreak, 4 probed
     // lists per query, rank within probed candidates only.
+    // cluster-balanced diversity sample: the ann_ivf assignment argmax
+    // + 5 per-cluster winners of the salted md5 race (52-bit prefix as
+    // BIGINT), ties on vec_id
+    "sample_cluster_balanced" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+        |  FROM (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+        |  WHERE rn <= 16),
+        |assign AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT a.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> a.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+        |          / (a.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+        |    FROM v a CROSS JOIN cents c) WHERE rn = 1),
+        |raced AS (
+        |  SELECT vec_id, list_id,
+        |    CAST(('0x' || substring(md5('cb0' || '|' || CAST(vec_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS race
+        |  FROM assign)
+        |SELECT list_id, CAST(pick AS BIGINT) AS pick, vec_id, race FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY list_id
+        |    ORDER BY race, vec_id) AS pick
+        |  FROM raced) WHERE pick <= 5""".stripMargin,
+
     "ann_ivf" ->
       """WITH v AS (
         |  SELECT vec_id, embedding,

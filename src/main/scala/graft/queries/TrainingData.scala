@@ -150,6 +150,17 @@ object TrainingData {
       "vec_id", "embedding", k = 10, nprobe = 4, cents)
   }
 
+  /** Cluster-balanced diversity sampling
+    * ([[Similarity.clusterBalancedSample]]): 16 seeded clusters, 5 race
+    * winners each. Hash-gated — DuckDB replays assignment argmax, the
+    * salted race keys and the per-cluster pick ranks. */
+  def sampleClusterBalanced(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.clusterBalancedSample(e, "vec_id", "embedding",
+      Similarity.seedCentroids(e, "vec_id", "embedding", 16),
+      perList = 5, seed = "cb0")
+  }
+
   /** Two-tier search ([[Similarity.sqRerankTopK]]): SQ8 shortlist of 50,
     * exact-cosine re-rank to top-10. Hash-gated — DuckDB replays the
     * quantized shortlist and the exact re-rank stage-for-stage. */
