@@ -297,6 +297,31 @@ object Sampling {
     topKPerGroup(raceKeyed(df, idCol, weightCol, raceCol),
       groupCols, raceCol, idCol, k, descending = false, rankCol = rankCol)
 
+  /** Leakage-safe dataset split: [[deterministicSplit]] keyed on the
+    * near-dup CLUSTER instead of the document — every member of a
+    * duplicate cluster lands in the SAME split, closing the classic
+    * eval-leakage hole where a train doc's near-copy sits in test.
+    * `pairs` is a verified near-dup pair list (doc_a, doc_b — e.g.
+    * [[Dedup.minhashLsh]]'s output); singletons split by their own id.
+    * Emits the input columns + `cluster_id` (null for singletons) +
+    * the split label.
+    *
+    * 100 TB shape: the cluster labels come from [[Dedup.clusters]]
+    * (driver union-find under the counted guard, distributed
+    * min-label propagation above it); the label table is
+    * pair-list-sized — tiny by the LSH contract — so the join back is
+    * a broadcast and the split itself stays a pure projection. */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                       fractions: Seq[(String, Double)],
+                       labelCol: String = "split"): DataFrame = {
+    val labels = Dedup.clusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val keyed = df.join(broadcast(labels), Seq(idCol), "left")
+      .withColumn("__gk",
+        coalesce(col("cluster_id"), col(idCol)).cast("string"))
+    deterministicSplit(keyed, "__gk", fractions, labelCol).drop("__gk")
+  }
+
   /** Deterministic pseudorandom shuffle — the training-set ORDERING step
     * (corpus builds fix a shuffle seed so epochs are reproducible and
     * resumable): rank every row by md5(seed | id). Engine-portable (md5,

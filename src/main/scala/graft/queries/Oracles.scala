@@ -3216,4 +3216,27 @@ object Oracles {
         |  FROM splitrows sr
         |  JOIN sup ON trim(sr.super_pathway) = trim(sup.super_pathway_name)) j""".stripMargin,
   )
+
+  /** Oracles DERIVED from other entries by string surgery, so the shared
+    * replay (here: the LSH-pairs -> recursive-components chain) can
+    * never drift between its consumers. */
+  val derived: Map[String, String] = {
+    val clusters = trainingData("dedup_clusters")
+    val tail = "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1"
+    require(clusters.endsWith(tail), "dedup_clusters oracle tail moved")
+    // leakage-safe split: component labels joined back to documents,
+    // the 80/10/10 md5-band split keyed on coalesce(cluster, doc_id) —
+    // cutoffs 0.8 -> 'cccd', 0.9 -> 'e666', same grid as sample_split
+    Map("sample_split_safe" ->
+      (clusters.dropRight(tail.length) +
+        """, comp AS (
+          |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1)
+          |SELECT d.doc_id, d.lang, c.cluster_id,
+          |  CASE WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)
+          |         < 'cccd' THEN 'train'
+          |       WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)
+          |         < 'e666' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin))
+  }
 }

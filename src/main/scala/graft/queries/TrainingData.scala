@@ -150,6 +150,21 @@ object TrainingData {
       "vec_id", "embedding", k = 10, nprobe = 4, cents)
   }
 
+  /** Leakage-safe train/val/test split ([[Sampling.leakageSafeSplit]]):
+    * the 80/10/10 md5-band split keyed on the MinHash-LSH near-dup
+    * cluster, so a doc and its near-copies always share a split.
+    * Hash-gated — DuckDB replays the full LSH + connected-components
+    * chain and the banded split on the cluster key. */
+  def sampleSplitSafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = tp(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    Sampling.leakageSafeSplit(
+      docs.select(col("doc_id"), col("lang")), pairs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+  }
+
   /** Cluster-balanced diversity sampling
     * ([[Similarity.clusterBalancedSample]]): 16 seeded clusters, 5 race
     * winners each. Hash-gated — DuckDB replays assignment argmax, the

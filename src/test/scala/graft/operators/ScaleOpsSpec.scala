@@ -559,6 +559,30 @@ class SamplingSpec extends SparkSpec {
     assert(other != rows.map(_._1).toSet)
   }
 
+  test("leakageSafeSplit: every near-dup cluster member shares one split") {
+    import graft.operators.Sampling
+    val docs = (1L to 40L).map(i => (i, s"text $i")).toDF("doc_id", "txt")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val split = Sampling.leakageSafeSplit(docs, pairs, "doc_id",
+        Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[Any]("cluster_id")), r.getAs[String]("split")))).toMap
+    assert(split.size == 40) // the left join keeps every doc exactly once
+    // chained cluster {1,2,3} and pair {10,11} each share one label
+    assert(Set(split(1L), split(2L), split(3L)).size == 1)
+    assert(split(1L)._1 == Some(1L))
+    assert(split(10L) == split(11L) && split(10L)._1 == Some(10L))
+    // singletons carry no cluster and split by their own id — same label
+    // as the plain deterministic split
+    val plain = Sampling.deterministicSplit(docs, "doc_id",
+        Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    (4L to 9L).foreach { i =>
+      assert(split(i)._1.isEmpty && split(i)._2 == plain(i))
+    }
+  }
+
   test("topKPerGroup numericIdOrder ties on the NATIVE long order, default on the string form") {
     import graft.operators.Sampling
     // ids 9 and 10 on an exact score tie: string order ranks "10" < "9",
