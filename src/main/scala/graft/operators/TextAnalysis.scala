@@ -213,6 +213,53 @@ object TextAnalysis {
         col("n_js_lines"), col("passes")): _*)
   }
 
+  /** Corpus-level boilerplate LINE removal — the CCNet/RefinedWeb recipe
+    * (C4 §2.2's cross-document span dedup at line granularity): a line
+    * whose whitespace-normalized lowercased form appears in at least
+    * `minDocFreq` DISTINCT documents is boilerplate (cookie banners,
+    * navigation menus, license footers) and EVERY occurrence is dropped;
+    * blank lines never count. Returns one row per input doc:
+    * (idCol, clean_text — surviving lines rejoined in original order,
+    * kept_lines, dropped_lines).
+    *
+    * 100 TB shape: two corpus passes over the exploded lines (the
+    * distinct-doc frequency aggregate — map-side-combinable countDistinct,
+    * a hot banner line is one big group but never one task's sort — and
+    * the anti-join + per-doc reassembly, whose collect_list is bounded by
+    * a single document's line count). The boilerplate dictionary is the
+    * join's build side — tiny relative to the corpus, AQE broadcasts it.
+    * total_lines comes from size(split(...)) on the doc row, not a third
+    * explode. Deterministic and engine-replayable end-to-end. */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                             minDocFreq: Long): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+      .withColumn("__norm", lower(trim(col("line"))))
+    val hot = lines.filter(length(col("__norm")) > 0)
+      .groupBy(col("__norm"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocFreq)
+      .select(col("__norm"))
+    val kept = lines.join(hot, Seq("__norm"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("kept_lines"))
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("__total"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        (col("__total") - coalesce(col("kept_lines"), lit(0L)))
+          .as("dropped_lines"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercased text
     * (content-defined fingerprinting; 16-hex prefix as a compact key). */
   def fingerprint(text: Column): Column =

@@ -2043,6 +2043,36 @@ object Oracles {
         |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch_copy
         |FROM c WHERE n >= 1""".stripMargin,
 
+    // corpus-level boilerplate line removal: synthesized page, normalized
+    // line -> distinct-doc frequency, >= 3 docs drops every occurrence,
+    // survivors rejoin in original order
+    "text_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, concat_ws(chr(10), text,
+        |    'Accept all cookies',
+        |    CASE WHEN doc_id % 2 = 0 THEN 'home | products | contact' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'copyright 2024 example' END,
+        |    'page footer ' || CAST(doc_id AS VARCHAR)) AS page
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+        |    unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(page, chr(10)) AS ls FROM d)),
+        |n AS (SELECT doc_id, pos, line, lower(trim(line)) AS nrm FROM l),
+        |hot AS (
+        |  SELECT nrm FROM n WHERE len(nrm) > 0
+        |  GROUP BY nrm HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT * FROM n WHERE nrm NOT IN (SELECT nrm FROM hot)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS kept_lines
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        |  CAST(coalesce(agg.kept_lines, 0) AS BIGINT) AS kept_lines,
+        |  CAST(len(string_split(d.page, chr(10))) - coalesce(agg.kept_lines, 0)
+        |    AS BIGINT) AS dropped_lines
+        |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+
     // token-budget mixing: per-lang running est-BPE token totals in
     // md5-shuffle order; a doc is admitted iff its group's total BEFORE
     // it is under the lang's budget (straddler included)

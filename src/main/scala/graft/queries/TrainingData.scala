@@ -791,6 +791,27 @@ object TrainingData {
       .drop("page")
   }
 
+  /** Corpus-level boilerplate line removal
+    * ([[TextAnalysis.removeBoilerplateLines]]) over the same synthetic
+    * page layout discipline as [[textC4Flags]]: every doc gets a cookie
+    * banner (corpus-wide boilerplate), some get a nav menu / copyright
+    * footer (frequent), each keeps a unique per-doc footer and its text
+    * line. Lines in >= 3 distinct docs drop everywhere. Hash-gated —
+    * DuckDB replays page synthesis, normalization, distinct-doc
+    * frequency and ordered reassembly. */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val page = concat_ws("\n",
+      col("text"),
+      lit("Accept all cookies"),
+      when(id % 2 === 0, lit("home | products | contact")),
+      when(id % 5 === 0, lit("copyright 2024 example")),
+      concat(lit("page footer "), id.cast("string")))
+    TextAnalysis.removeBoilerplateLines(
+      t(s, dir, "documents").select(id, page.as("page")),
+      "doc_id", "page", minDocFreq = 3L)
+  }
+
   /** Gopher-style quality-filter flags over the corpus (thresholds scaled
     * to the synthetic docs); every ratio is integer-derived and rounded
     * before thresholding, so the oracle reproduces the flags exactly. */

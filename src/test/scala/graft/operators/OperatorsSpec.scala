@@ -579,6 +579,34 @@ class DedupSpec extends SparkSpec {
     val empty = Seq((9L, "  ")).toDF("doc_id", "text")
     assert(Dedup.segmentDedup(empty, "doc_id", "text", 2).count() == 0)
   }
+
+  test("removeBoilerplateLines: >= minDocFreq distinct docs drops ALL copies, order kept") {
+    val d = Seq(
+      (1L, "unique one\nAccept Cookies\nbody a"),
+      (2L, "accept cookies\nbody b\n\nunique two"),  // case-insensitive match
+      (3L, "ACCEPT COOKIES \nbody a\nbody a"),        // trailing space trims
+      (4L, "body a")).toDF("doc_id", "text")
+    // 'accept cookies' in 3 distinct docs -> boilerplate at minDocFreq 3;
+    // 'body a' in 3 distinct docs too (doc 3 counts ONCE) -> boilerplate;
+    // blank lines never count and always survive
+    val out = graft.operators.TextAnalysis
+      .removeBoilerplateLines(d, "doc_id", "text", minDocFreq = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[Long]("kept_lines"),
+          r.getAs[Long]("dropped_lines")))).toMap
+    assert(out(1L) == (("unique one", 1L, 2L)))
+    assert(out(2L) == (("body b\n\nunique two", 3L, 1L)), out(2L).toString)
+    assert(out(3L) == (("", 0L, 3L)))
+    assert(out(4L) == (("", 0L, 1L)))
+    // at minDocFreq 4 nothing is frequent enough: everything survives
+    val loose = graft.operators.TextAnalysis
+      .removeBoilerplateLines(d, "doc_id", "text", minDocFreq = 4L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dropped_lines")).toMap
+    assert(loose.values.forall(_ == 0L))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.removeBoilerplateLines(d, "doc_id", "text", 1L)
+    }
+  }
 }
 
 class TermStatsSpec extends SparkSpec {
