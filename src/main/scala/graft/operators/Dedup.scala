@@ -159,6 +159,56 @@ object Dedup {
           x => x.getField("seg")), " ").as("clean_text"))
   }
 
+  /** Content-defined segment dedup — [[segmentDedup]] with CDC (rolling
+    * Rabin-style) boundaries instead of a fixed stride: a segment ends
+    * AFTER any token whose md5-derived 32-bit value is divisible by
+    * `avgSegTokens`, so boundaries are a pure function of CONTENT and
+    * survive insertions/deletions that shift every downstream fixed-
+    * stride segment (the known blind spot [[segmentDedup]]'s scaladoc
+    * declares). Expected segment length is `avgSegTokens`; a repeated
+    * passage re-synchronizes on its first internal cut token and
+    * deduplicates from there. Ownership and reassembly are identical to
+    * the fixed-stride form: a repeated segment survives only in its
+    * lowest-id document.
+    *
+    * 100 TB shape: one token explode; the running cut-count that forms
+    * segment ids is a PER-DOCUMENT window (doc-bounded partitions — the
+    * accepted per-doc window class, like tf-idf); then the same
+    * hash-grouped ownership aggregate as [[segmentDedup]]. Every hash is
+    * md5 — the oracle replays cuts, segment ids and ownership exactly. */
+  def cdcSegmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                      avgSegTokens: Int): DataFrame = {
+    require(avgSegTokens >= 2 && avgSegTokens <= 10000,
+      s"avgSegTokens in [2, 10000], got $avgSegTokens")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .withColumn("__cut",
+        when(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % avgSegTokens === 0, 1L).otherwise(0L))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val segs = toks
+      .withColumn("seg_idx", coalesce(sum(col("__cut")).over(byDoc), lit(0L)))
+      .groupBy(col("doc_id"), col("seg_idx"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("seg"))
+      .withColumn("seg_hash", md5(col("seg")))
+    val owners = segs.groupBy(col("seg_hash")).agg(min(col("doc_id")).as("keep_doc"))
+    segs.join(owners, "seg_hash")
+      .withColumn("kept", col("doc_id") === col("keep_doc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+  }
+
   /** Canonical URL for web-corpus dedup: lowercase, scheme and `www.`
     * stripped, fragment dropped, trailing utm_* tracking query removed,
     * trailing slash trimmed. Pure regex projection — engine-portable,

@@ -799,6 +799,39 @@ object Oracles {
         |    AS clean_text
         |FROM m GROUP BY 1""".stripMargin,
 
+    // content-defined segments: md5-divisibility cuts, running cut count
+    // as the per-doc segment id, same ownership/reassembly as the fixed
+    // stride form
+    "dedup_cdc_segments" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tok
+        |  FROM toks WHERE len(t) > 0),
+        |cuts AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 12 = 0
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM tok),
+        |sg AS (
+        |  SELECT doc_id, pos, tok,
+        |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_idx
+        |  FROM cuts),
+        |segs AS (
+        |  SELECT doc_id, seg_idx, string_agg(tok, ' ' ORDER BY pos) AS seg
+        |  FROM sg GROUP BY 1, 2),
+        |owners AS (SELECT md5(seg) AS seg_hash, min(doc_id) AS keep_doc
+        |           FROM segs GROUP BY 1),
+        |m AS (SELECT doc_id, seg_idx, seg, (doc_id = keep_doc) AS kept
+        |      FROM segs JOIN owners ON md5(seg) = seg_hash)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), '')
+        |    AS clean_text
+        |FROM m GROUP BY 1""".stripMargin,
+
     // canonical-URL dedup over the synthetic 4-variant URL groups
     "dedup_url" ->
       """WITH u AS (

@@ -331,6 +331,13 @@ object TrainingData {
   def dedupSegments(s: SparkSession, dir: String): DataFrame =
     Dedup.segmentDedup(tp(s, dir, "documents"), "doc_id", "text", segTokens = 10)
 
+  /** Content-defined (CDC) segment dedup ([[Dedup.cdcSegmentDedup]]):
+    * md5-divisibility cut tokens, expected segment length 12 — the
+    * insertion-robust twin of [[dedupSegments]]. */
+  def dedupCdcSegments(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcSegmentDedup(tp(s, dir, "documents"), "doc_id", "text",
+      avgSegTokens = 12)
+
   /** Smoothed TF-IDF top-5 terms per document. Plain load: the term
     * explode's own shuffle redistributes the work; a pre-repartition of
     * the full document strings costs more than it buys (measured r6). */

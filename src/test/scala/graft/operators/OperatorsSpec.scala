@@ -580,6 +580,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.segmentDedup(empty, "doc_id", "text", 2).count() == 0)
   }
 
+  test("cdcSegmentDedup: content-defined boundaries survive the insertion shift fixed stride misses") {
+    // 'mark' is a cut token at avgSegTokens = 12 (md5 32-bit % 12 == 0);
+    // doc 2 prepends ONE token, the shift that de-aligns every fixed
+    // stride — the CDC boundary re-synchronizes at 'mark' and the shared
+    // tail segment dedups
+    val d = Seq(
+      (1L, "mark alpha beta gamma"),
+      (2L, "zeta mark alpha beta gamma")).toDF("doc_id", "text")
+    val cdc = Dedup.cdcSegmentDedup(d, "doc_id", "text", avgSegTokens = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_segments"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(cdc(1L) == ((2L, 0L, "mark alpha beta gamma")), cdc.toString)
+    assert(cdc(2L) == ((2L, 1L, "zeta mark")), cdc.toString)
+    // the fixed-stride twin misses it entirely (documented blind spot)
+    val fixed = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_removed")).toMap
+    assert(fixed(2L) == 0L, s"stride-2 unexpectedly dedup'd: $fixed")
+  }
+
   test("removeBoilerplateLines: >= minDocFreq distinct docs drops ALL copies, order kept") {
     val d = Seq(
       (1L, "unique one\nAccept Cookies\nbody a"),
