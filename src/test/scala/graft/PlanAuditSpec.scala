@@ -297,6 +297,33 @@ class PlanAuditSpec extends SparkSpec {
       s"running total must partition by (__pid, group):\n${mPlan.take(1500)}")
   }
 
+  test("round-12 text/dedup additions: no cartesians, windows stay per-doc/per-pid") {
+    // boilerplate removal: line-frequency anti-join + doc reassembly —
+    // no cartesian, no window at all
+    val bp = SparkEntry.queries("text_boilerplate")(spark,
+      "/root/testdata/sf0.001")
+    val bPlan = bp.queryExecution.executedPlan.toString
+    assert(!bPlan.contains("CartesianProduct"))
+    assert(!bPlan.contains("Window ["), "boilerplate removal gained a window")
+
+    // CDC segments: the running cut count is a PER-DOCUMENT window
+    // (partitioned by doc_id — doc-bounded); never a global one
+    val cdc = SparkEntry.queries("dedup_cdc_segments")(spark,
+      "/root/testdata/sf0.001")
+    val cPlan = cdc.queryExecution.executedPlan.toString
+    assert(!cPlan.contains("No Partition Defined"),
+      "cdc segment ids leaked a global window")
+    assert("Window \\[[^\\]]*doc_id".r.findFirstIn(cPlan).isDefined,
+      s"cut-count window must partition by doc_id:\n${cPlan.take(1500)}")
+    assert(!cPlan.contains("CartesianProduct"))
+
+    // two-tier re-rank: both ranks through the bounded aggregate
+    val rr = SparkEntry.queries("ann_rerank")(spark, "/root/testdata/sf0.001")
+    val rPlan = rr.queryExecution.executedPlan.toString
+    assert(!rPlan.contains("Window ["), "ann_rerank gained a rank window")
+    assert(!rPlan.contains("CartesianProduct"))
+  }
+
   test("sample_weighted: sketch threshold bounds the rank-pass input") {
     import graft.operators.Sampling
     import org.apache.spark.sql.functions.col
