@@ -559,6 +559,33 @@ class SamplingSpec extends SparkSpec {
     assert(other != rows.map(_._1).toSet)
   }
 
+  test("topKPerGroup numericIdOrder == the row_number window on a tie-heavy random frame") {
+    import graft.operators.Sampling
+    // fixed-seed random frame engineered for ties: 6 groups, only 4
+    // distinct scores (so id tiebreaks decide most ranks), ids spread
+    // across the full signed range including negatives
+    val rnd = new scala.util.Random(4242)
+    val rows = (1 to 600).map { _ =>
+      ("g" + rnd.nextInt(6), rnd.nextLong(),
+        (rnd.nextInt(4) * 10).toDouble)
+    }.distinct
+    val df = rows.toDF("g", "id", "score")
+    for (desc <- Seq(true, false)) {
+      val got = Sampling.topKPerGroup(df, Seq("g"), "score", "id", 7,
+          descending = desc, numericIdOrder = true)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+        .orderBy(if (desc) $"score".desc else $"score".asc, $"id")
+      val want = df.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 7)
+        .select($"g", $"rank", $"id", $"score")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == want, s"desc=$desc diverged")
+    }
+  }
+
   test("leakageSafeSplit: every near-dup cluster member shares one split") {
     import graft.operators.Sampling
     val docs = (1L to 40L).map(i => (i, s"text $i")).toDF("doc_id", "txt")
