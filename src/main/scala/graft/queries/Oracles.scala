@@ -1481,6 +1481,58 @@ object Oracles {
         |WHERE n_chars::DOUBLE >= p50
         |GROUP BY 1, 2""".stripMargin,
 
+    // corpus health report: volumes + the qsketch p50 replay + the
+    // exact-fingerprint dup rate, joined per lang
+    "corpus_report" ->
+      """WITH v AS (
+        |  SELECT lang, n_chars AS v FROM documents),
+        |b0 AS (
+        |  SELECT lang, v, abs(v) AS a,
+        |    CASE WHEN abs(v) < 128 THEN 0
+        |         ELSE length(bin(abs(v))) - 1 - 7 END AS sh
+        |  FROM v WHERE v IS NOT NULL),
+        |b1 AS (
+        |  SELECT lang, v, (1::BIGINT << sh) AS w,
+        |    ((a // (1::BIGINT << sh)) << sh) AS l
+        |  FROM b0),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN v >= 0 THEN l ELSE -(l + w - 1) END AS blo,
+        |    w AS bw, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b1 GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT lang, blo, bw, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY blo, bw
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cume,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM g),
+        |q50 AS (
+        |  SELECT lang,
+        |    round(blo + (bw - 1)::DOUBLE * (tgt - (cume - cnt) - 1)::DOUBLE
+        |      / greatest(cnt - 1, 1)::DOUBLE, 4) AS p50_chars
+        |  FROM (SELECT c.*,
+        |          greatest(1::BIGINT, CAST(ceil(0.5 * n) AS BIGINT)) AS tgt
+        |        FROM c) x
+        |  WHERE cume - cnt < tgt AND tgt <= cume),
+        |base AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CAST(ceil(n_chars::DOUBLE / 4.0) AS BIGINT)) AS BIGINT)
+        |      AS est_tokens
+        |  FROM documents GROUP BY 1),
+        |fg AS (
+        |  SELECT lang, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    AS fp, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT lang, CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS dup_docs
+        |  FROM fg GROUP BY 1)
+        |SELECT b.lang, n_docs, est_tokens, q50.p50_chars, dup_docs,
+        |  round(dup_docs::DOUBLE / n_docs, 4) AS dup_rate
+        |FROM base b JOIN q50 ON b.lang = q50.lang
+        |JOIN dups ON b.lang = dups.lang""".stripMargin,
+
     // the CM filter is exact by construction (no false negatives +
     // exact recount), so the oracle is the PLAIN groupBy/HAVING with no
     // sketch internals — any CM bug that loses a heavy hitter fails here

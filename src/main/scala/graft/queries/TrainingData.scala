@@ -798,6 +798,30 @@ object TrainingData {
       .drop("page")
   }
 
+  /** Per-language corpus health report — the dashboard a curation run
+    * publishes: doc/token volumes, the sketched median length
+    * ([[graft.operators.Sketches.qsketchQuantilesOf]]) and the exact-dup
+    * rate (share of docs whose fingerprint has company). Three
+    * independent single-aggregate corpus passes joined on the tiny lang
+    * key; hash-gated including the interpolated p50 and the 4-dp rate. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.estBpeTokens(col("n_chars"))).as("est_tokens"))
+    val p50 = graft.operators.Sketches.qsketchQuantilesOf(
+        docs, Seq("lang"), "n_chars", Seq(0.5))
+      .select(col("lang"), col("est").as("p50_chars"))
+    val dups = docs
+      .select(col("lang"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("lang"), col("fp")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("__n") > 1, col("__n")).otherwise(0L)).as("dup_docs"))
+    base.join(p50, Seq("lang")).join(dups, Seq("lang"))
+      .withColumn("dup_rate",
+        round(col("dup_docs").cast("double") / col("n_docs"), 4))
+  }
+
   /** Corpus-level boilerplate line removal
     * ([[TextAnalysis.removeBoilerplateLines]]) over the same synthetic
     * page layout discipline as [[textC4Flags]]: every doc gets a cookie
