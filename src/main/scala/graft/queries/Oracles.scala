@@ -1481,6 +1481,41 @@ object Oracles {
         |WHERE n_chars::DOUBLE >= p50
         |GROUP BY 1, 2""".stripMargin,
 
+    // unicode normalization replay: same injection, same ordered
+    // replace chain (RE2 \x{...} classes; chr() for single-char maps)
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    concat(
+        |      CASE WHEN doc_id % 2 = 0 THEN chr(8220) || 'quoted' ||
+        |        chr(8221) || chr(8230) || ' ' ELSE '' END,
+        |      text,
+        |      CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(8212) || ' dash' ||
+        |        chr(8203) || 'split' ELSE '' END,
+        |      CASE WHEN doc_id % 5 = 0 THEN chr(160) || chr(160) ||
+        |        'tail' || chr(9) || chr(9) || 'x' ELSE '' END) AS dirty
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, dirty,
+        |    trim(regexp_replace(
+        |      replace(
+        |        replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(dirty,
+        |                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |                  '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |                '[\x{2018}\x{2019}]', '''', 'g'),
+        |              '[\x{201C}\x{201D}]', '"', 'g'),
+        |            '[\x{2013}\x{2014}\x{2212}]', '-', 'g'),
+        |          chr(8230), '...'),
+        |        chr(160), ' '),
+        |      '[ \t]+', ' ', 'g')) AS norm_text
+        |  FROM d)
+        |SELECT doc_id, norm_text, (norm_text <> dirty) AS changed FROM n""".stripMargin,
+
     // corpus health report: volumes + the qsketch p50 replay + the
     // exact-fingerprint dup rate, joined per lang
     "corpus_report" ->

@@ -798,6 +798,28 @@ object TrainingData {
       .drop("page")
   }
 
+  /** Unicode normalization ([[TextAnalysis.normalizeText]]) over a
+    * deterministically dirtied corpus (zero-width chars, curly quotes,
+    * em dashes, NBSP runs injected by doc id — the [[textC4Flags]]
+    * synthesis discipline). Hash-gated on the normalized string and the
+    * changed flag. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    // escape sequences, not literal unicode — the source stays clean text
+    val dirty = concat(
+      when(id % 2 === 0,
+        lit("\u201Cquoted\u201D\u2026 ")).otherwise(lit("")),
+      col("text"),
+      when(id % 3 === 0,
+        lit(" \u2014 dash\u200Bsplit")).otherwise(lit("")),
+      when(id % 5 === 0,
+        lit("\u00A0\u00A0tail\t\tx")).otherwise(lit("")))
+    t(s, dir, "documents").select(id, dirty.as("dirty"))
+      .select(id, TextAnalysis.normalizeText(col("dirty")).as("norm_text"),
+        (TextAnalysis.normalizeText(col("dirty")) =!= col("dirty"))
+          .as("changed"))
+  }
+
   /** Per-language corpus health report — the dashboard a curation run
     * publishes: doc/token volumes, the sketched median length
     * ([[graft.operators.Sketches.qsketchQuantilesOf]]) and the exact-dup
