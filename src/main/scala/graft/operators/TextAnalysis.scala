@@ -260,6 +260,46 @@ object TextAnalysis {
           .as("dropped_lines"))
   }
 
+  /** Hashed-bag-of-words linear classifier INFERENCE — the fastText-
+    * shaped scoring pass every production quality/toxicity filter runs
+    * at corpus scale: each token hashes into a D-bucket weight table
+    * (hashing trick; md5 32-bit prefix mod D) and the document's logit
+    * is bias + the sum of its tokens' bucket weights, accumulated in
+    * token order and rounded to 6 dp. The weight table arrives as a
+    * driver array and enters the plan as ONE literal — no join, no
+    * shuffle, no UDF: the whole scorer is a codegen'd higher-order fold
+    * per row, composing with any corpus scan for free. Emits the raw
+    * LOGIT (monotone in the probability; applying a sigmoid would pin
+    * the gate to libm exp ulps — thresholds belong on the logit). */
+  def hashedLinearScore(df: DataFrame, textCol: String,
+                        weights: Array[Double], bias: Double,
+                        outCol: String = "logit"): DataFrame = {
+    require(weights.nonEmpty && weights.length <= 65536,
+      s"weight table must have 1..65536 buckets, got ${weights.length}")
+    val d = weights.length
+    val wArr = array(weights.map(lit): _*)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn(outCol, round(aggregate(col("__toks"), lit(bias),
+        (acc, t) => acc + element_at(wArr,
+          (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % d + 1)
+            .cast("int"))), 6))
+      .drop("__toks")
+  }
+
+  /** The deterministic demo weight table the gate uses (and any two
+    * engines can re-derive): w(i) = round(md5("w|i")[0..8 hex] / 2^32
+    * - 0.5, 6) — uniform in [-0.5, 0.5). Real deployments pass trained
+    * weights; the SHAPE (literal table, hashed fold) is the product. */
+  def md5Weights(d: Int, salt: String = "w"): Array[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(d) { i =>
+      val hex = digest.digest(s"$salt|$i".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      math.rint((java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+        - 0.5) * 1e6) / 1e6
+    }
+  }
+
   /** Unicode text normalization — the standard pre-dedup cleanup pass
     * (stray control bytes, zero-width characters and typographic
     * punctuation variants defeat exact fingerprints and inflate shingle

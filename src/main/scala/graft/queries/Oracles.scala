@@ -1481,6 +1481,31 @@ object Oracles {
         |WHERE n_chars::DOUBLE >= p50
         |GROUP BY 1, 2""".stripMargin,
 
+    // hashed linear classifier: re-derive the 256-bucket md5 weight
+    // table, map tokens via the hashing trick, fold LEFT from the bias
+    // (list_reduce after list_prepend — the engine's sequential
+    // accumulation order)
+    "text_classifier_score" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT i,
+        |    round(CAST(('0x' || substring(md5('w|' || CAST(i AS VARCHAR)), 1, 8))
+        |      AS BIGINT)::DOUBLE / 4294967296 - 0.5, 6) AS wv
+        |  FROM range(0, 256) r(i)),
+        |warr AS (SELECT list(wv ORDER BY i) AS arr FROM w),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(list_reduce(list_prepend(0.25::DOUBLE,
+        |      list_transform(t, tok -> arr[
+        |        CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 256
+        |          AS INT) + 1])),
+        |      (a, b) -> a + b), 6) AS logit
+        |  FROM q, warr)
+        |SELECT doc_id, logit, (logit >= 0.0) AS keep FROM sc""".stripMargin,
+
     // unicode normalization replay: same injection, same ordered
     // replace chain (RE2 \x{...} classes; chr() for single-char maps)
     "text_normalize" ->

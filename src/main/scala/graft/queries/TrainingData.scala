@@ -820,6 +820,18 @@ object TrainingData {
           .as("changed"))
   }
 
+  /** Hashed linear classifier inference
+    * ([[TextAnalysis.hashedLinearScore]]): 256-bucket md5-derived demo
+    * weights, bias 0.25, logit per doc plus the >= 0 keep decision.
+    * Hash-gated — DuckDB re-derives the weight table and replays the
+    * hashed token fold bit-for-bit. */
+  def textClassifierScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedLinearScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", TextAnalysis.md5Weights(256), bias = 0.25)
+      .select(col("doc_id"), col("logit"),
+        (col("logit") >= 0.0).as("keep"))
+
   /** Per-language corpus health report — the dashboard a curation run
     * publishes: doc/token volumes, the sketched median length
     * ([[graft.operators.Sketches.qsketchQuantilesOf]]) and the exact-dup
