@@ -1643,6 +1643,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq(3L, 2L, 1L)) // colinear first, diagonal, orthogonal
   }
 
+  test("clusterBalancedSample: <= perList per cluster, partition-invariant, seed-sensitive") {
+    val data = vecs // the 4-vector fixture; 2 clusters from 2 seed centroids
+    val cents = Similarity.seedCentroids(data, "vec_id", "embedding", 2)
+    val s1 = Similarity.clusterBalancedSample(data, "vec_id", "embedding",
+        cents, perList = 1, seed = "a")
+      .collect().map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("pick"),
+        r.getAs[Long]("vec_id"))).toSet
+    // exactly one pick per non-empty cluster, pick is always 1
+    assert(s1.forall(_._2 == 1L) && s1.map(_._1).size == s1.size)
+    // stable under repartitioning
+    val s1b = Similarity.clusterBalancedSample(data.repartition(5), "vec_id",
+        "embedding", cents, perList = 1, seed = "a")
+      .collect().map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("pick"),
+        r.getAs[Long]("vec_id"))).toSet
+    assert(s1 == s1b)
+    // perList >= cluster size keeps everything, ranked by race
+    val all = Similarity.clusterBalancedSample(data, "vec_id", "embedding",
+        cents, perList = 10, seed = "a")
+    assert(all.count() == data.count())
+  }
+
   test("sqRerankTopK with a full-collection shortlist equals brute force bit-for-bit") {
     val queries = vecs.filter($"vec_id" === 0)
     // shortlist covering everything => the exact re-rank IS brute force
