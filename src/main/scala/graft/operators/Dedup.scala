@@ -159,6 +159,28 @@ object Dedup {
           x => x.getField("seg")), " ").as("clean_text"))
   }
 
+  /** Apply near-dup cluster verdicts to the corpus: one keep/drop row
+    * per document — keep iff the doc is in no cluster (never paired) or
+    * IS its cluster's min-id representative; dropped docs carry the
+    * survivor they duplicate (`kept_id`). This is the materialized
+    * decision table the curation pipeline's downstream consumers join
+    * against (and audit), separated from pair generation so one pair
+    * run can be applied, reviewed or reverted independently.
+    *
+    * 100 TB shape: the label table is pair-list-sized (tiny by the LSH
+    * contract) and broadcasts into one corpus-side left join — the
+    * corpus itself never shuffles. */
+  def applyClusters(docs: DataFrame, clusterLabels: DataFrame,
+                    idCol: String): DataFrame =
+    docs.select(col(idCol))
+      .join(broadcast(clusterLabels
+        .select(col("doc_id").as(idCol), col("cluster_id"))), Seq(idCol), "left")
+      .select(col(idCol),
+        (col("cluster_id").isNull || col("cluster_id") === col(idCol))
+          .as("keep"),
+        when(col("cluster_id").isNotNull && col("cluster_id") =!= col(idCol),
+          col("cluster_id")).as("kept_id"))
+
   /** Content-defined segment dedup — [[segmentDedup]] with CDC (rolling
     * Rabin-style) boundaries instead of a fixed stride: a segment ends
     * AFTER any token whose md5-derived 32-bit value is divisible by

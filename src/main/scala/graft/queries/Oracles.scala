@@ -3402,7 +3402,20 @@ object Oracles {
     // leakage-safe split: component labels joined back to documents,
     // the 80/10/10 md5-band split keyed on coalesce(cluster, doc_id) —
     // cutoffs 0.8 -> 'cccd', 0.9 -> 'e666', same grid as sample_split
-    Map("sample_split_safe" ->
+    Map(
+    // keep/drop verdict application: component labels joined back to
+    // the corpus — keep = unpaired or the cluster min; dropped docs
+    // name their survivor
+    "dedup_apply" ->
+      (clusters.dropRight(tail.length) +
+        """, comp AS (
+          |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1)
+          |SELECT d.doc_id,
+          |  (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS keep,
+          |  CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+          |    THEN c.cluster_id END AS kept_id
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin),
+    "sample_split_safe" ->
       (clusters.dropRight(tail.length) +
         """, comp AS (
           |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1)

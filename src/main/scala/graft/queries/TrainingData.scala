@@ -98,6 +98,13 @@ object TrainingData {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.clusters(dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
 
+  /** Materialized keep/drop verdicts ([[Dedup.applyClusters]]) from the
+    * MinHash-LSH cluster labels: keep = unpaired or the cluster min,
+    * dropped docs name their survivor. */
+  def dedupApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.applyClusters(t(s, dir, "documents"),
+      dedupClusters(s, dir), "doc_id")
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashHex(tp(s, dir, "documents"), "doc_id", "text")
 
