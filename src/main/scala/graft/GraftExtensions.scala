@@ -132,6 +132,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SketchExpressions.QsketchWidth(children(0),
           intArg(children(1), "graft_qsketch_width"))))
 
+    // graft_normalize(text) -> string: TextAnalysis.normalizeText as a
+    // pure catalyst RegExpReplace/StringTrim chain — the pre-dedup
+    // unicode cleanup reachable from SQL (SQL==Column spec'd)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(graft.operators.TextAnalysis.getClass.getName,
+        "graft_normalize"),
+      (children: Seq[Expression]) => {
+        def rr(e: Expression, pat: String, rep: String): Expression =
+          RegExpReplace(e, Literal(pat), Literal(rep))
+        val noCtl = rr(children.head,
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+        val noZw = rr(noCtl, "[\\u200B\\u200C\\u200D\\uFEFF]", "")
+        val sq = rr(noZw, "[\\u2018\\u2019]", "'")
+        val dq = rr(sq, "[\\u201C\\u201D]", "\"")
+        val dash = rr(dq, "[\\u2013\\u2014\\u2212]", "-")
+        val ell = rr(dash, "\\u2026", "...")
+        val nbsp = rr(ell, "\\u00A0", " ")
+        StringTrim(rr(nbsp, "[ \\t]+", " "))
+      }))
+
     // graft_bloom_positions(value, mBits, k) -> array<int>: the k
     // double-hashed bit positions of the Bloom filter (Kirsch-
     // Mitzenmacher from ONE digest) — explode + join word-table +

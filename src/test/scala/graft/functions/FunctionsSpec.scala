@@ -301,6 +301,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql == viaColumn, s"SQL replay diverged:\nsql=$sql\ncol=$viaColumn")
   }
 
+  test("graft_normalize: SQL == Column on dirty unicode") {
+    val dirty = "\u201Cq\u201D\u2026 a\u200Bb \u2014 c\u00A0\u00A0d\te "
+    val df = Seq((1L, dirty)).toDF("id", "t")
+    df.createOrReplaceTempView("gx_norm")
+    val viaSql = spark.sql("SELECT graft_normalize(t) AS n FROM gx_norm")
+      .collect()(0).getString(0)
+    val viaCol = df.select(
+        graft.operators.TextAnalysis.normalizeText($"t").as("n"))
+      .collect()(0).getString(0)
+    assert(viaSql == viaCol, s"sql=$viaSql col=$viaCol")
+    assert(viaSql == "\"q\"... ab - c d e", viaSql)
+  }
+
   test("HLL and KMV distinct estimates replay in PURE SQL == Column") {
     // the estimate (fold/probe) layer of the cardinality sketches as a
     // documented SQL recipe. Float literals carry the D suffix — Spark
