@@ -231,18 +231,42 @@ object TextAnalysis {
     * total_lines comes from size(split(...)) on the doc row, not a third
     * explode. Deterministic and engine-replayable end-to-end. */
   def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
-                             minDocFreq: Long): DataFrame = {
+                             minDocFreq: Long): DataFrame =
+    applyBoilerplateDictionary(docs, idCol, textCol,
+      boilerplateDictionary(docs, idCol, textCol, minDocFreq))
+
+  /** The boilerplate DICTIONARY alone — (line_norm) rows for every
+    * normalized line in >= minDocFreq distinct docs. Built batch-side
+    * (daily, over the corpus) and persisted; the at-ingest path applies
+    * it per batch or per micro-batch without re-counting the corpus —
+    * the same build/consume split as the dedup ledger. */
+  def boilerplateDictionary(docs: DataFrame, idCol: String, textCol: String,
+                            minDocFreq: Long): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    docs
+      .select(col(idCol),
+        explode(split(col(textCol), "\n")).as("line"))
+      .select(col(idCol), lower(trim(col("line"))).as("line_norm"))
+      .filter(length(col("line_norm")) > 0)
+      .groupBy(col("line_norm"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocFreq)
+      .select(col("line_norm"))
+  }
+
+  /** Apply a (line_norm) boilerplate dictionary: drop every matching
+    * line, rejoin survivors in order — the consume half of
+    * [[removeBoilerplateLines]], usable against a PERSISTED dictionary
+    * and on streams (stateless given the dictionary; see the streaming
+    * twin spec). */
+  def applyBoilerplateDictionary(docs: DataFrame, idCol: String,
+                                 textCol: String, dict: DataFrame): DataFrame = {
     val lines = docs
       .select(col(idCol), posexplode(split(col(textCol), "\n"))
         .as(Seq("pos", "line")))
-      .withColumn("__norm", lower(trim(col("line"))))
-    val hot = lines.filter(length(col("__norm")) > 0)
-      .groupBy(col("__norm"))
-      .agg(countDistinct(col(idCol)).as("__docs"))
-      .filter(col("__docs") >= minDocFreq)
-      .select(col("__norm"))
-    val kept = lines.join(hot, Seq("__norm"), "left_anti")
+      .withColumn("line_norm", lower(trim(col("line"))))
+    val kept = lines
+      .join(dict.select(col("line_norm")), Seq("line_norm"), "left_anti")
       .groupBy(col(idCol))
       .agg(
         array_join(transform(

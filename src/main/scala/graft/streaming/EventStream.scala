@@ -472,6 +472,23 @@ object EventStream {
       }
       .start()
 
+  /** Boilerplate removal at ingest: apply a PERSISTED dictionary (built
+    * batch-side by [[graft.operators.TextAnalysis.boilerplateDictionary]],
+    * the same build/consume split as the dedup ledger) to each arriving
+    * micro-batch — stateless given the dictionary, so stream == batch
+    * doc-for-doc. */
+  def boilerplateStream(docs: DataFrame, dict: DataFrame,
+                        idCol: String, textCol: String)
+                       (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.TextAnalysis.applyBoilerplateDictionary(
+          b.toDF(), idCol, textCol, dict))
+      }
+      .start()
+
   /** Batch-mode smoke: run the windowed aggregation over the parquet
     * events table read as a one-shot stream (Trigger.AvailableNow). */
   def runBatchOverParquet(spark: SparkSession, sfDir: String, outDir: String): Unit = {

@@ -627,6 +627,44 @@ class DedupSpec extends SparkSpec {
       graft.operators.TextAnalysis.removeBoilerplateLines(d, "doc_id", "text", 1L)
     }
   }
+
+  test("boilerplate dictionary: persisted build + apply == one-shot removal") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "unique one\nAccept Cookies\nbody a"),
+      (2L, "accept cookies\nbody b\n\nunique two"),
+      (3L, "ACCEPT COOKIES \nbody a\nbody a"),
+      (4L, "body a")).toDF("doc_id", "text")
+    // the dictionary alone: normalized lines in >= 3 distinct docs
+    val dict = TextAnalysis.boilerplateDictionary(d, "doc_id", "text", 3L)
+    assert(dict.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("accept cookies", "body a"))
+    // production shape: persist the dictionary, re-read, apply to a batch
+    val dir = java.nio.file.Files.createTempDirectory("bp-dict").toString
+    dict.write.mode("overwrite").parquet(dir)
+    val applied = TextAnalysis.applyBoilerplateDictionary(
+        d, "doc_id", "text", spark.read.parquet(dir))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[Long]("kept_lines"),
+          r.getAs[Long]("dropped_lines")))).toMap
+    val oneShot = TextAnalysis
+      .removeBoilerplateLines(d, "doc_id", "text", minDocFreq = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[Long]("kept_lines"),
+          r.getAs[Long]("dropped_lines")))).toMap
+    assert(applied == oneShot, s"$applied vs $oneShot")
+    // the consume half against YESTERDAY's dictionary on a NEW batch:
+    // only dictionary lines drop — no re-counting of the new batch
+    // ('fresh line' appears twice in the new batch but is NOT in the dict)
+    val newBatch = Seq(
+      (10L, "fresh line\naccept cookies\nkept text"),
+      (11L, "fresh line\nbody a")).toDF("doc_id", "text")
+    val screened = TextAnalysis.applyBoilerplateDictionary(
+        newBatch, "doc_id", "text", spark.read.parquet(dir))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(screened(10L) == "fresh line\nkept text")
+    assert(screened(11L) == "fresh line")
+  }
 }
 
 class TermStatsSpec extends SparkSpec {

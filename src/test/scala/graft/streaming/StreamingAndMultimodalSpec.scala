@@ -570,6 +570,50 @@ class EventStreamSpec extends SparkSpec {
     assert(got2.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
   }
 
+  test("boilerplate removal at ingest: persisted dictionary, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // yesterday's corpus builds the dictionary; today's batch arrives as
+    // a stream and is screened against the PERSISTED dictionary — the
+    // same build/consume split as the dedup ledger
+    val corpus = Seq(
+      (1L, "real text one\nAccept Cookies\nnav | bar"),
+      (2L, "accept cookies\nreal text two\nnav | bar"),
+      (3L, "ACCEPT COOKIES\nnav | bar\nreal text three")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bp-stream").toString
+    TextAnalysis.boilerplateDictionary(corpus, "doc_id", "text", 3L)
+      .write.mode("overwrite").parquet(dir)
+    val dict = spark.read.parquet(dir)
+
+    val arriving = Seq(
+      (10L, "fresh doc\nAccept Cookies \nkept line"),
+      (11L, "nav | bar\nonly original content here"),
+      (12L, "nothing frequent at all"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getAs[Long]("kept_lines"),
+        r.getAs[Long]("dropped_lines"))
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.boilerplateStream(
+        mem.toDF().toDF("doc_id", "text"), dict, "doc_id", "text") { out =>
+      got.synchronized { got ++= out.collect().map(key) }
+    }
+    mem.addData(arriving.take(1): _*)
+    q.processAllAvailable()
+    mem.addData(arriving.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = TextAnalysis.applyBoilerplateDictionary(
+        arriving.toDF("doc_id", "text"), "doc_id", "text", dict)
+      .collect().map(key)
+    assert(got.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+    val texts = got.map(r => r._1 -> r._2).toMap
+    assert(texts(10L) == "fresh doc\nkept line")
+    assert(texts(11L) == "only original content here")
+    assert(texts(12L) == "nothing frequent at all")
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
