@@ -351,4 +351,114 @@ object TextHash {
 
   def minhash(text: Column, n: Int, numHashes: Int): Column =
     ColumnBridge.column(MinHashHex(ColumnBridge.expression(text), n, numHashes))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    * algorithm): hash every word k-gram (md5_number_lower, the same
+    * digest-half convention as [[minhashU64Dec]]), slide a window of `w`
+    * consecutive k-gram hashes, and in each window select the MINIMUM
+    * hash, rightmost occurrence on ties; a selection shared by
+    * overlapping windows is recorded once. The guarantee that makes this
+    * the content-defined fingerprint: any shared substring of at least
+    * k + w - 1 tokens produces at least one IDENTICAL selected
+    * fingerprint in both documents, at ~1/w the k-gram density.
+    *
+    * One linear pass per row (monotonic deque, O(1) amortized per
+    * k-gram): a pure function of the text, so fingerprinting is scan +
+    * project at 100 TB — no explode, no shuffle; only the tiny selected
+    * set leaves the row. Fewer k-grams than `w` -> one window over all
+    * of them; fewer than k tokens -> null (mirrors the shingle ops).
+    *
+    * Returns array<struct<pos: long, fp: string>>: 1-based k-gram
+    * position and the uint64 hash as an unsigned-decimal string
+    * (identical bytes to DuckDB's `md5_number_lower(...)::VARCHAR`). */
+  def winnowSelect(text: UTF8String, k: Int, w: Int): ArrayData = {
+    if (text == null) return null
+    val s = text.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || isAsciiSpace(s.charAt(i))) {
+        if (i > start) toks += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (toks.length < k) return null
+    val md = md5Local.get()
+    val nGrams = toks.length - k + 1
+    val hs = new Array[Long](nGrams)
+    var j0 = 0
+    while (j0 < nGrams) {
+      val sb = new java.lang.StringBuilder(toks(j0))
+      var m = 1
+      while (m < k) { sb.append(' ').append(toks(j0 + m)); m += 1 }
+      md.reset()
+      hs(j0) = le64(md.digest(sb.toString.getBytes("UTF-8")), 8)
+      j0 += 1
+    }
+    // monotonic deque of indices; back pops on >= so the rightmost of
+    // equal minima survives at the front when its window arrives
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    val selPos = new scala.collection.mutable.ArrayBuffer[Int]()
+    var lastSel = -1
+    val effW = math.min(w, nGrams)
+    var idx = 0
+    while (idx < nGrams) {
+      while (tail > head &&
+          java.lang.Long.compareUnsigned(hs(deque(tail - 1)), hs(idx)) >= 0)
+        tail -= 1
+      deque(tail) = idx; tail += 1
+      if (deque(head) <= idx - effW) head += 1
+      if (idx >= effW - 1 && deque(head) != lastSel) {
+        lastSel = deque(head)
+        selPos += lastSel
+      }
+      idx += 1
+    }
+    val out = new Array[Any](selPos.length)
+    var p = 0
+    while (p < selPos.length) {
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any]((selPos(p) + 1).toLong,
+          UTF8String.fromString(java.lang.Long.toUnsignedString(hs(selPos(p))))))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** winnow(text, k, w): StringType -> array<struct<pos,fp>>, codegen'd. */
+  case class Winnow(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("fp", StringType,
+          nullable = false))), containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(t: Any): Any =
+      winnowSelect(t.asInstanceOf[UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.functions.TextHash.winnowSelect($c, $k, $w);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1, s"k-gram size must be >= 1, got $k")
+    require(w >= 1, s"window size must be >= 1, got $w")
+    ColumnBridge.column(Winnow(ColumnBridge.expression(text), k, w))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -278,6 +278,96 @@ object VectorExpressions {
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
   }
+
+  /** Binary (1-bit) quantization: sign bits packed into 64-bit words —
+    * bit (i mod 64) of word (i / 64) is set iff v_i > 0 (strict: zeros
+    * and negatives clear, the sign-random-projection convention of
+    * Charikar 2002 applied to the raw dimensions, FAISS's
+    * IndexBinaryFlat representation). 32x smaller than float32; hamming
+    * distance between packed vectors approximates angular distance. */
+  def signPack(x: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = x.numElements()
+    val words = new Array[Any](((n + 63) >> 6).max(0))
+    var w = 0L
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      if (v > 0) w |= 1L << (i & 63)
+      if ((i & 63) == 63 || i == n - 1) { words(i >> 6) = w; w = 0L }
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** sign_pack(vec): array<float|double> -> array<long>, codegen'd. */
+  case class SignPack(child: Expression) extends UnaryExpression with Serializable {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    private def isFloat: Boolean = elemPrim(child.dataType) == "Float"
+
+    override def nullSafeEval(a: Any): Any =
+      signPack(a.asInstanceOf[ArrayData], isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x =>
+        s"""
+           |${ev.value} = graft.functions.VectorExpressions.signPack($x, $isFloat);
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Hamming distance between two packed sign-bit words arrays: sum of
+    * bit_count(xor) in ascending word order — the entire per-candidate
+    * cost of the binary ANN scan (one xor + popcount per 64 dims). */
+  def hammingWords(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  /** hamming(a, b): array<long> x array<long> -> long, codegen'd. */
+  case class HammingWords(left: Expression, right: Expression)
+      extends BinaryExpression with Serializable {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      hammingWords(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def signPackNative(a: Column): Column =
+    ColumnBridge.column(SignPack(ColumnBridge.expression(a)))
+
+  def hammingNative(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingWords(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
 
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a),

@@ -159,6 +159,43 @@ object Dedup {
           x => x.getField("seg")), " ").as("clean_text"))
   }
 
+  /** Candidate near-dup pairs via winnowing fingerprints
+    * ([[TextAnalysis.winnowFingerprints]] — Schleimer et al. 2003): two
+    * documents pair when they share at least `minShared` DISTINCT
+    * selected fingerprints. The winnowing guarantee bounds what the
+    * sparse index can miss (any shared run of >= k + w - 1 tokens
+    * leaves at least one common selected fingerprint), so this is the
+    * content-defined alternative to the banded-MinHash candidate
+    * generator: no signature tuning, and a match pins the SHARED RUN,
+    * not just whole-doc similarity.
+    *
+    * 100 TB shape: exactly the [[ngramJaccard]] pair plan on ~1/w the
+    * exploded volume — one groupBy on the fingerprint, hot-fingerprint
+    * cap (`maxDocFreq`) against degenerate buckets, pair generation
+    * streamed by position slice, one count aggregate. No self-join of
+    * the corpus. Returns (doc_a, doc_b, n_shared), doc_a < doc_b. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, w: Int, minShared: Long,
+                     maxDocFreq: Option[Long] = Some(10000L)): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = TextAnalysis.winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("doc_id"), col("fp")).distinct()
+    val byFp = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val capped = maxDocFreq match {
+      case Some(maxDf) => byFp.filter(size(col("ids")) <= maxDf)
+      case None => byFp
+    }
+    capped
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Apply near-dup cluster verdicts to the corpus: one keep/drop row
     * per document — keep iff the doc is in no cluster (never paired) or
     * IS its cluster's min-id representative; dropped docs carry the

@@ -407,6 +407,63 @@ object Similarity {
       "cosine", k)
   }
 
+  /** Binary (1-bit) quantization: each vector compresses to its packed
+    * sign bits (bit i set iff v_i > 0) — 32x smaller than float32, the
+    * most aggressive member of the compression ladder (SQ8 4x, PQ ~D/m x,
+    * binary 32x). Sign-of-dimension IS sign-random-projection LSH
+    * (Charikar 2002) with axis-aligned hyperplanes, so hamming distance
+    * between codes approximates angular distance — the FAISS
+    * IndexBinaryFlat shape. One narrow codegen'd projection pass; no
+    * join, no shuffle. Returns (id, words: array<long>). */
+  def bqPack(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol),
+      graft.functions.VectorExpressions.signPackNative(col(vecCol)).as("words"))
+
+  /** Binary top-k: both sides pack to sign bits, hamming distance ranks
+    * ASCENDING with neighbor-id tiebreak. The candidate scan costs one
+    * xor + popcount per 64 dims — the cheapest possible first pass; at
+    * 100 TB the collection's codes are 32x fewer scan bytes than the raw
+    * embeddings, and the whole pair stage is codegen'd end-to-end. */
+  def bqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(bqPack(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col("words").as("q_words")))
+    // the exchange materializes the packing once per row (codegen would
+    // defer it into the per-query pair loop) and spreads the O(Q*N) pair
+    // stage independent of file splits — the sqTopK discipline
+    val c = bqPack(vectors, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("words").as("n_words"))
+      .repartition(fanoutPartitions(vectors))
+    rankTopK(
+      q.join(c, col("q_id") =!= col("neighbor_id"))
+        .withColumn("hamming", graft.functions.VectorExpressions
+          .hammingNative(col("q_words"), col("n_words"))),
+      "hamming", k, ascending = true)
+  }
+
+  /** Two-tier binary search — hamming shortlist, exact-cosine re-rank:
+    * the binary twin of [[sqRerankTopK]]. The collection-sized work is
+    * the 1-bit hamming scan; only queries x shortlist rows pay the
+    * full-precision cosine (AQE broadcasts the tiny shortlist into the
+    * vector join), so survivors carry the same scores as brute force.
+    * Both ranks ride the k-capped aggregate — no windows. */
+  def bqRerankTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val short = bqTopK(vectors, queries, idCol, vecCol, shortlist)
+      .select(col("q_id"), col("neighbor_id"))
+    val v = vectors.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("n_vec"), l2Norm(col(vecCol)).as("n_norm"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm")))
+    rankTopK(
+      short.join(v, Seq("neighbor_id"))
+        .join(q, Seq("q_id"))
+        .withColumn("cosine",
+          round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6)),
+      "cosine", k)
+  }
+
   /** Product quantization (Jégou et al. 2011, "Product Quantization for
     * Nearest Neighbor Search"): the vector splits into `m` subvectors,
     * each encoded as the id of its nearest codeword in a per-subspace

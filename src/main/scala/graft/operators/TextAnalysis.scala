@@ -400,6 +400,25 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS algorithm; see [[graft.functions.TextHash.winnowSelect]]):
+    * one row per selected (position, fingerprint) — the content-defined
+    * sparse fingerprint set with the coverage guarantee that any shared
+    * run of >= k + w - 1 tokens yields at least one identical selected
+    * fingerprint in both documents. ~1/w the density of the full k-gram
+    * set, so the downstream index/groupBy sees a fraction of the shingle
+    * volume. Fingerprinting itself is scan + codegen'd projection +
+    * explode — a pure per-row function, no shuffle; docs with fewer than
+    * k tokens yield no rows (the shingle-op convention). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.TextHash.winnow(col(textCol), k, w).as("__sel"))
+      .select(col(idCol), explode_outer(col("__sel")).as("sel"))
+      .filter(col("sel").isNotNull)
+      .select(col(idCol), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+
   /** Fixed-size overlapping chunks for long-document preprocessing: chunk
     * i covers characters [i*stride, i*stride + chunkChars) with
     * stride = chunkChars - overlapChars; a doc shorter than one chunk

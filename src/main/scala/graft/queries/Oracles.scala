@@ -2453,6 +2453,97 @@ object Oracles {
         |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
         |FROM rk WHERE rn <= 10""".stripMargin),
 
+    // binary-quantization replay: hamming between packed sign bits ==
+    // the count of positions whose sign bits differ (the packing is
+    // representation, cross-checked bit-for-bit in SimilaritySpec);
+    // shortlist of 50 by hamming ASC with neighbor-id ties, then the
+    // exact-cosine re-rank to top-10
+    "ann_binary" -> (
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20),
+        |short AS (
+        |  SELECT q_id, neighbor_id FROM (
+        |    SELECT q_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY hamming ASC, neighbor_id) AS rn
+        |    FROM pairs) t WHERE rn <= 50),
+        |rr AS (
+        |  SELECT s.q_id, s.neighbor_id,
+        |    round(""".stripMargin + EmbCosine.replace("a.embedding", "qa.embedding")
+        .replace("b.embedding", "nb.embedding") +
+      """, 6) AS cosine
+        |  FROM short s
+        |  JOIN embeddings qa ON qa.vec_id = s.q_id
+        |  JOIN embeddings nb ON nb.vec_id = s.neighbor_id),
+        |rk AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM rr)
+        |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin),
+
+    // winnowing replay (Schleimer et al. 2003): ASCII-whitespace tokens,
+    // md5_number_lower 5-gram hashes (the same digest-half convention as
+    // the MinHash oracle), window w=4 minimum with the RIGHTMOST tie
+    // (max position where the window min recurs), overlapping-window
+    // re-selections collapsed by DISTINCT; fp renders as the UBIGINT's
+    // decimal string == Long.toUnsignedString
+    "text_winnowing" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 5 + 2),
+        |      i -> md5_number_lower(array_to_string(toks[i: i + 5 - 1], ' '))) AS hs
+        |  FROM tok WHERE len(toks) >= 5),
+        |wins AS (
+        |  SELECT doc_id, hs,
+        |    unnest(range(0, greatest(len(hs) - 4 + 1, 1))) AS j
+        |  FROM kg),
+        |pick AS (
+        |  SELECT doc_id, hs, j, list_min(hs[j+1: j+4]) AS mh FROM wins)
+        |SELECT DISTINCT doc_id,
+        |  CAST(list_max(list_transform(range(1, least(4, len(hs) - j) + 1),
+        |    i -> CASE WHEN hs[j+i] = mh THEN j+i ELSE NULL END)) AS BIGINT) AS pos,
+        |  CAST(mh AS VARCHAR) AS fp
+        |FROM pick""".stripMargin,
+
+    // shared-winnowing-fingerprint candidate pairs: distinct selected
+    // fps per doc, docs sharing >= 2, hot-fp cap 10000 replayed
+    "dedup_winnowing" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 5 + 2),
+        |      i -> md5_number_lower(array_to_string(toks[i: i + 5 - 1], ' '))) AS hs
+        |  FROM tok WHERE len(toks) >= 5),
+        |wins AS (
+        |  SELECT doc_id, hs,
+        |    unnest(range(0, greatest(len(hs) - 4 + 1, 1))) AS j
+        |  FROM kg),
+        |pick AS (
+        |  SELECT doc_id, hs, j, list_min(hs[j+1: j+4]) AS mh FROM wins),
+        |fps AS (SELECT DISTINCT doc_id, mh AS fp FROM pick),
+        |capped AS (
+        |  SELECT fp FROM fps GROUP BY fp
+        |  HAVING count(*) > 1 AND count(*) <= 10000)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |JOIN capped c ON c.fp = a.fp
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
     // SQ8 replay: per-vector 6-dp scale, clamped half-away-from-zero int8
     // codes, asymmetric dot by sequential-order list_sum (the native
     // dot's ascending-index accumulation), rank ties on neighbor id

@@ -192,6 +192,35 @@ object TrainingData {
       "vec_id", "embedding", k = 10, shortlist = 50)
   }
 
+  /** Two-tier binary search ([[Similarity.bqRerankTopK]]): packed
+    * sign-bit hamming shortlist of 50 (32x compression), exact-cosine
+    * re-rank to top-10. Hash-gated — DuckDB replays the hamming distance
+    * positionally (sign-mismatch count == popcount(xor) of the packed
+    * words, the representation the spec cross-checks) and the re-rank. */
+  def annBinary(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bqRerankTopK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10, shortlist = 50)
+  }
+
+  /** Winnowing fingerprints (k=5-gram hashes, window w=4) over the
+    * corpus: the selected (pos, fp) set per document — MOSS-style
+    * content-defined fingerprinting with the >= k+w-1 shared-run
+    * guarantee. Hash-gated: DuckDB replays tokenization,
+    * md5_number_lower k-gram hashes and the rightmost-min window
+    * selection row-for-row. */
+  def textWinnowing(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(tp(s, dir, "documents"),
+      "doc_id", "text", k = 5, w = 4)
+
+  /** Candidate near-dup pairs from shared winnowing fingerprints
+    * ([[Dedup.winnowingPairs]]): docs sharing >= 2 distinct selected
+    * fingerprints, the content-defined candidate generator beside the
+    * banded-MinHash one. */
+  def dedupWinnowing(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingPairs(tp(s, dir, "documents"), "doc_id", "text",
+      k = 5, w = 4, minShared = 2L)
+
   def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),

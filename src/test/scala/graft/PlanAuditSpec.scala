@@ -324,6 +324,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rPlan.contains("CartesianProduct"))
   }
 
+  test("winnowing: fingerprinting is scan+project+explode (no exchange); pairs stay banded") {
+    // the fingerprint set is a pure per-row function — selecting it must
+    // not shuffle, window, or join anything
+    val fp = SparkEntry.queries("text_winnowing")(spark,
+      "/root/testdata/sf0.001")
+    val fPlan = fp.queryExecution.executedPlan.toString
+    // the only exchange allowed is the deliberate round-robin read
+    // fan-out (the one-row-group-file fix) — never a hash/range shuffle
+    assert(!fPlan.replaceAll("Exchange RoundRobinPartitioning[^\n]*", "")
+        .contains("Exchange"),
+      s"winnowing fingerprints gained a semantic shuffle:\n${fPlan.take(1500)}")
+    assert(!fPlan.contains("Window [") && !fPlan.contains("Join"))
+    assert(fPlan.contains("winnow"), "native winnow expression missing")
+
+    // the pair generator is the ngramJaccard plan on the sparse set:
+    // fingerprint groupBy + streamed pair explode + one count aggregate —
+    // no corpus self-join, no cartesian, no window
+    val pairs = SparkEntry.queries("dedup_winnowing")(spark,
+      "/root/testdata/sf0.001")
+    pairs.collect()
+    val pPlan = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!pPlan.contains("CartesianProduct") && !pPlan.contains("Window ["))
+    assert(!pPlan.contains("SortMergeJoin") && !pPlan.contains("BroadcastHashJoin"),
+      s"pair generation must come from the fp buckets, not a join:\n${pPlan.take(1500)}")
+  }
+
   test("sample_weighted: sketch threshold bounds the rank-pass input") {
     import graft.operators.Sampling
     import org.apache.spark.sql.functions.col

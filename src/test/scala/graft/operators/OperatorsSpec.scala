@@ -628,6 +628,82 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: deque selection == naive rightmost-min windows on random docs") {
+    // independent naive reference: per-window scan instead of the deque
+    def le64(d: Array[Byte]): Long = {
+      var v = 0L; var i = 15
+      while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+      v
+    }
+    def naive(text: String, k: Int, w: Int): Seq[(Long, String)] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) return Seq.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (0 to toks.length - k).map(i =>
+        le64(md.digest(toks.slice(i, i + k).mkString(" ").getBytes("UTF-8"))))
+      val effW = math.min(w, hs.length)
+      val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
+      for (j <- 0 to hs.length - effW) {
+        var best = j
+        for (i <- j until j + effW)
+          if (java.lang.Long.compareUnsigned(hs(i), hs(best)) <= 0) best = i
+        sel += best
+      }
+      sel.toSeq.sorted.map(p =>
+        ((p + 1).toLong, java.lang.Long.toUnsignedString(hs(p))))
+    }
+    val rnd = new scala.util.Random(20260815L)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (1L to 40L).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val out = graft.operators.TextAnalysis
+      .winnowFingerprints(docs.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+    docs.foreach { case (id, text) =>
+      val want = naive(text, 3, 4)
+      val got = out.getOrElse(id, Seq.empty)
+      assert(got == want, s"doc $id: got $got want $want (text='$text')")
+    }
+    // the winnowing guarantee: a shared run of >= k + w - 1 tokens yields
+    // at least one shared fingerprint
+    val run = "one two three four five six seven eight"
+    val d2 = Seq((1L, s"prefix junk $run"), (2L, s"$run trailing other words"))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis
+      .winnowFingerprints(d2, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+    val shared = fps.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(fps.filter(_._1 == 2L).map(_._2).toSet)
+    assert(shared.nonEmpty, "shared 8-token run produced no common fingerprint")
+  }
+
+  test("winnowingPairs: shared-run docs pair, unrelated do not, threshold filters") {
+    val run = "the quick brown fox jumps over the lazy dog again today"
+    val d = Seq(
+      (1L, s"$run plus unique tail one"),
+      (2L, s"different head text then $run"),
+      (3L, "completely unrelated content about spark physical plans"),
+      (4L, "ab")).toDF("doc_id", "text") // < k tokens -> no fingerprints
+    val pairs = graft.operators.Dedup
+      .winnowingPairs(d, "doc_id", "text", k = 3, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
+    assert(pairs((1L, 2L)) >= 1L)
+    // a high threshold filters the pair out
+    val strict = graft.operators.Dedup
+      .winnowingPairs(d, "doc_id", "text", k = 3, w = 4,
+        minShared = pairs((1L, 2L)) + 1)
+      .collect()
+    assert(strict.isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.winnowingPairs(d, "doc_id", "text", 3, 4, 0L)
+    }
+  }
+
   test("boilerplate dictionary: persisted build + apply == one-shot removal") {
     import graft.operators.TextAnalysis
     val d = Seq(
@@ -1730,6 +1806,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bqTopK ranks by hamming asc with id ties; full-shortlist re-rank == brute force") {
+    val queries = vecs.filter($"vec_id" === 0)
+    // signs: v0=(+,0) v1=(0,+) v2=(+,+) v3=(+,0) -> hamming to v0:
+    // v1 = 2 (both dims differ), v2 = 1, v3 = 0
+    val bq = Similarity.bqTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(bq(3L) == ((0L, 1L)) && bq(2L) == ((1L, 2L)) && bq(1L) == ((2L, 3L)), bq.toString)
+    val rr = Similarity.bqRerankTopK(vecs, queries, "vec_id", "embedding",
+        k = 3, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val bf = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding",
+        k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(rr == bf, s"binary re-rank diverged from brute force:\n$rr\n$bf")
+    // a pruning shortlist keeps exact-cosine scores for its survivors
+    val pruned = Similarity.bqRerankTopK(vecs, queries, "vec_id",
+        "embedding", k = 1, shortlist = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(pruned.length == 1 && pruned(0)._1 == 3L) // hamming-0 neighbor
+    assert(bf.exists(t => t._2 == 3L && t._3 == pruned(0)._2))
+    intercept[IllegalArgumentException] {
+      Similarity.bqRerankTopK(vecs, queries, "vec_id", "embedding",
+        k = 5, shortlist = 3)
+    }
+  }
+
   test("ivfAssign puts every vector in exactly one list, nearest centroid wins") {
     // centroids = 2 lowest ids: c0=(1,0), c1=(0,1)
     val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", numLists = 2)
@@ -2121,5 +2225,61 @@ class VectorExpressionsSpec extends SparkSpec {
     val plan = Similarity.pqEncodeWith(fromFile, "vec_id", "embedding", cb)
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [vec_id") && plan.contains("pqencode"))
+  }
+
+  test("signPack: exact bit layout across word boundaries; zero/negative clear") {
+    import graft.functions.VectorExpressions
+    // 70 dims exercises the two-word path; strict > 0 (zeros stay clear)
+    val v = Array.tabulate(70)(i =>
+      if (i % 3 == 0) 1.5f else if (i % 3 == 1) -0.5f else 0.0f)
+    val words = Seq((1L, v)).toDF("vec_id", "embedding")
+      .select(VectorExpressions.signPackNative($"embedding"))
+      .collect()(0).getSeq[Long](0)
+    var w0 = 0L; var w1 = 0L
+    for (i <- 0 until 70; if v(i) > 0)
+      if (i < 64) w0 |= 1L << i else w1 |= 1L << (i - 64)
+    assert(words == Seq(w0, w1), s"got $words, want ${Seq(w0, w1)}")
+    // empty vector -> empty words; exact 64 dims -> one word
+    val edge = Seq((1L, Array.empty[Float]), (2L, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", VectorExpressions.signPackNative($"embedding").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(edge(1L).isEmpty && edge(2L) == Seq(-1L))
+  }
+
+  test("native hamming == positional sign-mismatch count on random vectors") {
+    import graft.functions.VectorExpressions
+    val a = randomVecs(50, 70)
+    // a distinct second side from the same fixture: reversed components
+    val joined = a
+      .select($"embedding", reverse($"embedding").as("emb_b"))
+      .select($"embedding", $"emb_b",
+        VectorExpressions.hammingNative(
+          VectorExpressions.signPackNative($"embedding"),
+          VectorExpressions.signPackNative($"emb_b")).as("ham"))
+      .collect()
+    joined.foreach { r =>
+      val x = r.getSeq[Float](0); val y = r.getSeq[Float](1)
+      val expect = x.zip(y).count { case (xi, yi) => (xi > 0) != (yi > 0) }
+      assert(r.getLong(2) == expect.toLong)
+    }
+    // identical vectors: hamming 0
+    val self = a.select(VectorExpressions.hammingNative(
+      VectorExpressions.signPackNative($"embedding"),
+      VectorExpressions.signPackNative($"embedding"))).collect()
+    assert(self.forall(_.getLong(0) == 0L))
+  }
+
+  test("signPack and hamming stay inside WholeStageCodegen") {
+    import graft.functions.VectorExpressions
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq").toString
+    randomVecs(20, 64).write.mode("overwrite").parquet(dir)
+    val fromFile = spark.read.parquet(dir)
+    val plan = fromFile.select(VectorExpressions.hammingNative(
+        VectorExpressions.signPackNative(col("embedding")),
+        VectorExpressions.signPackNative(col("embedding"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [hammingwords") &&
+      plan.contains("signpack"), plan)
   }
 }
