@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VectorExpressions.{DotProduct, L2Norm}
+import graft.functions.VectorExpressions.{DotProduct, HammingWords, L2Norm, SignPack}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use, so `spark.sql("SELECT graft_dot(a, b) ...")`
@@ -54,6 +54,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => TextHash.MinHashU64(children(0),
         intArg(children(1), "graft_minhash_u64"),
         intArg(children(2), "graft_minhash_u64"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[TextHash.Winnow].getName, "graft_winnow"),
+      (children: Seq[Expression]) => TextHash.Winnow(children(0),
+        intArg(children(1), "graft_winnow"),
+        intArg(children(2), "graft_winnow"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sign_pack"),
+      new ExpressionInfo(classOf[SignPack].getName, "graft_sign_pack"),
+      (children: Seq[Expression]) => SignPack(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingWords].getName, "graft_hamming"),
+      (children: Seq[Expression]) => HammingWords(children(0), children(1))))
 
     // The scale-native scalar probes, composed from codegen'd Catalyst
     // built-ins (no new Expression classes; the Column API cannot be

@@ -170,6 +170,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](r.fieldIndex("mh")) == viaColumn.getSeq[String](2))
   }
 
+  test("graft_winnow / graft_sign_pack / graft_hamming: SQL == Column") {
+    Seq((1L, "the quick brown fox jumps over the lazy dog",
+        Array(1.0f, -2.0f, 0.0f, 3.0f), Array(-1.0f, 2.0f, 1.0f, 3.0f)))
+      .toDF("id", "text", "a", "b").createOrReplaceTempView("gw")
+    val r = spark.sql(
+      """SELECT graft_winnow(text, 3, 2) AS wn,
+        |  graft_sign_pack(a) AS pa, graft_sign_pack(b) AS pb,
+        |  graft_hamming(graft_sign_pack(a), graft_sign_pack(b)) AS hm
+        |FROM gw""".stripMargin).collect()(0)
+    val viaColumn = Seq(("the quick brown fox jumps over the lazy dog",
+        Array(1.0f, -2.0f, 0.0f, 3.0f), Array(-1.0f, 2.0f, 1.0f, 3.0f)))
+      .toDF("text", "a", "b")
+      .select(graft.functions.TextHash.winnow($"text", 3, 2).as("wn"),
+        graft.functions.VectorExpressions.signPackNative($"a").as("pa"),
+        graft.functions.VectorExpressions.hammingNative(
+          graft.functions.VectorExpressions.signPackNative($"a"),
+          graft.functions.VectorExpressions.signPackNative($"b")).as("hm"))
+      .collect()(0)
+    assert(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("wn")) ==
+      viaColumn.getSeq[org.apache.spark.sql.Row](0))
+    assert(r.getSeq[Long](r.fieldIndex("pa")) == viaColumn.getSeq[Long](1))
+    // a: signs (+,-,0,+) -> bits {0,3}; b: (-,+,+,+) -> bits {1,2,3}
+    assert(r.getSeq[Long](r.fieldIndex("pa")) == Seq(9L))
+    assert(r.getSeq[Long](r.fieldIndex("pb")) == Seq(14L))
+    assert(r.getAs[Long]("hm") == 3L && viaColumn.getAs[Long]("hm") == 3L)
+  }
+
   test("graft_race_key: SQL == Column, zero-mass weights yield null") {
     val df = Seq((1L, Option(2.5)), (2L, Option(0.0)),
       (3L, Option(Double.NaN)), (4L, Option(8.0)), (5L, Option.empty[Double]))
