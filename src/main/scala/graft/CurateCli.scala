@@ -31,6 +31,7 @@ object CurateCli {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5,
+      boilerplateDict: String = null,
       forceStart: Boolean = false,
       compact: Boolean = false,
       compactInto: String = "compacted",
@@ -53,6 +54,12 @@ object CurateCli {
       | --hashes <k>          MinHash signature length  (default 8)
       | --rows-per-band <r>   LSH rows per band         (default 2)
       | --threshold <t>       Jaccard verify threshold  (default 0.5)
+      | --boilerplate-dict <p> Persisted boilerplate dictionary (parquet of
+      |                       line_norm, built batch-side by
+      |                       TextAnalysis.boilerplateDictionary); matching
+      |                       lines are stripped from each batch doc BEFORE
+      |                       the screen, and the corpus receives the
+      |                       cleaned text
       | --force-start         Remove a leftover ledger lock before starting
       | --compact             Compact the ledger's ingest partitions instead
       |                       of running a cycle (only --ledger required)
@@ -85,6 +92,8 @@ object CurateCli {
         o = o.copy(rowsPerBand = v.toInt); rest = t
       case "--threshold" :: v :: t =>
         o = o.copy(threshold = v.toDouble); rest = t
+      case "--boilerplate-dict" :: v :: t =>
+        o = o.copy(boilerplateDict = v); rest = t
       case "--force-start" :: t => o = o.copy(forceStart = true); rest = t
       case "--compact" :: t => o = o.copy(compact = true); rest = t
       case "--compact-into" :: v :: t => o = o.copy(compactInto = v); rest = t
@@ -161,12 +170,28 @@ object CurateCli {
     * corpus append, ledger append) — the unit [[runCycle]] runs once per
     * invocation and [[runStream]] runs once per micro-batch. */
   private[graft] def screenAndCommit(spark: SparkSession, o: Options,
-                                     batch: org.apache.spark.sql.DataFrame,
+                                     rawBatch: org.apache.spark.sql.DataFrame,
                                      ingest: String,
                                      outDir: String): (Long, Long, Long) = {
     // finish any compaction a previous --compact run left mid-swap
     // BEFORE touching the ledger trees (cheap no-op when clean)
     DedupLedger.recoverCompact(spark, o.ledger)
+    // boilerplate strip at ingest (optional): the persisted dictionary
+    // rewrites each doc's text BEFORE the screen, so dedup verdicts are
+    // taken on content, not on shared banners — and the corpus receives
+    // the cleaned text. Stateless given the dictionary, so the streaming
+    // cycle applies it per micro-batch unchanged.
+    val batch = Option(o.boilerplateDict) match {
+      case None => rawBatch
+      case Some(dictPath) =>
+        val cleaned = graft.operators.TextAnalysis
+          .applyBoilerplateDictionary(rawBatch, o.idCol, o.textCol,
+            spark.read.parquet(dictPath))
+          .select(col(o.idCol), col("clean_text"))
+        rawBatch.drop(o.textCol)
+          .join(cleaned, Seq(o.idCol))
+          .withColumnRenamed("clean_text", o.textCol)
+    }
     val corpus = spark.read.parquet(o.corpus)
     DedupLedger.reconcile(corpus, o.idCol, o.textCol, o.n, o.numHashes,
       o.rowsPerBand, o.ledger,

@@ -66,6 +66,67 @@ class CurateCliSpec extends SparkSpec {
       .toSeq == Seq("bootstrap", "day1", "day2"))
   }
 
+  test("--boilerplate-dict: dictionary strips before the screen; corpus gets cleaned text") {
+    val root = java.nio.file.Files.createTempDirectory("curate-bp").toString
+    val corpusDir = s"$root/corpus"
+    // yesterday's corpus: real content, every page wears the same banner
+    val banner = "Accept all cookies"
+    Seq(
+      (1L, s"the quick brown fox jumps over the lazy dog\n$banner"),
+      (2L, s"completely different historical content about plans\n$banner"),
+      (3L, s"a third corpus document with its own words\n$banner"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    // dictionary built batch-side over the corpus, persisted
+    val dictDir = s"$root/dict"
+    graft.operators.TextAnalysis.boilerplateDictionary(
+        spark.read.parquet(corpusDir), "doc_id", "text", minDocFreq = 3L)
+      .write.parquet(dictDir)
+    assert(spark.read.parquet(dictDir).collect()
+      .map(_.getString(0)).toSeq == Seq(banner.toLowerCase))
+    // the corpus itself must hold CLEANED text for the screen to match
+    // cleaned batch docs — rewrite it through the same dictionary (the
+    // one-time migration a production adopter runs)
+    val cleanedCorpus = graft.operators.TextAnalysis
+      .applyBoilerplateDictionary(spark.read.parquet(corpusDir),
+        "doc_id", "text", spark.read.parquet(dictDir))
+      .select($"doc_id", $"clean_text".as("text"))
+    val corpus2 = s"$root/corpus_clean"
+    cleanedCorpus.write.parquet(corpus2)
+
+    // today's batch: doc 10 is corpus doc 1 wearing a DIFFERENT banner
+    // spelling of itself plus the known one — only the dictionary line
+    // strips; doc 11 is novel content plus the banner
+    Seq(
+      (10L, s"$banner\nthe quick brown fox jumps over the lazy dog"),
+      (11L, s"a genuinely novel document unlike anything before\n$banner"))
+      .toDF("doc_id", "text").write.parquet(s"$root/batch")
+    val o = CurateCli.Options(corpus = corpus2, batch = s"$root/batch",
+      ledger = s"$root/ledger", out = s"$root/out", ingest = "day1",
+      boilerplateDict = dictDir)
+    val (kept, exact, near) = CurateCli.runCycle(spark, o)
+    // WITH the dictionary, doc 10 deduplicates exactly against doc 1
+    assert((kept, exact, near) == ((1L, 1L, 0L)), s"$kept/$exact/$near")
+    val v = spark.read.parquet(s"$root/out").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(v(10L) == (("exact", Some(1L))))
+    assert(v(11L)._1 == "keep")
+    // the corpus received doc 11's CLEANED text (banner gone)
+    val appended = spark.read.parquet(corpus2)
+      .filter($"doc_id" === 11L).collect()(0).getString(1)
+    assert(appended == "a genuinely novel document unlike anything before")
+    // control: the same cycle WITHOUT the dictionary keeps both docs
+    // (the banner makes doc 10 differ from corpus doc 1)
+    val corpus3 = s"$root/corpus_raw"
+    spark.read.parquet(corpusDir).write.parquet(corpus3)
+    // (the reordered banner still shares shingles, so it may flag as
+    // near — the dictionary is what upgrades it to a clean exact match)
+    val (k2, e2, _) = CurateCli.runCycle(spark, o.copy(corpus = corpus3,
+      ledger = s"$root/ledger2", out = s"$root/out2",
+      boilerplateDict = null))
+    assert(e2 == 0L, s"control run must see no exact dup, got exact=$e2")
+  }
+
   test("torn cycles self-heal: ledger reconcile + idempotent corpus append") {
     val root = java.nio.file.Files.createTempDirectory("curate_torn").toString
     val corpusDir = s"$root/corpus"
