@@ -32,6 +32,8 @@ object CurateCli {
       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5,
       boilerplateDict: String = null,
+      buildDict: Boolean = false,
+      minDocFreq: Long = 100L,
       forceStart: Boolean = false,
       compact: Boolean = false,
       compactInto: String = "compacted",
@@ -60,6 +62,12 @@ object CurateCli {
       |                       lines are stripped from each batch doc BEFORE
       |                       the screen, and the corpus receives the
       |                       cleaned text
+      | --build-dict          Build the boilerplate dictionary from --corpus
+      |                       and write it to --boilerplate-dict instead of
+      |                       running a cycle (the batch-side daily build;
+      |                       only --corpus and --boilerplate-dict required)
+      | --min-doc-freq <n>    Distinct-doc threshold for --build-dict
+      |                       (default 100)
       | --force-start         Remove a leftover ledger lock before starting
       | --compact             Compact the ledger's ingest partitions instead
       |                       of running a cycle (only --ledger required)
@@ -94,6 +102,9 @@ object CurateCli {
         o = o.copy(threshold = v.toDouble); rest = t
       case "--boilerplate-dict" :: v :: t =>
         o = o.copy(boilerplateDict = v); rest = t
+      case "--build-dict" :: t => o = o.copy(buildDict = true); rest = t
+      case "--min-doc-freq" :: v :: t =>
+        o = o.copy(minDocFreq = v.toLong); rest = t
       case "--force-start" :: t => o = o.copy(forceStart = true); rest = t
       case "--compact" :: t => o = o.copy(compact = true); rest = t
       case "--compact-into" :: v :: t => o = o.copy(compactInto = v); rest = t
@@ -104,6 +115,12 @@ object CurateCli {
       case bad :: _ => return Left(s"unknown option: $bad")
     }
     if (o.showHelp) Right(o)
+    else if (o.buildDict) {
+      if (o.corpus == null || o.boilerplateDict == null)
+        Left("--build-dict requires --corpus and --boilerplate-dict")
+      else if (o.minDocFreq < 2) Left("--min-doc-freq must be >= 2")
+      else Right(o)
+    }
     else if (o.compact) {
       if (o.ledger == null) Left("--compact requires --ledger")
       else Right(o)
@@ -145,6 +162,27 @@ object CurateCli {
     else
       try Right(body)
       finally fs.delete(lockPath, false)
+  }
+
+  /** The batch-side dictionary build (`--build-dict`): count normalized
+    * lines across the corpus, persist those in >= minDocFreq distinct
+    * docs to `--boilerplate-dict` — the daily companion of the at-ingest
+    * `--boilerplate-dict` apply, the same build/consume split as the
+    * dedup ledger. Staged through a tmp dir and renamed so a concurrent
+    * cycle never reads a half-written dictionary. Returns the line
+    * count. Separated from [[main]] for the spec. */
+  def buildDictionary(spark: SparkSession, o: Options): Long = {
+    val dict = graft.operators.TextAnalysis.boilerplateDictionary(
+      spark.read.parquet(o.corpus), o.idCol, o.textCol, o.minDocFreq)
+    val target = new org.apache.hadoop.fs.Path(o.boilerplateDict)
+    val tmp = new org.apache.hadoop.fs.Path(o.boilerplateDict + ".tmp")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    dict.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"could not publish dictionary to $target")
+    spark.read.parquet(target.toString).count()
   }
 
   /** One ingest cycle; returns (kept, exact, near) counts. Separated from
@@ -290,7 +328,10 @@ object CurateCli {
           .config("spark.sql.legacy.parquet.nanosAsLong", "true")
           .getOrCreate()
         try {
-          if (o.compact) {
+          if (o.buildDict) {
+            val n = buildDictionary(spark, o)
+            println(s"dictionary lines: $n")
+          } else if (o.compact) {
             withLedgerLock(o.ledger, o.forceStart) {
               val before = DedupLedger.ingestLabels(spark, o.ledger).size
               DedupLedger.compact(spark, o.ledger, o.n, o.numHashes,

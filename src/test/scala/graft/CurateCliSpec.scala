@@ -76,13 +76,22 @@ class CurateCliSpec extends SparkSpec {
       (2L, s"completely different historical content about plans\n$banner"),
       (3L, s"a third corpus document with its own words\n$banner"))
       .toDF("doc_id", "text").write.parquet(corpusDir)
-    // dictionary built batch-side over the corpus, persisted
+    // dictionary built batch-side over the corpus via the CLI build mode
     val dictDir = s"$root/dict"
-    graft.operators.TextAnalysis.boilerplateDictionary(
-        spark.read.parquet(corpusDir), "doc_id", "text", minDocFreq = 3L)
-      .write.parquet(dictDir)
+    val nLines = CurateCli.buildDictionary(spark, CurateCli.Options(
+      corpus = corpusDir, boilerplateDict = dictDir, minDocFreq = 3L))
+    assert(nLines == 1L)
     assert(spark.read.parquet(dictDir).collect()
       .map(_.getString(0)).toSeq == Seq(banner.toLowerCase))
+    // a rebuild republishes atomically over the existing dictionary
+    assert(CurateCli.buildDictionary(spark, CurateCli.Options(
+      corpus = corpusDir, boilerplateDict = dictDir, minDocFreq = 2L)) == 1L)
+    // parse: --build-dict requires corpus + dict path, valid threshold
+    assert(CurateCli.parse(Seq("--build-dict", "--corpus", corpusDir)).isLeft)
+    assert(CurateCli.parse(Seq("--build-dict", "--corpus", corpusDir,
+      "--boilerplate-dict", dictDir, "--min-doc-freq", "1")).isLeft)
+    assert(CurateCli.parse(Seq("--build-dict", "--corpus", corpusDir,
+      "--boilerplate-dict", dictDir, "--min-doc-freq", "50")).isRight)
     // the corpus itself must hold CLEANED text for the screen to match
     // cleaned batch docs — rewrite it through the same dictionary (the
     // one-time migration a production adopter runs)

@@ -99,6 +99,27 @@ class EventStreamSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("contamination")).toMap
     assert(contam(1L) == 1.0 && contam(2L) == 0.0)
     q2.stop()
+
+    // winnowing fingerprints: a pure per-row projection — identical
+    // selections on the stream and on the same docs as a batch
+    val docs3 = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "too short"))
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = graft.operators.TextAnalysis.winnowFingerprints(
+        mem3.toDF().toDF("doc_id", "text"), "doc_id", "text", k = 3, w = 4)
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("append").start()
+    mem3.addData(docs3: _*)
+    q3.processAllAvailable()
+    val wStream = spark.table("winnow_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val wBatch = graft.operators.TextAnalysis.winnowFingerprints(
+        docs3.toDF("doc_id", "text"), "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(wStream == wBatch && wStream.nonEmpty)
+    assert(!wStream.exists(_._1 == 2L)) // < k tokens: no fingerprints
+    q3.stop()
   }
 
   test("LM scoring against batch-fitted models runs unchanged on a stream") {
