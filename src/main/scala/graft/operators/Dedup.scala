@@ -196,6 +196,42 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Span-level winnowing matches: for every fingerprint two documents
+    * SHARE, the k-gram positions it was selected at in each — the
+    * evidence rows behind [[winnowingPairs]] (which shared run, where),
+    * the intra-corpus analog of [[contaminationSpans]]. A reviewer (or a
+    * span-removal pass) consumes these directly: each row pins a
+    * >= k-token run present in both documents.
+    *
+    * 100 TB shape: the same capped fingerprint groupBy as the pair
+    * generator, with (doc, pos) structs in the bucket; position pairs
+    * stream from the sorted bucket by slice, so peak memory per output
+    * row is one O(bucket) slice — and winnowing selects a fingerprint at
+    * most a handful of times per doc, so buckets stay near the doc
+    * frequency. Returns (doc_a, pos_a, doc_b, pos_b, fp), doc_a < doc_b. */
+  def winnowingMatches(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int,
+                       maxDocFreq: Option[Long] = Some(10000L)): DataFrame = {
+    val sel = TextAnalysis.winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("doc_id"), col("pos"), col("fp"))
+    val byFp = sel.groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"))))
+        .as("occ"),
+        countDistinct(col("doc_id")).as("__docs"))
+    val capped = maxDocFreq match {
+      case Some(maxDf) => byFp.filter(col("__docs") <= maxDf)
+      case None => byFp
+    }
+    capped
+      .filter(col("__docs") > 1)
+      .select(col("fp"), col("occ"), posexplode(col("occ")).as(Seq("i", "a")))
+      .select(col("fp"), col("a"),
+        explode(slice(col("occ"), col("i") + lit(2), size(col("occ")))).as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.pos").as("pos_a"),
+        col("b.doc_id").as("doc_b"), col("b.pos").as("pos_b"), col("fp"))
+  }
+
   /** Apply near-dup cluster verdicts to the corpus: one keep/drop row
     * per document — keep iff the doc is in no cluster (never paired) or
     * IS its cluster's min-id representative; dropped docs carry the

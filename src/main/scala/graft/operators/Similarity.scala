@@ -718,6 +718,47 @@ object Similarity {
       "adot", k)
   }
 
+  /** IVF + binary codes — the pruning quantizer composed with the 1-bit
+    * compressor, completing the IVF x {PQ, SQ8, binary} composition
+    * matrix: probe selection is the ivfSqTopK literal-centroid
+    * discipline (assignment = codegen'd argmax projection, probes = a
+    * sorted-literal-array slice, queries broadcast), and the probed-list
+    * scan pays ONE xor + popcount per 64 dims against 32x-compressed
+    * codes — the cheapest per-candidate cost of any tier. Rank ascending
+    * on hamming with neighbor-id ties, through the k-capped aggregate.
+    * Compose with [[bqRerankTopK]]'s exact re-rank for survivor scores. */
+  def ivfBqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nprobe: Int,
+                centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val cand = vectors
+      .select(col(idCol).as("neighbor_id"),
+        nearestCentroid(col(vecCol), cents).as("list_id"),
+        graft.functions.VectorExpressions.signPackNative(col(vecCol))
+          .as("n_words"))
+      .repartition(fanoutPartitions(vectors))
+    val vnorm = l2Norm(col(vecCol))
+    val probeScores = cents.zipWithIndex.map { case (cv, cid) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(round(dot(col(vecCol), array(cv.map(lit): _*)) / (vnorm * cn), 6)
+        .as("cos"), lit(-cid.toLong).as("negid"))
+    }
+    val probes = broadcast(queries
+      .select(col(idCol).as("q_id"),
+        graft.functions.VectorExpressions.signPackNative(col(vecCol))
+          .as("q_words"),
+        explode(slice(sort_array(array(probeScores: _*), asc = false),
+          1, nprobe)).as("__probe"))
+      .select(col("q_id"), col("q_words"),
+        (-col("__probe.negid")).as("list_id")))
+    rankTopK(
+      probes.join(cand, Seq("list_id"))
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .withColumn("hamming", graft.functions.VectorExpressions
+          .hammingNative(col("q_words"), col("n_words"))),
+      "hamming", k, ascending = true)
+  }
+
   /** Explicit partition count for a pre-pair-join exchange: the session's
     * shuffle parallelism. A plain `repartition(col)` would let AQE coalesce
     * the (tiny) encoded frame back to one partition — exactly the

@@ -2516,6 +2516,40 @@ object Oracles {
         |  CAST(mh AS VARCHAR) AS fp
         |FROM pick""".stripMargin,
 
+    // span-level winnowing matches: every shared fingerprint with its
+    // selected positions in both docs, doc-frequency cap replayed
+    "dedup_winnowing_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 5 + 2),
+        |      i -> md5_number_lower(array_to_string(toks[i: i + 5 - 1], ' '))) AS hs
+        |  FROM tok WHERE len(toks) >= 5),
+        |wins AS (
+        |  SELECT doc_id, hs,
+        |    unnest(range(0, greatest(len(hs) - 4 + 1, 1))) AS j
+        |  FROM kg),
+        |pick AS (
+        |  SELECT doc_id, hs, j, list_min(hs[j+1: j+4]) AS mh FROM wins),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_max(list_transform(range(1, least(4, len(hs) - j) + 1),
+        |      i -> CASE WHEN hs[j+i] = mh THEN j+i ELSE NULL END)) AS pos,
+        |    mh AS fp
+        |  FROM pick),
+        |capped AS (
+        |  SELECT fp FROM sel GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) > 1
+        |     AND count(DISTINCT doc_id) <= 10000)
+        |SELECT a.doc_id AS doc_a, CAST(a.pos AS BIGINT) AS pos_a,
+        |  b.doc_id AS doc_b, CAST(b.pos AS BIGINT) AS pos_b,
+        |  CAST(a.fp AS VARCHAR) AS fp
+        |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |JOIN capped c ON c.fp = a.fp""".stripMargin,
+
     // shared-winnowing-fingerprint candidate pairs: distinct selected
     // fps per doc, docs sharing >= 2, hot-fp cap 10000 replayed
     "dedup_winnowing" ->
@@ -2808,6 +2842,48 @@ object Oracles {
         |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, neighbor_id) AS rn
         |  FROM score)
         |SELECT q_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin,
+
+    // IVF + binary: the ann_ivfsq assign/probe machinery with the
+    // ann_binary scorer — hamming == positional sign-mismatch count
+    // (the packed representation is spec-verified), rank ASC with
+    // neighbor-id ties
+    "ann_ivfbq" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT CAST(rn - 1 AS BIGINT) AS cid, e AS cvec, nrm AS cnrm FROM (
+        |    SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+        |  WHERE rn <= 16),
+        |vc AS (
+        |  SELECT a.vec_id, c.cid,
+        |    round(list_sum(list_transform(range(1, len(a.e) + 1),
+        |      j -> a.e[j] * c.cvec[j])) / (a.nrm * c.cnrm), 6) AS ccos
+        |  FROM v a CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc WHERE vec_id < 20) WHERE rn <= 4),
+        |score AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(c.e) + 1),
+        |      j -> CASE WHEN (q.e[j] > 0) <> (c.e[j] > 0)
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM probes p
+        |  JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.q_id
+        |  JOIN v c ON c.vec_id = a.vec_id
+        |  JOIN v q ON q.vec_id = p.q_id),
+        |rk AS (
+        |  SELECT q_id, neighbor_id, hamming,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY hamming ASC, neighbor_id) AS rn
+        |  FROM score)
+        |SELECT q_id, neighbor_id, hamming, CAST(rn AS BIGINT) AS rank
         |FROM rk WHERE rn <= 10""".stripMargin,
 
     // IVF + SQ8: the ann_ivfpq assign/probe machinery with the ann_sq8

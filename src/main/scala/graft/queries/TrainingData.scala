@@ -157,6 +157,24 @@ object TrainingData {
       "vec_id", "embedding", k = 10, nprobe = 4, cents)
   }
 
+  /** Span-level winnowing matches ([[Dedup.winnowingMatches]]): the
+    * (doc_a, pos_a, doc_b, pos_b, fp) evidence rows behind the
+    * dedup_winnowing pairs — which shared run, and where in each doc. */
+  def dedupWinnowingSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingMatches(tp(s, dir, "documents"), "doc_id", "text",
+      k = 5, w = 4)
+
+  /** IVF + binary codes ([[Similarity.ivfBqTopK]]): the seeded coarse
+    * quantizer prunes to 4 probed lists, the in-list scan ranks by
+    * packed-sign-bit hamming — the cheapest per-candidate tier,
+    * completing the IVF x {PQ, SQ8, binary} composition matrix. */
+  def annIvfBq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 16)
+    Similarity.ivfBqTopK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10, nprobe = 4, cents)
+  }
+
   /** Leakage-safe train/val/test split ([[Sampling.leakageSafeSplit]]):
     * the 80/10/10 md5-band split keyed on the MinHash-LSH near-dup
     * cluster, so a doc and its near-copies always share a split.

@@ -702,6 +702,23 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.operators.Dedup.winnowingPairs(d, "doc_id", "text", 3, 4, 0L)
     }
+    // span-level evidence: every match names a fingerprint BOTH docs
+    // selected, at positions whose k-grams are literally equal
+    val matches = graft.operators.Dedup
+      .winnowingMatches(d, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(matches.nonEmpty)
+    assert(matches.forall(m => m._1 == 1L && m._3 == 2L))
+    val toks1 = (run + " plus unique tail one").split("\\s+")
+    val toks2 = ("different head text then " + run).split("\\s+")
+    matches.foreach { case (_, pa, _, pb, _) =>
+      val ga = toks1.slice(pa.toInt - 1, pa.toInt + 2).mkString(" ")
+      val gb = toks2.slice(pb.toInt - 1, pb.toInt + 2).mkString(" ")
+      assert(ga == gb, s"positions ($pa, $pb) name different 3-grams: '$ga' vs '$gb'")
+    }
+    // distinct shared fps == the pair's n_shared
+    assert(matches.map(_._5).distinct.length == pairs((1L, 2L)).toInt)
   }
 
   test("boilerplate dictionary: persisted build + apply == one-shot removal") {
@@ -1746,6 +1763,30 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nprobe = 1, cents))
     assert(pruned.nonEmpty && pruned.size <= 15)
     val fullPairs = rows(Similarity.sqTopK(data, queries,
+      "vec_id", "embedding", k = 40)).map(r => (r._1, r._2, r._3))
+    assert(pruned.forall(p => fullPairs.contains((p._1, p._2, p._3))))
+  }
+
+  test("IVF+binary: probing every list == plain binary topk; nprobe prunes") {
+    val data = (0L until 40L).map(i =>
+        (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat / 4f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(data, "vec_id", "embedding", 4)
+    val queries = data.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val full = rows(Similarity.ivfBqTopK(data, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4, cents))
+    val plain = rows(Similarity.bqTopK(data, queries,
+      "vec_id", "embedding", k = 5))
+    assert(full == plain)
+    // nprobe = 1: candidate set shrinks, every kept hamming also exists
+    // in the exhaustive scan's candidate space
+    val pruned = rows(Similarity.ivfBqTopK(data, queries,
+      "vec_id", "embedding", k = 5, nprobe = 1, cents))
+    assert(pruned.nonEmpty && pruned.size <= 15)
+    val fullPairs = rows(Similarity.bqTopK(data, queries,
       "vec_id", "embedding", k = 40)).map(r => (r._1, r._2, r._3))
     assert(pruned.forall(p => fullPairs.contains((p._1, p._2, p._3))))
   }
