@@ -34,6 +34,8 @@ object CurateCli {
       boilerplateDict: String = null,
       buildDict: Boolean = false,
       minDocFreq: Long = 100L,
+      decontaminate: String = null,
+      contamThreshold: Double = 0.2,
       forceStart: Boolean = false,
       compact: Boolean = false,
       compactInto: String = "compacted",
@@ -62,6 +64,12 @@ object CurateCli {
       |                       lines are stripped from each batch doc BEFORE
       |                       the screen, and the corpus receives the
       |                       cleaned text
+      | --decontaminate <p>   Benchmark/quarantine parquet: batch docs whose
+      |                       n-gram contamination >= the threshold are
+      |                       verdicted 'contaminated' and never reach the
+      |                       corpus (checked after the boilerplate strip,
+      |                       before the dedup screen)
+      | --contam-threshold <t> Contamination share cutoff (default 0.2)
       | --build-dict          Build the boilerplate dictionary from --corpus
       |                       and write it to --boilerplate-dict instead of
       |                       running a cycle (the batch-side daily build;
@@ -102,6 +110,10 @@ object CurateCli {
         o = o.copy(threshold = v.toDouble); rest = t
       case "--boilerplate-dict" :: v :: t =>
         o = o.copy(boilerplateDict = v); rest = t
+      case "--decontaminate" :: v :: t =>
+        o = o.copy(decontaminate = v); rest = t
+      case "--contam-threshold" :: v :: t =>
+        o = o.copy(contamThreshold = v.toDouble); rest = t
       case "--build-dict" :: t => o = o.copy(buildDict = true); rest = t
       case "--min-doc-freq" :: v :: t =>
         o = o.copy(minDocFreq = v.toLong); rest = t
@@ -247,10 +259,29 @@ object CurateCli {
     val batchIds = batch.select(col(o.idCol)).distinct()
     val history = corpus.join(batchIds, Seq(o.idCol), "left_anti")
     val ledgerIds = batchIds.select(col(o.idCol).as("doc_id"))
-    Dedup.incrementalDedupLedgered(history,
-        fp.join(ledgerIds, Seq("doc_id"), "left_anti"),
-        bands.join(ledgerIds, Seq("doc_id"), "left_anti"), batch,
-        o.idCol, o.textCol, o.n, o.numHashes, o.rowsPerBand, o.threshold)
+    // decontamination gate (optional): leaked docs get a terminal
+    // 'contaminated' verdict and never reach the screen or the corpus —
+    // checked on the post-boilerplate text, the order a training
+    // pipeline wants (strip noise, then test leakage on content)
+    val (screenIn, contamIds) = Option(o.decontaminate) match {
+      case None => (batch, None)
+      case Some(benchPath) =>
+        val flagged = Dedup.contamination(batch,
+            spark.read.parquet(benchPath), o.idCol, o.textCol, o.n)
+          .filter(col("contamination") >= o.contamThreshold)
+          .select(col("doc_id").as(o.idCol))
+          .localCheckpoint() // two consumers: the anti-join + verdict rows
+        (batch.join(flagged, Seq(o.idCol), "left_anti"), Some(flagged))
+    }
+    val screenOut = Dedup.incrementalDedupLedgered(history,
+      fp.join(ledgerIds, Seq("doc_id"), "left_anti"),
+      bands.join(ledgerIds, Seq("doc_id"), "left_anti"), screenIn,
+      o.idCol, o.textCol, o.n, o.numHashes, o.rowsPerBand, o.threshold)
+    contamIds.fold(screenOut)(ids => screenOut.unionByName(
+        ids.select(col(o.idCol).as("doc_id"),
+          lit("contaminated").as("verdict"),
+          lit(null).cast("long").as("matched_id"),
+          lit(null).cast("double").as("jaccard"))))
       .write.mode("overwrite").parquet(outDir)
     // decide kept docs off the WRITTEN verdicts (one screen, two sinks)
     val verdicts = spark.read.parquet(outDir)

@@ -136,6 +136,43 @@ class CurateCliSpec extends SparkSpec {
     assert(e2 == 0L, s"control run must see no exact dup, got exact=$e2")
   }
 
+  test("--decontaminate: leaked docs verdicted terminal, never reach corpus or ledger") {
+    val root = java.nio.file.Files.createTempDirectory("curate-dc").toString
+    val corpusDir = s"$root/corpus"
+    Seq((1L, "completely different historical content about spark plans"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    // the quarantined benchmark set
+    Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").write.parquet(s"$root/bench")
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // fully leaked
+      (11L, "a genuinely novel document unlike anything else"), // keep
+      (12L, "completely different historical content about spark plans")) // exact
+      .toDF("doc_id", "text").write.parquet(s"$root/batch")
+    val o = CurateCli.Options(corpus = corpusDir, batch = s"$root/batch",
+      ledger = s"$root/ledger", out = s"$root/out", ingest = "day1",
+      decontaminate = s"$root/bench", contamThreshold = 0.5)
+    val (kept, exact, near) = CurateCli.runCycle(spark, o)
+    assert((kept, exact, near) == ((1L, 1L, 0L)))
+    val v = spark.read.parquet(s"$root/out").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(v(10L) == (("contaminated", None)))
+    assert(v(11L)._1 == "keep" && v(12L)._1 == "exact")
+    // the leaked doc is in neither the corpus nor the ledger
+    assert(spark.read.parquet(corpusDir)
+      .filter($"doc_id" === 10L).count() == 0)
+    assert(spark.read.parquet(s"$root/ledger/fp")
+      .filter($"doc_id" === 10L).count() == 0)
+    // without the gate, the same doc is a plain keep
+    val corpus2 = s"$root/corpus2"
+    Seq((1L, "completely different historical content about spark plans"))
+      .toDF("doc_id", "text").write.parquet(corpus2)
+    val (k2, _, _) = CurateCli.runCycle(spark, o.copy(corpus = corpus2,
+      ledger = s"$root/ledger2", out = s"$root/out2", decontaminate = null))
+    assert(k2 == 2L)
+  }
+
   test("torn cycles self-heal: ledger reconcile + idempotent corpus append") {
     val root = java.nio.file.Files.createTempDirectory("curate_torn").toString
     val corpusDir = s"$root/corpus"
