@@ -400,6 +400,40 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** HTML-to-text extraction — the first pass of a web-corpus pipeline
+    * (raw crawl payload -> trainable text), as a deterministic regex
+    * chain of Catalyst built-ins (codegen'd, engine-portable — RE2 and
+    * Java regex agree on every pattern used):
+    *   1. `<script>`/`<style>` blocks and `<!-- -->` comments removed
+    *      whole (non-greedy dotall — their CONTENT is not text);
+    *   2. line-structuring tags (`<br>`, closing `p/div/li/h1-6/tr/ul/
+    *      ol/table/section/article`) become newlines, every other tag a
+    *      space;
+    *   3. the five standard entities + `&nbsp;`/`&#39;` decode, `&amp;`
+    *      LAST so `&amp;lt;` yields the literal `&lt;`;
+    *   4. lines trim, inner runs of spaces/tabs collapse, empties drop.
+    * Not a DOM parser by design: malformed markup degrades to extra
+    * whitespace, never to an error — the property a 100 TB crawl scan
+    * needs. Output is line-shaped, feeding the boilerplate dictionary
+    * and every downstream text op directly. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol|/table|/section|/article)\\b[^>]*>",
+      "\n")
+    val noTags = regexp_replace(breaks, "(?s)<[^>]*>", " ")
+    val ent = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "), "&#39;", "'"), "&quot;", "\""),
+        "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
+    val collapsed = regexp_replace(ent, "[ \\t]+", " ")
+    array_join(
+      filter(transform(split(collapsed, "\n"), l => trim(l)),
+        l => length(l) > 0), "\n")
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
     * the MOSS algorithm; see [[graft.functions.TextHash.winnowSelect]]):
     * one row per selected (position, fingerprint) — the content-defined

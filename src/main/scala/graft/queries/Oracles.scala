@@ -2488,6 +2488,44 @@ object Oracles {
         |SELECT q_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
         |FROM rk WHERE rn <= 10""".stripMargin),
 
+    // HTML extraction replay: page synthesis + the exact regex chain
+    // (script/style/comment blocks whole, structuring tags -> newline,
+    // other tags -> space, entities with &amp; last, line normalize);
+    // DuckDB regexes need the 'g' flag for Spark's replace-all default
+    "text_html_extract" ->
+      ("""WITH page AS (
+        |  SELECT doc_id,
+        |    '<!DOCTYPE html><html><head><style>body{color:red}</style>' ||
+        |    '<script type="text/javascript">var x = 1 < 2 && 2 > 1;</script></head>' ||
+        |    '<body><!-- crawler note --><h1>Doc ' || doc_id::VARCHAR || '</h1>' ||
+        |    '<p>' || text || '</p>' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '<div>&quot;quoted&quot; &amp;amp; more</div>' ELSE '' END ||
+        |    '<ul><li>nav&nbsp;one</li><li>nav two</li></ul></body></html>' AS html
+        |  FROM documents),
+        |ext AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      html,
+        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol|/table|/section|/article)\b[^>]*>',
+        |      chr(10), 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g') AS t
+        |  FROM page),
+        |ent AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&nbsp;', ' '), '&#39;', ''''), '&quot;', '"'),
+        |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS t
+        |  FROM ext)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(list_transform(
+        |    string_split(regexp_replace(t, '[ \t]+', ' ', 'g'), chr(10)),
+        |    l -> trim(l)), l -> len(l) > 0), chr(10)) AS clean_text
+        |FROM ent""".stripMargin),
+
     // winnowing replay (Schleimer et al. 2003): ASCII-whitespace tokens,
     // md5_number_lower 5-gram hashes (the same digest-half convention as
     // the MinHash oracle), window w=4 minimum with the RIGHTMOST tie

@@ -157,6 +157,25 @@ object TrainingData {
       "vec_id", "embedding", k = 10, nprobe = 4, cents)
   }
 
+  /** HTML-to-text extraction ([[TextAnalysis.htmlToText]]) over a
+    * synthesized crawl page per document (head with style+script blocks,
+    * a comment, heading/paragraph/nav markup, entity-encoded spans) —
+    * the raw-payload-to-trainable-text pass. Hash-gated: DuckDB replays
+    * page synthesis and the full regex chain character-for-character. */
+  def textHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val page = concat(
+      lit("<!DOCTYPE html><html><head><style>body{color:red}</style>"),
+      lit("<script type=\"text/javascript\">var x = 1 < 2 && 2 > 1;</script></head>"),
+      lit("<body><!-- crawler note --><h1>Doc "), id.cast("string"), lit("</h1>"),
+      lit("<p>"), col("text"), lit("</p>"),
+      when(id % 2 === 0,
+        lit("<div>&quot;quoted&quot; &amp;amp; more</div>")).otherwise(lit("")),
+      lit("<ul><li>nav&nbsp;one</li><li>nav two</li></ul></body></html>"))
+    tp(s, dir, "documents")
+      .select(id, TextAnalysis.htmlToText(page).as("clean_text"))
+  }
+
   /** Span-level winnowing matches ([[Dedup.winnowingMatches]]): the
     * (doc_a, pos_a, doc_b, pos_b, fp) evidence rows behind the
     * dedup_winnowing pairs — which shared run, and where in each doc. */

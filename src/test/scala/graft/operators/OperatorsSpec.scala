@@ -515,6 +515,26 @@ class DedupSpec extends SparkSpec {
       BigDecimal(8.0 / 15.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("htmlToText: blocks whole, tags structure lines, entities decode, malformed degrades") {
+    import graft.operators.TextAnalysis
+    def ext(h: String): String =
+      Seq(Tuple1(h)).toDF("h")
+        .select(TextAnalysis.htmlToText($"h")).collect()(0).getString(0)
+    // script/style content vanishes even with < > inside; comment too
+    assert(ext("<head><style>p{x:1}</style><script>if(1<2){a()}</script>" +
+      "</head><body><!-- note --><p>real text</p></body>") == "real text")
+    // structuring tags break lines; inline tags just space
+    assert(ext("<h1>Title</h1><p>one <b>bold</b> word</p><li>item</li>") ==
+      "Title\none bold word\nitem")
+    // entities, &amp; decoded last so &amp;lt; stays literal
+    assert(ext("a&nbsp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;amp; &amp;lt;") ==
+      "a b <tag> \"q\" 's' &amp; &lt;")
+    // malformed: unclosed tag eats to the next '>', stray '<' survives
+    assert(ext("before <unclosed attr after>middle< end") == "before middle< end")
+    // whitespace discipline: runs collapse, blank lines drop
+    assert(ext("<p>a   b</p>\n\n<p>   </p><p>c</p>") == "a b\nc")
+  }
+
   test("c4Flags: line rules exact — terminal/short fracs, curly, lorem, js") {
     val d = Seq(
       (1L, "A clean page begins here.\nIt has a second sentence!\n" +
