@@ -31,6 +31,7 @@ object CurateCli {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5,
+      html: Boolean = false,
       boilerplateDict: String = null,
       buildDict: Boolean = false,
       minDocFreq: Long = 100L,
@@ -58,6 +59,10 @@ object CurateCli {
       | --hashes <k>          MinHash signature length  (default 8)
       | --rows-per-band <r>   LSH rows per band         (default 2)
       | --threshold <t>       Jaccard verify threshold  (default 0.5)
+      | --html                Treat the batch text column as raw crawl HTML:
+      |                       extract text (script/style/comments stripped,
+      |                       tags to line structure, entities decoded)
+      |                       before every other stage
       | --boilerplate-dict <p> Persisted boilerplate dictionary (parquet of
       |                       line_norm, built batch-side by
       |                       TextAnalysis.boilerplateDictionary); matching
@@ -108,6 +113,7 @@ object CurateCli {
         o = o.copy(rowsPerBand = v.toInt); rest = t
       case "--threshold" :: v :: t =>
         o = o.copy(threshold = v.toDouble); rest = t
+      case "--html" :: t => o = o.copy(html = true); rest = t
       case "--boilerplate-dict" :: v :: t =>
         o = o.copy(boilerplateDict = v); rest = t
       case "--decontaminate" :: v :: t =>
@@ -226,19 +232,26 @@ object CurateCli {
     // finish any compaction a previous --compact run left mid-swap
     // BEFORE touching the ledger trees (cheap no-op when clean)
     DedupLedger.recoverCompact(spark, o.ledger)
+    // raw-HTML extraction first (optional): downstream stages — the
+    // boilerplate dictionary, decontamination and the dedup screen — all
+    // operate on extracted TEXT, and the corpus stores text, not markup
+    val textBatch =
+      if (!o.html) rawBatch
+      else rawBatch.withColumn(o.textCol,
+        graft.operators.TextAnalysis.htmlToText(col(o.textCol)))
     // boilerplate strip at ingest (optional): the persisted dictionary
     // rewrites each doc's text BEFORE the screen, so dedup verdicts are
     // taken on content, not on shared banners — and the corpus receives
     // the cleaned text. Stateless given the dictionary, so the streaming
     // cycle applies it per micro-batch unchanged.
     val batch = Option(o.boilerplateDict) match {
-      case None => rawBatch
+      case None => textBatch
       case Some(dictPath) =>
         val cleaned = graft.operators.TextAnalysis
-          .applyBoilerplateDictionary(rawBatch, o.idCol, o.textCol,
+          .applyBoilerplateDictionary(textBatch, o.idCol, o.textCol,
             spark.read.parquet(dictPath))
           .select(col(o.idCol), col("clean_text"))
-        rawBatch.drop(o.textCol)
+        textBatch.drop(o.textCol)
           .join(cleaned, Seq(o.idCol))
           .withColumnRenamed("clean_text", o.textCol)
     }

@@ -173,6 +173,44 @@ class CurateCliSpec extends SparkSpec {
     assert(k2 == 2L)
   }
 
+  test("--html: full web-ingest chain — extract, dictionary strip, decontaminate, screen") {
+    val root = java.nio.file.Files.createTempDirectory("curate-web").toString
+    val corpusDir = s"$root/corpus"
+    // the curated corpus is TEXT (prior cycles extracted already)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    Seq((100L, "never train on this benchmark sentence ever"))
+      .toDF("doc_id", "text").write.parquet(s"$root/bench")
+    // dictionary on extracted text: 'accept cookies' is in >= 2 docs
+    Seq((50L, "accept cookies\nreal a"), (51L, "accept cookies\nreal b"))
+      .toDF("doc_id", "text").write.parquet(s"$root/hist")
+    CurateCli.buildDictionary(spark, CurateCli.Options(
+      corpus = s"$root/hist", boilerplateDict = s"$root/dict",
+      minDocFreq = 2L))
+    def page(body: String): String =
+      s"<html><head><script>track(1<2)</script></head><body>" +
+        s"<div>Accept Cookies</div><p>$body</p></body></html>"
+    Seq(
+      (10L, page("the quick brown fox jumps over the lazy dog")), // exact dup
+      (11L, page("never train on this benchmark sentence ever")), // leaked
+      (12L, page("a genuinely novel crawl document body")))       // keep
+      .toDF("doc_id", "text").write.parquet(s"$root/batch")
+    val o = CurateCli.Options(corpus = corpusDir, batch = s"$root/batch",
+      ledger = s"$root/ledger", out = s"$root/out", ingest = "day1",
+      html = true, boilerplateDict = s"$root/dict",
+      decontaminate = s"$root/bench", contamThreshold = 0.5)
+    val (kept, exact, near) = CurateCli.runCycle(spark, o)
+    assert((kept, exact, near) == ((1L, 1L, 0L)))
+    val v = spark.read.parquet(s"$root/out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(10L -> "exact", 11L -> "contaminated", 12L -> "keep"))
+    // the corpus received extracted, dictionary-stripped TEXT: no markup,
+    // no banner — exactly the body line
+    val stored = spark.read.parquet(corpusDir)
+      .filter($"doc_id" === 12L).collect()(0).getString(1)
+    assert(stored == "a genuinely novel crawl document body", stored)
+  }
+
   test("torn cycles self-heal: ledger reconcile + idempotent corpus append") {
     val root = java.nio.file.Files.createTempDirectory("curate_torn").toString
     val corpusDir = s"$root/corpus"
