@@ -2526,6 +2526,78 @@ object Oracles {
         |    l -> trim(l)), l -> len(l) > 0), chr(10)) AS clean_text
         |FROM ent""".stripMargin),
 
+    // web-prep E2E: page synthesis -> the text_html_extract chain ->
+    // the text_boilerplate line-frequency strip -> the dedup_winnowing
+    // pair replay over the CLEANED text, all under one hash
+    "pipeline_web_e2e" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>nav{x:1}</style><script>t(1<2)</script></head><body>' ||
+        |    '<div>Accept all cookies</div><div>home | products | contact</div>' ||
+        |    '<p>' || text || '</p></body></html>' AS html
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      html,
+        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol|/table|/section|/article)\b[^>]*>',
+        |      chr(10), 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g') AS t
+        |  FROM p),
+        |en AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&nbsp;', ' '), '&#39;', ''''), '&quot;', '"'),
+        |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS t
+        |  FROM ex),
+        |dx AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(
+        |      string_split(regexp_replace(t, '[ \t]+', ' ', 'g'), chr(10)),
+        |      l -> trim(l)), l -> len(l) > 0), chr(10)) AS page
+        |  FROM en),
+        |l AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+        |    unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(page, chr(10)) AS ls FROM dx)),
+        |n AS (SELECT doc_id, pos, line, lower(trim(line)) AS nrm FROM l),
+        |hot AS (
+        |  SELECT nrm FROM n WHERE len(nrm) > 0
+        |  GROUP BY nrm HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT * FROM n WHERE nrm NOT IN (SELECT nrm FROM hot)),
+        |clean AS (
+        |  SELECT dx.doc_id, coalesce(agg.clean_text, '') AS text
+        |  FROM dx LEFT JOIN (
+        |    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |    FROM kept GROUP BY doc_id) agg ON dx.doc_id = agg.doc_id),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM clean),
+        |kg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 5 + 2),
+        |      i -> md5_number_lower(array_to_string(toks[i: i + 5 - 1], ' '))) AS hs
+        |  FROM tok WHERE len(toks) >= 5),
+        |wins AS (
+        |  SELECT doc_id, hs,
+        |    unnest(range(0, greatest(len(hs) - 4 + 1, 1))) AS j
+        |  FROM kg),
+        |pick AS (
+        |  SELECT doc_id, hs, j, list_min(hs[j+1: j+4]) AS mh FROM wins),
+        |fps AS (SELECT DISTINCT doc_id, mh AS fp FROM pick),
+        |capped AS (
+        |  SELECT fp FROM fps GROUP BY fp
+        |  HAVING count(*) > 1 AND count(*) <= 10000)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |JOIN capped c ON c.fp = a.fp
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
     // winnowing replay (Schleimer et al. 2003): ASCII-whitespace tokens,
     // md5_number_lower 5-gram hashes (the same digest-half convention as
     // the MinHash oracle), window w=4 minimum with the RIGHTMOST tie

@@ -176,6 +176,28 @@ object TrainingData {
       .select(id, TextAnalysis.htmlToText(page).as("clean_text"))
   }
 
+  /** Web-corpus preparation E2E — the composed raw-crawl recipe, each
+    * stage separately gated and here chained under ONE hash: synthesized
+    * crawl pages (style/script noise + two corpus-wide banner divs) ->
+    * [[TextAnalysis.htmlToText]] -> corpus-level boilerplate removal
+    * (banners strip everywhere) -> [[Dedup.winnowingPairs]] near-dup
+    * candidates over the CLEANED text. The banners would otherwise hand
+    * every doc pair shared fingerprints; the chain has to remove them
+    * for the pair list to be content-only. */
+  def pipelineWebE2e(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><style>nav{x:1}</style><script>t(1<2)</script></head><body>"),
+      lit("<div>Accept all cookies</div><div>home | products | contact</div>"),
+      lit("<p>"), col("text"), lit("</p></body></html>"))
+    val extracted = tp(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.htmlToText(page).as("text"))
+    val cleaned = TextAnalysis
+      .removeBoilerplateLines(extracted, "doc_id", "text", minDocFreq = 3L)
+      .select(col("doc_id"), col("clean_text"))
+    Dedup.winnowingPairs(cleaned, "doc_id", "clean_text",
+      k = 5, w = 4, minShared = 2L)
+  }
+
   /** Span-level winnowing matches ([[Dedup.winnowingMatches]]): the
     * (doc_a, pos_a, doc_b, pos_b, fp) evidence rows behind the
     * dedup_winnowing pairs — which shared run, and where in each doc. */

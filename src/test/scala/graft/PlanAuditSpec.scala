@@ -349,6 +349,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pPlan.contains("CartesianProduct") && !pPlan.contains("Window ["))
     assert(!pPlan.contains("SortMergeJoin") && !pPlan.contains("BroadcastHashJoin"),
       s"pair generation must come from the fp buckets, not a join:\n${pPlan.take(1500)}")
+
+    // the composed web-prep pipeline: extraction is a projection, the
+    // boilerplate strip one anti-join, the pair stage bucket-streamed —
+    // no cartesian, no window anywhere in the chain
+    val web = SparkEntry.queries("pipeline_web_e2e")(spark,
+      "/root/testdata/sf0.001")
+    web.collect()
+    val wPlan = web.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!wPlan.contains("CartesianProduct") && !wPlan.contains("Window ["))
   }
 
   test("sample_weighted: sketch threshold bounds the rank-pass input") {
