@@ -37,6 +37,8 @@ object CurateCli {
       minDocFreq: Long = 100L,
       decontaminate: String = null,
       contamThreshold: Double = 0.2,
+      redactContacts: Boolean = false,
+      lang: String = null,
       forceStart: Boolean = false,
       compact: Boolean = false,
       compactInto: String = "compacted",
@@ -75,6 +77,12 @@ object CurateCli {
       |                       corpus (checked after the boilerplate strip,
       |                       before the dedup screen)
       | --contam-threshold <t> Contamination share cutoff (default 0.2)
+      | --redact-contacts     Replace emails/phones/IPs with <REDACTED>
+      |                       before the screen (the corpus stores the
+      |                       redacted text)
+      | --lang <code>         Keep only docs the n-gram language ID scores
+      |                       as <code> (en/de/fr/es); others get a
+      |                       terminal 'lang_filtered' verdict
       | --build-dict          Build the boilerplate dictionary from --corpus
       |                       and write it to --boilerplate-dict instead of
       |                       running a cycle (the batch-side daily build;
@@ -120,6 +128,9 @@ object CurateCli {
         o = o.copy(decontaminate = v); rest = t
       case "--contam-threshold" :: v :: t =>
         o = o.copy(contamThreshold = v.toDouble); rest = t
+      case "--redact-contacts" :: t =>
+        o = o.copy(redactContacts = true); rest = t
+      case "--lang" :: v :: t => o = o.copy(lang = v); rest = t
       case "--build-dict" :: t => o = o.copy(buildDict = true); rest = t
       case "--min-doc-freq" :: v :: t =>
         o = o.copy(minDocFreq = v.toLong); rest = t
@@ -272,33 +283,57 @@ object CurateCli {
     val batchIds = batch.select(col(o.idCol)).distinct()
     val history = corpus.join(batchIds, Seq(o.idCol), "left_anti")
     val ledgerIds = batchIds.select(col(o.idCol).as("doc_id"))
+    // contact redaction (optional): rewrite BEFORE the screen so dedup
+    // matches the redacted text and the corpus never stores raw contacts
+    val redacted =
+      if (!o.redactContacts) batch
+      else batch.withColumn(o.textCol,
+        graft.operators.TextAnalysis.redactContacts(col(o.textCol)))
+    // language gate (optional): terminal 'lang_filtered' verdict, the
+    // decontamination discipline applied to the n-gram language ID
+    val (langKept, langIds) = Option(o.lang) match {
+      case None => (redacted, None)
+      case Some(code) =>
+        val labeled = graft.operators.TextAnalysis
+          .withLangId(redacted, o.textCol, "__lang")
+        val dropped = labeled
+          .filter(col("__lang").isNull || col("__lang") =!= code)
+          .select(col(o.idCol)).localCheckpoint()
+        (labeled.filter(col("__lang") === code).drop("__lang"),
+          Some(dropped))
+    }
     // decontamination gate (optional): leaked docs get a terminal
     // 'contaminated' verdict and never reach the screen or the corpus —
     // checked on the post-boilerplate text, the order a training
     // pipeline wants (strip noise, then test leakage on content)
     val (screenIn, contamIds) = Option(o.decontaminate) match {
-      case None => (batch, None)
+      case None => (langKept, None)
       case Some(benchPath) =>
-        val flagged = Dedup.contamination(batch,
+        val flagged = Dedup.contamination(langKept,
             spark.read.parquet(benchPath), o.idCol, o.textCol, o.n)
           .filter(col("contamination") >= o.contamThreshold)
           .select(col("doc_id").as(o.idCol))
           .localCheckpoint() // two consumers: the anti-join + verdict rows
-        (batch.join(flagged, Seq(o.idCol), "left_anti"), Some(flagged))
+        (langKept.join(flagged, Seq(o.idCol), "left_anti"), Some(flagged))
     }
     val screenOut = Dedup.incrementalDedupLedgered(history,
       fp.join(ledgerIds, Seq("doc_id"), "left_anti"),
       bands.join(ledgerIds, Seq("doc_id"), "left_anti"), screenIn,
       o.idCol, o.textCol, o.n, o.numHashes, o.rowsPerBand, o.threshold)
-    contamIds.fold(screenOut)(ids => screenOut.unionByName(
-        ids.select(col(o.idCol).as("doc_id"),
-          lit("contaminated").as("verdict"),
-          lit(null).cast("long").as("matched_id"),
-          lit(null).cast("double").as("jaccard"))))
+    def terminal(ids: org.apache.spark.sql.DataFrame, verdict: String) =
+      ids.select(col(o.idCol).as("doc_id"),
+        lit(verdict).as("verdict"),
+        lit(null).cast("long").as("matched_id"),
+        lit(null).cast("double").as("jaccard"))
+    (contamIds.map(terminal(_, "contaminated")).toSeq ++
+        langIds.map(terminal(_, "lang_filtered")).toSeq)
+      .foldLeft(screenOut)(_ unionByName _)
       .write.mode("overwrite").parquet(outDir)
     // decide kept docs off the WRITTEN verdicts (one screen, two sinks)
     val verdicts = spark.read.parquet(outDir)
-    val kept = batch.join(
+    // kept rows come from the fully-prepared frame (redacted, filtered),
+    // so the corpus stores exactly the text the screen saw
+    val kept = screenIn.join(
       verdicts.filter(col("verdict") === "keep")
         .select(col("doc_id").as(o.idCol)), Seq(o.idCol), "left_semi")
       // rerun-idempotent: drop kept docs a crashed prior attempt of THIS

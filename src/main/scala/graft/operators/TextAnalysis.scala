@@ -400,6 +400,37 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Intra-document line dedup — the C4/RefinedWeb "keep the first
+    * occurrence of every line" pass, the WITHIN-doc sibling of the
+    * corpus-level boilerplate removal: a line repeating inside one page
+    * (nav rendered twice, list spam) keeps its first occurrence only.
+    * Matching is on the lower+trim normalization; blank lines never
+    * dedup (the boilerplate convention — they carry layout, not
+    * content).
+    *
+    * Pure per-row column expression: no shuffle, no state, composes
+    * with any scan. The prior-lines scan is O(lines^2) per DOCUMENT —
+    * doc-bounded like winnowing's O(L*w), not corpus-bounded. The norm
+    * array is materialized as its own column first (an unmaterialized
+    * expression inside a lambda re-evaluates per element). Returns
+    * (idCol, clean_text, n_lines, n_removed). */
+  def dedupLinesWithinDoc(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol), col("__lines"),
+        transform(col("__lines"), l => lower(trim(l))).as("__norms"))
+      .select(col(idCol), col("__lines"),
+        filter(col("__lines"), (_, i) =>
+          element_at(col("__norms"), i + 1) === "" ||
+            !array_contains(slice(col("__norms"), lit(1), i),
+              element_at(col("__norms"), i + 1))).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
+
   /** HTML-to-text extraction — the first pass of a web-corpus pipeline
     * (raw crawl payload -> trainable text), as a deterministic regex
     * chain of Catalyst built-ins (codegen'd, engine-portable — RE2 and

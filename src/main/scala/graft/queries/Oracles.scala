@@ -2526,6 +2526,28 @@ object Oracles {
         |    l -> trim(l)), l -> len(l) > 0), chr(10)) AS clean_text
         |FROM ent""".stripMargin),
 
+    // intra-doc line dedup replay: synthesized repeats, first-occurrence
+    // keep on the lower+trim norm, blanks never dedup (1-based lambda
+    // index; prior-slice contains check == the Spark filter HOF)
+    "text_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, concat_ws(chr(10), text, 'Nav | Bar',
+        |    'nav | bar ', text, 'footer ' || CAST(doc_id AS VARCHAR)) AS page
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, lines,
+        |    list_transform(lines, l -> lower(trim(l))) AS norms
+        |  FROM (SELECT doc_id, string_split(page, chr(10)) AS lines FROM d)),
+        |k AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, (x, i) -> norms[i] = ''
+        |      OR NOT list_contains(norms[1:i-1], norms[i])) AS kept
+        |  FROM n)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(lines) - len(kept) AS BIGINT) AS n_removed
+        |FROM k""".stripMargin,
+
     // web-prep E2E: page synthesis -> the text_html_extract chain ->
     // the text_boilerplate line-frequency strip -> the dedup_winnowing
     // pair replay over the CLEANED text, all under one hash

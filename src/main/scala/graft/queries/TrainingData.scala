@@ -176,6 +176,19 @@ object TrainingData {
       .select(id, TextAnalysis.htmlToText(page).as("clean_text"))
   }
 
+  /** Intra-document line dedup ([[TextAnalysis.dedupLinesWithinDoc]])
+    * over a synthesized page that repeats its nav line (case/space
+    * variant) and its own body: first occurrences survive, repeats
+    * drop, per-doc counts gated. */
+  def textLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val page = concat_ws("\n", col("text"), lit("Nav | Bar"),
+      lit("nav | bar "), col("text"),
+      concat(lit("footer "), col("doc_id").cast("string")))
+    TextAnalysis.dedupLinesWithinDoc(
+      tp(s, dir, "documents").select(col("doc_id"), page.as("page")),
+      "doc_id", "page")
+  }
+
   /** Web-corpus preparation E2E — the composed raw-crawl recipe, each
     * stage separately gated and here chained under ONE hash: synthesized
     * crawl pages (style/script noise + two corpus-wide banner divs) ->

@@ -211,6 +211,33 @@ class CurateCliSpec extends SparkSpec {
     assert(stored == "a genuinely novel crawl document body", stored)
   }
 
+  test("--redact-contacts / --lang: corpus stores redacted text, wrong-language terminal") {
+    val root = java.nio.file.Files.createTempDirectory("curate-rl").toString
+    val corpusDir = s"$root/corpus"
+    Seq((1L, "the fox and the dog of the farm"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    Seq(
+      (10L, "contact me at bob@example.com about the deal and the offer"),
+      (11L, "der hund und die katze ist das tier im haus"))
+      .toDF("doc_id", "text").write.parquet(s"$root/batch")
+    val o = CurateCli.Options(corpus = corpusDir, batch = s"$root/batch",
+      ledger = s"$root/ledger", out = s"$root/out", ingest = "day1",
+      redactContacts = true, lang = "en")
+    val (kept, exact, near) = CurateCli.runCycle(spark, o)
+    assert((kept, exact, near) == ((1L, 0L, 0L)))
+    val v = spark.read.parquet(s"$root/out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(10L -> "keep", 11L -> "lang_filtered"), v.toString)
+    val stored = spark.read.parquet(corpusDir)
+      .filter($"doc_id" === 10L).collect()(0).getString(1)
+    assert(stored.contains("<REDACTED>") && !stored.contains("bob@example.com"),
+      stored)
+    // the German doc never reached the corpus or the ledger
+    assert(spark.read.parquet(corpusDir).filter($"doc_id" === 11L).count() == 0)
+    assert(spark.read.parquet(s"$root/ledger/fp")
+      .filter($"doc_id" === 11L).count() == 0)
+  }
+
   test("torn cycles self-heal: ledger reconcile + idempotent corpus append") {
     val root = java.nio.file.Files.createTempDirectory("curate_torn").toString
     val corpusDir = s"$root/corpus"

@@ -741,6 +741,22 @@ class DedupSpec extends SparkSpec {
     assert(matches.map(_._5).distinct.length == pairs((1L, 2L)).toInt)
   }
 
+  test("dedupLinesWithinDoc: first occurrence survives, norm matching, blanks kept") {
+    val d = Seq(
+      (1L, "alpha\nNav | Bar\nnav | bar \nalpha\n\n\nbeta"),
+      (2L, "only one line"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .dedupLinesWithinDoc(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"))))
+      .toMap
+    // case/space variants dedup; the repeated body drops; BOTH blanks stay
+    assert(out(1L) == (("alpha\nNav | Bar\n\n\nbeta", 7L, 2L)), out(1L).toString)
+    assert(out(2L) == (("only one line", 1L, 0L)))
+    assert(out(3L) == (("", 1L, 0L)))
+  }
+
   test("boilerplate dictionary: persisted build + apply == one-shot removal") {
     import graft.operators.TextAnalysis
     val d = Seq(
