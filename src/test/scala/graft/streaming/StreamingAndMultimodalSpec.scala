@@ -120,6 +120,23 @@ class EventStreamSpec extends SparkSpec {
     assert(wStream == wBatch && wStream.nonEmpty)
     assert(!wStream.exists(_._1 == 2L)) // < k tokens: no fingerprints
     q3.stop()
+
+    // HTML extraction + intra-doc line dedup: both pure projections —
+    // the at-ingest web chain runs on a stream unchanged
+    val mem4 = MemoryStream[(Long, String)]
+    val q4 = graft.operators.TextAnalysis.dedupLinesWithinDoc(
+        mem4.toDF().toDF("doc_id", "html")
+          .withColumn("html",
+            graft.operators.TextAnalysis.htmlToText(col("html"))),
+        "doc_id", "html")
+      .writeStream.format("memory").queryName("web_stream")
+      .outputMode("append").start()
+    mem4.addData((1L, "<p>dup line</p><p>dup line</p><p>unique</p>"))
+    q4.processAllAvailable()
+    val web = spark.table("web_stream").collect()(0)
+    assert(web.getString(1) == "dup line\nunique" &&
+      web.getAs[Long]("n_removed") == 1L)
+    q4.stop()
   }
 
   test("LM scoring against batch-fitted models runs unchanged on a stream") {
