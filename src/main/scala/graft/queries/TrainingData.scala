@@ -202,8 +202,14 @@ object TrainingData {
       lit("<html><head><style>nav{x:1}</style><script>t(1<2)</script></head><body>"),
       lit("<div>Accept all cookies</div><div>home | products | contact</div>"),
       lit("<p>"), col("text"), lit("</p></body></html>"))
+    // the boilerplate stage reads the extracted frame TWICE (dictionary
+    // groupBy + the apply's posexplode) and Catalyst duplicates the
+    // subtree, running the regex chain over the corpus twice — a lazy
+    // checkpoint materializes extraction once (the clinical-e2e cleansed
+    // EAV discipline; blocks release with the frame)
     val extracted = tp(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.htmlToText(page).as("text"))
+      .localCheckpoint(false)
     val cleaned = TextAnalysis
       .removeBoilerplateLines(extracted, "doc_id", "text", minDocFreq = 3L)
       .select(col("doc_id"), col("clean_text"))
