@@ -448,7 +448,10 @@ object TextAnalysis {
     * needs. Output is line-shaped, feeding the boilerplate dictionary
     * and every downstream text op directly. */
   def htmlToText(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    // CRLF / lone-CR normalize first: crawl payloads are \r\n-lined, and
+    // the line-shaping below splits on \n only
+    val unix = regexp_replace(html, "\\r\\n?", "\n")
+    val noScript = regexp_replace(unix, "(?is)<script\\b[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val breaks = regexp_replace(noComment,

@@ -2506,7 +2506,7 @@ object Oracles {
         |ext AS (
         |  SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      html,
+        |      regexp_replace(html, '\r\n?', chr(10), 'g'),
         |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
         |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
@@ -2561,7 +2561,7 @@ object Oracles {
         |ex AS (
         |  SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      html,
+        |      regexp_replace(html, '\r\n?', chr(10), 'g'),
         |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
         |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),

@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500 / WARC 1.0-1.1) reader — the container format web
+  * crawls actually ship in (Common Crawl, Internet Archive): a file is a
+  * concatenation of records, each an ASCII header block (`WARC/1.x`
+  * version line + `Name: value` fields, terminated by an empty line)
+  * followed by exactly `Content-Length` payload bytes and a blank-line
+  * separator. Payloads are binary — record boundaries MUST come from the
+  * byte count, never from line scanning (an HTML body legally contains
+  * `WARC/1.0`).
+  *
+  * Spark shape: `binaryFile` scan -> one flatMap walking each file's
+  * bytes (the [[graft.operators.Multimodal]] byte-walker discipline —
+  * genuinely imperative per-file logic, the brief's mapPartitions-tier
+  * escape hatch). One task per WARC file and no intra-file split is the
+  * PRODUCTION layout, not a shortcut: crawl corpora are distributed as
+  * many ~1 GB files precisely so that file-level parallelism saturates a
+  * cluster, and gzipped WARCs (member-per-record) cannot be split
+  * mid-file anyway. `.warc.gz` is handled by walking ALL gzip members
+  * (record-per-member and whole-file gzip are the same loop);
+  * `spark.sql.files.maxPartitionBytes` never splits binaryFile rows.
+  *
+  * Malformed input discipline (the TSV/VCF reader convention): a record
+  * with a corrupt header or a short payload yields one row with
+  * `parse_error` set and ends that file's walk (nothing downstream can
+  * re-synchronize reliably once byte accounting is lost); prior good
+  * records survive.
+  */
+object WarcReader {
+
+  final case class WarcRecord(
+      source_file: String,
+      record_index: Int,
+      warc_type: String,
+      record_id: String,
+      target_uri: String,
+      warc_date: String,
+      content_type: String,
+      content_length: Long,
+      payload: Array[Byte],
+      parse_error: String)
+
+  /** All records of every `*.warc` / `*.warc.gz` under `path`. */
+  def records(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val raw =
+          if (file.endsWith(".gz")) gunzipAllMembers(bytes) else bytes
+        parseAll(file, raw)
+      }
+      .toDF()
+  }
+
+  /** HTTP response payloads split into status + headers + body: the
+    * step between WARC records and [[graft.operators.TextAnalysis
+    * .htmlToText]]. Applies to `warc_type = 'response'` rows whose
+    * payload is an HTTP message; the body is returned as binary (the
+    * charset decision belongs to the caller) plus a best-effort UTF-8
+    * string column for the common case. */
+  def httpResponses(records: DataFrame): DataFrame = {
+    val split = udfFreeHttpSplit(records)
+    split.select(col("source_file"), col("record_index"),
+      col("target_uri"), col("http_status"), col("http_headers"),
+      col("body"), col("body_utf8"))
+  }
+
+  // HTTP split without a UDF: find the first CRLFCRLF in the payload via
+  // position-of on the binary cast to string is unsafe for binary bodies,
+  // so this one step also walks bytes in a flatMap (same tier as the
+  // record walk — it IS the record walk's second half).
+  private def udfFreeHttpSplit(records: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .filter(col("warc_type") === "response" && col("parse_error").isNull)
+      .select(col("source_file"), col("record_index"), col("target_uri"),
+        col("payload"))
+      .as[(String, Int, String, Array[Byte])]
+      .map { case (f, i, uri, payload) =>
+        val sep = indexOfCrlfCrlf(payload)
+        if (sep < 0)
+          (f, i, uri, -1, "", Array.empty[Byte], "")
+        else {
+          val head = new String(payload, 0, sep, "ISO-8859-1")
+          val lines = head.split("\r\n")
+          val status = lines.headOption
+            .flatMap(_.split(" ").lift(1))
+            .flatMap(s => scala.util.Try(s.toInt).toOption)
+            .getOrElse(-1)
+          val body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+          (f, i, uri, status, lines.drop(1).mkString("\n"), body,
+            new String(body, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      .toDF("source_file", "record_index", "target_uri", "http_status",
+        "http_headers", "body", "body_utf8")
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decompress EVERY gzip member (a .warc.gz is usually one member per
+    * record; GZIPInputStream with a pushback loop reads them all —
+    * whole-file gzip is the one-member case of the same loop). */
+  private[sources] def gunzipAllMembers(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    // GZIPInputStream chains concatenated members natively (the trailer
+    // check probes for a following header), covering both member-per-
+    // record and whole-file compression
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    in.close()
+    out.toByteArray
+  }
+
+  private[sources] def parseAll(file: String,
+                                bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var pos = 0
+    var idx = 0
+    def err(msg: String): Unit = {
+      out += WarcRecord(file, idx, null, null, null, null, null, -1L,
+        Array.empty[Byte], msg)
+    }
+    // skip leading CRLFs between records
+    def skipBlank(): Unit =
+      while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
+        pos += 2
+    skipBlank()
+    while (pos < bytes.length) {
+      val headEnd = indexOfCrlfCrlfFrom(bytes, pos)
+      if (headEnd < 0) { err(s"unterminated header block at byte $pos"); return out.iterator }
+      val head = new String(bytes, pos, headEnd - pos, "ISO-8859-1")
+      val lines = head.split("\r\n")
+      if (!lines.headOption.exists(_.startsWith("WARC/"))) {
+        err(s"missing WARC/ version line at byte $pos"); return out.iterator
+      }
+      val fields = lines.drop(1).flatMap { l =>
+        val c = l.indexOf(':')
+        if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase ->
+          l.substring(c + 1).trim)
+      }.toMap
+      fields.get("content-length").flatMap(s =>
+          scala.util.Try(s.toLong).toOption) match {
+        case None => err(s"record $idx: missing/invalid Content-Length"); return out.iterator
+        case Some(len) =>
+          val bodyStart = headEnd + 4
+          if (bodyStart + len > bytes.length) {
+            err(s"record $idx: payload truncated (need $len bytes)"); return out.iterator
+          }
+          out += WarcRecord(file, idx,
+            fields.getOrElse("warc-type", null),
+            fields.getOrElse("warc-record-id", null),
+            fields.getOrElse("warc-target-uri", null),
+            fields.getOrElse("warc-date", null),
+            fields.getOrElse("content-type", null),
+            len,
+            java.util.Arrays.copyOfRange(bytes, bodyStart,
+              bodyStart + len.toInt),
+            null)
+          idx += 1
+          pos = bodyStart + len.toInt
+          skipBlank()
+      }
+    }
+    out.iterator
+  }
+
+  private def indexOfCrlfCrlfFrom(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+}
