@@ -31,6 +31,7 @@ object CurateCli {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5,
+      warc: Boolean = false,
       html: Boolean = false,
       boilerplateDict: String = null,
       buildDict: Boolean = false,
@@ -61,6 +62,10 @@ object CurateCli {
       | --hashes <k>          MinHash signature length  (default 8)
       | --rows-per-band <r>   LSH rows per band         (default 2)
       | --threshold <t>       Jaccard verify threshold  (default 0.5)
+      | --warc                Treat --batch as a directory of .warc/.warc.gz
+      |                       crawl files: HTTP 200 responses become the
+      |                       batch (doc id = xxhash64 of file+record,
+      |                       text = response body), and --html is implied
       | --html                Treat the batch text column as raw crawl HTML:
       |                       extract text (script/style/comments stripped,
       |                       tags to line structure, entities decoded)
@@ -121,6 +126,7 @@ object CurateCli {
         o = o.copy(rowsPerBand = v.toInt); rest = t
       case "--threshold" :: v :: t =>
         o = o.copy(threshold = v.toDouble); rest = t
+      case "--warc" :: t => o = o.copy(warc = true, html = true); rest = t
       case "--html" :: t => o = o.copy(html = true); rest = t
       case "--boilerplate-dict" :: v :: t =>
         o = o.copy(boilerplateDict = v); rest = t
@@ -226,7 +232,22 @@ object CurateCli {
     * in the corpus (a rerun after a crash between the corpus append and
     * the ledger append) are anti-joined away before appending. */
   def runCycle(spark: SparkSession, o: Options): (Long, Long, Long) =
-    screenAndCommit(spark, o, spark.read.parquet(o.batch), o.ingest, o.out)
+    screenAndCommit(spark, o, readBatch(spark, o), o.ingest, o.out)
+
+  /** The batch frame: parquet by default; with `--warc`, HTTP 200
+    * responses out of the crawl files (doc id = xxhash64(file, record
+    * index) — deterministic across reruns, so the recovery discipline
+    * holds; text = the response body, extracted downstream via the
+    * implied `--html`). */
+  private[graft] def readBatch(spark: SparkSession,
+                               o: Options): org.apache.spark.sql.DataFrame =
+    if (!o.warc) spark.read.parquet(o.batch)
+    else graft.sources.WarcReader.httpResponses(
+        graft.sources.WarcReader.records(spark, o.batch))
+      .filter(col("http_status") === 200)
+      .select(
+        xxhash64(col("source_file"), col("record_index")).as(o.idCol),
+        col("body_utf8").as(o.textCol))
 
   /** Test hook: throw once between the corpus append and the ledger
     * write — the torn-cycle window the reconcile heals — to drive the

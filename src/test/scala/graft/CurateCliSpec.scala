@@ -238,6 +238,43 @@ class CurateCliSpec extends SparkSpec {
       .filter($"doc_id" === 11L).count() == 0)
   }
 
+  test("--warc: a cycle ingests raw crawl files end-to-end") {
+    def http(status: String, body: String): Array[Byte] =
+      (s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n" + body)
+        .getBytes("UTF-8")
+    def record(wtype: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+      val head = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+      head ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val root = java.nio.file.Files.createTempDirectory("curate-warc").toString
+    val corpusDir = s"$root/corpus"
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    val warcDir = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(root, "crawl"))
+    java.nio.file.Files.write(warcDir.resolve("seg-0.warc"),
+      record("response", "http://a",
+        http("200 OK", "<p>the quick brown fox jumps over the lazy dog</p>")) ++
+      record("request", "http://a",
+        "GET /a HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")) ++
+      record("response", "http://gone", http("404 Not Found", "<p>miss</p>")) ++
+      record("response", "http://b",
+        http("200 OK", "<p>a genuinely novel crawl page body</p>")))
+    val o = CurateCli.Options(corpus = corpusDir, batch = warcDir.toString,
+      ledger = s"$root/ledger", out = s"$root/out", ingest = "day1",
+      warc = true, html = true)
+    val (kept, exact, near) = CurateCli.runCycle(spark, o)
+    // 2 eligible responses (request + 404 excluded): the fox page dedups
+    // exactly against the corpus, the novel page is kept as clean text
+    assert((kept, exact, near) == ((1L, 1L, 0L)))
+    val texts = spark.read.parquet(corpusDir).collect()
+      .map(_.getString(1)).toSet
+    assert(texts.contains("a genuinely novel crawl page body"), texts.toString)
+    assert(!texts.exists(_.contains("<p>")))
+  }
+
   test("torn cycles self-heal: ledger reconcile + idempotent corpus append") {
     val root = java.nio.file.Files.createTempDirectory("curate_torn").toString
     val corpusDir = s"$root/corpus"
