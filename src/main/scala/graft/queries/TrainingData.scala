@@ -719,7 +719,7 @@ object TrainingData {
     * DuckDB oracle is the plain groupBy/HAVING, no sketch internals. */
   def sketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode, lower}
-    val toks = t(s, dir, "documents").select(
+    val toks = tp(s, dir, "documents").select(
       explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
         .as("term"))
     graft.operators.Sketches.cmHeavyHitters(toks, "term", minShare = 0.02)
