@@ -43,6 +43,22 @@ object HhShapeProbe {
     val rb = hh(par).collect().map(_.toString).sorted.toSeq
     require(ra == rb, "shapes disagree on results")
     println(f"[shape] identical results; parallel/plain = ${b / a}%.2f")
+
+    // the same A/B for the CM token sketch (the other 1-task profile hit)
+    import spark.implicits._
+    def cm(docs: DataFrame): DataFrame = {
+      val toks = docs.select(explode(graft.operators.TextAnalysis
+        .tokens(lower(col("text")))).as("term"))
+      graft.operators.Sketches.cmEstimate(
+        graft.operators.Sketches.cmSketch(toks, "term"),
+        Seq("the", "a", "of", "and", "to", "in", "is", "it",
+          "zzz-unseen").toDF("term"), "term")
+    }
+    val c = time("cm-plain")(cm(plain))
+    val d = time("cm-parallel")(cm(par))
+    require(cm(plain).collect().map(_.toString).sorted.toSeq ==
+      cm(par).collect().map(_.toString).sorted.toSeq, "cm shapes disagree")
+    println(f"[shape] cm identical; parallel/plain = ${d / c}%.2f")
     spark.stop()
   }
 }

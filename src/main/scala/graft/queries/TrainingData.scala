@@ -649,7 +649,7 @@ object TrainingData {
   def sketchCmTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.functions.{col, explode, lower}
-    val toks = t(s, dir, "documents").select(
+    val toks = tp(s, dir, "documents").select(
       explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
         .as("term"))
     val counters = graft.operators.Sketches.cmSketch(toks, "term")
