@@ -52,9 +52,16 @@ object WarcReader {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        val raw =
-          if (file.endsWith(".gz")) gunzipAllMembers(bytes) else bytes
-        parseAll(file, raw)
+        // a corrupt gzip stream is a parse_error row, not a task failure
+        // (the malformed-input discipline: one bad file in a million-file
+        // crawl must not kill the scan)
+        if (!file.endsWith(".gz")) parseAll(file, bytes)
+        else scala.util.Try(gunzipAllMembers(bytes)) match {
+          case scala.util.Success(raw) => parseAll(file, raw)
+          case scala.util.Failure(e) => Iterator(WarcRecord(file, 0,
+            null, null, null, null, null, -1L, Array.empty[Byte],
+            s"gzip decode failed: ${e.getMessage}"))
+        }
       }
       .toDF()
   }

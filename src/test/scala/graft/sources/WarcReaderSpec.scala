@@ -128,5 +128,11 @@ class WarcReaderSpec extends SparkSpec {
     assert(t.exists(r => r._3 != null && r._3.contains("truncated")))
     val j = rows.filter(_._1 == "junk.warc")
     assert(j.length == 1 && j(0)._3 != null)
+    // corrupt gzip: a parse_error row, never a task failure
+    writeWarc(dir, "bad.warc.gz", Array[Byte](0x1f, -0x75, 9, 9, 9, 9))
+    val g = WarcReader.records(spark, dir.toString).collect()
+      .filter(_.getAs[String]("source_file").endsWith("bad.warc.gz"))
+    assert(g.length == 1 &&
+      g(0).getAs[String]("parse_error").startsWith("gzip decode failed"))
   }
 }
