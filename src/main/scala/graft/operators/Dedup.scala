@@ -232,6 +232,47 @@ object Dedup {
         col("b.doc_id").as("doc_b"), col("b.pos").as("pos_b"), col("fp"))
   }
 
+  /** Asymmetric span evidence: every winnowing fingerprint a BATCH
+    * document shares with an already-curated HISTORY document, with the
+    * selected positions on both sides — the incremental-ingest twin of
+    * [[winnowingMatches]] (nothing ever pairs history with itself), and
+    * the span-level audit trail beside [[incrementalDedupLedgered]]'s
+    * whole-doc verdicts: "this new doc repeats THAT run of THAT kept
+    * doc".
+    *
+    * `historyFps` is the (doc_id, pos, fp) frame of
+    * [[TextAnalysis.winnowFingerprints]] over the curated corpus —
+    * persisted once and consumed per batch (the DedupLedger build/
+    * consume split; fingerprints are pure functions of the text, so the
+    * persisted and recomputed forms are row-identical). Per-batch cost:
+    * fingerprint the BATCH (a projection), one equi-join on the
+    * fingerprint — history text is never rescanned. Hot fingerprints
+    * cap on their HISTORY doc frequency (the unbounded side). Returns
+    * (batch_id, pos_b, hist_id, pos_h, fp). */
+  def winnowingMatchesAgainst(historyFps: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int, w: Int,
+                              maxDocFreq: Option[Long] = Some(10000L))
+      : DataFrame = {
+    val hist = historyFps.select(col("doc_id").as("hist_id"),
+      col("pos").as("pos_h"), col("fp"))
+    val capped = maxDocFreq match {
+      case Some(maxDf) =>
+        hist.join(
+          hist.groupBy(col("fp"))
+            .agg(countDistinct(col("hist_id")).as("__df"))
+            .filter(col("__df") <= maxDf)
+            .select(col("fp")),
+          Seq("fp"), "left_semi")
+      case None => hist
+    }
+    TextAnalysis.winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col(idCol).as("batch_id"), col("pos").as("pos_b"), col("fp"))
+      .join(capped, Seq("fp"))
+      .select(col("batch_id"), col("pos_b"), col("hist_id"), col("pos_h"),
+        col("fp"))
+  }
+
   /** Apply near-dup cluster verdicts to the corpus: one keep/drop row
     * per document — keep iff the doc is in no cluster (never paired) or
     * IS its cluster's min-id representative; dropped docs carry the

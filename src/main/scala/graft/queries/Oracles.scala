@@ -2682,6 +2682,41 @@ object Oracles {
         |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |JOIN capped c ON c.fp = a.fp""".stripMargin,
 
+    // incremental span evidence: batch (doc_id < 25) fingerprints joined
+    // to history (>= 25) fingerprints, cap on HISTORY doc frequency
+    "dedup_winnowing_incremental" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 5 + 2),
+        |      i -> md5_number_lower(array_to_string(toks[i: i + 5 - 1], ' '))) AS hs
+        |  FROM tok WHERE len(toks) >= 5),
+        |wins AS (
+        |  SELECT doc_id, hs,
+        |    unnest(range(0, greatest(len(hs) - 4 + 1, 1))) AS j
+        |  FROM kg),
+        |pick AS (
+        |  SELECT doc_id, hs, j, list_min(hs[j+1: j+4]) AS mh FROM wins),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_max(list_transform(range(1, least(4, len(hs) - j) + 1),
+        |      i -> CASE WHEN hs[j+i] = mh THEN j+i ELSE NULL END)) AS pos,
+        |    mh AS fp
+        |  FROM pick),
+        |hist AS (SELECT doc_id, pos, fp FROM sel WHERE doc_id >= 25),
+        |capped AS (
+        |  SELECT fp FROM hist GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) <= 10000)
+        |SELECT b.doc_id AS batch_id, CAST(b.pos AS BIGINT) AS pos_b,
+        |  h.doc_id AS hist_id, CAST(h.pos AS BIGINT) AS pos_h,
+        |  CAST(b.fp AS VARCHAR) AS fp
+        |FROM sel b JOIN hist h ON h.fp = b.fp
+        |JOIN capped c ON c.fp = b.fp
+        |WHERE b.doc_id < 25""".stripMargin,
+
     // shared-winnowing-fingerprint candidate pairs: distinct selected
     // fps per doc, docs sharing >= 2, hot-fp cap 10000 replayed
     "dedup_winnowing" ->

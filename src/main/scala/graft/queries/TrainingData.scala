@@ -224,6 +224,18 @@ object TrainingData {
     Dedup.winnowingMatches(tp(s, dir, "documents"), "doc_id", "text",
       k = 5, w = 4)
 
+  /** Incremental span evidence ([[Dedup.winnowingMatchesAgainst]]):
+    * docs 0-24 arrive as the batch, the rest are the curated history
+    * whose winnowing fingerprints stand in for the persisted table —
+    * every shared fingerprint names the repeated run on both sides. */
+  def dedupWinnowingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = tp(s, dir, "documents")
+    Dedup.winnowingMatchesAgainst(
+      TextAnalysis.winnowFingerprints(
+        docs.filter(col("doc_id") >= 25), "doc_id", "text", k = 5, w = 4),
+      docs.filter(col("doc_id") < 25), "doc_id", "text", k = 5, w = 4)
+  }
+
   /** IVF + binary codes ([[Similarity.ivfBqTopK]]): the seeded coarse
     * quantizer prunes to 4 probed lists, the in-list scan ranks by
     * packed-sign-bit hamming — the cheapest per-candidate tier,

@@ -741,6 +741,50 @@ class DedupSpec extends SparkSpec {
     assert(matches.map(_._5).distinct.length == pairs((1L, 2L)).toInt)
   }
 
+  test("winnowingMatchesAgainst: persisted history fps, batch-vs-history only") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val run = "the quick brown fox jumps over the lazy dog again today"
+    val history = Seq(
+      (100L, s"$run stored in the corpus last week"),
+      (101L, s"another kept doc also containing $run"),
+      (102L, "history content sharing nothing with the batch")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"fresh submission that repeats $run verbatim"),
+      (2L, "novel batch document with entirely distinct words"),
+      (3L, s"fresh submission that repeats $run verbatim")) // dup WITHIN batch
+      .toDF("doc_id", "text")
+    // the build/consume split: persist the history fingerprints, re-read
+    val dir = java.nio.file.Files.createTempDirectory("winnow-ledger").toString
+    TextAnalysis.winnowFingerprints(history, "doc_id", "text", 5, 4)
+      .write.mode("overwrite").parquet(dir)
+    val ev = Dedup.winnowingMatchesAgainst(spark.read.parquet(dir), batch,
+        "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(ev.nonEmpty)
+    // only batch-vs-history rows: batch ids 1/3 against history 100/101;
+    // batch-internal dup (1 vs 3) and history-history never appear
+    assert(ev.forall(e => Set(1L, 3L).contains(e._1) &&
+      Set(100L, 101L).contains(e._3)), ev.mkString("\n"))
+    assert(ev.exists(_._1 == 1L) && ev.exists(_._1 == 3L))
+    assert(!ev.exists(_._1 == 2L))
+    // every evidence row names a literally equal 5-gram on both sides
+    val texts = (history.collect() ++ batch.collect())
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+")).toMap
+    ev.foreach { case (b, pb, h, ph, _) =>
+      val gb = texts(b).slice(pb.toInt - 1, pb.toInt + 4).mkString(" ")
+      val gh = texts(h).slice(ph.toInt - 1, ph.toInt + 4).mkString(" ")
+      assert(gb == gh, s"($b:$pb, $h:$ph): '$gb' vs '$gh'")
+    }
+    // persisted-vs-recomputed history fps yield identical evidence
+    val ev2 = Dedup.winnowingMatchesAgainst(
+        TextAnalysis.winnowFingerprints(history, "doc_id", "text", 5, 4),
+        batch, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(ev.sorted.toSeq == ev2.sorted.toSeq)
+  }
+
   test("dedupLinesWithinDoc: first occurrence survives, norm matching, blanks kept") {
     val d = Seq(
       (1L, "alpha\nNav | Bar\nnav | bar \nalpha\n\n\nbeta"),
