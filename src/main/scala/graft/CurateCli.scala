@@ -163,6 +163,10 @@ object CurateCli {
     else if (o.corpus == null || o.batch == null || o.ledger == null ||
         o.out == null || o.ingest == null)
       Left("--corpus, --batch, --ledger, --out and --ingest are required")
+    else if (o.warc && o.stream)
+      Left("--warc cannot combine with --stream: the streaming file " +
+        "source consumes parquet micro-batches (convert crawl files with " +
+        "a --warc batch cycle, or land them as parquet)")
     else Right(o)
   }
 

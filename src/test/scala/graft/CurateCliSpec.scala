@@ -262,6 +262,10 @@ class CurateCliSpec extends SparkSpec {
       record("response", "http://gone", http("404 Not Found", "<p>miss</p>")) ++
       record("response", "http://b",
         http("200 OK", "<p>a genuinely novel crawl page body</p>")))
+    // --warc + --stream is rejected at parse (the stream source is parquet)
+    assert(CurateCli.parse(Seq("--warc", "--stream", "--corpus", corpusDir,
+      "--batch", warcDir.toString, "--ledger", s"$root/l",
+      "--out", s"$root/o", "--ingest", "d")).isLeft)
     val o = CurateCli.Options(corpus = corpusDir, batch = warcDir.toString,
       ledger = s"$root/ledger", out = s"$root/out", ingest = "day1",
       warc = true, html = true)
