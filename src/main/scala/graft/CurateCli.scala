@@ -40,6 +40,9 @@ object CurateCli {
       contamThreshold: Double = 0.2,
       redactContacts: Boolean = false,
       lang: String = null,
+      spanEvidence: Boolean = false,
+      spanK: Int = 5,
+      spanW: Int = 4,
       forceStart: Boolean = false,
       compact: Boolean = false,
       compactInto: String = "compacted",
@@ -88,6 +91,13 @@ object CurateCli {
       | --lang <code>         Keep only docs the n-gram language ID scores
       |                       as <code> (en/de/fr/es); others get a
       |                       terminal 'lang_filtered' verdict
+      | --span-evidence       Maintain the winnowing-fingerprint ledger
+      |                       (<ledger>/winnow) and write per-batch span
+      |                       evidence to <out>_spans: every shared run
+      |                       between a batch doc and a kept history doc,
+      |                       with positions on both sides
+      | --span-k <k>          Winnowing k-gram size   (default 5)
+      | --span-w <w>          Winnowing window size   (default 4)
       | --build-dict          Build the boilerplate dictionary from --corpus
       |                       and write it to --boilerplate-dict instead of
       |                       running a cycle (the batch-side daily build;
@@ -137,6 +147,9 @@ object CurateCli {
       case "--redact-contacts" :: t =>
         o = o.copy(redactContacts = true); rest = t
       case "--lang" :: v :: t => o = o.copy(lang = v); rest = t
+      case "--span-evidence" :: t => o = o.copy(spanEvidence = true); rest = t
+      case "--span-k" :: v :: t => o = o.copy(spanK = v.toInt); rest = t
+      case "--span-w" :: v :: t => o = o.copy(spanW = v.toInt); rest = t
       case "--build-dict" :: t => o = o.copy(buildDict = true); rest = t
       case "--min-doc-freq" :: v :: t =>
         o = o.copy(minDocFreq = v.toLong); rest = t
@@ -341,6 +354,22 @@ object CurateCli {
           .localCheckpoint() // two consumers: the anti-join + verdict rows
         (langKept.join(flagged, Seq(o.idCol), "left_anti"), Some(flagged))
     }
+    // span evidence (optional): the winnowing-fingerprint ledger heals
+    // like the dedup ledger (same corpus anti-join), the batch's own ids
+    // are excluded from the history side (recovery reruns), and every
+    // shared run lands in <out>_spans before the verdict write
+    if (o.spanEvidence) {
+      val wPath = s"${o.ledger}/winnow"
+      graft.operators.WinnowLedger.reconcile(corpus, o.idCol, o.textCol,
+        o.spanK, o.spanW, wPath,
+        ingest = if (graft.operators.WinnowLedger.exists(wPath))
+          s"${ingest}_healed" else "bootstrap")
+      Dedup.winnowingMatchesAgainst(
+          graft.operators.WinnowLedger.read(spark, wPath, o.spanK, o.spanW)
+            .join(ledgerIds, Seq("doc_id"), "left_anti"),
+          screenIn, o.idCol, o.textCol, o.spanK, o.spanW)
+        .write.mode("overwrite").parquet(s"${outDir}_spans")
+    }
     val screenOut = Dedup.incrementalDedupLedgered(history,
       fp.join(ledgerIds, Seq("doc_id"), "left_anti"),
       bands.join(ledgerIds, Seq("doc_id"), "left_anti"), screenIn,
@@ -375,6 +404,11 @@ object CurateCli {
     }
     DedupLedger.write(kept, o.idCol, o.textCol, o.n, o.numHashes,
       o.rowsPerBand, o.ledger, ingest = ingest)
+    // kept already excludes corpus-present docs (idempotent append), so
+    // a recovery rerun cannot duplicate winnow rows either
+    if (o.spanEvidence)
+      graft.operators.WinnowLedger.write(kept, o.idCol, o.textCol,
+        o.spanK, o.spanW, s"${o.ledger}/winnow", ingest = ingest)
     val counts = verdicts.groupBy(col("verdict")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     (counts.getOrElse("keep", 0L), counts.getOrElse("exact", 0L),

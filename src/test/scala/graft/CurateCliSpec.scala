@@ -279,6 +279,47 @@ class CurateCliSpec extends SparkSpec {
     assert(!texts.exists(_.contains("<p>")))
   }
 
+  test("--span-evidence: winnow ledger grows per cycle; evidence names the kept run") {
+    val run = "the quick brown fox jumps over the lazy dog again today"
+    val root = java.nio.file.Files.createTempDirectory("curate-span").toString
+    val corpusDir = s"$root/corpus"
+    Seq((1L, s"corpus doc containing $run from the start"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    Seq(
+      (10L, "a genuinely novel first-day document kept whole"),
+      (11L, s"submission repeating $run with a fresh tail"))
+      .toDF("doc_id", "text").write.parquet(s"$root/b1")
+    Seq(
+      (20L, "novel first-day document kept whole — near variant"),
+      (21L, "a genuinely novel first-day document kept whole extended"))
+      .toDF("doc_id", "text").write.parquet(s"$root/b2")
+    def opts(batch: String, ingest: String) = CurateCli.Options(
+      corpus = corpusDir, batch = s"$root/$batch", ledger = s"$root/ledger",
+      out = s"$root/out_$ingest", ingest = ingest, spanEvidence = true)
+    CurateCli.runCycle(spark, opts("b1", "day1"))
+    // day-1 evidence: batch doc 11 repeats corpus doc 1's run (bootstrap
+    // healed the pre-existing corpus into the winnow ledger)
+    val ev1 = spark.read.parquet(s"$root/out_day1_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).distinct
+    assert(ev1.toSet == Set((11L, 1L)), ev1.mkString(","))
+    // the ledger grew by day-1's KEPT docs
+    val wfp = spark.read.parquet(s"$root/ledger/winnow/wfp")
+    assert(wfp.filter($"doc_id" === 10L).count() > 0)
+    // day 2: doc 21 shares a run with doc 10 — a doc KEPT by cycle 1,
+    // proof cycle 2's evidence reads what cycle 1 wrote
+    CurateCli.runCycle(spark, opts("b2", "day2"))
+    val ev2 = spark.read.parquet(s"$root/out_day2_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).distinct
+    assert(ev2.contains((21L, 10L)), ev2.mkString(","))
+    assert(ev2.forall(_._2 != 20L) && ev2.forall(_._2 != 21L),
+      "batch docs must never appear on the history side")
+    // mismatched winnowing parameters are rejected, not silently empty
+    val bad = intercept[IllegalArgumentException] {
+      CurateCli.runCycle(spark, opts("b2", "day3").copy(spanK = 7))
+    }
+    assert(bad.getMessage.contains("k=5|w=4"))
+  }
+
   test("torn cycles self-heal: ledger reconcile + idempotent corpus append") {
     val root = java.nio.file.Files.createTempDirectory("curate_torn").toString
     val corpusDir = s"$root/corpus"
