@@ -273,6 +273,31 @@ object Dedup {
         col("fp"))
   }
 
+  /** Corpus snapshot diff — the audit between two curated states (what
+    * did yesterday's cycles actually change?): one row per doc id in
+    * either snapshot with status `added` / `removed` / `changed` /
+    * `unchanged`, where changed-ness compares the whitespace-normalized
+    * exact fingerprint ([[TextAnalysis.fingerprint]]), not raw bytes —
+    * the same identity the exact-dedup pass uses, so a reformatted doc
+    * is `unchanged` here exactly when dedup would call it a dup.
+    *
+    * 100 TB shape: two narrow (id, fp) projections into ONE full outer
+    * join keyed on the id — no text shuffle (fingerprints are 32 bytes),
+    * map-side fp computation, AQE-managed join. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp_old"))
+    val n = newSnap.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Apply near-dup cluster verdicts to the corpus: one keep/drop row
     * per document — keep iff the doc is in no cluster (never paired) or
     * IS its cluster's min-id representative; dropped docs carry the

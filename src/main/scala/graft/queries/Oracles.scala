@@ -2682,6 +2682,27 @@ object Oracles {
         |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |JOIN capped c ON c.fp = a.fp""".stripMargin,
 
+    // corpus snapshot diff: the exact-fingerprint identity over the two
+    // synthesized snapshots; whitespace-only rewrites stay unchanged
+    "corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(
+        |      CASE WHEN doc_id % 3 = 0 THEN text || ' revised'
+        |           WHEN doc_id % 3 = 1 THEN text || '  '
+        |           ELSE text END, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
     // incremental span evidence: batch (doc_id < 25) fingerprints joined
     // to history (>= 25) fingerprints, cap on HISTORY doc frequency
     "dedup_winnowing_incremental" ->

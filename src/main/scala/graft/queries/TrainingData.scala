@@ -224,6 +224,21 @@ object TrainingData {
     Dedup.winnowingMatches(tp(s, dir, "documents"), "doc_id", "text",
       k = 5, w = 4)
 
+  /** Corpus snapshot diff ([[Dedup.corpusDiff]]): the old snapshot
+    * drops every 7th doc, the new snapshot drops every 5th and rewrites
+    * every 3rd (whitespace-only rewrites stay `unchanged` — the
+    * fingerprint identity), so all four statuses appear. */
+  def corpusDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" revised")))
+          .when(col("doc_id") % 3 === 1, concat(col("text"), lit("  ")))
+          .otherwise(col("text")).as("text"))
+    Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+  }
+
   /** Incremental span evidence ([[Dedup.winnowingMatchesAgainst]]):
     * docs 0-24 arrive as the batch, the rest are the curated history
     * whose winnowing fingerprints stand in for the persisted table —

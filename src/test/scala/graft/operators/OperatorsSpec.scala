@@ -741,6 +741,21 @@ class DedupSpec extends SparkSpec {
     assert(matches.map(_._5).distinct.length == pairs((1L, 2L)).toInt)
   }
 
+  test("corpusDiff: four statuses; whitespace-only rewrites are unchanged") {
+    val oldSnap = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept as is"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "  alpha\tbeta "),     // whitespace-only rewrite -> unchanged
+      (2L, "gamma delta revised"), // changed
+      (4L, "brand new doc"))       // added; 3 removed
+      .toDF("doc_id", "text")
+    val d = graft.operators.Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), d.toString)
+  }
+
   test("winnowingMatchesAgainst: persisted history fps, batch-vs-history only") {
     import graft.operators.{Dedup, TextAnalysis}
     val run = "the quick brown fox jumps over the lazy dog again today"
