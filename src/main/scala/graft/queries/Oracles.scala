@@ -3782,4 +3782,96 @@ object Oracles {
           |       ELSE 'test' END AS split
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin))
   }
+
+  /** BPE fit replayed as an unrolled 12-stage CTE chain (one pair-count
+    * argmax + one greedy merge sweep per stage — Sennrich et al. 2016,
+    * mirrored from [[graft.operators.Bpe]]): words as chr(31)-joined
+    * char lists, pair counts from adjacent indices weighted by word
+    * frequency, best pair by (count DESC, first, second) under DuckDB's
+    * binary collation (== the Spark side's UTF-8 tie-break), merge as
+    * one leftmost non-overlapping `replace`. MATERIALIZED keeps the
+    * chain linear — each w_i feeds both p_{i+1} and w_{i+1}. */
+  private val BpeK = 12
+
+  private val bpeChain: String = {
+    val parts = Seq.newBuilder[String]
+    parts += """w0 AS MATERIALIZED (
+      |  SELECT array_to_string(string_split(w, ''), chr(31)) AS ws,
+      |    CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+      |                x -> len(x) > 0)) AS w FROM documents)
+      |  GROUP BY 1)""".stripMargin
+    for (i <- 1 to BpeK) {
+      val p = i - 1
+      parts += s"""p$i AS MATERIALIZED (
+        |  SELECT syms[i] AS first, syms[i+1] AS second,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+        |        FROM (SELECT string_split(ws, chr(31)) AS syms, freq FROM w$p))
+        |  GROUP BY 1, 2 ORDER BY cnt DESC, first, second LIMIT 1),
+        |w$i AS MATERIALIZED (
+        |  SELECT replace(ws, first || chr(31) || second, first || second) AS ws,
+        |    freq FROM w$p, p$i)""".stripMargin
+    }
+    parts.result().mkString(",\n")
+  }
+
+  val bpe: Map[String, String] = {
+    val mergeRows = (1 to BpeK).map { i =>
+      s"SELECT $i AS rank, first, second, first || second AS merged, " +
+        s"cnt AS pair_count FROM p$i"
+    }.mkString("\nUNION ALL ")
+    val mrgCols = (1 to BpeK).map { i =>
+      s"p$i.first || chr(31) || p$i.second AS a$i, p$i.first || p$i.second AS b$i"
+    }.mkString(", ")
+    val mrgFrom = (1 to BpeK).map("p" + _).mkString(", ")
+    val nested = (1 to BpeK).foldLeft(
+      "array_to_string(string_split(w, ''), chr(31))") { (acc, i) =>
+      s"replace($acc, a$i, b$i)"
+    }
+    val tokensSql =
+      s"""WITH $bpeChain,
+         |mrg AS MATERIALIZED (SELECT $mrgCols FROM $mrgFrom),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |          x -> len(x) > 0) AS toks FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(toks,
+         |    w -> len(string_split($nested, chr(31))))), 0) AS BIGINT)
+         |    AS n_bpe_tokens
+         |FROM tok, mrg""".stripMargin
+    Map(
+      "text_bpe_merges" -> s"WITH $bpeChain\n$mergeRows",
+      "text_bpe_tokens" -> tokensSql,
+      // tokenizer -> shards: the BPE token counts packed into 4096-token
+      // shards in doc_id order (pack_sequences' tokens-before floor-div
+      // convention), aggregated to the writer's manifest
+      "shard_manifest" ->
+        s"""WITH cnts AS (SELECT doc_id, n_bpe_tokens FROM ($tokensSql)),
+           |sums AS (
+           |  SELECT doc_id, n_bpe_tokens,
+           |    CAST(floor((sum(n_bpe_tokens) OVER (ORDER BY doc_id
+           |        ROWS UNBOUNDED PRECEDING) - n_bpe_tokens)::DOUBLE
+           |      / 4096.0) AS BIGINT) AS shard_id
+           |  FROM cnts)
+           |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM sums GROUP BY 1""".stripMargin)
+  }
+
+  /** Cross-operator compositions replayed by nesting the component
+    * oracles as subqueries (DuckDB WITH-in-derived-table). */
+  val composed: Map[String, String] = Map(
+    // recall@10 of the IVF tier vs the exact brute-force top-10: both
+    // component oracles verbatim, matched on (q_id, neighbor_id)
+    "ann_recall" ->
+      s"""WITH exact AS (SELECT q_id, neighbor_id FROM (
+         |${trainingData("ann_cosine_topk")})),
+         |approx AS (SELECT q_id, neighbor_id FROM (
+         |${trainingData("ann_ivf")}))
+         |SELECT e.q_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+         |  round(count(a.neighbor_id) / 10.0, 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY 1""".stripMargin)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -1104,4 +1104,75 @@ object TrainingData {
       .select(col("doc_id"), col("epoch_copy"), col("shuffle_pos"),
         col("n_tokens"), col("pack_id"))
   }
+
+  /** BPE merges learned once per (JVM, sf dir) — the fit is one
+    * explode+groupBy over the corpus plus a bounded ≤maxWords collect
+    * (see [[Bpe.train]]); both BPE gates and any composed query reuse
+    * the same table, like a production tokenizer artifact. */
+  private val bpeTrained =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+
+  private def bpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    bpeTrained.computeIfAbsent(dir, { d =>
+      Bpe.train(Bpe.wordFrequencies(tp(s, d, "documents"), "text"),
+        numMerges = 12)
+    })
+
+  /** The learned BPE merge table itself — rank order, pair, fused token
+    * and the weighted pair count at selection time. The oracle replays
+    * the full fit (word frequencies, argmax with UTF-8 tie-break, greedy
+    * leftmost merge sweep) as an unrolled 12-stage DuckDB CTE chain. */
+  def textBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, dir).toDF()
+      .select(col("rank"), col("first"), col("second"), col("merged"),
+        col("pairCount").as("pair_count"))
+  }
+
+  /** Per-document TRUE BPE token count under the learned merges — the
+    * number a data-loader budget actually needs, replacing the chars/4
+    * estimate. The apply side is shuffle-free whole-stage codegen: 12
+    * chained literal `replace`s over the space-joined document (see
+    * [[Bpe.tokenCounts]] for why whole-doc == per-word). */
+  def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenCounts(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", bpeMerges(s, dir))
+
+  /** ANN quality gate: recall@10 of the IVF tier (16 lists, nprobe 4)
+    * against the exact brute-force top-10 on the same 20 queries — the
+    * measurement a production deployment tunes nprobe by. Both sides are
+    * the already-gated operators; the recall join runs over ≤ Q×k rows
+    * per side, driver-bounded by construction. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+        k = 10, numLists = 16, nprobe = 4)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        round(sum(coalesce(col("hit"), lit(0L))) / lit(10.0), 6).as("recall"))
+  }
+
+  /** Tokenizer-to-shards last mile: REAL BPE token counts under the
+    * learned merge table, documents packed into 4096-token shards in
+    * doc_id order, and the manifest a shard writer emits (docs, tokens,
+    * id span per shard). Composes the shuffle-free BPE apply with
+    * [[Sampling.packSequences]]' two-phase prefix sum — no global
+    * window anywhere. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(
+        Bpe.tokenCounts(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", bpeMerges(s, dir)),
+        Seq("doc_id"), "n_bpe_tokens", budget = 4096L, packCol = "shard_id")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
 }

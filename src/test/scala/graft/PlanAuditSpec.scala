@@ -528,4 +528,34 @@ class PlanAuditSpec extends SparkSpec {
         s"$name fell back to nested loop:\n${rPlan.take(1200)}")
     }
   }
+
+  test("BPE apply is shuffle-free codegen; shard/recall compositions stay bounded") {
+    val dir = "/root/testdata/sf0.001"
+    // the 12 chained literal replaces compose into the corpus scan:
+    // no exchange, no window, inside whole-stage codegen
+    val toks = SparkEntry.queries("text_bpe_tokens")(spark, dir)
+    val tPlan = toks.queryExecution.executedPlan.toString
+    assert(!tPlan.contains("Exchange") && !tPlan.contains("Window ["),
+      s"BPE apply must stay scan+project:\n${tPlan.take(1500)}")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(tPlan).isDefined,
+      s"BPE segmentation fell out of codegen:\n${tPlan.take(800)}")
+
+    // tokenizer -> shards: the pack prefix sum stays per-range-partition
+    val shard = SparkEntry.queries("shard_manifest")(spark, dir)
+    shard.collect()
+    val sPlan = shard.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!sPlan.contains("No Partition Defined"),
+      "shard_manifest leaked a global window")
+
+    // recall gate: both ANN sides rank through the k-capped aggregate —
+    // no window anywhere, no cartesian
+    val rec = SparkEntry.queries("ann_recall")(spark, dir)
+    rec.collect()
+    val rPlan = rec.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!rPlan.contains("Window ["),
+      s"ann_recall must rank via the k-capped aggregate:\n${rPlan.take(1500)}")
+    assert(!rPlan.contains("CartesianProduct"))
+  }
 }
