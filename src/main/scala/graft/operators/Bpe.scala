@@ -138,6 +138,18 @@ object Bpe {
   def segmentCount(word: Column, merges: Seq[Merge]): Column =
     size(segments(word, merges))
 
+  /** The token vocabulary a fitted tokenizer ships: every BPE piece the
+    * corpus segments into, with its weighted occurrence count. Computed
+    * from the word-frequency table, NOT the corpus — segmenting each
+    * DISTINCT word once and weighting by its frequency is exactly the
+    * corpus-wide count at distinct-word cost (two bounded shuffles:
+    * the word groupBy upstream, the token groupBy here). */
+  def vocabulary(wordFreq: DataFrame, merges: Seq[Merge]): DataFrame =
+    wordFreq
+      .select(explode(segments(col("word"), merges)).as("token"), col("freq"))
+      .groupBy("token")
+      .agg(sum(col("freq")).cast("long").as("n_occurrences"))
+
   /** Per-document true BPE token count under a learned merge table,
     * replacing the chars/4 estimate with the real number a data-loader
     * budget needs. Shuffle-free, HOF-free, fully whole-stage-codegen'd:

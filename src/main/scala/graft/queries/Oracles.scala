@@ -3842,6 +3842,14 @@ object Oracles {
     Map(
       "text_bpe_merges" -> s"WITH $bpeChain\n$mergeRows",
       "text_bpe_tokens" -> tokensSql,
+      // the vocabulary artifact: w12 IS the fully merged word table, so
+      // the weighted piece counts fall straight out of it
+      "text_bpe_vocab" ->
+        s"""WITH $bpeChain
+           |SELECT piece AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+           |FROM (SELECT unnest(string_split(ws, chr(31))) AS piece, freq
+           |      FROM w$BpeK)
+           |GROUP BY 1""".stripMargin,
       // tokenizer -> shards: the BPE token counts packed into 4096-token
       // shards in doc_id order (pack_sequences' tokens-before floor-div
       // convention), aggregated to the writer's manifest
@@ -3873,5 +3881,22 @@ object Oracles {
          |  round(count(a.neighbor_id) / 10.0, 6) AS recall
          |FROM exact e LEFT JOIN approx a
          |  ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+
+    // one-scan column profiler: the same melt-then-aggregate shape as
+    // the Spark side, strings rendered with the EAV cast conventions
+    "profile_columns" ->
+      """WITH eav AS (
+        |  SELECT attribute, value FROM (
+        |    SELECT 'c_name' AS attribute, c_name AS value FROM customer
+        |    UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+        |    UNION ALL SELECT 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+        |    UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer))
+        |SELECT attribute,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(value) AS BIGINT) AS n_values,
+        |  CAST(count(*) - count(value) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+        |  min(value) AS v_min, max(value) AS v_max
+        |FROM eav GROUP BY 1""".stripMargin)
 }

@@ -220,6 +220,13 @@ object Relational {
         round(avg($"value"), 4).as("metric_avg"),
         count(lit(1)).as("n_values"))
 
+  /** One-scan column profiler ([[graft.operators.Profile.columnProfile]])
+    * over the EAV quartet of customer columns — row/null/exact-distinct
+    * counts and the byte-order value range per column. */
+  def profileColumns(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.columnProfile(t(s, dir, "customer"),
+      Seq("c_name", "c_mktsegment", "c_acctbal", "c_nationkey"))
+
   // Column-name sugar for $"..." outside of spark.implicits scope.
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -1139,6 +1139,15 @@ object TrainingData {
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", bpeMerges(s, dir))
 
+  /** The vocabulary artifact the fitted tokenizer ships: every BPE piece
+    * with its corpus-weighted occurrence count — segmenting each DISTINCT
+    * word once, weighted by frequency ([[Bpe.vocabulary]]). The oracle
+    * reads the fit chain's final merged word table directly. */
+  def textBpeVocab(s: SparkSession, dir: String): DataFrame =
+    Bpe.vocabulary(
+      Bpe.wordFrequencies(tp(s, dir, "documents"), "text"),
+      bpeMerges(s, dir))
+
   /** ANN quality gate: recall@10 of the IVF tier (16 lists, nprobe 4)
     * against the exact brute-force top-10 on the same 20 queries — the
     * measurement a production deployment tunes nprobe by. Both sides are

@@ -90,6 +90,17 @@ class BpeSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("vocabulary counts pieces weighted by word frequency") {
+    // merges fit on: "abab" x3, "ab" x2 -> (a,b) cnt 8, then (ab,ab) cnt 3
+    val wf = Seq(("abab", 3L), ("ab", 2L)).toDF("word", "freq")
+    val merges = Bpe.train(wf, numMerges = 2)
+    assert(merges.map(_.merged) == Seq("ab", "abab"))
+    val vocab = Bpe.vocabulary(wf, merges)
+      .as[(String, Long)].collect().toMap
+    // "abab" -> [abab] x3; "ab" -> [ab] x2
+    assert(vocab == Map("abab" -> 3L, "ab" -> 2L))
+  }
+
   test("segmented pieces always re-concatenate to the word") {
     val docs = Seq((1L, "interchangeable redistributions")).toDF("doc_id", "text")
     val merges = Bpe.train(Bpe.wordFrequencies(docs, "text"), numMerges = 6)
