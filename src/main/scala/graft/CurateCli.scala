@@ -49,6 +49,9 @@ object CurateCli {
       keepLabels: Seq[String] = Nil,
       stream: Boolean = false,
       checkpoint: String = null,
+      bpeMerges: String = null,
+      fitBpe: Boolean = false,
+      bpeNumMerges: Int = 12,
       showHelp: Boolean = false)
 
   val Usage: String =
@@ -115,6 +118,17 @@ object CurateCli {
       |                       micro-batch (AvailableNow; restart-safe via
       |                       the checkpoint)
       | --checkpoint <dir>    Stream checkpoint dir (default <out>/_checkpoint)
+      | --bpe-merges <p>      Persisted BPE merge table (parquet of
+      |                       Bpe.save); each cycle then writes
+      |                       <out>_tokens — doc_id, n_words,
+      |                       n_bpe_tokens for the docs THIS run newly
+      |                       appended to the corpus — and prints the
+      |                       training tokens the cycle added
+      | --fit-bpe             Fit the BPE merge table from --corpus and
+      |                       write it to --bpe-merges instead of running
+      |                       a cycle (the batch-side fit; only --corpus
+      |                       and --bpe-merges required)
+      | --bpe-num-merges <n>  Merge count for --fit-bpe (default 12)
       | -h,--help             Show usage
       |""".stripMargin
 
@@ -160,6 +174,10 @@ object CurateCli {
         o = o.copy(keepLabels = o.keepLabels :+ v); rest = t
       case "--stream" :: t => o = o.copy(stream = true); rest = t
       case "--checkpoint" :: v :: t => o = o.copy(checkpoint = v); rest = t
+      case "--bpe-merges" :: v :: t => o = o.copy(bpeMerges = v); rest = t
+      case "--fit-bpe" :: t => o = o.copy(fitBpe = true); rest = t
+      case "--bpe-num-merges" :: v :: t =>
+        o = o.copy(bpeNumMerges = v.toInt); rest = t
       case bad :: _ => return Left(s"unknown option: $bad")
     }
     if (o.showHelp) Right(o)
@@ -171,6 +189,12 @@ object CurateCli {
     }
     else if (o.compact) {
       if (o.ledger == null) Left("--compact requires --ledger")
+      else Right(o)
+    }
+    else if (o.fitBpe) {
+      if (o.corpus == null || o.bpeMerges == null)
+        Left("--fit-bpe requires --corpus and --bpe-merges")
+      else if (o.bpeNumMerges < 1) Left("--bpe-num-merges must be >= 1")
       else Right(o)
     }
     else if (o.corpus == null || o.batch == null || o.ledger == null ||
@@ -235,6 +259,21 @@ object CurateCli {
     require(fs.rename(tmp, target),
       s"could not publish dictionary to $target")
     spark.read.parquet(target.toString).count()
+  }
+
+  /** The batch-side tokenizer fit (`--fit-bpe`): learn the merge table
+    * from the corpus and publish it to `--bpe-merges` through
+    * [[graft.operators.Bpe.save]]'s staged rename — the fit/apply split
+    * of the dictionary and ledger builds. Returns the merge count read
+    * back through the validating load. */
+  def fitBpeMerges(spark: SparkSession, o: Options): Int = {
+    graft.operators.Bpe.save(spark,
+      graft.operators.Bpe.train(
+        graft.operators.Bpe.wordFrequencies(
+          spark.read.parquet(o.corpus), o.textCol),
+        o.bpeNumMerges),
+      o.bpeMerges)
+    graft.operators.Bpe.load(spark, o.bpeMerges).size
   }
 
   /** One ingest cycle; returns (kept, exact, near) counts. Separated from
@@ -409,6 +448,19 @@ object CurateCli {
     if (o.spanEvidence)
       graft.operators.WinnowLedger.write(kept, o.idCol, o.textCol,
         o.spanK, o.spanW, s"${o.ledger}/winnow", ingest = ingest)
+    // token accounting (optional): the training tokens THIS run newly
+    // added to the corpus, under the persisted tokenizer. Derived-only
+    // (rebuilt from corpus + merges at will), written after the durable
+    // appends; a recovery rerun writes an empty account — correct, since
+    // the rerun adds nothing new
+    Option(o.bpeMerges).foreach { mPath =>
+      graft.operators.Bpe.tokenCounts(kept, o.idCol, o.textCol,
+          graft.operators.Bpe.load(spark, mPath))
+        .write.mode("overwrite").parquet(s"${outDir}_tokens")
+      val added = spark.read.parquet(s"${outDir}_tokens")
+        .agg(coalesce(sum(col("n_bpe_tokens")), lit(0L))).collect().head.getLong(0)
+      println(s"tokens added: $added")
+    }
     val counts = verdicts.groupBy(col("verdict")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     (counts.getOrElse("keep", 0L), counts.getOrElse("exact", 0L),
@@ -469,6 +521,9 @@ object CurateCli {
           if (o.buildDict) {
             val n = buildDictionary(spark, o)
             println(s"dictionary lines: $n")
+          } else if (o.fitBpe) {
+            val n = fitBpeMerges(spark, o)
+            println(s"bpe merges: $n")
           } else if (o.compact) {
             withLedgerLock(o.ledger, o.forceStart) {
               val before = DedupLedger.ingestLabels(spark, o.ledger).size

@@ -138,6 +138,44 @@ object Bpe {
   def segmentCount(word: Column, merges: Seq[Merge]): Column =
     size(segments(word, merges))
 
+  /** Persist a fitted merge table as parquet — the tokenizer artifact a
+    * pipeline fits daily/weekly and consumes at every ingest. Staged
+    * through a `.tmp` dir and renamed (the boilerplate-dictionary /
+    * warehouse publish discipline), so a concurrent consumer never reads
+    * a half-written table; the path's own filesystem is resolved from
+    * the Hadoop conf (works on hdfs:// / s3a:// too). */
+  def save(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge],
+           path: String): Unit = {
+    require(merges.nonEmpty, "refusing to persist an empty merge table")
+    import spark.implicits._
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    // merge tables are K rows — one file, no point sharding
+    merges.toDF().repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target), s"could not publish BPE merges to $target")
+  }
+
+  /** Load a persisted merge table, validating it IS one: ranks must be
+    * contiguous from 1 and every `merged` must equal `first + second` —
+    * a torn write or a foreign parquet fails fast here, not as silent
+    * mis-segmentation at apply time. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
+    import spark.implicits._
+    val m = spark.read.parquet(path).as[Merge].collect().sortBy(_.rank).toSeq
+    require(m.nonEmpty, s"empty BPE merge table at $path")
+    m.zipWithIndex.foreach { case (mg, i) =>
+      require(mg.rank == i + 1,
+        s"non-contiguous merge ranks in $path: saw ${mg.rank} at position ${i + 1}")
+      require(mg.merged == mg.first + mg.second,
+        s"corrupt merge row ${mg.rank} in $path: " +
+          s"'${mg.merged}' != '${mg.first}'+'${mg.second}'")
+    }
+    m
+  }
+
   /** The token vocabulary a fitted tokenizer ships: every BPE piece the
     * corpus segments into, with its weighted occurrence count. Computed
     * from the word-frequency table, NOT the corpus — segmenting each

@@ -380,6 +380,56 @@ class CurateCliSpec extends SparkSpec {
       "--ledger", "l", "--out", "o", "--ingest", "day1",
       "--threshold", "0.7", "--hashes", "16", "--force-start")).toOption.get
     assert(o.threshold == 0.7 && o.numHashes == 16 && o.n == 3 && o.forceStart)
+    // --fit-bpe is a standalone mode like --build-dict
+    assert(CurateCli.parse(Seq("--fit-bpe", "--corpus", "c")).isLeft)
+    assert(CurateCli.parse(Seq("--fit-bpe", "--corpus", "c",
+      "--bpe-merges", "m", "--bpe-num-merges", "0")).isLeft)
+    val f = CurateCli.parse(Seq("--fit-bpe", "--corpus", "c",
+      "--bpe-merges", "m", "--bpe-num-merges", "6")).toOption.get
+    assert(f.fitBpe && f.bpeNumMerges == 6 && f.bpeMerges == "m")
+  }
+
+  test("--fit-bpe publishes the tokenizer; cycles account the tokens they add") {
+    val root = java.nio.file.Files.createTempDirectory("curate-bpe").toString
+    val corpusDir = s"$root/corpus"
+    Seq(
+      (1L, "spark sorts rows and spark scans rows"),
+      (2L, "sorted scans over sorted rows win"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    Seq(
+      (10L, "spark sorts rows and spark scans rows"),        // exact dup
+      (11L, "a wholly new document about window functions"), // keep
+      (12L, "another new document about hash aggregates"))   // keep
+      .toDF("doc_id", "text").write.parquet(s"$root/batch")
+
+    // batch-side fit publishes the artifact through the staged rename
+    val mergesPath = s"$root/merges"
+    val n = CurateCli.fitBpeMerges(spark, CurateCli.Options(
+      corpus = corpusDir, bpeMerges = mergesPath, fitBpe = true,
+      bpeNumMerges = 4))
+    assert(n == 4)
+    val merges = graft.operators.Bpe.load(spark, mergesPath)
+
+    // at-ingest cycle with --bpe-merges writes the per-cycle account
+    val o = CurateCli.Options(corpus = corpusDir, batch = s"$root/batch",
+      ledger = s"$root/ledger", out = s"$root/out", ingest = "day1",
+      bpeMerges = mergesPath)
+    val (kept, exact, _) = CurateCli.runCycle(spark, o)
+    assert(kept == 2 && exact == 1)
+    val account = spark.read.parquet(s"$root/out_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(account.map(_._1) == Seq(11L, 12L))
+    // the account equals a direct recompute over the same docs/merges
+    val direct = graft.operators.Bpe.tokenCounts(
+        spark.read.parquet(s"$root/batch").filter($"doc_id" > 10L),
+        "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(account == direct)
+
+    // recovery rerun: nothing newly appended -> empty account, same verdicts
+    val (keptAgain, exactAgain, _) = CurateCli.runCycle(spark, o)
+    assert(keptAgain == 2 && exactAgain == 1) // verdicts reproduce
+    assert(spark.read.parquet(s"$root/out_tokens").count() == 0)
   }
 
   test("ledger lock: second holder refused, force clears, lock released") {

@@ -101,6 +101,29 @@ class BpeSpec extends SparkSpec {
     assert(vocab == Map("abab" -> 3L, "ab" -> 2L))
   }
 
+  test("save/load round-trips the artifact; a foreign table fails the load") {
+    val root = java.nio.file.Files.createTempDirectory("bpe").toString
+    val wf = Seq(("spark", 5L), ("sort", 3L)).toDF("word", "freq")
+    val merges = Bpe.train(wf, numMerges = 3)
+    Bpe.save(spark, merges, s"$root/merges")
+    assert(Bpe.load(spark, s"$root/merges") == merges)
+
+    // rank gap -> fail fast at load, not silent mis-segmentation at apply
+    Seq(Bpe.Merge(1, "a", "b", "ab", 5L), Bpe.Merge(3, "c", "d", "cd", 2L))
+      .toDF().write.parquet(s"$root/torn")
+    val e1 = intercept[IllegalArgumentException](Bpe.load(spark, s"$root/torn"))
+    assert(e1.getMessage.contains("non-contiguous"))
+
+    // merged != first+second -> corrupt row named
+    Seq(Bpe.Merge(1, "a", "b", "xy", 5L))
+      .toDF().write.parquet(s"$root/corrupt")
+    val e2 = intercept[IllegalArgumentException](Bpe.load(spark, s"$root/corrupt"))
+    assert(e2.getMessage.contains("corrupt merge row 1"))
+
+    // publish is staged: no .tmp left behind
+    assert(!new java.io.File(s"$root/merges.tmp").exists())
+  }
+
   test("segmented pieces always re-concatenate to the word") {
     val docs = Seq((1L, "interchangeable redistributions")).toDF("doc_id", "text")
     val merges = Bpe.train(Bpe.wordFrequencies(docs, "text"), numMerges = 6)
