@@ -489,6 +489,23 @@ object EventStream {
       }
       .start()
 
+  /** At-ingest BPE token accounting: the PERSISTED merge table (fit
+    * batch-side by [[graft.operators.Bpe.train]], published via
+    * [[graft.operators.Bpe.save]] — the same fit/apply split as the
+    * dictionary and the dedup ledger) applied to each arriving
+    * micro-batch. Stateless given the artifact, a shuffle-free codegen
+    * projection per batch, so stream == batch doc-for-doc. */
+  def bpeTokenStream(docs: DataFrame, merges: Seq[graft.operators.Bpe.Merge],
+                     idCol: String, textCol: String)
+                    (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Bpe.tokenCounts(b.toDF(), idCol, textCol, merges))
+      }
+      .start()
+
   /** Batch-mode smoke: run the windowed aggregation over the parquet
     * events table read as a one-shot stream (Trigger.AvailableNow). */
   def runBatchOverParquet(spark: SparkSession, sfDir: String, outDir: String): Unit = {

@@ -652,6 +652,44 @@ class EventStreamSpec extends SparkSpec {
     assert(texts(12L) == "nothing frequent at all")
   }
 
+  test("BPE token accounting at ingest: persisted merges, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bpe
+    // yesterday's corpus fits the tokenizer; today's docs arrive as a
+    // stream and are counted under the PERSISTED artifact
+    val corpus = Seq(
+      (1L, "spark sorts rows and spark scans rows"),
+      (2L, "sorted scans over sorted rows win")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe-stream").toString
+    Bpe.save(spark,
+      Bpe.train(Bpe.wordFrequencies(corpus, "text"), numMerges = 4),
+      s"$dir/merges")
+    val merges = Bpe.load(spark, s"$dir/merges")
+
+    val arriving = Seq(
+      (10L, "spark rows sorted fast"),
+      (11L, "a wholly new document"),
+      (12L, ""))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.bpeTokenStream(
+        mem.toDF().toDF("doc_id", "text"), merges, "doc_id", "text") { out =>
+      got.synchronized { got ++= out.collect().map(key) }
+    }
+    mem.addData(arriving.take(1): _*)
+    q.processAllAvailable()
+    mem.addData(arriving.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Bpe.tokenCounts(arriving.toDF("doc_id", "text"),
+      "doc_id", "text", merges).collect().map(key)
+    assert(got.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(12L) == ((12L, 0L, 0L))) // empty doc counts zero
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
