@@ -432,6 +432,52 @@ class CurateCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/out_tokens").count() == 0)
   }
 
+  test("--stream with --bpe-merges: per-micro-batch token accounts") {
+    val root = java.nio.file.Files.createTempDirectory("curate_sbpe").toString
+    val corpusDir = s"$root/corpus"; val batchDir = s"$root/inbox"
+    Seq((1L, "spark sorts rows and spark scans rows"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(batchDir))
+    val mergesPath = s"$root/merges"
+    CurateCli.fitBpeMerges(spark, CurateCli.Options(
+      corpus = corpusDir, bpeMerges = mergesPath, fitBpe = true,
+      bpeNumMerges = 3))
+    val merges = graft.operators.Bpe.load(spark, mergesPath)
+
+    def stage(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = s"$root/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(src,
+        java.nio.file.Paths.get(batchDir).resolve(name))
+    }
+    val b0 = Seq((10L, "a fresh streaming document about windows"))
+    val b1 = Seq(
+      (20L, "a fresh streaming document about windows"), // dup of streamed keeper
+      (21L, "another fresh streaming document about aggregates"))
+    stage(b0, "f0.parquet")
+    stage(b1, "f1.parquet")
+
+    val o = CurateCli.Options(corpus = corpusDir, batch = batchDir,
+      ledger = s"$root/ledger", out = s"$root/out", ingest = "s1",
+      bpeMerges = mergesPath)
+    CurateCli.runStream(spark, o, s"$root/chk", maxFilesPerTrigger = 1)
+      .awaitTermination()
+
+    // each micro-batch wrote its own account of newly appended docs
+    val a0 = spark.read.parquet(s"$root/out/batch=0_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    val a1 = spark.read.parquet(s"$root/out/batch=1_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a0.map(_._1) == Seq(10L) && a1.map(_._1) == Seq(21L))
+    // accounts equal the direct batch recompute under the same artifact
+    val direct = graft.operators.Bpe.tokenCounts(
+        (b0 ++ b1.tail).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert((a0 ++ a1).sortBy(_._1) == direct)
+  }
+
   test("ledger lock: second holder refused, force clears, lock released") {
     val dir = java.nio.file.Files.createTempDirectory("curate_lock").toString
     val inner = CurateCli.withLedgerLock(dir) {

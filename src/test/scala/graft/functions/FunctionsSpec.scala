@@ -197,6 +197,32 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Long]("hm") == 3L && viaColumn.getAs[Long]("hm") == 3L)
   }
 
+  test("BPE segmentation replays in PURE SQL == Column") {
+    import graft.operators.Bpe
+    val docs = Seq((1L, "spark sparks sorted  sort"), (2L, "resorted"),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordFrequencies(docs, "text"), numMerges = 4)
+    docs.createOrReplaceTempView("gx_bpe")
+    // the apply is plain SQL: the same char-split + chained literal
+    // replace any engine can run — no custom expression needed
+    val joined = "trim(regexp_replace(text, '\\\\s+', ' '))"
+    val chain = merges.foldLeft(
+      s"concat_ws(char(31), split($joined, ''))") { (acc, m) =>
+      s"replace($acc, concat('${m.first}', char(31), '${m.second}'), '${m.merged}')"
+    }
+    val viaSql = spark.sql(
+      s"""SELECT doc_id,
+         |  CASE WHEN $joined = '' THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(size(split($chain, char(31)))
+         |         - size(split($joined, ' ')) + 1 AS BIGINT) END AS n
+         |FROM gx_bpe""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaColumn = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_bpe_tokens")).toMap
+    assert(viaSql == viaColumn)
+    assert(viaSql(3L) == 0L)
+  }
+
   test("graft_race_key: SQL == Column, zero-mass weights yield null") {
     val df = Seq((1L, Option(2.5)), (2L, Option(0.0)),
       (3L, Option(Double.NaN)), (4L, Option(8.0)), (5L, Option.empty[Double]))
