@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the artifact discipline (dedup ledger,
+  * boilerplate dictionary, BPE merge table) applied to similarity
+  * search: build the index ONCE batch-side, search it many times
+  * without ever re-deriving assignments.
+  *
+  * Layout under one path:
+  *  - `centroids/` — (centroid_id, c_vec), KB-sized by contract
+  *  - `postings/`  — the collection with its list assignment,
+  *    HIVE-PARTITIONED BY `list_id`: a search with nprobe lists loads
+  *    ONLY those lists' directories (explicit probed-path selection
+  *    with `basePath`, so the unprobed partitions are never even
+  *    LISTED, independent of partition-value type inference) — at
+  *    100 TB the unprobed 1 - nprobe/numLists of the collection is
+  *    never opened, the pruning a memory-resident IVF gets from its
+  *    inverted lists, re-expressed as parquet partition layout.
+  *  - `_params`   — numLists recorded at build, re-validated at open
+  *    (an index is only valid for the quantizer it was built with).
+  *
+  * The build stages under `<path>.tmp` and renames (the publish
+  * discipline), so a concurrent searcher never opens a half-written
+  * index. */
+object AnnIndex {
+
+  private def markerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_params")
+
+  private def fsOf(path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def readMarker(path: String): String = {
+    val in = fsOf(path).open(markerPath(path))
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+    finally in.close()
+  }
+
+  private def paramsLine(numLists: Int) = s"numLists=$numLists"
+
+  /** Build and publish the index. Assignment is the same codegen'd
+    * literal-centroid argmax every IVF tier uses (no join, no shuffle
+    * for assignment); the one exchange is the partitioned write's
+    * list_id grouping. Centroids default to [[Similarity.seedCentroids]];
+    * pass a [[Similarity.kmeansCentroids]] table for a trained coarse
+    * quantizer. */
+  def build(vectors: DataFrame, idCol: String, vecCol: String,
+            numLists: Int, path: String,
+            centroids: Option[DataFrame] = None): Unit = {
+    val spark = vectors.sparkSession
+    val cents = centroids.getOrElse(
+      Similarity.seedCentroids(vectors, idCol, vecCol, numLists))
+    val collected = Similarity.collectCentroids(cents)
+    require(collected.size == numLists,
+      s"centroid table has ${collected.size} rows, expected $numLists")
+    val fs = fsOf(path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    fs.delete(tmp, true)
+    cents.write.parquet(s"${tmp.toString}/centroids")
+    vectors
+      .select(col(idCol), col(vecCol),
+        Similarity.nearestCentroid(col(vecCol), collected).as("list_id"))
+      .write.partitionBy("list_id").parquet(s"${tmp.toString}/postings")
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_params"), true)
+    try out.write((paramsLine(numLists) + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(target, true)
+    require(fs.rename(tmp, target), s"could not publish index to $path")
+  }
+
+  /** Search the persisted index: the probe side mirrors the in-memory
+    * IVF tier (literal-centroid scores, sorted-slice probe pick, final
+    * rank through the k-capped aggregate — zero Window operators); the
+    * collection side reads ONLY the probed postings directories (the
+    * scan's file index holds exactly those paths). The probed-list id
+    * set is the one bounded driver round-trip: ≤ numLists ints, never
+    * data-sized. */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val marker = readMarker(path)
+    val cents = Similarity.collectCentroids(
+      spark.read.parquet(s"$path/centroids"))
+    require(marker == paramsLine(cents.size),
+      s"index at $path recorded '$marker' but its centroid table has " +
+        s"${cents.size} rows — rebuild the index")
+    val vnorm = Similarity.l2Norm(col(vecCol))
+    val probeScores = cents.zipWithIndex.map { case (cv, cid) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        round(Similarity.dot(col(vecCol), array(cv.map(lit): _*)) / (vnorm * cn), 6)
+          .as("cos"),
+        lit(-cid.toLong).as("negid"))
+    }
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        vnorm.as("q_norm"),
+        explode(slice(sort_array(array(probeScores: _*), asc = false),
+          1, nprobe)).as("__probe"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        (-col("__probe.negid")).as("list_id"))
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: <= numLists ints
+    // explicit directory selection: ONLY the probed lists' partitions are
+    // even listed, independent of partition-value type inference (an
+    // empty list writes no directory — skip it; basePath keeps list_id)
+    val fs = fsOf(path)
+    val probedPaths = probedLists
+      .map(l => s"$path/postings/list_id=$l")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (probedPaths.isEmpty)
+      return probes
+        .select(col("q_id"), col("q_id").as("neighbor_id"),
+          lit(0.0).as("cosine"), lit(1L).as("rank"))
+        .limit(0)
+    val postings = spark.read.option("basePath", s"$path/postings")
+      .parquet(probedPaths: _*)
+      .select(col("list_id").cast("long").as("list_id"),
+        col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        Similarity.l2Norm(col(vecCol)).as("n_norm"))
+    val pairs = broadcast(probes).join(postings, Seq("list_id"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("q_vec"), col("n_vec"))
+          / (col("q_norm") * col("n_norm")), 6))
+    Sampling.topKPerGroup(pairs, Seq("q_id"), "cosine", "neighbor_id", k,
+        descending = true, numericIdOrder = true)
+      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

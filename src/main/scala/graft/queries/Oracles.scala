@@ -3883,6 +3883,10 @@ object Oracles {
          |  ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
          |GROUP BY 1""".stripMargin,
 
+    // persisted-index IVF search has the SAME result contract as the
+    // in-memory tier — the ann_ivf replay verbatim
+    "ann_ivf_index" -> trainingData("ann_ivf"),
+
     // one-scan column profiler: the same melt-then-aggregate shape as
     // the Spark side, strings rendered with the EAV cast conventions
     "profile_columns" ->

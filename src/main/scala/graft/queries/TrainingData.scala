@@ -1167,6 +1167,29 @@ object TrainingData {
         round(sum(coalesce(col("hit"), lit(0L))) / lit(10.0), 6).as("recall"))
   }
 
+  /** Persisted-index IVF search: the index built ONCE per (JVM, sf dir)
+    * into a temp path (postings Hive-partitioned by list — a probe
+    * loads only its lists' directories), then searched with the same
+    * (16 lists, nprobe 4, k 10) contract as `ann_ivf` — the oracle is
+    * the ann_ivf replay verbatim, proving persisted == in-memory. */
+  private val annIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def annIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = annIndexBuilt.computeIfAbsent(dir, { d =>
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-annidx-${Integer.toHexString(d.hashCode)}").toString
+      graft.operators.AnnIndex.build(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+        numLists = 16, path)
+      path
+    })
+    graft.operators.AnnIndex.search(s, idx,
+      e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 10, nprobe = 4)
+  }
+
   /** Tokenizer-to-shards last mile: REAL BPE token counts under the
     * learned merge table, documents packed into 4096-token shards in
     * doc_id order, and the manifest a shard writer emits (docs, tokens,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vectors(n: Int, dim: Int = 8) =
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        math.sin(i * 31 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+
+  test("persisted search == in-memory IVF tier, bit for bit") {
+    val root = java.nio.file.Files.createTempDirectory("annidx").toString
+    val vs = vectors(120)
+    AnnIndex.build(vs, "vec_id", "embedding", numLists = 8, s"$root/idx")
+    val qs = vs.filter($"vec_id" < 5)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val persisted = AnnIndex.search(spark, s"$root/idx", qs,
+      "vec_id", "embedding", k = 6, nprobe = 3).collect().map(key).sorted
+    val inMemory = Similarity.ivfTopKWith(vs, qs, "vec_id", "embedding",
+        k = 6, nprobe = 3,
+        centroids = Similarity.seedCentroids(vs, "vec_id", "embedding", 8))
+      .collect().map(key).sorted
+    assert(persisted.toSeq == inMemory.toSeq)
+  }
+
+  test("search loads ONLY the probed lists' directories") {
+    val root = java.nio.file.Files.createTempDirectory("annidx2").toString
+    val vs = vectors(200)
+    AnnIndex.build(vs, "vec_id", "embedding", numLists = 10, s"$root/idx")
+    val res = AnnIndex.search(spark, s"$root/idx", vs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one query x nprobe=2: the postings file index holds <= 2 paths of
+    // the 10 partitions (the unprobed 8 are never even listed)
+    val loc = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    assert(loc.nonEmpty, s"no file index in plan:\n${plan.take(1200)}")
+    assert(loc.exists(_ <= 2),
+      s"expected a <=2-path postings scan (nprobe=2), got $loc:\n${plan.take(1200)}")
+    // and the rank is the k-capped aggregate, not a window
+    assert(!plan.contains("Window ["), "index search leaked a window")
+  }
+
+  test("params validate; torn publish never visible; empty probes handled") {
+    val root = java.nio.file.Files.createTempDirectory("annidx3").toString
+    val vs = vectors(50)
+    AnnIndex.build(vs, "vec_id", "embedding", numLists = 4, s"$root/idx")
+    assert(!new java.io.File(s"$root/idx.tmp").exists()) // staged publish
+    // foreign centroid table (wrong count) -> fail fast
+    vectors(6).select($"vec_id".as("centroid_id"), $"embedding".as("c_vec"))
+      .write.mode("overwrite").parquet(s"$root/idx/centroids")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.search(spark, s"$root/idx", vs.limit(1),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+    }
+    assert(e.getMessage.contains("rebuild the index"))
+  }
+
+  test("empty postings partitions: probing a never-written list is safe") {
+    val root = java.nio.file.Files.createTempDirectory("annidx4").toString
+    // 3 identical clusters of vectors -> most of the 6 seed lists empty
+    val vs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (i % 3 == 0) 1.0f else if (i % 3 == 1) -1.0f else 0.5f) * (j + 1)))
+    }.toDF("vec_id", "embedding")
+    AnnIndex.build(vs, "vec_id", "embedding", numLists = 6, s"$root/idx")
+    val res = AnnIndex.search(spark, s"$root/idx", vs.filter($"vec_id" < 2),
+      "vec_id", "embedding", k = 4, nprobe = 6).collect()
+    assert(res.nonEmpty) // probing empty lists neither errors nor blocks
+  }
+}
