@@ -73,6 +73,30 @@ object AnnIndex {
     require(fs.rename(tmp, target), s"could not publish index to $path")
   }
 
+  /** Append new vectors to an existing index — the daily-ingest shape:
+    * assignment uses the index's OWN persisted centroids (the quantizer
+    * never drifts under appends; retrain = rebuild), new postings land
+    * as additional files inside their lists' partitions. A crash mid-
+    * append leaves complete parquet files of a partial batch — re-run
+    * idempotency is the CALLER's discipline (same-id rows would
+    * duplicate), matching the curate cycle's anti-join-before-append
+    * convention. */
+  def append(vectors: DataFrame, idCol: String, vecCol: String,
+             path: String): Unit = {
+    val spark = vectors.sparkSession
+    val marker = readMarker(path)
+    val collected = Similarity.collectCentroids(
+      spark.read.parquet(s"$path/centroids"))
+    require(marker == paramsLine(collected.size),
+      s"index at $path recorded '$marker' but its centroid table has " +
+        s"${collected.size} rows — rebuild the index")
+    vectors
+      .select(col(idCol), col(vecCol),
+        Similarity.nearestCentroid(col(vecCol), collected).as("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/postings")
+  }
+
   /** Search the persisted index: the probe side mirrors the in-memory
     * IVF tier (literal-centroid scores, sorted-slice probe pick, final
     * rank through the k-capped aggregate — zero Window operators); the

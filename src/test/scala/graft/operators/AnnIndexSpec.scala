@@ -63,6 +63,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild the index"))
   }
 
+  test("append under the frozen quantizer == one-shot build over the union") {
+    val root = java.nio.file.Files.createTempDirectory("annidx5").toString
+    val all = vectors(150)
+    val day1 = all.filter($"vec_id" < 100)
+    val day2 = all.filter($"vec_id" >= 100)
+    // incremental: build on day1's vectors, append day2's
+    AnnIndex.build(day1, "vec_id", "embedding", numLists = 6, s"$root/inc")
+    AnnIndex.append(day2, "vec_id", "embedding", s"$root/inc")
+    // one-shot, with the SAME quantizer (day1's seed centroids — an
+    // append never retrains, so the comparison freezes the centroids)
+    AnnIndex.build(all, "vec_id", "embedding", numLists = 6, s"$root/full",
+      centroids = Some(
+        Similarity.seedCentroids(day1, "vec_id", "embedding", 6)))
+    val qs = all.filter($"vec_id" < 4)
+    def run(p: String) = AnnIndex.search(spark, p, qs,
+        "vec_id", "embedding", k = 8, nprobe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(run(s"$root/inc") == run(s"$root/full"))
+    // appended vectors are actually findable
+    assert(run(s"$root/inc").exists(_._2 >= 100L))
+  }
+
   test("empty postings partitions: probing a never-written list is safe") {
     val root = java.nio.file.Files.createTempDirectory("annidx4").toString
     // 3 identical clusters of vectors -> most of the 6 seed lists empty
