@@ -310,6 +310,61 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** TRAIN the hashed linear quality filter in-engine — the fit half of
+    * [[hashedLinearScore]]: full-batch gradient descent on SQUARED loss
+    * over per-document bucket-fraction features (each token contributes
+    * 1/n_tokens to its md5 bucket — features have bounded norm, so a
+    * fixed small learning rate converges instead of oscillating on hot
+    * buckets). No libm exp anywhere, matching the scorer's logit-only
+    * discipline.
+    *
+    * Per iteration: ONE pass computes per-doc residuals (the same
+    * codegen'd literal-weight fold the scorer uses) and the per-bucket
+    * gradient (explode + groupBy over a d-sized domain, map-side
+    * combined); only d gradient rows reach the driver. The corpus is
+    * bucketed ONCE up front (ints, not text) and persisted across the
+    * T iterations.
+    *
+    * Engine portability (the k-means discipline): residuals and
+    * per-bucket gradient sums round to 6 dp each iteration — partition-
+    * order float noise (~1e-15 relative) vanishes at the grid, so an
+    * independent SQL engine replays the fit hash-exactly; the weight
+    * update itself uses HALF_UP, the rounding `round()` applies in both
+    * engines. */
+  def trainHashedLinear(df: DataFrame, textCol: String, labelCol: String,
+                        d: Int, lr: Double, iters: Int): Array[Double] = {
+    require(d >= 1 && d <= 65536, s"bucket count must be 1..65536, got $d")
+    require(iters >= 1, "need at least one iteration")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bucketOf = (t: Column) =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % d).cast("int")
+    val base = df
+      .select(transform(tokens(col(textCol)), t => bucketOf(t)).as("__bks"),
+        col(labelCol).cast("double").as("__y"))
+      .withColumn("__n", size(col("__bks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = Array.fill(d)(0.0)
+    try {
+      for (_ <- 1 to iters) {
+        val wArr = array(w.map(lit): _*)
+        val grads = base
+          .withColumn("__r", round(
+            col("__y") - when(col("__n") === 0, lit(0.0)).otherwise(
+              aggregate(col("__bks"), lit(0.0),
+                (acc, b) => acc + element_at(wArr, b + 1)) / col("__n")), 6))
+          .filter(col("__n") > 0)
+          .select(explode(col("__bks")).as("__b"),
+            (col("__r") / col("__n")).as("__rv"))
+          .groupBy(col("__b")).agg(sum(col("__rv")).as("__g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        w = Array.tabulate(d)(j =>
+          r6(w(j) + lr * r6(grads.getOrElse(j, 0.0))))
+      }
+    } finally base.unpersist()
+    w
+  }
+
   /** The deterministic demo weight table the gate uses (and any two
     * engines can re-derive): w(i) = round(md5("w|i")[0..8 hex] / 2^32
     * - 0.5, 6) — uniform in [-0.5, 0.5). Real deployments pass trained

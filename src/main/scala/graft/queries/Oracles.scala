@@ -3867,9 +3867,56 @@ object Oracles {
            |FROM sums GROUP BY 1""".stripMargin)
   }
 
+  /** In-engine classifier fit replayed as an unrolled 3-iteration CTE
+    * chain (mirrored from [[graft.operators.TextAnalysis.trainHashedLinear]]):
+    * per-doc residual = round(y - mean of bucket weights over tokens, 6),
+    * per-bucket gradient = round(sum(residual / n_tokens), 6), update =
+    * round(w + lr * g, 6) — every sum lands on the 6-dp grid before the
+    * next stage reads it, so partition-order float noise never escapes. */
+  private val ClfD = 64
+  private val ClfLr = "0.002"
+  private val ClfIters = 3
+
+  private val classifierFitSql: String = {
+    val bucket =
+      s"CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % $ClfD AS INT)"
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""q AS MATERIALIZED (
+      |  SELECT doc_id, CAST(lang = 'en' AS INT)::DOUBLE AS y,
+      |    list_transform(list_filter(string_split_regex(text, '\\s+'),
+      |      x -> len(x) > 0), tok -> $bucket) AS bks
+      |  FROM documents)""".stripMargin
+    ctes += s"w0 AS (SELECT list_transform(range(0, $ClfD), i -> 0.0::DOUBLE) AS w)"
+    for (i <- 1 to ClfIters) {
+      val p = i - 1
+      ctes += s"""r$i AS MATERIALIZED (
+        |  SELECT doc_id, bks, len(bks) AS n,
+        |    round(y - CASE WHEN len(bks) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(bks, b -> w[b+1])) / len(bks)
+        |      END, 6) AS r
+        |  FROM q, w$p)""".stripMargin
+      ctes += s"""g$i AS MATERIALIZED (
+        |  SELECT b, round(sum(r / n), 6) AS g
+        |  FROM (SELECT unnest(bks) AS b, r, n FROM r$i WHERE n > 0)
+        |  GROUP BY 1)""".stripMargin
+      ctes += s"""ga$i AS (
+        |  SELECT list(coalesce(g, 0.0) ORDER BY i) AS ga
+        |  FROM range(0, $ClfD) t(i) LEFT JOIN g$i ON i = b)""".stripMargin
+      ctes += s"""w$i AS (
+        |  SELECT list_transform(range(1, ${ClfD + 1}),
+        |    j -> round(w[j] + $ClfLr * ga[j], 6)) AS w
+        |  FROM w$p, ga$i)""".stripMargin
+    }
+    "WITH " + ctes.result().mkString(",\n") +
+      s"""
+         |SELECT CAST(i AS INT) AS bucket, w[i+1] AS weight
+         |FROM w$ClfIters, range(0, $ClfD) t(i)""".stripMargin
+  }
+
   /** Cross-operator compositions replayed by nesting the component
     * oracles as subqueries (DuckDB WITH-in-derived-table). */
   val composed: Map[String, String] = Map(
+    "text_classifier_fit" -> classifierFitSql,
     // recall@10 of the IVF tier vs the exact brute-force top-10: both
     // component oracles verbatim, matched on (q_id, neighbor_id)
     "ann_recall" ->

@@ -1167,6 +1167,22 @@ object TrainingData {
         round(sum(coalesce(col("hit"), lit(0L))) / lit(10.0), 6).as("recall"))
   }
 
+  /** In-engine classifier FIT — the training half of
+    * `text_classifier_score`: 3 full-batch squared-loss GD iterations
+    * over 64 hashed bucket-fraction features, label = (lang == 'en').
+    * Output is the learned weight table itself; the oracle unrolls the
+    * three iterations (residual pass, per-bucket gradient, 6-dp-rounded
+    * update) as a CTE chain. */
+  def textClassifierFit(s: SparkSession, dir: String): DataFrame = {
+    val w = TextAnalysis.trainHashedLinear(
+      tp(s, dir, "documents")
+        .select(col("text"), (col("lang") === "en").cast("int").as("y")),
+      "text", "y", d = 64, lr = 2e-3, iters = 3)
+    import s.implicits._
+    w.zipWithIndex.map { case (wt, b) => (b, wt) }.toSeq
+      .toDF("bucket", "weight")
+  }
+
   /** Persisted-index IVF search: the index built ONCE per (JVM, sf dir)
     * into a temp path (postings Hive-partitioned by list — a probe
     * loads only its lists' directories), then searched with the same
