@@ -52,6 +52,12 @@ object CurateCli {
       bpeMerges: String = null,
       fitBpe: Boolean = false,
       bpeNumMerges: Int = 12,
+      qualityWeights: String = null,
+      qualityThreshold: Double = 0.0,
+      fitQuality: String = null,
+      qualityBuckets: Int = 64,
+      qualityLr: Double = 2e-3,
+      qualityIters: Int = 3,
       showHelp: Boolean = false)
 
   val Usage: String =
@@ -129,6 +135,20 @@ object CurateCli {
       |                       a cycle (the batch-side fit; only --corpus
       |                       and --bpe-merges required)
       | --bpe-num-merges <n>  Merge count for --fit-bpe (default 12)
+      | --quality-weights <p> Persisted quality-filter weight table
+      |                       (parquet of TextAnalysis.saveWeights); docs
+      |                       whose mean hashed score falls below the
+      |                       threshold get a terminal 'low_quality'
+      |                       verdict after the language gate, before
+      |                       decontamination and the dedup screen
+      | --quality-threshold <t>  Keep docs scoring >= t (default 0.0)
+      | --fit-quality <p>     Train the quality filter from a labeled
+      |                       parquet (text col + 'label' 0/1) and write
+      |                       it to --quality-weights instead of running
+      |                       a cycle
+      | --quality-buckets <d> Hashed buckets for --fit-quality (default 64)
+      | --quality-lr <r>      Learning rate for --fit-quality (default 0.002)
+      | --quality-iters <n>   GD iterations for --fit-quality (default 3)
       | -h,--help             Show usage
       |""".stripMargin
 
@@ -178,6 +198,17 @@ object CurateCli {
       case "--fit-bpe" :: t => o = o.copy(fitBpe = true); rest = t
       case "--bpe-num-merges" :: v :: t =>
         o = o.copy(bpeNumMerges = v.toInt); rest = t
+      case "--quality-weights" :: v :: t =>
+        o = o.copy(qualityWeights = v); rest = t
+      case "--quality-threshold" :: v :: t =>
+        o = o.copy(qualityThreshold = v.toDouble); rest = t
+      case "--fit-quality" :: v :: t => o = o.copy(fitQuality = v); rest = t
+      case "--quality-buckets" :: v :: t =>
+        o = o.copy(qualityBuckets = v.toInt); rest = t
+      case "--quality-lr" :: v :: t =>
+        o = o.copy(qualityLr = v.toDouble); rest = t
+      case "--quality-iters" :: v :: t =>
+        o = o.copy(qualityIters = v.toInt); rest = t
       case bad :: _ => return Left(s"unknown option: $bad")
     }
     if (o.showHelp) Right(o)
@@ -195,6 +226,15 @@ object CurateCli {
       if (o.corpus == null || o.bpeMerges == null)
         Left("--fit-bpe requires --corpus and --bpe-merges")
       else if (o.bpeNumMerges < 1) Left("--bpe-num-merges must be >= 1")
+      else Right(o)
+    }
+    else if (o.fitQuality != null) {
+      if (o.qualityWeights == null)
+        Left("--fit-quality requires --quality-weights")
+      else if (o.qualityBuckets < 1 || o.qualityIters < 1 ||
+          o.qualityLr <= 0.0)
+        Left("--quality-buckets/--quality-iters must be >= 1 and " +
+          "--quality-lr positive")
       else Right(o)
     }
     else if (o.corpus == null || o.batch == null || o.ledger == null ||
@@ -274,6 +314,19 @@ object CurateCli {
         o.bpeNumMerges),
       o.bpeMerges)
     graft.operators.Bpe.load(spark, o.bpeMerges).size
+  }
+
+  /** The batch-side quality-filter fit (`--fit-quality`): train the
+    * hashed linear probe on a labeled parquet (text col + 'label' 0/1)
+    * and publish the weight table to `--quality-weights` through
+    * [[graft.operators.TextAnalysis.saveWeights]]'s staged rename.
+    * Returns the bucket count read back through the validating load. */
+  def fitQualityWeights(spark: SparkSession, o: Options): Int = {
+    val w = graft.operators.TextAnalysis.trainHashedLinear(
+      spark.read.parquet(o.fitQuality), o.textCol, "label",
+      o.qualityBuckets, o.qualityLr, o.qualityIters)
+    graft.operators.TextAnalysis.saveWeights(spark, w, 0.0, o.qualityWeights)
+    graft.operators.TextAnalysis.loadWeights(spark, o.qualityWeights)._1.length
   }
 
   /** One ingest cycle; returns (kept, exact, near) counts. Separated from
@@ -379,19 +432,36 @@ object CurateCli {
         (labeled.filter(col("__lang") === code).drop("__lang"),
           Some(dropped))
     }
+    // quality gate (optional): the PERSISTED trained filter scores each
+    // doc's mean hashed features; below-threshold docs get a terminal
+    // 'low_quality' verdict. Sits after the language gate (quality
+    // models are language-specific) and before decontamination and the
+    // dedup screen (no point screening docs that won't train)
+    val (qualKept, qualIds) = Option(o.qualityWeights) match {
+      case None => (langKept, None)
+      case Some(wPath) =>
+        val (wts, bias) =
+          graft.operators.TextAnalysis.loadWeights(spark, wPath)
+        val scored = graft.operators.TextAnalysis.hashedMeanScore(
+          langKept, o.textCol, wts, bias, "__q")
+        val dropped = scored.filter(col("__q") < o.qualityThreshold)
+          .select(col(o.idCol)).localCheckpoint()
+        (scored.filter(col("__q") >= o.qualityThreshold).drop("__q"),
+          Some(dropped))
+    }
     // decontamination gate (optional): leaked docs get a terminal
     // 'contaminated' verdict and never reach the screen or the corpus —
     // checked on the post-boilerplate text, the order a training
     // pipeline wants (strip noise, then test leakage on content)
     val (screenIn, contamIds) = Option(o.decontaminate) match {
-      case None => (langKept, None)
+      case None => (qualKept, None)
       case Some(benchPath) =>
-        val flagged = Dedup.contamination(langKept,
+        val flagged = Dedup.contamination(qualKept,
             spark.read.parquet(benchPath), o.idCol, o.textCol, o.n)
           .filter(col("contamination") >= o.contamThreshold)
           .select(col("doc_id").as(o.idCol))
           .localCheckpoint() // two consumers: the anti-join + verdict rows
-        (langKept.join(flagged, Seq(o.idCol), "left_anti"), Some(flagged))
+        (qualKept.join(flagged, Seq(o.idCol), "left_anti"), Some(flagged))
     }
     // span evidence (optional): the winnowing-fingerprint ledger heals
     // like the dedup ledger (same corpus anti-join), the batch's own ids
@@ -419,6 +489,7 @@ object CurateCli {
         lit(null).cast("long").as("matched_id"),
         lit(null).cast("double").as("jaccard"))
     (contamIds.map(terminal(_, "contaminated")).toSeq ++
+        qualIds.map(terminal(_, "low_quality")).toSeq ++
         langIds.map(terminal(_, "lang_filtered")).toSeq)
       .foldLeft(screenOut)(_ unionByName _)
       .write.mode("overwrite").parquet(outDir)
@@ -524,6 +595,9 @@ object CurateCli {
           } else if (o.fitBpe) {
             val n = fitBpeMerges(spark, o)
             println(s"bpe merges: $n")
+          } else if (o.fitQuality != null) {
+            val n = fitQualityWeights(spark, o)
+            println(s"quality buckets: $n")
           } else if (o.compact) {
             withLedgerLock(o.ledger, o.forceStart) {
               val before = DedupLedger.ingestLabels(spark, o.ledger).size

@@ -365,6 +365,76 @@ object TextAnalysis {
     w
   }
 
+  /** Mean-feature score — the calibration [[trainHashedLinear]]'s
+    * weights are fit for (bucket FRACTIONS, not counts): bias +
+    * (Σ w[bucket(token)]) / n_tokens; empty docs score the bias.
+    * Same codegen'd literal-table fold as [[hashedLinearScore]]. */
+  def hashedMeanScore(df: DataFrame, textCol: String,
+                      weights: Array[Double], bias: Double,
+                      outCol: String = "score"): DataFrame = {
+    require(weights.nonEmpty && weights.length <= 65536,
+      s"weight table must have 1..65536 buckets, got ${weights.length}")
+    val d = weights.length
+    val wArr = array(weights.map(lit): _*)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn(outCol, round(
+        when(size(col("__toks")) === 0, lit(bias)).otherwise(
+          lit(bias) + aggregate(col("__toks"), lit(0.0),
+            (acc, t) => acc + element_at(wArr,
+              (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % d + 1)
+                .cast("int"))) / size(col("__toks"))), 6))
+      .drop("__toks")
+  }
+
+  /** Persist a trained weight table (the [[trainHashedLinear]] output)
+    * as the quality-filter artifact: parquet (bucket, weight) behind a
+    * staged rename, `_params` recording d and the bias — the same
+    * publish/validate discipline as the BPE merge table. */
+  def saveWeights(spark: org.apache.spark.sql.SparkSession,
+                  weights: Array[Double], bias: Double, path: String): Unit = {
+    require(weights.nonEmpty, "refusing to persist an empty weight table")
+    import spark.implicits._
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    weights.zipWithIndex.map { case (w, b) => (b, w) }.toSeq
+      .toDF("bucket", "weight")
+      .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_params"), true)
+    try out.write(s"d=${weights.length} bias=$bias\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(target, true)
+    require(fs.rename(tmp, target), s"could not publish weights to $target")
+  }
+
+  /** Load a persisted weight table, validating shape against `_params`
+    * (bucket ids contiguous from 0, count == recorded d) — a torn or
+    * foreign parquet fails fast. Returns (weights, bias). */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession,
+                  path: String): (Array[Double], Double) = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "_params"))
+    val marker =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+    val kv = marker.split("\\s+").map { t =>
+      val Array(k, v) = t.split("=", 2); k -> v
+    }.toMap
+    val d = kv("d").toInt
+    val bias = kv("bias").toDouble
+    val rows = spark.read.parquet(path)
+      .select(org.apache.spark.sql.functions.col("bucket"),
+        org.apache.spark.sql.functions.col("weight"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    require(rows.length == d && rows.map(_._1).toSeq == (0 until d),
+      s"weight table at $path does not match its _params (d=$d): " +
+        s"got ${rows.length} rows")
+    (rows.map(_._2), bias)
+  }
+
   /** The deterministic demo weight table the gate uses (and any two
     * engines can re-derive): w(i) = round(md5("w|i")[0..8 hex] / 2^32
     * - 0.5, 6) — uniform in [-0.5, 0.5). Real deployments pass trained

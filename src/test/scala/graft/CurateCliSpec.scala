@@ -478,6 +478,52 @@ class CurateCliSpec extends SparkSpec {
     assert((a0 ++ a1).sortBy(_._1) == direct)
   }
 
+  test("--fit-quality publishes the filter; cycles drop low-quality docs terminally") {
+    val root = java.nio.file.Files.createTempDirectory("curate-qual").toString
+    val corpusDir = s"$root/corpus"
+    Seq((1L, "good clean prose about engines"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    // separable labeled set: 'spam' tokens mark the low-quality class
+    (0 until 40).map { i =>
+      if (i % 2 == 0) (s"useful informative article number$i", 1)
+      else (s"spam spam buy now number$i", 0)
+    }.toDF("text", "label").write.parquet(s"$root/labeled")
+
+    val wPath = s"$root/weights"
+    val n = CurateCli.fitQualityWeights(spark, CurateCli.Options(
+      fitQuality = s"$root/labeled", qualityWeights = wPath,
+      qualityBuckets = 32, qualityLr = 0.05, qualityIters = 6))
+    assert(n == 32)
+    val (wts, bias) = graft.operators.TextAnalysis.loadWeights(spark, wPath)
+
+    // the trained filter separates held-out docs of the two styles
+    val probe = Seq((100L, "useful informative article fresh"),
+        (101L, "spam spam buy now fresh")).toDF("doc_id", "text")
+    val scores = graft.operators.TextAnalysis
+      .hashedMeanScore(probe, "text", wts, bias)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(scores(100L) > scores(101L))
+    val thr = (scores(100L) + scores(101L)) / 2
+
+    Seq(
+      (10L, "useful informative article kept today"),
+      (11L, "spam spam buy now dropped today"))
+      .toDF("doc_id", "text").write.parquet(s"$root/batch")
+    val o = CurateCli.Options(corpus = corpusDir, batch = s"$root/batch",
+      ledger = s"$root/ledger", out = s"$root/out", ingest = "day1",
+      qualityWeights = wPath, qualityThreshold = thr)
+    val (kept, _, _) = CurateCli.runCycle(spark, o)
+    assert(kept == 1)
+    val v = spark.read.parquet(s"$root/out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(10L -> "keep", 11L -> "low_quality"))
+    // the low-quality doc reached neither corpus nor ledger
+    assert(spark.read.parquet(corpusDir).as[(Long, String)]
+      .collect().map(_._1).sorted.toSeq == Seq(1L, 10L))
+    assert(spark.read.parquet(s"$root/ledger/fp")
+      .filter($"doc_id" === 11L).count() == 0)
+  }
+
   test("ledger lock: second holder refused, force clears, lock released") {
     val dir = java.nio.file.Files.createTempDirectory("curate_lock").toString
     val inner = CurateCli.withLedgerLock(dir) {
