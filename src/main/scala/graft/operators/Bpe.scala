@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   *     in BPE mode — fit on exactly this word-frequency dictionary, not on
   *     the raw corpus.)
   *  2. APPLY — fully distributed and shuffle-free: a word becomes its
-  *     character list joined by a U+001F separator, and each learned merge
-  *     is ONE codegen'd literal `replace` (leftmost, non-overlapping — the
-  *     exact greedy semantics of a BPE merge sweep over a symbol sequence).
+  *     character list with DOUBLE-U+001F symbol boundaries (see [[Bpe.Sep]]
+  *     for why double — it makes the string fold symbol-exact), and each
+  *     learned merge is ONE codegen'd literal `replace` (leftmost,
+  *     non-overlapping — the exact greedy semantics of a BPE merge sweep
+  *     over a symbol sequence).
   *     K merges = K chained `replace` expressions inside whole-stage
   *     codegen; no UDF, no driver map, works on out-of-vocabulary words by
   *     construction (they just segment further toward characters).
@@ -39,12 +41,29 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Symbol separator inside a segmented word: U+001F (unit separator).
-    * Not whitespace (so it survives the `\s+` tokenizer boundary), and
-    * vanishingly rare in text; a word that does contain it simply yields
-    * the same (odd) segmentation on both the Spark and oracle sides, since
-    * both compute the identical string fold. */
+  /** Symbol separator: U+001F (unit separator). Not whitespace (so it
+    * survives the `\s+` tokenizer boundary) and vanishingly rare in text.
+    *
+    * REPRESENTATION — why boundaries are DOUBLE separators. A naive
+    * single-separator encoding (`h|e|r` with `|` standing for U+001F,
+    * merge (a,b) = replace of `a|b`) is NOT symbol-exact: after merge
+    * (e,r) the word "her" is the symbols [h, er], string `h|er` — and
+    * the later merge (h,e)'s pattern `h|e` string-matches ACROSS the
+    * symbol boundary (e is a proper prefix of the symbol "er"),
+    * corrupting the segmentation. Real merge tables hit this class
+    * constantly (e learned before er, a before an, ...). Here every
+    * boundary is `||` and a merge (a,b) is the replace of `|a||b|`
+    * with `|ab|`: a false match would need a separator immediately
+    * adjacent to characters INSIDE another symbol — impossible, since
+    * symbols contain no separators. The pattern bounds consume only
+    * the INNER separator of each `||` boundary, so adjacent
+    * occurrences still match back-to-back and the replace remains
+    * exactly leftmost-greedy non-overlapping — canonical BPE
+    * merge-sweep semantics for arbitrary vocabularies. */
   val Sep = "\u001f"
+
+  /** The double-separator symbol boundary. */
+  private[operators] val SS: String = Sep + Sep
 
   /** One learned merge: at `rank` (1-based), adjacent symbol pair
     * (`first`, `second`) — which had weighted frequency `pairCount` at
@@ -86,7 +105,8 @@ object Bpe {
     val words: Array[(String, Long)] = wordFreq
       .orderBy(desc("freq"), asc("word"))
       .limit(maxWords)
-      .select(concat_ws(Sep, split(col("word"), "")).as("ws"), col("freq"))
+      .select(concat(lit(SS), concat_ws(SS, split(col("word"), "")), lit(SS))
+        .as("ws"), col("freq"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
 
@@ -96,7 +116,7 @@ object Bpe {
     while (rank <= numMerges) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
       ws.foreach { case (w, f) =>
-        val syms = w.split(Sep)
+        val syms = w.split(Sep + "+").filter(_.nonEmpty)
         var i = 0
         while (i < syms.length - 1) {
           val k = (syms(i), syms(i + 1))
@@ -114,25 +134,28 @@ object Bpe {
       }
       val ((a, b), cnt) = best
       merges += Merge(rank, a, b, a + b, cnt)
-      val pat = a + Sep + b
-      val rep = a + b
+      val pat = Sep + a + SS + b + Sep
+      val rep = Sep + a + b + Sep
       ws = ws.map { case (w, f) => (w.replace(pat, rep), f) }
       rank += 1
     }
     merges.result()
   }
 
-  /** A word as its separator-joined symbol string after applying every
+  /** A word as its boundary-separated symbol string after applying every
     * merge in rank order — K chained codegen'd literal `replace`s over
-    * the char split. Pure projection; no shuffle, no UDF. */
+    * the char split (see [[Sep]] for the double-separator boundary that
+    * makes the fold symbol-exact). Pure projection; no shuffle, no UDF. */
   def segmented(word: Column, merges: Seq[Merge]): Column =
-    merges.foldLeft(concat_ws(Sep, split(word, ""))) { (c, m) =>
-      replace(c, lit(m.first + Sep + m.second), lit(m.merged))
+    merges.foldLeft(
+      concat(lit(SS), concat_ws(SS, split(word, "")), lit(SS))) { (c, m) =>
+      replace(c, lit(Sep + m.first + SS + m.second + Sep),
+        lit(Sep + m.merged + Sep))
     }
 
   /** The BPE token pieces of one word. */
   def segments(word: Column, merges: Seq[Merge]): Column =
-    split(segmented(word, merges), Sep)
+    array_remove(split(segmented(word, merges), Sep + "+"), "")
 
   /** How many BPE tokens one word segments into. */
   def segmentCount(word: Column, merges: Seq[Merge]): Column =
@@ -208,7 +231,11 @@ object Bpe {
     val joined = trim(regexp_replace(col(textCol), "\\s+", " "))
     val nWords = when(joined === "", lit(0L))
       .otherwise(size(split(joined, " ")).cast("long"))
-    val pieces = size(split(segmented(joined, merges), Sep)).cast("long")
+    // symbols n <-> separators 2(n+1): count separators by length
+    // difference (translate deletes them) — no array materialization
+    val seg = segmented(joined, merges)
+    val pieces = shiftright(
+      (length(seg) - length(translate(seg, Sep, ""))).cast("long"), 1) - 1L
     docs.select(
       col(idCol),
       nWords.as("n_words"),

@@ -3795,8 +3795,14 @@ object Oracles {
 
   private val bpeChain: String = {
     val parts = Seq.newBuilder[String]
+    // double-separator boundaries (see Bpe.Sep): a symbol boundary is
+    // chr(31)||chr(31); a merge pattern is single-chr(31)-bounded, so it
+    // can never match across a boundary (symbol-exact) yet adjacent
+    // occurrences still merge back-to-back (leftmost-greedy)
     parts += """w0 AS MATERIALIZED (
-      |  SELECT array_to_string(string_split(w, ''), chr(31)) AS ws,
+      |  SELECT chr(31) || chr(31) ||
+      |      array_to_string(string_split(w, ''), chr(31) || chr(31)) ||
+      |      chr(31) || chr(31) AS ws,
       |    CAST(count(*) AS BIGINT) AS freq
       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
       |                x -> len(x) > 0)) AS w FROM documents)
@@ -3807,10 +3813,13 @@ object Oracles {
         |  SELECT syms[i] AS first, syms[i+1] AS second,
         |    CAST(sum(freq) AS BIGINT) AS cnt
         |  FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
-        |        FROM (SELECT string_split(ws, chr(31)) AS syms, freq FROM w$p))
+        |        FROM (SELECT list_filter(string_split(ws, chr(31) || chr(31)),
+        |                x -> x <> '') AS syms, freq FROM w$p))
         |  GROUP BY 1, 2 ORDER BY cnt DESC, first, second LIMIT 1),
         |w$i AS MATERIALIZED (
-        |  SELECT replace(ws, first || chr(31) || second, first || second) AS ws,
+        |  SELECT replace(ws,
+        |      chr(31) || first || chr(31) || chr(31) || second || chr(31),
+        |      chr(31) || first || second || chr(31)) AS ws,
         |    freq FROM w$p, p$i)""".stripMargin
     }
     parts.result().mkString(",\n")
@@ -3822,11 +3831,13 @@ object Oracles {
         s"cnt AS pair_count FROM p$i"
     }.mkString("\nUNION ALL ")
     val mrgCols = (1 to BpeK).map { i =>
-      s"p$i.first || chr(31) || p$i.second AS a$i, p$i.first || p$i.second AS b$i"
+      s"chr(31) || p$i.first || chr(31) || chr(31) || p$i.second || chr(31) AS a$i, " +
+        s"chr(31) || p$i.first || p$i.second || chr(31) AS b$i"
     }.mkString(", ")
     val mrgFrom = (1 to BpeK).map("p" + _).mkString(", ")
     val nested = (1 to BpeK).foldLeft(
-      "array_to_string(string_split(w, ''), chr(31))") { (acc, i) =>
+      "chr(31) || chr(31) || array_to_string(string_split(w, ''), " +
+        "chr(31) || chr(31)) || chr(31) || chr(31)") { (acc, i) =>
       s"replace($acc, a$i, b$i)"
     }
     val tokensSql =
@@ -3836,7 +3847,8 @@ object Oracles {
          |          x -> len(x) > 0) AS toks FROM documents)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
          |  CAST(coalesce(list_sum(list_transform(toks,
-         |    w -> len(string_split($nested, chr(31))))), 0) AS BIGINT)
+         |    w -> (len($nested) - len(replace($nested, chr(31), ''))) // 2
+         |         - 1)), 0) AS BIGINT)
          |    AS n_bpe_tokens
          |FROM tok, mrg""".stripMargin
     Map(
@@ -3847,8 +3859,9 @@ object Oracles {
       "text_bpe_vocab" ->
         s"""WITH $bpeChain
            |SELECT piece AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences
-           |FROM (SELECT unnest(string_split(ws, chr(31))) AS piece, freq
-           |      FROM w$BpeK)
+           |FROM (SELECT unnest(list_filter(
+           |        string_split(ws, chr(31) || chr(31)), x -> x <> '')) AS piece,
+           |      freq FROM w$BpeK)
            |GROUP BY 1""".stripMargin,
       // tokenizer -> shards: the BPE token counts packed into 4096-token
       // shards in doc_id order (pack_sequences' tokens-before floor-div

@@ -206,14 +206,17 @@ class GraftExtensionsSpec extends SparkSpec {
     // the apply is plain SQL: the same char-split + chained literal
     // replace any engine can run — no custom expression needed
     val joined = "trim(regexp_replace(text, '\\\\s+', ' '))"
+    val ss = "concat(char(31), char(31))"
     val chain = merges.foldLeft(
-      s"concat_ws(char(31), split($joined, ''))") { (acc, m) =>
-      s"replace($acc, concat('${m.first}', char(31), '${m.second}'), '${m.merged}')"
+      s"concat($ss, concat_ws($ss, split($joined, '')), $ss)") { (acc, m) =>
+      s"replace($acc, concat(char(31), '${m.first}', $ss, '${m.second}', " +
+        s"char(31)), concat(char(31), '${m.merged}', char(31)))"
     }
     val viaSql = spark.sql(
       s"""SELECT doc_id,
          |  CASE WHEN $joined = '' THEN CAST(0 AS BIGINT)
-         |    ELSE CAST(size(split($chain, char(31)))
+         |    ELSE CAST((length($chain)
+         |           - length(translate($chain, char(31), ''))) div 2 - 1
          |         - size(split($joined, ' ')) + 1 AS BIGINT) END AS n
          |FROM gx_bpe""".stripMargin)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

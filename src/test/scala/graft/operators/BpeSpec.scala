@@ -90,6 +90,37 @@ class BpeSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("merges never cross symbol boundaries (the h|er hazard)") {
+    // after (e,r), "her" is [h, er]; the later merge (h,e) must NOT
+    // string-match h + the 'e' INSIDE "er" — the exact failure mode a
+    // single-separator representation has (see Bpe.Sep scaladoc)
+    val m = Seq(Bpe.Merge(1, "e", "r", "er", 0L),
+      Bpe.Merge(2, "h", "e", "he", 0L))
+    def seg(w: String): Seq[String] = Seq(w).toDF("w")
+      .select(Bpe.segments(col("w"), m).as("s")).as[Seq[String]].head()
+    assert(seg("her") == Seq("h", "er"))
+    assert(seg("he") == Seq("he"))
+    assert(seg("hear") == Seq("he", "a", "r"))
+    assert(seg("here") == Seq("h", "er", "e"))
+    // suffix-side hazard: after (b,c), merge (a,b) must not fuse the
+    // 'b' inside "bc" with a preceding 'a'
+    val m2 = Seq(Bpe.Merge(1, "b", "c", "bc", 0L),
+      Bpe.Merge(2, "a", "b", "ab", 0L))
+    val s2 = Seq("abc").toDF("w")
+      .select(Bpe.segments(col("w"), m2).as("s")).as[Seq[String]].head()
+    assert(s2 == Seq("a", "bc"))
+  }
+
+  test("self-overlapping runs stay leftmost-greedy: aaaaaa -> aa|aa|aa") {
+    val m = Seq(Bpe.Merge(1, "a", "a", "aa", 0L))
+    val seg = Seq("aaaaaa").toDF("w")
+      .select(Bpe.segments(col("w"), m).as("s")).as[Seq[String]].head()
+    assert(seg == Seq("aa", "aa", "aa"))
+    val seg5 = Seq("aaaaa").toDF("w")
+      .select(Bpe.segments(col("w"), m).as("s")).as[Seq[String]].head()
+    assert(seg5 == Seq("aa", "aa", "a"))
+  }
+
   test("vocabulary counts pieces weighted by word frequency") {
     // merges fit on: "abab" x3, "ab" x2 -> (a,b) cnt 8, then (ab,ab) cnt 3
     val wf = Seq(("abab", 3L), ("ab", 2L)).toDF("word", "freq")
