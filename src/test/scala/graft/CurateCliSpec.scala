@@ -211,6 +211,93 @@ class CurateCliSpec extends SparkSpec {
     assert(stored == "a genuinely novel crawl document body", stored)
   }
 
+  test("kitchen-sink cycle: every ingest stage composes in its documented order") {
+    val root = java.nio.file.Files.createTempDirectory("curate-all").toString
+    val corpusDir = s"$root/corpus"
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    // the leaked sentence carries en stopwords so it survives the
+    // language gate and reaches decontamination (stage-order matters)
+    val leak = "never train on the benchmark of a sentence ever"
+    Seq((100L, leak)).toDF("doc_id", "text").write.parquet(s"$root/bench")
+    Seq((50L, "accept cookies\nreal a"), (51L, "accept cookies\nreal b"))
+      .toDF("doc_id", "text").write.parquet(s"$root/hist")
+    CurateCli.buildDictionary(spark, CurateCli.Options(
+      corpus = s"$root/hist", boilerplateDict = s"$root/dict",
+      minDocFreq = 2L))
+    // artifacts: BPE merges from the corpus, quality weights from labels
+    CurateCli.fitBpeMerges(spark, CurateCli.Options(
+      corpus = corpusDir, bpeMerges = s"$root/merges", fitBpe = true,
+      bpeNumMerges = 4))
+    // positive class = the real docs' vocabulary (quality gates BEFORE
+    // dedup/decontamination, so dup and leaked docs must pass it too);
+    // negative class = the spam vocabulary of doc 13
+    val posTexts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      leak,
+      "the of a genuinely useful and novel document to keep today")
+    ((0 until 30).map(i => (posTexts(i % 3), 1)) ++
+      (0 until 30).map(_ => ("zz buy zz now zz offer spam cheap", 0)))
+      .toDF("text", "label").write.parquet(s"$root/labeled")
+    CurateCli.fitQualityWeights(spark, CurateCli.Options(
+      fitQuality = s"$root/labeled", qualityWeights = s"$root/weights",
+      qualityBuckets = 256, qualityLr = 0.05, qualityIters = 6))
+
+    def page(body: String): String =
+      s"<html><head><script>t(1<2)</script></head><body>" +
+        s"<div>Accept Cookies</div><p>$body</p></body></html>"
+    Seq(
+      (10L, page("the quick brown fox jumps over the lazy dog")),   // exact dup
+      (11L, page(leak)),                                          // leaked
+      (12L, page("der und der ein eine zu den der und das ein")),   // wrong lang
+      (13L, page("the of to a zz buy zz now zz offer spam cheap")), // low quality
+      (14L, page("the of a genuinely useful and novel document to keep today")))
+      .toDF("doc_id", "text").write.parquet(s"$root/batch")
+    // data-derived threshold: midway between the spam doc's score and
+    // the lowest real doc's score under the trained weights
+    val (wts, wbias) =
+      graft.operators.TextAnalysis.loadWeights(spark, s"$root/weights")
+    val qscores = graft.operators.TextAnalysis.hashedMeanScore(
+        Seq((13L, "the of to a zz buy zz now zz offer spam cheap"),
+          (10L, "the quick brown fox jumps over the lazy dog"),
+          (11L, leak),
+          (14L, "the of a genuinely useful and novel document to keep today"))
+          .toDF("doc_id", "text"), "text", wts, wbias)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    val thr = (qscores(13L) +
+      Seq(qscores(10L), qscores(11L), qscores(14L)).min) / 2
+    assert(qscores(13L) < Seq(qscores(10L), qscores(11L), qscores(14L)).min,
+      s"filter must separate: $qscores")
+    val o = CurateCli.Options(corpus = corpusDir, batch = s"$root/batch",
+      ledger = s"$root/ledger", out = s"$root/out", ingest = "day1",
+      html = true, boilerplateDict = s"$root/dict",
+      redactContacts = true, lang = "en",
+      qualityWeights = s"$root/weights", qualityThreshold = thr,
+      decontaminate = s"$root/bench", contamThreshold = 0.5,
+      spanEvidence = true, bpeMerges = s"$root/merges")
+    val (kept, exact, _) = CurateCli.runCycle(spark, o)
+    val v = spark.read.parquet(s"$root/out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(10L -> "exact", 11L -> "contaminated",
+      12L -> "lang_filtered", 13L -> "low_quality", 14L -> "keep"), v.toString)
+    assert(kept == 1 && exact == 1)
+    // every sidecar written: span evidence + the BPE token account of
+    // exactly the kept doc
+    assert(new java.io.File(s"$root/out_spans").exists())
+    val account = spark.read.parquet(s"$root/out_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(account.map(_._1) == Seq(14L) && account.head._3 > 0)
+    // the corpus stored the fully-prepared text (extracted, stripped,
+    // redacted) for the keeper
+    val stored = spark.read.parquet(corpusDir)
+      .filter($"doc_id" === 14L).collect()(0).getString(1)
+    assert(!stored.contains("<") && !stored.contains("Accept Cookies"))
+    // a rerun reproduces verdicts and adds nothing (torn-cycle discipline)
+    val (k2, e2, _) = CurateCli.runCycle(spark, o)
+    assert(k2 == kept && e2 == exact)
+    assert(spark.read.parquet(corpusDir).count() == 2)
+  }
+
   test("--redact-contacts / --lang: corpus stores redacted text, wrong-language terminal") {
     val root = java.nio.file.Files.createTempDirectory("curate-rl").toString
     val corpusDir = s"$root/corpus"
