@@ -2229,8 +2229,9 @@ object Oracles {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, lang, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY sk
-        |                        ROWS UNBOUNDED PRECEDING) - n_tokens
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY sk
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+        |         AS BIGINT)
         |      AS tokens_before
         |  FROM s)
         |SELECT doc_id, lang, n_tokens, tokens_before
