@@ -115,7 +115,9 @@ object CurateCli {
       |                       (default 100)
       | --force-start         Remove a leftover ledger lock before starting
       | --compact             Compact the ledger's ingest partitions instead
-      |                       of running a cycle (only --ledger required)
+      |                       of running a cycle (only --ledger required;
+      |                       a <ledger>/winnow span-evidence ledger, when
+      |                       present, compacts under the same lock/labels)
       | --compact-into <l>    Partition label for folded rows (default compacted)
       | --keep-label <l>      Ingest label to keep out of the fold (repeatable;
       |                       retention: keep recent days individually)
@@ -371,8 +373,11 @@ object CurateCli {
                                      ingest: String,
                                      outDir: String): (Long, Long, Long) = {
     // finish any compaction a previous --compact run left mid-swap
-    // BEFORE touching the ledger trees (cheap no-op when clean)
+    // BEFORE touching the ledger trees (cheap no-op when clean); the
+    // winnow ledger has the same roll-forward seam
     DedupLedger.recoverCompact(spark, o.ledger)
+    if (o.spanEvidence)
+      graft.operators.WinnowLedger.recoverCompact(spark, s"${o.ledger}/winnow")
     // raw-HTML extraction first (optional): downstream stages — the
     // boilerplate dictionary, decontamination and the dedup screen — all
     // operate on extracted TEXT, and the corpus stores text, not markup
@@ -604,11 +609,26 @@ object CurateCli {
               DedupLedger.compact(spark, o.ledger, o.n, o.numHashes,
                 o.rowsPerBand, o.compactInto, o.keepLabels.toSet)
               val after = DedupLedger.ingestLabels(spark, o.ledger).size
-              (before, after)
+              // the winnow ledger (span evidence) compacts under the same
+              // lock and retention labels when present
+              val wPath = s"${o.ledger}/winnow"
+              val w =
+                if (graft.operators.WinnowLedger.exists(wPath)) {
+                  val wb = graft.operators.WinnowLedger
+                    .ingestLabels(spark, wPath).size
+                  graft.operators.WinnowLedger.compact(spark, wPath,
+                    o.spanK, o.spanW, o.compactInto, o.keepLabels.toSet)
+                  val wa = graft.operators.WinnowLedger
+                    .ingestLabels(spark, wPath).size
+                  Some((wb, wa))
+                } else None
+              (before, after, w)
             } match {
               case Left(err) => System.err.println(err); sys.exit(3)
-              case Right((before, after)) =>
+              case Right((before, after, w)) =>
                 println(s"compacted ingest partitions: $before -> $after")
+                w.foreach { case (wb, wa) =>
+                  println(s"compacted winnow partitions: $wb -> $wa") }
             }
           } else if (o.stream) {
             withLedgerLock(o.ledger, o.forceStart) {

@@ -306,14 +306,18 @@ object Dedup {
     * against (and audit), separated from pair generation so one pair
     * run can be applied, reviewed or reverted independently.
     *
-    * 100 TB shape: the label table is pair-list-sized (tiny by the LSH
-    * contract) and broadcasts into one corpus-side left join — the
-    * corpus itself never shuffles. */
+    * 100 TB shape: NO forced broadcast hint. Cluster labels are usually
+    * pair-list-sized, but at web scale a high-dup crawl makes them a
+    * real fraction of the corpus — a forced hint OOMs the driver there
+    * (the same cliff [[clusters]] guards with its counted bound). Left
+    * unhinted, AQE upgrades the join to broadcast at runtime when the
+    * measured label size fits and falls back to a shuffle join when it
+    * does not; either way results are identical (spec-pinned). */
   def applyClusters(docs: DataFrame, clusterLabels: DataFrame,
                     idCol: String): DataFrame =
     docs.select(col(idCol))
-      .join(broadcast(clusterLabels
-        .select(col("doc_id").as(idCol), col("cluster_id"))), Seq(idCol), "left")
+      .join(clusterLabels
+        .select(col("doc_id").as(idCol), col("cluster_id")), Seq(idCol), "left")
       .select(col(idCol),
         (col("cluster_id").isNull || col("cluster_id") === col(idCol))
           .as("keep"),

@@ -308,15 +308,18 @@ object Sampling {
     *
     * 100 TB shape: the cluster labels come from [[Dedup.clusters]]
     * (driver union-find under the counted guard, distributed
-    * min-label propagation above it); the label table is
-    * pair-list-sized — tiny by the LSH contract — so the join back is
-    * a broadcast and the split itself stays a pure projection. */
+    * min-label propagation above it). The join back carries NO forced
+    * broadcast hint: labels are usually pair-list-sized, but a
+    * high-dup crawl makes them a corpus fraction, where a forced hint
+    * OOMs the driver — AQE upgrades to broadcast at runtime when the
+    * measured size fits and shuffle-joins otherwise (results identical,
+    * spec-pinned); the split itself stays a pure projection. */
   def leakageSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
                        fractions: Seq[(String, Double)],
                        labelCol: String = "split"): DataFrame = {
     val labels = Dedup.clusters(pairs)
       .select(col("doc_id").as(idCol), col("cluster_id"))
-    val keyed = df.join(broadcast(labels), Seq(idCol), "left")
+    val keyed = df.join(labels, Seq(idCol), "left")
       .withColumn("__gk",
         coalesce(col("cluster_id"), col(idCol)).cast("string"))
     deterministicSplit(keyed, "__gk", fractions, labelCol).drop("__gk")

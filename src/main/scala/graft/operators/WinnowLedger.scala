@@ -84,4 +84,112 @@ object WinnowLedger {
         Seq(idCol), "left_anti")
     if (!missing.isEmpty) write(missing, idCol, textCol, k, w, path, ingest)
   }
+
+  /** The ingest partition labels currently present (from the wfp table's
+    * Hive directory layout). */
+  def ingestLabels(spark: SparkSession, path: String): Seq[String] = {
+    val fsys = fs(path)
+    val dir = new org.apache.hadoop.fs.Path(path, "wfp")
+    if (!fsys.exists(dir)) Seq.empty
+    else fsys.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("ingest="))
+      .map(d => graft.core.Publish.unescapePartVal(d.stripPrefix("ingest=")))
+      .sorted
+  }
+
+  /** Test hook (mirrors [[DedupLedger.testFailAfterSwapOps]]): throw
+    * after N filesystem mutations of the compaction commit path. */
+  private[graft] var testFailAfterSwapOps: Option[Int] = None
+  private val swapOpCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def swapStep(): Unit = testFailAfterSwapOps.foreach { nOps =>
+    if (swapOpCounter.incrementAndGet() > nOps)
+      throw new IllegalStateException(s"test kill after $nOps swap ops")
+  }
+
+  private def compactingMarker(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_compacting")
+  private def tmpRoot(path: String) =
+    new org.apache.hadoop.fs.Path(path, ".compact-tmp")
+  private def oldRoot(path: String) =
+    new org.apache.hadoop.fs.Path(path, ".compact-old")
+
+  /** Compact the winnow ledger's ingest partitions — the
+    * [[DedupLedger.compact]] discipline over the single `wfp` table:
+    * every label NOT in `keepLabels` is rewritten into the `into`
+    * partition (retention: keep the recent labels you still want
+    * individually replayable), with a distinct() collapsing duplicate
+    * rows from healed torn writes. Evidence-preserving: fingerprints are
+    * pure functions of the text and [[Dedup.winnowingMatchesAgainst]]
+    * consumes the row SET, which is unchanged up to the ingest label.
+    * `_params` is re-validated before anything is written.
+    *
+    * Crash-safe like the warehouse publish: the folded table stages
+    * under `.compact-tmp/`, a `_compacting` marker commits the swap, the
+    * live tree swaps via two renames, and the marker is removed after
+    * cleanup. A kill at ANY point either leaves the old ledger live
+    * (marker absent — stale tmp deleted on the next attempt) or rolls
+    * FORWARD via [[recoverCompact]], which both this method and the
+    * curate cycle run first. */
+  def compact(spark: SparkSession, path: String, k: Int, w: Int,
+              into: String = "compacted",
+              keepLabels: Set[String] = Set.empty): Unit = {
+    require(into.nonEmpty && !into.contains("/"),
+      s"compaction label must be a plain partition value, got '$into'")
+    recoverCompact(spark, path)
+    require(exists(path), s"no winnow ledger at $path (missing _params)")
+    validate(path, k, w)
+    val fold = ingestLabels(spark, path).toSet -- keepLabels
+    if (fold.isEmpty || (fold.size == 1 && fold.contains(into))) return
+    val fsys = fs(path)
+    fsys.delete(tmpRoot(path), true)
+    val relabel = when(col("ingest").isin(fold.toSeq: _*), lit(into))
+      .otherwise(col("ingest"))
+    spark.read.parquet(s"$path/wfp")
+      .select(col("doc_id"), col("pos"), col("fp"), relabel.as("ingest"))
+      .distinct()
+      .write.partitionBy("ingest")
+      .parquet(new org.apache.hadoop.fs.Path(tmpRoot(path), "wfp").toString)
+    // the marker is the commit point: from here a crash rolls FORWARD
+    swapOpCounter.set(0)
+    swapStep()
+    val out = fsys.create(compactingMarker(path), true)
+    try out.write("1\n".getBytes("UTF-8")) finally out.close()
+    swapStaged(fsys, path)
+  }
+
+  /** Finish (roll forward) an interrupted [[compact]]. Idempotent and
+    * cheap on a clean ledger. Returns true if an unfinished compaction
+    * was completed. */
+  def recoverCompact(spark: SparkSession, path: String): Boolean = {
+    val fsys = fs(path)
+    if (!fsys.exists(compactingMarker(path))) {
+      fsys.delete(tmpRoot(path), true)
+      fsys.delete(oldRoot(path), true)
+      false
+    } else {
+      swapStaged(fsys, path)
+      true
+    }
+  }
+
+  private def swapStaged(fsys: org.apache.hadoop.fs.FileSystem,
+                         path: String): Unit = {
+    fsys.mkdirs(oldRoot(path))
+    val live = new org.apache.hadoop.fs.Path(path, "wfp")
+    val tmp = new org.apache.hadoop.fs.Path(tmpRoot(path), "wfp")
+    val old = new org.apache.hadoop.fs.Path(oldRoot(path), "wfp")
+    if (fsys.exists(tmp)) {
+      if (fsys.exists(live)) {
+        swapStep(); fsys.delete(old, true)
+        swapStep(); fsys.rename(live, old)
+      }
+      swapStep(); fsys.rename(tmp, live)
+    }
+    // tmp absent: already swapped in a previous attempt
+    swapStep(); fsys.delete(oldRoot(path), true)
+    swapStep(); fsys.delete(tmpRoot(path), true)
+    swapStep(); fsys.delete(compactingMarker(path), false)
+  }
 }

@@ -846,4 +846,112 @@ class CurateCliSpec extends SparkSpec {
     assert(clean, "sweep never reached a kill-free compaction — raise the bound")
     assert(k >= 4, s"sweep exercised too few kill points (clean at k=${k - 1})")
   }
+
+  // ---- winnow-ledger compaction (span evidence retention) ----
+
+  /** Three-ingest winnow ledger + a probe batch whose evidence set the
+    * compaction must preserve bit-for-bit. */
+  private def winnowCompactFixture(root: String): (String, org.apache.spark.sql.DataFrame) = {
+    val run = "the quick brown fox jumps over the lazy dog again today"
+    val wPath = s"$root/ledger/winnow"
+    def day(docs: Seq[(Long, String)], ingest: String): Unit =
+      graft.operators.WinnowLedger.write(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 5, 4, wPath, ingest)
+    day(Seq((1L, s"bootstrap doc containing $run from the start")), "bootstrap")
+    day(Seq((10L, "a genuinely novel first-day document kept whole")), "day1")
+    day(Seq((20L, "novel second-day material on parquet compactions here")), "day2")
+    val probe = Seq(
+      (30L, s"submission repeating $run with a fresh tail"),
+      (31L, "novel first-day document kept whole — a near variant"),
+      (32L, "a wholly unrelated probe document nothing resembles anywhere"))
+      .toDF("doc_id", "text")
+    (wPath, probe)
+  }
+
+  private def winnowEvidence(wPath: String,
+                             probe: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+    graft.operators.Dedup.winnowingMatchesAgainst(
+        graft.operators.WinnowLedger.read(spark, wPath, 5, 4),
+        probe, "doc_id", "text", 5, 4)
+      .select("batch_id", "pos_b", "hist_id", "pos_h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+  test("winnow compaction folds partitions, keeps labels, preserves evidence") {
+    import graft.operators.WinnowLedger
+    val root = java.nio.file.Files.createTempDirectory("winnow_cmp").toString
+    val (wPath, probe) = winnowCompactFixture(root)
+    assert(WinnowLedger.ingestLabels(spark, wPath)
+      == Seq("bootstrap", "day1", "day2"))
+    val before = winnowEvidence(wPath, probe)
+    assert(before.exists(_._3 == 1L), "fixture must produce shared runs")
+
+    // fold bootstrap+day1, keep day2 individually replayable
+    WinnowLedger.compact(spark, wPath, 5, 4, keepLabels = Set("day2"))
+    assert(WinnowLedger.ingestLabels(spark, wPath) == Seq("compacted", "day2"))
+    assert(winnowEvidence(wPath, probe) == before,
+      "compaction changed span evidence")
+
+    // full fold: one partition, same evidence
+    WinnowLedger.compact(spark, wPath, 5, 4)
+    assert(WinnowLedger.ingestLabels(spark, wPath) == Seq("compacted"))
+    assert(winnowEvidence(wPath, probe) == before)
+
+    // param mismatch is refused before any write
+    intercept[IllegalArgumentException] {
+      WinnowLedger.compact(spark, wPath, 7, 4)
+    }
+
+    // the CLI --compact branch covers <ledger>/winnow under the same lock
+    val root2 = java.nio.file.Files.createTempDirectory("winnow_cmp2").toString
+    val (wPath2, probe2) = winnowCompactFixture(root2)
+    val before2 = winnowEvidence(wPath2, probe2)
+    val o = CurateCli.parse(Seq("--compact", "--ledger", s"$root2/ledger",
+      "--keep-label", "day2")).toOption.get
+    CurateCli.withLedgerLock(o.ledger) {
+      if (graft.operators.WinnowLedger.exists(s"${o.ledger}/winnow"))
+        WinnowLedger.compact(spark, s"${o.ledger}/winnow",
+          o.spanK, o.spanW, o.compactInto, o.keepLabels.toSet)
+    }
+    assert(WinnowLedger.ingestLabels(spark, wPath2) == Seq("compacted", "day2"))
+    assert(winnowEvidence(wPath2, probe2) == before2)
+  }
+
+  test("winnow compaction kill-point sweep: every interrupted swap recovers") {
+    import graft.operators.WinnowLedger
+    val root = java.nio.file.Files.createTempDirectory("winnow_kill").toString
+    val (wPath, probe) = winnowCompactFixture(root)
+    val want = winnowEvidence(wPath, probe)
+
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
+    }
+
+    var k = 1
+    var clean = false
+    while (!clean && k <= 15) {
+      val lk = java.nio.file.Files
+        .createTempDirectory(s"winnow_kill_l$k").resolve("winnow")
+      copyTree(java.nio.file.Paths.get(wPath), lk)
+      WinnowLedger.testFailAfterSwapOps = Some(k)
+      val killed =
+        try { WinnowLedger.compact(spark, lk.toString, 5, 4); false }
+        catch { case _: IllegalStateException => true }
+        finally WinnowLedger.testFailAfterSwapOps = None
+      if (!killed) clean = true
+      else WinnowLedger.recoverCompact(spark, lk.toString) // next cycle's opening recovery
+      assert(winnowEvidence(lk.toString, probe) == want, s"k=$k evidence diverged")
+      assert(!java.nio.file.Files.exists(lk.resolve("_compacting")), s"k=$k")
+      assert(!java.nio.file.Files.exists(lk.resolve(".compact-tmp")), s"k=$k")
+      assert(!java.nio.file.Files.exists(lk.resolve(".compact-old")), s"k=$k")
+      k += 1
+    }
+    assert(clean, "sweep never reached a kill-free compaction — raise the bound")
+    assert(k >= 4, s"sweep exercised too few kill points (clean at k=${k - 1})")
+  }
 }

@@ -638,6 +638,56 @@ class SamplingSpec extends SparkSpec {
         numericIdOrder = true)
     }
   }
+
+  test("cluster-label joins survive the above-broadcast-threshold path") {
+    import graft.operators.{Dedup, Sampling}
+    // Force the shuffle-join fallback: kill both the static and the AQE
+    // broadcast thresholds, so the label join runs exactly as it would
+    // when cluster labels are a corpus fraction (the web-scale high-dup
+    // case where a forced broadcast hint would OOM the driver).
+    val docs = (1L to 60L).map(i => (i, s"text $i")).toDF("doc_id", "txt")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (40L, 41L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.clusters(pairs)
+    def runBoth[A](f: => A): (A, A) = {
+      val dflt = f
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try (dflt, f)
+      finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    val (applyB, applyS) = runBoth {
+      Dedup.applyClusters(docs, labels, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.getAs[Any]("kept_id")))).toSet
+    }
+    assert(applyS == applyB, "applyClusters diverged on the shuffle path")
+    assert(applyS.count(!_._2) == 4) // docs 2,3,11,41 dropped either way
+    val (splitB, splitS) = runBoth {
+      Sampling.leakageSafeSplit(docs, pairs, "doc_id",
+          Seq("train" -> 0.5, "test" -> 0.5))
+        .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("cluster_id")),
+          r.getAs[String]("split"))).toSet
+    }
+    assert(splitS == splitB, "leakageSafeSplit diverged on the shuffle path")
+    // and the operators carry no forced hint that would defeat the
+    // threshold: with broadcasts disabled the physical plan must not
+    // contain a BroadcastHashJoin on the label join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.applyClusters(docs, labels, "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"forced broadcast survived the disabled threshold:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }
 
 class ChunkingSpec extends SparkSpec {
