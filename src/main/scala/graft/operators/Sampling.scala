@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Training-set assembly operators: deterministic stratified sampling and
   * token-budget sequence packing.
@@ -519,10 +518,17 @@ object Sampling {
       .sortWithinPartitions(sortCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__cume", sum(col("__tok")).over(w))
-      // two jobs consume this frame (offset totals + final result) and the
-      // range partitioner's boundary sampling is only stable within one
-      // materialization
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // Two jobs consume this frame (offset totals + final result), and
+      // the __pid/__cume assignment is only meaningful within ONE
+      // materialization (the range partitioner re-samples boundaries on
+      // recompute). An EAGER localCheckpoint truncates lineage: both
+      // jobs read the same frozen blocks, and a lost block (executor
+      // death on a cluster) FAILS the job instead of silently
+      // recomputing a different row->partition assignment under the
+      // already-collected offsets — the cluster-mode contract is
+      // correct-or-failed, never silently wrong. (A persist() would
+      // recompute through the nondeterministic seam on cache eviction.)
+      .localCheckpoint(true)
 
     val totals = sorted.groupBy(col("__pid")).agg(max(col("__cume")).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -574,10 +580,12 @@ object Sampling {
       .sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__cume", sum(col("__val")).over(w))
-      // two consumers (offset totals + final result), and the range
-      // partitioner's boundary sampling is only stable within one
-      // materialization
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // Same discipline as [[packSequences]]: eager localCheckpoint, not
+      // persist — the offsets collected below are only valid against
+      // THIS materialization's __pid assignment, so lineage is cut; a
+      // lost block fails the job (rerun) rather than silently joining
+      // stale offsets onto a re-sampled range partitioning.
+      .localCheckpoint(true)
     val totals = sorted
       .groupBy((col("__pid") +: groupCols.map(col)): _*)
       .agg(max(col("__cume")).as("__t"))

@@ -688,6 +688,53 @@ class SamplingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("groupedRunningTotal/packSequences survive a mid-flight cache wipe (frozen materialization)") {
+    import graft.operators.Sampling
+    // A NONDETERMINISTIC upstream: rand() re-evaluates on every
+    // recompute, so any consumer that silently re-materializes the
+    // internal range-partitioned frame (the pre-fix persist() hazard:
+    // eviction between the offsets collect and the final join) joins
+    // stale offsets onto different rows and the output's running total
+    // stops being the cumulative sum of its own value column. The eager
+    // localCheckpoint freezes one materialization; wiping every cache
+    // and persisted RDD between construction and collection must not
+    // change anything.
+    val base = spark.range(0, 2000)
+      .withColumn("g", (col("id") % 3).cast("string"))
+      .withColumn("s", col("id"))
+      .withColumn("v", floor(rand() * 97).cast("long"))
+    val out = Sampling.groupedRunningTotal(base, Seq("g"), Seq("s"), "v")
+    spark.catalog.clearCache() // unpersists anything persist()-registered
+    val rows = out.collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("s"),
+        r.getAs[Long]("v"), r.getAs[Long]("running_total")))
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      var acc = 0L
+      rs.sortBy(_._2).foreach { case (_, s, v, rt) =>
+        acc += v
+        assert(rt == acc, s"group $g seq $s: running_total $rt != cumsum $acc")
+      }
+    }
+    // stable across repeated actions too (the second collect is a fresh job)
+    val again = out.collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("s"),
+        r.getAs[Long]("v"), r.getAs[Long]("running_total")))
+    assert(again.toSet == rows.toSet, "second action diverged from the first")
+
+    val packed = Sampling.packSequences(
+      base.withColumn("t", floor(rand() * 50 + 1).cast("long")),
+      Seq("s"), "t", budget = 500L)
+    spark.catalog.clearCache()
+    val ps = packed.collect()
+      .map(r => (r.getAs[Long]("s"), r.getAs[Long]("t"), r.getAs[Long]("pack_id")))
+      .sortBy(_._1)
+    var cum = 0L
+    ps.foreach { case (s, t, pid) =>
+      assert(pid == cum / 500L, s"seq $s: pack_id $pid != floor($cum/500)")
+      cum += t
+    }
+  }
 }
 
 class ChunkingSpec extends SparkSpec {
