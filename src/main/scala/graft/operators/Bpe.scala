@@ -1,7 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-pair-encoding tokenizer (Sennrich et al. 2016, the public BPE
   * algorithm every modern LM tokenizer descends from), split Spark-first
@@ -75,7 +80,10 @@ object Bpe {
     * Output cardinality = distinct words, the natural bound a tokenizer
     * fit works from. */
   def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+    // U+001F (the internal symbol separator) is stripped BEFORE
+    // tokenizing — see [[segmented]]; the oracle twins mirror it
+    docs.select(explode(
+        TextAnalysis.tokens(translate(col(textCol), Sep, ""))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   private def utf8Lt(a: String, b: String): Boolean = {
@@ -96,62 +104,205 @@ object Bpe {
     * The table is capped to the `maxWords` most frequent words via
     * `TakeOrderedAndProject` (k-capped per partition, never a global
     * sort), then collected — a bounded collect of ≤ `maxWords` rows.
-    * The merge loop itself mirrors the distributed apply exactly: words
-    * are separator-joined symbol strings, and a merge is a literal
-    * leftmost non-overlapping `String.replace`. Stops early when no
-    * adjacent pair remains (every word fused to one symbol). */
+    *
+    * The merge loop maintains pair counts INCREMENTALLY (the production
+    * BPE-trainer shape): an inverted index pair -> word-ids and an
+    * ordered selection set keyed on (count DESC, first, second in UTF-8
+    * byte order). Each rank touches only the words that actually
+    * contain the chosen pair, applying the same leftmost non-overlapping
+    * sweep as the distributed apply and pushing count deltas for the
+    * pairs that changed — per-rank cost is proportional to the affected
+    * words, not the vocabulary, so production merge counts (10k-50k)
+    * are O(total merge events), not O(ranks x vocabulary). Selection is
+    * bit-identical to a full recount (spec-pinned against a naive
+    * reference): max count, ties by UTF-8 byte order on (first, second).
+    * Stops early when no adjacent pair remains. */
   def train(wordFreq: DataFrame, numMerges: Int,
             maxWords: Int = 1 << 20): Seq[Merge] = {
-    val words: Array[(String, Long)] = wordFreq
+    val rows: Array[(String, Long)] = wordFreq
       .orderBy(desc("freq"), asc("word"))
       .limit(maxWords)
-      .select(concat(lit(SS), concat_ws(SS, split(col("word"), "")), lit(SS))
-        .as("ws"), col("freq"))
+      .select(translate(col("word"), Sep, "").as("w"), col("freq"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
 
-    var ws = words
+    val syms: Array[Array[String]] = rows.map(r => codePointSplit(r._1))
+    val freqs: Array[Long] = rows.map(_._2)
+
+    // pair state: weighted count, word-id postings, ordered selection set
+    val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+    val postings =
+      new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    val order = new java.util.TreeSet[(String, String)](
+      new java.util.Comparator[(String, String)] {
+        def compare(x: (String, String), y: (String, String)): Int = {
+          if (x == y) return 0
+          val cx = counts.get(x).longValue()
+          val cy = counts.get(y).longValue()
+          if (cx != cy) return if (cx > cy) -1 else 1
+          if (x._1 != y._1) { if (utf8Lt(x._1, y._1)) -1 else 1 }
+          else { if (utf8Lt(x._2, y._2)) -1 else 1 }
+        }
+      })
+
+    def pairCounts(s: Array[String]): java.util.HashMap[(String, String), java.lang.Long] = {
+      val m = new java.util.HashMap[(String, String), java.lang.Long]()
+      var i = 0
+      while (i < s.length - 1) {
+        val k = (s(i), s(i + 1))
+        val c = m.get(k)
+        m.put(k, if (c == null) 1L else c + 1L)
+        i += 1
+      }
+      m
+    }
+
+    // the order set compares through `counts`, so every count mutation
+    // must remove the key first and re-insert after — the TreeSet's
+    // invariants only hold if a key's ordering never changes in place
+    def addCount(pair: (String, String), delta: Long): Unit = {
+      if (delta == 0) return
+      val cur = counts.get(pair)
+      if (cur != null) order.remove(pair)
+      val next = (if (cur == null) 0L else cur.longValue()) + delta
+      if (next == 0L) { counts.remove(pair); postings.remove(pair) }
+      else { counts.put(pair, next); order.add(pair) }
+    }
+
+    // initial build: full adjacency counts + postings
+    var idx = 0
+    while (idx < syms.length) {
+      val pc = pairCounts(syms(idx))
+      val f = freqs(idx)
+      val it = pc.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        addCount(e.getKey, e.getValue.longValue() * f)
+        var set = postings.get(e.getKey)
+        if (set == null) { set = new java.util.HashSet[Integer](); postings.put(e.getKey, set) }
+        set.add(idx)
+      }
+      idx += 1
+    }
+
     val merges = Seq.newBuilder[Merge]
     var rank = 1
-    while (rank <= numMerges) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      ws.foreach { case (w, f) =>
-        val syms = w.split(Sep + "+").filter(_.nonEmpty)
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + f)
-          i += 1
+    while (rank <= numMerges && !order.isEmpty) {
+      val best = order.first()
+      val (a, b) = best
+      merges += Merge(rank, a, b, a + b, counts.get(best).longValue())
+      val affected = postings.get(best)
+      val ids = new Array[Int](if (affected == null) 0 else affected.size())
+      if (affected != null) {
+        val it = affected.iterator(); var i = 0
+        while (it.hasNext) { ids(i) = it.next().intValue(); i += 1 }
+      }
+      var j = 0
+      while (j < ids.length) {
+        val wi = ids(j)
+        val oldSyms = syms(wi)
+        val oldPc = pairCounts(oldSyms)
+        val newSyms = sweep(oldSyms, a, b)
+        val newPc = pairCounts(newSyms)
+        val f = freqs(wi)
+        // deltas over old ∪ new, postings kept exact both ways
+        val oit = oldPc.entrySet().iterator()
+        while (oit.hasNext) {
+          val e = oit.next()
+          val n = newPc.get(e.getKey)
+          val d = (if (n == null) 0L else n.longValue()) - e.getValue.longValue()
+          addCount(e.getKey, d * f)
+          if (n == null) {
+            val set = postings.get(e.getKey)
+            if (set != null) { set.remove(wi); if (set.isEmpty) postings.remove(e.getKey) }
+          }
         }
+        val nit = newPc.entrySet().iterator()
+        while (nit.hasNext) {
+          val e = nit.next()
+          if (!oldPc.containsKey(e.getKey)) {
+            addCount(e.getKey, e.getValue.longValue() * f)
+            var set = postings.get(e.getKey)
+            if (set == null) { set = new java.util.HashSet[Integer](); postings.put(e.getKey, set) }
+            set.add(wi)
+          }
+        }
+        syms(wi) = newSyms
+        j += 1
       }
-      if (counts.isEmpty) return merges.result()
-      var best: ((String, String), Long) = null
-      counts.foreach { case (pair, cnt) =>
-        if (best == null || cnt > best._2 ||
-            (cnt == best._2 && (utf8Lt(pair._1, best._1._1) ||
-              (pair._1 == best._1._1 && utf8Lt(pair._2, best._1._2)))))
-          best = (pair, cnt)
-      }
-      val ((a, b), cnt) = best
-      merges += Merge(rank, a, b, a + b, cnt)
-      val pat = Sep + a + SS + b + Sep
-      val rep = Sep + a + b + Sep
-      ws = ws.map { case (w, f) => (w.replace(pat, rep), f) }
       rank += 1
     }
     merges.result()
   }
 
+  /** `split(word, "")` semantics driver-side: one element per Unicode
+    * code point (Java's regex engine never splits inside a surrogate
+    * pair, and neither does Spark's `split`). */
+  private[operators] def codePointSplit(s: String): Array[String] = {
+    val n = s.codePointCount(0, s.length)
+    val out = new Array[String](n)
+    var i = 0; var k = 0
+    while (i < s.length) {
+      val cc = Character.charCount(s.codePointAt(i))
+      out(k) = s.substring(i, i + cc)
+      k += 1; i += cc
+    }
+    out
+  }
+
+  /** One leftmost non-overlapping merge sweep over a symbol array — the
+    * exact semantics of the chain's literal `replace`. */
+  private[operators] def sweep(s: Array[String], a: String, b: String): Array[String] = {
+    val out = new Array[String](s.length)
+    var rd = 0; var w = 0
+    while (rd < s.length) {
+      if (rd < s.length - 1 && s(rd) == a && s(rd + 1) == b) {
+        out(w) = a + b; rd += 2
+      } else { out(w) = s(rd); rd += 1 }
+      w += 1
+    }
+    if (w == s.length) s else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Merge-count ceiling for the literal replace-chain form of
+    * [[segmented]]. K chained replaces make the Catalyst tree K nodes
+    * deep: plan transforms recurse per node (a production merge table —
+    * 10k-50k — overflows the stack) and the generated code for the
+    * projection grows past JIT/codegen method limits. At or below the
+    * ceiling the chain wins (each replace is inline codegen'd, zero
+    * per-row table lookups); above it [[segmented]] switches to ONE
+    * native [[BpeSegmentExpr]] over the compiled merge table — same
+    * output bit for bit (spec-pinned at 1k+ merges), still inside
+    * whole-stage codegen, O(symbols x successful-sweeps) per row
+    * independent of table size. */
+  val ChainLimit = 64
+
   /** A word as its boundary-separated symbol string after applying every
-    * merge in rank order — K chained codegen'd literal `replace`s over
-    * the char split (see [[Sep]] for the double-separator boundary that
-    * makes the fold symbol-exact). Pure projection; no shuffle, no UDF. */
+    * merge in rank order (see [[Sep]] for the double-separator boundary
+    * that makes the fold symbol-exact). Pure projection; no shuffle, no
+    * UDF. U+001F is the INTERNAL symbol separator, so it is stripped
+    * from the input first — a crawl document carrying the control char
+    * would otherwise corrupt the separator arithmetic (the oracle twins
+    * mirror the strip). At or below [[ChainLimit]] merges this is K
+    * chained codegen'd literal `replace`s; above it, one native
+    * expression with identical semantics. */
   def segmented(word: Column, merges: Seq[Merge]): Column =
+    if (merges.size <= ChainLimit) segmentedChain(word, merges)
+    else segmentedNative(word, merges)
+
+  /** The literal replace-chain form (small tables; inline codegen). */
+  private[graft] def segmentedChain(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(
-      concat(lit(SS), concat_ws(SS, split(word, "")), lit(SS))) { (c, m) =>
+      concat(lit(SS),
+        concat_ws(SS, split(translate(word, Sep, ""), "")), lit(SS))) { (c, m) =>
       replace(c, lit(Sep + m.first + SS + m.second + Sep),
         lit(Sep + m.merged + Sep))
     }
+
+  /** The compiled-table form (production vocabularies; one expression). */
+  private[graft] def segmentedNative(word: Column, merges: Seq[Merge]): Column =
+    ColumnBridge.column(BpeSegmentExpr(ColumnBridge.expression(word),
+      BpeMergeTable(merges)))
 
   /** The BPE token pieces of one word. */
   def segments(word: Column, merges: Seq[Merge]): Column =
@@ -163,10 +314,12 @@ object Bpe {
 
   /** Persist a fitted merge table as parquet — the tokenizer artifact a
     * pipeline fits daily/weekly and consumes at every ingest. Staged
-    * through a `.tmp` dir and renamed (the boilerplate-dictionary /
-    * warehouse publish discipline), so a concurrent consumer never reads
-    * a half-written table; the path's own filesystem is resolved from
-    * the Hadoop conf (works on hdfs:// / s3a:// too). */
+    * through a `.tmp` dir, then park-and-swapped over the target
+    * ([[graft.core.Publish.swapArtifact]]): a consumer never reads a
+    * half-written table and a crash mid-publish never loses the
+    * previous one ([[load]] rolls the parked copy back); the path's own
+    * filesystem is resolved from the Hadoop conf (works on hdfs:// /
+    * s3a:// too). */
   def save(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge],
            path: String): Unit = {
     require(merges.nonEmpty, "refusing to persist an empty merge table")
@@ -177,8 +330,8 @@ object Bpe {
     fs.delete(tmp, true)
     // merge tables are K rows — one file, no point sharding
     merges.toDF().repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target), s"could not publish BPE merges to $target")
+    // park-and-swap: the previous artifact survives a crash mid-publish
+    graft.core.Publish.swapArtifact(fs, tmp, target)
   }
 
   /** Load a persisted merge table, validating it IS one: ranks must be
@@ -187,6 +340,9 @@ object Bpe {
     * mis-segmentation at apply time. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
     import spark.implicits._
+    val target = new org.apache.hadoop.fs.Path(path)
+    graft.core.Publish.healArtifact(
+      target.getFileSystem(spark.sparkContext.hadoopConfiguration), target)
     val m = spark.read.parquet(path).as[Merge].collect().sortBy(_.rank).toSeq
     require(m.nonEmpty, s"empty BPE merge table at $path")
     m.zipWithIndex.foreach { case (mg, i) =>
@@ -227,8 +383,11 @@ object Bpe {
     * subtraction. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   merges: Seq[Merge]): DataFrame = {
-    // == array_join(TextAnalysis.tokens(text), " "), without the filter HOF
-    val joined = trim(regexp_replace(col(textCol), "\\s+", " "))
+    // == array_join(TextAnalysis.tokens(text), " "), without the filter
+    // HOF; U+001F stripped first so the separator-count arithmetic below
+    // only ever sees separators the segmenter itself wrote
+    val joined = trim(regexp_replace(
+      translate(col(textCol), Sep, ""), "\\s+", " "))
     val nWords = when(joined === "", lit(0L))
       .otherwise(size(split(joined, " ")).cast("long"))
     // symbols n <-> separators 2(n+1): count separators by length
@@ -242,4 +401,140 @@ object Bpe {
       when(joined === "", lit(0L))
         .otherwise(pieces - nWords + lit(1L)).as("n_bpe_tokens"))
   }
+}
+
+/** A fitted merge table compiled for the native segmenter: rank-indexed
+  * pair arrays plus a pair -> rank hash. Serializable (ships in the
+  * task closure / codegen reference array once per partition, not per
+  * row); the lookup map rebuilds lazily on the executor. */
+final class BpeMergeTable private (val firsts: Array[String],
+                                   val seconds: Array[String])
+    extends Serializable {
+
+  @transient private lazy val rankOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](firsts.length * 2)
+    var i = 0
+    while (i < firsts.length) {
+      // symbols never contain the separator, so Sep is an unambiguous key
+      m.put(firsts(i) + Bpe.Sep + seconds(i), Integer.valueOf(i + 1))
+      i += 1
+    }
+    m
+  }
+
+  def size: Int = firsts.length
+
+  /** Segment `text` into the SAME double-separator symbol string as the
+    * replace-chain fold, bit for bit (U+001F code points are skipped —
+    * the chain strips them up front).
+    *
+    * Replicates the chain's semantics exactly with a monotonic rank
+    * cursor: repeatedly find the LOWEST rank >= cursor whose pair is
+    * adjacent somewhere, run that rank's single leftmost non-overlapping
+    * sweep, and advance the cursor past it. Equivalence to the chain,
+    * rank by rank: ranks between the cursor and the chosen one were
+    * absent when scanned, so their chain sweeps are no-ops; a sweep
+    * never recreates ITS OWN pair (that would need `first+second` to
+    * equal `first` or `second` — impossible for non-empty symbols), so
+    * one sweep == the chain's one `replace`; and a new occurrence of an
+    * already-passed EARLIER rank (possible when two merge paths fuse to
+    * equal strings) is skipped by the cursor exactly as the chain skips
+    * it — that rank's replace already ran. Cost: O(symbols) per
+    * successful sweep, at most symbols-1 sweeps, independent of table
+    * size. */
+  def segment(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val s = text.toString
+    // split(word, "") semantics: one symbol per code point, Sep skipped
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp != 0x1f) n += 1
+      i += Character.charCount(cp)
+    }
+    var syms = new Array[String](n)
+    i = 0; var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val cc = Character.charCount(cp)
+      if (cp != 0x1f) { syms(k) = s.substring(i, i + cc); k += 1 }
+      i += cc
+    }
+    var len = n
+    var cursor = 1
+    var scanning = len >= 2 && firsts.length > 0
+    while (scanning) {
+      var best = Int.MaxValue
+      var bi = 0
+      while (bi < len - 1) {
+        val r = rankOf.get(syms(bi) + Bpe.Sep + syms(bi + 1))
+        if (r != null) {
+          val ri = r.intValue()
+          if (ri >= cursor && ri < best) best = ri
+        }
+        bi += 1
+      }
+      if (best == Int.MaxValue) scanning = false
+      else {
+        val a = firsts(best - 1)
+        val b = seconds(best - 1)
+        var rd = 0; var w = 0
+        while (rd < len) {
+          if (rd < len - 1 && syms(rd) == a && syms(rd + 1) == b) {
+            syms(w) = a + b; rd += 2
+          } else { syms(w) = syms(rd); rd += 1 }
+          w += 1
+        }
+        len = w
+        cursor = best + 1
+        if (len < 2) scanning = false
+      }
+    }
+    val sb = new java.lang.StringBuilder(s.length * 3 + 4)
+    sb.append(Bpe.SS)
+    var t = 0
+    while (t < len) {
+      sb.append(syms(t))
+      sb.append(Bpe.SS)
+      t += 1
+    }
+    // the chain's `split("", "")` yields one empty symbol, so an empty
+    // input is SS + "" + SS — two boundaries, not one
+    if (len == 0) sb.append(Bpe.SS)
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+object BpeMergeTable {
+  def apply(merges: Seq[Bpe.Merge]): BpeMergeTable = {
+    val sorted = merges.sortBy(_.rank)
+    sorted.zipWithIndex.foreach { case (m, i) =>
+      require(m.rank == i + 1,
+        s"merge ranks must be contiguous from 1; saw ${m.rank} at ${i + 1}")
+    }
+    new BpeMergeTable(sorted.map(_.first).toArray, sorted.map(_.second).toArray)
+  }
+}
+
+/** bpe_segment(text): StringType -> StringType over a compiled merge
+  * table; stays inside WholeStageCodegen (the generated code is one call
+  * into the broadcast-once reference object, like [[graft.functions
+  * .TextHash.SimHash64]]). */
+case class BpeSegmentExpr(child: Expression, table: BpeMergeTable)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any =
+    table.segment(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeMergeTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.segment($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

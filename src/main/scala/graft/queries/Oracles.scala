@@ -3799,24 +3799,38 @@ object Oracles {
     // double-separator boundaries (see Bpe.Sep): a symbol boundary is
     // chr(31)||chr(31); a merge pattern is single-chr(31)-bounded, so it
     // can never match across a boundary (symbol-exact) yet adjacent
-    // occurrences still merge back-to-back (leftmost-greedy)
+    // occurrences still merge back-to-back (leftmost-greedy). chr(31)
+    // itself is stripped from the text first, mirroring the Spark side.
+    // Each p_i unions a SENTINEL row (chr(31), chr(31), cnt 0) under the
+    // argmax: when the corpus exhausts mergeable pairs before stage K
+    // the sentinel wins (every real pair has cnt >= 1), its 6-separator
+    // replace pattern cannot occur (boundary runs are at most 4 and
+    // symbols are separator-free), so the stage passes w through
+    // unchanged instead of collapsing the whole chain to empty — and
+    // the merge-rows gate filters sentinels with cnt > 0, matching the
+    // Spark side's early stop.
     parts += """w0 AS MATERIALIZED (
       |  SELECT chr(31) || chr(31) ||
       |      array_to_string(string_split(w, ''), chr(31) || chr(31)) ||
       |      chr(31) || chr(31) AS ws,
       |    CAST(count(*) AS BIGINT) AS freq
-      |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+      |  FROM (SELECT unnest(list_filter(string_split_regex(
+      |                  translate(text, chr(31), ''), '\s+'),
       |                x -> len(x) > 0)) AS w FROM documents)
       |  GROUP BY 1)""".stripMargin
     for (i <- 1 to BpeK) {
       val p = i - 1
       parts += s"""p$i AS MATERIALIZED (
-        |  SELECT syms[i] AS first, syms[i+1] AS second,
-        |    CAST(sum(freq) AS BIGINT) AS cnt
-        |  FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
-        |        FROM (SELECT list_filter(string_split(ws, chr(31) || chr(31)),
-        |                x -> x <> '') AS syms, freq FROM w$p))
-        |  GROUP BY 1, 2 ORDER BY cnt DESC, first, second LIMIT 1),
+        |  SELECT first, second, cnt FROM (
+        |    SELECT syms[i] AS first, syms[i+1] AS second,
+        |      CAST(sum(freq) AS BIGINT) AS cnt
+        |    FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+        |          FROM (SELECT list_filter(string_split(ws, chr(31) || chr(31)),
+        |                  x -> x <> '') AS syms, freq FROM w$p))
+        |    GROUP BY 1, 2
+        |    UNION ALL
+        |    SELECT chr(31), chr(31), CAST(0 AS BIGINT))
+        |  ORDER BY cnt DESC, first, second LIMIT 1),
         |w$i AS MATERIALIZED (
         |  SELECT replace(ws,
         |      chr(31) || first || chr(31) || chr(31) || second || chr(31),
@@ -3829,7 +3843,7 @@ object Oracles {
   val bpe: Map[String, String] = {
     val mergeRows = (1 to BpeK).map { i =>
       s"SELECT $i AS rank, first, second, first || second AS merged, " +
-        s"cnt AS pair_count FROM p$i"
+        s"cnt AS pair_count FROM p$i WHERE cnt > 0"
     }.mkString("\nUNION ALL ")
     val mrgCols = (1 to BpeK).map { i =>
       s"chr(31) || p$i.first || chr(31) || chr(31) || p$i.second || chr(31) AS a$i, " +
@@ -3844,7 +3858,8 @@ object Oracles {
     val tokensSql =
       s"""WITH $bpeChain,
          |mrg AS MATERIALIZED (SELECT $mrgCols FROM $mrgFrom),
-         |tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(
+         |            translate(text, chr(31), ''), '\\s+'),
          |          x -> len(x) > 0) AS toks FROM documents)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
          |  CAST(coalesce(list_sum(list_transform(toks,

@@ -164,4 +164,167 @@ class BpeSpec extends SparkSpec {
       .as[(String, Seq[String])].collect()
     pieces.foreach { case (w, s) => assert(s.mkString == w) }
   }
+
+  // ---- production-vocab path: incremental fit + native segmenter ----
+
+  /** The pre-rewrite naive fit — full pair recount + replace sweep per
+    * rank — kept as the spec-side reference the incremental trainer is
+    * pinned against. */
+  private def naiveTrain(words: Seq[(String, Long)], numMerges: Int): Seq[Bpe.Merge] = {
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var ws = words.map { case (w, f) => (w.split("").toSeq, f) }
+    val out = Seq.newBuilder[Bpe.Merge]
+    var rank = 1
+    var go = true
+    while (go && rank <= numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      ws.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts.update((a, b), counts.getOrElse((a, b), 0L) + f)
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val ((a, b), cnt) = counts.toSeq.minBy(identity)(Ordering.fromLessThan {
+          (x, y) =>
+            x._2 > y._2 || (x._2 == y._2 && (utf8Lt(x._1._1, y._1._1) ||
+              (x._1._1 == y._1._1 && utf8Lt(x._1._2, y._1._2))))
+        })
+        out += Bpe.Merge(rank, a, b, a + b, cnt)
+        ws = ws.map { case (syms, f) =>
+          val o = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              o += a + b; i += 2
+            } else { o += syms(i); i += 1 }
+          }
+          (o.result(), f)
+        }
+      }
+      rank += 1
+    }
+    out.result()
+  }
+
+  test("incremental fit is bit-identical to a naive full recount at 300 merges") {
+    // a pseudo-random corpus with a deep merge hierarchy: structured
+    // syllables so pairs chain (fused symbols keep merging)
+    val rnd = new scala.util.Random(42)
+    val sylls = Array("ka", "to", "mi", "ra", "su", "ne", "pol", "vex", "qua")
+    val words = (1 to 800).map { _ =>
+      (1 to (1 + rnd.nextInt(4))).map(_ => sylls(rnd.nextInt(sylls.length))).mkString
+    }.groupBy(identity).map { case (w, g) => (w, g.size.toLong * (1 + rnd.nextInt(5))) }.toSeq
+    val wf = words.toDF("word", "freq")
+    val fast = Bpe.train(wf, numMerges = 300)
+    val slow = naiveTrain(words, 300)
+    assert(fast.size == slow.size, s"${fast.size} vs ${slow.size} merges")
+    fast.zip(slow).foreach { case (f, s) => assert(f == s, s"diverged at rank ${f.rank}: $f vs $s") }
+  }
+
+  test("native segmenter == replace chain, in-plan, at a chain-sized table") {
+    val docs = Seq(
+      (1L, "interchangeable redistributions of sparkly bpe segmentations"),
+      (2L, "aaa aaaa abab her hear here"),
+      (3L, ""),
+      (4L, "unicode \u00e9l\u00e8ve \u00fcber stra\u00dfe")).toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordFrequencies(docs, "text"), numMerges = 40)
+    assert(merges.size == 40 || merges.nonEmpty)
+    val joined = trim(regexp_replace(col("text"), "\\s+", " "))
+    val both = docs.select(col("doc_id"),
+        Bpe.segmentedChain(joined, merges).as("chain"),
+        Bpe.segmentedNative(joined, merges).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"doc ${r.getLong(0)}: chain != native") }
+  }
+
+  test("segmented dispatches to the native form above ChainLimit; token counts match a driver reference at 1500 merges") {
+    // corpus with enough pair depth to learn >1k merges
+    val rnd = new scala.util.Random(7)
+    val sylls = Array("ka", "to", "mi", "ra", "su", "ne", "pol", "vex",
+      "qua", "zim", "or", "eth", "an", "ul")
+    // through parquet, so ConvertToLocalRelation can't fold the whole
+    // projection into a LocalTableScan (the codegen assert below needs
+    // a live plan)
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_big").toString
+    (1L to 400L).map { i =>
+      (i, (1 to 30).map(_ =>
+        (1 to (1 + rnd.nextInt(4))).map(_ => sylls(rnd.nextInt(sylls.length))).mkString)
+        .mkString(" "))
+    }.toDF("doc_id", "text").write.parquet(s"$tmp/docs")
+    val docs = spark.read.parquet(s"$tmp/docs")
+    val merges = Bpe.train(Bpe.wordFrequencies(docs, "text"), numMerges = 1500)
+    assert(merges.size > Bpe.ChainLimit,
+      s"fixture too shallow: ${merges.size} merges") // dispatch is exercised
+    val got = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+
+    // independent driver-side reference: per word, the full replace chain
+    val table = merges.map(m => (m.first, m.second)).toArray
+    def segCount(word: String): Long = {
+      var syms = word.split("").toSeq
+      table.foreach { case (a, b) =>
+        if (syms.length >= 2) {
+          val o = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              o += a + b; i += 2
+            } else { o += syms(i); i += 1 }
+          }
+          syms = o.result()
+        }
+      }
+      syms.size.toLong
+    }
+    val texts = docs.as[(Long, String)].collect()
+    texts.foreach { case (id, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      val want = (ws.length.toLong, ws.map(segCount).sum)
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+
+    // and the native projection stays inside whole-stage codegen
+    val plan = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix IS the whole-stage-codegen marker in the
+    // executed-plan string; a CodegenFallback projection prints bare
+    val projLine = plan.linesIterator.find(_.contains("bpesegmentexpr"))
+    assert(projLine.exists(_.trim.startsWith("*(")),
+      s"BpeSegmentExpr projection fell out of codegen:\n$plan")
+  }
+
+  test("U+001F in document text is stripped, not treated as a boundary") {
+    // the control char is the INTERNAL separator; crawl text containing
+    // it must not corrupt token counts or segmentation (ADVICE class)
+    val dirty = "hello\u001f \u001f\u001f world\u001fly"
+    val clean = "hello  world ly".replace("world ly", "worldly") // == strip
+    val docs = Seq((1L, dirty), (2L, "hello worldly")).toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordFrequencies(docs, "text"), numMerges = 8)
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc 1 strips to exactly doc 2's words -> identical counts
+    assert(counts(1L) == counts(2L), s"$counts")
+    // both segmented forms agree on hostile input too
+    val joined = trim(regexp_replace(translate(col("text"),
+      "\u001f", ""), "\\s+", " "))
+    val both = docs.select(
+        Bpe.segmentedChain(col("text"), merges).as("chain"),
+        Bpe.segmentedNative(col("text"), merges).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
 }
