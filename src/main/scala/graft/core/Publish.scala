@@ -42,6 +42,42 @@ object Publish {
     "de_mrna_annotation" -> "gpl_id",
     "de_chromosomal_region" -> "gpl_id")
 
+  /** Publish a staged artifact tree over `target` without a
+    * lost-artifact window. The naive delete-target-then-rename leaves
+    * NOTHING if the process dies between the two ops; here the live
+    * tree is PARKED under `<target>.old` (a rename, not a delete), the
+    * staged tree renames in, and only then is the parked tree removed —
+    * a crash at any point leaves either the old artifact live or the
+    * old artifact parked, and [[healArtifact]] (run by loaders) rolls
+    * the parked copy back. A concurrent reader can still glimpse a
+    * missing path between the two renames (one metadata-op window, the
+    * reader's retry heals it) — what can no longer happen is losing the
+    * artifact. */
+  private[graft] def swapArtifact(fs: org.apache.hadoop.fs.FileSystem,
+                                  tmp: org.apache.hadoop.fs.Path,
+                                  target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + ".old")
+    fs.delete(old, true)
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"could not park $target aside")
+    if (!fs.rename(tmp, target)) {
+      if (fs.exists(old)) fs.rename(old, target) // restore before failing
+      throw new IllegalStateException(s"could not publish $tmp to $target")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Roll back a [[swapArtifact]] interrupted between its two renames:
+    * target missing + parked copy present -> restore the parked copy.
+    * A present target means the swap completed (or never ran) — the
+    * parked leftover, if any, is stale and removed. Idempotent. */
+  private[graft] def healArtifact(fs: org.apache.hadoop.fs.FileSystem,
+                                  target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + ".old")
+    if (!fs.exists(target)) { if (fs.exists(old)) fs.rename(old, target) }
+    else fs.delete(old, true)
+  }
+
   // Hive-compatible partition-dir escaping (the char set Spark's writer
   // escapes), so partition values like `GSE0:VCFTEST` round-trip between
   // our dir bookkeeping and Spark's own `<col>=<value>` layout.

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   *  - `_params`   — numLists recorded at build, re-validated at open
   *    (an index is only valid for the quantizer it was built with).
   *
-  * The build stages under `<path>.tmp` and renames (the publish
-  * discipline), so a concurrent searcher never opens a half-written
-  * index. */
+  * The build stages under `<path>.tmp`, parks any live index under
+  * `<path>.old` and swaps ([[graft.core.Publish.swapArtifact]]): a
+  * searcher never opens a half-written index, a crash mid-publish
+  * never LOSES the previous index (readers roll the parked copy back),
+  * and the only remaining race is a one-metadata-op missing-path
+  * window between the two renames, which a reader retry heals. */
 object AnnIndex {
 
   private def markerPath(path: String) =
@@ -34,7 +37,10 @@ object AnnIndex {
       SparkSession.active.sparkContext.hadoopConfiguration)
 
   private def readMarker(path: String): String = {
-    val in = fsOf(path).open(markerPath(path))
+    val fs = fsOf(path)
+    // roll back a publish that died between its two renames
+    graft.core.Publish.healArtifact(fs, new org.apache.hadoop.fs.Path(path))
+    val in = fs.open(markerPath(path))
     try new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
     finally in.close()
@@ -69,8 +75,9 @@ object AnnIndex {
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_params"), true)
     try out.write((paramsLine(numLists) + "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.delete(target, true)
-    require(fs.rename(tmp, target), s"could not publish index to $path")
+    // park-and-swap: the previous index survives a crash mid-publish
+    // (readers heal the parked copy back — see Publish.swapArtifact)
+    graft.core.Publish.swapArtifact(fs, tmp, target)
   }
 
   /** Append new vectors to an existing index — the daily-ingest shape:

@@ -404,8 +404,8 @@ object TextAnalysis {
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_params"), true)
     try out.write(s"d=${weights.length} bias=$bias\n".getBytes("UTF-8"))
     finally out.close()
-    fs.delete(target, true)
-    require(fs.rename(tmp, target), s"could not publish weights to $target")
+    // park-and-swap: the previous artifact survives a crash mid-publish
+    graft.core.Publish.swapArtifact(fs, tmp, target)
   }
 
   /** Load a persisted weight table, validating shape against `_params`
@@ -415,6 +415,7 @@ object TextAnalysis {
                   path: String): (Array[Double], Double) = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    graft.core.Publish.healArtifact(fs, new org.apache.hadoop.fs.Path(path))
     val in = fs.open(new org.apache.hadoop.fs.Path(path, "_params"))
     val marker =
       try new String(

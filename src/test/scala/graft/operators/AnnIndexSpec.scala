@@ -99,4 +99,41 @@ class AnnIndexSpec extends SparkSpec {
       "vec_id", "embedding", k = 4, nprobe = 6).collect()
     assert(res.nonEmpty) // probing empty lists neither errors nor blocks
   }
+
+  test("publish is park-and-swap: a crash between renames never loses the artifact") {
+    val root = java.nio.file.Files.createTempDirectory("annidx_swap").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+
+    // v1 index published, then v2 over it — the parked copy is cleaned up
+    val vs = vectors(60)
+    AnnIndex.build(vs, "vec_id", "embedding", numLists = 4, s"$root/idx")
+    AnnIndex.build(vs, "vec_id", "embedding", numLists = 4, s"$root/idx")
+    assert(!fs.exists(p(s"$root/idx.old")), "stale parked copy survived")
+
+    // simulate the mid-swap crash: target parked aside, tmp never renamed
+    // in (the exact window the old delete-then-rename turned into loss)
+    assert(fs.rename(p(s"$root/idx"), p(s"$root/idx.old")))
+    // a reader heals the parked copy back and searches normally
+    val healed = AnnIndex.search(spark, s"$root/idx", vs.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 4, nprobe = 2).collect()
+    assert(healed.nonEmpty)
+    assert(fs.exists(p(s"$root/idx")) && !fs.exists(p(s"$root/idx.old")))
+
+    // same discipline on the BPE merge artifact
+    val wf = Seq(("abab", 3L), ("ab", 2L)).toDF("word", "freq")
+    val merges = Bpe.train(wf, numMerges = 2)
+    Bpe.save(spark, merges, s"$root/merges")
+    assert(fs.rename(p(s"$root/merges"), p(s"$root/merges.old")))
+    assert(Bpe.load(spark, s"$root/merges") == merges) // healed
+    assert(!fs.exists(p(s"$root/merges.old")))
+
+    // and on the classifier weight artifact
+    TextAnalysis.saveWeights(spark, Array(0.25, -0.5), 0.125, s"$root/w")
+    assert(fs.rename(p(s"$root/w"), p(s"$root/w.old")))
+    val (w, b) = TextAnalysis.loadWeights(spark, s"$root/w")
+    assert(w.toSeq == Seq(0.25, -0.5) && b == 0.125)
+    assert(!fs.exists(p(s"$root/w.old")))
+  }
 }
