@@ -954,4 +954,97 @@ class CurateCliSpec extends SparkSpec {
     assert(clean, "sweep never reached a kill-free compaction — raise the bound")
     assert(k >= 4, s"sweep exercised too few kill points (clean at k=${k - 1})")
   }
+
+  test("--stream --span-evidence: micro-batches write span evidence + winnow ledger; mid-kill heals") {
+    val run = "the quick brown fox jumps over the lazy dog again today"
+    val root = java.nio.file.Files.createTempDirectory("curate_stream_span").toString
+    val corpusDir = s"$root/corpus"; val batchDir = s"$root/inbox"
+    Seq((1L, s"corpus doc containing $run from the start"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(batchDir))
+    def stageFile(from: String, name: String): Unit = {
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(from))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(src,
+        java.nio.file.Paths.get(batchDir).resolve(name))
+    }
+    // file 1: a keeper repeating the corpus run (span evidence vs doc 1)
+    // and a novel keeper whose text seeds batch 2's evidence
+    Seq(
+      (10L, "a genuinely novel streaming document kept in micro-batch one"),
+      (11L, s"submission repeating $run with a fresh tail"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$root/f1")
+    stageFile(s"$root/f1", "f1.parquet")
+    val o = CurateCli.Options(corpus = corpusDir, batch = batchDir,
+      ledger = s"$root/ledger", out = s"$root/out", ingest = "stream1",
+      spanEvidence = true)
+    val chk = s"$root/chk"
+
+    CurateCli.runStream(spark, o, chk, maxFilesPerTrigger = 1).awaitTermination()
+    val ev0 = spark.read.parquet(s"$root/out/batch=0_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).distinct.toSet
+    assert(ev0 == Set((11L, 1L)), ev0.toString)
+    // the winnow ledger grew by micro-batch 0's kept docs
+    assert(spark.read.parquet(s"$root/ledger/winnow/wfp")
+      .filter($"doc_id" === 10L).count() > 0)
+
+    // file 2: an exact dup of streamed keeper 10 (its evidence must name
+    // 10 — proof batch 1 reads the winnow rows batch 0 committed) plus a
+    // novel keeper; the cycle is KILLED between the corpus append and
+    // the ledger writes, so BOTH ledgers (dedup + winnow) are torn
+    Seq(
+      (20L, "a genuinely novel streaming document kept in micro-batch one"),
+      (22L, "wholly unrelated follow-up content arriving in the second file"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$root/f2")
+    stageFile(s"$root/f2", "f2.parquet")
+    CurateCli.testFailBeforeLedgerWriteOnce = true
+    val q2 = CurateCli.runStream(spark, o, chk, maxFilesPerTrigger = 1)
+    val killed =
+      try { q2.awaitTermination(); false }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          var c: Throwable = e; var hit = false
+          while (c != null) {
+            hit ||= c.getMessage != null &&
+              c.getMessage.contains("test kill between corpus append")
+            c = c.getCause
+          }
+          assert(hit, s"unexpected stream failure: $e"); true
+      } finally CurateCli.testFailBeforeLedgerWriteOnce = false
+    assert(killed, "the kill hook never fired")
+    // torn: 22 reached the corpus but neither ledger
+    assert(spark.read.parquet(corpusDir).count() == 4)
+    assert(spark.read.parquet(s"$root/ledger/winnow/wfp")
+      .filter($"doc_id" === 22L).count() == 0)
+
+    // restart: redelivered micro-batch heals both ledgers, reproduces
+    // the evidence, and keeps the replay idempotent
+    CurateCli.runStream(spark, o, chk, maxFilesPerTrigger = 1).awaitTermination()
+    val ev1 = spark.read.parquet(s"$root/out/batch=1_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).distinct.toSet
+    assert(ev1.contains((20L, 10L)), ev1.toString)
+    assert(ev1.forall(e => e._2 != 20L && e._2 != 22L),
+      "batch docs leaked onto the history side")
+    assert(spark.read.parquet(corpusDir).count() == 4) // no dup appends
+    // winnow ledger complete again: one fingerprint set per corpus doc
+    val wIds = spark.read.parquet(s"$root/ledger/winnow/wfp")
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(wIds == Set(1L, 10L, 11L, 22L), wIds.toString)
+
+    // stream == batch: recomputing the evidence from the pre-file-2
+    // corpus state reproduces batch 1's spans row set exactly
+    val histBefore = spark.read.parquet(corpusDir).filter($"doc_id" < 20L)
+    val recompute = graft.operators.Dedup.winnowingMatchesAgainst(
+        graft.operators.TextAnalysis.winnowFingerprints(
+          histBefore, "doc_id", "text", 5, 4),
+        spark.read.parquet(s"$root/f2"), "doc_id", "text", 5, 4)
+      .select("batch_id", "pos_b", "hist_id", "pos_h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val spans1 = spark.read.parquet(s"$root/out/batch=1_spans")
+      .select("batch_id", "pos_b", "hist_id", "pos_h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(spans1 == recompute, "stream spans diverged from batch recompute")
+  }
 }

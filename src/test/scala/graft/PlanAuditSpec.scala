@@ -283,9 +283,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rPlan.contains("No Partition Defined"),
       "pipeline_recipe_e2e leaked a global window")
 
-    // token-budget mixing: the per-lang running total must ride the
-    // two-phase (__pid, group) form — a window partitioned by the raw
-    // lang column would be one unsplittable task per language
+    // token-budget mixing: the per-lang running total rides the
+    // two-phase (__pid, group) form, and since the prefix-sum frame is
+    // frozen with an eager localCheckpoint (see groupedRunningTotal) the
+    // RESULT plan reads the frozen blocks — Scan ExistingRDD joined to
+    // the broadcast offset table, with no Window of any kind left in it
+    // (a window partitioned by the raw lang column — one unsplittable
+    // task per language — would survive into this plan; the per-(__pid,
+    // group) semantics are pinned by SamplingSpec's cumsum specs)
     val mix = SparkEntry.queries("sample_budget_mix")(spark,
       "/root/testdata/sf0.001")
     mix.collect()
@@ -293,8 +298,12 @@ class PlanAuditSpec extends SparkSpec {
       .split("== Initial Plan ==")(0)
     assert(!mPlan.contains("No Partition Defined"),
       "sample_budget_mix leaked a global window")
-    assert("Window \\[[^\\]]*__pid".r.findFirstIn(mPlan).isDefined,
-      s"running total must partition by (__pid, group):\n${mPlan.take(1500)}")
+    assert(!mPlan.contains("Window ["),
+      s"running total must not leave a window in the result plan " +
+        s"(the cumsum lives inside the checkpoint):\n${mPlan.take(1500)}")
+    assert(mPlan.contains("Scan ExistingRDD") &&
+        mPlan.contains("BroadcastExchange"),
+      s"expected frozen-scan + broadcast-offsets shape:\n${mPlan.take(1500)}")
   }
 
   test("round-12 text/dedup additions: no cartesians, windows stay per-doc/per-pid") {
