@@ -521,14 +521,16 @@ object Sampling {
       // Two jobs consume this frame (offset totals + final result), and
       // the __pid/__cume assignment is only meaningful within ONE
       // materialization (the range partitioner re-samples boundaries on
-      // recompute). An EAGER localCheckpoint truncates lineage: both
-      // jobs read the same frozen blocks, and a lost block (executor
+      // recompute). A LAZY localCheckpoint (the Ids.denseIds
+      // discipline) truncates lineage: the totals collect below is the
+      // materializing action, the final join reads the same frozen
+      // blocks, and a lost block (executor
       // death on a cluster) FAILS the job instead of silently
       // recomputing a different row->partition assignment under the
       // already-collected offsets — the cluster-mode contract is
       // correct-or-failed, never silently wrong. (A persist() would
       // recompute through the nondeterministic seam on cache eviction.)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     val totals = sorted.groupBy(col("__pid")).agg(max(col("__cume")).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -580,12 +582,12 @@ object Sampling {
       .sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__cume", sum(col("__val")).over(w))
-      // Same discipline as [[packSequences]]: eager localCheckpoint, not
+      // Same discipline as [[packSequences]]: lazy localCheckpoint, not
       // persist — the offsets collected below are only valid against
       // THIS materialization's __pid assignment, so lineage is cut; a
       // lost block fails the job (rerun) rather than silently joining
       // stale offsets onto a re-sampled range partitioning.
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val totals = sorted
       .groupBy((col("__pid") +: groupCols.map(col)): _*)
       .agg(max(col("__cume")).as("__t"))
