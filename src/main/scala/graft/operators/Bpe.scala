@@ -382,7 +382,20 @@ object Bpe {
     * (n_words - 1) space symbols, so the token count falls out by
     * subtraction. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                  merges: Seq[Merge]): DataFrame = {
+                  merges: Seq[Merge]): DataFrame =
+    tokenCountsWith(docs, idCol, textCol, merges, segmented)
+
+  /** [[tokenCounts]] forced through the native segmenter regardless of
+    * table size — the gate uses it to hash-check [[BpeSegmentExpr]]
+    * against the same DuckDB oracle the chain form answers to. */
+  private[graft] def tokenCountsNative(docs: DataFrame, idCol: String,
+                                       textCol: String,
+                                       merges: Seq[Merge]): DataFrame =
+    tokenCountsWith(docs, idCol, textCol, merges, segmentedNative)
+
+  private def tokenCountsWith(docs: DataFrame, idCol: String, textCol: String,
+                              merges: Seq[Merge],
+                              seg: (Column, Seq[Merge]) => Column): DataFrame = {
     // == array_join(TextAnalysis.tokens(text), " "), without the filter
     // HOF; U+001F stripped first so the separator-count arithmetic below
     // only ever sees separators the segmenter itself wrote
@@ -392,9 +405,9 @@ object Bpe {
       .otherwise(size(split(joined, " ")).cast("long"))
     // symbols n <-> separators 2(n+1): count separators by length
     // difference (translate deletes them) — no array materialization
-    val seg = segmented(joined, merges)
+    val segCol = seg(joined, merges)
     val pieces = shiftright(
-      (length(seg) - length(translate(seg, Sep, ""))).cast("long"), 1) - 1L
+      (length(segCol) - length(translate(segCol, Sep, ""))).cast("long"), 1) - 1L
     docs.select(
       col(idCol),
       nWords.as("n_words"),

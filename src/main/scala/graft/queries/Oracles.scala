@@ -3870,6 +3870,21 @@ object Oracles {
     Map(
       "text_bpe_merges" -> s"WITH $bpeChain\n$mergeRows",
       "text_bpe_tokens" -> tokensSql,
+      // the native-segmenter gate answers to the SAME replay — chain and
+      // native forms are one semantics, one oracle
+      "text_bpe_tokens_native" -> tokensSql,
+      // chars-per-token by language: compression rate of the fitted
+      // tokenizer; n_chars is the table's engine-neutral length column
+      "text_bpe_compression" ->
+        s"""WITH cnts AS (SELECT doc_id, n_bpe_tokens FROM ($tokensSql))
+           |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(d.n_chars) AS BIGINT) AS chars,
+           |  CAST(sum(c.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+           |  CASE WHEN sum(c.n_bpe_tokens) > 0
+           |    THEN round(sum(d.n_chars)::DOUBLE / sum(c.n_bpe_tokens), 4)
+           |  END AS chars_per_token
+           |FROM documents d JOIN cnts c ON d.doc_id = c.doc_id
+           |GROUP BY 1""".stripMargin,
       // the vocabulary artifact: w12 IS the fully merged word table, so
       // the weighted piece counts fall straight out of it
       "text_bpe_vocab" ->

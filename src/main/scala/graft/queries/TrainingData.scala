@@ -1139,6 +1139,40 @@ object TrainingData {
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", bpeMerges(s, dir))
 
+  /** [[textBpeTokens]] forced through the NATIVE segmenter
+    * ([[graft.operators.BpeSegmentExpr]], the production-vocabulary form
+    * that replaces the replace chain above [[Bpe.ChainLimit]] merges) —
+    * hash-gated against the SAME DuckDB oracle as the chain form, so
+    * the native expression's bit-exactness is proven at the gate, not
+    * only in specs. */
+  def textBpeTokensNative(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenCountsNative(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", bpeMerges(s, dir))
+
+  /** Tokenizer quality metric: chars-per-token by language under the
+    * learned merge table — the compression-rate number a tokenizer fit
+    * is judged by (a lang whose chars/token stays near 1 is effectively
+    * byte-level for that script; budget planning divides corpus chars by
+    * it). One BPE projection + one small groupBy on lang; `n_chars` is
+    * the table's engine-neutral length column (Spark `length()` counts
+    * UTF-16 units, DuckDB code points — the column sidesteps the
+    * mismatch). */
+  def textBpeCompression(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenCounts(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", bpeMerges(s, dir))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        sum(col("n_bpe_tokens")).cast("long").as("bpe_tokens"),
+        when(sum(col("n_bpe_tokens")) > 0,
+          round(sum(col("n_chars")).cast("double") /
+            sum(col("n_bpe_tokens")).cast("double"), 4))
+          .as("chars_per_token"))
+
   /** The vocabulary artifact the fitted tokenizer ships: every BPE piece
     * with its corpus-weighted occurrence count — segmenting each DISTINCT
     * word once, weighted by frequency ([[Bpe.vocabulary]]). The oracle
