@@ -45,6 +45,8 @@ object CurateCli {
       spanW: Int = 4,
       forceStart: Boolean = false,
       compact: Boolean = false,
+      compactCorpus: Boolean = false,
+      targetFileMb: Int = 256,
       compactInto: String = "compacted",
       keepLabels: Seq[String] = Nil,
       stream: Boolean = false,
@@ -119,6 +121,10 @@ object CurateCli {
       |                       a <ledger>/winnow span-evidence ledger, when
       |                       present, compacts under the same lock/labels)
       | --compact-into <l>    Partition label for folded rows (default compacted)
+      | --compact-corpus      Rewrite the corpus' accumulated per-cycle files
+      |                       into ~--target-file-mb parquet files (staged,
+      |                       validated, crash-safe swap; takes the cycle lock)
+      | --target-file-mb <n>  Compacted corpus file size target (default 256)
       | --keep-label <l>      Ingest label to keep out of the fold (repeatable;
       |                       retention: keep recent days individually)
       | --stream              Treat --batch as a file-source directory and
@@ -192,6 +198,9 @@ object CurateCli {
       case "--force-start" :: t => o = o.copy(forceStart = true); rest = t
       case "--compact" :: t => o = o.copy(compact = true); rest = t
       case "--compact-into" :: v :: t => o = o.copy(compactInto = v); rest = t
+      case "--compact-corpus" :: t => o = o.copy(compactCorpus = true); rest = t
+      case "--target-file-mb" :: v :: t =>
+        o = o.copy(targetFileMb = v.toInt); rest = t
       case "--keep-label" :: v :: t =>
         o = o.copy(keepLabels = o.keepLabels :+ v); rest = t
       case "--stream" :: t => o = o.copy(stream = true); rest = t
@@ -218,6 +227,12 @@ object CurateCli {
       if (o.corpus == null || o.boilerplateDict == null)
         Left("--build-dict requires --corpus and --boilerplate-dict")
       else if (o.minDocFreq < 2) Left("--min-doc-freq must be >= 2")
+      else Right(o)
+    }
+    else if (o.compactCorpus) {
+      if (o.corpus == null || o.ledger == null)
+        Left("--compact-corpus requires --corpus and --ledger (the cycle lock)")
+      else if (o.targetFileMb < 1) Left("--target-file-mb must be >= 1")
       else Right(o)
     }
     else if (o.compact) {
@@ -401,6 +416,12 @@ object CurateCli {
           .join(cleaned, Seq(o.idCol))
           .withColumnRenamed("clean_text", o.textCol)
     }
+    // a --compact-corpus run killed between its two renames leaves the
+    // corpus parked under <corpus>.old — roll it back before reading
+    graft.core.Publish.healArtifact(
+      new org.apache.hadoop.fs.Path(o.corpus).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(o.corpus))
     val corpus = spark.read.parquet(o.corpus)
     DedupLedger.reconcile(corpus, o.idCol, o.textCol, o.n, o.numHashes,
       o.rowsPerBand, o.ledger,
@@ -543,6 +564,52 @@ object CurateCli {
       counts.getOrElse("near", 0L))
   }
 
+  /** Compact the corpus' accumulated small files — every cycle appends
+    * one file set, so at daily cadence the corpus directory collects
+    * hundreds of sub-row-group files and every later screen pays the
+    * per-file open/footer cost. Rewrites the corpus into
+    * ceil(bytes / targetFileMb) parquet files.
+    *
+    * Content-preserving by VALIDATION, not hope: the staged copy must
+    * reproduce the exact row count and an order-free content checksum
+    * (bit_xor of xxhash64 over every column) before the swap — a
+    * staging bug fails loudly with the corpus untouched. The swap is
+    * [[graft.core.Publish.swapArtifact]] (park-then-rename): a kill at
+    * any point leaves the old corpus live or parked, and the next cycle
+    * (or this method) heals the parked copy back. Returns (rows,
+    * filesBefore, filesAfter). */
+  private[graft] def compactCorpus(spark: SparkSession, corpusPath: String,
+                                   targetFileMb: Int = 256): (Long, Int, Int) = {
+    val target = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.Publish.healArtifact(fs, target)
+    require(fs.exists(target), s"no corpus at $corpusPath")
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet"))
+    val bytes = fs.getContentSummary(target).getLength
+    val nFiles = math.max(1,
+      math.ceil(bytes.toDouble / (targetFileMb.toLong << 20)).toInt)
+    val before = spark.read.parquet(corpusPath)
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val row = df.select(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(*))"), lit(0L)).as("x"))
+        .collect().head
+      (row.getLong(0), row.getLong(1))
+    }
+    val (cnt, sig) = checksum(before)
+    val filesBefore = parquetFiles(target)
+    val tmp = new org.apache.hadoop.fs.Path(corpusPath + ".tmp")
+    fs.delete(tmp, true)
+    before.repartition(nFiles).write.parquet(tmp.toString)
+    val (cnt2, sig2) = checksum(spark.read.parquet(tmp.toString))
+    require(cnt2 == cnt && sig2 == sig,
+      s"staged corpus diverged (rows $cnt -> $cnt2, checksum $sig -> $sig2) " +
+        "— refusing to swap; the live corpus is untouched")
+    graft.core.Publish.swapArtifact(fs, tmp, target)
+    (cnt, filesBefore, parquetFiles(target))
+  }
+
   /** The at-ingest STREAMING cycle: `--batch` is a directory new parquet
     * files land in; every micro-batch runs the SAME screen-and-commit
     * unit as a batch cycle (so stream == batch verdict-for-verdict),
@@ -603,6 +670,14 @@ object CurateCli {
           } else if (o.fitQuality != null) {
             val n = fitQualityWeights(spark, o)
             println(s"quality buckets: $n")
+          } else if (o.compactCorpus) {
+            withLedgerLock(o.ledger, o.forceStart) {
+              compactCorpus(spark, o.corpus, o.targetFileMb)
+            } match {
+              case Left(err) => System.err.println(err); sys.exit(3)
+              case Right((rows, fb, fa)) =>
+                println(s"compacted corpus: $rows rows, files $fb -> $fa")
+            }
           } else if (o.compact) {
             withLedgerLock(o.ledger, o.forceStart) {
               val before = DedupLedger.ingestLabels(spark, o.ledger).size

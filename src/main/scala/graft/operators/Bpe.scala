@@ -424,12 +424,30 @@ final class BpeMergeTable private (val firsts: Array[String],
                                    val seconds: Array[String])
     extends Serializable {
 
-  @transient private lazy val rankOf: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](firsts.length * 2)
+  // Two-level pair -> ranks lookup: probing with the two symbol strings
+  // directly avoids allocating a concatenated key per adjacent pair per
+  // sweep scan — the scan is the segmenter's hot loop (documents x
+  // symbols x sweeps probes at corpus scale). The value is the ASCENDING
+  // rank LIST for the pair, not a single rank: a hand-built table may
+  // repeat a (first, second) pair at a later rank, and the chain's later
+  // replace DOES fire on occurrences created in between (an intermediate
+  // merge can fuse to a string equal to `first` or `second`) — the scan
+  // picks the smallest listed rank >= cursor, exactly the next chain
+  // sweep that would see the pair. Trained tables never repeat a pair
+  // (a swept pair cannot reappear), so the lists are length 1 there.
+  @transient private lazy val rankOf
+      : java.util.HashMap[String, java.util.HashMap[String, Array[Int]]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Array[Int]]]()
     var i = 0
     while (i < firsts.length) {
-      // symbols never contain the separator, so Sep is an unambiguous key
-      m.put(firsts(i) + Bpe.Sep + seconds(i), Integer.valueOf(i + 1))
+      var inner = m.get(firsts(i))
+      if (inner == null) {
+        inner = new java.util.HashMap[String, Array[Int]]()
+        m.put(firsts(i), inner)
+      }
+      val cur = inner.get(seconds(i))
+      inner.put(seconds(i),
+        if (cur == null) Array(i + 1) else cur :+ (i + 1)) // ascending by construction
       i += 1
     }
     m
@@ -481,10 +499,16 @@ final class BpeMergeTable private (val firsts: Array[String],
       var best = Int.MaxValue
       var bi = 0
       while (bi < len - 1) {
-        val r = rankOf.get(syms(bi) + Bpe.Sep + syms(bi + 1))
-        if (r != null) {
-          val ri = r.intValue()
-          if (ri >= cursor && ri < best) best = ri
+        val inner = rankOf.get(syms(bi))
+        if (inner != null) {
+          val ranks = inner.get(syms(bi + 1))
+          if (ranks != null) {
+            // smallest listed rank >= cursor (lists are length 1 for
+            // trained tables; linear scan beats binary search here)
+            var j = 0
+            while (j < ranks.length && ranks(j) < cursor) j += 1
+            if (j < ranks.length && ranks(j) < best) best = ranks(j)
+          }
         }
         bi += 1
       }

@@ -1047,4 +1047,66 @@ class CurateCliSpec extends SparkSpec {
         r.getLong(3))).toSet
     assert(spans1 == recompute, "stream spans diverged from batch recompute")
   }
+
+  test("--compact-corpus: fewer files, identical content, crash-safe swap, cycles keep screening") {
+    val root = java.nio.file.Files.createTempDirectory("curate_ccorp").toString
+    val corpusDir = s"$root/corpus"; val ledgerDir = s"$root/ledger"
+    Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    def opts(b: String, ing: String) = CurateCli.Options(corpus = corpusDir,
+      batch = s"$root/$b", ledger = ledgerDir, out = s"$root/out_$ing",
+      ingest = ing)
+    // several cycles, each appending its own file set (texts genuinely
+    // distinct — shared shingles would near-dup them away)
+    val texts = Map(
+      1 -> "glacier mapping expedition notes from the northern fjord survey",
+      2 -> "sourdough fermentation chemistry and crumb structure analysis",
+      3 -> "distributed consensus protocols under partial network partitions",
+      4 -> "baroque counterpoint voice leading in late keyboard fugues")
+    for (i <- 1 to 4) {
+      Seq((10L * i, texts(i)))
+        .toDF("doc_id", "text").repartition(3).write.parquet(s"$root/b$i")
+      CurateCli.runCycle(spark, opts(s"b$i", s"day$i"))
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    def content() = spark.read.parquet(corpusDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = content()
+    assert(before.size == 5 && files() >= 5, s"fixture: ${files()} files")
+
+    val (rows, fb, fa) = CurateCli.compactCorpus(spark, corpusDir)
+    assert(rows == 5 && fa < fb && fa == 1, s"rows=$rows files $fb -> $fa")
+    assert(content() == before, "compaction changed the corpus")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$corpusDir.tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$corpusDir.old")))
+
+    // mid-swap crash window: corpus parked, nothing live — the next
+    // cycle heals it back and screens as if nothing happened
+    assert(fs.rename(new org.apache.hadoop.fs.Path(corpusDir),
+      new org.apache.hadoop.fs.Path(s"$corpusDir.old")))
+    Seq(
+      (90L, "sourdough fermentation chemistry and crumb structure analysis"), // exact dup of 20
+      (91L, "a wholly fresh post-compaction document arriving now"))
+      .toDF("doc_id", "text").write.parquet(s"$root/b5")
+    val (kept, exact, near) = CurateCli.runCycle(spark, opts("b5", "day5"))
+    assert((kept, exact, near) == ((1L, 1L, 0L)), s"$kept/$exact/$near")
+    val v = spark.read.parquet(s"$root/out_day5").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(v(90L) == (("exact", Some(20L))), v.toString)
+    assert(v(91L) == (("keep", None)))
+    assert(content() == before +
+      ((91L, "a wholly fresh post-compaction document arriving now")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$corpusDir.old")))
+
+    // the CLI path parses and validates
+    val o = CurateCli.parse(Seq("--compact-corpus", "--corpus", corpusDir,
+      "--ledger", ledgerDir, "--target-file-mb", "64")).toOption.get
+    assert(o.compactCorpus && o.targetFileMb == 64)
+    assert(CurateCli.parse(Seq("--compact-corpus", "--corpus", corpusDir))
+      .isLeft) // the cycle lock (--ledger) is required
+  }
 }
