@@ -123,7 +123,8 @@ object CurateCli {
       | --compact-into <l>    Partition label for folded rows (default compacted)
       | --compact-corpus      Rewrite the corpus' accumulated per-cycle files
       |                       into ~--target-file-mb parquet files (staged,
-      |                       validated, crash-safe swap; takes the cycle lock)
+      |                       validated, crash-safe swap; takes the cycle lock;
+      |                       combines with --compact under the one lock)
       | --target-file-mb <n>  Compacted corpus file size target (default 256)
       | --keep-label <l>      Ingest label to keep out of the fold (repeatable;
       |                       retention: keep recent days individually)
@@ -229,14 +230,14 @@ object CurateCli {
       else if (o.minDocFreq < 2) Left("--min-doc-freq must be >= 2")
       else Right(o)
     }
-    else if (o.compactCorpus) {
-      if (o.corpus == null || o.ledger == null)
+    else if (o.compactCorpus || o.compact) {
+      // the two compactions COMBINE (both run under the one ledger lock)
+      // rather than silently racing for the same dispatch branch
+      if (o.compactCorpus && (o.corpus == null || o.ledger == null))
         Left("--compact-corpus requires --corpus and --ledger (the cycle lock)")
-      else if (o.targetFileMb < 1) Left("--target-file-mb must be >= 1")
-      else Right(o)
-    }
-    else if (o.compact) {
-      if (o.ledger == null) Left("--compact requires --ledger")
+      else if (o.compactCorpus && o.targetFileMb < 1)
+        Left("--target-file-mb must be >= 1")
+      else if (o.compact && o.ledger == null) Left("--compact requires --ledger")
       else Right(o)
     }
     else if (o.fitBpe) {
@@ -670,40 +671,46 @@ object CurateCli {
           } else if (o.fitQuality != null) {
             val n = fitQualityWeights(spark, o)
             println(s"quality buckets: $n")
-          } else if (o.compactCorpus) {
+          } else if (o.compact || o.compactCorpus) {
+            // both compactions (when both flags are passed) run under the
+            // SINGLE ledger lock — neither is ever silently skipped
             withLedgerLock(o.ledger, o.forceStart) {
-              compactCorpus(spark, o.corpus, o.targetFileMb)
+              val ledgerRes = if (o.compact) {
+                val before = DedupLedger.ingestLabels(spark, o.ledger).size
+                DedupLedger.compact(spark, o.ledger, o.n, o.numHashes,
+                  o.rowsPerBand, o.compactInto, o.keepLabels.toSet)
+                val after = DedupLedger.ingestLabels(spark, o.ledger).size
+                // the winnow ledger (span evidence) compacts under the same
+                // lock and retention labels when present
+                val wPath = s"${o.ledger}/winnow"
+                val w =
+                  if (graft.operators.WinnowLedger.exists(wPath)) {
+                    val wb = graft.operators.WinnowLedger
+                      .ingestLabels(spark, wPath).size
+                    graft.operators.WinnowLedger.compact(spark, wPath,
+                      o.spanK, o.spanW, o.compactInto, o.keepLabels.toSet)
+                    val wa = graft.operators.WinnowLedger
+                      .ingestLabels(spark, wPath).size
+                    Some((wb, wa))
+                  } else None
+                Some((before, after, w))
+              } else None
+              val corpusRes =
+                if (o.compactCorpus)
+                  Some(compactCorpus(spark, o.corpus, o.targetFileMb))
+                else None
+              (ledgerRes, corpusRes)
             } match {
               case Left(err) => System.err.println(err); sys.exit(3)
-              case Right((rows, fb, fa)) =>
-                println(s"compacted corpus: $rows rows, files $fb -> $fa")
-            }
-          } else if (o.compact) {
-            withLedgerLock(o.ledger, o.forceStart) {
-              val before = DedupLedger.ingestLabels(spark, o.ledger).size
-              DedupLedger.compact(spark, o.ledger, o.n, o.numHashes,
-                o.rowsPerBand, o.compactInto, o.keepLabels.toSet)
-              val after = DedupLedger.ingestLabels(spark, o.ledger).size
-              // the winnow ledger (span evidence) compacts under the same
-              // lock and retention labels when present
-              val wPath = s"${o.ledger}/winnow"
-              val w =
-                if (graft.operators.WinnowLedger.exists(wPath)) {
-                  val wb = graft.operators.WinnowLedger
-                    .ingestLabels(spark, wPath).size
-                  graft.operators.WinnowLedger.compact(spark, wPath,
-                    o.spanK, o.spanW, o.compactInto, o.keepLabels.toSet)
-                  val wa = graft.operators.WinnowLedger
-                    .ingestLabels(spark, wPath).size
-                  Some((wb, wa))
-                } else None
-              (before, after, w)
-            } match {
-              case Left(err) => System.err.println(err); sys.exit(3)
-              case Right((before, after, w)) =>
-                println(s"compacted ingest partitions: $before -> $after")
-                w.foreach { case (wb, wa) =>
-                  println(s"compacted winnow partitions: $wb -> $wa") }
+              case Right((ledgerRes, corpusRes)) =>
+                ledgerRes.foreach { case (before, after, w) =>
+                  println(s"compacted ingest partitions: $before -> $after")
+                  w.foreach { case (wb, wa) =>
+                    println(s"compacted winnow partitions: $wb -> $wa") }
+                }
+                corpusRes.foreach { case (rows, fb, fa) =>
+                  println(s"compacted corpus: $rows rows, files $fb -> $fa")
+                }
             }
           } else if (o.stream) {
             withLedgerLock(o.ledger, o.forceStart) {

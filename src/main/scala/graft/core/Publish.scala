@@ -48,11 +48,24 @@ object Publish {
     * tree is PARKED under `<target>.old` (a rename, not a delete), the
     * staged tree renames in, and only then is the parked tree removed —
     * a crash at any point leaves either the old artifact live or the
-    * old artifact parked, and [[healArtifact]] (run by loaders) rolls
-    * the parked copy back. A concurrent reader can still glimpse a
-    * missing path between the two renames (one metadata-op window, the
-    * reader's retry heals it) — what can no longer happen is losing the
-    * artifact. */
+    * old artifact parked, and [[healArtifact]] (writer-side) or
+    * [[awaitArtifact]] (loader-side, after its retries) rolls the
+    * parked copy back.
+    *
+    * Guarded against a concurrent heal racing the two renames: if
+    * `target` reappears after the park (a healer restored the parked
+    * copy in the window), the publish rename on HDFS would NEST `tmp`
+    * INSIDE the restored directory (rename-into-existing-dir
+    * semantics) — silent corruption. The target-absence check fails
+    * loudly instead, and a post-rename nesting check un-nests and
+    * fails if the race lands between check and rename. Callers are
+    * writers and must hold the artifact's write lock where one exists
+    * (the curate/warehouse cycles do); standalone fits rely on these
+    * guards. */
+  /** Test hook: runs between the park and the publish rename, so specs
+    * can simulate a concurrent heal landing in the swap window. */
+  private[graft] var testAfterPark: Option[() => Unit] = None
+
   private[graft] def swapArtifact(fs: org.apache.hadoop.fs.FileSystem,
                                   tmp: org.apache.hadoop.fs.Path,
                                   target: org.apache.hadoop.fs.Path): Unit = {
@@ -60,9 +73,28 @@ object Publish {
     fs.delete(old, true)
     if (fs.exists(target))
       require(fs.rename(target, old), s"could not park $target aside")
+    testAfterPark.foreach(_.apply())
+    if (fs.exists(target))
+      // the park just vacated this path; its reappearance means another
+      // process healed or published concurrently — renaming now would
+      // nest tmp inside it. Staged tree and parked copy both survive.
+      throw new IllegalStateException(
+        s"$target reappeared mid-swap (concurrent heal or publish?) — " +
+          s"staged tree left at $tmp, parked copy at $old")
     if (!fs.rename(tmp, target)) {
       if (fs.exists(old)) fs.rename(old, target) // restore before failing
       throw new IllegalStateException(s"could not publish $tmp to $target")
+    }
+    // rename-into-existing-dir detection: a heal that landed between the
+    // absence check and the rename turns the publish into target/<tmp>.
+    // No legitimate artifact tree contains a child named like a staging
+    // dir, so presence is proof — un-nest the staged tree and fail.
+    val nested = new org.apache.hadoop.fs.Path(target, tmp.getName)
+    if (fs.exists(nested)) {
+      fs.rename(nested, tmp)
+      throw new IllegalStateException(
+        s"publish of $tmp raced a concurrent heal of $target and nested — " +
+          s"staged tree restored to $tmp, live tree is the healed copy")
     }
     fs.delete(old, true)
   }
@@ -70,12 +102,41 @@ object Publish {
   /** Roll back a [[swapArtifact]] interrupted between its two renames:
     * target missing + parked copy present -> restore the parked copy.
     * A present target means the swap completed (or never ran) — the
-    * parked leftover, if any, is stale and removed. Idempotent. */
+    * parked leftover, if any, is stale and removed. Idempotent.
+    *
+    * WRITER-SIDE ONLY: callers must hold the artifact's write lock (or
+    * be the sole writer by deployment contract). A loader running this
+    * concurrently with an in-flight [[swapArtifact]] could restore the
+    * freshly PARKED copy over the target mid-swap, or delete the parked
+    * copy the swap still needs — loaders use [[awaitArtifact]], which
+    * never mutates a live artifact. */
   private[graft] def healArtifact(fs: org.apache.hadoop.fs.FileSystem,
                                   target: org.apache.hadoop.fs.Path): Unit = {
     val old = new org.apache.hadoop.fs.Path(target.toString + ".old")
     if (!fs.exists(target)) { if (fs.exists(old)) fs.rename(old, target) }
     else fs.delete(old, true)
+  }
+
+  /** Loader-side readiness wait. A missing `target` is almost always a
+    * reader landing in [[swapArtifact]]'s one-metadata-op window between
+    * its two renames — retrying a few times outlasts any live swap. Only
+    * after the retries are exhausted AND a parked copy exists (the
+    * writer died mid-swap and nothing restarted it) does the loader
+    * restore the parked copy — recovery of last resort, reached ~never
+    * while a writer is actually mid-flight. A PRESENT target returns
+    * immediately and never touches `<target>.old`: a stale parked copy
+    * next to a live artifact is the WRITER's to clean (deleting it here
+    * is exactly the race that could strand an in-flight swap). */
+  private[graft] def awaitArtifact(fs: org.apache.hadoop.fs.FileSystem,
+                                   target: org.apache.hadoop.fs.Path,
+                                   attempts: Int = 10,
+                                   delayMs: Long = 50L): Unit = {
+    var i = 0
+    while (!fs.exists(target) && i < attempts) { Thread.sleep(delayMs); i += 1 }
+    if (!fs.exists(target)) {
+      val old = new org.apache.hadoop.fs.Path(target.toString + ".old")
+      if (fs.exists(old)) fs.rename(old, target)
+    }
   }
 
   // Hive-compatible partition-dir escaping (the char set Spark's writer

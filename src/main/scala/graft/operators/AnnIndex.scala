@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * The build stages under `<path>.tmp`, parks any live index under
   * `<path>.old` and swaps ([[graft.core.Publish.swapArtifact]]): a
   * searcher never opens a half-written index, a crash mid-publish
-  * never LOSES the previous index (readers roll the parked copy back),
-  * and the only remaining race is a one-metadata-op missing-path
-  * window between the two renames, which a reader retry heals. */
+  * never LOSES the previous index (writers heal the parked copy back;
+  * readers retry through the one-metadata-op missing-path window and
+  * only restore the parked copy as a last resort — see
+  * [[graft.core.Publish.awaitArtifact]]). */
 object AnnIndex {
 
   private def markerPath(path: String) =
@@ -36,10 +37,15 @@ object AnnIndex {
     new org.apache.hadoop.fs.Path(path).getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
 
-  private def readMarker(path: String): String = {
+  /** `asWriter = true` (append/delete — index mutators) heals a publish
+    * that died between its two renames; readers only RETRY through the
+    * window ([[graft.core.Publish.awaitArtifact]]) — a reader-side heal
+    * could race an in-flight swap and corrupt the publish. */
+  private def readMarker(path: String, asWriter: Boolean = false): String = {
     val fs = fsOf(path)
-    // roll back a publish that died between its two renames
-    graft.core.Publish.healArtifact(fs, new org.apache.hadoop.fs.Path(path))
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (asWriter) graft.core.Publish.healArtifact(fs, target)
+    else graft.core.Publish.awaitArtifact(fs, target)
     val in = fs.open(markerPath(path))
     try new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
@@ -76,7 +82,7 @@ object AnnIndex {
     try out.write((paramsLine(numLists) + "\n").getBytes("UTF-8"))
     finally out.close()
     // park-and-swap: the previous index survives a crash mid-publish
-    // (readers heal the parked copy back — see Publish.swapArtifact)
+    // (see Publish.swapArtifact / awaitArtifact for the recovery split)
     graft.core.Publish.swapArtifact(fs, tmp, target)
   }
 
@@ -91,7 +97,7 @@ object AnnIndex {
   def append(vectors: DataFrame, idCol: String, vecCol: String,
              path: String): Unit = {
     val spark = vectors.sparkSession
-    val marker = readMarker(path)
+    val marker = readMarker(path, asWriter = true)
     val collected = Similarity.collectCentroids(
       spark.read.parquet(s"$path/centroids"))
     require(marker == paramsLine(collected.size),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
@@ -341,7 +341,9 @@ object Bpe {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
     import spark.implicits._
     val target = new org.apache.hadoop.fs.Path(path)
-    graft.core.Publish.healArtifact(
+    // loader-side: retry through a publisher's mid-swap window instead
+    // of mutating (healing here could race an in-flight swapArtifact)
+    graft.core.Publish.awaitArtifact(
       target.getFileSystem(spark.sparkContext.hadoopConfiguration), target)
     val m = spark.read.parquet(path).as[Merge].collect().sortBy(_.rank).toSeq
     require(m.nonEmpty, s"empty BPE merge table at $path")
@@ -559,9 +561,13 @@ object BpeMergeTable {
   * into the broadcast-once reference object, like [[graft.functions
   * .TextHash.SimHash64]]). */
 case class BpeSegmentExpr(child: Expression, table: BpeMergeTable)
-    extends UnaryExpression with Serializable {
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
+  // non-string input fails at ANALYSIS, not as a runtime
+  // ClassCastException (the result type is inferred — AbstractDataType
+  // is private[sql] and cannot be named here)
+  override def inputTypes = Seq(StringType)
 
   override def nullSafeEval(t: Any): Any =
     table.segment(t.asInstanceOf[UTF8String])

@@ -415,7 +415,9 @@ object TextAnalysis {
                   path: String): (Array[Double], Double) = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    graft.core.Publish.healArtifact(fs, new org.apache.hadoop.fs.Path(path))
+    // loader-side: retry through a publisher's mid-swap window instead
+    // of mutating (healing here could race an in-flight swapArtifact)
+    graft.core.Publish.awaitArtifact(fs, new org.apache.hadoop.fs.Path(path))
     val in = fs.open(new org.apache.hadoop.fs.Path(path, "_params"))
     val marker =
       try new String(

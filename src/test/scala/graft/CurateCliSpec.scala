@@ -802,6 +802,19 @@ class CurateCliSpec extends SparkSpec {
     assert(screenVerdicts(c2, l2, p2) == before2)
   }
 
+  test("--compact and --compact-corpus combine under one lock (neither silently skipped)") {
+    // parse accepts the combination (the dispatch runs BOTH compactions
+    // under the single ledger lock — see CurateCli.main)
+    val o = CurateCli.parse(Seq("--compact", "--compact-corpus",
+      "--corpus", "/c", "--ledger", "/l")).toOption.get
+    assert(o.compact && o.compactCorpus)
+    // --compact-corpus still demands its corpus path even when combined
+    assert(CurateCli.parse(
+      Seq("--compact", "--compact-corpus", "--ledger", "/l")).isLeft)
+    // and --compact alone still only needs the ledger
+    assert(CurateCli.parse(Seq("--compact", "--ledger", "/l")).isRight)
+  }
+
   test("compaction kill-point sweep: every interrupted swap recovers to identical verdicts") {
     val root = java.nio.file.Files.createTempDirectory("curate_kill").toString
     val (corpusDir, ledgerDir, probeDir) = compactFixture(root)

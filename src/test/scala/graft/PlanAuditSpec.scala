@@ -285,7 +285,8 @@ class PlanAuditSpec extends SparkSpec {
 
     // token-budget mixing: the per-lang running total rides the
     // two-phase (__pid, group) form, and since the prefix-sum frame is
-    // frozen with an eager localCheckpoint (see groupedRunningTotal) the
+    // frozen with a LAZY localCheckpoint — materialized by the offsets
+    // collect (see groupedRunningTotal) — the
     // RESULT plan reads the frozen blocks — Scan ExistingRDD joined to
     // the broadcast offset table, with no Window of any kind left in it
     // (a window partitioned by the raw lang column — one unsplittable

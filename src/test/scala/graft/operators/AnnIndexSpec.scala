@@ -136,4 +136,49 @@ class AnnIndexSpec extends SparkSpec {
     assert(w.toSeq == Seq(0.25, -0.5) && b == 0.125)
     assert(!fs.exists(p(s"$root/w.old")))
   }
+
+  test("loaders never mutate a live artifact: a stale parked copy survives reads") {
+    val root = java.nio.file.Files.createTempDirectory("annidx_stale").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    val wf = Seq(("abab", 3L), ("ab", 2L)).toDF("word", "freq")
+    val merges = Bpe.train(wf, numMerges = 2)
+    Bpe.save(spark, merges, s"$root/merges")
+    // a stale `.old` next to a LIVE target is the writer's to clean — a
+    // loader deleting it could strand an in-flight swap (the parked copy
+    // is the crash-recovery state). Fake one and read through it.
+    fs.mkdirs(p(s"$root/merges.old"))
+    assert(Bpe.load(spark, s"$root/merges") == merges)
+    assert(fs.exists(p(s"$root/merges.old")),
+      "loader deleted the parked copy next to a live artifact")
+    // the next WRITER cleans it up as part of its own swap
+    Bpe.save(spark, merges, s"$root/merges")
+    assert(!fs.exists(p(s"$root/merges.old")))
+  }
+
+  test("swapArtifact refuses to nest when a concurrent heal restores the target mid-swap") {
+    val root = java.nio.file.Files.createTempDirectory("annidx_race").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    val wf = Seq(("abab", 3L), ("ab", 2L)).toDF("word", "freq")
+    val merges = Bpe.train(wf, numMerges = 2)
+    Bpe.save(spark, merges, s"$root/merges")
+    // simulate a concurrent healer restoring the freshly parked copy in
+    // the window between the park and the publish rename: without the
+    // guard the publish would NEST the staged tree inside the restored
+    // dir (HDFS rename-into-existing-dir) — silent corruption
+    graft.core.Publish.testAfterPark = Some(() =>
+      graft.core.Publish.healArtifact(fs, p(s"$root/merges")))
+    try {
+      intercept[IllegalStateException] {
+        Bpe.save(spark, Bpe.train(wf, numMerges = 1), s"$root/merges")
+      }
+    } finally graft.core.Publish.testAfterPark = None
+    // nothing lost, nothing nested: the healed v1 artifact is live and valid
+    assert(Bpe.load(spark, s"$root/merges") == merges)
+    assert(!fs.exists(p(s"$root/merges/merges.tmp")),
+      "staged tree nested inside the live artifact")
+  }
 }

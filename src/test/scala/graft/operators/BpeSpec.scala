@@ -307,6 +307,16 @@ class BpeSpec extends SparkSpec {
       s"BpeSegmentExpr projection fell out of codegen:\n$plan")
   }
 
+  test("native segmenter rejects non-string input at analysis time") {
+    val merges = Seq(Bpe.Merge(1, "a", "b", "ab", 2L))
+    val df = Seq((1, 42)).toDF("id", "n")
+    // ExpectsInputTypes turns misuse into a clean AnalysisException
+    // instead of a runtime ClassCastException inside codegen
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Bpe.segmentedNative($"n", merges)).collect()
+    }
+  }
+
   test("U+001F in document text is stripped, not treated as a boundary") {
     // the control char is the INTERNAL separator; crawl text containing
     // it must not corrupt token counts or segmentation (ADVICE class)
