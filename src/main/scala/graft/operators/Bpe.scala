@@ -10,7 +10,11 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-pair-encoding tokenizer (Sennrich et al. 2016, the public BPE
   * algorithm every modern LM tokenizer descends from), split Spark-first
-  * into the two phases a 100 TB corpus actually needs:
+  * into the two phases a 100 TB corpus actually needs. Both phases see
+  * the corpus through the regex PRETOKENIZER ([[pretokens]]) — the
+  * production-BPE front end that splits punctuation off letters and
+  * whitespace-free scripts (CJK) per code point, keeping the
+  * word-frequency table bounded on any real crawl:
   *
   *  1. FIT — one distributed pass builds the word-frequency table (explode +
   *     one groupBy shuffle, output bounded by the distinct-word count), a
@@ -70,20 +74,78 @@ object Bpe {
   /** The double-separator symbol boundary. */
   private[operators] val SS: String = Sep + Sep
 
+  // --- pretokenizer -----------------------------------------------------
+  // Production BPE (GPT-2/LLaMA class, public knowledge) never fits on
+  // raw whitespace words: a regex pretokenizer splits punctuation off
+  // letters ("word." would otherwise be a distinct vocabulary entry per
+  // trailing-punct variant) and bounds what a "word" can be in
+  // whitespace-free scripts (a CJK sentence is ONE \s+ token — the
+  // word-frequency table degenerates toward corpus cardinality with
+  // freq≈1 and the maxWords cap silently drops most of the text).
+  //
+  // Two steps, both expressible identically in Spark (Java regex) and
+  // the DuckDB twins (RE2) — cross-engine equality is spec-pinned and
+  // gate-checked:
+  //  1. PAD: every Han/Hiragana/Katakana code point gets a space on both
+  //   sides, so each ideograph/kana is its own pretoken (the BERT-class
+  //   CJK handling; Hangul is left alone — Korean is whitespace-
+  //   delimited). This is what keeps the distinct-pretoken cardinality
+  //   bounded by the script's character inventory instead of the corpus.
+  //  2. RUNS: extract letter(+combining-mark) runs, digit runs, and
+  //   other-non-space runs as separate pretokens ("v2.0" -> v|2|.|0).
+  //   Whitespace is the explicit ASCII class [ \t\n\x0B\f\r] — Java's \s
+  //   and RE2's \s disagree on \x0B, so neither engine's shorthand is
+  //   used. Unicode spaces (U+00A0, U+3000) intentionally pretokenize as
+  //   "other" runs — identical in both engines, and a visible signal.
+  //
+  // Base symbols stay Unicode CODE POINTS (char-fallback): any character
+  // unseen at fit time simply remains its own token — there is no <unk>
+  // and nothing is dropped. Byte-level base symbols (GPT-2's bijective
+  // byte alphabet) are a declared boundary: the DuckDB twin cannot see
+  // inside a VARCHAR's UTF-8 bytes, and code-point fallback loses no
+  // text — it only spends vocabulary slots per distinct char instead of
+  // per distinct byte.
+
+  /** Script-pad pattern, Java-regex spelling (`\p{IsHan}` == RE2
+    * `\p{Han}`: both are Unicode Script=Han). */
+  private[operators] val PadPattern =
+    "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])"
+
+  /** Pretoken run classes, identical spelling in Java regex and RE2. */
+  private[operators] val RunPattern =
+    "[\\p{L}\\p{M}]+|\\p{N}+|[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{M}\\p{N}]+"
+
+  /** The pretoken array of one document — a pure codegen'd projection
+    * (translate + regexp_replace + regexp_extract_all), no UDF. U+001F
+    * (the internal symbol separator, [[Sep]]) is stripped first. */
+  def pretokens(text: Column): Column =
+    regexp_extract_all(
+      regexp_replace(translate(text, Sep, ""), lit(PadPattern), lit(" $1 ")),
+      lit(RunPattern), lit(0))
+
+  /** Driver-side reference of [[pretokens]], for specs and tooling —
+    * same two regexes through `java.util.regex` directly. */
+  private[graft] def pretokenize(s: String): Array[String] = {
+    val padded = s.replace(Sep, "").replaceAll(PadPattern, " $1 ")
+    val m = java.util.regex.Pattern.compile(RunPattern).matcher(padded)
+    val out = Array.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
   /** One learned merge: at `rank` (1-based), adjacent symbol pair
     * (`first`, `second`) — which had weighted frequency `pairCount` at
     * selection time — fuses into `merged`. */
   final case class Merge(rank: Int, first: String, second: String,
                          merged: String, pairCount: Long)
 
-  /** Distributed word-frequency table: one explode + one groupBy.
-    * Output cardinality = distinct words, the natural bound a tokenizer
-    * fit works from. */
+  /** Distributed word-frequency table over PRETOKENS ([[pretokens]] —
+    * punctuation split off, CJK per code point): one explode + one
+    * groupBy. Output cardinality = distinct pretokens, which the
+    * pretokenizer keeps bounded even on whitespace-free scripts — the
+    * natural bound a tokenizer fit works from. */
   def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
-    // U+001F (the internal symbol separator) is stripped BEFORE
-    // tokenizing — see [[segmented]]; the oracle twins mirror it
-    docs.select(explode(
-        TextAnalysis.tokens(translate(col(textCol), Sep, ""))).as("word"))
+    docs.select(explode(pretokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   private def utf8Lt(a: String, b: String): Boolean = {
@@ -376,16 +438,25 @@ object Bpe {
     * instead of a per-word `transform`+`aggregate` (higher-order folds
     * are CodegenFallback — they'd kick the whole projection out of
     * codegen), the merge chain runs ONCE over the whole document with
-    * words joined by a single space. That is exactly equivalent to
-    * per-word application: the space is its own symbol, no trained pair
-    * ever contains it (training symbols come from inside words), so no
-    * merge can cross a word boundary, and `replace`'s left-to-right
-    * sweep visits words in order. Total symbols = word pieces +
+    * PRETOKENS ([[pretokens]]) joined by a single space. That is exactly
+    * equivalent to per-pretoken application: the space is its own
+    * symbol, no trained pair ever contains it (training symbols come
+    * from inside pretokens, which never contain ASCII space), so no
+    * merge can cross a pretoken boundary, and `replace`'s left-to-right
+    * sweep visits pretokens in order. Total symbols = pieces +
     * (n_words - 1) space symbols, so the token count falls out by
-    * subtraction. */
+    * subtraction. (`n_words` is the PRETOKEN count — punctuation and
+    * per-ideograph CJK pretokens each count one.) */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   merges: Seq[Merge]): DataFrame =
     tokenCountsWith(docs, idCol, textCol, merges, segmented)
+
+  /** [[tokenCounts]] with `passThrough` columns riding the same scan —
+    * see [[tokenCountsWith]] for why callers aggregating by a document
+    * column should use this instead of joining the corpus back. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[Merge], passThrough: Seq[String]): DataFrame =
+    tokenCountsWith(docs, idCol, textCol, merges, segmented, passThrough)
 
   /** [[tokenCounts]] forced through the native segmenter regardless of
     * table size — the gate uses it to hash-check [[BpeSegmentExpr]]
@@ -395,26 +466,32 @@ object Bpe {
                                        merges: Seq[Merge]): DataFrame =
     tokenCountsWith(docs, idCol, textCol, merges, segmentedNative)
 
-  private def tokenCountsWith(docs: DataFrame, idCol: String, textCol: String,
+  /** `passThrough` columns of `docs` ride the projection unchanged, so a
+    * caller aggregating token counts BY one of the document's own
+    * columns (language, source) gets them in the same single scan
+    * instead of re-scanning the corpus and joining back on the id — at
+    * 100 TB the second scan and the corpus-keyed join are real money. */
+  private[graft] def tokenCountsWith(docs: DataFrame, idCol: String,
+                              textCol: String,
                               merges: Seq[Merge],
-                              seg: (Column, Seq[Merge]) => Column): DataFrame = {
-    // == array_join(TextAnalysis.tokens(text), " "), without the filter
-    // HOF; U+001F stripped first so the separator-count arithmetic below
-    // only ever sees separators the segmenter itself wrote
-    val joined = trim(regexp_replace(
-      translate(col(textCol), Sep, ""), "\\s+", " "))
+                              seg: (Column, Seq[Merge]) => Column,
+                              passThrough: Seq[String] = Nil): DataFrame = {
+    val pre = docs.select(
+      col(idCol) +: passThrough.map(col) :+
+        pretokens(col(textCol)).as("__pts"): _*)
+    val joined = array_join(col("__pts"), " ")
     val nWords = when(joined === "", lit(0L))
-      .otherwise(size(split(joined, " ")).cast("long"))
+      .otherwise(size(col("__pts")).cast("long"))
     // symbols n <-> separators 2(n+1): count separators by length
     // difference (translate deletes them) — no array materialization
     val segCol = seg(joined, merges)
     val pieces = shiftright(
       (length(segCol) - length(translate(segCol, Sep, ""))).cast("long"), 1) - 1L
-    docs.select(
-      col(idCol),
-      nWords.as("n_words"),
-      when(joined === "", lit(0L))
-        .otherwise(pieces - nWords + lit(1L)).as("n_bpe_tokens"))
+    pre.select(
+      col(idCol) +: passThrough.map(col) :+
+        nWords.as("n_words") :+
+        when(joined === "", lit(0L))
+          .otherwise(pieces - nWords + lit(1L)).as("n_bpe_tokens"): _*)
   }
 }
 

@@ -3794,13 +3794,27 @@ object Oracles {
     * chain linear — each w_i feeds both p_{i+1} and w_{i+1}. */
   private val BpeK = 12
 
-  private val bpeChain: String = {
+  /** [[graft.operators.Bpe.pretokens]] in RE2 spelling: pad each
+    * Han/Hiragana/Katakana code point with spaces (RE2 `\p{Han}` ==
+    * Java `\p{IsHan}`, both Unicode Script=Han), then extract
+    * letter(+mark) runs, digit runs and other-non-space runs. The
+    * whitespace class is the explicit ASCII set — Java's and RE2's `\s`
+    * disagree on \x0B, so neither shorthand is used. Cross-engine
+    * equality is spec-pinned (BpePretokenSpec) and gate-checked
+    * (text_bpe_pretokens). */
+  private def pretokSql(c: String): String =
+    s"""regexp_extract_all(regexp_replace(translate($c, chr(31), ''), """ +
+      """'([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), """ +
+      """'[\p{L}\p{M}]+|\p{N}+|[^ \t\n\x0B\f\r\p{L}\p{M}\p{N}]+')"""
+
+  /** The fit chain over source CTE/view `src` (must expose `text`). */
+  private def bpeChainFor(src: String): String = {
     val parts = Seq.newBuilder[String]
     // double-separator boundaries (see Bpe.Sep): a symbol boundary is
     // chr(31)||chr(31); a merge pattern is single-chr(31)-bounded, so it
     // can never match across a boundary (symbol-exact) yet adjacent
     // occurrences still merge back-to-back (leftmost-greedy). chr(31)
-    // itself is stripped from the text first, mirroring the Spark side.
+    // itself is stripped by the pretokenizer, mirroring the Spark side.
     // Each p_i unions a SENTINEL row (chr(31), chr(31), cnt 0) under the
     // argmax: when the corpus exhausts mergeable pairs before stage K
     // the sentinel wins (every real pair has cnt >= 1), its 6-separator
@@ -3809,14 +3823,12 @@ object Oracles {
     // unchanged instead of collapsing the whole chain to empty — and
     // the merge-rows gate filters sentinels with cnt > 0, matching the
     // Spark side's early stop.
-    parts += """w0 AS MATERIALIZED (
+    parts += s"""w0 AS MATERIALIZED (
       |  SELECT chr(31) || chr(31) ||
       |      array_to_string(string_split(w, ''), chr(31) || chr(31)) ||
       |      chr(31) || chr(31) AS ws,
       |    CAST(count(*) AS BIGINT) AS freq
-      |  FROM (SELECT unnest(list_filter(string_split_regex(
-      |                  translate(text, chr(31), ''), '\s+'),
-      |                x -> len(x) > 0)) AS w FROM documents)
+      |  FROM (SELECT unnest(${pretokSql("text")}) AS w FROM $src)
       |  GROUP BY 1)""".stripMargin
     for (i <- 1 to BpeK) {
       val p = i - 1
@@ -3840,6 +3852,21 @@ object Oracles {
     parts.result().mkString(",\n")
   }
 
+  /** The mixed-script probe corpus CTE — IDENTICAL rows to
+    * [[graft.queries.TrainingData.mixedDocs]], built from the same
+    * literals (one source of truth). */
+  private val mixedCte: String = {
+    val phrases = graft.queries.TrainingData.CjkPhrases
+      .map(p => "'" + p.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    val tail = graft.queries.TrainingData.PunctTail.replace("'", "''")
+    s"""mixed AS MATERIALIZED (
+       |  SELECT doc_id, doc_id % 4 AS variant,
+       |    substr(text, 1, 30) || ' ' ||
+       |      ($phrases)[CAST(doc_id % 4 AS INT) + 1] || ' $tail' AS text
+       |  FROM documents)""".stripMargin
+  }
+
   val bpe: Map[String, String] = {
     val mergeRows = (1 to BpeK).map { i =>
       s"SELECT $i AS rank, first, second, first || second AS merged, " +
@@ -3855,26 +3882,33 @@ object Oracles {
         "chr(31) || chr(31)) || chr(31) || chr(31)") { (acc, i) =>
       s"replace($acc, a$i, b$i)"
     }
-    val tokensSql =
-      s"""WITH $bpeChain,
-         |mrg AS MATERIALIZED (SELECT $mrgCols FROM $mrgFrom),
-         |tok AS (SELECT doc_id, list_filter(string_split_regex(
-         |            translate(text, chr(31), ''), '\\s+'),
-         |          x -> len(x) > 0) AS toks FROM documents)
-         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+    // per-doc token counts for source `src`, chain already in scope;
+    // `extra` columns of the source ride through (they must be plain
+    // column names present on src)
+    def tokensBodyFor(src: String, extra: Seq[String]): String = {
+      val ec = extra.map(c => s"$c, ").mkString
+      s"""mrg AS MATERIALIZED (SELECT $mrgCols FROM $mrgFrom),
+         |tok AS (SELECT doc_id, $ec${pretokSql("text")} AS toks FROM $src)
+         |SELECT doc_id, ${ec}CAST(len(toks) AS BIGINT) AS n_words,
          |  CAST(coalesce(list_sum(list_transform(toks,
          |    w -> (len($nested) - len(replace($nested, chr(31), ''))) // 2
          |         - 1)), 0) AS BIGINT)
          |    AS n_bpe_tokens
          |FROM tok, mrg""".stripMargin
+    }
+    val tokensSql =
+      s"""WITH ${bpeChainFor("documents")},
+         |${tokensBodyFor("documents", Nil)}""".stripMargin
     Map(
-      "text_bpe_merges" -> s"WITH $bpeChain\n$mergeRows",
+      "text_bpe_merges" -> s"WITH ${bpeChainFor("documents")}\n$mergeRows",
       "text_bpe_tokens" -> tokensSql,
       // the native-segmenter gate answers to the SAME replay — chain and
       // native forms are one semantics, one oracle
       "text_bpe_tokens_native" -> tokensSql,
       // chars-per-token by language: compression rate of the fitted
-      // tokenizer; n_chars is the table's engine-neutral length column
+      // tokenizer; n_chars is the table's engine-neutral length column.
+      // (The Spark side is single-scan via pass-through columns; the
+      // join here is on the primary key, so the VALUES are identical.)
       "text_bpe_compression" ->
         s"""WITH cnts AS (SELECT doc_id, n_bpe_tokens FROM ($tokensSql))
            |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3885,10 +3919,37 @@ object Oracles {
            |  END AS chars_per_token
            |FROM documents d JOIN cnts c ON d.doc_id = c.doc_id
            |GROUP BY 1""".stripMargin,
+      // the pretokenizer pinned cross-engine where it matters: CJK per
+      // code point, punctuation split off, digit runs separate —
+      // position included so the hash pins order, not just the bag
+      "text_bpe_pretokens" ->
+        s"""WITH $mixedCte,
+           |tok AS (SELECT doc_id, ${pretokSql("text")} AS toks FROM mixed)
+           |SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS pretoken
+           |FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+           |      FROM tok)""".stripMargin,
+      // the full fit+apply chain over the CJK+punctuation corpus — the
+      // acceptance gate for the pretokenizer as a capability (under \s+
+      // tokenization this corpus degenerates to sentence-words)
+      "text_bpe_compression_cjk" ->
+        s"""WITH $mixedCte,
+           |${bpeChainFor("mixed")},
+           |cnts AS (
+           |WITH ${tokensBodyFor(
+                "(SELECT doc_id, variant, CAST(length(text) AS BIGINT) " +
+                  "AS n_chars, text FROM mixed)",
+                Seq("variant", "n_chars"))})
+           |SELECT variant, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars,
+           |  CAST(sum(n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+           |  CASE WHEN sum(n_bpe_tokens) > 0
+           |    THEN round(sum(n_chars)::DOUBLE / sum(n_bpe_tokens), 4)
+           |  END AS chars_per_token
+           |FROM cnts GROUP BY 1""".stripMargin,
       // the vocabulary artifact: w12 IS the fully merged word table, so
       // the weighted piece counts fall straight out of it
       "text_bpe_vocab" ->
-        s"""WITH $bpeChain
+        s"""WITH ${bpeChainFor("documents")}
            |SELECT piece AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences
            |FROM (SELECT unnest(list_filter(
            |        string_split(ws, chr(31) || chr(31)), x -> x <> '')) AS piece,

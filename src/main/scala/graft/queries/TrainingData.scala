@@ -1154,17 +1154,91 @@ object TrainingData {
     * learned merge table — the compression-rate number a tokenizer fit
     * is judged by (a lang whose chars/token stays near 1 is effectively
     * byte-level for that script; budget planning divides corpus chars by
-    * it). One BPE projection + one small groupBy on lang; `n_chars` is
-    * the table's engine-neutral length column (Spark `length()` counts
-    * UTF-16 units, DuckDB code points — the column sidesteps the
-    * mismatch). */
+    * it). ONE corpus scan: `lang` and `n_chars` ride the BPE projection
+    * as pass-through columns ([[Bpe.tokenCounts]]) instead of a second
+    * scan joined back on doc_id — at 100 TB the re-scan and the
+    * corpus-keyed join are the first thing a reviewer would trim. One
+    * small groupBy on lang after; `n_chars` is the table's
+    * engine-neutral length column. */
   def textBpeCompression(s: SparkSession, dir: String): DataFrame =
     Bpe.tokenCounts(
-        t(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text", bpeMerges(s, dir))
-      .join(t(s, dir, "documents").select(col("doc_id"), col("lang"),
-        col("n_chars")), Seq("doc_id"))
+        t(s, dir, "documents").select(col("doc_id"), col("text"),
+          col("lang"), col("n_chars")),
+        "doc_id", "text", bpeMerges(s, dir), Seq("lang", "n_chars"))
       .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        sum(col("n_bpe_tokens")).cast("long").as("bpe_tokens"),
+        when(sum(col("n_bpe_tokens")) > 0,
+          round(sum(col("n_chars")).cast("double") /
+            sum(col("n_bpe_tokens")).cast("double"), 4))
+          .as("chars_per_token"))
+
+  // --- mixed-script (CJK + punctuation) BPE probe corpus ----------------
+  // The ASCII `documents` table cannot exercise the pretokenizer (its
+  // pretokens == whitespace tokens there), so these gates derive a
+  // deterministic mixed corpus from it: 30 chars of the original text +
+  // a CJK phrase keyed by doc_id % 4 + a punctuation-heavy tail. The
+  // DuckDB twin builds the IDENTICAL rows from the same literals
+  // (Oracles reads these constants — one source of truth). All literals
+  // are BMP code points, so Spark and DuckDB `length()` agree.
+
+  private[graft] val CjkPhrases = Seq(
+    "東京都は日本の首都です。漢字とひらがなを混ぜた文。",
+    "自然言語処理ではトークン化が重要です、句読点も含む。",
+    "机器学习模型需要大量的训练数据和算力。",
+    "カタカナのテキストとEnglish混在、version2.0です!")
+
+  private[graft] val PunctTail =
+    "Dr. O'Neil's co-author (v2.0) said: \"well—really!?\" " +
+      "…costs $1,234.56 at 3.14% markup."
+
+  private def mixedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(4)).as("variant"),
+      concat(substring(col("text"), 1, 30), lit(" "),
+        element_at(array(CjkPhrases.map(lit): _*),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+        lit(" " + PunctTail)).as("text"))
+
+  /** The BPE pretokenizer itself, gate-pinned cross-engine over text
+    * where it matters: CJK per code point, punctuation split off
+    * letters, digit runs separate ([[Bpe.pretokens]] — the production
+    * regex front end whitespace tokenization lacks). Exploded in
+    * document order so the hash pins positions, not just the bag. */
+  def textBpePretokens(s: SparkSession, dir: String): DataFrame =
+    mixedDocs(s, dir)
+      .select(col("doc_id"),
+        posexplode(Bpe.pretokens(col("text"))).as(Seq("pos", "pretoken")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("pretoken"))
+
+  /** Mixed-corpus merges learned once per (JVM, sf dir), like
+    * [[bpeMerges]] but over [[mixedDocs]] — the fit where the
+    * pretokenizer decides what a "word" even is. */
+  private val bpeCjkTrained =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+
+  private def bpeMergesCjk(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    bpeCjkTrained.computeIfAbsent(dir, { d =>
+      Bpe.train(Bpe.wordFrequencies(mixedDocs(s, d), "text"),
+        numMerges = 12)
+    })
+
+  /** chars-per-token per mixed-script variant: the full fit+apply chain
+    * over the CJK+punctuation corpus. Under whitespace tokenization each
+    * CJK sentence is ONE word (the frequency table degenerates and the
+    * metric reads near-meaningless); under the pretokenizer every
+    * variant reports a sane, finite compression rate — the acceptance
+    * number for the pretokenizer as a first-class capability. Single
+    * scan: variant and n_chars ride the BPE projection. */
+  def textBpeCompressionCjk(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenCounts(
+        mixedDocs(s, dir)
+          .withColumn("n_chars", length(col("text")).cast("long")),
+        "doc_id", "text", bpeMergesCjk(s, dir), Seq("variant", "n_chars"))
+      .groupBy(col("variant"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("chars"),
         sum(col("n_bpe_tokens")).cast("long").as("bpe_tokens"),

@@ -64,6 +64,21 @@ class PlanAuditSpec extends SparkSpec {
       "ngramJaccard rebuilt per-bucket pair arrays in a single row")
   }
 
+  test("text_bpe_compression: ONE corpus scan, no join-back on doc_id") {
+    val df = SparkEntry.queries("text_bpe_compression")(spark,
+      "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the r13 shape scanned documents twice (token counts + a join back
+    // for lang/n_chars on doc_id — corpus-keyed, real money at 100 TB);
+    // lang/n_chars now ride the BPE projection as pass-through columns
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"compression metric must scan the corpus exactly once:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      s"compression metric rebuilt the doc_id join-back:\n${plan.take(2000)}")
+  }
+
   test("a7_zscore: ONE scan, one group-partitioned window — no aggregate-join-back double pass") {
     val df = SparkEntry.queries("a7_zscore")(spark, "/root/testdata/sf0.001")
     df.collect()
