@@ -307,6 +307,66 @@ class BpeSpec extends SparkSpec {
       s"BpeSegmentExpr projection fell out of codegen:\n$plan")
   }
 
+  test("production vocabulary end-to-end: 10k merges trained, native segment parity") {
+    // closes the gap between "plans at 10k-50k merges" and "shown at
+    // 10k": the incremental trainer fits a full 10k-rank table on a
+    // synthetic corpus and BpeSegmentExpr segments through it with
+    // bit-exact parity against an independent per-rank driver sweep.
+    // Random-ish 12-16 char words make late merges word-specific, so
+    // the rank supply comfortably exceeds 10k.
+    val rnd = new scala.util.Random(42)
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val words = (1 to 3000).map { _ =>
+      (1 to (12 + rnd.nextInt(5))).map(_ => letters(rnd.nextInt(26))).mkString
+    }.distinct
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_10k").toString
+    words.zipWithIndex.groupBy(_._2 % 300).toSeq
+      .map { case (d, ws) => (d.toLong, ws.map(_._1).mkString(" ")) }
+      .toDF("doc_id", "text").write.parquet(s"$tmp/docs")
+    val docs = spark.read.parquet(s"$tmp/docs")
+
+    val t0 = System.nanoTime()
+    val merges = Bpe.train(Bpe.wordFrequencies(docs, "text"),
+      numMerges = 10000)
+    val fitSec = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 10000, s"corpus exhausted at ${merges.size} merges")
+
+    // independent reference: the chain semantics, one leftmost sweep per
+    // rank, early exit once a word is fully fused
+    val table = merges.map(m => (m.first, m.second)).toArray
+    def refSegments(word: String): Seq[String] = {
+      var syms: Array[String] = Bpe.codePointSplit(word)
+      var r = 0
+      while (r < table.length && syms.length >= 2) {
+        syms = Bpe.sweep(syms, table(r)._1, table(r)._2)
+        r += 1
+      }
+      syms.toSeq
+    }
+
+    // full segmentation parity over EVERY distinct word, through the
+    // 10k-entry compiled table (native path: 10000 > ChainLimit)
+    val t1 = System.nanoTime()
+    val segGot = words.toDF("w")
+      .select($"w", Bpe.segments($"w", merges).as("segs"))
+      .as[(String, Seq[String])].collect().toMap
+    val applySec = (System.nanoTime() - t1) / 1e9
+    words.foreach { w =>
+      assert(segGot(w) == refSegments(w), s"segment mismatch on <$w>")
+    }
+
+    // and the doc-level production entry agrees
+    val got = Bpe.tokenCountsNative(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    docs.as[(Long, String)].collect().foreach { case (id, t) =>
+      val ws = Bpe.pretokenize(t)
+      val want = (ws.length.toLong, ws.map(w => refSegments(w).size.toLong).sum)
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+    info(f"fit 10000 merges: $fitSec%.1f s; " +
+      f"native segment of ${words.size} distinct words: $applySec%.2f s")
+  }
+
   test("native segmenter rejects non-string input at analysis time") {
     val merges = Seq(Bpe.Merge(1, "a", "b", "ab", 2L))
     val df = Seq((1, 42)).toDF("id", "n")
