@@ -592,17 +592,49 @@ object Dedup {
     * history text is touched only for band-collision SURVIVORS (the LSH
     * contract), so per-batch cost tracks the batch and the collision
     * rate, never |history|. */
+  /** History-side prescreen (`prescreenExpectedItems > 0`, the default):
+    * the batch's fingerprints / band keys build a driver-held Bloom
+    * ([[RuntimeFilter]]) that filters the history tables BELOW their
+    * exchange, and — when the ledger frames carry the bucket columns
+    * ([[DedupLedger.Buckets]] layout) — the batch's bucket set prunes
+    * history PARTITION DIRECTORIES outright. Verdicts are identical
+    * either way (no false negatives; extra survivors die in the exact
+    * join): what changes is that the per-cycle history exchange carries
+    * matches + the designed fpp instead of the FULL history — the term
+    * that dominates the screen at years of daily-cycle scale. Size
+    * `prescreenExpectedItems` at or above the batch cardinality; pass 0
+    * to disable. */
   def incrementalDedupLedgered(history: DataFrame, ledgerFp: DataFrame,
                        ledgerBands: DataFrame, batch: DataFrame,
                        idCol: String, textCol: String,
                        n: Int, numHashes: Int, rowsPerBand: Int,
-                       threshold: Double): DataFrame = {
-    val hExact = ledgerFp
+                       threshold: Double,
+                       prescreenExpectedItems: Long = 1L << 20,
+                       prescreenFpp: Double = 0.001): DataFrame = {
+    val prescreen = prescreenExpectedItems > 0
+    val batchFp0 = batch.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    // three consumers under prescreen (bloom build, bucket set, join):
+    // one materialization of the batch-sized (id, fp) frame
+    val batchFp = if (prescreen) batchFp0.localCheckpoint(false) else batchFp0
+    val fpHist = if (!prescreen) ledgerFp else {
+      val bucketed =
+        if (!ledgerFp.columns.contains("fpb")) ledgerFp
+        else {
+          // <= Buckets ints — bounded collect; reaches the parquet scan
+          // as a PartitionFilter (file-level pruning for small batches)
+          val bs = batchFp.select(DedupLedger.fpBucket(col("__fp")).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          ledgerFp.filter(col("fpb").isInCollection(bs))
+        }
+      val bloom = RuntimeFilter.bloomOf(batchFp, "__fp",
+        prescreenExpectedItems, prescreenFpp)
+      bucketed.filter(RuntimeFilter.mightContain(bloom, col("fp")))
+    }
+    val hExact = fpHist
       .select(col("doc_id").as("__h_id"), col("fp").as("__fp"))
       .groupBy(col("__fp")).agg(min(col("__h_id")).as("__h_exact"))
-    val screened = batch
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val screened = batchFp
       .join(hExact, Seq("__fp"), "left")
       .select(col("doc_id"), col("__h_exact"))
       // two consumers (survivor filter + final assembly): materialize the
@@ -612,10 +644,29 @@ object Dedup {
       screened.filter(col("__h_exact").isNull).select(col("doc_id").as(idCol)),
       Seq(idCol), "left_semi")
 
-    val bBands = bandFrame(batchLive, idCol, textCol, n, numHashes,
+    val bBands0 = bandFrame(batchLive, idCol, textCol, n, numHashes,
         rowsPerBand, checkpointSig = false)
       .select(col("doc_id").as("__b_id"), col("band"), col("band_key"))
-    val hBands = ledgerBands
+    // under prescreen the batch bands feed the bloom + bucket set too —
+    // materialize once instead of recomputing the MinHash per consumer
+    val bBands = if (prescreen) bBands0.localCheckpoint(false) else bBands0
+    val bandsHist = if (!prescreen) ledgerBands else {
+      val bucketed =
+        if (!ledgerBands.columns.contains("bkb")) ledgerBands
+        else {
+          val bs = bBands
+            .select(DedupLedger.bandBucket(col("band"), col("band_key")).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          ledgerBands.filter(col("bkb").isInCollection(bs))
+        }
+      val bloom = RuntimeFilter.bloomOf(
+        bBands.select(
+          concat_ws(":", col("band"), col("band_key")).as("__bk")),
+        "__bk", prescreenExpectedItems, prescreenFpp)
+      bucketed.filter(RuntimeFilter.mightContain(bloom,
+        concat_ws(":", col("band"), col("band_key"))))
+    }
+    val hBands = bandsHist
       .select(col("doc_id").as("__h_id"), col("band"), col("band_key"))
     // three consumers (two candidate-doc sets + the verify semi-join):
     // checkpoint the (tiny, LSH contract) pair list

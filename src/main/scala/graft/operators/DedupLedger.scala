@@ -15,21 +15,25 @@ import org.apache.spark.sql.functions._
   *               doc (docs too short to shingle have none, exactly like
   *               the recompute form).
   *
-  * Layout: Hive-partitioned by `ingest` (the batch label), the same
-  * directory-partitioning the warehouse star uses
-  * ([[graft.core.TableWriter.writePartitioned]]) — each screened batch
-  * APPENDS one new partition for its kept docs, so the next batch's
-  * screen reads the whole ledger with partition pruning available for
-  * replays/backouts of a bad ingest day. At 100 TB of history the
-  * ledger is what turns the per-batch screen from a full history
-  * shingle+MinHash rescan into parquet scans of two narrow tables whose
-  * size is rows-per-doc-bounded, plus text reads for band-collision
-  * survivors only.
+  * Layout: Hive-partitioned by `ingest` (the batch label) and, within
+  * each ingest, by hash bucket — `fpb=pmod(xxhash64(fp), Buckets)` on
+  * the fp table, `bkb=pmod(xxhash64(band, band_key), Buckets)` on the
+  * bands table. Each screened batch APPENDS one new ingest partition
+  * for its kept docs (replays/backouts of a bad ingest day prune by
+  * label); the bucket level lets a SMALL batch's screen prune history
+  * FILES by its bucket set, and pre-co-locates the tables for any
+  * storage-partitioned-join reader. At 100 TB of history the ledger is
+  * what turns the per-batch screen from a full history shingle+MinHash
+  * rescan into parquet scans of two narrow tables whose size is
+  * rows-per-doc-bounded — and the screen's Bloom prescreen
+  * ([[Dedup.incrementalDedupLedgered]]) keeps the history EXCHANGE
+  * bounded by matches + fpp, not |history|.
   *
-  * The LSH parameters (n, numHashes, rowsPerBand) are baked into the
-  * band rows — a ledger is only valid for the parameters it was built
-  * with, so they are recorded in a `_params` marker file at write time
-  * and re-validated on read. */
+  * The LSH parameters (n, numHashes, rowsPerBand) and the bucket count
+  * are baked into the rows/layout — a ledger is only valid for the
+  * parameters it was built with, so they are recorded in a `_params`
+  * marker file at write time and re-validated on read (a pre-bucketing
+  * ledger fails the params check: rebuild with overwrite). */
 object DedupLedger {
 
   /** (doc_id, fp) for a set of kept documents — one narrow projection. */
@@ -70,8 +74,26 @@ object DedupLedger {
   private def markerExists(path: String): Boolean =
     markerFs(path).isFile(markerPath(path))
 
+  /** Hash-bucket fan-out of the fp and band tables' second partition
+    * level (`fpb=` / `bkb=` under each `ingest=`). Layout-only — bucket
+    * ids are `pmod(xxhash64(key), Buckets)`, never compared cross-engine
+    * — but recorded in `_params` because a screen prunes history
+    * directories by the BATCH's bucket set: a small batch (replay,
+    * backfill, trickle ingest) touches few buckets and the scan skips
+    * the rest of the history's FILES outright. Big batches hit all
+    * buckets; their history-exchange bound comes from the Bloom
+    * prescreen ([[Dedup.incrementalDedupLedgered]]), not pruning. */
+  val Buckets = 64
+
+  private[operators] def fpBucket(fp: org.apache.spark.sql.Column) =
+    pmod(xxhash64(fp), lit(Buckets.toLong)).cast("int")
+
+  private[operators] def bandBucket(band: org.apache.spark.sql.Column,
+                                    bandKey: org.apache.spark.sql.Column) =
+    pmod(xxhash64(band, bandKey), lit(Buckets.toLong)).cast("int")
+
   private def paramsLine(n: Int, numHashes: Int, rowsPerBand: Int) =
-    s"n=$n numHashes=$numHashes rowsPerBand=$rowsPerBand"
+    s"n=$n numHashes=$numHashes rowsPerBand=$rowsPerBand buckets=$Buckets"
 
   /** Write (or append) the ledger rows for `docs` under `path`, tagged
     * with the `ingest` partition label. `overwrite = true` rebuilds the
@@ -102,10 +124,12 @@ object DedupLedger {
     // and the candidate stage distinct()s pairs.
     bands(docs, idCol, textCol, n, numHashes, rowsPerBand)
       .withColumn("ingest", lit(ingest))
-      .write.mode(mode).partitionBy("ingest").parquet(s"$path/bands")
+      .withColumn("bkb", bandBucket(col("band"), col("band_key")))
+      .write.mode(mode).partitionBy("ingest", "bkb").parquet(s"$path/bands")
     fingerprints(docs, idCol, textCol)
       .withColumn("ingest", lit(ingest))
-      .write.mode(mode).partitionBy("ingest").parquet(s"$path/fp")
+      .withColumn("fpb", fpBucket(col("fp")))
+      .write.mode(mode).partitionBy("ingest", "fpb").parquet(s"$path/fp")
     writeMarker(path, line)
   }
 
@@ -140,7 +164,9 @@ object DedupLedger {
     * [[Dedup.incrementalDedupLedgered]] takes, validating that the LSH
     * parameters match what the ledger was built with. The `ingest`
     * partition column is dropped — verdicts do not depend on which batch
-    * kept a history doc. */
+    * kept a history doc — but the bucket columns (`fpb`/`bkb`) ride
+    * along so the screen's bucket-set filter reaches the scan as a
+    * PartitionFilter (file-level pruning for small batches). */
   def read(spark: SparkSession, path: String,
            n: Int, numHashes: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     require(markerExists(path), s"no ledger at $path (missing _params)")
@@ -148,9 +174,10 @@ object DedupLedger {
     val line = paramsLine(n, numHashes, rowsPerBand)
     require(existing == line,
       s"ledger at $path was built with '$existing', screen asked for '$line'")
-    (spark.read.parquet(s"$path/fp").select(col("doc_id"), col("fp")),
+    (spark.read.parquet(s"$path/fp").select(col("doc_id"), col("fp"),
+        col("fpb")),
       spark.read.parquet(s"$path/bands")
-        .select(col("doc_id"), col("band"), col("band_key")))
+        .select(col("doc_id"), col("band"), col("band_key"), col("bkb")))
   }
 
   /** Does a ledger exist at `path`? (The CLI bootstraps one when not.) */
@@ -228,16 +255,20 @@ object DedupLedger {
     val relabel = when(col("ingest").isin(fold.toSeq: _*), lit(into))
       .otherwise(col("ingest"))
     // distinct over the relabeled rows: folding cannot create duplicates
-    // that were not already logically present (healed torn writes)
+    // that were not already logically present (healed torn writes). The
+    // bucket columns are pure functions of the keys, so recomputing them
+    // preserves the recorded `buckets=` layout exactly.
     spark.read.parquet(s"$path/bands")
       .select(col("doc_id"), col("band"), col("band_key"), relabel.as("ingest"))
       .distinct()
-      .write.partitionBy("ingest")
+      .withColumn("bkb", bandBucket(col("band"), col("band_key")))
+      .write.partitionBy("ingest", "bkb")
       .parquet(new org.apache.hadoop.fs.Path(tmpRoot(path), "bands").toString)
     spark.read.parquet(s"$path/fp")
       .select(col("doc_id"), col("fp"), relabel.as("ingest"))
       .distinct()
-      .write.partitionBy("ingest")
+      .withColumn("fpb", fpBucket(col("fp")))
+      .write.partitionBy("ingest", "fpb")
       .parquet(new org.apache.hadoop.fs.Path(tmpRoot(path), "fp").toString)
     // the marker is the commit point: from here a crash rolls FORWARD
     swapOpCounter.set(0)

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The round-14 ledger layout + screen-prescreen contract: fp and band
+  * tables hash-bucketed under each ingest partition, the per-cycle
+  * screen pruning history files by the batch's bucket set and filtering
+  * the history EXCHANGE through a batch-built Bloom — verdicts
+  * bit-identical to the unprescreened screen. */
+class DedupLedgerLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "seed corpus document with some stable historical words here"),
+    (2L, "second day document with fresh material on parquet compaction"),
+    (3L, "a third kept document discussing lakehouse layouts at scale"))
+    .toDF("doc_id", "text")
+
+  private def probe = Seq(
+    (30L, "seed corpus document with some stable historical words here"), // exact
+    (31L, "second day document with fresh material on parquet compactions"), // near
+    (32L, "a wholly unrelated probe document nothing resembles anywhere")) // keep
+    .toDF("doc_id", "text")
+
+  test("ledger writes bucket directories; compact preserves the layout") {
+    val root = java.nio.file.Files.createTempDirectory("ledger_fpb").toString
+    val ledger = s"$root/ledger"
+    DedupLedger.write(corpus, "doc_id", "text", 3, 8, 2, ledger, "day1",
+      overwrite = true)
+    DedupLedger.write(probe, "doc_id", "text", 3, 8, 2, ledger, "day2")
+    def bucketDirs(table: String, col: String): Seq[String] = {
+      val d = new java.io.File(s"$ledger/$table")
+      d.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith(col + "="))
+        .toSeq
+    }
+    assert(bucketDirs("fp", "fpb").nonEmpty, "fp table not bucket-partitioned")
+    assert(bucketDirs("bands", "bkb").nonEmpty,
+      "bands table not bucket-partitioned")
+    // bucket ids are within the recorded fan-out
+    (bucketDirs("fp", "fpb") ++ bucketDirs("bands", "bkb")).foreach { d =>
+      val b = d.split("=")(1).toInt
+      assert(b >= 0 && b < DedupLedger.Buckets, s"bucket id $b out of range")
+    }
+
+    val (fp1, bands1) = DedupLedger.read(spark, ledger, 3, 8, 2)
+    assert(fp1.columns.contains("fpb") && bands1.columns.contains("bkb"))
+    val before = fp1.orderBy("doc_id", "fp").collect().toSeq
+
+    DedupLedger.compact(spark, ledger, 3, 8, 2)
+    assert(bucketDirs("fp", "fpb").nonEmpty,
+      "compaction dropped the fp bucket layout")
+    assert(bucketDirs("bands", "bkb").nonEmpty,
+      "compaction dropped the bands bucket layout")
+    val (fp2, _) = DedupLedger.read(spark, ledger, 3, 8, 2)
+    assert(fp2.orderBy("doc_id", "fp").collect().toSeq == before,
+      "compaction changed ledger content")
+  }
+
+  test("prescreened screen verdicts == unprescreened; bloom has no false negatives") {
+    val root = java.nio.file.Files.createTempDirectory("ledger_pre").toString
+    val ledger = s"$root/ledger"
+    DedupLedger.write(corpus, "doc_id", "text", 3, 8, 2, ledger, "day1",
+      overwrite = true)
+    val (fp, bands) = DedupLedger.read(spark, ledger, 3, 8, 2)
+    def verdicts(expected: Long): Map[Long, (String, Option[Long])] =
+      Dedup.incrementalDedupLedgered(corpus, fp, bands, probe,
+          "doc_id", "text", 3, 8, 2, 0.5,
+          prescreenExpectedItems = expected)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val plain = verdicts(0L) // prescreen disabled
+    assert(plain(30L)._1 == "exact" && plain(31L)._1 == "near" &&
+      plain(32L)._1 == "keep", plain.toString)
+    assert(verdicts(1L << 16) == plain,
+      "prescreen changed screen verdicts")
+
+    // the primitive underneath: a Bloom never loses a member
+    val vals = (1 to 2000).map(i => s"value_$i")
+    val bf = RuntimeFilter.bloomOf(vals.toDF("v"), "v", 1L << 16, 0.001)
+    val hits = vals.toDF("v")
+      .select(RuntimeFilter.mightContain(bf, col("v")).as("m"))
+      .collect().map(_.getBoolean(0))
+    assert(hits.forall(identity), "bloom false negative: build/probe mismatch")
+  }
+
+  test("screen plan: history scan is bucket-pruned and bloom-filtered below its exchange") {
+    // the screen's fp path localCheckpoints after its join, so the
+    // history subplan is materialized out of the RESULT plan — pin the
+    // exact frame shape incrementalDedupLedgered builds for fpHist
+    // (bucket filter + bloom filter + exact-dup aggregate) instead
+    val root = java.nio.file.Files.createTempDirectory("ledger_plan").toString
+    val ledger = s"$root/ledger"
+    DedupLedger.write(corpus, "doc_id", "text", 3, 8, 2, ledger, "day1",
+      overwrite = true)
+    val (fp, _) = DedupLedger.read(spark, ledger, 3, 8, 2)
+    val batchFp = probe.select(
+      TextAnalysis.fingerprint(col("text")).as("__fp"))
+    val bs = batchFp.select(DedupLedger.fpBucket(col("__fp")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val bloom = RuntimeFilter.bloomOf(batchFp, "__fp", 1L << 16, 0.001)
+    val hExact = fp.filter(col("fpb").isInCollection(bs))
+      .filter(RuntimeFilter.mightContain(bloom, col("fp")))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("h"))
+    hExact.collect()
+    val plan = hExact.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val lower = plan.toLowerCase
+    // the Bloom gates the history rows BELOW the aggregate's exchange
+    // (tree prints top-down: the filter line must come after it)
+    assert(lower.contains("bloommightcontain"),
+      s"history prescreen missing:\n${plan.take(3000)}")
+    val exIdx = lower.indexOf("exchange")
+    val blIdx = lower.indexOf("bloommightcontain")
+    assert(exIdx == -1 || blIdx > exIdx,
+      s"bloom filter not below the exchange:\n${plan.take(3000)}")
+    // and the batch's bucket set reaches the fp scan as a partition
+    // filter (file-level pruning when the batch touches few buckets)
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("fpb")),
+      s"fpb bucket filter did not reach the history scan:\n${plan.take(3000)}")
+  }
+}
