@@ -137,6 +137,109 @@ class AnnIndexSpec extends SparkSpec {
     assert(!fs.exists(p(s"$root/w.old")))
   }
 
+  test("delete-by-id: search == rebuild without the rows; only affected lists rewritten") {
+    val root = java.nio.file.Files.createTempDirectory("annidx_del").toString
+    val vs = vectors(60)
+    AnnIndex.build(vs, "vec_id", "embedding", numLists = 4, s"$root/idx")
+    val origCentroids = spark.read.parquet(s"$root/idx/centroids")
+
+    // capture partition mtimes to prove untouched lists are not rewritten
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def listDirs(): Map[String, Long] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/idx/postings")).toSeq
+      .filter(_.isDirectory).map(s =>
+        s.getPath.getName -> s.getModificationTime).toMap
+    val before = listDirs()
+
+    import spark.implicits._
+    val dropIds = Seq(3L, 7L, 11L).toDF("vec_id")
+    val affected = AnnIndex.delete(spark, s"$root/idx", dropIds, "vec_id")
+    assert(affected.nonEmpty)
+
+    // untouched list partitions were not rewritten
+    val after = listDirs()
+    val untouched = before.keySet -- affected.map(l => s"list_id=$l")
+    untouched.foreach { d =>
+      assert(after(d) == before(d), s"untouched partition $d was rewritten")
+    }
+
+    // search equals a rebuild (SAME quantizer, minus the rows)
+    val remaining = vs.filter(!$"vec_id".isin(3L, 7L, 11L))
+    AnnIndex.build(remaining, "vec_id", "embedding", numLists = 4,
+      s"$root/rebuilt", centroids = Some(origCentroids))
+    val queries = vs.filter($"vec_id" < 5)
+    def results(p: String) = AnnIndex.search(spark, p, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(results(s"$root/idx") == results(s"$root/rebuilt"),
+      "deleted index diverged from rebuild-without-rows")
+    // the deleted ids are gone as neighbors
+    assert(!results(s"$root/idx").exists(r =>
+      Set(3L, 7L, 11L)(r.getLong(r.fieldIndex("neighbor_id")))))
+
+    // deleting ids not in the index is a no-op
+    assert(AnnIndex.delete(spark, s"$root/idx",
+      Seq(999L).toDF("vec_id"), "vec_id").isEmpty)
+  }
+
+  test("delete kill-point sweep: every interrupted swap recovers to identical results") {
+    import spark.implicits._
+    val vs = vectors(60)
+    val queries = vs.filter($"vec_id" < 5)
+    val dropIds = Seq(2L, 9L, 14L)
+
+    // expected end state from an uninterrupted delete
+    val cleanRoot = java.nio.file.Files.createTempDirectory("annidx_ks0").toString
+    AnnIndex.build(vs, "vec_id", "embedding", numLists = 4, s"$cleanRoot/idx")
+    AnnIndex.delete(spark, s"$cleanRoot/idx", dropIds.toDF("vec_id"), "vec_id")
+    val want = AnnIndex.search(spark, s"$cleanRoot/idx", queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+
+    var ops = 1
+    var sawCompletion = false
+    while (!sawCompletion && ops < 60) {
+      val root = java.nio.file.Files.createTempDirectory(s"annidx_ks$ops").toString
+      AnnIndex.build(vs, "vec_id", "embedding", numLists = 4, s"$root/idx")
+      AnnIndex.testFailAfterDeleteOps = Some(ops)
+      val killed =
+        try { AnnIndex.delete(spark, s"$root/idx", dropIds.toDF("vec_id"),
+            "vec_id"); false }
+        catch { case _: IllegalStateException => true }
+        finally AnnIndex.testFailAfterDeleteOps = None
+      if (killed) {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/idx/_deleting"))) {
+          // a reader must refuse the half-swapped index...
+          intercept[IllegalArgumentException] {
+            AnnIndex.search(spark, s"$root/idx", queries,
+              "vec_id", "embedding", k = 5, nprobe = 4)
+          }
+          // ...and recovery rolls FORWARD to the deleted state
+          assert(AnnIndex.recoverDelete(spark, s"$root/idx"))
+          val got = AnnIndex.search(spark, s"$root/idx", queries,
+            "vec_id", "embedding", k = 5, nprobe = 4)
+            .orderBy("q_id", "rank").collect().toSeq
+          assert(got == want, s"kill at op $ops: recovery diverged")
+        } else {
+          // killed before the marker (commit point): live index intact,
+          // the delete simply did not happen — re-running it completes
+          assert(!AnnIndex.recoverDelete(spark, s"$root/idx"))
+          AnnIndex.delete(spark, s"$root/idx", dropIds.toDF("vec_id"),
+            "vec_id")
+          val got = AnnIndex.search(spark, s"$root/idx", queries,
+            "vec_id", "embedding", k = 5, nprobe = 4)
+            .orderBy("q_id", "rank").collect().toSeq
+          assert(got == want, s"kill at op $ops: rerun diverged")
+        }
+      } else sawCompletion = true
+      ops += 1
+    }
+    assert(sawCompletion, "sweep never reached an uninterrupted delete")
+  }
+
   test("loaders never mutate a live artifact: a stale parked copy survives reads") {
     val root = java.nio.file.Files.createTempDirectory("annidx_stale").toString
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
