@@ -42,7 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * if the cap binds on a corpus with non-ASCII words right at the
   * boundary, the kept set can differ from a UTF-8-ordered engine — size
   * the cap above the vocabulary (the default keeps ~1M words) or accept
-  * the boundary fuzz, which perturbs only near-tail pair counts.
+  * the boundary fuzz, which perturbs only near-tail pair counts. The
+  * pretokenizer is what keeps the cap from BINDING in the first place:
+  * distinct pretokens track character inventories and real lexicons,
+  * not corpus cardinality, even on whitespace-free scripts.
   *
   * Scale: the fit's one shuffle is on the word (distinct-word cardinality,
   * not corpus rows); the apply is a pure projection that pipelines with

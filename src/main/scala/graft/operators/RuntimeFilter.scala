@@ -32,11 +32,18 @@ object RuntimeFilter {
 
   /** Build a driver-held Bloom over `df.colName` (one aggregate pass of
     * the SMALL side — the batch, never the history). Nulls are skipped,
-    * matching join semantics (a null key never equi-joins). */
+    * matching join semantics (a null key never equi-joins). An EMPTY or
+    * all-null input returns an empty filter (contains nothing) — the
+    * aggregate's null buffer would otherwise crash the read-back, and
+    * "every batch doc was an exact dup" is a ROUTINE screen state, not
+    * an error (it is exactly what a re-delivered batch looks like). */
   def bloomOf(df: DataFrame, colName: String,
               expectedItems: Long = 1L << 20,
-              fpp: Double = 0.001): BloomFilter =
-    df.stat.bloomFilter(colName, expectedItems, fpp)
+              fpp: Double = 0.001): BloomFilter = {
+    val rows = df.filter(df(colName).isNotNull)
+    if (rows.isEmpty) BloomFilter.create(math.max(1L, expectedItems), fpp)
+    else rows.stat.bloomFilter(colName, expectedItems, fpp)
+  }
 
   /** Predicate column: might `c` (string) be in the filter? Codegen'd
     * single call into the closure-shipped filter, like

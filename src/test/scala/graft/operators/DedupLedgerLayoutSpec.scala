@@ -85,6 +85,38 @@ class DedupLedgerLayoutSpec extends SparkSpec {
     assert(hits.forall(identity), "bloom false negative: build/probe mismatch")
   }
 
+  test("prescreen survives an all-exact-dup batch and an empty batch") {
+    // a re-delivered batch (every doc an exact dup) leaves NO survivors
+    // for the band stage — the band-key bloom builds over zero rows; the
+    // sf1 probe caught the aggregate's null buffer crashing here
+    val root = java.nio.file.Files.createTempDirectory("ledger_empty").toString
+    val ledger = s"$root/ledger"
+    DedupLedger.write(corpus, "doc_id", "text", 3, 8, 2, ledger, "day1",
+      overwrite = true)
+    val (fp, bands) = DedupLedger.read(spark, ledger, 3, 8, 2)
+    val redelivered = corpus.select((col("doc_id") + 100L).as("doc_id"),
+      col("text"))
+    val v = Dedup.incrementalDedupLedgered(corpus, fp, bands, redelivered,
+        "doc_id", "text", 3, 8, 2, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v.size == 3 && v.values.forall(_ == "exact"), v.toString)
+
+    val empty = corpus.filter(lit(false))
+    assert(Dedup.incrementalDedupLedgered(corpus, fp, bands, empty,
+      "doc_id", "text", 3, 8, 2, 0.5).count() == 0)
+
+    // the primitive: empty and all-null builds yield contains-nothing
+    import spark.implicits._
+    val emptyBf = RuntimeFilter.bloomOf(Seq.empty[String].toDF("v"), "v")
+    val nullBf = RuntimeFilter.bloomOf(
+      Seq(Option.empty[String], Option.empty[String]).toDF("v"), "v")
+    val probe2 = Seq("x").toDF("v")
+    Seq(emptyBf, nullBf).foreach { b =>
+      assert(!probe2.select(RuntimeFilter.mightContain(b, col("v")))
+        .collect().head.getBoolean(0))
+    }
+  }
+
   test("screen plan: history scan is bucket-pruned and bloom-filtered below its exchange") {
     // the screen's fp path localCheckpoints after its join, so the
     // history subplan is materialized out of the RESULT plan — pin the
