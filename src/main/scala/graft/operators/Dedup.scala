@@ -603,21 +603,34 @@ object Dedup {
     * matches + the designed fpp instead of the FULL history — the term
     * that dominates the screen at years of daily-cycle scale. Size
     * `prescreenExpectedItems` at or above the batch cardinality; pass 0
-    * to disable. */
+    * to disable.
+    *
+    * The prescreen costs ~4 fixed driver jobs (two checkpoint
+    * materializations, two bloom aggregates), so it only engages when a
+    * history side's optimizer-estimated size (file bytes for parquet
+    * scans) reaches `prescreenMinHistoryBytes` — below that the full
+    * exchange is cheaper than the machinery, the same size-threshold
+    * logic Spark's own InjectRuntimeFilter applies. Unknown stats err
+    * toward prescreening. */
   def incrementalDedupLedgered(history: DataFrame, ledgerFp: DataFrame,
                        ledgerBands: DataFrame, batch: DataFrame,
                        idCol: String, textCol: String,
                        n: Int, numHashes: Int, rowsPerBand: Int,
                        threshold: Double,
                        prescreenExpectedItems: Long = 1L << 20,
-                       prescreenFpp: Double = 0.001): DataFrame = {
-    val prescreen = prescreenExpectedItems > 0
+                       prescreenFpp: Double = 0.001,
+                       prescreenMinHistoryBytes: Long = 64L << 20): DataFrame = {
+    def bigEnough(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(prescreenMinHistoryBytes)
+    val preFp = prescreenExpectedItems > 0 && bigEnough(ledgerFp)
+    val preBands = prescreenExpectedItems > 0 && bigEnough(ledgerBands)
     val batchFp0 = batch.select(col(idCol).as("doc_id"),
       TextAnalysis.fingerprint(col(textCol)).as("__fp"))
     // three consumers under prescreen (bloom build, bucket set, join):
     // one materialization of the batch-sized (id, fp) frame
-    val batchFp = if (prescreen) batchFp0.localCheckpoint(false) else batchFp0
-    val fpHist = if (!prescreen) ledgerFp else {
+    val batchFp = if (preFp) batchFp0.localCheckpoint(false) else batchFp0
+    val fpHist = if (!preFp) ledgerFp else {
       val bucketed =
         if (!ledgerFp.columns.contains("fpb")) ledgerFp
         else {
@@ -649,8 +662,8 @@ object Dedup {
       .select(col("doc_id").as("__b_id"), col("band"), col("band_key"))
     // under prescreen the batch bands feed the bloom + bucket set too —
     // materialize once instead of recomputing the MinHash per consumer
-    val bBands = if (prescreen) bBands0.localCheckpoint(false) else bBands0
-    val bandsHist = if (!prescreen) ledgerBands else {
+    val bBands = if (preBands) bBands0.localCheckpoint(false) else bBands0
+    val bandsHist = if (!preBands) ledgerBands else {
       val bucketed =
         if (!ledgerBands.columns.contains("bkb")) ledgerBands
         else {

@@ -122,13 +122,22 @@ object DedupLedger {
     // shingle-less ones.) Duplicate ledger rows from a healed torn write
     // are harmless by construction: the exact stage takes min() per fp
     // and the candidate stage distinct()s pairs.
+    // REBALANCE on the bucket column ahead of the partitioned write:
+    // without it every write task holds a file open per bucket it sees
+    // (tasks x Buckets tiny files — measured 5x slower ledger READS at
+    // gate scale); with it AQE groups rows by bucket and still SPLITS a
+    // bucket that outgrows the advisory partition size, so a 100 TB
+    // batch keeps write parallelism. Degrades to a plain hash
+    // repartition with AQE off.
     bands(docs, idCol, textCol, n, numHashes, rowsPerBand)
       .withColumn("ingest", lit(ingest))
       .withColumn("bkb", bandBucket(col("band"), col("band_key")))
+      .hint("rebalance", "bkb")
       .write.mode(mode).partitionBy("ingest", "bkb").parquet(s"$path/bands")
     fingerprints(docs, idCol, textCol)
       .withColumn("ingest", lit(ingest))
       .withColumn("fpb", fpBucket(col("fp")))
+      .hint("rebalance", "fpb")
       .write.mode(mode).partitionBy("ingest", "fpb").parquet(s"$path/fp")
     writeMarker(path, line)
   }
@@ -262,12 +271,14 @@ object DedupLedger {
       .select(col("doc_id"), col("band"), col("band_key"), relabel.as("ingest"))
       .distinct()
       .withColumn("bkb", bandBucket(col("band"), col("band_key")))
+      .hint("rebalance", "ingest", "bkb")
       .write.partitionBy("ingest", "bkb")
       .parquet(new org.apache.hadoop.fs.Path(tmpRoot(path), "bands").toString)
     spark.read.parquet(s"$path/fp")
       .select(col("doc_id"), col("fp"), relabel.as("ingest"))
       .distinct()
       .withColumn("fpb", fpBucket(col("fp")))
+      .hint("rebalance", "ingest", "fpb")
       .write.partitionBy("ingest", "fpb")
       .parquet(new org.apache.hadoop.fs.Path(tmpRoot(path), "fp").toString)
     // the marker is the commit point: from here a crash rolls FORWARD

@@ -67,7 +67,8 @@ class DedupLedgerLayoutSpec extends SparkSpec {
     def verdicts(expected: Long): Map[Long, (String, Option[Long])] =
       Dedup.incrementalDedupLedgered(corpus, fp, bands, probe,
           "doc_id", "text", 3, 8, 2, 0.5,
-          prescreenExpectedItems = expected)
+          prescreenExpectedItems = expected,
+          prescreenMinHistoryBytes = 0L) // force past the size gate
         .collect().map(r => r.getLong(0) ->
           ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
     val plain = verdicts(0L) // prescreen disabled
@@ -97,13 +98,15 @@ class DedupLedgerLayoutSpec extends SparkSpec {
     val redelivered = corpus.select((col("doc_id") + 100L).as("doc_id"),
       col("text"))
     val v = Dedup.incrementalDedupLedgered(corpus, fp, bands, redelivered,
-        "doc_id", "text", 3, 8, 2, 0.5)
+        "doc_id", "text", 3, 8, 2, 0.5,
+        prescreenMinHistoryBytes = 0L) // force past the size gate
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v.size == 3 && v.values.forall(_ == "exact"), v.toString)
 
     val empty = corpus.filter(lit(false))
     assert(Dedup.incrementalDedupLedgered(corpus, fp, bands, empty,
-      "doc_id", "text", 3, 8, 2, 0.5).count() == 0)
+      "doc_id", "text", 3, 8, 2, 0.5,
+      prescreenMinHistoryBytes = 0L).count() == 0)
 
     // the primitive: empty and all-null builds yield contains-nothing
     import spark.implicits._
