@@ -248,13 +248,48 @@ object Dedup {
     * fingerprint the BATCH (a projection), one equi-join on the
     * fingerprint — history text is never rescanned. Hot fingerprints
     * cap on their HISTORY doc frequency (the unbounded side). Returns
-    * (batch_id, pos_b, hist_id, pos_h, fp). */
+    * (batch_id, pos_b, hist_id, pos_h, fp).
+    *
+    * History prescreen, same contract as
+    * [[incrementalDedupLedgered]]'s: a Bloom over the BATCH's
+    * fingerprints (plus the bucket set, when `historyFps` carries the
+    * ledger's `fpb` column) filters history below the doc-frequency
+    * cap's TWO full-history shuffles — the dominant per-batch cost once
+    * history dwarfs the batch. Results identical: the bloom keeps or
+    * removes whole fp GROUPS, so every surviving fp's doc-frequency
+    * count is computed over exactly the rows it always had, removed fps
+    * could never equi-join the batch, and false positives die in the
+    * join. Engages above `prescreenMinHistoryBytes` (optimizer-estimated
+    * size); 0 expected items disables. */
   def winnowingMatchesAgainst(historyFps: DataFrame, batch: DataFrame,
                               idCol: String, textCol: String,
                               k: Int, w: Int,
-                              maxDocFreq: Option[Long] = Some(10000L))
+                              maxDocFreq: Option[Long] = Some(10000L),
+                              prescreenExpectedItems: Long = 1L << 20,
+                              prescreenFpp: Double = 0.001,
+                              prescreenMinHistoryBytes: Long = 64L << 20)
       : DataFrame = {
-    val hist = historyFps.select(col("doc_id").as("hist_id"),
+    val pre = prescreenExpectedItems > 0 &&
+      historyFps.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(prescreenMinHistoryBytes)
+    val bFps0 = TextAnalysis.winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col(idCol).as("batch_id"), col("pos").as("pos_b"), col("fp"))
+    // three consumers under prescreen (bloom, bucket set, join): one
+    // materialization of the batch-sized fingerprint frame
+    val bFps = if (pre) bFps0.localCheckpoint(false) else bFps0
+    val histPre = if (!pre) historyFps else {
+      val bucketed =
+        if (!historyFps.columns.contains("fpb")) historyFps
+        else {
+          val bs = bFps.select(DedupLedger.fpBucket(col("fp")).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          historyFps.filter(col("fpb").isInCollection(bs))
+        }
+      val bloom = RuntimeFilter.bloomOf(bFps, "fp",
+        prescreenExpectedItems, prescreenFpp)
+      bucketed.filter(RuntimeFilter.mightContain(bloom, col("fp")))
+    }
+    val hist = histPre.select(col("doc_id").as("hist_id"),
       col("pos").as("pos_h"), col("fp"))
     val capped = maxDocFreq match {
       case Some(maxDf) =>
@@ -266,8 +301,7 @@ object Dedup {
           Seq("fp"), "left_semi")
       case None => hist
     }
-    TextAnalysis.winnowFingerprints(batch, idCol, textCol, k, w)
-      .select(col(idCol).as("batch_id"), col("pos").as("pos_b"), col("fp"))
+    bFps
       .join(capped, Seq("fp"))
       .select(col("batch_id"), col("pos_b"), col("hist_id"), col("pos_h"),
         col("fp"))

@@ -25,7 +25,8 @@ object WinnowLedger {
     markerPath(path).getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
 
-  private def paramsLine(k: Int, w: Int) = s"k=$k|w=$w"
+  private def paramsLine(k: Int, w: Int) =
+    s"k=$k|w=$w|buckets=${DedupLedger.Buckets}"
 
   def exists(path: String): Boolean = fs(path).exists(markerPath(path))
 
@@ -52,14 +53,21 @@ object WinnowLedger {
       out.write((paramsLine(k, w) + "\n").getBytes("UTF-8"))
       out.close()
     }
+    // bucket level + REBALANCE: same layout/write discipline as the
+    // dedup ledger (DedupLedger.write) — bucket pruning for small
+    // batches, no task-x-bucket small-file spray
     TextAnalysis.winnowFingerprints(docs, idCol, textCol, k, w)
       .withColumnRenamed(idCol, "doc_id")
       .withColumn("ingest", lit(ingest))
-      .write.mode("append").partitionBy("ingest").parquet(s"$path/wfp")
+      .withColumn("fpb", DedupLedger.fpBucket(col("fp")))
+      .hint("rebalance", "fpb")
+      .write.mode("append").partitionBy("ingest", "fpb").parquet(s"$path/wfp")
   }
 
-  /** The (doc_id, pos, fp) frame, parameters re-validated. A marker with
-    * no data yet (the marker-first crash window) reads as empty. */
+  /** The (doc_id, pos, fp[, fpb]) frame, parameters re-validated. A
+    * marker with no data yet (the marker-first crash window) reads as
+    * empty. The bucket column rides along so the span screen's bucket
+    * filter reaches the scan as a PartitionFilter. */
   def read(spark: SparkSession, path: String, k: Int, w: Int): DataFrame = {
     require(exists(path), s"no winnow ledger at $path (missing _params)")
     validate(path, k, w)
@@ -68,7 +76,7 @@ object WinnowLedger {
       Seq.empty[(Long, Long, String)].toDF("doc_id", "pos", "fp")
     else
       spark.read.parquet(s"$path/wfp")
-        .select(col("doc_id"), col("pos"), col("fp"))
+        .select(col("doc_id"), col("pos"), col("fp"), col("fpb"))
   }
 
   /** Re-append fingerprints for corpus docs a torn cycle left out —
@@ -149,7 +157,9 @@ object WinnowLedger {
     spark.read.parquet(s"$path/wfp")
       .select(col("doc_id"), col("pos"), col("fp"), relabel.as("ingest"))
       .distinct()
-      .write.partitionBy("ingest")
+      .withColumn("fpb", DedupLedger.fpBucket(col("fp")))
+      .hint("rebalance", "ingest", "fpb")
+      .write.partitionBy("ingest", "fpb")
       .parquet(new org.apache.hadoop.fs.Path(tmpRoot(path), "wfp").toString)
     // the marker is the commit point: from here a crash rolls FORWARD
     swapOpCounter.set(0)

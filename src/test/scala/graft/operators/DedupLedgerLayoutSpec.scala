@@ -120,6 +120,37 @@ class DedupLedgerLayoutSpec extends SparkSpec {
     }
   }
 
+  test("winnow ledger: bucket layout, prescreened span evidence == unprescreened") {
+    val root = java.nio.file.Files.createTempDirectory("wledger_fpb").toString
+    val ledger = s"$root/winnow"
+    WinnowLedger.write(corpus, "doc_id", "text", 4, 3, ledger, "day1")
+    // bucket dirs under the ingest partition
+    val d = new java.io.File(s"$ledger/wfp")
+    val buckets = d.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("fpb="))
+    assert(buckets.nonEmpty, "wfp table not bucket-partitioned")
+
+    val hist = WinnowLedger.read(spark, ledger, 4, 3)
+    assert(hist.columns.contains("fpb"))
+    def evidence(expected: Long, minBytes: Long): Seq[String] =
+      Dedup.winnowingMatchesAgainst(hist, probe, "doc_id", "text", 4, 3,
+          prescreenExpectedItems = expected,
+          prescreenMinHistoryBytes = minBytes)
+        .orderBy("batch_id", "pos_b", "hist_id", "pos_h")
+        .collect().map(_.toString).toSeq
+    val plain = evidence(0L, Long.MaxValue)
+    assert(plain.nonEmpty, "fixture produced no span evidence")
+    assert(evidence(1L << 16, 0L) == plain,
+      "prescreen changed winnow span evidence")
+
+    // compaction preserves the bucket layout and the evidence
+    WinnowLedger.write(probe, "doc_id", "text", 4, 3, ledger, "day2")
+    WinnowLedger.compact(spark, ledger, 4, 3)
+    val buckets2 = d.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("fpb="))
+    assert(buckets2.nonEmpty, "compaction dropped the wfp bucket layout")
+  }
+
   test("screen plan: history scan is bucket-pruned and bloom-filtered below its exchange") {
     // the screen's fp path localCheckpoints after its join, so the
     // history subplan is materialized out of the RESULT plan — pin the
