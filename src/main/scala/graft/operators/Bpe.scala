@@ -118,10 +118,23 @@ object Bpe {
   private[operators] val RunPattern =
     "[\\p{L}\\p{M}]+|\\p{N}+|[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{M}\\p{N}]+"
 
-  /** The pretoken array of one document — a pure codegen'd projection
-    * (translate + regexp_replace + regexp_extract_all), no UDF. U+001F
-    * (the internal symbol separator, [[Sep]]) is stripped first. */
+  /** The pretoken array of one document — ONE native codegen'd pass
+    * ([[BpePretokensExpr]]): a single code-point walk classifying into
+    * {ASCII whitespace, CJK pad, letter+mark, digit, other} replaces the
+    * regex form's two full regex evaluations per row (a measurable CPU
+    * term when every ingest tokenizes the whole corpus). Semantics are
+    * IDENTICAL to [[pretokensRegex]] — the two-regex spelling both
+    * engines share — pinned by spec on adversarial inputs plus a seeded
+    * unicode fuzz, and by the `text_bpe_pretokens` gate against the
+    * DuckDB twin. */
   def pretokens(text: Column): Column =
+    ColumnBridge.column(BpePretokensExpr(ColumnBridge.expression(text)))
+
+  /** The two-regex reference form of [[pretokens]] (translate +
+    * regexp_replace + regexp_extract_all) — the spelling the DuckDB
+    * twins mirror; kept as the cross-engine semantic definition the
+    * native expression answers to. */
+  private[graft] def pretokensRegex(text: Column): Column =
     regexp_extract_all(
       regexp_replace(translate(text, Sep, ""), lit(PadPattern), lit(" $1 ")),
       lit(RunPattern), lit(0))
@@ -634,6 +647,98 @@ object BpeMergeTable {
     }
     new BpeMergeTable(sorted.map(_.first).toArray, sorted.map(_.second).toArray)
   }
+}
+
+/** The single-pass pretokenizer behind [[BpePretokensExpr]] — a
+  * stateless, serializable runner (ships once in the codegen reference
+  * array, like [[BpeMergeTable]]).
+  *
+  * Exact equivalence to the two-regex form, class by class (every code
+  * point holds exactly ONE Unicode general category, so the run classes
+  * partition the non-whitespace space and the regex alternation order
+  * never matters):
+  *  - U+001F is SKIPPED without breaking the current run — the regex
+  *    form `translate`s it away BEFORE matching, so "ab&#31;cd" is one
+  *    run there too;
+  *  - the ASCII whitespace set is the regex form's explicit class;
+  *  - a Han/Hiragana/Katakana code point closes the current run and
+  *    emits alone — exactly what the pad regex's inserted spaces do
+  *    (`UnicodeScript.of` is the same script property `\p{IsHan}`
+  *    matches);
+  *  - letter+mark runs are categories Lu/Ll/Lt/Lm/Lo/Mn/Me/Mc
+  *    (== `[\p{L}\p{M}]`), digit runs Nd/Nl/No (== `\p{N}`), and
+  *    everything else — including non-ASCII whitespace — is an "other"
+  *    run (== the negated class). */
+final class BpePretokenRunner extends Serializable {
+  import java.lang.Character._
+
+  private def runClass(cp: Int): Int = getType(cp) match {
+    case UPPERCASE_LETTER | LOWERCASE_LETTER | TITLECASE_LETTER |
+         MODIFIER_LETTER | OTHER_LETTER |
+         NON_SPACING_MARK | ENCLOSING_MARK | COMBINING_SPACING_MARK => 1
+    case DECIMAL_DIGIT_NUMBER | LETTER_NUMBER | OTHER_NUMBER => 2
+    case _ => 3
+  }
+
+  private def isCjk(cp: Int): Boolean = {
+    val s = UnicodeScript.of(cp)
+    s == UnicodeScript.HAN || s == UnicodeScript.HIRAGANA ||
+      s == UnicodeScript.KATAKANA
+  }
+
+  def pretokens(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    val run = new java.lang.StringBuilder(32)
+    var runCls = 0 // 0 = no open run
+    def close(): Unit = if (runCls != 0) {
+      out.add(UTF8String.fromString(run.toString))
+      run.setLength(0); runCls = 0
+    }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val cc = charCount(cp)
+      if (cp == 0x1f) { /* stripped: run continues through it */ }
+      else if (cp == 0x20 || cp == 0x09 || cp == 0x0a || cp == 0x0b ||
+               cp == 0x0c || cp == 0x0d) close()
+      else if (isCjk(cp)) {
+        close()
+        out.add(UTF8String.fromString(s.substring(i, i + cc)))
+      } else {
+        val c = runClass(cp)
+        if (c != runCls) { close(); runCls = c }
+        run.append(s, i, i + cc)
+      }
+      i += cc
+    }
+    close()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[UTF8String](out.size())))
+  }
+}
+
+/** bpe_pretokens(text): StringType -> array<string>, one native pass;
+  * stays inside WholeStageCodegen like [[BpeSegmentExpr]]. */
+case class BpePretokensExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  private val runner = new BpePretokenRunner
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def inputTypes = Seq(StringType)
+
+  override def nullSafeEval(t: Any): Any =
+    runner.pretokens(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pretokenRunner", runner,
+      classOf[BpePretokenRunner].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.pretokens($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** bpe_segment(text): StringType -> StringType over a compiled merge

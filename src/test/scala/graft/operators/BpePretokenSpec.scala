@@ -43,12 +43,53 @@ class BpePretokenSpec extends SparkSpec {
   test("column form matches the driver reference on adversarial inputs") {
     val df = adversarial.zipWithIndex.map { case (t, i) => (i, t) }
       .toDF("id", "text")
-    val got = df.select($"id", Bpe.pretokens($"text").as("pts"))
-      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
-    adversarial.zipWithIndex.foreach { case (t, i) =>
-      assert(got(i) == Bpe.pretokenize(t).toSeq,
-        s"pretokens diverged from driver reference on <$t>")
+    // both column forms: the native single-pass expression (production
+    // path) and the two-regex spelling (the cross-engine definition)
+    for (form <- Seq(Bpe.pretokens(_), Bpe.pretokensRegex(_))) {
+      val got = df.select($"id", form($"text").as("pts"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      adversarial.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i) == Bpe.pretokenize(t).toSeq,
+          s"pretokens diverged from driver reference on <$t>")
+      }
     }
+  }
+
+  test("native single-pass pretokenizer == regex form on a seeded unicode fuzz") {
+    // a code-point pool spanning every classification branch: ASCII
+    // letters/digits/punct, explicit whitespace (incl. x0B), U+001F,
+    // Latin-1 letters, combining marks, Han/Hiragana/Katakana, Hangul,
+    // ideographic space, fullwidth punct, supplementary-plane emoji
+    val pool: Array[Int] = Array(
+      'a', 'Z', '5', '.', ',', '!', '$', ' ', '\t', '\n', 0x0b, '\r',
+      0x1f, 0xe9, 0x301, 0x4e2d, 0x6587, 0x3042, 0x30ab, 0xd55c,
+      0x3000, 0xff01, 0x1f389, 0x2014, 0x2026)
+    val rnd = new scala.util.Random(1234)
+    val texts = (0 until 500).map { _ =>
+      val n = rnd.nextInt(40)
+      val sb = new java.lang.StringBuilder()
+      (0 until n).foreach(_ => sb.appendCodePoint(pool(rnd.nextInt(pool.length))))
+      sb.toString
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+    val native = df.select($"id", Bpe.pretokens($"text").as("p"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    val regex = df.select($"id", Bpe.pretokensRegex($"text").as("p"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    texts.indices.foreach { i =>
+      assert(native(i) == regex(i),
+        s"fuzz divergence on <${texts(i)}>: ${native(i)} vs ${regex(i)}")
+    }
+    // and the native projection stays inside whole-stage codegen
+    // (through parquet so ConvertToLocalRelation can't fold the plan)
+    val tmp = java.nio.file.Files.createTempDirectory("pretok_cg").toString
+    df.write.parquet(s"$tmp/docs")
+    val plan = spark.read.parquet(s"$tmp/docs")
+      .select(Bpe.pretokens($"text"))
+      .queryExecution.executedPlan.toString
+    val projLine = plan.linesIterator.find(_.contains("bpepretokensexpr"))
+    assert(projLine.exists(_.trim.startsWith("*(")),
+      s"BpePretokensExpr projection fell out of codegen:\n$plan")
   }
 
   test("pretokens never contain ASCII space or U+001F (tokenCounts join safety)") {
