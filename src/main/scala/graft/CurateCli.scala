@@ -60,6 +60,7 @@ object CurateCli {
       qualityBuckets: Int = 64,
       qualityLr: Double = 2e-3,
       qualityIters: Int = 3,
+      retractIds: String = null,
       showHelp: Boolean = false)
 
   val Usage: String =
@@ -125,6 +126,11 @@ object CurateCli {
       |                       into ~--target-file-mb parquet files (staged,
       |                       validated, crash-safe swap; takes the cycle lock;
       |                       combines with --compact under the one lock)
+      | --retract <parquet>   Takedown: remove the listed doc ids from the
+      |                       corpus AND both ledgers (corpus first — a crash
+      |                       between the two only over-screens until the
+      |                       re-run; requires --corpus and --ledger, takes
+      |                       the cycle lock; idempotent)
       | --target-file-mb <n>  Compacted corpus file size target (default 256)
       | --keep-label <l>      Ingest label to keep out of the fold (repeatable;
       |                       retention: keep recent days individually)
@@ -200,6 +206,7 @@ object CurateCli {
       case "--compact" :: t => o = o.copy(compact = true); rest = t
       case "--compact-into" :: v :: t => o = o.copy(compactInto = v); rest = t
       case "--compact-corpus" :: t => o = o.copy(compactCorpus = true); rest = t
+      case "--retract" :: v :: t => o = o.copy(retractIds = v); rest = t
       case "--target-file-mb" :: v :: t =>
         o = o.copy(targetFileMb = v.toInt); rest = t
       case "--keep-label" :: v :: t =>
@@ -228,6 +235,11 @@ object CurateCli {
       if (o.corpus == null || o.boilerplateDict == null)
         Left("--build-dict requires --corpus and --boilerplate-dict")
       else if (o.minDocFreq < 2) Left("--min-doc-freq must be >= 2")
+      else Right(o)
+    }
+    else if (o.retractIds != null) {
+      if (o.corpus == null || o.ledger == null)
+        Left("--retract requires --corpus and --ledger (the cycle lock)")
       else Right(o)
     }
     else if (o.compactCorpus || o.compact) {
@@ -388,12 +400,15 @@ object CurateCli {
                                      rawBatch: org.apache.spark.sql.DataFrame,
                                      ingest: String,
                                      outDir: String): (Long, Long, Long) = {
-    // finish any compaction a previous --compact run left mid-swap
-    // BEFORE touching the ledger trees (cheap no-op when clean); the
-    // winnow ledger has the same roll-forward seam
+    // finish any compaction or retraction a previous run left mid-swap
+    // BEFORE touching the ledger trees (cheap no-ops when clean); the
+    // winnow ledger has the same roll-forward seams
     DedupLedger.recoverCompact(spark, o.ledger)
-    if (o.spanEvidence)
+    DedupLedger.recoverDelete(spark, o.ledger)
+    if (o.spanEvidence) {
       graft.operators.WinnowLedger.recoverCompact(spark, s"${o.ledger}/winnow")
+      graft.operators.WinnowLedger.recoverDelete(spark, s"${o.ledger}/winnow")
+    }
     // raw-HTML extraction first (optional): downstream stages — the
     // boilerplate dictionary, decontamination and the dedup screen — all
     // operate on extracted TEXT, and the corpus stores text, not markup
@@ -592,23 +607,87 @@ object CurateCli {
     val nFiles = math.max(1,
       math.ceil(bytes.toDouble / (targetFileMb.toLong << 20)).toInt)
     val before = spark.read.parquet(corpusPath)
-    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val row = df.select(count(lit(1)).as("n"),
-          coalesce(expr("bit_xor(xxhash64(*))"), lit(0L)).as("x"))
-        .collect().head
-      (row.getLong(0), row.getLong(1))
-    }
-    val (cnt, sig) = checksum(before)
+    val (cnt, sig) = corpusChecksum(before)
     val filesBefore = parquetFiles(target)
     val tmp = new org.apache.hadoop.fs.Path(corpusPath + ".tmp")
     fs.delete(tmp, true)
     before.repartition(nFiles).write.parquet(tmp.toString)
-    val (cnt2, sig2) = checksum(spark.read.parquet(tmp.toString))
+    val (cnt2, sig2) = corpusChecksum(spark.read.parquet(tmp.toString))
     require(cnt2 == cnt && sig2 == sig,
       s"staged corpus diverged (rows $cnt -> $cnt2, checksum $sig -> $sig2) " +
         "— refusing to swap; the live corpus is untouched")
     graft.core.Publish.swapArtifact(fs, tmp, target)
     (cnt, filesBefore, parquetFiles(target))
+  }
+
+  private def corpusChecksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val row = df.select(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(*))"), lit(0L)).as("x"))
+      .collect().head
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Remove retracted documents from the LIVE corpus — the corpus half
+    * of `--retract` (takedown / right-to-be-forgotten). Content-
+    * preserving by VALIDATION like [[compactCorpus]]: the staged
+    * anti-joined copy must reproduce the expected row count and
+    * order-free checksum computed from the SAME frame before the write,
+    * so a torn write fails loudly with the live corpus untouched; the
+    * swap is the parked [[graft.core.Publish.swapArtifact]]. Returns
+    * (rowsRemoved, rowsRemaining). */
+  private[graft] def retractFromCorpus(spark: SparkSession,
+                                       corpusPath: String, idCol: String,
+                                       ids: org.apache.spark.sql.DataFrame)
+      : (Long, Long) = {
+    val target = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.Publish.healArtifact(fs, target)
+    require(fs.exists(target), s"no corpus at $corpusPath")
+    val idSet = ids.select(col(ids.columns.head).as(idCol)).distinct()
+    val before = spark.read.parquet(corpusPath)
+    val removed = before.join(idSet, Seq(idCol), "left_semi").count()
+    if (removed == 0L) return (0L, corpusChecksum(before)._1)
+    val keep = before.join(idSet, Seq(idCol), "left_anti")
+    val (cnt, sig) = corpusChecksum(keep)
+    val tmp = new org.apache.hadoop.fs.Path(corpusPath + ".tmp")
+    fs.delete(tmp, true)
+    keep.write.parquet(tmp.toString)
+    val (cnt2, sig2) = corpusChecksum(spark.read.parquet(tmp.toString))
+    require(cnt2 == cnt && sig2 == sig,
+      s"staged corpus diverged (rows $cnt -> $cnt2, checksum $sig -> $sig2) " +
+        "— refusing to swap; the live corpus is untouched")
+    graft.core.Publish.swapArtifact(fs, tmp, target)
+    (removed, cnt)
+  }
+
+  /** The full takedown, under the ledger lock: corpus FIRST, then both
+    * ledgers. The order is the safe one — a crash between the two
+    * leaves ledger rows for already-removed docs, which only
+    * OVER-screens future batches (conservative) until the re-run
+    * completes; the reverse order would let the next cycle's reconcile
+    * re-derive ledger rows from the still-present corpus doc and
+    * silently resurrect the retraction. Idempotent: every stage
+    * anti-joins, so a re-run after any crash completes the remainder. */
+  private[graft] def runRetract(spark: SparkSession, o: Options)
+      : (Long, Int, Int, Int) = {
+    val ids = spark.read.parquet(o.retractIds)
+    // roll forward any earlier retraction's interrupted ledger swaps
+    DedupLedger.recoverDelete(spark, o.ledger)
+    val wPath = s"${o.ledger}/winnow"
+    if (graft.operators.WinnowLedger.exists(wPath))
+      graft.operators.WinnowLedger.recoverDelete(spark, wPath)
+    val (removed, _) = retractFromCorpus(spark, o.corpus, o.idCol, ids)
+    val (fpParts, bandParts) =
+      if (DedupLedger.exists(o.ledger))
+        DedupLedger.delete(spark, o.ledger, ids, o.n, o.numHashes,
+          o.rowsPerBand)
+      else (0, 0)
+    val wfpParts =
+      if (graft.operators.WinnowLedger.exists(wPath))
+        graft.operators.WinnowLedger.delete(spark, wPath, ids,
+          o.spanK, o.spanW)
+      else 0
+    (removed, fpParts, bandParts, wfpParts)
   }
 
   /** The at-ingest STREAMING cycle: `--batch` is a directory new parquet
@@ -671,6 +750,15 @@ object CurateCli {
           } else if (o.fitQuality != null) {
             val n = fitQualityWeights(spark, o)
             println(s"quality buckets: $n")
+          } else if (o.retractIds != null) {
+            withLedgerLock(o.ledger, o.forceStart) {
+              runRetract(spark, o)
+            } match {
+              case Left(err) => System.err.println(err); sys.exit(3)
+              case Right((removed, fpP, bandP, wfpP)) =>
+                println(s"retracted $removed docs from corpus; rewrote " +
+                  s"$fpP fp / $bandP band / $wfpP winnow partitions")
+            }
           } else if (o.compact || o.compactCorpus) {
             // both compactions (when both flags are passed) run under the
             // SINGLE ledger lock — neither is ever silently skipped

@@ -169,16 +169,80 @@ object DedupLedger {
     healed
   }
 
+  /** Remove documents by id from BOTH ledger tables — the takedown /
+    * right-to-be-forgotten path: without it a retracted document keeps
+    * ghost-matching future batches (its fingerprints and bands stay in
+    * history forever). Only the bucket partitions the ids actually live
+    * in are re-read and rewritten (discovered via `input_file_name` on
+    * a doc_id semi-join — exact directory names, no re-escaping);
+    * commit is the [[graft.core.PartitionSwap]] marker discipline
+    * (swap-vs-drop recorded up front, kill rolls FORWARD). Returns the
+    * rewritten (fpPartitions, bandPartitions). */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+             n: Int, numHashes: Int, rowsPerBand: Int): (Int, Int) = {
+    val line = paramsLine(n, numHashes, rowsPerBand)
+    val existing = readMarker(path)
+    require(existing == line,
+      s"ledger at $path was built with '$existing', delete asked for '$line'")
+    val fsys = markerFs(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.core.PartitionSwap.recover(fsys, root)
+    val idSet = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+    def affected(table: String, bucketCol: String): Seq[String] = {
+      // filename projected BEFORE the join: input_file_name() is only
+      // defined inside the scan's stage — after a shuffled join it
+      // evaluates empty and the rel extraction would silently miss
+      val rels = spark.read.parquet(s"$path/$table")
+        .select(col("doc_id"), regexp_extract(input_file_name(),
+          s"/(ingest=[^/]+/$bucketCol=[^/]+)/[^/]+$$", 1).as("__rel"))
+        .join(idSet, Seq("doc_id"), "left_semi")
+        .select(col("__rel")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(rels.forall(_.nonEmpty),
+        s"could not resolve $table partition dirs for deletion")
+      rels.map(r => s"$table/$r")
+    }
+    val fpRels = affected("fp", "fpb")
+    val bandRels = affected("bands", "bkb")
+    val rels = fpRels ++ bandRels
+    if (rels.isEmpty) return (0, 0)
+    fsys.delete(graft.core.PartitionSwap.tmpRoot(root), true)
+    def stage(table: String, tRels: Seq[String], pcols: Seq[String]): Unit =
+      if (tRels.nonEmpty)
+        spark.read.option("basePath", s"$path/$table")
+          .parquet(tRels.map(r => s"$path/$r"): _*)
+          .join(idSet, Seq("doc_id"), "left_anti")
+          .write.partitionBy(pcols: _*)
+          .parquet(new org.apache.hadoop.fs.Path(
+            graft.core.PartitionSwap.tmpRoot(root), table).toString)
+    stage("fp", fpRels, Seq("ingest", "fpb"))
+    stage("bands", bandRels, Seq("ingest", "bkb"))
+    graft.core.PartitionSwap.commit(fsys, root, rels)
+    (fpRels.size, bandRels.size)
+  }
+
+  /** Finish an interrupted [[delete]] (idempotent; [[delete]] and the
+    * curate cycle run it first). */
+  def recoverDelete(spark: SparkSession, path: String): Boolean =
+    graft.core.PartitionSwap.recover(markerFs(path),
+      new org.apache.hadoop.fs.Path(path))
+
   /** Read the ledger back as the two frames
     * [[Dedup.incrementalDedupLedgered]] takes, validating that the LSH
     * parameters match what the ledger was built with. The `ingest`
     * partition column is dropped — verdicts do not depend on which batch
     * kept a history doc — but the bucket columns (`fpb`/`bkb`) ride
     * along so the screen's bucket-set filter reaches the scan as a
-    * PartitionFilter (file-level pruning for small batches). */
+    * PartitionFilter (file-level pruning for small batches). A pending
+    * half-committed [[delete]] is refused loudly (some partitions
+    * swapped, some not — reading it would be silently wrong); recovery
+    * is a writer's job under the cycle lock. */
   def read(spark: SparkSession, path: String,
            n: Int, numHashes: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     require(markerExists(path), s"no ledger at $path (missing _params)")
+    require(!graft.core.PartitionSwap.pending(markerFs(path),
+        new org.apache.hadoop.fs.Path(path)),
+      s"ledger at $path has an unfinished delete — run DedupLedger.recoverDelete")
     val existing = readMarker(path)
     val line = paramsLine(n, numHashes, rowsPerBand)
     require(existing == line,

@@ -64,12 +64,57 @@ object WinnowLedger {
       .write.mode("append").partitionBy("ingest", "fpb").parquet(s"$path/wfp")
   }
 
+  /** Remove documents by id from the wfp table — the winnow half of a
+    * takedown ([[DedupLedger.delete]]'s discipline over one table):
+    * only the bucket partitions the ids live in are rewritten, commit
+    * via [[graft.core.PartitionSwap]]. Returns rewritten partitions. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+             k: Int, w: Int): Int = {
+    require(exists(path), s"no winnow ledger at $path (missing _params)")
+    validate(path, k, w)
+    val fsys = fs(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.core.PartitionSwap.recover(fsys, root)
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(path, "wfp"))) return 0
+    val idSet = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+    // filename projected BEFORE the join — see DedupLedger.delete
+    val rels0 = spark.read.parquet(s"$path/wfp")
+      .select(col("doc_id"), regexp_extract(input_file_name(),
+        "/(ingest=[^/]+/fpb=[^/]+)/[^/]+$", 1).as("__rel"))
+      .join(idSet, Seq("doc_id"), "left_semi")
+      .select(col("__rel")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(rels0.forall(_.nonEmpty),
+      "could not resolve wfp partition dirs for deletion")
+    val rels = rels0.map(r => s"wfp/$r")
+    if (rels.isEmpty) return 0
+    fsys.delete(graft.core.PartitionSwap.tmpRoot(root), true)
+    spark.read.option("basePath", s"$path/wfp")
+      .parquet(rels.map(r => s"$path/$r"): _*)
+      .join(idSet, Seq("doc_id"), "left_anti")
+      .write.partitionBy("ingest", "fpb")
+      .parquet(new org.apache.hadoop.fs.Path(
+        graft.core.PartitionSwap.tmpRoot(root), "wfp").toString)
+    graft.core.PartitionSwap.commit(fsys, root, rels)
+    rels.size
+  }
+
+  /** Finish an interrupted [[delete]] (idempotent). */
+  def recoverDelete(spark: SparkSession, path: String): Boolean =
+    graft.core.PartitionSwap.recover(fs(path),
+      new org.apache.hadoop.fs.Path(path))
+
   /** The (doc_id, pos, fp[, fpb]) frame, parameters re-validated. A
     * marker with no data yet (the marker-first crash window) reads as
     * empty. The bucket column rides along so the span screen's bucket
-    * filter reaches the scan as a PartitionFilter. */
+    * filter reaches the scan as a PartitionFilter. A pending
+    * half-committed [[delete]] is refused loudly. */
   def read(spark: SparkSession, path: String, k: Int, w: Int): DataFrame = {
     require(exists(path), s"no winnow ledger at $path (missing _params)")
+    require(!graft.core.PartitionSwap.pending(fs(path),
+        new org.apache.hadoop.fs.Path(path)),
+      s"winnow ledger at $path has an unfinished delete — run " +
+        "WinnowLedger.recoverDelete")
     validate(path, k, w)
     import spark.implicits._
     if (!fs(path).exists(new org.apache.hadoop.fs.Path(path, "wfp")))

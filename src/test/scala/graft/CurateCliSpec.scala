@@ -802,6 +802,84 @@ class CurateCliSpec extends SparkSpec {
     assert(screenVerdicts(c2, l2, p2) == before2)
   }
 
+  test("--retract: takedown removes the doc from corpus and ledgers; no ghost matches") {
+    val root = java.nio.file.Files.createTempDirectory("curate_ret").toString
+    val (corpusDir, ledgerDir, _) = compactFixture(root)
+    import graft.operators.DedupLedger
+    // doc 10 (day1's kept doc) is retracted
+    Seq(Tuple1(10L)).toDF("doc_id").write.parquet(s"$root/takedown")
+    val o = CurateCli.parse(Seq("--retract", s"$root/takedown",
+      "--corpus", corpusDir, "--ledger", ledgerDir)).toOption.get
+    assert(o.retractIds == s"$root/takedown")
+    val (removed, fpP, bandP, _) = CurateCli.withLedgerLock(o.ledger) {
+      CurateCli.runRetract(spark, o)
+    }.toOption.get
+    assert(removed == 1L && fpP > 0 && bandP > 0)
+    // gone from the corpus...
+    assert(spark.read.parquet(corpusDir)
+      .filter($"doc_id" === 10L).count() == 0)
+    // ...and from the ledger: re-ingesting its exact text now KEEPS
+    // (previously "exact vs 10"); other history is untouched (31 still
+    // near vs 20)
+    val after = screenVerdicts(corpusDir, ledgerDir, s"$root/probe")
+    assert(after(30L) == (("keep", None)), s"ghost exact match: ${after(30L)}")
+    assert(after(31L)._1 == "near" && after(31L)._2 == Some(20L))
+    // idempotent: retracting again is a no-op
+    val (r2, f2, b2, _) = CurateCli.withLedgerLock(o.ledger) {
+      CurateCli.runRetract(spark, o)
+    }.toOption.get
+    assert(r2 == 0L && f2 == 0 && b2 == 0)
+  }
+
+  test("retract kill-point sweep: interrupted ledger swap refuses reads, rolls forward") {
+    val root0 = java.nio.file.Files.createTempDirectory("curate_ks0").toString
+    val (c0, l0, p0) = compactFixture(root0)
+    Seq(Tuple1(10L)).toDF("doc_id").write.parquet(s"$root0/takedown")
+    graft.operators.DedupLedger.delete(spark,
+      l0, spark.read.parquet(s"$root0/takedown"), 3, 8, 2)
+    val want = screenVerdicts(c0, l0, p0)
+
+    var ops = 1
+    var sawCompletion = false
+    while (!sawCompletion && ops < 40) {
+      val root = java.nio.file.Files.createTempDirectory(s"curate_ks$ops").toString
+      val (_, ledgerDir, probeDir) = compactFixture(root)
+      val corpusDir = s"$root/corpus"
+      Seq(Tuple1(10L)).toDF("doc_id").write.parquet(s"$root/takedown")
+      graft.core.PartitionSwap.testFailAfterOps = Some(ops)
+      val killed =
+        try {
+          graft.operators.DedupLedger.delete(spark, ledgerDir,
+            spark.read.parquet(s"$root/takedown"), 3, 8, 2)
+          false
+        }
+        catch { case _: IllegalStateException => true }
+        finally graft.core.PartitionSwap.testFailAfterOps = None
+      if (killed) {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        val pend = graft.core.PartitionSwap.pending(fs,
+          new org.apache.hadoop.fs.Path(ledgerDir))
+        if (pend) {
+          // readers refuse the half-swapped ledger...
+          intercept[IllegalArgumentException] {
+            graft.operators.DedupLedger.read(spark, ledgerDir, 3, 8, 2)
+          }
+          // ...recovery rolls FORWARD to the deleted state
+          assert(graft.operators.DedupLedger.recoverDelete(spark, ledgerDir))
+        } else {
+          // killed before the commit point: ledger intact; re-run completes
+          graft.operators.DedupLedger.delete(spark, ledgerDir,
+            spark.read.parquet(s"$root/takedown"), 3, 8, 2)
+        }
+        assert(screenVerdicts(corpusDir, ledgerDir, probeDir) == want,
+          s"kill at op $ops: post-recovery screen diverged")
+      } else sawCompletion = true
+      ops += 1
+    }
+    assert(sawCompletion, "sweep never reached an uninterrupted delete")
+  }
+
   test("--compact and --compact-corpus combine under one lock (neither silently skipped)") {
     // parse accepts the combination (the dispatch runs BOTH compactions
     // under the single ledger lock — see CurateCli.main)

@@ -149,6 +149,18 @@ class DedupLedgerLayoutSpec extends SparkSpec {
     val buckets2 = d.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("fpb="))
     assert(buckets2.nonEmpty, "compaction dropped the wfp bucket layout")
+
+    // takedown: deleting a history doc removes ITS span evidence only
+    val parts = WinnowLedger.delete(spark, ledger,
+      Seq(Tuple1(1L)).toDF("doc_id"), 4, 3)
+    assert(parts > 0)
+    val hist2 = WinnowLedger.read(spark, ledger, 4, 3)
+    assert(hist2.filter(col("doc_id") === 1L).count() == 0)
+    assert(hist2.filter(col("doc_id") === 2L).count() > 0,
+      "delete removed an unrelated doc's evidence")
+    // absent ids are a no-op
+    assert(WinnowLedger.delete(spark, ledger,
+      Seq(Tuple1(999L)).toDF("doc_id"), 4, 3) == 0)
   }
 
   test("screen plan: history scan is bucket-pruned and bloom-filtered below its exchange") {
