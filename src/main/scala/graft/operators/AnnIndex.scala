@@ -110,23 +110,6 @@ object AnnIndex {
       .parquet(s"$path/postings")
   }
 
-  /** Test hook (mirrors [[DedupLedger.testFailAfterSwapOps]]): throw
-    * after N filesystem mutations of the delete commit path to simulate
-    * a mid-swap kill. Reset by [[delete]] at entry. */
-  private[graft] var testFailAfterDeleteOps: Option[Int] = None
-  private val deleteOpCounter = new java.util.concurrent.atomic.AtomicInteger(0)
-  private def deleteStep(): Unit = testFailAfterDeleteOps.foreach { nOps =>
-    if (deleteOpCounter.incrementAndGet() > nOps)
-      throw new IllegalStateException(s"test kill after $nOps delete ops")
-  }
-
-  private def deletingMarker(path: String) =
-    new org.apache.hadoop.fs.Path(path, "_deleting")
-  private def deleteTmpRoot(path: String) =
-    new org.apache.hadoop.fs.Path(path, ".delete-tmp")
-  private def deleteOldRoot(path: String) =
-    new org.apache.hadoop.fs.Path(path, ".delete-old")
-
   /** Remove vectors by id — the corpus-ops path for takedowns and
     * dedup-driven removals, rewriting ONLY the affected list partitions
     * (everything the deleted ids never touched is never read for the
@@ -134,19 +117,19 @@ object AnnIndex {
     *
     * Shape: one narrow column-pruned pass over postings (id, list_id)
     * semi-joined to `ids` finds the affected lists (bounded ≤ numLists
-    * collect); those partitions re-read with an anti-join and stage
-    * under `.delete-tmp/`. The commit mirrors the ledger compaction
-    * discipline: a `_deleting` marker records, per affected list,
-    * whether it SWAPs (staged data exists) or DROPs (every row deleted —
-    * partitionBy writes no dir for an empty list), so recovery is never
-    * ambiguous about a missing staged dir; the marker is the commit
-    * point and [[recoverDelete]] rolls an interrupted swap FORWARD.
+    * collect); those partitions re-read with an anti-join and staged.
+    * The commit is [[graft.core.PartitionSwap]] — the shared
+    * swap-vs-drop marker discipline the ledger deletes use (a list
+    * whose every row is deleted stages no dir and must DROP, recorded
+    * up front so recovery is never ambiguous about a missing staged
+    * dir); [[recoverDelete]] rolls an interrupted commit FORWARD.
     * Returns the affected list ids. */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
              idCol: String): Seq[Long] = {
     val marker = readMarker(path, asWriter = true)
     recoverDelete(spark, path)
     val fs = fsOf(path)
+    val root = new org.apache.hadoop.fs.Path(path)
     val collected = Similarity.collectCentroids(
       spark.read.parquet(s"$path/centroids"))
     require(marker == paramsLine(collected.size),
@@ -159,75 +142,26 @@ object AnnIndex {
       .select(col("list_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq // bounded: <= numLists
     if (affected.isEmpty) return affected
-    fs.delete(deleteTmpRoot(path), true)
+    fs.delete(graft.core.PartitionSwap.tmpRoot(root), true)
     val affectedPaths = affected.map(l => s"$path/postings/list_id=$l")
     spark.read.option("basePath", s"$path/postings")
       .parquet(affectedPaths: _*)
       .join(idSet, Seq(idCol), "left_anti")
       .write.partitionBy("list_id")
-      .parquet(deleteTmpRoot(path).toString)
-    // swap-vs-drop recorded BEFORE the commit point (Publish.manifest
-    // discipline): a staged dir can also be missing because a previous
-    // recovery attempt already renamed it in
-    val lines = affected.map { l =>
-      val staged = new org.apache.hadoop.fs.Path(deleteTmpRoot(path),
-        s"list_id=$l")
-      (if (fs.exists(staged)) "swap:" else "drop:") + l
-    }
-    deleteOpCounter.set(0)
-    deleteStep()
-    val out = fs.create(deletingMarker(path), true)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    swapDeleted(fs, path)
+      .parquet(new org.apache.hadoop.fs.Path(
+        graft.core.PartitionSwap.tmpRoot(root), "postings").toString)
+    graft.core.PartitionSwap.commit(fs, root,
+      affected.map(l => s"postings/list_id=$l"))
     affected
   }
 
   /** Finish (roll forward) an interrupted [[delete]]. Idempotent and
-    * cheap on a clean index; [[delete]] runs it first and a reader may
-    * run it under the caller's write-lock discipline. Returns true if
+    * cheap on a clean index; [[delete]] runs it first. Returns true if
     * an unfinished delete was completed. */
-  def recoverDelete(spark: SparkSession, path: String): Boolean = {
-    val fs = fsOf(path)
-    if (!fs.exists(deletingMarker(path))) {
-      // crash during staging: live partitions untouched, tmp is garbage
-      fs.delete(deleteTmpRoot(path), true)
-      fs.delete(deleteOldRoot(path), true)
-      false
-    } else { swapDeleted(fs, path); true }
-  }
+  def recoverDelete(spark: SparkSession, path: String): Boolean =
+    graft.core.PartitionSwap.recover(fsOf(path),
+      new org.apache.hadoop.fs.Path(path))
 
-  private def swapDeleted(fsys: org.apache.hadoop.fs.FileSystem,
-                          path: String): Unit = {
-    val in = fsys.open(deletingMarker(path))
-    val lines =
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        "UTF-8").split("\n").filter(_.nonEmpty).toSeq
-      finally in.close()
-    fsys.mkdirs(deleteOldRoot(path))
-    lines.foreach { ln =>
-      val Array(kind, l) = ln.split(":", 2)
-      val live = new org.apache.hadoop.fs.Path(s"$path/postings/list_id=$l")
-      val tmp = new org.apache.hadoop.fs.Path(deleteTmpRoot(path), s"list_id=$l")
-      val old = new org.apache.hadoop.fs.Path(deleteOldRoot(path), s"list_id=$l")
-      kind match {
-        case "swap" =>
-          if (fsys.exists(tmp)) {
-            if (fsys.exists(live)) {
-              deleteStep(); fsys.delete(old, true)
-              deleteStep(); fsys.rename(live, old)
-            }
-            deleteStep(); fsys.rename(tmp, live)
-          }
-        // tmp absent: this list already swapped in a previous attempt
-        case "drop" =>
-          deleteStep(); fsys.delete(live, true)
-      }
-    }
-    deleteStep(); fsys.delete(deleteOldRoot(path), true)
-    deleteStep(); fsys.delete(deleteTmpRoot(path), true)
-    deleteStep(); fsys.delete(deletingMarker(path), false)
-  }
 
   /** Search the persisted index: the probe side mirrors the in-memory
     * IVF tier (literal-centroid scores, sorted-slice probe pick, final
@@ -239,11 +173,12 @@ object AnnIndex {
   def search(spark: SparkSession, path: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val marker = readMarker(path)
-    // a crashed mid-commit delete leaves `_deleting`: some lists swapped,
-    // some parked — a search now would be silently WRONG (missing
-    // vectors), so fail loudly; recovery is the writer's (recoverDelete,
-    // under whatever lock guards index mutation), never a reader's
-    require(!fsOf(path).exists(deletingMarker(path)),
+    // a crashed mid-commit delete leaves the swap marker: some lists
+    // swapped, some parked — a search now would be silently WRONG
+    // (missing vectors), so fail loudly; recovery is the writer's
+    // (recoverDelete, under whatever lock guards index mutation)
+    require(!graft.core.PartitionSwap.pending(fsOf(path),
+        new org.apache.hadoop.fs.Path(path)),
       s"index at $path has an unfinished delete — run AnnIndex.recoverDelete")
     val cents = Similarity.collectCentroids(
       spark.read.parquet(s"$path/centroids"))

@@ -202,16 +202,17 @@ class AnnIndexSpec extends SparkSpec {
     while (!sawCompletion && ops < 60) {
       val root = java.nio.file.Files.createTempDirectory(s"annidx_ks$ops").toString
       AnnIndex.build(vs, "vec_id", "embedding", numLists = 4, s"$root/idx")
-      AnnIndex.testFailAfterDeleteOps = Some(ops)
+      graft.core.PartitionSwap.testFailAfterOps = Some(ops)
       val killed =
         try { AnnIndex.delete(spark, s"$root/idx", dropIds.toDF("vec_id"),
             "vec_id"); false }
         catch { case _: IllegalStateException => true }
-        finally AnnIndex.testFailAfterDeleteOps = None
+        finally graft.core.PartitionSwap.testFailAfterOps = None
       if (killed) {
         val fs = org.apache.hadoop.fs.FileSystem.getLocal(
           spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/idx/_deleting"))) {
+        if (graft.core.PartitionSwap.pending(fs,
+            new org.apache.hadoop.fs.Path(s"$root/idx"))) {
           // a reader must refuse the half-swapped index...
           intercept[IllegalArgumentException] {
             AnnIndex.search(spark, s"$root/idx", queries,
