@@ -25,6 +25,32 @@ object PartitionSwap {
   private[graft] def oldRoot(root: Path) = new Path(root, ".swap-old")
   private[graft] def marker(root: Path) = new Path(root, "_swapping")
 
+  /** Decode the URI percent-escapes `input_file_name()` applies on top
+    * of the ON-DISK name (a space reads back as `%20`, and a
+    * Hive-escaped dir like `ingest=GSE0%3AVCF` double-encodes to
+    * `ingest=GSE0%253AVCF`) — one decode recovers the exact directory
+    * name. NOT `URLDecoder.decode`: that would also turn a literal `+`
+    * into a space, which file URIs never encode. Multi-byte UTF-8
+    * escape runs decode as one character. */
+  private[graft] def percentDecode(s: String): String = {
+    def hex(c: Char) = Character.digit(c, 16)
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        out.write(hex(s.charAt(i + 1)) * 16 + hex(s.charAt(i + 2)))
+        i += 3
+      } else {
+        val bytes = String.valueOf(c).getBytes("UTF-8")
+        out.write(bytes, 0, bytes.length)
+        i += 1
+      }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
   /** Test hook: throw after N filesystem mutations of the commit path
     * (the [[graft.operators.DedupLedger.testFailAfterSwapOps]]
     * pattern). Counter reset by [[commit]]. */

@@ -98,6 +98,11 @@ object AnnIndex {
              path: String): Unit = {
     val spark = vectors.sparkSession
     val marker = readMarker(path, asWriter = true)
+    // roll an interrupted delete forward BEFORE appending: files added
+    // into a list partition a pending swap has staged a replacement for
+    // would be silently discarded when the swap rolls forward (search
+    // refuses a pending swap; delete recovers; append must too)
+    recoverDelete(spark, path)
     val collected = Similarity.collectCentroids(
       spark.read.parquet(s"$path/centroids"))
     require(marker == paramsLine(collected.size),

@@ -174,7 +174,7 @@ object DedupLedger {
     * ghost-matching future batches (its fingerprints and bands stay in
     * history forever). Only the bucket partitions the ids actually live
     * in are re-read and rewritten (discovered via `input_file_name` on
-    * a doc_id semi-join — exact directory names, no re-escaping);
+    * a doc_id semi-join, URI-decoded back to the on-disk names);
     * commit is the [[graft.core.PartitionSwap]] marker discipline
     * (swap-vs-drop recorded up front, kill rolls FORWARD). Returns the
     * rewritten (fpPartitions, bandPartitions). */
@@ -192,12 +192,16 @@ object DedupLedger {
       // filename projected BEFORE the join: input_file_name() is only
       // defined inside the scan's stage — after a shuffled join it
       // evaluates empty and the rel extraction would silently miss
+      // input_file_name() URI-encodes the on-disk name (space -> %20, a
+      // Hive-escaped ':' -> %253A) — decode ONCE to recover the exact
+      // directory name, or the staging read of $path/$rel misses
       val rels = spark.read.parquet(s"$path/$table")
         .select(col("doc_id"), regexp_extract(input_file_name(),
           s"/(ingest=[^/]+/$bucketCol=[^/]+)/[^/]+$$", 1).as("__rel"))
         .join(idSet, Seq("doc_id"), "left_semi")
         .select(col("__rel")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+        .collect().map(r => graft.core.PartitionSwap.percentDecode(
+          r.getString(0))).sorted.toSeq
       require(rels.forall(_.nonEmpty),
         s"could not resolve $table partition dirs for deletion")
       rels.map(r => s"$table/$r")
@@ -316,6 +320,13 @@ object DedupLedger {
     require(into.nonEmpty && !into.contains("/"),
       s"compaction label must be a plain partition value, got '$into'")
     recoverCompact(spark, path)
+    // a DELETE that died mid-commit leaves the PartitionSwap marker with
+    // some partitions swapped and some not — folding that half-swapped
+    // tree would bake the retracted rows into the compacted partition
+    // and the marker's later roll-forward would resurrect stale dirs,
+    // silently undoing the takedown. Roll it forward first.
+    graft.core.PartitionSwap.recover(markerFs(path),
+      new org.apache.hadoop.fs.Path(path))
     val line = paramsLine(n, numHashes, rowsPerBand)
     val existing = readMarker(path)
     require(existing == line,

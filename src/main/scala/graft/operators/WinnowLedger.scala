@@ -77,13 +77,16 @@ object WinnowLedger {
     graft.core.PartitionSwap.recover(fsys, root)
     if (!fsys.exists(new org.apache.hadoop.fs.Path(path, "wfp"))) return 0
     val idSet = ids.select(col(ids.columns.head).as("doc_id")).distinct()
-    // filename projected BEFORE the join — see DedupLedger.delete
+    // filename projected BEFORE the join — see DedupLedger.delete; the
+    // percentDecode recovers the on-disk name from input_file_name()'s
+    // URI encoding (escapable ingest labels would otherwise not match)
     val rels0 = spark.read.parquet(s"$path/wfp")
       .select(col("doc_id"), regexp_extract(input_file_name(),
         "/(ingest=[^/]+/fpb=[^/]+)/[^/]+$", 1).as("__rel"))
       .join(idSet, Seq("doc_id"), "left_semi")
       .select(col("__rel")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .collect().map(r => graft.core.PartitionSwap.percentDecode(
+        r.getString(0))).sorted.toSeq
     require(rels0.forall(_.nonEmpty),
       "could not resolve wfp partition dirs for deletion")
     val rels = rels0.map(r => s"wfp/$r")
@@ -118,7 +121,10 @@ object WinnowLedger {
     validate(path, k, w)
     import spark.implicits._
     if (!fs(path).exists(new org.apache.hadoop.fs.Path(path, "wfp")))
+      // same 4-column schema as the data branch: callers that select or
+      // union on fpb must behave identically on a marker-only ledger
       Seq.empty[(Long, Long, String)].toDF("doc_id", "pos", "fp")
+        .withColumn("fpb", lit(null).cast("int"))
     else
       spark.read.parquet(s"$path/wfp")
         .select(col("doc_id"), col("pos"), col("fp"), col("fpb"))
@@ -191,6 +197,11 @@ object WinnowLedger {
     require(into.nonEmpty && !into.contains("/"),
       s"compaction label must be a plain partition value, got '$into'")
     recoverCompact(spark, path)
+    // roll an interrupted DELETE forward before folding — see
+    // DedupLedger.compact: folding a half-swapped tree would undo the
+    // takedown when the swap marker later rolls forward
+    graft.core.PartitionSwap.recover(fs(path),
+      new org.apache.hadoop.fs.Path(path))
     require(exists(path), s"no winnow ledger at $path (missing _params)")
     validate(path, k, w)
     val fold = ingestLabels(spark, path).toSet -- keepLabels

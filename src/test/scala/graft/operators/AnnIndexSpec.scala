@@ -285,4 +285,54 @@ class AnnIndexSpec extends SparkSpec {
     assert(!fs.exists(p(s"$root/merges/merges.tmp")),
       "staged tree nested inside the live artifact")
   }
+
+  test("append after a crashed delete rolls the swap forward (vectors not lost)") {
+    import graft.core.PartitionSwap
+    val vs = vectors(60)
+    val extra = (100 until 106).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dropIds = Seq(2L, 9L, 14L).toDF("vec_id")
+    val queries = vs.filter($"vec_id" < 5)
+    def results(p: String) = AnnIndex.search(spark, p, queries,
+        "vec_id", "embedding", k = 8, nprobe = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+
+    // expected end state: clean delete, then append
+    val cleanRoot = java.nio.file.Files.createTempDirectory("annidx_ad0").toString
+    AnnIndex.build(vs, "vec_id", "embedding", numLists = 4, s"$cleanRoot/idx")
+    AnnIndex.delete(spark, s"$cleanRoot/idx", dropIds, "vec_id")
+    AnnIndex.append(extra, "vec_id", "embedding", s"$cleanRoot/idx")
+    val want = results(s"$cleanRoot/idx")
+    assert(want.exists(r => r.getLong(r.fieldIndex("neighbor_id")) >= 100L),
+      "expected appended vectors among neighbors — widen k")
+
+    // find a kill point that leaves the swap marker pending, then append
+    var ops = 1
+    var sawPending = false
+    while (!sawPending && ops < 60) {
+      val root = java.nio.file.Files.createTempDirectory(s"annidx_ad$ops").toString
+      AnnIndex.build(vs, "vec_id", "embedding", numLists = 4, s"$root/idx")
+      PartitionSwap.testFailAfterOps = Some(ops)
+      val killed =
+        try { AnnIndex.delete(spark, s"$root/idx", dropIds, "vec_id"); false }
+        catch { case _: IllegalStateException => true }
+        finally PartitionSwap.testFailAfterOps = None
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      if (killed && PartitionSwap.pending(fs,
+          new org.apache.hadoop.fs.Path(s"$root/idx"))) {
+        sawPending = true
+        // append must recover the pending swap BEFORE writing, or its
+        // files land in partitions the roll-forward then discards
+        AnnIndex.append(extra, "vec_id", "embedding", s"$root/idx")
+        assert(!PartitionSwap.pending(fs,
+          new org.apache.hadoop.fs.Path(s"$root/idx")))
+        assert(results(s"$root/idx") == want,
+          s"kill at op $ops: append after crashed delete diverged")
+      }
+      ops += 1
+    }
+    assert(sawPending, "sweep never produced a pending swap marker")
+  }
 }

@@ -199,4 +199,117 @@ class DedupLedgerLayoutSpec extends SparkSpec {
         l.contains("PartitionFilters") && l.contains("fpb")),
       s"fpb bucket filter did not reach the history scan:\n${plan.take(3000)}")
   }
+
+  test("delete resolves escapable ingest labels to on-disk dirs") {
+    // ':' is Hive-escaped in the dir name (-> %3A) and input_file_name()
+    // URI-encodes on top (-> %253A); ' ' is only URI-encoded (-> %20).
+    // Both classes must decode back to the exact on-disk names or the
+    // takedown's staging read fails for that label.
+    val root = java.nio.file.Files.createTempDirectory("ledger_esc").toString
+    val ledger = s"$root/ledger"
+    val label = "GSE0:VCF TEST"
+    DedupLedger.write(corpus, "doc_id", "text", 3, 8, 2, ledger, label,
+      overwrite = true)
+    val fpDirs = new java.io.File(s"$ledger/fp").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(fpDirs.exists(d => d.contains("%3A") && d.contains(" ")),
+      s"expected a Hive-escaped ingest dir, got $fpDirs")
+    val (fpParts, bandParts) = DedupLedger.delete(spark, ledger,
+      Seq(2L).toDF("doc_id"), 3, 8, 2)
+    assert(fpParts > 0 && bandParts > 0)
+    val (fp, bands) = DedupLedger.read(spark, ledger, 3, 8, 2)
+    assert(fp.filter(col("doc_id") === 2L).isEmpty &&
+      bands.filter(col("doc_id") === 2L).isEmpty,
+      "escapable-label takedown left ghost rows")
+    assert(fp.filter(col("doc_id") === 1L).count() == 1,
+      "takedown removed an unrelated doc")
+
+    val wPath = s"$root/winnow"
+    WinnowLedger.write(corpus, "doc_id", "text", 5, 4, wPath, label)
+    assert(WinnowLedger.delete(spark, wPath, Seq(2L).toDF("doc_id"), 5, 4) > 0)
+    val w = WinnowLedger.read(spark, wPath, 5, 4)
+    assert(w.filter(col("doc_id") === 2L).isEmpty &&
+      w.filter(col("doc_id") === 1L).count() > 0)
+  }
+
+  test("compact rolls a crashed delete forward instead of folding the half-swapped tree") {
+    import graft.core.PartitionSwap
+    def build(ledger: String): Unit = {
+      DedupLedger.write(corpus, "doc_id", "text", 3, 8, 2, ledger, "day1",
+        overwrite = true)
+      DedupLedger.write(probe, "doc_id", "text", 3, 8, 2, ledger, "day2")
+    }
+    def content(ledger: String): (Seq[(Long, String)], Seq[Long]) = {
+      val (fp, bands) = DedupLedger.read(spark, ledger, 3, 8, 2)
+      (fp.select("doc_id", "fp").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted,
+        bands.select("doc_id").distinct().collect()
+          .map(_.getLong(0)).toSeq.sorted)
+    }
+    // expected end state: uninterrupted delete, then compact
+    val cleanRoot =
+      java.nio.file.Files.createTempDirectory("ledger_cd0").toString
+    build(s"$cleanRoot/ledger")
+    DedupLedger.delete(spark, s"$cleanRoot/ledger", Seq(1L).toDF("doc_id"),
+      3, 8, 2)
+    DedupLedger.compact(spark, s"$cleanRoot/ledger", 3, 8, 2)
+    val want = content(s"$cleanRoot/ledger")
+
+    var ops = 1
+    var sawCompletion = false
+    var sawPending = false
+    while (!sawCompletion && ops < 80) {
+      val root =
+        java.nio.file.Files.createTempDirectory(s"ledger_cd$ops").toString
+      val ledger = s"$root/ledger"
+      build(ledger)
+      PartitionSwap.testFailAfterOps = Some(ops)
+      val killed =
+        try { DedupLedger.delete(spark, ledger, Seq(1L).toDF("doc_id"),
+            3, 8, 2); false }
+        catch { case _: IllegalStateException => true }
+        finally PartitionSwap.testFailAfterOps = None
+      if (killed) {
+        val fsys = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        val pending = PartitionSwap.pending(fsys,
+          new org.apache.hadoop.fs.Path(ledger))
+        if (pending) sawPending = true
+        else // killed before the commit point: the delete did not happen
+          DedupLedger.delete(spark, ledger, Seq(1L).toDF("doc_id"), 3, 8, 2)
+        // compact must roll the interrupted swap forward FIRST — folding
+        // the half-swapped tree would resurrect the retracted doc
+        DedupLedger.compact(spark, ledger, 3, 8, 2)
+        assert(content(ledger) == want,
+          s"kill at op $ops: compact after crashed delete diverged")
+        assert(!content(ledger)._1.exists(_._1 == 1L),
+          s"kill at op $ops: retracted doc resurrected by compact")
+      } else sawCompletion = true
+      ops += 1
+    }
+    assert(sawCompletion && sawPending,
+      "sweep never exercised both a pending marker and a clean run")
+  }
+
+  test("winnow read has one schema across marker-only and data states") {
+    val root = java.nio.file.Files.createTempDirectory("winnow_sch").toString
+    // marker-only ledger: the crash window between _params and the first
+    // append (format mirrors WinnowLedger.paramsLine)
+    val markerOnly = s"$root/marker_only"
+    new java.io.File(markerOnly).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$markerOnly/_params"),
+      s"k=5|w=4|buckets=${DedupLedger.Buckets}\n".getBytes("UTF-8"))
+    val empty = WinnowLedger.read(spark, markerOnly, 5, 4)
+    val full = {
+      val p = s"$root/with_data"
+      WinnowLedger.write(corpus, "doc_id", "text", 5, 4, p, "day1")
+      WinnowLedger.read(spark, p, 5, 4)
+    }
+    assert(empty.columns.toSeq == full.columns.toSeq,
+      s"schema drift: ${empty.columns.toSeq} vs ${full.columns.toSeq}")
+    // the union a caller would write works across both states
+    assert(empty.unionByName(full).count() == full.count())
+    assert(empty.select("fpb").isEmpty)
+  }
 }
