@@ -61,6 +61,10 @@ object CurateCli {
       qualityLr: Double = 2e-3,
       qualityIters: Int = 3,
       retractIds: String = null,
+      retractWatch: String = null,
+      bucketCorpus: Int = 0,
+      ledgerBuckets: Int = DedupLedger.Buckets,
+      rebucket: Int = 0,
       showHelp: Boolean = false)
 
   val Usage: String =
@@ -122,6 +126,13 @@ object CurateCli {
       |                       a <ledger>/winnow span-evidence ledger, when
       |                       present, compacts under the same lock/labels)
       | --compact-into <l>    Partition label for folded rows (default compacted)
+      | --ledger-buckets <n>  Hash-bucket fan-out when BOOTSTRAPPING a ledger
+      |                       (default 64; existing ledgers keep their
+      |                       recorded fan-out — change it with --rebucket)
+      | --rebucket <n>        With --compact: migrate the ledger(s) to <n>
+      |                       hash buckets in the same crash-safe rewrite
+      |                       (readers refuse the mid-migration state;
+      |                       recovery rolls forward)
       | --compact-corpus      Rewrite the corpus' accumulated per-cycle files
       |                       into ~--target-file-mb parquet files (staged,
       |                       validated, crash-safe swap; takes the cycle lock;
@@ -132,12 +143,26 @@ object CurateCli {
       |                       re-run; requires --corpus and --ledger, takes
       |                       the cycle lock; idempotent)
       | --target-file-mb <n>  Compacted corpus file size target (default 256)
+      | --bucket-corpus <n>   Migrate the corpus to <n> id-hash bucket
+      |                       partitions (staged, validated, crash-safe
+      |                       swap under the cycle lock) — after which
+      |                       cycle appends preserve the layout and
+      |                       --retract rewrites only affected buckets
+      |                       instead of the whole corpus; re-run with a
+      |                       different <n> to re-bucket
       | --keep-label <l>      Ingest label to keep out of the fold (repeatable;
       |                       retention: keep recent days individually)
       | --stream              Treat --batch as a file-source directory and
       |                       screen each arriving parquet file as a
       |                       micro-batch (AvailableNow; restart-safe via
       |                       the checkpoint)
+      | --retract-watch <dir> With --stream: drain takedown requests
+      |                       BETWEEN micro-batches without stopping the
+      |                       stream — each .parquet file of doc ids in
+      |                       <dir> runs the full --retract path under the
+      |                       stream's lock, then moves to <dir>/done/
+      |                       (idempotent: a crash mid-retract re-drains
+      |                       on restart)
       | --checkpoint <dir>    Stream checkpoint dir (default <out>/_checkpoint)
       | --bpe-merges <p>      Persisted BPE merge table (parquet of
       |                       Bpe.save); each cycle then writes
@@ -207,6 +232,14 @@ object CurateCli {
       case "--compact-into" :: v :: t => o = o.copy(compactInto = v); rest = t
       case "--compact-corpus" :: t => o = o.copy(compactCorpus = true); rest = t
       case "--retract" :: v :: t => o = o.copy(retractIds = v); rest = t
+      case "--retract-watch" :: v :: t =>
+        o = o.copy(retractWatch = v); rest = t
+      case "--bucket-corpus" :: v :: t =>
+        o = o.copy(bucketCorpus = v.toInt); rest = t
+      case "--ledger-buckets" :: v :: t =>
+        o = o.copy(ledgerBuckets = v.toInt); rest = t
+      case "--rebucket" :: v :: t =>
+        o = o.copy(rebucket = v.toInt); rest = t
       case "--target-file-mb" :: v :: t =>
         o = o.copy(targetFileMb = v.toInt); rest = t
       case "--keep-label" :: v :: t =>
@@ -231,6 +264,10 @@ object CurateCli {
       case bad :: _ => return Left(s"unknown option: $bad")
     }
     if (o.showHelp) Right(o)
+    else if (o.ledgerBuckets < 1) Left("--ledger-buckets must be >= 1")
+    else if (o.rebucket != 0 && !o.compact)
+      Left("--rebucket requires --compact (it rides the compaction rewrite)")
+    else if (o.rebucket < 0) Left("--rebucket must be >= 1")
     else if (o.buildDict) {
       if (o.corpus == null || o.boilerplateDict == null)
         Left("--build-dict requires --corpus and --boilerplate-dict")
@@ -240,6 +277,13 @@ object CurateCli {
     else if (o.retractIds != null) {
       if (o.corpus == null || o.ledger == null)
         Left("--retract requires --corpus and --ledger (the cycle lock)")
+      else Right(o)
+    }
+    else if (o.bucketCorpus != 0) {
+      if (o.corpus == null || o.ledger == null)
+        Left("--bucket-corpus requires --corpus and --ledger (the cycle lock)")
+      else if (o.bucketCorpus < 1)
+        Left("--bucket-corpus must be >= 1")
       else Right(o)
     }
     else if (o.compactCorpus || o.compact) {
@@ -274,6 +318,8 @@ object CurateCli {
       Left("--warc cannot combine with --stream: the streaming file " +
         "source consumes parquet micro-batches (convert crawl files with " +
         "a --warc batch cycle, or land them as parquet)")
+    else if (o.retractWatch != null && !o.stream)
+      Left("--retract-watch requires --stream (batch runs use --retract)")
     else Right(o)
   }
 
@@ -433,16 +479,21 @@ object CurateCli {
           .withColumnRenamed("clean_text", o.textCol)
     }
     // a --compact-corpus run killed between its two renames leaves the
-    // corpus parked under <corpus>.old — roll it back before reading
+    // corpus parked under <corpus>.old — roll it back before reading;
+    // an interrupted --retract leaves a PartitionSwap marker on a
+    // bucketed corpus — roll that forward too (writer's job, we hold
+    // the lock). CorpusStore.read then drops the layout column.
     graft.core.Publish.healArtifact(
       new org.apache.hadoop.fs.Path(o.corpus).getFileSystem(
         spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(o.corpus))
-    val corpus = spark.read.parquet(o.corpus)
+    graft.core.CorpusStore.recover(spark, o.corpus)
+    val corpus = graft.core.CorpusStore.read(spark, o.corpus)
     DedupLedger.reconcile(corpus, o.idCol, o.textCol, o.n, o.numHashes,
       o.rowsPerBand, o.ledger,
       ingest = if (DedupLedger.exists(o.ledger)) s"${ingest}_healed"
-               else "bootstrap")
+               else "bootstrap",
+      buckets = o.ledgerBuckets)
     val (fp, bands) = DedupLedger.read(spark, o.ledger, o.n, o.numHashes,
       o.rowsPerBand)
     // A recovery rerun (crash after the corpus append — or a streaming
@@ -514,17 +565,20 @@ object CurateCli {
       graft.operators.WinnowLedger.reconcile(corpus, o.idCol, o.textCol,
         o.spanK, o.spanW, wPath,
         ingest = if (graft.operators.WinnowLedger.exists(wPath))
-          s"${ingest}_healed" else "bootstrap")
+          s"${ingest}_healed" else "bootstrap",
+        buckets = o.ledgerBuckets)
       Dedup.winnowingMatchesAgainst(
           graft.operators.WinnowLedger.read(spark, wPath, o.spanK, o.spanW)
             .join(ledgerIds, Seq("doc_id"), "left_anti"),
-          screenIn, o.idCol, o.textCol, o.spanK, o.spanW)
+          screenIn, o.idCol, o.textCol, o.spanK, o.spanW,
+          ledgerBuckets = graft.operators.WinnowLedger.bucketsOf(wPath))
         .write.mode("overwrite").parquet(s"${outDir}_spans")
     }
     val screenOut = Dedup.incrementalDedupLedgered(history,
       fp.join(ledgerIds, Seq("doc_id"), "left_anti"),
       bands.join(ledgerIds, Seq("doc_id"), "left_anti"), screenIn,
-      o.idCol, o.textCol, o.n, o.numHashes, o.rowsPerBand, o.threshold)
+      o.idCol, o.textCol, o.n, o.numHashes, o.rowsPerBand, o.threshold,
+      ledgerBuckets = DedupLedger.bucketsOf(o.ledger))
     def terminal(ids: org.apache.spark.sql.DataFrame, verdict: String) =
       ids.select(col(o.idCol).as("doc_id"),
         lit(verdict).as("verdict"),
@@ -548,7 +602,9 @@ object CurateCli {
       // two consumers below (corpus append + ledger append) and the
       // semi-join must not observe the corpus append mid-write
       .localCheckpoint()
-    kept.write.mode("append").parquet(o.corpus)
+    // follows the corpus' recorded layout (bucketed after a
+    // --bucket-corpus migration, flat before it)
+    graft.core.CorpusStore.append(kept, o.corpus, o.idCol)
     if (testFailBeforeLedgerWriteOnce) {
       testFailBeforeLedgerWriteOnce = false
       throw new IllegalStateException(
@@ -560,7 +616,8 @@ object CurateCli {
     // a recovery rerun cannot duplicate winnow rows either
     if (o.spanEvidence)
       graft.operators.WinnowLedger.write(kept, o.idCol, o.textCol,
-        o.spanK, o.spanW, s"${o.ledger}/winnow", ingest = ingest)
+        o.spanK, o.spanW, s"${o.ledger}/winnow", ingest = ingest,
+        buckets = o.ledgerBuckets)
     // token accounting (optional): the training tokens THIS run newly
     // added to the corpus, under the persisted tokenizer. Derived-only
     // (rebuilt from corpus + merges at will), written after the durable
@@ -595,24 +652,51 @@ object CurateCli {
     * (or this method) heals the parked copy back. Returns (rows,
     * filesBefore, filesAfter). */
   private[graft] def compactCorpus(spark: SparkSession, corpusPath: String,
-                                   targetFileMb: Int = 256): (Long, Int, Int) = {
+                                   targetFileMb: Int = 256,
+                                   idCol: String = "doc_id"): (Long, Int, Int) = {
     val target = new org.apache.hadoop.fs.Path(corpusPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.core.Publish.healArtifact(fs, target)
+    graft.core.CorpusStore.recover(spark, corpusPath)
     require(fs.exists(target), s"no corpus at $corpusPath")
-    def parquetFiles(p: org.apache.hadoop.fs.Path): Int =
-      fs.listStatus(p).count(st => st.isFile &&
-        st.getPath.getName.endsWith(".parquet"))
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Int = {
+      // recursive: a bucketed corpus keeps its files inside docb= dirs
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
     val bytes = fs.getContentSummary(target).getLength
     val nFiles = math.max(1,
       math.ceil(bytes.toDouble / (targetFileMb.toLong << 20)).toInt)
-    val before = spark.read.parquet(corpusPath)
+    val bucketed = graft.core.CorpusStore.isBucketed(corpusPath)
+    val before = graft.core.CorpusStore.read(spark, corpusPath)
     val (cnt, sig) = corpusChecksum(before)
     val filesBefore = parquetFiles(target)
     val tmp = new org.apache.hadoop.fs.Path(corpusPath + ".tmp")
     fs.delete(tmp, true)
-    before.repartition(nFiles).write.parquet(tmp.toString)
-    val (cnt2, sig2) = corpusChecksum(spark.read.parquet(tmp.toString))
+    if (!bucketed) before.repartition(nFiles).write.parquet(tmp.toString)
+    else {
+      // layout-preserving: re-bucket by the recorded id hash so retracts
+      // stay surgical after compaction; REBALANCE + the advisory size
+      // give ~targetFileMb files without a task-x-bucket small-file spray
+      val b = graft.core.CorpusStore.layout(corpusPath, idCol)
+      val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val saved = spark.conf.getOption(advisoryKey)
+      spark.conf.set(advisoryKey, s"${targetFileMb}m")
+      try before
+        .withColumn("docb", graft.core.CorpusStore.bucketCol(idCol, b))
+        .hint("rebalance", "docb")
+        .write.partitionBy("docb").parquet(tmp.toString)
+      finally saved match {
+        case Some(v) => spark.conf.set(advisoryKey, v)
+        case None => spark.conf.unset(advisoryKey)
+      }
+      graft.core.CorpusStore.writeLayoutMarker(fs, tmp, b, idCol)
+    }
+    val (cnt2, sig2) =
+      corpusChecksum(spark.read.parquet(tmp.toString).drop("docb"))
     require(cnt2 == cnt && sig2 == sig,
       s"staged corpus diverged (rows $cnt -> $cnt2, checksum $sig -> $sig2) " +
         "— refusing to swap; the live corpus is untouched")
@@ -628,17 +712,23 @@ object CurateCli {
   }
 
   /** Remove retracted documents from the LIVE corpus — the corpus half
-    * of `--retract` (takedown / right-to-be-forgotten). Content-
-    * preserving by VALIDATION like [[compactCorpus]]: the staged
-    * anti-joined copy must reproduce the expected row count and
-    * order-free checksum computed from the SAME frame before the write,
-    * so a torn write fails loudly with the live corpus untouched; the
-    * swap is the parked [[graft.core.Publish.swapArtifact]]. Returns
-    * (rowsRemoved, rowsRemaining). */
+    * of `--retract` (takedown / right-to-be-forgotten). On a BUCKETED
+    * corpus (after `--bucket-corpus`) this is surgical:
+    * [[graft.core.CorpusStore.retract]] rewrites only the id-hash
+    * bucket partitions the retracted ids live in, validated per bucket
+    * and committed through the [[graft.core.PartitionSwap]] marker. On
+    * an unmigrated flat corpus it falls back to the full staged
+    * rewrite: the anti-joined copy must reproduce the expected row
+    * count and order-free checksum computed from the SAME frame before
+    * the write, so a torn write fails loudly with the live corpus
+    * untouched; the swap is the parked
+    * [[graft.core.Publish.swapArtifact]]. Returns rowsRemoved. */
   private[graft] def retractFromCorpus(spark: SparkSession,
                                        corpusPath: String, idCol: String,
                                        ids: org.apache.spark.sql.DataFrame)
-      : (Long, Long) = {
+      : Long = {
+    if (graft.core.CorpusStore.isBucketed(corpusPath))
+      return graft.core.CorpusStore.retract(spark, corpusPath, idCol, ids)._1
     val target = new org.apache.hadoop.fs.Path(corpusPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.core.Publish.healArtifact(fs, target)
@@ -646,7 +736,7 @@ object CurateCli {
     val idSet = ids.select(col(ids.columns.head).as(idCol)).distinct()
     val before = spark.read.parquet(corpusPath)
     val removed = before.join(idSet, Seq(idCol), "left_semi").count()
-    if (removed == 0L) return (0L, corpusChecksum(before)._1)
+    if (removed == 0L) return 0L
     val keep = before.join(idSet, Seq(idCol), "left_anti")
     val (cnt, sig) = corpusChecksum(keep)
     val tmp = new org.apache.hadoop.fs.Path(corpusPath + ".tmp")
@@ -657,7 +747,7 @@ object CurateCli {
       s"staged corpus diverged (rows $cnt -> $cnt2, checksum $sig -> $sig2) " +
         "— refusing to swap; the live corpus is untouched")
     graft.core.Publish.swapArtifact(fs, tmp, target)
-    (removed, cnt)
+    removed
   }
 
   /** The full takedown, under the ledger lock: corpus FIRST, then both
@@ -676,7 +766,7 @@ object CurateCli {
     val wPath = s"${o.ledger}/winnow"
     if (graft.operators.WinnowLedger.exists(wPath))
       graft.operators.WinnowLedger.recoverDelete(spark, wPath)
-    val (removed, _) = retractFromCorpus(spark, o.corpus, o.idCol, ids)
+    val removed = retractFromCorpus(spark, o.corpus, o.idCol, ids)
     val (fpParts, bandParts) =
       if (DedupLedger.exists(o.ledger))
         DedupLedger.delete(spark, o.ledger, ids, o.n, o.numHashes,
@@ -688,6 +778,39 @@ object CurateCli {
           o.spanK, o.spanW)
       else 0
     (removed, fpParts, bandParts, wfpParts)
+  }
+
+  /** Drain queued takedown requests (`--retract-watch`): every
+    * `*.parquet` file directly in the watch dir runs the FULL retract
+    * path — corpus first, then both ledgers, the [[runRetract]] order —
+    * and is then moved to `done/`. Called between micro-batches (and at
+    * stream start) while the stream still holds the ledger lock, so a
+    * long-lived curation stream honors takedowns without stopping.
+    * Crash-safe by idempotence: a kill after the retract but before the
+    * move re-runs the retract on restart (every stage anti-joins — a
+    * completed takedown re-drains as a no-op); a kill mid-retract rolls
+    * forward through the per-store recovery the retract itself runs.
+    * Returns the number of drained request files. */
+  private[graft] def drainRetracts(spark: SparkSession, o: Options): Int = {
+    if (o.retractWatch == null) return 0
+    val dir = new java.io.File(o.retractWatch)
+    if (!dir.isDirectory) return 0
+    val files = dir.listFiles().filter(f =>
+      f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    if (files.isEmpty) return 0
+    val done = new java.io.File(dir, "done")
+    done.mkdirs()
+    files.foreach { f =>
+      val (removed, fpP, bandP, wfpP) =
+        runRetract(spark, o.copy(retractIds = f.getAbsolutePath))
+      println(s"retract ${f.getName}: removed $removed docs; rewrote " +
+        s"$fpP fp / $bandP band / $wfpP winnow partitions")
+      val target = new java.io.File(done, f.getName)
+      if (target.exists()) target.delete()
+      require(f.renameTo(target),
+        s"could not move drained retract file ${f.getPath} to $target")
+    }
+    files.length
   }
 
   /** The at-ingest STREAMING cycle: `--batch` is a directory new parquet
@@ -704,6 +827,9 @@ object CurateCli {
   def runStream(spark: SparkSession, o: Options, checkpoint: String,
                 maxFilesPerTrigger: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // takedowns queued while the stream was down drain first — even if
+    // no new batch files ever trigger a micro-batch
+    drainRetracts(spark, o)
     val schema = spark.read.parquet(o.batch).schema
     var reader = spark.readStream.schema(schema)
     if (maxFilesPerTrigger > 0)
@@ -716,6 +842,9 @@ object CurateCli {
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          bid: Long) =>
+          // between micro-batches, under the stream's ledger lock: the
+          // screen that follows never sees a half-retracted store
+          drainRetracts(spark, o)
           val (k, e, nr) = screenAndCommit(spark, o, b.toDF(),
             s"${o.ingest}_b$bid", s"${o.out}/batch=$bid")
           println(s"batch=$bid kept=$k exact=$e near=$nr")
@@ -750,6 +879,15 @@ object CurateCli {
           } else if (o.fitQuality != null) {
             val n = fitQualityWeights(spark, o)
             println(s"quality buckets: $n")
+          } else if (o.bucketCorpus != 0) {
+            withLedgerLock(o.ledger, o.forceStart) {
+              graft.core.CorpusStore.bucketize(spark, o.corpus, o.idCol,
+                o.bucketCorpus)
+            } match {
+              case Left(err) => System.err.println(err); sys.exit(3)
+              case Right((rows, b)) =>
+                println(s"bucketed corpus: $rows rows into $b buckets")
+            }
           } else if (o.retractIds != null) {
             withLedgerLock(o.ledger, o.forceStart) {
               runRetract(spark, o)
@@ -763,20 +901,23 @@ object CurateCli {
             // both compactions (when both flags are passed) run under the
             // SINGLE ledger lock — neither is ever silently skipped
             withLedgerLock(o.ledger, o.forceStart) {
+              val rebucketTo = if (o.rebucket > 0) Some(o.rebucket) else None
               val ledgerRes = if (o.compact) {
                 val before = DedupLedger.ingestLabels(spark, o.ledger).size
                 DedupLedger.compact(spark, o.ledger, o.n, o.numHashes,
-                  o.rowsPerBand, o.compactInto, o.keepLabels.toSet)
+                  o.rowsPerBand, o.compactInto, o.keepLabels.toSet,
+                  rebucketTo)
                 val after = DedupLedger.ingestLabels(spark, o.ledger).size
                 // the winnow ledger (span evidence) compacts under the same
-                // lock and retention labels when present
+                // lock, retention labels and rebucket target when present
                 val wPath = s"${o.ledger}/winnow"
                 val w =
                   if (graft.operators.WinnowLedger.exists(wPath)) {
                     val wb = graft.operators.WinnowLedger
                       .ingestLabels(spark, wPath).size
                     graft.operators.WinnowLedger.compact(spark, wPath,
-                      o.spanK, o.spanW, o.compactInto, o.keepLabels.toSet)
+                      o.spanK, o.spanW, o.compactInto, o.keepLabels.toSet,
+                      rebucketTo)
                     val wa = graft.operators.WinnowLedger
                       .ingestLabels(spark, wPath).size
                     Some((wb, wa))

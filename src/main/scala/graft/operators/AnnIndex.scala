@@ -54,6 +54,20 @@ object AnnIndex {
 
   private def paramsLine(numLists: Int) = s"numLists=$numLists"
 
+  /** Takedown-discovery sidecar (the [[DedupLedger]] `dirs/` pattern):
+    * `ids/` maps each vector id to its list_id, partitioned by
+    * `idb=pmod(xxhash64(id), 64)` — a delete reads only the id-hash
+    * partitions its ids fall in instead of scanning the full postings
+    * table for discovery. Indexes built before the sidecar existed fall
+    * back to the full scan. */
+  private val SidecarBuckets = 64L
+
+  private def idb(id: org.apache.spark.sql.Column) =
+    pmod(xxhash64(id), lit(SidecarBuckets)).cast("int")
+
+  private def hasSidecar(path: String): Boolean =
+    fsOf(path).exists(new org.apache.hadoop.fs.Path(path, "ids"))
+
   /** Build and publish the index. Assignment is the same codegen'd
     * literal-centroid argmax every IVF tier uses (no join, no shuffle
     * for assignment); the one exchange is the partitioned write's
@@ -78,6 +92,14 @@ object AnnIndex {
       .select(col(idCol), col(vecCol),
         Similarity.nearestCentroid(col(vecCol), collected).as("list_id"))
       .write.partitionBy("list_id").parquet(s"${tmp.toString}/postings")
+    // takedown-discovery sidecar, derived from the STAGED postings (a
+    // column-pruned id + partition-value scan — the argmax is not
+    // recomputed); publishes atomically with the data it describes
+    spark.read.parquet(s"${tmp.toString}/postings")
+      .select(col(idCol), col("list_id").cast("long").as("list_id"))
+      .withColumn("idb", idb(col(idCol)))
+      .hint("rebalance", "idb")
+      .write.partitionBy("idb").parquet(s"${tmp.toString}/ids")
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_params"), true)
     try out.write((paramsLine(numLists) + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -108,9 +130,24 @@ object AnnIndex {
     require(marker == paramsLine(collected.size),
       s"index at $path recorded '$marker' but its centroid table has " +
         s"${collected.size} rows — rebuild the index")
-    vectors
+    // localCheckpoint: the assignment argmax runs once and feeds both
+    // the sidecar and the postings append. Sidecar FIRST — a crash
+    // between the two leaves an over-inclusive sidecar row (a delete
+    // then rewrites a list the id is not in — harmless); the reverse
+    // order would leave postings a takedown cannot find.
+    val assigned = vectors
       .select(col(idCol), col(vecCol),
         Similarity.nearestCentroid(col(vecCol), collected).as("list_id"))
+      .localCheckpoint()
+    if (hasSidecar(path))
+      // cast matches build's sidecar schema (the assignment argmax is
+      // int-typed; the build sidecar derives BIGINT from the partition
+      // value) — mixed types would break schema merge on read
+      assigned.select(col(idCol), col("list_id").cast("long").as("list_id"))
+        .withColumn("idb", idb(col(idCol)))
+        .hint("rebalance", "idb")
+        .write.mode("append").partitionBy("idb").parquet(s"$path/ids")
+    assigned
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$path/postings")
   }
@@ -141,22 +178,56 @@ object AnnIndex {
       s"index at $path recorded '$marker' but its centroid table has " +
         s"${collected.size} rows — rebuild the index")
     val idSet = ids.select(col(idCol)).distinct()
-    val postings = spark.read.parquet(s"$path/postings")
-    val affected = postings
-      .join(idSet, Seq(idCol), "left_semi")
-      .select(col("list_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq // bounded: <= numLists
-    if (affected.isEmpty) return affected
+      .localCheckpoint() // discovery + both staging joins
+    // O(batch) discovery through the `ids/` sidecar when present: only
+    // the id-hash partitions the deleted ids fall in are read, never
+    // the full postings table. Pre-sidecar indexes full-scan as before.
+    val (affected, dirRels) =
+      if (hasSidecar(path)) {
+        val idbs = idSet.select(idb(col(idCol)).as("b"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        val dRels = idbs.map(b => s"ids/idb=$b")
+          .filter(r => fs.exists(new org.apache.hadoop.fs.Path(root, r)))
+          .toSeq
+        if (dRels.isEmpty) (Seq.empty[Long], Seq.empty[String])
+        else {
+          val hits = spark.read.option("basePath", s"$path/ids")
+            .parquet(dRels.map(r => s"$path/$r"): _*)
+            .join(idSet, Seq(idCol), "left_semi")
+            .select(col("list_id").cast("long")).distinct()
+            .collect().map(_.getLong(0)).sorted.toSeq // <= numLists
+          if (hits.isEmpty) (hits, Seq.empty[String])
+          // an over-inclusive sidecar row (crashed append) may name a
+          // list whose dir was never written — skip it
+          else (hits.filter(l => fs.exists(new org.apache.hadoop.fs.Path(
+            root, s"postings/list_id=$l"))), dRels)
+        }
+      } else {
+        val hits = spark.read.parquet(s"$path/postings")
+          .join(idSet, Seq(idCol), "left_semi")
+          .select(col("list_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq // bounded: <= numLists
+        (hits, Seq.empty[String])
+      }
+    val rels = affected.map(l => s"postings/list_id=$l") ++ dirRels
+    if (rels.isEmpty) return affected
     fs.delete(graft.core.PartitionSwap.tmpRoot(root), true)
-    val affectedPaths = affected.map(l => s"$path/postings/list_id=$l")
-    spark.read.option("basePath", s"$path/postings")
-      .parquet(affectedPaths: _*)
-      .join(idSet, Seq(idCol), "left_anti")
-      .write.partitionBy("list_id")
-      .parquet(new org.apache.hadoop.fs.Path(
-        graft.core.PartitionSwap.tmpRoot(root), "postings").toString)
-    graft.core.PartitionSwap.commit(fs, root,
-      affected.map(l => s"postings/list_id=$l"))
+    if (affected.nonEmpty)
+      spark.read.option("basePath", s"$path/postings")
+        .parquet(affected.map(l => s"$path/postings/list_id=$l"): _*)
+        .join(idSet, Seq(idCol), "left_anti")
+        .write.partitionBy("list_id")
+        .parquet(new org.apache.hadoop.fs.Path(
+          graft.core.PartitionSwap.tmpRoot(root), "postings").toString)
+    // the sidecar rows for the deleted ids go in the SAME commit
+    if (dirRels.nonEmpty)
+      spark.read.option("basePath", s"$path/ids")
+        .parquet(dirRels.map(r => s"$path/$r"): _*)
+        .join(idSet, Seq(idCol), "left_anti")
+        .write.partitionBy("idb")
+        .parquet(new org.apache.hadoop.fs.Path(
+          graft.core.PartitionSwap.tmpRoot(root), "ids").toString)
+    graft.core.PartitionSwap.commit(fs, root, rels)
     affected
   }
 

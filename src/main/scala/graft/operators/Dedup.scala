@@ -267,7 +267,8 @@ object Dedup {
                               maxDocFreq: Option[Long] = Some(10000L),
                               prescreenExpectedItems: Long = 1L << 20,
                               prescreenFpp: Double = 0.001,
-                              prescreenMinHistoryBytes: Long = 64L << 20)
+                              prescreenMinHistoryBytes: Long = 64L << 20,
+                              ledgerBuckets: Int = DedupLedger.Buckets)
       : DataFrame = {
     val pre = prescreenExpectedItems > 0 &&
       historyFps.queryExecution.optimizedPlan.stats.sizeInBytes >=
@@ -281,7 +282,8 @@ object Dedup {
       val bucketed =
         if (!historyFps.columns.contains("fpb")) historyFps
         else {
-          val bs = bFps.select(DedupLedger.fpBucket(col("fp")).as("b"))
+          val bs = bFps.select(
+              DedupLedger.fpBucket(col("fp"), ledgerBuckets).as("b"))
             .distinct().collect().map(_.getInt(0)).toSeq
           historyFps.filter(col("fpb").isInCollection(bs))
         }
@@ -653,7 +655,8 @@ object Dedup {
                        threshold: Double,
                        prescreenExpectedItems: Long = 1L << 20,
                        prescreenFpp: Double = 0.001,
-                       prescreenMinHistoryBytes: Long = 64L << 20): DataFrame = {
+                       prescreenMinHistoryBytes: Long = 64L << 20,
+                       ledgerBuckets: Int = DedupLedger.Buckets): DataFrame = {
     def bigEnough(df: DataFrame): Boolean =
       df.queryExecution.optimizedPlan.stats.sizeInBytes >=
         BigInt(prescreenMinHistoryBytes)
@@ -670,7 +673,8 @@ object Dedup {
         else {
           // <= Buckets ints — bounded collect; reaches the parquet scan
           // as a PartitionFilter (file-level pruning for small batches)
-          val bs = batchFp.select(DedupLedger.fpBucket(col("__fp")).as("b"))
+          val bs = batchFp.select(
+              DedupLedger.fpBucket(col("__fp"), ledgerBuckets).as("b"))
             .distinct().collect().map(_.getInt(0)).toSeq
           ledgerFp.filter(col("fpb").isInCollection(bs))
         }
@@ -702,7 +706,8 @@ object Dedup {
         if (!ledgerBands.columns.contains("bkb")) ledgerBands
         else {
           val bs = bBands
-            .select(DedupLedger.bandBucket(col("band"), col("band_key")).as("b"))
+            .select(DedupLedger.bandBucket(col("band"), col("band_key"),
+              ledgerBuckets).as("b"))
             .distinct().collect().map(_.getInt(0)).toSeq
           ledgerBands.filter(col("bkb").isInCollection(bs))
         }

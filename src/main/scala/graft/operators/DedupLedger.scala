@@ -76,24 +76,66 @@ object DedupLedger {
 
   /** Hash-bucket fan-out of the fp and band tables' second partition
     * level (`fpb=` / `bkb=` under each `ingest=`). Layout-only — bucket
-    * ids are `pmod(xxhash64(key), Buckets)`, never compared cross-engine
+    * ids are `pmod(xxhash64(key), buckets)`, never compared cross-engine
     * — but recorded in `_params` because a screen prunes history
     * directories by the BATCH's bucket set: a small batch (replay,
     * backfill, trickle ingest) touches few buckets and the scan skips
     * the rest of the history's FILES outright. Big batches hit all
     * buckets; their history-exchange bound comes from the Bloom
-    * prescreen ([[Dedup.incrementalDedupLedgered]]), not pruning. */
+    * prescreen ([[Dedup.incrementalDedupLedgered]]), not pruning.
+    *
+    * The fan-out is a BUILD parameter: `Buckets` is only the bootstrap
+    * default. Appends, reads, deletes and screens derive the live count
+    * from `_params` ([[bucketsOf]]) — 64 buckets over years of 100 TB
+    * history means arbitrarily large per-bucket partitions, so a grown
+    * ledger migrates with `compact(rebucketTo = Some(n))`: one
+    * crash-safe rewrite, no from-scratch rebuild. */
   val Buckets = 64
 
-  private[operators] def fpBucket(fp: org.apache.spark.sql.Column) =
-    pmod(xxhash64(fp), lit(Buckets.toLong)).cast("int")
+  /** The bucket count this ledger was built with (from `_params`). */
+  def bucketsOf(path: String): Int = {
+    val m = ".*buckets=(\\d+).*".r
+    readMarker(path) match {
+      case m(b) => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"no bucket count recorded in _params at $path: '$other'")
+    }
+  }
+
+  private[operators] def fpBucket(fp: org.apache.spark.sql.Column,
+                                  buckets: Int = Buckets) =
+    pmod(xxhash64(fp), lit(buckets.toLong)).cast("int")
 
   private[operators] def bandBucket(band: org.apache.spark.sql.Column,
-                                    bandKey: org.apache.spark.sql.Column) =
-    pmod(xxhash64(band, bandKey), lit(Buckets.toLong)).cast("int")
+                                    bandKey: org.apache.spark.sql.Column,
+                                    buckets: Int = Buckets) =
+    pmod(xxhash64(band, bandKey), lit(buckets.toLong)).cast("int")
 
-  private def paramsLine(n: Int, numHashes: Int, rowsPerBand: Int) =
-    s"n=$n numHashes=$numHashes rowsPerBand=$rowsPerBand buckets=$Buckets"
+  private def paramsLine(n: Int, numHashes: Int, rowsPerBand: Int,
+                         buckets: Int = Buckets) =
+    s"n=$n numHashes=$numHashes rowsPerBand=$rowsPerBand buckets=$buckets"
+
+  /** The takedown-discovery sidecar: `dirs/` maps doc_id -> every
+    * (table, ingest, bucket) partition the doc's ledger rows live in,
+    * itself partitioned by `idb=pmod(xxhash64(doc_id), Buckets)` so a
+    * takedown reads only the id-hash partitions its ids fall in —
+    * discovery becomes O(batch), never a scan of the full fp/bands
+    * history ([[delete]] falls back to the input_file_name scan on
+    * ledgers that predate the sidecar). Written BEFORE the data tables
+    * (a crash leaves over-inclusive sidecar rows, which only cost a
+    * harmless extra partition rewrite — the reverse order would leave
+    * rows the takedown cannot find: ghosts). `dirs/_complete` marks a
+    * ledger whose every row is tracked; appends to a pre-sidecar ledger
+    * skip tracking so a partially-covered sidecar is never trusted. */
+  private[operators] def idBucket(id: org.apache.spark.sql.Column,
+                                  buckets: Int = Buckets) =
+    pmod(xxhash64(id), lit(buckets.toLong)).cast("int")
+
+  private def completeMarker(path: String) =
+    new org.apache.hadoop.fs.Path(path, "dirs/_complete")
+
+  private[operators] def sidecarComplete(path: String): Boolean =
+    markerFs(path).isFile(completeMarker(path))
 
   /** Write (or append) the ledger rows for `docs` under `path`, tagged
     * with the `ingest` partition label. `overwrite = true` rebuilds the
@@ -104,11 +146,16 @@ object DedupLedger {
   def write(docs: DataFrame, idCol: String, textCol: String,
             n: Int, numHashes: Int, rowsPerBand: Int,
             path: String, ingest: String,
-            overwrite: Boolean = false): Unit = {
+            overwrite: Boolean = false,
+            buckets: Int = Buckets): Unit = {
     require(ingest.nonEmpty && !ingest.contains("/"),
       s"ingest label must be a plain partition value, got '$ingest'")
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
     val mode = if (overwrite) "overwrite" else "append"
-    val line = paramsLine(n, numHashes, rowsPerBand)
+    // appends follow the ledger's RECORDED fan-out; `buckets` only
+    // applies at bootstrap (rebucket an existing ledger via compact)
+    val b = if (markerExists(path) && !overwrite) bucketsOf(path) else buckets
+    val line = paramsLine(n, numHashes, rowsPerBand, b)
     if (markerExists(path) && !overwrite) {
       val existing = readMarker(path)
       require(existing == line,
@@ -129,14 +176,34 @@ object DedupLedger {
     // bucket that outgrows the advisory partition size, so a 100 TB
     // batch keeps write parallelism. Degrades to a plain hash
     // repartition with AQE off.
-    bands(docs, idCol, textCol, n, numHashes, rowsPerBand)
+    // localCheckpoint: the MinHash pass behind the band rows is computed
+    // once and feeds BOTH the sidecar and the bands write.
+    val bandFrame = bands(docs, idCol, textCol, n, numHashes, rowsPerBand)
       .withColumn("ingest", lit(ingest))
-      .withColumn("bkb", bandBucket(col("band"), col("band_key")))
+      .withColumn("bkb", bandBucket(col("band"), col("band_key"), b))
+      .localCheckpoint()
+    val fpFrame = fingerprints(docs, idCol, textCol)
+      .withColumn("ingest", lit(ingest))
+      .withColumn("fpb", fpBucket(col("fp"), b))
+      .localCheckpoint()
+    // sidecar FIRST (see [[idBucket]]'s scaladoc for the crash ordering)
+    if (overwrite || sidecarComplete(path)) {
+      bandFrame.select(col("doc_id"), lit("bands").as("table"),
+          col("ingest"), col("bkb").as("bucket")).distinct()
+        .unionByName(fpFrame.select(col("doc_id"), lit("fp").as("table"),
+          col("ingest"), col("fpb").as("bucket")).distinct())
+        .withColumn("idb", idBucket(col("doc_id"), b))
+        .hint("rebalance", "idb")
+        .write.mode(mode).partitionBy("idb").parquet(s"$path/dirs")
+      if (overwrite) {
+        val out = markerFs(path).create(completeMarker(path), true)
+        try out.write("1\n".getBytes("UTF-8")) finally out.close()
+      }
+    }
+    bandFrame
       .hint("rebalance", "bkb")
       .write.mode(mode).partitionBy("ingest", "bkb").parquet(s"$path/bands")
-    fingerprints(docs, idCol, textCol)
-      .withColumn("ingest", lit(ingest))
-      .withColumn("fpb", fpBucket(col("fp")))
+    fpFrame
       .hint("rebalance", "fpb")
       .write.mode(mode).partitionBy("ingest", "fpb").parquet(s"$path/fp")
     writeMarker(path, line)
@@ -152,11 +219,12 @@ object DedupLedger {
     * Returns the number of healed docs (0 on a consistent ledger). */
   def reconcile(corpus: DataFrame, idCol: String, textCol: String,
                 n: Int, numHashes: Int, rowsPerBand: Int,
-                path: String, ingest: String = "reconciled"): Long = {
+                path: String, ingest: String = "reconciled",
+                buckets: Int = Buckets): Long = {
     val spark = corpus.sparkSession
     if (!exists(path)) { // bootstrap counts as healing everything
       write(corpus, idCol, textCol, n, numHashes, rowsPerBand, path,
-        ingest, overwrite = true)
+        ingest, overwrite = true, buckets = buckets)
       return corpus.count()
     }
     val (fp, _) = read(spark, path, n, numHashes, rowsPerBand)
@@ -180,7 +248,8 @@ object DedupLedger {
     * rewritten (fpPartitions, bandPartitions). */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
              n: Int, numHashes: Int, rowsPerBand: Int): (Int, Int) = {
-    val line = paramsLine(n, numHashes, rowsPerBand)
+    val b = bucketsOf(path)
+    val line = paramsLine(n, numHashes, rowsPerBand, b)
     val existing = readMarker(path)
     require(existing == line,
       s"ledger at $path was built with '$existing', delete asked for '$line'")
@@ -188,6 +257,7 @@ object DedupLedger {
     val root = new org.apache.hadoop.fs.Path(path)
     graft.core.PartitionSwap.recover(fsys, root)
     val idSet = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+      .localCheckpoint() // consumed by discovery + every staging join
     def affected(table: String, bucketCol: String): Seq[String] = {
       // filename projected BEFORE the join: input_file_name() is only
       // defined inside the scan's stage — after a shuffled join it
@@ -206,9 +276,50 @@ object DedupLedger {
         s"could not resolve $table partition dirs for deletion")
       rels.map(r => s"$table/$r")
     }
-    val fpRels = affected("fp", "fpb")
-    val bandRels = affected("bands", "bkb")
-    val rels = fpRels ++ bandRels
+    // O(batch) discovery on sidecar-complete ledgers: only the id-hash
+    // sidecar partitions the retracted ids fall in are read — the full
+    // fp/bands tables are never scanned. Ingest labels resolve to their
+    // on-disk (Hive-escaped) dir names by LISTING + unescape, never by
+    // re-escaping. Pre-sidecar ledgers fall back to the full-scan path.
+    def viaSidecar(): (Seq[String], Seq[String], Seq[String]) = {
+      val idbs = idSet.select(idBucket(col("doc_id"), b).as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted // bounded <= b
+      val dirRels = idbs.map(b => s"dirs/idb=$b")
+        .filter(r => fsys.exists(new org.apache.hadoop.fs.Path(root, r)))
+        .toSeq
+      if (dirRels.isEmpty) return (Nil, Nil, Nil)
+      val hits = spark.read.option("basePath", s"$path/dirs")
+        .parquet(dirRels.map(r => s"$path/$r"): _*)
+        .join(idSet, Seq("doc_id"), "left_semi")
+        .select(col("table"), col("ingest"), col("bucket")).distinct()
+        .collect() // bounded: <= |ids| x (bands-per-doc + 1) dirs
+      if (hits.isEmpty) return (Nil, Nil, Nil)
+      def labelDirs(table: String): Map[String, String] = {
+        val d = new org.apache.hadoop.fs.Path(root, table)
+        if (!fsys.exists(d)) Map.empty
+        else fsys.listStatus(d).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("ingest="))
+          .map(nm => graft.core.Publish.unescapePartVal(
+            nm.stripPrefix("ingest=")) -> nm).toMap
+      }
+      val dirMaps = Map("fp" -> labelDirs("fp"), "bands" -> labelDirs("bands"))
+      val bucketColOf = Map("fp" -> "fpb", "bands" -> "bkb")
+      def relsOf(table: String): Seq[String] = hits.toSeq
+        .filter(_.getString(0) == table)
+        .flatMap { r =>
+          dirMaps(table).get(r.getString(1)).map(dn =>
+            s"$table/$dn/${bucketColOf(table)}=${r.getInt(2)}")
+        }
+        // over-inclusive sidecar rows (torn write) may name dirs that
+        // were never written — skip them
+        .filter(rel => fsys.exists(new org.apache.hadoop.fs.Path(root, rel)))
+        .distinct.sorted
+      (relsOf("fp"), relsOf("bands"), dirRels)
+    }
+    val (fpRels, bandRels, dirRels) =
+      if (sidecarComplete(path)) viaSidecar()
+      else (affected("fp", "fpb"), affected("bands", "bkb"), Seq.empty[String])
+    val rels = fpRels ++ bandRels ++ dirRels
     if (rels.isEmpty) return (0, 0)
     fsys.delete(graft.core.PartitionSwap.tmpRoot(root), true)
     def stage(table: String, tRels: Seq[String], pcols: Seq[String]): Unit =
@@ -221,6 +332,8 @@ object DedupLedger {
             graft.core.PartitionSwap.tmpRoot(root), table).toString)
     stage("fp", fpRels, Seq("ingest", "fpb"))
     stage("bands", bandRels, Seq("ingest", "bkb"))
+    // the sidecar's own rows for the retracted ids go in the SAME commit
+    stage("dirs", dirRels, Seq("idb"))
     graft.core.PartitionSwap.commit(fsys, root, rels)
     (fpRels.size, bandRels.size)
   }
@@ -247,8 +360,15 @@ object DedupLedger {
     require(!graft.core.PartitionSwap.pending(markerFs(path),
         new org.apache.hadoop.fs.Path(path)),
       s"ledger at $path has an unfinished delete — run DedupLedger.recoverDelete")
+    // a crashed REBUCKET is mid-layout-change: trees may be on the new
+    // fan-out while _params still records the old — a screen's bucket
+    // pruning would then silently miss. Plain compaction (no params
+    // change) stays readable mid-recovery, as before.
+    require(!rebucketPending(path),
+      s"ledger at $path has an unfinished rebucket — run " +
+        "DedupLedger.recoverCompact")
     val existing = readMarker(path)
-    val line = paramsLine(n, numHashes, rowsPerBand)
+    val line = paramsLine(n, numHashes, rowsPerBand, bucketsOf(path))
     require(existing == line,
       s"ledger at $path was built with '$existing', screen asked for '$line'")
     (spark.read.parquet(s"$path/fp").select(col("doc_id"), col("fp"),
@@ -291,6 +411,23 @@ object DedupLedger {
   private def oldRoot(path: String) =
     new org.apache.hadoop.fs.Path(path, ".compact-old")
 
+  private def compactingContent(path: String): Option[String] = {
+    val fsys = markerFs(path)
+    if (!fsys.exists(compactingMarker(path))) None
+    else {
+      val in = fsys.open(compactingMarker(path))
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** Is an unfinished REBUCKET pending (a `_compacting` marker that
+    * records a params change)? Readers refuse this state — the trees
+    * and `_params` may disagree on the fan-out mid-recovery. */
+  private[operators] def rebucketPending(path: String): Boolean =
+    compactingContent(path).exists(_.startsWith("params:"))
+
   /** Compact the ledger's ingest partitions: every label NOT in
     * `keepLabels` is rewritten into the single `into` partition; kept
     * labels carry over unchanged. Daily batch screens append one ingest
@@ -316,9 +453,12 @@ object DedupLedger {
   def compact(spark: SparkSession, path: String,
               n: Int, numHashes: Int, rowsPerBand: Int,
               into: String = "compacted",
-              keepLabels: Set[String] = Set.empty): Unit = {
+              keepLabels: Set[String] = Set.empty,
+              rebucketTo: Option[Int] = None): Unit = {
     require(into.nonEmpty && !into.contains("/"),
       s"compaction label must be a plain partition value, got '$into'")
+    require(rebucketTo.forall(_ > 0),
+      s"rebucket count must be positive, got $rebucketTo")
     recoverCompact(spark, path)
     // a DELETE that died mid-commit leaves the PartitionSwap marker with
     // some partitions swapped and some not — folding that half-swapped
@@ -327,13 +467,22 @@ object DedupLedger {
     // silently undoing the takedown. Roll it forward first.
     graft.core.PartitionSwap.recover(markerFs(path),
       new org.apache.hadoop.fs.Path(path))
-    val line = paramsLine(n, numHashes, rowsPerBand)
+    val b = bucketsOf(path)
+    val line = paramsLine(n, numHashes, rowsPerBand, b)
     val existing = readMarker(path)
     require(existing == line,
       s"ledger at $path was built with '$existing', compact asked for '$line'")
+    // rebucket rides the compaction rewrite: the staged trees use the
+    // NEW fan-out and the `_compacting` marker carries the new `_params`
+    // line, which the roll-forward commits after the tree swap — so
+    // `_params` and the live trees can never disagree post-recovery
+    // (readers refuse the in-between state, see [[rebucketPending]])
+    val b2 = rebucketTo.getOrElse(b)
     val fold = ingestLabels(spark, path).toSet -- keepLabels
     // nothing to fold: no labels, or only the previous compaction output
-    if (fold.isEmpty || (fold.size == 1 && fold.contains(into))) return
+    // (a pure rebucket still rewrites everything)
+    if (b2 == b &&
+      (fold.isEmpty || (fold.size == 1 && fold.contains(into)))) return
     val fsys = markerFs(path)
     fsys.delete(tmpRoot(path), true)
     val relabel = when(col("ingest").isin(fold.toSeq: _*), lit(into))
@@ -341,26 +490,57 @@ object DedupLedger {
     // distinct over the relabeled rows: folding cannot create duplicates
     // that were not already logically present (healed torn writes). The
     // bucket columns are pure functions of the keys, so recomputing them
-    // preserves the recorded `buckets=` layout exactly.
+    // at the target fan-out IS the rebucket migration.
     spark.read.parquet(s"$path/bands")
       .select(col("doc_id"), col("band"), col("band_key"), relabel.as("ingest"))
       .distinct()
-      .withColumn("bkb", bandBucket(col("band"), col("band_key")))
+      .withColumn("bkb", bandBucket(col("band"), col("band_key"), b2))
       .hint("rebalance", "ingest", "bkb")
       .write.partitionBy("ingest", "bkb")
       .parquet(new org.apache.hadoop.fs.Path(tmpRoot(path), "bands").toString)
     spark.read.parquet(s"$path/fp")
       .select(col("doc_id"), col("fp"), relabel.as("ingest"))
       .distinct()
-      .withColumn("fpb", fpBucket(col("fp")))
+      .withColumn("fpb", fpBucket(col("fp"), b2))
       .hint("rebalance", "ingest", "fpb")
       .write.partitionBy("ingest", "fpb")
       .parquet(new org.apache.hadoop.fs.Path(tmpRoot(path), "fp").toString)
-    // the marker is the commit point: from here a crash rolls FORWARD
+    // the takedown sidecar relabels in lockstep (folding collapses a
+    // doc's rows from several labels into identical (table, into,
+    // bucket) rows — distinct() dedupes them); bucket values recompute
+    // at the target fan-out alongside
+    if (sidecarComplete(path)) {
+      // bucket values must be recomputed from the KEYS at b2, which the
+      // sidecar does not carry — rebuild them from the staged tables'
+      // own rows instead (exact by construction, one narrow scan each)
+      val fpSide = spark.read.parquet(
+          new org.apache.hadoop.fs.Path(tmpRoot(path), "fp").toString)
+        .select(col("doc_id"), lit("fp").as("table"), col("ingest"),
+          fpBucket(col("fp"), b2).as("bucket")).distinct()
+      val bandSide = spark.read.parquet(
+          new org.apache.hadoop.fs.Path(tmpRoot(path), "bands").toString)
+        .select(col("doc_id"), lit("bands").as("table"), col("ingest"),
+          bandBucket(col("band"), col("band_key"), b2).as("bucket"))
+        .distinct()
+      fpSide.unionByName(bandSide)
+        .withColumn("idb", idBucket(col("doc_id"), b2))
+        .hint("rebalance", "idb")
+        .write.partitionBy("idb")
+        .parquet(new org.apache.hadoop.fs.Path(tmpRoot(path), "dirs").toString)
+      val out = markerFs(path).create(new org.apache.hadoop.fs.Path(
+        tmpRoot(path), "dirs/_complete"), true)
+      try out.write("1\n".getBytes("UTF-8")) finally out.close()
+    }
+    // the marker is the commit point: from here a crash rolls FORWARD.
+    // A rebucket records the new _params line IN the marker so recovery
+    // finishes the layout change atomically with the tree swap.
+    val markerBody =
+      if (b2 != b) "params:" + paramsLine(n, numHashes, rowsPerBand, b2)
+      else "1"
     swapOpCounter.set(0)
     swapStep()
     val out = fsys.create(compactingMarker(path), true)
-    try out.write("1\n".getBytes("UTF-8")) finally out.close()
+    try out.write((markerBody + "\n").getBytes("UTF-8")) finally out.close()
     swapStaged(fsys, path)
   }
 
@@ -387,8 +567,12 @@ object DedupLedger {
     * `_compacting` marker are removed. */
   private def swapStaged(fsys: org.apache.hadoop.fs.FileSystem,
                          path: String): Unit = {
+    // a rebucketing compaction recorded the new _params line in the
+    // marker — read it BEFORE any deletion so every resume sees it
+    val newParams = compactingContent(path).filter(_.startsWith("params:"))
+      .map(_.stripPrefix("params:"))
     fsys.mkdirs(oldRoot(path))
-    for (t <- Seq("bands", "fp")) {
+    for (t <- Seq("bands", "fp", "dirs")) {
       val live = new org.apache.hadoop.fs.Path(path, t)
       val tmp = new org.apache.hadoop.fs.Path(tmpRoot(path), t)
       val old = new org.apache.hadoop.fs.Path(oldRoot(path), t)
@@ -401,6 +585,10 @@ object DedupLedger {
       }
       // tmp absent: this table already swapped in a previous attempt
     }
+    // _params flips while the marker still exists: a kill between the
+    // two leaves the marker, and the rerun rewrites _params again —
+    // idempotent, so trees and params agree once the marker is gone
+    newParams.foreach { line => swapStep(); writeMarker(path, line) }
     swapStep(); fsys.delete(oldRoot(path), true)
     swapStep(); fsys.delete(tmpRoot(path), true)
     swapStep(); fsys.delete(compactingMarker(path), false)

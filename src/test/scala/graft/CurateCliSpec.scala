@@ -1200,4 +1200,146 @@ class CurateCliSpec extends SparkSpec {
     assert(CurateCli.parse(Seq("--compact-corpus", "--corpus", corpusDir))
       .isLeft) // the cycle lock (--ledger) is required
   }
+
+  test("--retract-watch: takedowns drain between micro-batches; mid-drain kill recovers") {
+    def setup(tag: String): (String, CurateCli.Options) = {
+      val root = java.nio.file.Files.createTempDirectory(tag).toString
+      val corpusDir = s"$root/corpus"
+      Seq((1L, "seed corpus document with some stable historical words here"))
+        .toDF("doc_id", "text").write.parquet(corpusDir)
+      Seq((10L, "first day document entirely novel content about minhash bands today"))
+        .toDF("doc_id", "text").write.parquet(s"$root/b1")
+      val day1 = CurateCli.Options(corpus = corpusDir, batch = s"$root/b1",
+        ledger = s"$root/ledger", out = s"$root/out_day1", ingest = "day1")
+      assert(CurateCli.runCycle(spark, day1) == ((1L, 0L, 0L)))
+      // queue the takedown of day1's kept doc
+      val watch = s"$root/watch"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+      Seq(Tuple1(10L)).toDF("doc_id").coalesce(1).write.parquet(s"$root/rq")
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/rq"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(src,
+        java.nio.file.Paths.get(watch).resolve("takedown1.parquet"))
+      // inbox: an exact re-submission of the retracted text + a keeper
+      val inbox = s"$root/inbox"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+      Seq(
+        (30L, "first day document entirely novel content about minhash bands today"),
+        (31L, "wholly unrelated follow-up content arriving after the takedown"))
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$root/f1")
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/f1"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(f,
+        java.nio.file.Paths.get(inbox).resolve("f1.parquet"))
+      (root, day1.copy(batch = inbox, out = s"$root/out_stream",
+        ingest = "stream1", stream = true, retractWatch = watch))
+    }
+
+    // clean path: the stream drains the takedown BEFORE screening, so
+    // the re-submitted text is a keep (no ghost match), and the request
+    // file lands in done/
+    val (root1, o1) = setup("curate_rw")
+    CurateCli.runStream(spark, o1, s"$root1/chk").awaitTermination()
+    val v = spark.read.parquet(s"${o1.out}/batch=0").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(30L -> "keep", 31L -> "keep"), v.toString)
+    assert(spark.read.parquet(o1.corpus)
+      .filter($"doc_id" === 10L).isEmpty, "corpus kept the retracted doc")
+    assert(new java.io.File(s"${o1.retractWatch}/done/takedown1.parquet")
+      .isFile, "drained request not moved to done/")
+    assert(!new java.io.File(s"${o1.retractWatch}/takedown1.parquet")
+      .exists())
+
+    // kill path: the ledger delete inside the drain dies mid-commit —
+    // the stream start fails loudly; the restart re-drains (roll-forward
+    // + idempotent re-run) and converges to the same state
+    val (root2, o2) = setup("curate_rwk")
+    graft.core.PartitionSwap.testFailAfterOps = Some(2)
+    val failed =
+      try { CurateCli.runStream(spark, o2, s"$root2/chk"); false }
+      catch { case _: IllegalStateException => true }
+      finally graft.core.PartitionSwap.testFailAfterOps = None
+    assert(failed, "the kill hook never fired")
+    // request file still queued (not moved), corpus half already done
+    assert(new java.io.File(s"${o2.retractWatch}/takedown1.parquet").isFile)
+    CurateCli.runStream(spark, o2, s"$root2/chk").awaitTermination()
+    val v2 = spark.read.parquet(s"${o2.out}/batch=0").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2 == Map(30L -> "keep", 31L -> "keep"), v2.toString)
+    assert(spark.read.parquet(o2.corpus).filter($"doc_id" === 10L).isEmpty)
+    assert(new java.io.File(s"${o2.retractWatch}/done/takedown1.parquet")
+      .isFile)
+
+    // parse surface
+    assert(CurateCli.parse(Seq("--retract-watch", "/w", "--corpus", "/c",
+      "--batch", "/b", "--ledger", "/l", "--out", "/o", "--ingest", "i"))
+      .isLeft) // requires --stream
+  }
+
+  test("--bucket-corpus: cycles and retract on the bucketed layout, compaction preserves it") {
+    val root = java.nio.file.Files.createTempDirectory("curate_bkt").toString
+    val (corpusDir, ledgerDir, probeDir) = compactFixture(root)
+    val want = screenVerdicts(corpusDir, ledgerDir, probeDir)
+
+    // CLI parse + migration under the lock (the main-dispatch shape)
+    val po = CurateCli.parse(Seq("--bucket-corpus", "8", "--corpus",
+      corpusDir, "--ledger", ledgerDir)).toOption.get
+    assert(po.bucketCorpus == 8)
+    assert(CurateCli.parse(Seq("--bucket-corpus", "8", "--corpus",
+      corpusDir)).isLeft) // the cycle lock (--ledger) is required
+    val (rows, b) = CurateCli.withLedgerLock(ledgerDir) {
+      graft.core.CorpusStore.bucketize(spark, corpusDir, "doc_id", 8)
+    }.toOption.get
+    assert(rows == 3L && b == 8)
+    assert(graft.core.CorpusStore.isBucketed(corpusDir))
+    // screen keys unchanged by the layout: identical verdicts
+    assert(screenVerdicts(corpusDir, ledgerDir, probeDir) == want)
+
+    // a third cycle appends INTO the bucket layout (no flat root files)
+    // and later batches screen against what it kept
+    Seq((40L, "a wholly unrelated probe document nothing resembles anywhere"))
+      .toDF("doc_id", "text").write.parquet(s"$root/b3")
+    val o3 = CurateCli.Options(corpus = corpusDir, batch = s"$root/b3",
+      ledger = ledgerDir, out = s"$root/out_day3", ingest = "day3")
+    assert(CurateCli.runCycle(spark, o3) == ((1L, 0L, 0L)))
+    assert(!new java.io.File(corpusDir).listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")),
+      "cycle append wrote flat files into a bucketed corpus")
+    val after3 = screenVerdicts(corpusDir, ledgerDir, probeDir)
+    assert(after3(32L)._1 == "exact" && after3(32L)._2 == Some(40L),
+      s"bucketed-corpus cycle's kept doc not screening: ${after3(32L)}")
+
+    // surgical retract: only the bucket dirs the ids hash into move
+    def dirFiles(): Map[String, Set[String]] =
+      new java.io.File(corpusDir).listFiles().filter(f =>
+          f.isDirectory && f.getName.startsWith("docb=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName).toSet
+      }.toMap
+    val beforeRetract = dirFiles()
+    Seq(Tuple1(10L)).toDF("doc_id").write.parquet(s"$root/takedown")
+    val o = CurateCli.parse(Seq("--retract", s"$root/takedown",
+      "--corpus", corpusDir, "--ledger", ledgerDir)).toOption.get
+    val (removed, fpP, bandP, _) = CurateCli.withLedgerLock(o.ledger) {
+      CurateCli.runRetract(spark, o)
+    }.toOption.get
+    assert(removed == 1L && fpP > 0 && bandP > 0)
+    val afterRetract = dirFiles()
+    val touched = beforeRetract.keySet.filter(d =>
+      afterRetract.get(d) != beforeRetract.get(d))
+    assert(touched.size <= 1, s"retract rewrote $touched")
+    assert(graft.core.CorpusStore.read(spark, corpusDir)
+      .filter($"doc_id" === 10L).isEmpty)
+    // no ghost matches: re-ingesting doc 10's exact text now keeps
+    val afterR = screenVerdicts(corpusDir, ledgerDir, probeDir)
+    assert(afterR(30L) == (("keep", None)), s"ghost: ${afterR(30L)}")
+
+    // --compact-corpus preserves the bucket layout and the verdicts
+    val (cRows, _, _) = CurateCli.compactCorpus(spark, corpusDir, 64)
+    assert(cRows == 3L) // 1 seed + day2's 20 + day3's 40 (10 retracted)
+    assert(graft.core.CorpusStore.isBucketed(corpusDir),
+      "compaction dropped the bucket layout")
+    assert(new java.io.File(corpusDir).listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("docb=")))
+    assert(screenVerdicts(corpusDir, ledgerDir, probeDir) == afterR)
+  }
 }

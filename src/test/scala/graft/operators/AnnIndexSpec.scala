@@ -286,6 +286,58 @@ class AnnIndexSpec extends SparkSpec {
       "staged tree nested inside the live artifact")
   }
 
+  test("delete discovery reads the id sidecar, not the postings; fallback still works") {
+    val root = java.nio.file.Files.createTempDirectory("annidx_sc").toString
+    val vs = vectors(60)
+    AnnIndex.build(vs, "vec_id", "embedding", numLists = 4, s"$root/idx")
+    assert(new java.io.File(s"$root/idx/ids").isDirectory,
+      "build did not write the id sidecar")
+
+    // find the targets' lists from the sidecar, then corrupt a file in a
+    // list that does NOT hold them: discovery + staging never open it
+    val dropIds = Seq(3L, 7L)
+    val lists = spark.read.parquet(s"$root/idx/ids")
+      .filter($"vec_id".isin(dropIds: _*))
+      .select($"list_id".cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val untouched = (0L until 4L).find(l => !lists.contains(l) &&
+      new java.io.File(s"$root/idx/postings/list_id=$l").isDirectory)
+    assert(untouched.nonEmpty, "every list affected — reseed the fixture")
+    val victim = new java.io.File(
+      s"$root/idx/postings/list_id=${untouched.get}").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.write(victim.toPath, "junk".getBytes("UTF-8"))
+
+    val affected = AnnIndex.delete(spark, s"$root/idx",
+      dropIds.toDF("vec_id"), "vec_id")
+    assert(affected.toSet == lists,
+      s"sidecar discovery returned $affected, expected $lists")
+    // sidecar rows for the deleted ids are scrubbed in the same commit
+    assert(spark.read.parquet(s"$root/idx/ids")
+      .filter($"vec_id".isin(dropIds: _*)).isEmpty)
+    // appended vectors register in the sidecar and delete through it
+    val extra = Seq((200L, Array.tabulate(8)(j =>
+      math.sin(200 * 31 + j * 7).toFloat))).toDF("vec_id", "embedding")
+    AnnIndex.append(extra, "vec_id", "embedding", s"$root/idx")
+    assert(!spark.read.parquet(s"$root/idx/ids")
+      .filter($"vec_id" === 200L).isEmpty, "append skipped the sidecar")
+    assert(AnnIndex.delete(spark, s"$root/idx",
+      Seq(200L).toDF("vec_id"), "vec_id").nonEmpty)
+
+    // a pre-sidecar index (no ids/) falls back to the postings scan —
+    // delete and subsequent appends still work, just unsurgically
+    val legacy = s"$root/legacy"
+    AnnIndex.build(vs, "vec_id", "embedding", numLists = 4, legacy)
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr); f.delete()
+    }
+    rmr(new java.io.File(s"$legacy/ids"))
+    assert(AnnIndex.delete(spark, legacy,
+      Seq(3L).toDF("vec_id"), "vec_id").nonEmpty)
+    AnnIndex.append(extra, "vec_id", "embedding", legacy) // skips sidecar
+    assert(!new java.io.File(s"$legacy/ids").exists())
+  }
+
   test("append after a crashed delete rolls the swap forward (vectors not lost)") {
     import graft.core.PartitionSwap
     val vs = vectors(60)

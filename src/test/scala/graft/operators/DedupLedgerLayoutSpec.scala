@@ -291,6 +291,235 @@ class DedupLedgerLayoutSpec extends SparkSpec {
       "sweep never exercised both a pending marker and a clean run")
   }
 
+  test("takedown discovery reads the sidecar, not the history tables") {
+    // proof by corruption: trash every parquet file in day1's partitions
+    // (the ids being deleted live only in day2) — sidecar discovery +
+    // per-partition staging never open them, the pre-sidecar full-scan
+    // fallback must and dies
+    def build(): String = {
+      val root = java.nio.file.Files.createTempDirectory("ledger_sc").toString
+      val ledger = s"$root/ledger"
+      DedupLedger.write(corpus, "doc_id", "text", 3, 8, 2, ledger, "day1",
+        overwrite = true)
+      DedupLedger.write(probe, "doc_id", "text", 3, 8, 2, ledger, "day2")
+      ledger
+    }
+    def corruptDay1(ledger: String): Unit =
+      for (t <- Seq("fp", "bands")) {
+        val day1 = new java.io.File(s"$ledger/$t/ingest=day1")
+        assert(day1.isDirectory)
+        def walk(f: java.io.File): Unit =
+          if (f.isDirectory) f.listFiles().foreach(walk)
+          else if (f.getName.endsWith(".parquet"))
+            java.nio.file.Files.write(f.toPath,
+              "not parquet at all".getBytes("UTF-8"))
+        walk(day1)
+      }
+    // day2's docs are the probe ids; 31 is day2-only (30/32 stay so the
+    // day2 partitions remain readable after the delete)
+    val viaSidecar = build()
+    assert(new java.io.File(s"$viaSidecar/dirs/_complete").isFile,
+      "bootstrap did not mark the sidecar complete")
+    corruptDay1(viaSidecar)
+    val (fpP, bandP) = DedupLedger.delete(spark,
+      viaSidecar, Seq(31L).toDF("doc_id"), 3, 8, 2)
+    assert(fpP > 0 && bandP > 0)
+    // the id is gone from its (readable) day2 partitions and the sidecar
+    val day2Fp = spark.read.option("basePath", s"$viaSidecar/fp")
+      .parquet(new java.io.File(s"$viaSidecar/fp/ingest=day2").listFiles()
+        .filter(_.isDirectory).map(_.toString).toSeq: _*)
+    assert(day2Fp.filter(col("doc_id") === 31L).isEmpty)
+    assert(day2Fp.filter(col("doc_id") === 32L).count() == 1)
+    assert(spark.read.parquet(s"$viaSidecar/dirs")
+      .filter(col("doc_id") === 31L).isEmpty,
+      "sidecar rows for deleted ids survive")
+
+    // the fallback path (sidecar marker removed) must scan history — and
+    // hits the corruption, proving what the sidecar avoids
+    val viaFallback = build()
+    corruptDay1(viaFallback)
+    new java.io.File(s"$viaFallback/dirs/_complete").delete()
+    intercept[Exception] {
+      DedupLedger.delete(spark, viaFallback,
+        Seq(31L).toDF("doc_id"), 3, 8, 2)
+    }
+  }
+
+  test("sidecar and fallback deletes leave identical ledgers; compact keeps the sidecar live") {
+    def build(): String = {
+      val root = java.nio.file.Files.createTempDirectory("ledger_eq").toString
+      val ledger = s"$root/ledger"
+      DedupLedger.write(corpus, "doc_id", "text", 3, 8, 2, ledger, "day1",
+        overwrite = true)
+      DedupLedger.write(probe, "doc_id", "text", 3, 8, 2, ledger, "day2")
+      ledger
+    }
+    def content(ledger: String) = {
+      val (fp, bands) = DedupLedger.read(spark, ledger, 3, 8, 2)
+      (fp.select("doc_id", "fp").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted,
+        bands.select("doc_id", "band", "band_key").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted)
+    }
+    val a = build() // sidecar path
+    val b = build() // fallback path
+    new java.io.File(s"$b/dirs/_complete").delete()
+    val ids = Seq(2L, 31L).toDF("doc_id")
+    DedupLedger.delete(spark, a, ids, 3, 8, 2)
+    DedupLedger.delete(spark, b, ids, 3, 8, 2)
+    assert(content(a) == content(b),
+      "sidecar-discovered delete diverged from the full-scan delete")
+
+    // compaction relabels the sidecar in lockstep: a post-compact delete
+    // still discovers through it (against the folded label dirs)
+    DedupLedger.compact(spark, a, 3, 8, 2)
+    assert(new java.io.File(s"$a/dirs/_complete").isFile,
+      "compaction lost the sidecar-complete marker")
+    val labels = spark.read.parquet(s"$a/dirs").select("ingest")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(labels == Set("compacted"), s"sidecar labels not folded: $labels")
+    val (fpP, _) = DedupLedger.delete(spark, a, Seq(1L).toDF("doc_id"),
+      3, 8, 2)
+    assert(fpP > 0)
+    assert(content(a)._1.forall(_._1 != 1L), "post-compact takedown missed")
+  }
+
+  test("winnow sidecar: discovery without a wfp scan, delete scrubs it, compact keeps it") {
+    val root = java.nio.file.Files.createTempDirectory("winnow_sc").toString
+    val wPath = s"$root/winnow"
+    WinnowLedger.write(corpus, "doc_id", "text", 5, 4, wPath, "day1")
+    WinnowLedger.write(probe, "doc_id", "text", 5, 4, wPath, "day2")
+    assert(new java.io.File(s"$wPath/dirs/_complete").isFile)
+    // corrupt day1 (the deleted id lives in day2 only): sidecar
+    // discovery + staging must not open it
+    val day1 = new java.io.File(s"$wPath/wfp/ingest=day1")
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(walk)
+      else if (f.getName.endsWith(".parquet"))
+        java.nio.file.Files.write(f.toPath, "junk".getBytes("UTF-8"))
+    walk(day1)
+    assert(WinnowLedger.delete(spark, wPath,
+      Seq(30L, 31L, 32L).toDF("doc_id"), 5, 4) > 0)
+    assert(spark.read.parquet(s"$wPath/dirs")
+      .filter(col("doc_id").isin(30L, 31L, 32L)).isEmpty)
+
+    // fresh un-corrupted ledger: compact folds the sidecar labels too
+    val w2 = s"$root/winnow2"
+    WinnowLedger.write(corpus, "doc_id", "text", 5, 4, w2, "day1")
+    WinnowLedger.write(probe, "doc_id", "text", 5, 4, w2, "day2")
+    WinnowLedger.compact(spark, w2, 5, 4)
+    assert(new java.io.File(s"$w2/dirs/_complete").isFile)
+    assert(spark.read.parquet(s"$w2/dirs").select("ingest").distinct()
+      .collect().map(_.getString(0)).toSet == Set("compacted"))
+    assert(WinnowLedger.delete(spark, w2, Seq(2L).toDF("doc_id"), 5, 4) > 0)
+    assert(WinnowLedger.read(spark, w2, 5, 4)
+      .filter(col("doc_id") === 2L).isEmpty)
+  }
+
+  test("rebucket migration: compact(rebucketTo) moves the fan-out, screens unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("ledger_rb").toString
+    val ledger = s"$root/ledger"
+    DedupLedger.write(corpus, "doc_id", "text", 3, 8, 2, ledger, "day1",
+      overwrite = true)
+    assert(DedupLedger.bucketsOf(ledger) == DedupLedger.Buckets)
+    def verdicts(): Map[Long, String] = {
+      val (fp, bands) = DedupLedger.read(spark, ledger, 3, 8, 2)
+      Dedup.incrementalDedupLedgered(corpus, fp, bands, probe,
+          "doc_id", "text", 3, 8, 2, 0.5,
+          prescreenMinHistoryBytes = 0L, // force the bucket-set pruning on
+          ledgerBuckets = DedupLedger.bucketsOf(ledger))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val before = verdicts()
+    assert(before(30L) == "exact" && before(31L) == "near" &&
+      before(32L) == "keep", before.toString)
+
+    DedupLedger.compact(spark, ledger, 3, 8, 2, rebucketTo = Some(16))
+    assert(DedupLedger.bucketsOf(ledger) == 16, "rebucket did not commit")
+    // every bucket dir is inside the new fan-out
+    def bucketIds(table: String, c: String): Seq[Int] =
+      new java.io.File(s"$ledger/$table").listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith(c + "=")).map(_.split("=")(1).toInt).toSeq
+    assert(bucketIds("fp", "fpb").nonEmpty &&
+      bucketIds("fp", "fpb").forall(b => b >= 0 && b < 16))
+    assert(bucketIds("bands", "bkb").forall(b => b >= 0 && b < 16))
+    // screens (with bucket pruning engaged at the NEW fan-out) unchanged
+    assert(verdicts() == before, "rebucket changed screen verdicts")
+    // appends follow the migrated fan-out; takedowns still land
+    DedupLedger.write(probe, "doc_id", "text", 3, 8, 2, ledger, "day2")
+    assert(bucketIds("fp", "fpb").forall(b => b >= 0 && b < 16))
+    val (fpP, bandP) = DedupLedger.delete(spark, ledger,
+      Seq(31L).toDF("doc_id"), 3, 8, 2)
+    assert(fpP > 0 && bandP > 0)
+    assert(DedupLedger.read(spark, ledger, 3, 8, 2)
+      ._1.filter(col("doc_id") === 31L).isEmpty)
+
+    // winnow twin: same migration discipline over the single table
+    val wPath = s"$root/winnow"
+    WinnowLedger.write(corpus, "doc_id", "text", 5, 4, wPath, "day1")
+    val wBefore = WinnowLedger.read(spark, wPath, 5, 4)
+      .select("doc_id", "pos", "fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    WinnowLedger.compact(spark, wPath, 5, 4, rebucketTo = Some(16))
+    assert(WinnowLedger.bucketsOf(wPath) == 16)
+    val wAfter = WinnowLedger.read(spark, wPath, 5, 4)
+      .select("doc_id", "pos", "fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    assert(wAfter == wBefore, "winnow rebucket changed evidence rows")
+  }
+
+  test("rebucket kill-point sweep: readers refuse mid-migration, recovery commits both trees and params") {
+    import graft.operators.{DedupLedger => DL}
+    def build(): String = {
+      val root = java.nio.file.Files.createTempDirectory("ledger_rbk").toString
+      val ledger = s"$root/ledger"
+      DL.write(corpus, "doc_id", "text", 3, 8, 2, ledger, "day1",
+        overwrite = true)
+      DL.write(probe, "doc_id", "text", 3, 8, 2, ledger, "day2")
+      ledger
+    }
+    def content(ledger: String) =
+      DL.read(spark, ledger, 3, 8, 2)._1.select("doc_id", "fp").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val clean = build()
+    DL.compact(spark, clean, 3, 8, 2, rebucketTo = Some(16))
+    val want = content(clean)
+
+    var ops = 1
+    var sawCompletion = false
+    var sawPending = false
+    while (!sawCompletion && ops < 60) {
+      val ledger = build()
+      DL.testFailAfterSwapOps = Some(ops)
+      val killed =
+        try { DL.compact(spark, ledger, 3, 8, 2, rebucketTo = Some(16))
+          false }
+        catch { case _: IllegalStateException => true }
+        finally DL.testFailAfterSwapOps = None
+      if (killed) {
+        if (DL.rebucketPending(ledger)) {
+          sawPending = true
+          // readers refuse the between state (trees/params can disagree)
+          intercept[IllegalArgumentException] {
+            DL.read(spark, ledger, 3, 8, 2)
+          }
+          assert(DL.recoverCompact(spark, ledger))
+        } else {
+          // killed before the commit marker: old ledger fully intact
+          assert(DL.bucketsOf(ledger) == DL.Buckets)
+          DL.compact(spark, ledger, 3, 8, 2, rebucketTo = Some(16))
+        }
+        assert(DL.bucketsOf(ledger) == 16,
+          s"kill at op $ops: params did not commit")
+        assert(content(ledger) == want, s"kill at op $ops: content diverged")
+      } else sawCompletion = true
+      ops += 1
+    }
+    assert(sawCompletion && sawPending,
+      "sweep never exercised both a pending marker and a clean run")
+  }
+
   test("winnow read has one schema across marker-only and data states") {
     val root = java.nio.file.Files.createTempDirectory("winnow_sch").toString
     // marker-only ledger: the crash window between _params and the first
