@@ -491,7 +491,9 @@ object Bpe {
                               textCol: String,
                               merges: Seq[Merge],
                               seg: (Column, Seq[Merge]) => Column,
-                              passThrough: Seq[String] = Nil): DataFrame = {
+                              passThrough: Seq[String] = Nil,
+                              encodeBase: Column => Column =
+                                identity): DataFrame = {
     val pre = docs.select(
       col(idCol) +: passThrough.map(col) :+
         pretokens(col(textCol)).as("__pts"): _*)
@@ -500,7 +502,7 @@ object Bpe {
       .otherwise(size(col("__pts")).cast("long"))
     // symbols n <-> separators 2(n+1): count separators by length
     // difference (translate deletes them) — no array materialization
-    val segCol = seg(joined, merges)
+    val segCol = seg(encodeBase(joined), merges)
     val pieces = shiftright(
       (length(segCol) - length(translate(segCol, Sep, ""))).cast("long"), 1) - 1L
     pre.select(
@@ -509,6 +511,79 @@ object Bpe {
         when(joined === "", lit(0L))
           .otherwise(pieces - nWords + lit(1L)).as("n_bpe_tokens"): _*)
   }
+
+  // --- byte-level base encoding (GPT-2 class) ---------------------------
+  // Production byte-level tokenizers (GPT-2/LLaMA class — public
+  // knowledge) do not fall back to code points: they remap every UTF-8
+  // BYTE of the input through a fixed bijection into 256 printable
+  // unicode chars, so ANY input — unassigned code points, emoji ZWJ
+  // sequences, mixed-encoding garbage from a real crawl — round-trips
+  // through a 256-symbol floor vocabulary. The char-fallback base
+  // instead spends a vocabulary slot per distinct code point (each ZWJ
+  // emoji member its own symbol). A second win: the encoded alphabet
+  // contains no combining marks, joiners or separators, so every
+  // char-vs-grapheme and U+001F edge case vanishes on the encoded side.
+
+  /** The GPT-2 byte -> unicode bijection: printable ASCII and Latin-1
+    * bytes map to their own code points; the remaining 68 bytes map to
+    * 256+n in ascending byte order. All images are BMP, single UTF-16
+    * units, category L/S/P — never whitespace, marks, or U+001F. */
+  private[graft] val ByteToChar: Array[Int] = {
+    val self = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Int](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (self(b)) out(b) = b
+      else { out(b) = 256 + n; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Inverse map, indexed by code point (-1 = not in the image). */
+  private[graft] val CharToByte: Array[Int] = {
+    val out = Array.fill(ByteToChar.max + 1)(-1)
+    var b = 0
+    while (b < 256) { out(ByteToChar(b)) = b; b += 1 }
+    out
+  }
+
+  /** Remap every UTF-8 byte of `text` through [[ByteToChar]] — the
+    * byte-level BASE for the whole BPE family: fit on
+    * [[wordFrequenciesBytes]], count with [[tokenCountsBytes]]. One
+    * native codegen'd pass ([[BpeByteEncodeExpr]]). */
+  def byteEncode(text: Column): Column =
+    ColumnBridge.column(BpeByteEncodeExpr(ColumnBridge.expression(text)))
+
+  /** Exact inverse of [[byteEncode]]: null when a code point is outside
+    * the bijection's image (i.e. the input was never an encode output).
+    * `byteDecode(byteEncode(x)) == x` for every string, spec-pinned and
+    * gate-replayed — the round-trip guarantee the byte base exists for. */
+  def byteDecode(text: Column): Column =
+    ColumnBridge.column(BpeByteDecodeExpr(ColumnBridge.expression(text)))
+
+  /** [[wordFrequencies]] with byte-level base symbols: the bijection is
+    * applied AFTER the frequency groupBy (per distinct pretoken, not per
+    * corpus row — frequencies are unchanged under a bijection), so the
+    * byte base costs one narrow projection over the word table. Feed the
+    * result to [[train]] unchanged: encoded chars are ordinary single
+    * code points, so the trainer, the replace chain and the native
+    * segmenter all work on byte symbols as-is. */
+  def wordFrequenciesBytes(docs: DataFrame, textCol: String): DataFrame =
+    wordFrequencies(docs, textCol)
+      .withColumn("word", byteEncode(col("word")))
+
+  /** [[tokenCounts]] under the byte-level base: pretokens join on a raw
+    * space and the WHOLE document encodes once (byte 0x20 maps to
+    * chr(288), which no trained symbol can contain — training pretokens
+    * never hold a space byte — so merges still cannot cross pretoken
+    * boundaries and the pieces arithmetic is unchanged). */
+  def tokenCountsBytes(docs: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[Merge],
+                       passThrough: Seq[String] = Nil): DataFrame =
+    tokenCountsWith(docs, idCol, textCol, merges, segmented, passThrough,
+      byteEncode)
 }
 
 /** A fitted merge table compiled for the native segmenter: rank-indexed
@@ -735,6 +810,87 @@ case class BpePretokensExpr(child: Expression)
     val ref = ctx.addReferenceObj("pretokenRunner", runner,
       classOf[BpePretokenRunner].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.pretokens($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The byte <-> unicode codec behind [[BpeByteEncodeExpr]] /
+  * [[BpeByteDecodeExpr]] — stateless, serializable, ships once in the
+  * codegen reference array like [[BpePretokenRunner]]. */
+final class BpeByteCodec extends Serializable {
+  /** Every UTF-8 byte of `t` as its [[Bpe.ByteToChar]] image — output
+    * length in chars == input length in bytes, all images BMP. */
+  def encode(t: UTF8String): UTF8String = {
+    val bytes = t.getBytes
+    val sb = new java.lang.StringBuilder(bytes.length + (bytes.length >> 2))
+    var i = 0
+    while (i < bytes.length) {
+      sb.appendCodePoint(Bpe.ByteToChar(bytes(i) & 0xff))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Inverse: null when any code point is outside the bijection's image
+    * (the input was not an [[encode]] output). The reassembled bytes are
+    * returned verbatim — on a genuine encode image they are the original
+    * string's exact UTF-8. */
+  def decode(t: UTF8String): UTF8String = {
+    val s = t.toString
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= Bpe.CharToByte.length || Bpe.CharToByte(cp) < 0) return null
+      out.write(Bpe.CharToByte(cp))
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+}
+
+/** bpe_byte_encode(text): the GPT-2 byte-base remap as one codegen'd
+  * native pass. */
+case class BpeByteEncodeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  private val codec = new BpeByteCodec
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def inputTypes = Seq(StringType)
+
+  override def nullSafeEval(t: Any): Any =
+    codec.encode(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteCodec", codec,
+      classOf[BpeByteCodec].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** bpe_byte_decode(text): exact inverse of [[BpeByteEncodeExpr]]; null
+  * on inputs outside the bijection's image. */
+case class BpeByteDecodeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  private val codec = new BpeByteCodec
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def inputTypes = Seq(StringType)
+
+  override def nullSafeEval(t: Any): Any =
+    codec.decode(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteCodec", codec,
+      classOf[BpeByteCodec].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $ref.decode($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -3807,8 +3807,38 @@ object Oracles {
       """'([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), """ +
       """'[\p{L}\p{M}]+|\p{N}+|[^ \t\n\x0B\f\r\p{L}\p{M}\p{N}]+')"""
 
-  /** The fit chain over source CTE/view `src` (must expose `text`). */
-  private def bpeChainFor(src: String): String = {
+  /** [[graft.operators.Bpe.byteEncode]] replayed in SQL: the UTF-8
+    * bytes via `hex(encode(...))`, each hex pair mapped through the
+    * GPT-2 byte -> unicode bijection as a generated 256-branch CASE.
+    * The byte map is READ FROM the Spark implementation
+    * ([[graft.operators.Bpe.ByteToChar]]) — one source of truth, so the
+    * twins can never drift. `c` must be a simple column/lambda-var
+    * reference (it is spliced twice). */
+  private def byteEncSql(c: String): String = {
+    val cases = (0 until 256).map(b =>
+      s"WHEN '${"%02X".format(b)}' THEN chr(${graft.operators.Bpe.ByteToChar(b)})")
+      .mkString(" ")
+    s"array_to_string(list_transform(" +
+      s"range(CAST(octet_length(encode($c)) AS BIGINT)), " +
+      s"i -> CASE substr(hex(encode($c)), CAST(2*i+1 AS INT), 2) " +
+      s"$cases END), '')"
+  }
+
+  /** [[graft.operators.Bpe.byteDecode]] replayed in SQL: each code
+    * point back to its hex pair (inverse CASE), reassembled through
+    * `unhex` + `decode`. */
+  private def byteDecSql(c: String): String = {
+    val cases = (0 until 256).map(b =>
+      s"WHEN ${graft.operators.Bpe.ByteToChar(b)} THEN '${"%02X".format(b)}'")
+      .mkString(" ")
+    s"decode(unhex(array_to_string(list_transform(string_split($c, ''), " +
+      s"ch -> CASE unicode(ch) $cases END), '')))"
+  }
+
+  /** The fit chain over source CTE/view `src` (must expose `text`);
+    * `byteBase = true` fits on byte-encoded pretokens ([[byteEncSql]]) —
+    * the GPT-2-class base where every symbol is a byte image. */
+  private def bpeChainFor(src: String, byteBase: Boolean = false): String = {
     val parts = Seq.newBuilder[String]
     // double-separator boundaries (see Bpe.Sep): a symbol boundary is
     // chr(31)||chr(31); a merge pattern is single-chr(31)-bounded, so it
@@ -3823,12 +3853,16 @@ object Oracles {
     // unchanged instead of collapsing the whole chain to empty — and
     // the merge-rows gate filters sentinels with cnt > 0, matching the
     // Spark side's early stop.
+    val wordsFrom =
+      if (!byteBase) s"(SELECT unnest(${pretokSql("text")}) AS w FROM $src)"
+      else s"(SELECT ${byteEncSql("w")} AS w FROM " +
+        s"(SELECT unnest(${pretokSql("text")}) AS w FROM $src))"
     parts += s"""w0 AS MATERIALIZED (
       |  SELECT chr(31) || chr(31) ||
       |      array_to_string(string_split(w, ''), chr(31) || chr(31)) ||
       |      chr(31) || chr(31) AS ws,
       |    CAST(count(*) AS BIGINT) AS freq
-      |  FROM (SELECT unnest(${pretokSql("text")}) AS w FROM $src)
+      |  FROM $wordsFrom
       |  GROUP BY 1)""".stripMargin
     for (i <- 1 to BpeK) {
       val p = i - 1
@@ -3867,6 +3901,23 @@ object Oracles {
        |  FROM documents)""".stripMargin
   }
 
+  /** The byte-base probe corpus CTE — IDENTICAL rows to
+    * [[graft.queries.TrainingData.BytePhrases]]-derived `byteDocs`,
+    * built from the same literals. */
+  private val byteCte: String = {
+    val phrases = graft.queries.TrainingData.BytePhrases
+      .map(p => "'" + p.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"""bytedocs AS MATERIALIZED (
+       |  SELECT doc_id, variant, text,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM (
+       |    SELECT doc_id, doc_id % 4 AS variant,
+       |      substr(text, 1, 24) || ' ' ||
+       |        ($phrases)[CAST(doc_id % 4 AS INT) + 1] AS text
+       |    FROM documents))""".stripMargin
+  }
+
   val bpe: Map[String, String] = {
     val mergeRows = (1 to BpeK).map { i =>
       s"SELECT $i AS rank, first, second, first || second AS merged, " +
@@ -3885,10 +3936,14 @@ object Oracles {
     // per-doc token counts for source `src`, chain already in scope;
     // `extra` columns of the source ride through (they must be plain
     // column names present on src)
-    def tokensBodyFor(src: String, extra: Seq[String]): String = {
+    def tokensBodyFor(src: String, extra: Seq[String],
+                      byteBase: Boolean = false): String = {
       val ec = extra.map(c => s"$c, ").mkString
+      val toksExpr =
+        if (!byteBase) pretokSql("text")
+        else s"list_transform(${pretokSql("text")}, w -> ${byteEncSql("w")})"
       s"""mrg AS MATERIALIZED (SELECT $mrgCols FROM $mrgFrom),
-         |tok AS (SELECT doc_id, $ec${pretokSql("text")} AS toks FROM $src)
+         |tok AS (SELECT doc_id, $ec$toksExpr AS toks FROM $src)
          |SELECT doc_id, ${ec}CAST(len(toks) AS BIGINT) AS n_words,
          |  CAST(coalesce(list_sum(list_transform(toks,
          |    w -> (len($nested) - len(replace($nested, chr(31), ''))) // 2
@@ -3905,6 +3960,36 @@ object Oracles {
       // the native-segmenter gate answers to the SAME replay — chain and
       // native forms are one semantics, one oracle
       "text_bpe_tokens_native" -> tokensSql,
+      // byte-base cross-check: `documents` is pure ASCII, where the
+      // GPT-2 byte bijection is the identity on every pretoken — the
+      // independent byte-base fit + apply must reproduce the CHAR-base
+      // oracle bit for bit, so it answers to the same replay
+      "text_bpe_tokens_bytes" -> tokensSql,
+      // the byte base over the garbage corpus: codec replayed through
+      // hex(encode(...)) byte maps, fit chain over encoded words, apply
+      // fold, and the round-trip re-decode (n_roundtrip must be n_docs)
+      "text_bpe_bytes" ->
+        s"""WITH $byteCte,
+           |${bpeChainFor("bytedocs", byteBase = true)},
+           |cnts AS (
+           |WITH ${tokensBodyFor(
+                "(SELECT doc_id, variant, n_bytes, text FROM bytedocs)",
+                Seq("variant", "n_bytes"), byteBase = true)}),
+           |rt0 AS (SELECT doc_id, text, ${byteEncSql("text")} AS enc
+           |        FROM bytedocs),
+           |rt AS (SELECT doc_id,
+           |         CASE WHEN ${byteDecSql("enc")} = text THEN 1 ELSE 0 END
+           |           AS ok
+           |       FROM rt0)
+           |SELECT c.variant, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(c.n_bytes) AS BIGINT) AS bytes,
+           |  CAST(sum(c.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+           |  CASE WHEN sum(c.n_bpe_tokens) > 0
+           |    THEN round(sum(c.n_bytes)::DOUBLE / sum(c.n_bpe_tokens), 4)
+           |  END AS bytes_per_token,
+           |  CAST(sum(r.ok) AS BIGINT) AS n_roundtrip
+           |FROM cnts c JOIN rt r ON c.doc_id = r.doc_id
+           |GROUP BY 1""".stripMargin,
       // chars-per-token by language: compression rate of the fitted
       // tokenizer; n_chars is the table's engine-neutral length column.
       // (The Spark side is single-scan via pass-through columns; the

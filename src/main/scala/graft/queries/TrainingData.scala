@@ -1247,6 +1247,89 @@ object TrainingData {
             sum(col("n_bpe_tokens")).cast("double"), 4))
           .as("chars_per_token"))
 
+  // --- byte-level base (GPT-2 class) probe corpus -----------------------
+  /** Crawl-garbage phrases the byte base exists for: non-BMP emoji and a
+    * ZWJ family sequence, private-use / unassigned / C1-control code
+    * points, unicode spaces, a combining mark, supplementary-plane Han.
+    * All valid UTF-8 (the byte codec's domain); the char-fallback base
+    * would spend a vocabulary slot per distinct code point here.
+    * Variant 0 is pure ASCII — its byte- and char-base token counts
+    * must coincide, a cross-check visible in the gated values. */
+  private[graft] val BytePhrases = Seq(
+    // 0: pure ASCII (byte base == char base here)
+    "plain ascii tail with version 2.0 markers and costs $12.34",
+    // 1: non-BMP emoji, a ZWJ family sequence, a variation selector
+    "\uD83D\uDE80 rocket \uD83D\uDC69\u200D\uD83D\uDC69\u200D\uD83D\uDC67" +
+      " family \u2615\uFE0F cafe crew",
+    // 2: NBSP, ideographic space, private use, unassigned, C1 control,
+    //    a combining acute on a plain e
+    "edge\u00A0space\u3000wide \uE000 private \u0378 unassigned" +
+      " \u0085 next e\u0301 combining",
+    // 3: BMP Han, supplementary-plane Han, katakana
+    "\u6771\u4EAC mix \uD842\uDFB7 rare han " +
+      "\u30AB\u30BF\u30AB\u30CA kana run")
+
+  private def byteDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(4)).as("variant"),
+        concat(substring(col("text"), 1, 24), lit(" "),
+          element_at(array(BytePhrases.map(lit): _*),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int"))).as("text"))
+      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
+
+  private val bpeBytesAsciiTrained =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+  private def bpeMergesBytesAscii(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    bpeBytesAsciiTrained.computeIfAbsent(dir, { d =>
+      Bpe.train(Bpe.wordFrequenciesBytes(
+        t(s, d, "documents").select(col("text")), "text"), numMerges = 12)
+    })
+
+  private val bpeBytesGarbageTrained =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+  private def bpeMergesBytesGarbage(s: SparkSession,
+                                    dir: String): Seq[Bpe.Merge] =
+    bpeBytesGarbageTrained.computeIfAbsent(dir, { d =>
+      Bpe.train(Bpe.wordFrequenciesBytes(byteDocs(s, d), "text"),
+        numMerges = 12)
+    })
+
+  /** Byte-base cross-check gate: the `documents` corpus is pure ASCII,
+    * where the GPT-2 byte bijection maps every pretoken to itself — so
+    * this INDEPENDENT byte-base fit + apply ([[Bpe.wordFrequenciesBytes]]
+    * -> [[Bpe.train]] -> [[Bpe.tokenCountsBytes]]) must reproduce the
+    * char-base oracle bit for bit. Any drift in the codec, the fit or
+    * the apply breaks the hash. */
+  def textBpeTokensBytes(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenCountsBytes(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", bpeMergesBytesAscii(s, dir))
+
+  /** The byte base doing the job it exists for: fit + apply over the
+    * garbage corpus ([[BytePhrases]]), per-variant bytes-per-token, and
+    * the round-trip guarantee (`n_roundtrip` must equal `n_docs` — every
+    * document, emoji and unassigned code points included, survives
+    * decode(encode(text)) exactly). The oracle replays the codec through
+    * `hex(encode(...))` byte maps, the 12-stage fit chain over encoded
+    * words, the apply fold and the round-trip re-decode. */
+  def textBpeBytes(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenCountsBytes(
+        byteDocs(s, dir).withColumn("rt",
+          (Bpe.byteDecode(Bpe.byteEncode(col("text"))) === col("text"))
+            .cast("long")),
+        "doc_id", "text", bpeMergesBytesGarbage(s, dir),
+        Seq("variant", "n_bytes", "rt"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).cast("long").as("bytes"),
+        sum(col("n_bpe_tokens")).cast("long").as("bpe_tokens"),
+        when(sum(col("n_bpe_tokens")) > 0,
+          round(sum(col("n_bytes")).cast("double") /
+            sum(col("n_bpe_tokens")).cast("double"), 4))
+          .as("bytes_per_token"),
+        sum(col("rt")).cast("long").as("n_roundtrip"))
+
   /** The vocabulary artifact the fitted tokenizer ships: every BPE piece
     * with its corpus-weighted occurrence count — segmenting each DISTINCT
     * word once, weighted by frequency ([[Bpe.vocabulary]]). The oracle

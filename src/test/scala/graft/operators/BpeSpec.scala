@@ -397,4 +397,82 @@ class BpeSpec extends SparkSpec {
       .collect()
     both.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
+
+  test("byte codec: bijection shape, round-trip fuzz incl. non-BMP and garbage") {
+    // the map itself: total bijection, images printable, never
+    // whitespace / U+001F / marks (the properties the machinery relies on)
+    assert(Bpe.ByteToChar.length == 256 &&
+      Bpe.ByteToChar.distinct.length == 256)
+    Bpe.ByteToChar.foreach { cp =>
+      assert(cp >= 33 && cp < 512 && cp != 0x1f)
+      assert(!Character.isWhitespace(cp) && Character.getType(cp) !=
+        Character.NON_SPACING_MARK)
+    }
+    assert((33 to 126).forall(b => Bpe.ByteToChar(b) == b),
+      "printable ASCII must self-map (the ASCII cross-check gate relies on it)")
+
+    // seeded fuzz over a hostile code-point pool: decode(encode(x)) == x
+    // and encoded length in CHARS == input length in BYTES
+    val rng = new scala.util.Random(4242)
+    val pool: IndexedSeq[Int] = IndexedSeq(
+      0x41, 0x7a, 0x20, 0x09, 0x1f, 0x00, 0x7f, 0x85, 0xa0, 0xe9, 0x301,
+      0x378, 0x3000, 0x4e2c, 0x30ab, 0xe000, 0xfe0f, 0x200d, 0xfffd,
+      0x1f680, 0x1f469, 0x20bb7, 0x10ffff)
+    val samples = (1 to 500).map { _ =>
+      val n = rng.nextInt(12)
+      val sb = new java.lang.StringBuilder()
+      (0 until n).foreach(_ => sb.appendCodePoint(pool(rng.nextInt(pool.size))))
+      sb.toString
+    } :+ "" :+ graft.queries.TrainingData.BytePhrases.mkString(" ")
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+      .select(col("id"), col("s"),
+        Bpe.byteEncode(col("s")).as("enc"),
+        Bpe.byteDecode(Bpe.byteEncode(col("s"))).as("rt"))
+    df.collect().foreach { r =>
+      val s = r.getString(1); val enc = r.getString(2)
+      assert(r.getString(3) == s, s"round-trip broke for ${s.toList}")
+      assert(enc.codePointCount(0, enc.length) ==
+        s.getBytes("UTF-8").length, "encoded chars != input bytes")
+      assert(!enc.exists(c => c == '\u001f' || Character.isWhitespace(c)),
+        "encoded alphabet leaked a separator or whitespace")
+    }
+    // decode of a non-image string is null, not garbage
+    assert(Seq(Tuple1("丬")).toDF("s")
+      .select(Bpe.byteDecode(col("s"))).collect().head.isNullAt(0))
+  }
+
+  test("byte base == char base on ASCII; byte apply native == chain on garbage") {
+    val ascii = Seq(
+      (1L, "low lower lowest newer newest new"),
+      (2L, "the lower bound is lower than the newest estimate"),
+      (3L, "new lines for lower costs, newer links!"))
+      .toDF("doc_id", "text")
+    val charMerges = Bpe.train(Bpe.wordFrequencies(ascii, "text"), 10)
+    val byteMerges = Bpe.train(Bpe.wordFrequenciesBytes(ascii, "text"), 10)
+    assert(byteMerges == charMerges,
+      "byte-base fit diverged from char-base on pure ASCII")
+    val charCounts = Bpe.tokenCounts(ascii, "doc_id", "text", charMerges)
+      .orderBy("doc_id").collect().toSeq
+    val byteCounts = Bpe.tokenCountsBytes(ascii, "doc_id", "text", byteMerges)
+      .orderBy("doc_id").collect().toSeq
+    assert(byteCounts == charCounts,
+      "byte-base apply diverged from char-base on pure ASCII")
+
+    // garbage corpus: the byte-base fit is consumable by the NATIVE
+    // segmenter unchanged, bit-identical to the replace chain
+    val garbage = graft.queries.TrainingData.BytePhrases.zipWithIndex
+      .map { case (p, i) => (i.toLong, s"doc $i says $p again $p") }
+      .toDF("doc_id", "text")
+    val gm = Bpe.train(Bpe.wordFrequenciesBytes(garbage, "text"), 20)
+    val chain = Bpe.tokenCountsWith(garbage, "doc_id", "text", gm,
+        Bpe.segmentedChain, Nil, Bpe.byteEncode)
+      .orderBy("doc_id").collect().toSeq
+    val native = Bpe.tokenCountsWith(garbage, "doc_id", "text", gm,
+        Bpe.segmentedNative, Nil, Bpe.byteEncode)
+      .orderBy("doc_id").collect().toSeq
+    assert(native == chain, "native segmenter diverged on byte symbols")
+    // byte-base token counts are positive and finite on every doc
+    chain.foreach(r => assert(r.getLong(r.fieldIndex("n_bpe_tokens")) > 0))
+  }
 }
