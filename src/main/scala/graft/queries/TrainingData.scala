@@ -481,22 +481,27 @@ object TrainingData {
 
   /** Smoothed TF-IDF top-5 terms per document. Plain load: the term
     * explode's own shuffle redistributes the work; a pre-repartition of
-    * the full document strings costs more than it buys (measured r6). */
+    * the full document strings costs more than it buys (measured r6,
+    * RE-measured r15: tp took 1.15 s -> 2.13 s — the extra exchange plus
+    * 32-way tiny-block fetches across the agg/join/window chain exceed
+    * the serial map side's cost at this scale; at 100 TB the scan itself
+    * yields the parallelism). */
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     graft.operators.TermStats.tfidfTopTerms(
       t(s, dir, "documents"), "doc_id", "text", k = 5)
 
-  /** BM25 (Okapi k1=1.2, b=0.75) top-5 terms per document. */
+  /** BM25 (Okapi k1=1.2, b=0.75) top-5 terms per document. Plain load:
+    * see [[textTfidf]] (tp re-measured 0.86 s -> 1.81 s, r15). */
   def textBm25(s: SparkSession, dir: String): DataFrame =
     graft.operators.TermStats.bm25TopTerms(
       t(s, dir, "documents"), "doc_id", "text", k = 5)
 
   /** Unigram-LM cross-entropy / perplexity per document (CCNet-style
     * fluency signal); integer micro-bit NLLs make the per-doc sums exact,
-    * so the row is fully hash-gated. */
+    * so the row is fully hash-gated. tp: see [[textTfidf]]. */
   def textPerplexity(s: SparkSession, dir: String): DataFrame =
     graft.operators.TermStats.unigramLogLoss(
-      t(s, dir, "documents"), "doc_id", "text")
+      tp(s, dir, "documents"), "doc_id", "text")
 
   /** DSIR importance weights over the documents corpus: the target
     * distribution is the Gopher-quality-passing subset, so the query
@@ -585,8 +590,16 @@ object TrainingData {
     * backoff genuinely fires; integer micro-bit NLLs keep it hash-gated. */
   def textBigramLm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // THREE consumers evaluate the flagged corpus (bigram counts, unigram
+    // counts, the scoring pass), and each would re-run the Gopher flag
+    // chain — and, on a one-split test file, re-pay a serial decode
+    // (r15 profile: three 0.5-0.7 s one-task jobs). One 32-way
+    // materialization feeds all three (the pipelineTrainingE2e work-table
+    // discipline); only the three columns the LM needs are kept.
     val flagged = graft.operators.TextAnalysis.gopherFlags(
-      t(s, dir, "documents"), "text")
+        tp(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("text"), col("passes"))
+      .localCheckpoint(false)
     graft.operators.TermStats.stupidBackoffScore(
       flagged, "doc_id", "text", col("passes"))
   }
@@ -1135,8 +1148,10 @@ object TrainingData {
     * chained literal `replace`s over the space-joined document (see
     * [[Bpe.tokenCounts]] for why whole-doc == per-word). */
   def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    // tp: the merge-chain apply is pure per-row compute (~2 s of CPU over
+    // the sf0.1 corpus); a single-row-group scan pins it to one core
     Bpe.tokenCounts(
-      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      tp(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", bpeMerges(s, dir))
 
   /** [[textBpeTokens]] forced through the NATIVE segmenter
@@ -1147,7 +1162,7 @@ object TrainingData {
     * only in specs. */
   def textBpeTokensNative(s: SparkSession, dir: String): DataFrame =
     Bpe.tokenCountsNative(
-      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      tp(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", bpeMerges(s, dir))
 
   /** Tokenizer quality metric: chars-per-token by language under the
@@ -1162,7 +1177,7 @@ object TrainingData {
     * engine-neutral length column. */
   def textBpeCompression(s: SparkSession, dir: String): DataFrame =
     Bpe.tokenCounts(
-        t(s, dir, "documents").select(col("doc_id"), col("text"),
+        tp(s, dir, "documents").select(col("doc_id"), col("text"),
           col("lang"), col("n_chars")),
         "doc_id", "text", bpeMerges(s, dir), Seq("lang", "n_chars"))
       .groupBy(col("lang"))
@@ -1193,8 +1208,9 @@ object TrainingData {
     "Dr. O'Neil's co-author (v2.0) said: \"well—really!?\" " +
       "…costs $1,234.56 at 3.14% markup."
 
-  private def mixedDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
+  private def mixedDocs(s: SparkSession, dir: String,
+                        par: Boolean = false): DataFrame =
+    (if (par) tp(s, dir, "documents") else t(s, dir, "documents")).select(
       col("doc_id"),
       pmod(col("doc_id"), lit(4)).as("variant"),
       concat(substring(col("text"), 1, 30), lit(" "),
@@ -1235,7 +1251,7 @@ object TrainingData {
     * scan: variant and n_chars ride the BPE projection. */
   def textBpeCompressionCjk(s: SparkSession, dir: String): DataFrame =
     Bpe.tokenCounts(
-        mixedDocs(s, dir)
+        mixedDocs(s, dir, par = true) // tp: serial apply otherwise, see textBpeTokens
           .withColumn("n_chars", length(col("text")).cast("long")),
         "doc_id", "text", bpeMergesCjk(s, dir), Seq("variant", "n_chars"))
       .groupBy(col("variant"))
@@ -1269,8 +1285,9 @@ object TrainingData {
     "\u6771\u4EAC mix \uD842\uDFB7 rare han " +
       "\u30AB\u30BF\u30AB\u30CA kana run")
 
-  private def byteDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
+  private def byteDocs(s: SparkSession, dir: String,
+                       par: Boolean = false): DataFrame =
+    (if (par) tp(s, dir, "documents") else t(s, dir, "documents")).select(
         col("doc_id"),
         pmod(col("doc_id"), lit(4)).as("variant"),
         concat(substring(col("text"), 1, 24), lit(" "),
@@ -1303,7 +1320,7 @@ object TrainingData {
     * the apply breaks the hash. */
   def textBpeTokensBytes(s: SparkSession, dir: String): DataFrame =
     Bpe.tokenCountsBytes(
-      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      tp(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", bpeMergesBytesAscii(s, dir))
 
   /** The byte base doing the job it exists for: fit + apply over the
@@ -1315,7 +1332,8 @@ object TrainingData {
     * words, the apply fold and the round-trip re-decode. */
   def textBpeBytes(s: SparkSession, dir: String): DataFrame =
     Bpe.tokenCountsBytes(
-        byteDocs(s, dir).withColumn("rt",
+        byteDocs(s, dir, par = true) // tp: serial apply otherwise
+          .withColumn("rt",
           (Bpe.byteDecode(Bpe.byteEncode(col("text"))) === col("text"))
             .cast("long")),
         "doc_id", "text", bpeMergesBytesGarbage(s, dir),
@@ -1404,9 +1422,13 @@ object TrainingData {
     * [[Sampling.packSequences]]' two-phase prefix sum — no global
     * window anywhere. */
   def shardManifest(s: SparkSession, dir: String): DataFrame =
+    // tp: packSequences' range partitioner SAMPLES its input (one full
+    // evaluation) and then exchanges it (a second) — with a one-split
+    // scan both BPE passes ran serially (r15 profile: two 1.4 s one-task
+    // jobs); the spread makes both passes 32-way
     Sampling.packSequences(
         Bpe.tokenCounts(
-          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          tp(s, dir, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text", bpeMerges(s, dir)),
         Seq("doc_id"), "n_bpe_tokens", budget = 4096L, packCol = "shard_id")
       .groupBy(col("shard_id"))
