@@ -511,7 +511,11 @@ object TrainingData {
     import org.apache.spark.sql.functions.col
     // tp: the DSIR fit tokenizes + hashes every unigram/bigram of the
     // corpus twice — exactly the compute-heavy shape the parallel read
-    // exists for (a one-row-group file otherwise pins it to one core)
+    // exists for (a one-row-group file otherwise pins it to one core).
+    // No checkpoint here: only the scoring pass re-reads the input (the
+    // model pass is the one that needs `passes`), and an r15 A/B put the
+    // materialization at break-even (1.52 s -> 1.61 s) — unlike
+    // sample_weighted, whose extra resample consumer makes it pay off.
     val flagged = graft.operators.TextAnalysis.gopherFlags(
       tp(s, dir, "documents"), "text")
     graft.operators.TermStats.dsirWeights(
@@ -524,9 +528,11 @@ object TrainingData {
     * Hash-gated — the DuckDB oracle replays model, weights and race. */
   def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // tp: same compute-heavy DSIR fit as sample_dsir (see above)
+    // tp + localCheckpoint: same shape as sample_dsir (see above)
     val flagged = graft.operators.TextAnalysis.gopherFlags(
-      tp(s, dir, "documents"), "text")
+        tp(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("text"), col("passes"))
+      .localCheckpoint(false)
     val scored = graft.operators.TermStats.dsirWeights(
       flagged, "doc_id", "text", col("passes"))
     val weighted = scored.withColumn("w", pow(lit(2.0),
