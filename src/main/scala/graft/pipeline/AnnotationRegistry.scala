@@ -73,6 +73,12 @@ object AnnotationRegistry {
       .select(col("probeset_id"), col("probeset"), col("platform"),
         when(col("gpl_id").isNotNull, col("new_organism"))
           .otherwise(probesets("organism")).as("organism"))
+      // THREE consumers (the NOT-EXISTS anti-join, the max-id aggregate,
+      // the registry union) would each re-run the staged distinct + join;
+      // registry-dimension-sized, so materialize once (lazy — the
+      // denseIdsAfter counts collect is the first action). r15: 18 jobs
+      // -> 12 on the annotation_registry gate.
+      .localCheckpoint(false)
 
     // 2. new probesets: NOT EXISTS on (platform, probeset, organism)
     //    with organism coalesced to the default on BOTH sides (:135-162)
