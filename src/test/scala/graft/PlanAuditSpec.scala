@@ -557,11 +557,21 @@ class PlanAuditSpec extends SparkSpec {
   test("BPE apply is shuffle-free codegen; shard/recall compositions stay bounded") {
     val dir = "/root/testdata/sf0.001"
     // the 12 chained literal replaces compose into the corpus scan:
-    // no exchange, no window, inside whole-stage codegen
+    // no window, no KEYED exchange, inside whole-stage codegen. r15: the
+    // query rides Tables.loadParallel, so AT MOST ONE round-robin spread
+    // exchange (scale-adaptive — absent once the scan yields enough
+    // splits) is allowed ahead of the apply; a hash/range exchange or a
+    // second exchange would mean the apply itself started shuffling.
     val toks = SparkEntry.queries("text_bpe_tokens")(spark, dir)
+    toks.collect() // AQE: codegen markers only exist in the FINAL plan
     val tPlan = toks.queryExecution.executedPlan.toString
-    assert(!tPlan.contains("Exchange") && !tPlan.contains("Window ["),
-      s"BPE apply must stay scan+project:\n${tPlan.take(1500)}")
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange \\w+".r.findAllIn(tPlan).toSeq
+    assert(exchanges.size <= 1 &&
+      exchanges.forall(_.contains("RoundRobinPartitioning")),
+      s"BPE apply must stay scan+[spread]+project:\n${tPlan.take(1500)}")
+    assert(!tPlan.contains("Window ["),
+      s"BPE apply must stay window-free:\n${tPlan.take(1500)}")
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(tPlan).isDefined,
       s"BPE segmentation fell out of codegen:\n${tPlan.take(800)}")
 
