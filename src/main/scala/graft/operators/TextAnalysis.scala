@@ -348,6 +348,14 @@ object TextAnalysis {
     try {
       for (_ <- 1 to iters) {
         val wArr = array(w.map(lit): _*)
+        // Per-bucket gradient in integer MICRO units (the unigramLogLoss
+        // discipline): each addend round(r * 1e6 / n) is an exact BIGINT,
+        // so the cross-doc sum is order-free — a plain double sum(r/n)
+        // flipped the 6-dp round against the oracle when a bucket's sum
+        // landed within an ulp of a half (seen at sf0.001, bucket 61).
+        // Each doc's residual r is itself 6-dp rounded from a SEQUENTIAL
+        // fold (same order both engines), so the addends are bit-identical
+        // cross-engine before quantization.
         val grads = base
           .withColumn("__r", round(
             col("__y") - when(col("__n") === 0, lit(0.0)).otherwise(
@@ -355,11 +363,11 @@ object TextAnalysis {
                 (acc, b) => acc + element_at(wArr, b + 1)) / col("__n")), 6))
           .filter(col("__n") > 0)
           .select(explode(col("__bks")).as("__b"),
-            (col("__r") / col("__n")).as("__rv"))
-          .groupBy(col("__b")).agg(sum(col("__rv")).as("__g"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+            round(col("__r") * 1e6 / col("__n")).cast("long").as("__gm"))
+          .groupBy(col("__b")).agg(sum(col("__gm")).as("__g"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         w = Array.tabulate(d)(j =>
-          r6(w(j) + lr * r6(grads.getOrElse(j, 0.0))))
+          r6(w(j) + lr * (grads.getOrElse(j, 0L) / 1e6)))
       }
     } finally base.unpersist()
     w

@@ -4085,16 +4085,19 @@ object Oracles {
         |      ELSE list_sum(list_transform(bks, b -> w[b+1])) / len(bks)
         |      END, 6) AS r
         |  FROM q, w$p)""".stripMargin
+      // gradient in integer MICRO units: round(r * 1e6 / n) is an exact
+      // BIGINT addend, so the per-bucket sum is order-free across engines
+      // (a double sum(r / n) straddled the 6-dp round at sf0.001)
       ctes += s"""g$i AS MATERIALIZED (
-        |  SELECT b, round(sum(r / n), 6) AS g
+        |  SELECT b, CAST(sum(CAST(round(r * 1e6 / n) AS BIGINT)) AS BIGINT) AS g
         |  FROM (SELECT unnest(bks) AS b, r, n FROM r$i WHERE n > 0)
         |  GROUP BY 1)""".stripMargin
       ctes += s"""ga$i AS (
-        |  SELECT list(coalesce(g, 0.0) ORDER BY i) AS ga
+        |  SELECT list(coalesce(g, 0) ORDER BY i) AS ga
         |  FROM range(0, $ClfD) t(i) LEFT JOIN g$i ON i = b)""".stripMargin
       ctes += s"""w$i AS (
         |  SELECT list_transform(range(1, ${ClfD + 1}),
-        |    j -> round(w[j] + $ClfLr * ga[j], 6)) AS w
+        |    j -> round(w[j] + $ClfLr * (ga[j] / 1000000.0), 6)) AS w
         |  FROM w$p, ga$i)""".stripMargin
     }
     "WITH " + ctes.result().mkString(",\n") +

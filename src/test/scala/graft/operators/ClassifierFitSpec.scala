@@ -26,6 +26,20 @@ class ClassifierFitSpec extends SparkSpec {
     assert(w.count(_ != 0.0) <= 2)
   }
 
+  test("fit is invariant to input partitioning (order-free gradient sum)") {
+    // the r15 micro-unit gradient: each addend round(r*1e6/n) is an exact
+    // integer, so the per-bucket sum cannot depend on partition/merge
+    // order — 1-partition and 13-partition fits must be bit-identical
+    val docs = (0 until 300).map { i =>
+      (s"tok${i % 7} tok${i % 31} tok${i % 13} filler$i", i % 2)
+    }.toDF("text", "y")
+    val w1 = TextAnalysis.trainHashedLinear(docs.coalesce(1), "text", "y",
+      d = 64, lr = 2e-3, iters = 3)
+    val w13 = TextAnalysis.trainHashedLinear(docs.repartition(13), "text", "y",
+      d = 64, lr = 2e-3, iters = 3)
+    assert(w1.toSeq == w13.toSeq)
+  }
+
   test("squared loss decreases over iterations on a separable corpus") {
     val docs = (0 until 60).map { i =>
       if (i % 2 == 0) (s"alpha beta gamma token$i", 1)
