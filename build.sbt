@@ -11,6 +11,25 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The suite outgrew the driver's verify window (465 tests / 64 suites,
+// ~36 min wall in ONE forked JVM at r14/r15 — VERIFY_r15.json tests_ok
+// read false on a truncated-but-green tail). Suites share no mutable
+// state (every spec writes to its own createTempDirectory; sessions are
+// per-JVM local[2] singletons), so run each suite in its own forked JVM
+// with a bounded number in flight. 6 concurrent local[2] JVMs x 3g heap
+// fits the 32-cpu / 128 GiB sandbox with the bench-grade headroom.
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions(
+    (Test / javaOptions).value.toVector
+      .filterNot(_.startsWith("-Xmx")) :+ "-Xmx3g")
+  (Test / definedTests).value.map { t =>
+    Tests.Group(t.name, Seq(t), Tests.SubProcess(opts))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(12),
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
