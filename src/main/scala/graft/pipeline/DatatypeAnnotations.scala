@@ -227,9 +227,22 @@ object DatatypeAnnotations {
 
   // ------------------------------------------------------------ metabolomics
 
-  final case class MetabolomicsTables(
-      annotation: DataFrame, superPathways: DataFrame,
-      subPathways: DataFrame, subPathwayMetab: DataFrame)
+  /** Lazy fields (not a case class): [[graft.core.Ids.denseIds]] runs an
+    * eager counts collect per table, so an eagerly-built result would pay
+    * every table's id-assignment jobs even when the caller consumes ONE of
+    * the four (annot_metabolomics reads only `annotation`,
+    * annot_metab_sub_pathways only `subPathways` — guide §1.2: don't
+    * compute things you throw away). Each table is built on first access;
+    * dependencies (sub needs super, subPathwayMetab needs both) resolve
+    * through the lazy vals. */
+  final class MetabolomicsTables(
+      annotationF: => DataFrame, superPathwaysF: => DataFrame,
+      subPathwaysF: => DataFrame, subPathwayMetabF: => DataFrame) {
+    lazy val annotation: DataFrame = annotationF
+    lazy val superPathways: DataFrame = superPathwaysF
+    lazy val subPathways: DataFrame = subPathwaysF
+    lazy val subPathwayMetab: DataFrame = subPathwayMetabF
+  }
 
   /** Metabolomics registry (I2B2_LOAD_METABOLOMICS_ANNOT.sql:33-115):
     * replace the platform's de_metabolite_annotation (staged LEFT JOIN
@@ -245,7 +258,7 @@ object DatatypeAnnotations {
     val gplId = singleGpl(staged)
     val markersByName = bioMarkers
       .select(col("bio_marker_name"), col("primary_external_id"))
-    val annotation = graft.core.Ids.denseIds(
+    lazy val annotation = graft.core.Ids.denseIds(
       staged
         .join(broadcast(markersByName),
           staged("biochemical_name") === col("bio_marker_name"), "left")
@@ -253,18 +266,18 @@ object DatatypeAnnotations {
           col("primary_external_id").as("biomarker_id"), col("hmdb_id")),
       Seq("biochemical_name", "hmdb_id"), "id")
 
-    val superPathways = graft.core.Ids.denseIds(
+    lazy val superPathways = graft.core.Ids.denseIds(
       staged.select(col("gpl_id"), col("super_pathway")).distinct(),
       Seq("super_pathway"), "id")
       .select(col("id"), col("gpl_id"), col("super_pathway").as("super_pathway_name"))
 
     // unnest(regexp_split_to_array(sub_pathway, ';')) — one row per
     // element per staged row, NO distinct (:86-99), joined to its super
-    val exploded = staged
+    lazy val exploded = staged
       .select(col("gpl_id"), col("super_pathway"), col("biochemical_name"),
         explode(org.apache.spark.sql.functions.split(col("sub_pathway"), ";"))
           .as("sub_pathway"))
-    val subPathways = graft.core.Ids.denseIds(
+    lazy val subPathways = graft.core.Ids.denseIds(
       exploded
         .join(broadcast(superPathways.select(col("id").as("super_pathway_id"),
           col("super_pathway_name"))),
@@ -273,13 +286,13 @@ object DatatypeAnnotations {
           col("super_pathway_id")),
       Seq("sub_pathway_name", "super_pathway_id"), "id")
 
-    val subPathwayMetab = exploded
+    lazy val subPathwayMetab = exploded
       .select(trim(col("biochemical_name")).as("b"), trim(col("sub_pathway")).as("sp"))
       .join(broadcast(annotation.select(col("id").as("metabolite_id"),
         col("biochemical_name"))), col("b") === col("biochemical_name"))
       .join(broadcast(subPathways.select(col("id").as("sub_pathway_id"),
         col("sub_pathway_name"))), col("sp") === col("sub_pathway_name"))
       .select(col("metabolite_id"), col("sub_pathway_id"))
-    MetabolomicsTables(annotation, superPathways, subPathways, subPathwayMetab)
+    new MetabolomicsTables(annotation, superPathways, subPathways, subPathwayMetab)
   }
 }
