@@ -74,12 +74,34 @@ object Tables {
     * should stay on [[load]]. */
   def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(path).getLength
+    if (smallInput(spark, dir, name)) df.repartition(
+      spark.sparkContext.defaultParallelism) else df
+  }
+
+  /** True when `name`'s scan would yield fewer splits than the cluster has
+    * slots — the small-input regime where [[loadParallel]]'s spread (and a
+    * multi-consumer localCheckpoint work-table over a frame derived from
+    * this table) pays off. At warehouse scale this is false by
+    * construction: a 100 TB table yields orders of magnitude more splits
+    * than slots, the scan itself provides the parallelism, and a
+    * corpus-sized work-table would be a full corpus copy on executor
+    * storage (an execution-memory competitor and an executor-loss
+    * recompute hazard — guide §5), so gated callers fall back to the
+    * plain recompute shape. Byte size is memoized like the footer schema
+    * — the driver's tables are immutable for a run. */
+  def smallInput(spark: SparkSession, dir: String, name: String): Boolean = {
+    val path = s"$dir/$name.parquet"
+    val bytes = sizes.computeIfAbsent(path, { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      java.lang.Long.valueOf(fs.getContentSummary(hp).getLength)
+    }).longValue()
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
     val slots = spark.sparkContext.defaultParallelism
     val splits = math.max(1L, (bytes + maxPart - 1) / maxPart)
-    if (splits < slots) df.repartition(slots) else df
+    splits < slots
   }
+
+  private val sizes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 }

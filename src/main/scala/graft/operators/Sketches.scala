@@ -159,11 +159,20 @@ object Sketches {
   def cmSketch(df: DataFrame, valueCol: String, depth: Int = 4,
                width: Int = 8192): DataFrame = {
     requireCmShape(depth, width)
-    val rows = (0 until depth).map(j =>
-      struct(lit(j).as("row"), cmBucket(col("__cmh"), j, width).as("bucket")))
     // the digest is a projected column, so it evaluates once per value
     // (not once per depth row — see the HOF/CSE materialization rule)
-    df.select(md5(col(valueCol).cast("string")).as("__cmh"))
+    cmCounters(
+      df.select(md5(col(valueCol).cast("string")).as("__cmh")), depth, width)
+  }
+
+  /** [[cmSketch]] over a frame that already carries the `__cmh` digest —
+    * shared with [[cmHeavyHitters]], whose probe pass reuses the same
+    * digest column instead of re-hashing the corpus. */
+  private def cmCounters(hashed: DataFrame, depth: Int,
+                         width: Int): DataFrame = {
+    val rows = (0 until depth).map(j =>
+      struct(lit(j).as("row"), cmBucket(col("__cmh"), j, width).as("bucket")))
+    hashed
       .select(explode(array(rows: _*)).as("rb"))
       .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .groupBy(col("row"), col("bucket"))
@@ -507,12 +516,22 @@ object Sketches {
     * bucket is hot) fall back to plain-groupBy behavior — correct,
     * just unpruned. */
   def cmHeavyHitters(df: DataFrame, valueCol: String, minShare: Double,
-                     depth: Int = 4, width: Int = 8192): DataFrame = {
+                     depth: Int = 4, width: Int = 8192,
+                     workTable: DataFrame => DataFrame = identity): DataFrame = {
     require(minShare > 0.0 && minShare < 1.0,
       s"minShare must be in (0,1), got $minShare")
-    val rows = df.filter(col(valueCol).isNotNull)
+    // ONE (value, digest) projection feeds BOTH passes. Before r16 each
+    // pass re-derived the corpus (tokenize upstream + md5 here: two full
+    // evaluations — §5 work-table discipline); `workTable` lets callers
+    // materialize the shared frame once (size-gated at the call site so
+    // the 100 TB plan keeps the plain two-pass shape — the recompute is
+    // then scan-parallel and a corpus copy to executor storage is the
+    // greater evil). Pass 1's driver collect is the first action, so a
+    // lazy localCheckpoint materializes exactly once.
+    val rows = workTable(df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol), md5(col(valueCol).cast("string")).as("__cmh")))
     // bounded driver collect: the counter table, <= depth*width rows
-    val counters = cmSketch(rows, valueCol, depth, width)
+    val counters = cmCounters(rows.select(col("__cmh")), depth, width)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     val total = counters.map(_._3).sum / depth
     val threshold = math.max(1L, math.ceil(minShare * total).toLong)
@@ -524,9 +543,8 @@ object Sketches {
         words(j * wordsPerRow + bucket / 63) |= (1L << (bucket % 63))
     }
     val wlit = typedLit(words.toSeq)
-    // one digest per row (projected column), depth slice reads off it
+    // pass 2 probes off the SAME projected digest pass 1 counted from
     val withBuckets = rows
-      .select(col(valueCol), md5(col(valueCol).cast("string")).as("__cmh"))
       .select(col(valueCol) +:
         (0 until depth).map(j =>
           cmBucket(col("__cmh"), j, width).as(s"__b$j")): _*)
