@@ -371,10 +371,23 @@ object DedupLedger {
     val line = paramsLine(n, numHashes, rowsPerBand, bucketsOf(path))
     require(existing == line,
       s"ledger at $path was built with '$existing', screen asked for '$line'")
-    (spark.read.parquet(s"$path/fp").select(col("doc_id"), col("fp"),
-        col("fpb")),
-      spark.read.parquet(s"$path/bands")
-        .select(col("doc_id"), col("band"), col("band_key"), col("bkb")))
+    // Partition discovery over the bucket fan-out (b x ingest-label
+    // directories) trips Spark's distributed-listing path at its default
+    // 32-path threshold, costing one near-empty 64-task job PER TABLE per
+    // screen (r16 profile: 2 x ~0.17 s of pure scheduling at test SF).
+    // Up to 1024 directories the driver's own listing thread pool is
+    // strictly cheaper on any filesystem, so raise the threshold to 1024
+    // for these two reads only; past that (many ingest labels x buckets)
+    // the distributed listing returns — the knob stays scale-adaptive.
+    val tkey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val oldT = spark.conf.get(tkey)
+    spark.conf.set(tkey, "1024")
+    try {
+      (spark.read.parquet(s"$path/fp").select(col("doc_id"), col("fp"),
+          col("fpb")),
+        spark.read.parquet(s"$path/bands")
+          .select(col("doc_id"), col("band"), col("band_key"), col("bkb")))
+    } finally spark.conf.set(tkey, oldT)
   }
 
   /** Does a ledger exist at `path`? (The CLI bootstraps one when not.) */
