@@ -621,6 +621,11 @@ object Similarity {
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nprobe: Int,
                 centroids: DataFrame, codebooks: DataFrame): DataFrame = {
+    // NOT overlapped: an r16 A/B ran the two KB-sized fit collects as
+    // concurrent actions (guide §2.6) and measured 1.23 -> 1.39 s on
+    // ann_ivfpq while untouched neighbors drifted the same band — the
+    // two ~50 ms round-trips are too small to pay for thread/contention
+    // overhead, unlike the corpus-scale searches in annRecall
     val cents = collectCentroids(centroids)
     val cbs = collectCodebooks(codebooks)
     val subLen = cbs(0)(0).length

@@ -516,15 +516,32 @@ object ClinicalPipeline {
     * natural keys (deterministic; SURVEY §7.3 sequence replacement). */
   def build(spark: SparkSession, studyId: String, topNode: String,
             facts: DataFrame): StudyTables = {
-    // distributed deterministic ids (no single-task global window)
-    val patients = graft.core.Ids.denseIds(
-      facts.select(col("usubjid"), col("subj_id")).distinct(),
-      Seq("usubjid"), "patient_num")
-
-    val concepts = graft.core.Ids.denseIds(
-        facts.select(col("leaf_node")).distinct(), Seq("leaf_node"), "concept_id")
-      .withColumn("concept_cd", concat(lit(s"$studyId:"), col("concept_id").cast("string")))
-      .drop("concept_id")
+    // distributed deterministic ids (no single-task global window). The
+    // patient and concept id assignments are independent scans of the
+    // same cached fact frame — run their counts collects as concurrent
+    // actions (guide §2.6); the cache's per-partition locking dedupes
+    // the first materialization between the two threads.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val (patients, concepts) = try {
+      val fPat = Future {
+        graft.core.Ids.denseIds(
+          facts.select(col("usubjid"), col("subj_id")).distinct(),
+          Seq("usubjid"), "patient_num")
+      }
+      val fCon = Future {
+        graft.core.Ids.denseIds(
+            facts.select(col("leaf_node")).distinct(), Seq("leaf_node"),
+            "concept_id")
+          .withColumn("concept_cd",
+            concat(lit(s"$studyId:"), col("concept_id").cast("string")))
+          .drop("concept_id")
+      }
+      (Await.result(fPat, Duration.Inf), Await.result(fCon, Duration.Inf))
+    } finally pool.shutdown()
 
     val i2b2WithAttrs = rebuildTree(studyId, topNode, facts)
 
