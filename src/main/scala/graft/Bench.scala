@@ -70,12 +70,12 @@ object Bench {
     // line so the driver's tail parse always sees one complete JSON
     // object. Same metric, same methodology, keys only moved.
     println(line)
-    val shortLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","failed":$failures,"sf":"$sfDir","n_queries":${results.size},"queries_file":"BENCH_LOCAL.json"}"""
     // full per-query JSON lands in a file; default is UNDER target/ (not
     // a committed path) so driver-initiated runs stop overwriting the
     // committed closing artifact (they did in r15)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench_local.json")
+    val shortLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","failed":$failures,"sf":"$sfDir","n_queries":${results.size},"queries_file":"$outFile"}"""
     try {
       val p = java.nio.file.Paths.get(outFile)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -55,6 +55,12 @@ object AnnotationRegistry {
       .select(col("gpl_id"), col("probe_id"), col("gene_symbol"),
         col("gene_id"), col("organism"))
       .distinct()
+    // NOT checkpointed (measured r16): stagedDistinct has three consumers
+    // like `refreshed` below, but a lazy localCheckpoint here measured
+    // 1.44-4.70 s across 4 interleaved A/B rounds vs a stable 1.81-2.10 s
+    // without — the extra materialization stage destabilizes the chain of
+    // KB-sized 1-task stages for no median win. The re-derivation is a
+    // distinct over one platform's staged file; recompute is the floor.
 
     // 1. organism refresh for existing registry rows (reference :107-131).
     //    ONE organism per (platform, probe): the reference's UPDATE writes a
