@@ -545,9 +545,18 @@ object ClinicalPipeline {
 
     val i2b2WithAttrs = rebuildTree(studyId, topNode, facts)
 
+    // broadcast bound: one row per distinct leaf path — ontology-tree-
+    // sized (tens of thousands for the widest study), never fact-sized;
+    // the same bound as rebuildTree's leafMeta hint. Forced because the
+    // denseIds checkpoint carries no stats: the planner was degrading
+    // this join to a SortMergeJoin, whose leaf_node exchange AQE then
+    // coalesced to ONE partition (KB at test SF) — serializing the
+    // conceptCounts ancestor explode downstream (r16 profile: one 0.7 s
+    // 1-task stage). With the broadcast the fact side keeps the cached
+    // frame's partitioning and the explode fans out.
     val fact = facts
       .join(patients.select(col("usubjid"), col("patient_num")), "usubjid")
-      .join(concepts, "leaf_node")
+      .join(broadcast(concepts), "leaf_node")
       .select(
         col("patient_num"), col("concept_cd"), col("leaf_node"), col("leaf_template"),
         col("usubjid"), col("data_label"), col("visit_name"), col("valtype_cd"),
